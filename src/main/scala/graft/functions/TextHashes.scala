@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash kernels (SimHash, MinHash).
+  *
+  * The composable higher-order-function formulations in
+  * `operators.Dedup` are semantically clean but evaluate a ~64×|words|
+  * expression tree per row in the interpreter (codegen gives up on trees that
+  * size) — at sf0.1 the SimHash HOF version alone ran for minutes. These
+  * expressions compute the same signatures in one imperative pass per row and
+  * stay inside whole-stage codegen via a static-call `doGenCode`, the
+  * preference order the engine follows everywhere: native expression > HOF
+  * composition > UDF.
+  */
+object TextHashImpl {
+  final val Seed = 42L // same default seed as Spark's xxhash64 SQL function
+
+  @inline private def hashWord(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, seed)
+
+  /** 64-bit SimHash over whitespace words: bit b is the sign of
+    * Σ_words ±1 by bit b of xxhash64(word). One pass, no allocation beyond
+    * the 64 counters.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = text.numBytes()
+    var start = 0
+    val bytes = text.getBytes
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        if (i > start) {
+          val w = UTF8String.fromBytes(bytes, start, i - start)
+          val h = hashWord(w, Seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 63
+    while (b >= 0) {
+      r = (r << 1) | (if (counts(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    r
+  }
+
+  /** MinHash signature over distinct word k-shingles using the standard
+    * 2-hash affine family: sig_j = min_s (h1(s) + j·h2(s)). One pass over
+    * shingles, 2 hashes each, `numHashes` running minima.
+    */
+  def minhash(text: UTF8String, k: Int, numHashes: Int): Array[Long] = {
+    val words = split(text)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(words.length - k + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      val shingle =
+        if (words.length == 0) UTF8String.EMPTY_UTF8
+        else if (words.length < k) UTF8String.concatWs(UTF8String.fromString(" "), words: _*)
+        else UTF8String.concatWs(UTF8String.fromString(" "), words.slice(i, i + k): _*)
+      if (seen.add(shingle)) {
+        val h1 = hashWord(shingle, Seed)
+        val h2 = hashWord(shingle, Seed + 1)
+        var j = 0
+        while (j < numHashes) {
+          val hj = h1 + j * h2 // intentional wrap (affine hash family)
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhashArrayData(text: UTF8String, k: Int, numHashes: Int): ArrayData =
+    new GenericArrayData(minhash(text, k, numHashes))
+
+  private def split(text: UTF8String): Array[UTF8String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val bytes = text.getBytes
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhashArrayData(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.minhashArrayData($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Column-API entry points. */
+object TextHashes {
+  def simhash64(c: Column): Column = GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
+  def minhashSig(c: Column, k: Int = 3, numHashes: Int = 32): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k, numHashes))
+}

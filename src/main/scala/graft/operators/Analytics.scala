@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.StateOps.{dsum, epochMs}
+
+/** General analytics over the indexed store. The reference's value is the
+  * queryable Postgres DB it maintains (README: balances, trust graph, tx
+  * history views); these are the ad-hoc analytical shapes that DB serves,
+  * expressed as Catalyst-optimizable DataFrame plans and used as the bench
+  * headliners.
+  *
+  * Scale notes per query in each method's doc.
+  */
+object Analytics {
+
+  /** Full-scan aggregation, TPC-H Q1 shape. Map-side partial aggregation on
+    * a low-cardinality key: the shuffle moves O(groups), not O(rows).
+    * Decimal-exact sums (see StateOps.dsum) keep the oracle hash-stable.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Selective join + agg + top-k, TPC-H Q3 shape. The customer-segment
+    * filter makes the dim side small → Catalyst broadcasts it (no shuffle of
+    * lineitem for that join); date filters push into both parquet scans.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).where(col("c_mktsegment") === "AUTOMOBILE")
+    val o = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), epochMs(col("o_orderdate")).as("o_orderdate_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way star join, TPC-H Q5 shape. region/nation/supplier are tiny →
+    * broadcast; the only real shuffle is lineitem⋈orders on orderkey, then
+    * one agg shuffle on n_name.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-k per group. row_number window partitioned by brand — Spark 3.5+'s
+    * WindowGroupLimit pushes the k-limit below the sort (per-partition
+    * top-k), so no full per-group sort materializes.
+    */
+  def topKPerGroup(part: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Anti-join: customers with no order in 1995 (the reference's
+    * requested-vs-imported frontier is this exact shape). Broadcast-able
+    * when the distinct key side is small; hash anti-join otherwise.
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val o95 = orders
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    customer
+      .join(o95.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** JSON payload decode (log `data`/`topics` parsing in the classifier):
+    * get_json_object is codegen'd; the projection prunes to (event_id,
+    * props) at the scan.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")
+      )
+      .withColumn("k_bucket", col("k") % 10)
+      .orderBy("event_id")
+}

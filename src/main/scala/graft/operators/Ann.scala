@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against a linear scan of the base. No shuffle of the base except
+  *    the final per-query top-k (WindowGroupLimit keeps it a per-partition
+  *    heap, not a sort).
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket base and queries by the
+  *    sign-bit key, search only matching buckets. The 100 TB path: the scan
+  *    is pruned to candidate buckets, trading recall for a ~2^bits fan-in
+  *    reduction.
+  *
+  * Determinism: dot products accumulate CAST(x*y AS DECIMAL(28,18)) — exact,
+  * order-independent — then one double division/sqrt (IEEE-exact), so Spark
+  * and the DuckDB oracle agree bit-for-bit and ranking has no ulp ties;
+  * remaining ties break on neighbor id.
+  */
+object Ann {
+
+  /** Exact decimal dot product of two float arrays (cast to double per
+    * element; products are IEEE-identical cross-engine, the decimal sum is
+    * associative so parallelism can't reorder it into a different answer).
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(28,18)")),
+      lit(0).cast("decimal(28,18)"),
+      (acc, x) => (acc + x).cast("decimal(28,18)")
+    )
+
+  def norm(a: Column): Column = sqrt(dotDecimal(a, a).cast("double"))
+
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val base = embeddings.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+    // cosine is rounded to 12 dp: the decimal dot is exact, but sqrt/divide
+    // accumulate engine-specific last-ulp noise; ranking on the rounded value
+    // keeps ordering identical cross-engine (ties then break on nid).
+    val scored = base.crossJoin(broadcast(q))
+      .select(
+        col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("qid", "nid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Random-hyperplane sign-bit bucket key. Hyperplane h_i components are
+    * derived deterministically from (i, dim) via xxhash64 → uniform in
+    * [-0.5, 0.5): reproducible with zero stored state, codegen-friendly.
+    */
+  def lshKey(e: Column, dim: Int, bits: Int): Column = {
+    def planeComponent(i: Int, d: Int): Column =
+      (xxhash64(lit(s"plane:$i:$d")).cast("double") / lit(Long.MaxValue.toDouble) / 2.0d)
+    val bitCols = (0 until bits).map { i =>
+      val dot = (0 until dim).map(d => get(e, lit(d)).cast("double") * planeComponent(i, d)).reduce(_ + _)
+      when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat_ws("", bitCols: _*)
+  }
+
+  def lshTopK(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
+              numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val keyed = embeddings.select(col("vec_id"), col("embedding"), lshKey(col("embedding"), dim, bits).as("bucket"))
+    val q = keyed.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"), col("bucket"))
+    val base = keyed.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"), col("bucket"))
+    val scored = base.join(broadcast(q), "bucket")
+      .select(col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("qid", "nid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stateful-view operators: latest-state-per-key, balances, running balance,
+  * sessionization, windowed throughput.
+  *
+  * Reference semantics: the indexer's Postgres schema derives "current state"
+  * views from the append-only event tables — e.g. the current trust limit is
+  * the *latest* `crc_trust_2` row per (user, can_send_to), and an address's
+  * balance is Σ credits − Σ debits over `erc20_transfer_2`
+  * (README.md "Indexed events"; `Persistence/ImportProcedure.cs:30-39` lists
+  * the final tables these views sit on).
+  */
+object StateOps {
+
+  /** Deterministic epoch-milliseconds of a timestamp column (both Spark and
+    * the DuckDB oracle truncate parquet ns → µs, then integer-divide).
+    */
+  def epochMs(c: Column): Column =
+    floor(unix_micros(c.cast("timestamp")) / lit(1000.0d)).cast("long")
+
+  /** Exact decimal sum rendered back as double: double addition is
+    * order-dependent (parallel aggregation ⇒ nondeterministic last ulp), so
+    * every oracle-checked aggregate sums DECIMAL(18,4) — exact, associative,
+    * engine-independent — and casts the final value to double.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+
+  /** Latest event per (user_id, event_type) — the "current trust state"
+    * shape: last value wins, ordered by (ts, event_id).
+    *
+    * Spark-first: `max_by(x, struct(ts, event_id))` hash aggregation instead
+    * of the classic row_number()-over-window-then-filter. Both shuffle once
+    * on the group key, but the aggregation combines map-side partials and
+    * never materializes a per-partition sort — at 100 TB the window variant
+    * sort-spills, this doesn't. (event_id is unique ⇒ no ties ⇒
+    * deterministic.)
+    */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(col("event_id"), ord).as("last_event_id"),
+        max_by(col("value"), ord).as("last_value"),
+        epochMs(max(col("ts"))).as("last_ts_ms")
+      )
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Balance per account: Σ credits − Σ debits in ONE pass (conditional
+    * aggregation), mirroring the crc_balances view. A naive per-type
+    * scan+join would read the table twice and shuffle twice; this shuffles
+    * compact partial aggregates on user_id only.
+    */
+  def balances(events: DataFrame): DataFrame = {
+    val credit = when(col("event_type") === "purchase", col("value"))
+    val debit = when(col("event_type") === "click", col("value"))
+    events
+      .groupBy("user_id")
+      .agg(
+        dsum(credit).as("credits_d"),
+        dsum(debit).as("debits_d"),
+        count(lit(1)).as("n_events")
+      )
+      .select(
+        col("user_id"),
+        coalesce(col("credits_d"), lit(0).cast("decimal(18,4)")).cast("double").as("credits"),
+        coalesce(col("debits_d"), lit(0).cast("decimal(18,4)")).cast("double").as("debits"),
+        (coalesce(col("credits_d"), lit(0).cast("decimal(18,4)"))
+          - coalesce(col("debits_d"), lit(0).cast("decimal(18,4)"))).cast("double").as("balance"),
+        col("n_events")
+      )
+      .orderBy("user_id")
+  }
+
+  /** Balance *history*: cumulative credit−debit per user over time. Window
+    * partitioned by user_id — scales with users (each partition's state is
+    * one running decimal), ordered by (ts, event_id) for determinism.
+    */
+  def runningBalance(events: DataFrame): DataFrame = {
+    val delta = when(col("event_type") === "purchase", col("value"))
+      .when(col("event_type") === "click", -col("value"))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .where(col("event_type").isin("purchase", "click"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        sum(delta.cast("decimal(18,4)")).over(w).cast("double").as("balance_after")
+      )
+      .orderBy("event_id")
+  }
+
+  /** Tumbling-window throughput stats (reference `Statistics.cs` tracks
+    * blocks/tx per interval; the streaming twin lives in
+    * streaming/EventPipeline). Batch form: date_trunc — partial-aggregated,
+    * one shuffle on (hour, type).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("HOUR", col("ts")).as("hour"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).cast("double").as("sum_value"))
+      .select(epochMs(col("hour")).as("hour_ms"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_ms", "event_type")
+
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of
+    * inactivity. Two windows over the same (user_id; ts, event_id) ordering —
+    * Spark reuses the single shuffle+sort for both. Session id = first
+    * event_id of the session (deterministic).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newSession = when(
+      col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > gapUs, 1L
+    ).otherwise(0L)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .withColumn("is_new", newSession)
+      .withColumn("session_idx", sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min("event_id").as("session_start_id"),
+        count(lit(1)).as("n_events"),
+        floor((max("ts_us") - min("ts_us")) / lit(1000.0d)).cast("long").as("duration_ms")
+      )
+      .select("user_id", "session_start_id", "n_events", "duration_ms")
+      .orderBy("user_id", "session_start_id")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: quality scoring, token
+  * counting, language ID, document fingerprinting. All map-only projections
+  * built from codegen'd native functions — they run at scan speed at any
+  * scale, and column pruning reduces the parquet read to (doc_id, text).
+  */
+object TextMetrics {
+
+  private val wsWords: Column => Column = t => split(t, " ")
+
+  /** Quality metrics: length, word count, mean word length, punctuation
+    * ratio, stopword ratio. Ratios are integer-derived double divisions —
+    * deterministic across engines (IEEE ops on exactly-representable ints).
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val words = wsWords(col("text"))
+    val nWords = size(words)
+    val nChars = length(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val nStop = size(filter(words, w => w === "the" || w === "a"))
+    documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      ((nChars - nWords + 1).cast("double") / nWords.cast("double")).as("avg_word_len"),
+      (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (nStop.cast("double") / nWords.cast("double")).as("stopword_ratio")
+    ).orderBy("doc_id")
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex tokenizer (letter
+    * runs / single digits / single punctuation — the classic pre-tokenizer
+    * shape). The regex is kept in the portable subset (character classes,
+    * alternation) so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(wsWords(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens")
+    ).orderBy("doc_id")
+
+  /** Function-word language ID (n-gram-heuristic family): score = count of
+    * language-specific function words, argmax wins, ties → "und". Word lists
+    * are tiny broadcast-free literals inside the codegen'd projection.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu")
+  )
+
+  def langId(documents: DataFrame): DataFrame = {
+    val words = wsWords(lower(col("text")))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val cnt = size(filter(words, w => ms.map(m => w === m).reduce(_ || _)))
+      struct(cnt.as("score"), lit(lang).as("lang"))
+    }
+    // argmax via array_max on (score, lang) structs; all-zero → "und"
+    val best = array_max(array(scores: _*))
+    documents.select(
+      col("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise("und").as("pred_lang")
+    ).orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint (Karp–Rabin) over words, mod the
+    * Mersenne prime 2^31−1: h ← (h·31 + (xxhash64(word) mod p)) mod p.
+    * Order-sensitive (unlike a bag-of-words hash), one pass, and the mod-p
+    * reduction keeps every intermediate < 2^36 — no ANSI overflow at any
+    * input size.
+    */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val p = lit(2147483647L)
+    documents.select(
+      col("doc_id"),
+      aggregate(wsWords(col("text")), lit(0L),
+        (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fingerprint")
+    ).orderBy("doc_id")
+  }
+}

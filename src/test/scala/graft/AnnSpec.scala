@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim unit-ish vectors: ids 0-1 are queries (numQueries=2), 2+ base.
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.1f, 0.0f, 0.0f)), // closest to q0
+    (3L, Array(0.9f, 0.5f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 1.0f, 0.1f, 0.0f)), // closest to q1
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f)) // anti-parallel to q0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine") {
+    val r = Ann.bruteForceTopK(vecs, numQueries = 2, k = 2)
+      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
+      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+    assert(r((0L, 1)) == 2L) // cos ≈ 0.995
+    assert(r((0L, 2)) == 3L) // cos ≈ 0.874
+    assert(r((1L, 1)) == 4L)
+  }
+
+  test("cosine values are exact for hand-checkable cases") {
+    val r = Ann.bruteForceTopK(vecs, numQueries = 2, k = 4)
+      .where($"qid" === 0L && $"nid" === 5L).select("cosine").as[Double].collect()
+    assert(r.length == 1 && math.abs(r(0) - (-1.0)) < 1e-9)
+  }
+
+  test("lsh top-k returns only same-bucket candidates, ranked identically") {
+    // bucket key of q0 and its near-identical copy must collide
+    val near = Seq((6L, Array(1.0f, 0.001f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val all = vecs.unionAll(near)
+    val lsh = Ann.lshTopK(all, dim = 4, bits = 4, numQueries = 2, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 6L))) // near-identical vector lands in q0's bucket
+    // every LSH result must appear in the brute-force full ranking
+    val brute = Ann.bruteForceTopK(all, numQueries = 2, k = 100)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("lsh bucket key is deterministic across evaluations") {
+    val k1 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
+    val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
+    assert(k1.toSeq == k2.toSeq)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Classify, StateOps}
+import java.sql.Timestamp
+
+class StateOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (0L, ts("2024-01-01 10:00:00"), 1L, "purchase", 100.0, """{"k": 2}"""),
+    (1L, ts("2024-01-01 10:10:00"), 1L, "purchase", 50.0, """{"k": 3}"""),
+    (2L, ts("2024-01-01 10:15:00"), 1L, "click", 30.0, """{"k": 4}"""),
+    (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 10.0, """{"k": 5}"""),
+    (4L, ts("2024-01-01 10:00:00"), 2L, "signup", 120.0, """{"k": 6}""")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("latestPerKey returns the last row per (user, type) by (ts, id)") {
+    val r = StateOps.latestPerKey(events)
+      .select("user_id", "event_type", "last_event_id", "last_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(r.contains((1L, "purchase", 3L, 10.0)))
+    assert(r.contains((1L, "click", 2L, 30.0)))
+    assert(r.contains((2L, "signup", 4L, 120.0)))
+  }
+
+  test("balances: single-pass credits minus debits") {
+    val r = StateOps.balances(events).where($"user_id" === 1L).collect()(0)
+    assert(r.getAs[Double]("credits") == 160.0)
+    assert(r.getAs[Double]("debits") == 30.0)
+    assert(r.getAs[Double]("balance") == 130.0)
+    assert(r.getAs[Long]("n_events") == 4L)
+  }
+
+  test("running balance accumulates in (ts, id) order") {
+    val r = StateOps.runningBalance(events).where($"user_id" === 1L)
+      .select("event_id", "balance_after").as[(Long, Double)].collect().toMap
+    assert(r(0L) == 100.0 && r(1L) == 150.0 && r(2L) == 120.0 && r(3L) == 130.0)
+  }
+
+  test("sessionize splits on >30min inactivity") {
+    val r = StateOps.sessionize(events).where($"user_id" === 1L)
+      .select("session_start_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L), (3L, 1L))) // 10:00-10:15 session, then 12:00
+  }
+
+  test("classify flags combine, Unknown when nothing matches") {
+    val r = Classify.classify(events).select("event_id", "classification")
+      .as[(Long, String)].collect().toMap
+    assert(r(0L) == "Purchase,EvenProp")
+    assert(r(1L) == "Purchase")
+    assert(r(2L) == "EvenProp")
+    assert(r(4L) == "HighValue,Signup,EvenProp")
+  }
+
+  test("coOccurrence requires all three event kinds (IsCrcSignup shape)") {
+    val extra = Seq(
+      (10L, ts("2024-01-02 10:00:00"), 1L, "signup", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Classify.coOccurrence(events.unionAll(extra))
+      .select("user_id").as[Long].collect().toSeq
+    assert(r == Seq(1L)) // user 1: signup+purchase+click; user 2 lacks purchase/click
+  }
+
+  test("extractDetails emits one row per matching class") {
+    val r = Classify.extractDetails(events)
+    assert(r.count() == 4L) // 3 purchases + 1 signup, clicks not extracted
+    assert(r.where($"detail_type" === "signup").count() == 1L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextMetrics
+
+class TextMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lang id picks the language with most function words; und when none") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat and it is warm"),
+      (1L, "el gato es de la casa y en los arboles"),
+      (2L, "le chat est dans la maison et les jardins de paris"),
+      (3L, "der hund ist nicht in das haus und die katze"),
+      (4L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.langId(docs).as[(Long, String)].collect().toMap
+    assert(r(0L) == "en"); assert(r(1L) == "es"); assert(r(2L) == "fr")
+    assert(r(3L) == "de"); assert(r(4L) == "und")
+  }
+
+  test("quality metrics on a known string") {
+    val docs = Seq((0L, "the cat, a dog!")).toDF("doc_id", "text")
+    val r = TextMetrics.quality(docs).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 15)
+    assert(r.getAs[Int]("n_words") == 4) // the / cat, / a / dog!
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 15.0) // ',' and '!'
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // the, a
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "gamma beta alpha"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(r(0L) == r(2L)) // same word sequence → same hash
+    assert(r(0L) != r(1L)) // permuted words → different hash (rolling, not bag)
+    assert(r.values.forall(h => h >= 0 && h < 2147483647L)) // mod-p range
+  }
+
+  test("token counts: BPE-ish regex splits punctuation and digits") {
+    val docs = Seq((0L, "ab12 cd, ef")).toDF("doc_id", "text")
+    val r = TextMetrics.tokenCounts(docs).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // ab / 1 / 2 / cd / , / ef
+    assert(r.getAs[Int]("re_tokens") == 6)
+  }
+}
