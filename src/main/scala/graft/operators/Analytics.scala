@@ -70,11 +70,36 @@ object Analytics {
       .orderBy("n_name")
   }
 
-  /** Top-k per group. row_number window partitioned by brand — Spark 3.5+'s
-    * WindowGroupLimit pushes the k-limit below the sort (per-partition
-    * top-k), so no full per-group sort materializes.
+  /** Top-k per group via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): map-side partial top-k caps the shuffle
+    * at k rows per (group, partition) — the window/row_number formulation
+    * (kept as [[topKPerGroupWindow]]) shuffles and sorts EVERY row. DESC
+    * order is encoded by negating the price in the ordering prefix.
     */
   def topKPerGroup(part: DataFrame, k: Int = 3): DataFrame = {
+    val item = struct(
+      negate(col("p_retailprice")).as("neg_price"),
+      col("p_partkey").as("p_partkey"),
+      col("p_retailprice").as("p_retailprice")
+    )
+    part
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKAgg.topK(item, k).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(
+        col("p_brand"),
+        col("col.p_partkey").as("p_partkey"),
+        col("col.p_retailprice").as("p_retailprice"),
+        (col("pos") + 1).cast("int").as("rk")
+      )
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Window/row_number reference formulation of [[topKPerGroup]] — identical
+    * output, used by tests as the semantic oracle. Spark 3.5+'s
+    * WindowGroupLimit softens the sort but still cannot partial-aggregate.
+    */
+  def topKPerGroupWindow(part: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
     part
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), row_number().over(w).as("rk"))
