@@ -25,6 +25,8 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
+    "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
+    "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(Tables.events(s, d))),
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
@@ -104,6 +106,20 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_rollup_orders" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+        | GROUPING(year(o_orderdate), o_orderpriority) AS gid,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.value AS DOUBLE) AS amount,
+        | v.event_id AS last_view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_classify" ->
       """SELECT event_id, user_id, event_type,
         | coalesce(nullif(concat_ws(',',

@@ -121,6 +121,23 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Rollup with subtotals+grand total (the warehouse reporting shape served
+    * by the reference's Postgres). rollup() expands to grouping sets in ONE
+    * pass — partial aggregation applies per set; no per-level rescan.
+    */
+  def rollupOrders(orders: DataFrame): DataFrame = {
+    val oYear = year(col("o_orderdate")).as("o_year")
+    orders
+      .rollup(oYear, col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).cast("double").as("total_price")
+      )
+      .select("o_year", "o_orderpriority", "gid", "n_orders", "total_price")
+      .orderBy("gid", "o_year", "o_orderpriority")
+  }
+
   /** JSON payload decode (log `data`/`topics` parsing in the classifier):
     * get_json_object is codegen'd; the projection prunes to (event_id,
     * props) at the scan.
