@@ -70,7 +70,10 @@ object Dedup {
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val withSig = documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"), minhashSignature(col("text"), numHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"),
+        minhashSignature(col("text"), numHashes).as("sig"))
 
     val bands = withSig.select(
       col("doc_id"),
@@ -90,13 +93,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val sh = withSig.select(col("doc_id"), col("sh"))
     pairs
-      .join(sh.toDF("doc_a", "sh_a", "n_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        inter.cast("double") / (col("n_a") + col("n_b") - inter).cast("double"))
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jaccard", graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -153,17 +154,16 @@ object Dedup {
     * standalone.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.1): DataFrame = {
-    val d = documents.select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
-      .withColumn("n", size(col("sh")))
-    // |A ∪ B| = |A| + |B| − |A ∩ B|: one hash-probe pass per pair instead of
-    // materializing both intersect AND union arrays (2× per-pair work saved —
-    // this is the inner loop of every verification stage).
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    // shingles hashed+sorted ONCE per doc; each pair is then a primitive
+    // merge-intersect (graft_jaccard_sorted) — no per-pair string hashing.
+    val d = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"))
     d.as("a")
       .join(d.as("b"), col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (inter.cast("double") / (col("a.n") + col("b.n") - inter).cast("double")).as("jaccard"))
+        graft.functions.SetOps.jaccardSorted(col("a.sh"), col("b.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
