@@ -26,6 +26,7 @@ object SparkEntry {
       Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
     "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
+    "q_percentiles" -> ((s, d) => Analytics.segmentPercentiles(Tables.customer(s, d))),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(Tables.events(s, d))),
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
@@ -106,6 +107,12 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT c_mktsegment,
+        | round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+        | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+        | count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_rollup_orders" ->
       """SELECT year(o_orderdate) AS o_year, o_orderpriority,
         | GROUPING(year(o_orderdate), o_orderpriority) AS gid,

@@ -138,6 +138,23 @@ object Analytics {
       .orderBy("gid", "o_year", "o_orderpriority")
   }
 
+  /** Exact percentiles + distinct counts per segment (warehouse reporting;
+    * the reference's Postgres serves percentile_cont the same way). Exact
+    * `percentile` requires per-group sorted values — fine for bounded-group
+    * reporting; at 100 TB switch to percentile_approx (t-digest, partial-
+    * aggregable) and accept the error bound. Results rounded to 4 dp: the
+    * linear-interpolation arithmetic differs in the last ulp across engines.
+    */
+  def segmentPercentiles(customer: DataFrame): DataFrame =
+    customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        countDistinct(col("c_nationkey")).as("n_nations")
+      )
+      .orderBy("c_mktsegment")
+
   /** JSON payload decode (log `data`/`topics` parsing in the classifier):
     * get_json_object is codegen'd; the projection prunes to (event_id,
     * props) at the scan.
