@@ -82,11 +82,12 @@ object Dedup {
       }: _*)).as("band_key")
     )
     // Cap degenerate buckets (skew guard): a bucket with >cap docs is
-    // boilerplate-like and would quadratically explode one reducer.
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
-      .where(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
+    // boilerplate-like and would quadratically explode one reducer. Partial
+    // count + broadcast anti-join — NOT a count-over-window, which would
+    // globally sort every band row just to tag the handful of hot keys.
+    val hotBuckets = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("n")).where(col("n") > bucketCap).select("band_key")
+    val capped = bands.join(broadcast(hotBuckets), Seq("band_key"), "left_anti")
 
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -153,18 +154,42 @@ object Dedup {
     * LSH bands (above); this operator is the verification kernel exposed
     * standalone.
     */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.1): DataFrame = {
-    // shingles hashed+sorted ONCE per doc; each pair is then a primitive
-    // merge-intersect (graft_jaccard_sorted) — no per-pair string hashing.
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.1): DataFrame =
+    ngramJaccardPairsBalanced(documents, threshold, buckets = 8)
+
+  /** Within-block all-pairs scoring with triangle-bucket decomposition.
+    *
+    * Joining on the blocking key alone skews hard when blocks ≫ partitions
+    * (here: 20 sources over 32 cores; at 100 TB, one hot block = one stuck
+    * reducer). Decompose each block into B sub-buckets by doc-id hash and
+    * enumerate bucket pairs (i ≤ j): side A carries bucket i, side B bucket
+    * j, joined on (block, i, j) — B(B+1)/2 × blocks join groups spread
+    * evenly, identical output to the naive join (SetOpsSpec pins equality).
+    * Same machinery salts LSH band buckets when a band key goes hot.
+    */
+  def ngramJaccardPairsBalanced(documents: DataFrame, threshold: Double = 0.1,
+                                buckets: Int = 8): DataFrame = {
     val d = documents.select(
       col("doc_id"), col("source"),
-      graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"))
-    d.as("a")
-      .join(d.as("b"), col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"),
+      pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").as("bkt"))
+    // A emits (bkt, j) for j in bkt..B-1; B emits (i, bkt) for i in 0..bkt
+    val aSide = d.withColumn("j", explode(sequence(col("bkt"), lit(buckets - 1))))
+      .select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"),
+        col("bkt").as("i"), col("j"))
+    val bSide = d.withColumn("i", explode(sequence(lit(0), col("bkt"))))
+      .select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"),
+        col("i"), col("bkt").as("j"))
+    aSide.join(bSide, Seq("source", "i", "j"))
+      .where(col("i") < col("j") || col("doc_a") < col("doc_b"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        graft.functions.SetOps.jaccardSorted(col("a.sh"), col("b.sh")).as("jaccard"))
+        col("doc_a"), col("doc_b"),
+        graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -28,6 +28,29 @@ class SetOpsSpec extends SparkSpec {
     assert(pairs.exists(_._3 > 0)) // overlapping docs score > 0
   }
 
+  test("triangle-bucket balanced pair join equals the naive blocked join") {
+    import graft.operators.Dedup
+    // 40 docs in 2 sources with overlapping word-salads → nontrivial pairs
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 40L).map { i =>
+      val text = (0 until 10).map(j => words(((i + j) % 8).toInt)).mkString(" ")
+      (i, text, s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    def naive = {
+      val d = docs.select(col("doc_id"), col("source"),
+        graft.functions.SetOps.sortedShingleHashes(Dedup.shingles(col("text"))).as("sh"))
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          graft.functions.SetOps.jaccardSorted(col("a.sh"), col("b.sh")).as("jaccard"))
+        .where(col("jaccard") >= 0.1)
+    }
+    val a = naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.ngramJaccardPairsBalanced(docs, 0.1, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("jaccardSorted edge cases: identical and disjoint") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0),
