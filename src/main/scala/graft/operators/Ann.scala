@@ -57,6 +57,56 @@ object Ann {
       .orderBy("qid", "rk")
   }
 
+  /** Cheap double cosine for bucketing decisions (not oracle-checked —
+    * `aggregate` folds sequentially, so still deterministic).
+    */
+  private def cosFast(a: Column, b: Column, an: Column, bn: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x) / (an * bn)
+
+  /** IVF-style ANN: coarse quantizer (centroid set) partitions the base into
+    * inverted lists; a query probes only its `nprobe` nearest centroids'
+    * lists. At 100 TB the assignment is a write-once index (bucketed table
+    * partitioned by cid); query cost drops from |base| to
+    * nprobe/numCentroids of it. Centroids here are the first `numCentroids`
+    * base vectors (deterministic seed — a k-means refinement pass drops in
+    * without changing any plumbing).
+    */
+  def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
+              numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val base = embeddings.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+    val centroids = base.orderBy("nid").limit(numCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
+    // inverted lists: each base vector → nearest centroid (argmax cosine,
+    // ties to smallest cid), one broadcast + one partial-agg shuffle
+    val assigned = base.crossJoin(broadcast(centroids))
+      .groupBy("nid")
+      .agg(
+        max_by(col("cid"), struct(round(cosFast(col("ne"), col("ce"), col("nn"), col("cn")), 12).as("s"),
+          (lit(0L) - col("cid")).as("t"))).as("cid"),
+        first(col("ne")).as("ne"), first(col("nn")).as("nn"))
+    // probe lists: nprobe nearest centroids per query (tiny cross join)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("c_sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"),
+        round(cosFast(col("qe"), col("ce"), col("qn"), col("cn")), 12).as("c_sim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select("qid", "qe", "qn", "cid")
+    // exact (decimal) scoring only inside probed lists
+    val scored = probes.join(assigned, "cid")
+      .select(col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("qid", "nid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** Random-hyperplane sign-bit bucket key. Hyperplane h_i components are
     * derived deterministically from (i, dim) via xxhash64 → uniform in
     * [-0.5, 0.5): reproducible with zero stored state, codegen-friendly.

@@ -44,6 +44,26 @@ class AnnSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("ivf probes the right lists: clustered queries recover brute-force top-1") {
+    // three tight clusters on orthogonal axes; queries 0-1 sit in clusters
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val all = Seq(
+      (0L, v(1.0f, 0.02f, 0f, 0f)), // query in cluster X
+      (1L, v(0f, 0.02f, 1.0f, 0f)), // query in cluster Z
+      (2L, v(1.0f, 0f, 0f, 0f)), (3L, v(0.99f, 0.05f, 0f, 0f)), (4L, v(0.98f, -0.03f, 0f, 0f)),
+      (5L, v(0f, 1.0f, 0f, 0f)), (6L, v(0.03f, 0.99f, 0f, 0f)),
+      (7L, v(0f, 0f, 1.0f, 0f)), (8L, v(0f, 0.04f, 0.99f, 0f)), (9L, v(0.01f, 0f, 0.97f, 0f))
+    ).toDF("vec_id", "embedding")
+    val ivf = Ann.ivfTopK(all, numCentroids = 6, nprobe = 2, numQueries = 2, k = 2)
+      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
+      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+    val brute = Ann.bruteForceTopK(all, numQueries = 2, k = 2)
+      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
+      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+    assert(ivf((0L, 1)) == brute((0L, 1))) // nearest neighbor recovered
+    assert(ivf((1L, 1)) == brute((1L, 1)))
+  }
+
   test("lsh bucket key is deterministic across evaluations") {
     val k1 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
     val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
