@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+/** Every query must be total: empty partitions are routine at 100 TB
+  * (fresh dates, pruned-out splits), and an operator that throws on an
+  * empty group/table poisons whole jobs.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty-sf").toString
+    val src = "/root/testdata/sf0.001"
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events goes through Tables.events (nanos-as-long), so write the RAW
+    // long-ts shape it expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("all queries run (and return no rows) on empty inputs") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = try fn(spark, emptyDir).count()
+      catch { case e: Throwable => fail(s"$name threw on empty input: ${e.getMessage}") }
+      // q_last_valid legitimately returns its single watermark row
+      if (name != "q_last_valid") assert(n == 0L, s"$name returned $n rows on empty input")
+    }
+  }
+}
