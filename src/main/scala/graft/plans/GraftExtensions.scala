@@ -14,7 +14,7 @@ import graft.functions.{MinHashSigExpr, SimHash64Expr, TopKAgg}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder
       ))
     }
+    ext.injectOptimizerRule(_ => IntegralEpochMsRule)
+  }
 }
 
 object GraftExtensions {
@@ -48,10 +50,16 @@ object GraftExtensions {
   )
 
   /** Register on an already-constructed session (the withExtensions hook
-    * only runs at session build time).
+    * only runs at session build time). Optimizer rules attach through the
+    * public experimental hook.
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(IntegralEpochMsRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntegralEpochMsRule
+    }
+  }
 }
