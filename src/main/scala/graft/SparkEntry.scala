@@ -30,6 +30,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(Tables.events(s, d))),
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
+    "q_receipt_classify" -> ((s, d) => ReceiptClassifier.demoFromEvents(Tables.events(s, d))),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
     "q_extract_details" -> ((s, d) => Classify.extractDetails(Tables.events(s, d))),
     "q_latest_event" -> ((s, d) => StateOps.latestPerKey(Tables.events(s, d))),

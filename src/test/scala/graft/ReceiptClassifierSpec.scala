@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.ReceiptClassifier._
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's `TransactionClassifierTests.cs` case-for-case —
+  * the reference fetches live receipts over RPC; here the same receipt
+  * shapes are constructed synthetically (same topics, same co-occurrence
+  * structure, same edge predicates).
+  */
+case class Log(address: String, topics: Seq[String], data: String)
+case class Tx(hash: String, from: String, to: String, value: String,
+              input: String, logs: Seq[Log])
+
+class ReceiptClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hub = DefaultHubAddress
+  private val user = "0xde374ece6fa50e781e81aac78e811b33d16912c4"
+  private val other = "0xaaaa74ece6fa50e781e81aac78e811b33d1691aa"
+  private val token = "0x1111111111111111111111111111111111111111"
+  private def word(addr: String) = "0x" + "0" * 24 + addr.drop(2)
+  private def limitHex(v: Long) = "0x" + f"$v%064x"
+
+  private def transferLog(tok: String, from: String, to: String, data: String = limitHex(7)) =
+    Log(tok, Seq(TransferTopic, word(from), word(to)), data)
+  private def trustLog(canSendTo: String, usr: String, limit: Long = 100) =
+    Log(hub, Seq(CrcTrustTopic, word(canSendTo), word(usr)), limitHex(limit))
+  private val signupReceipt = Seq(
+    Log(hub, Seq(CrcSignupTopic, word(user)), word(token)),
+    trustLog(user, user),
+    transferLog(token, EmptyAddress, user, SignupMintHex))
+
+  private def tx(logs: Seq[Log], value: String = "0",
+                 input: String = "0xdeadbeef", to: String = other) =
+    Tx("0xhash", user, to, value, input, logs)
+
+  private def classOf1(t: Tx): String =
+    classify(Seq(t).toDS.toDF).select("classification").as[String].collect()(0)
+
+  test("TestErc20Transfer: two transfer logs extract as two detail rows") {
+    val t = tx(Seq(transferLog(token, user, other), transferLog(token, other, user)))
+    val details = extractErc20Transfers(Seq(t).toDS.toDF)
+    assert(details.count() == 2)
+    assert(classOf1(t) == "Erc20Transfer")
+    assert(details.select("from").as[String].collect().toSet == Set(user, other))
+  }
+
+  test("TestCrcSignup: signup + self-trust + exact 50e18 mint co-occur") {
+    assert(classOf1(tx(signupReceipt)).contains("CrcSignup"))
+    // wrong mint value → not a signup
+    val badMint = signupReceipt.updated(2, transferLog(token, EmptyAddress, user, limitHex(1)))
+    assert(!classOf1(tx(badMint)).contains("CrcSignup"))
+    // trust of someone else → not a signup
+    val badTrust = signupReceipt.updated(1, trustLog(other, user))
+    assert(!classOf1(tx(badTrust)).contains("CrcSignup"))
+  }
+
+  test("TestCrcOrganisationSignup: org topic at hub with 2 topics") {
+    val t = tx(Seq(Log(hub, Seq(CrcOrgSignupTopic, word(user)), "0x")))
+    assert(classOf1(t) == "CrcOrganisationSignup")
+    // wrong emitting address → unknown
+    val t2 = tx(Seq(Log(other, Seq(CrcOrgSignupTopic, word(user)), "0x")))
+    assert(classOf1(t2) == "Unknown")
+  }
+
+  test("TestCrcHubTransfer: hub-transfer log requires an accompanying erc20 transfer") {
+    val ht = Log(hub, Seq(CrcHubTransferTopic, word(user), word(other)), limitHex(5))
+    assert(classOf1(tx(Seq(ht, transferLog(token, user, other)))).contains("CrcHubTransfer"))
+    assert(!classOf1(tx(Seq(ht))).contains("CrcHubTransfer"))
+  }
+
+  test("TestCrcTrust: limit bounds enforced") {
+    assert(classOf1(tx(Seq(trustLog(user, other, 50)))) == "CrcTrust")
+    assert(classOf1(tx(Seq(trustLog(user, other, 150)))) == "Unknown")
+    val trusts = extractTrusts(Seq(tx(Seq(trustLog(user, other, 50)))).toDS.toDF)
+    val r = trusts.select("user", "can_send_to", "limit").as[(String, String, Long)].collect()(0)
+    assert(r == ((other, user, 50L)))
+  }
+
+  test("TestEoaEthTransfer: nonzero value, bare input, no logs") {
+    assert(classOf1(tx(Nil, value = "1000", input = "0x")) == "EoaEthTransfer")
+    assert(classOf1(tx(Nil, value = "0", input = "0x")) == "Unknown")
+    assert(classOf1(tx(Seq(transferLog(token, user, other)), value = "1000", input = "0x"))
+      == "Erc20Transfer") // logs present → not an EOA transfer
+  }
+
+  test("TestSafeEthTransfer: execTransaction head decode + ExecutionSuccess log") {
+    def headWords(operation: Long): String = {
+      val p0 = word(other).drop(2) // to
+      val p1 = f"${1000000L}%064x" // value
+      val p2 = f"${320L}%064x" // data offset (10 head words * 32)
+      val p3 = f"$operation%064x"
+      val rest = Seq.fill(6)("0" * 64).mkString
+      val tailLen = "0" * 64 // empty bytes param
+      ExecTransactionMethodId + p0 + p1 + p2 + p3 + rest + tailLen
+    }
+    val okLog = Log(other, Seq(ExecutionSuccessTopic), "0x")
+    assert(classOf1(tx(Seq(okLog), input = headWords(0))) == "SafeEthTransfer")
+    // operation != 0 (delegatecall) → not a plain eth transfer
+    assert(classOf1(tx(Seq(okLog), input = headWords(1))) == "Unknown")
+    // no ExecutionSuccess log → not counted
+    assert(classOf1(tx(Nil, input = headWords(0))) == "Unknown")
+  }
+
+  test("classification flags combine like the reference's [Flags] enum") {
+    val combined = tx(signupReceipt :+ trustLog(user, other, 10))
+    val c = classOf1(combined)
+    assert(c.contains("Erc20Transfer") && c.contains("CrcSignup") && c.contains("CrcTrust"))
+  }
+}
