@@ -114,6 +114,21 @@ class StreamingSpec extends SparkSpec {
     assert(left == Seq(0L))
   }
 
+  test("pipeline health reflects an active, advancing query and a stopped one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.classifyStream(mem.toDF())
+      .writeStream.format("memory").queryName("health_t").outputMode("append").start()
+    mem.addData(Ev(0L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    val live = graft.streaming.PipelineHealth.status(q)
+    assert(live.running && live.healthy && live.batchesCompleted >= 1)
+    assert(live.exception.isEmpty)
+    q.stop()
+    val stopped = graft.streaming.PipelineHealth.status(q)
+    assert(!stopped.running && !stopped.healthy)
+  }
+
   test("import_from_staging SQL generation pins the idempotent upsert shape") {
     val sql = JdbcSink.importFromStagingSql("_tx_staging", "transaction_2", "hash",
       Seq("hash", "block_number", "value"))
