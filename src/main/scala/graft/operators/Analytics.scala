@@ -90,7 +90,7 @@ object Analytics {
         col("p_brand"),
         col("col.p_partkey").as("p_partkey"),
         col("col.p_retailprice").as("p_retailprice"),
-        (col("pos") + 1).cast("int").as("rk")
+        (col("pos") + 1).cast("long").as("rk")
       )
       .orderBy("p_brand", "rk")
   }
@@ -102,7 +102,7 @@ object Analytics {
   def topKPerGroupWindow(part: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
     part
-      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), row_number().over(w).as("rk"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), row_number().over(w).cast("long").as("rk"))
       .where(col("rk") <= k)
       .orderBy("p_brand", "rk")
   }
@@ -126,11 +126,11 @@ object Analytics {
     * pass — partial aggregation applies per set; no per-level rescan.
     */
   def rollupOrders(orders: DataFrame): DataFrame = {
-    val oYear = year(col("o_orderdate")).as("o_year")
+    val oYear = year(col("o_orderdate")).cast("long").as("o_year")
     orders
       .rollup(oYear, col("o_orderpriority"))
       .agg(
-        grouping_id().cast("int").as("gid"),
+        grouping_id().as("gid"),
         count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).cast("double").as("total_price")
       )

@@ -53,7 +53,7 @@ object Ann {
     scored
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select("qid", "nid", "cosine", "rk")
+      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 
@@ -103,7 +103,7 @@ object Ann {
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select("qid", "nid", "cosine", "rk")
+      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 
@@ -133,7 +133,7 @@ object Ann {
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select("qid", "nid", "cosine", "rk")
+      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 }

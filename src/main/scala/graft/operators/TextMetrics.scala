@@ -24,8 +24,8 @@ object TextMetrics {
     val nStop = size(filter(words, w => w === "the" || w === "a"))
     documents.select(
       col("doc_id"),
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
       ((nChars - nWords + 1).cast("double") / nWords.cast("double")).as("avg_word_len"),
       (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
       (nStop.cast("double") / nWords.cast("double")).as("stopword_ratio")
@@ -40,8 +40,8 @@ object TextMetrics {
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      size(wsWords(col("text"))).as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens")
+      size(wsWords(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("re_tokens")
     ).orderBy("doc_id")
 
   /** Function-word language ID (n-gram-heuristic family): score = count of

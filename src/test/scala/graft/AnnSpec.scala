@@ -18,8 +18,8 @@ class AnnSpec extends SparkSpec {
 
   test("brute-force top-k ranks by exact cosine") {
     val r = Ann.bruteForceTopK(vecs, numQueries = 2, k = 2)
-      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
-      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+      .select("qid", "rk", "nid").as[(Long, Long, Long)].collect()
+      .map { case (q, rk, n) => (q, rk.toInt) -> n }.toMap
     assert(r((0L, 1)) == 2L) // cos ≈ 0.995
     assert(r((0L, 2)) == 3L) // cos ≈ 0.874
     assert(r((1L, 1)) == 4L)
@@ -55,11 +55,11 @@ class AnnSpec extends SparkSpec {
       (7L, v(0f, 0f, 1.0f, 0f)), (8L, v(0f, 0.04f, 0.99f, 0f)), (9L, v(0.01f, 0f, 0.97f, 0f))
     ).toDF("vec_id", "embedding")
     val ivf = Ann.ivfTopK(all, numCentroids = 6, nprobe = 2, numQueries = 2, k = 2)
-      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
-      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+      .select("qid", "rk", "nid").as[(Long, Long, Long)].collect()
+      .map { case (q, rk, n) => (q, rk.toInt) -> n }.toMap
     val brute = Ann.bruteForceTopK(all, numQueries = 2, k = 2)
-      .select("qid", "rk", "nid").as[(Long, Int, Long)].collect()
-      .map { case (q, rk, n) => (q, rk) -> n }.toMap
+      .select("qid", "rk", "nid").as[(Long, Long, Long)].collect()
+      .map { case (q, rk, n) => (q, rk.toInt) -> n }.toMap
     assert(ivf((0L, 1)) == brute((0L, 1))) // nearest neighbor recovered
     assert(ivf((1L, 1)) == brute((1L, 1)))
   }

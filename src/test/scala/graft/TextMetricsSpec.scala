@@ -21,8 +21,8 @@ class TextMetricsSpec extends SparkSpec {
   test("quality metrics on a known string") {
     val docs = Seq((0L, "the cat, a dog!")).toDF("doc_id", "text")
     val r = TextMetrics.quality(docs).collect()(0)
-    assert(r.getAs[Int]("n_chars") == 15)
-    assert(r.getAs[Int]("n_words") == 4) // the / cat, / a / dog!
+    assert(r.getAs[Long]("n_chars") == 15)
+    assert(r.getAs[Long]("n_words") == 4) // the / cat, / a / dog!
     assert(r.getAs[Double]("punct_ratio") == 2.0 / 15.0) // ',' and '!'
     assert(r.getAs[Double]("stopword_ratio") == 0.5) // the, a
   }
@@ -42,8 +42,8 @@ class TextMetricsSpec extends SparkSpec {
   test("token counts: BPE-ish regex splits punctuation and digits") {
     val docs = Seq((0L, "ab12 cd, ef")).toDF("doc_id", "text")
     val r = TextMetrics.tokenCounts(docs).collect()(0)
-    assert(r.getAs[Int]("ws_tokens") == 3)
+    assert(r.getAs[Long]("ws_tokens") == 3)
     // ab / 1 / 2 / cd / , / ef
-    assert(r.getAs[Int]("re_tokens") == 6)
+    assert(r.getAs[Long]("re_tokens") == 6)
   }
 }
