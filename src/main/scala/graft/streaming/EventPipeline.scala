@@ -67,6 +67,19 @@ object EventPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Built-in session windows (the simple case; `Sessionizer` is the
+    * custom-state path for semantics this can't express). State per
+    * (user, open window), merged on overlap, reaped by the watermark.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min("event_id").as("session_start_id"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_start_id"), col("n_events"))
+
   /** Idempotent micro-batch import: write the batch to `tableDir` (append,
     * partitioned by day), then surface the imported ids — the
     * `import_from_staging` + websocket-broadcast step. `onImported` receives

@@ -11,6 +11,22 @@ class SessionizerSpec extends SparkSpec {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
 
+  test("built-in session_window agrees with the custom sessionizer on session starts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.EventPipeline.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    mem.addData(
+      Ev(0L, ts("2024-01-01 10:00:00"), 1L),
+      Ev(1L, ts("2024-01-01 10:10:00"), 1L),
+      Ev(2L, ts("2024-01-01 12:00:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw").select("user_id", "session_start_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L), (1L, 2L, 1L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap and emits them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
