@@ -194,6 +194,18 @@ object ReceiptClassifier {
     classify(txs, hub).select("event_id", "hash", "classification").orderBy("event_id")
   }
 
+  /** The crc_current_trust view: latest limit per (user, can_send_to) edge
+    * over extracted trust details — receipts → details → state view, the
+    * full reference pipeline composed from this module + StateOps'
+    * max_by-shaped latest-per-key (1 shuffle, no sort).
+    */
+  def currentTrustGraph(trustDetails: DataFrame, orderCol: String = "hash"): DataFrame =
+    trustDetails
+      .groupBy("user", "can_send_to")
+      .agg(max_by(col("limit"), col(orderCol)).as("limit"))
+      .where(col("limit") > 0) // limit 0 == revoked edge
+      .orderBy("user", "can_send_to")
+
   /** CrcTrustDetailExtractor.cs:13 — (user, canSendTo, limit). */
   def extractTrusts(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame =
     txs.select(col("hash"), explode(filter(col("logs"), l => isCrcTrustLog(l, hub))).as("log"))

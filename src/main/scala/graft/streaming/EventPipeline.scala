@@ -102,6 +102,19 @@ object EventPipeline {
       }
       .start()
 
+  /** Post-import gap monitor (`Sources/GapSource.cs:14`): after imports,
+    * diff the imported key sequence against its contiguous span and hand the
+    * missing ranges to a re-request callback — the reference re-emits these
+    * block numbers into the download pipeline. Uses the scalable anti-join
+    * gap operator, not a global window.
+    */
+  def checkGaps(spark: SparkSession, tableDir: String)(reRequest: Array[(Long, Long)] => Unit): Unit = {
+    val imported = spark.read.parquet(tableDir).select("event_id")
+    val gaps = graft.operators.Integrity.gaps(imported, "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (gaps.nonEmpty) reRequest(gaps)
+  }
+
   /** Reorg handling (`Sources/ReorgSource.cs` + README "Reorgs"): delete all
     * data from the reorged key onward and let re-ingest repopulate. With a
     * day-partitioned table this is a partition-scoped overwrite, not a table

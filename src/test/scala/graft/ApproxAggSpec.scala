@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The documented 100 TB fallbacks for exact-but-unscalable aggregates:
+  * percentile_approx (t-digest) and approx_count_distinct (HLL) are
+  * partial-aggregable where their exact twins are not. These tests pin the
+  * error bounds the scale path actually delivers on real data.
+  */
+class ApproxAggSpec extends SparkSpec {
+
+  private lazy val customer = Tables.customer(spark, "/root/testdata/sf0.01")
+
+  test("percentile_approx tracks exact percentile within accuracy bound") {
+    val r = customer.groupBy("c_mktsegment").agg(
+      expr("percentile(c_acctbal, 0.5)").as("exact"),
+      expr("percentile_approx(c_acctbal, 0.5, 1000)").as("approx"),
+      (max("c_acctbal") - min("c_acctbal")).as("range")
+    ).collect()
+    r.foreach { row =>
+      val err = math.abs(row.getAs[Double]("exact") - row.getAs[Double]("approx"))
+      assert(err <= row.getAs[Double]("range") * 0.02,
+        s"approx median off by $err for ${row.getString(0)}")
+    }
+  }
+
+  test("approx_count_distinct within configured rsd of exact") {
+    val r = customer.agg(
+      countDistinct("c_custkey").as("exact"),
+      approx_count_distinct("c_custkey", rsd = 0.02).as("approx")
+    ).collect()(0)
+    val exact = r.getAs[Long]("exact").toDouble
+    val approx = r.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.06) // 3x rsd margin
+  }
+
+  test("trust graph view: latest edge wins, revoked edges drop") {
+    import spark.implicits._
+    val details = Seq(
+      ("0xa1", "u1", "v1", 50L),
+      ("0xa2", "u1", "v1", 80L), // later hash → wins
+      ("0xa3", "u2", "v1", 100L),
+      ("0xa4", "u3", "v2", 60L),
+      ("0xa5", "u3", "v2", 0L) // revoked
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val g = graft.operators.ReceiptClassifier.currentTrustGraph(details)
+      .as[(String, String, Long)].collect().toSet
+    assert(g == Set(("u1", "v1", 80L), ("u2", "v1", 100L)))
+  }
+}

@@ -114,6 +114,15 @@ class StreamingSpec extends SparkSpec {
     assert(left == Seq(0L))
   }
 
+  test("gap monitor re-requests missing key ranges after import") {
+    val dir = Files.createTempDirectory("graft-gapmon").toString
+    Seq((0L, "a"), (1L, "b"), (4L, "c"), (7L, "d"))
+      .toDF("event_id", "v").write.mode("overwrite").parquet(dir)
+    var requested = Array.empty[(Long, Long)]
+    EventPipeline.checkGaps(spark, dir)(gaps => requested = gaps)
+    assert(requested.toSeq == Seq((2L, 3L), (5L, 6L)))
+  }
+
   test("pipeline health reflects an active, advancing query and a stopped one") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
