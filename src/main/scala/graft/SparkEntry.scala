@@ -55,7 +55,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
-    "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d)))
+    "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
+    "q_winnow" -> ((s, d) => TextMetrics.winnow(Tables.documents(s, d)))
   )
 
   /** ANSI SQL oracles (DuckDB) — byte-identical aliases to the Spark side.

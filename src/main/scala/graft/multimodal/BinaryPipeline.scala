@@ -82,6 +82,44 @@ object BinaryPipeline {
       }(enc)
   }
 
+  /** Image resize stage (STUB decode): maps payload → fixed-size "pixel"
+    * grid deterministically. The real implementation swaps the per-element
+    * kernel; the contract (binary in, w×h float grid out, map-only,
+    * codec-per-partition) is what the pipeline depends on.
+    */
+  def resizeImages(media: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("pixels", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    media.where(col("modality") === "image").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val px = Array.tabulate(outW * outH) { i =>
+          if (p.isEmpty) 0.0 else (p(i % p.length) & 0xff) / 255.0
+        }
+        Row(r.getAs[Long]("media_id"), px)
+      }
+    }(enc)
+  }
+
+  /** Video frame-sampling stage (STUB decode): emits every `stride`-th
+    * fixed-size chunk of the payload as a "frame" (1→N explode shape — the
+    * real sampler yields decoded frames at the same cardinality).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 2): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false))))
+    media.where(col("modality") === "video").flatMap { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val nFrames = p.length / frameBytes
+      (0 until nFrames by stride).map { i =>
+        Row(r.getAs[Long]("media_id"), i, p.slice(i * frameBytes, (i + 1) * frameBytes))
+      }
+    }(enc)
+  }
+
   /** Synthetic media table for tests/demos: payload bytes derived
     * deterministically from the id.
     */

@@ -69,6 +69,28 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme): hash
+    * every word k-gram, then keep the minimum hash of each sliding window of
+    * `w` grams (rightmost on ties), distinct. Guarantees any shared run of
+    * ≥ w+k−1 words between two documents shares a fingerprint — the
+    * position-robust dedup signature (rolling-hash [[fingerprint]] breaks on
+    * any single edit; winnowing localizes it). Built from codegen'd HOFs:
+    * grams → hashes → per-window array_min → array_distinct.
+    */
+  def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val words = wsWords(col("text"))
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*)))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    documents.select(
+      col("doc_id"),
+      array_sort(array_distinct(windows)).as("fingerprints")
+    ).orderBy("doc_id")
+  }
+
   /** Polynomial rolling-hash fingerprint (Karp–Rabin) over words, mod the
     * Mersenne prime 2^31−1: h ← (h·31 + (xxhash64(word) mod p)) mod p.
     * Order-sensitive (unlike a bag-of-words hash), one pass, and the mod-p

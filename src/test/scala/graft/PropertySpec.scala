@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{JaccardImpl, TextHashImpl, TopKAgg}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-style checks for the custom kernels over seeded random inputs:
+  * the example-based specs pin behavior on chosen cases; these pin the
+  * algebraic laws on 100s of generated ones (deterministic seed).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arrData(s: Seq[Long]) = new GenericArrayData(s.sorted.distinct.toArray)
+
+  test("jaccardSorted == brute-force set jaccard on random long sets") {
+    val rng = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val a = List.fill(rng.nextInt(30))(rng.nextInt(100).toLong - 50)
+      val b = List.fill(rng.nextInt(30))(rng.nextInt(100).toLong - 50)
+      val sa = a.toSet
+      val sb = b.toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      val got = JaccardImpl.jaccardSorted(arrData(a), arrData(b))
+      assert(got == expected, s"a=$sa b=$sb")
+    }
+  }
+
+  test("simhash/minhash are pure functions of the text") {
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    val rng = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val t = UTF8String.fromString(
+        List.fill(1 + rng.nextInt(40))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      assert(TextHashImpl.simhash64(t) == TextHashImpl.simhash64(t))
+      val s1 = TextHashImpl.minhash(t, 3, 16)
+      assert(s1.toSeq == TextHashImpl.minhash(t, 3, 16).toSeq && s1.length == 16)
+    }
+  }
+
+  test("minhash similarity estimates jaccard within statistical tolerance") {
+    // two texts sharing a 20-word run: estimator should approach the true
+    // jaccard of their 3-shingle sets (18 shared / 58 distinct)
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (21 to 60).map(i => s"tok$i").mkString(" ")
+    val sa = TextHashImpl.minhash(UTF8String.fromString(a), 3, 256)
+    val sb = TextHashImpl.minhash(UTF8String.fromString(b), 3, 256)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256.0
+    val truth = 18.0 / 58.0
+    assert(math.abs(est - truth) < 0.12, s"est=$est truth=$truth")
+  }
+
+  test("TopKAgg == sort-take on random grouped data") {
+    val rng = new scala.util.Random(13)
+    (1 to 10).foreach { _ =>
+      val k = 1 + rng.nextInt(5)
+      val vs = List.fill(60)(rng.nextInt(2000).toLong - 1000)
+      val rows = vs.zipWithIndex.map { case (v, i) => (i % 3, v, i.toLong) }
+      val df = rows.toDF("g", "v", "i")
+      val got = df.groupBy("g").agg(TopKAgg.topK(struct(col("v"), col("i")), k).as("t"))
+        .select(col("g"), col("t.v").as("vs")).as[(Int, Seq[Long])].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(k).map(_._1)
+      }
+      expected.foreach { case (g, want) => assert(got(g) == want, s"k=$k group $g") }
+    }
+  }
+
+  test("winnowing: shared long runs share fingerprints; disjoint texts don't") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aa bb cc $shared"),
+      (1L, s"$shared xx yy zz"),
+      (2L, (100 to 120).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.TextMetrics.winnow(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(0L).toSet.intersect(fps(1L).toSet).nonEmpty)
+    assert(fps(0L).toSet.intersect(fps(2L).toSet).isEmpty)
+  }
+}
