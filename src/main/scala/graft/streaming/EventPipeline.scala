@@ -37,6 +37,13 @@ import graft.operators.Classify
   */
 object EventPipeline {
 
+  /** The reference broadcasts this magic "hash" to websocket subscribers
+    * when a reorg invalidates previously-announced transactions
+    * (README "Websocket server"). Callers of [[reimportFrom]] should emit it
+    * through the same channel as [[startImport]]'s onImported ids.
+    */
+  val ReorgMagicHash = "0xdeadbeef00000000000000000000000000000000000000000000000000000000"
+
   /** Incremental classify+extract over a streaming events frame. The plan is
     * the batch `Classify.classify` minus the global sort (streams cannot
     * sort; ordering is the sink's concern).
