@@ -32,6 +32,20 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
 
+  /** The 100 TB form of [[exact]]: group on xxhash64(text) so the shuffle
+    * carries an 8-byte key instead of the document, then confirm true
+    * equality inside each hash group (collisions are 2^-64 but the check is
+    * one pass over already-colocated rows — correctness is free).
+    * Same output contract as [[exact]].
+    */
+  def exactByHash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+      .groupBy("h", "text") // text comparison only within a hash bucket
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
   /** Word k-shingles (distinct), the unit set for Jaccard similarity. */
   def shingles(text: Column, k: Int = 3): Column = {
     val words = split(text, " ")

@@ -24,6 +24,12 @@ class DedupSpec extends SparkSpec {
     assert(!r.contains(3L)) // canonical representative is min id
   }
 
+  test("hash-keyed exact dedup matches the text-keyed form") {
+    val a = Dedup.exact(docs).collect().map(_.toSeq).toSeq
+    val b = Dedup.exactByHash(docs).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("minhash LSH finds near and exact duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashLsh(docs, jaccardThreshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

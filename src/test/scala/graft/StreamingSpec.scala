@@ -114,6 +114,28 @@ class StreamingSpec extends SparkSpec {
     assert(left == Seq(0L))
   }
 
+  test("live file source feeds the same pipeline as bulk (new files per batch)") {
+    val srcDir = Files.createTempDirectory("graft-live-src").toString
+    val outDir = Files.createTempDirectory("graft-live-out").toString
+    val ckpt = Files.createTempDirectory("graft-live-ckpt").toString
+    val mkBatch = (ids: Seq[Long], sub: String) =>
+      ids.map(i => (i, ts(s"2024-01-01 10:0$i:00"), 1L, "purchase", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$srcDir/$sub")
+    mkBatch(Seq(0L, 1L), "b1")
+
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+    val stream = graft.sources.EventSource.live(spark, s"$srcDir/*", schema)
+    val q = EventPipeline.startImport(
+      EventPipeline.dedupStream(EventPipeline.classifyStream(stream)), outDir, ckpt)
+    q.processAllAvailable()
+    mkBatch(Seq(2L), "b2") // a new file lands → next micro-batch picks it up
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L))
+  }
+
   test("gap monitor re-requests missing key ranges after import") {
     val dir = Files.createTempDirectory("graft-gapmon").toString
     Seq((0L, "a"), (1L, "b"), (4L, "c"), (7L, "d"))
