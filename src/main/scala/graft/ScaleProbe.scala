@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Dev experiment: replicate sf0.1 10x into /tmp and time operator variants
+  * head-to-head — evidence for the scale claims in SURVEY §5 (results in
+  * BENCH_NOTES.md). Not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val big = "/tmp/graft_big"
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      val n = ev.count()
+      val reps = (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * n))
+        .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+      reps.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val dn = docs.count()
+      (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * dn)))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      val part = Tables.part(spark, "/root/testdata/sf0.1")
+      val pn = part.count()
+      (0 until 10).map(i => part.withColumn("p_partkey", col("p_partkey") + lit(i * pn)))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$big/part.parquet")
+    }
+    def bigEvents = spark.read.parquet(s"$big/events.parquet")
+    def bigDocs = spark.read.parquet(s"$big/documents.parquet")
+    def bigPart = spark.read.parquet(s"$big/part.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+    // warmup
+    bigEvents.groupBy("event_type").count().count()
+    time("latest_event/max_by")(StateOps.latestPerKey(bigEvents).count())
+    time("balances/conditional-agg")(StateOps.balances(bigEvents).count())
+    time("sessions/two-windows")(StateOps.sessionize(bigEvents).count())
+    time("topk/heap-agg")(Analytics.topKPerGroup(bigPart).count())
+    time("topk/window")(Analytics.topKPerGroupWindow(bigPart).count())
+    time("dedup_exact/text-key")(Dedup.exact(bigDocs).count())
+    time("dedup_exact/hash-key")(Dedup.exactByHash(bigDocs).count())
+    time("minhash_lsh")(Dedup.minhashLsh(bigDocs).count())
+    time("simhash/native")(Dedup.simhashDedup(bigDocs).count())
+    time("ngram/balanced-8")(Dedup.ngramJaccardPairsBalanced(bigDocs, 0.1, 8).count())
+    time("ngram/naive-1")(Dedup.ngramJaccardPairsBalanced(bigDocs, 0.1, 1).count())
+    spark.stop()
+  }
+}

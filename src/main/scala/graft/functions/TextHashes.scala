@@ -93,6 +93,35 @@ object TextHashImpl {
   def minhashArrayData(text: UTF8String, k: Int, numHashes: Int): ArrayData =
     new GenericArrayData(minhash(text, k, numHashes))
 
+  /** Sorted distinct xxhash64 values of the word k-shingles — the primitive
+    * set representation every pairwise Jaccard consumes. One imperative
+    * pass; the equivalent HOF chain (transform∘sequence∘element_at∘
+    * array_distinct∘sort_array) is CodegenFallback all the way down and
+    * measured ~15× slower per scan.
+    */
+  def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val words = split(text)
+    val nShingles = math.max(words.length - k + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nShingles) {
+      val shingle =
+        if (words.length == 0) UTF8String.EMPTY_UTF8
+        else if (words.length < k) UTF8String.concatWs(UTF8String.fromString(" "), words: _*)
+        else UTF8String.concatWs(UTF8String.fromString(" "), words.slice(i, i + k): _*)
+      set.add(hashWord(shingle, Seed))
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  def shingleHashesArrayData(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashes(text, k))
+
   private def split(text: UTF8String): Array[UTF8String] = {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     val bytes = text.getBytes
@@ -132,9 +161,22 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int) extends Una
     copy(child = newChild)
 }
 
+case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.shingleHashesArrayData(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.shingleHashesArrayData($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object TextHashes {
   def simhash64(c: Column): Column = GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
   def minhashSig(c: Column, k: Int = 3, numHashes: Int = 32): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k, numHashes))
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(c), k))
 }

@@ -46,14 +46,19 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
 
-  /** Word k-shingles (distinct), the unit set for Jaccard similarity. */
+  /** Word k-shingles (distinct), the unit set for Jaccard similarity.
+    * Docs shorter than k words yield their whole text as the single shingle
+    * — branched explicitly, because an out-of-range element_at is an ERROR
+    * under ANSI mode (Spark 4 default), not a null.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val words = split(text, " ")
     val grams = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      sequence(lit(0), size(words) - k),
       i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*)
     )
-    array_distinct(grams)
+    when(size(words) < k, array(concat_ws(" ", words)))
+      .otherwise(array_distinct(grams))
   }
 
   /** MinHash signature — native one-pass Catalyst expression
@@ -86,7 +91,7 @@ object Dedup {
     val withSig = documents
       .select(
         col("doc_id"),
-        graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"),
+        graft.functions.TextHashes.shingleHashes(col("text")).as("sh"),
         minhashSignature(col("text"), numHashes).as("sig"))
 
     val bands = withSig.select(
@@ -185,7 +190,7 @@ object Dedup {
                                 buckets: Int = 8): DataFrame = {
     val d = documents.select(
       col("doc_id"), col("source"),
-      graft.functions.SetOps.sortedShingleHashes(shingles(col("text"))).as("sh"),
+      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"),
       pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").as("bkt"))
     // A emits (bkt, j) for j in bkt..B-1; B emits (i, bkt) for i in 0..bkt
     val aSide = d.withColumn("j", explode(sequence(col("bkt"), lit(buckets - 1))))

@@ -79,9 +79,12 @@ object TextMetrics {
     */
   def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val words = wsWords(col("text"))
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*)))
+    // short docs degrade to one whole-text gram (ANSI: element_at past the
+    // end is an error, so the branch is explicit)
+    val grams = when(size(words) < k, array(xxhash64(col("text"))))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - k),
+        i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*))))
     val windows = transform(
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
       i => array_min(slice(grams, i + 1, lit(w))))

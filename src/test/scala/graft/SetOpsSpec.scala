@@ -51,6 +51,19 @@ class SetOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("native shingleHashes matches the HOF sort/distinct/hash chain") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "one two"), // fewer words than k
+      (2L, "single")
+    ).toDF("doc_id", "text")
+    val both = docs.select(
+      graft.functions.TextHashes.shingleHashes(col("text")).as("native"),
+      SetOps.sortedShingleHashes(Dedup.shingles(col("text"))).as("hof")
+    ).as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("jaccardSorted edge cases: identical and disjoint") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0),
