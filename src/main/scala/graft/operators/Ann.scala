@@ -121,6 +121,28 @@ object Ann {
     concat_ws("", bitCols: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs: bucket by the hyperplane sign
+    * key, score only within buckets, keep pairs ≥ threshold. The embedding
+    * leg of the dedup family (SURVEY §2 #24-27 cover text; this covers
+    * representations) — same bounded-bucket join shape as minhash LSH, so
+    * candidate cost is Σ bucket² not n².
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
+                            threshold: Double = 0.95): DataFrame = {
+    val keyed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      lshKey(col("embedding"), dim, bits).as("bucket"),
+      norm(col("embedding")).as("nrm"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dotDecimal(col("a.embedding"), col("b.embedding")).cast("double")
+          / (col("a.nrm") * col("b.nrm")), 12).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   def lshTopK(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
               numQueries: Int = 5, k: Int = 5): DataFrame = {
     val keyed = embeddings.select(col("vec_id"), col("embedding"), lshKey(col("embedding"), dim, bits).as("bucket"))

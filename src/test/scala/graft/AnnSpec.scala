@@ -64,6 +64,14 @@ class AnnSpec extends SparkSpec {
     assert(ivf((1L, 1)) == brute((1L, 1)))
   }
 
+  test("embedding near-dup finds the duplicated vector pair, not unrelated ones") {
+    val withDup = vecs.unionAll(Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val pairs = Ann.embeddingNearDupPairs(withDup, dim = 4, bits = 4, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10L))) // identical direction → cosine 1.0
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // anti-parallel never pairs
+  }
+
   test("lsh bucket key is deterministic across evaluations") {
     val k1 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
     val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
