@@ -31,9 +31,10 @@ object Analytics {
       )
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Selective join + agg + top-k, TPC-H Q3 shape. The customer-segment
-    * filter makes the dim side small → Catalyst broadcasts it (no shuffle of
-    * lineitem for that join); date filters push into both parquet scans.
+  /** Selective join + agg + top-k, TPC-H Q3 shape. The customer side is
+    * deliberately NOT force-broadcast: customer scales with SF, so pinning
+    * it would OOM a 100 TB run — the segment filter + AQE pick broadcast
+    * when it actually fits. Date filters push into both parquet scans.
     */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
@@ -41,7 +42,7 @@ object Analytics {
     val o = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).cast("double").as("revenue"))
       .select(col("l_orderkey"), col("revenue"), epochMs(col("o_orderdate")).as("o_orderdate_ms"))
@@ -49,9 +50,11 @@ object Analytics {
       .limit(10)
   }
 
-  /** Multi-way star join, TPC-H Q5 shape. region/nation/supplier are tiny →
-    * broadcast; the only real shuffle is lineitem⋈orders on orderkey, then
-    * one agg shuffle on n_name.
+  /** Multi-way star join, TPC-H Q5 shape. nation/region are CONSTANT-size
+    * (25/5 rows at any SF) → pinned broadcasts; supplier/customer scale
+    * with SF → left to AQE (broadcast while small, shuffle when not). The
+    * only unavoidable big shuffle is lineitem⋈orders on orderkey, then one
+    * agg shuffle on n_name.
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
@@ -61,7 +64,7 @@ object Analytics {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
