@@ -31,6 +31,18 @@ object SparkEntry {
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
     "q_receipt_classify" -> ((s, d) => ReceiptClassifier.demoFromEvents(Tables.events(s, d))),
+    "q_trust_view" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
+      CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(receipts))
+    }),
+    "q_token_balances" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
+      val transfers = ReceiptClassifier.extractErc20Transfers(receipts)
+        .withColumn("value", conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
+      CirclesViews.balancesBySafeAndToken(transfers)
+    }),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
     "q_extract_details" -> ((s, d) => Classify.extractDetails(Tables.events(s, d))),
     "q_latest_event" -> ((s, d) => StateOps.latestPerKey(Tables.events(s, d))),

@@ -165,7 +165,14 @@ object ReceiptClassifier {
     * (rows-only; the per-predicate semantics are pinned by
     * ReceiptClassifierSpec against the reference's test cases).
     */
-  def demoFromEvents(events: DataFrame, hub: String = DefaultHubAddress): DataFrame = {
+  def demoFromEvents(events: DataFrame, hub: String = DefaultHubAddress): DataFrame =
+    classify(demoReceipts(events, hub), hub)
+      .select("event_id", "hash", "classification").orderBy("event_id")
+
+  /** The synthetic receipts frame itself (hash, from, to, value, input,
+    * logs, event_id) — input for the extractor/view compositions.
+    */
+  def demoReceipts(events: DataFrame, hub: String = DefaultHubAddress): DataFrame = {
     def addr(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 40, "0"))
     def word(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
     val user = addr(col("user_id"))
@@ -191,7 +198,7 @@ object ReceiptClassifier {
       when(col("event_type") === "error", lit("0x")).otherwise(lit("0xdeadbeef")).as("input"),
       logs.as("logs"),
       col("event_id"))
-    classify(txs, hub).select("event_id", "hash", "classification").orderBy("event_id")
+    txs
   }
 
   /** The crc_current_trust view: latest limit per (user, can_send_to) edge
