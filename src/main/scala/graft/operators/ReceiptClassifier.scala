@@ -213,6 +213,45 @@ object ReceiptClassifier {
       .where(col("limit") > 0) // limit 0 == revoked edge
       .orderBy("user", "can_send_to")
 
+  /** CrcHubTransferDetailExtractor.cs:10 — (from, to, amount) of the hub
+    * transfer log; value stays a hex word (uint256-safe), like the
+    * reference's `value text` column.
+    */
+  def extractHubTransfers(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame =
+    txs
+      .where(isCrcHubTransfer(col("logs"), hub))
+      .select(col("hash"), explode(filter(col("logs"), l =>
+        array_contains(l.getField("topics"), CrcHubTransferTopic) &&
+          l.getField("address") === hub &&
+          size(l.getField("topics")) === 3)).as("log"))
+      .select(
+        col("hash"),
+        topicAddress(element_at(col("log.topics"), 2)).as("from"),
+        topicAddress(element_at(col("log.topics"), 3)).as("to"),
+        col("log.data").as("value_hex"))
+
+  /** CrcSignupDetailExtractor.cs:11 — (user, token) from the validated
+    * 3-log signup receipt. (The reference's `owners text[]` column comes
+    * from a live getOwners() contract call, not from logs — out of scope
+    * for a log-derived pipeline; left null downstream.)
+    */
+  def extractSignups(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame =
+    txs
+      .where(isCrcSignup(col("logs"), hub))
+      .select(col("hash"), explode(filter(col("logs"), l =>
+        array_contains(l.getField("topics"), CrcSignupTopic) &&
+          l.getField("address") === hub)).as("log"))
+      .select(
+        col("hash"),
+        topicAddress(element_at(col("log.topics"), 2)).as("user"),
+        concat(lit("0x"), substring(col("log.data"), 27, 40)).as("token"))
+
+  /** CrcOrganisationSignupDetailExtractor.cs — (organisation). */
+  def extractOrgSignups(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame =
+    txs
+      .select(col("hash"), explode(filter(col("logs"), l => isCrcOrgSignupLog(l, hub))).as("log"))
+      .select(col("hash"), topicAddress(element_at(col("log.topics"), 2)).as("organisation"))
+
   /** CrcTrustDetailExtractor.cs:13 — (user, canSendTo, limit). */
   def extractTrusts(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame =
     txs.select(col("hash"), explode(filter(col("logs"), l => isCrcTrustLog(l, hub))).as("log"))

@@ -103,6 +103,25 @@ class ReceiptClassifierSpec extends SparkSpec {
     assert(classOf1(tx(Nil, input = headWords(0))) == "Unknown")
   }
 
+  test("hub transfer / signup / org extractors yield the reference detail rows") {
+    val ht = Log(hub, Seq(CrcHubTransferTopic, word(user), word(other)), limitHex(42))
+    val hubTx = tx(Seq(ht, transferLog(token, user, other)))
+    val r = extractHubTransfers(Seq(hubTx).toDS.toDF)
+      .select("from", "to", "value_hex").as[(String, String, String)].collect()(0)
+    assert(r == ((user, other, limitHex(42))))
+    // non-hub-transfer receipts extract nothing
+    assert(extractHubTransfers(Seq(tx(Seq(transferLog(token, user, other)))).toDS.toDF).count() == 0)
+
+    val su = extractSignups(Seq(tx(signupReceipt)).toDS.toDF)
+      .select("user", "token").as[(String, String)].collect()(0)
+    assert(su == ((user, token)))
+
+    val org = extractOrgSignups(
+      Seq(tx(Seq(Log(hub, Seq(CrcOrgSignupTopic, word(other)), "0x")))).toDS.toDF)
+      .select("organisation").as[String].collect()(0)
+    assert(org == other)
+  }
+
   test("classification flags combine like the reference's [Flags] enum") {
     val combined = tx(signupReceipt :+ trustLog(user, other, 10))
     val c = classOf1(combined)
