@@ -187,9 +187,13 @@ object ReceiptClassifier {
       word(limit).as("data"))
     val orgLog = struct(lit(hub).as("address"),
       array(lit(CrcOrgSignupTopic), word(col("user_id"))).as("topics"), lit("0x").as("data"))
+    val hubLog = struct(lit(hub).as("address"),
+      array(lit(CrcHubTransferTopic), word(col("user_id")), word(col("user_id") + 2000000L)).as("topics"),
+      word(col("event_id")).as("data"))
     val logs = when(col("event_type") === "purchase", array(transferLog))
       .when(col("event_type") === "signup", array(trustLog))
       .when(col("event_type") === "view", array(orgLog))
+      .when(col("event_type") === "click", array(hubLog, transferLog))
       .otherwise(array().cast("array<struct<address:string,topics:array<string>,data:string>>"))
     val txs = events.select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
