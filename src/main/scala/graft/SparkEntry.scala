@@ -27,6 +27,12 @@ object SparkEntry {
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
     "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.segmentPercentiles(Tables.customer(s, d))),
+    "q_above_seg_avg" -> ((s, d) => SqlSurface.aboveSegmentAverage(Tables.customer(s, d))),
+    "q_order_sequences" -> ((s, d) => SqlSurface.orderSequences(Tables.orders(s, d))),
+    "q_set_ops" -> ((s, d) => SqlSurface.customerSetOps(Tables.orders(s, d))),
+    "q_orders_pivot" -> ((s, d) => SqlSurface.ordersPivot(Tables.orders(s, d))),
+    "q_semi_join" -> ((s, d) => SqlSurface.ordersWithBigLineitem(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_string_funcs" -> ((s, d) => SqlSurface.customerNameFeatures(Tables.customer(s, d))),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(Tables.events(s, d))),
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
@@ -129,6 +135,55 @@ object SparkEntry {
         | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
         | count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_above_seg_avg" ->
+      """WITH seg AS (
+        | SELECT c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS seg_avg
+        | FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal
+        |FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+        |WHERE c_acctbal > seg_avg ORDER BY c_custkey""".stripMargin,
+    "q_order_sequences" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        | lag(o_orderkey) OVER w AS prev_orderkey,
+        | lead(o_orderkey) OVER w AS next_orderkey,
+        | row_number() OVER w AS order_seq,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                ROWS UNBOUNDED PRECEDING) AS orders_so_far
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'both' AS set_op, o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |UNION ALL
+        |SELECT 'urgent_only', o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |ORDER BY set_op, o_custkey""".stripMargin,
+    "q_orders_pivot" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        | length(c_name) AS name_len,
+        | substring(c_name, 1, 8) AS name_prefix,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_rollup_orders" ->
       """SELECT year(o_orderdate) AS o_year, o_orderpriority,
         | GROUPING(year(o_orderdate), o_orderpriority) AS gid,
