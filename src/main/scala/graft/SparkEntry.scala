@@ -70,12 +70,12 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
-    "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.8)),
+    "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
-    "q_winnow" -> ((s, d) => TextMetrics.winnow(Tables.documents(s, d)))
+    "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
   )
 
   /** ANSI SQL oracles (DuckDB) — byte-identical aliases to the Spark side.

@@ -108,12 +108,14 @@ object Ann {
   }
 
   /** Random-hyperplane sign-bit bucket key. Hyperplane h_i components are
-    * derived deterministically from (i, dim) via xxhash64 → uniform in
-    * [-0.5, 0.5): reproducible with zero stored state, codegen-friendly.
+    * derived deterministically from (table, i, dim) via xxhash64 → uniform
+    * in [-0.5, 0.5): reproducible with zero stored state, codegen-friendly.
+    * Distinct `table` values give independent hash tables for multi-probe
+    * recall compounding.
     */
-  def lshKey(e: Column, dim: Int, bits: Int): Column = {
+  def lshKey(e: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     def planeComponent(i: Int, d: Int): Column =
-      (xxhash64(lit(s"plane:$i:$d")).cast("double") / lit(Long.MaxValue.toDouble) / 2.0d)
+      (xxhash64(lit(s"plane:$table:$i:$d")).cast("double") / lit(Long.MaxValue.toDouble) / 2.0d)
     val bitCols = (0 until bits).map { i =>
       val dot = (0 until dim).map(d => get(e, lit(d)).cast("double") * planeComponent(i, d)).reduce(_ + _)
       when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
@@ -121,24 +123,39 @@ object Ann {
     concat_ws("", bitCols: _*)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket by the hyperplane sign
-    * key, score only within buckets, keep pairs ≥ threshold. The embedding
-    * leg of the dedup family (SURVEY §2 #24-27 cover text; this covers
-    * representations) — same bounded-bucket join shape as minhash LSH, so
-    * candidate cost is Σ bucket² not n².
+  /** Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
+    * LSH. Each of `numTables` independent sign-bit keys buckets the base;
+    * candidate pairs are the union of within-bucket pairs across tables,
+    * deduplicated BEFORE scoring (a pair sharing 3 tables' buckets is scored
+    * once, not 3×). The embedding leg of the dedup family (SURVEY §2 #24-27
+    * cover text; this covers representations) — same bounded-bucket join
+    * shape as minhash LSH banding, so candidate cost is Σ bucket² per table,
+    * never n², and recall compounds as 1−(1−p^bits)^numTables.
+    *
+    * Scoring uses the sequential-fold double cosine (deterministic: Spark
+    * folds `aggregate` left-to-right within a row) rounded to 12 dp — this
+    * path is verified against brute force in AnnSpec rather than a SQL
+    * oracle, so the decimal-exact machinery of [[bruteForceTopK]] isn't
+    * needed in the hot loop.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
-                            threshold: Double = 0.95): DataFrame = {
+                            numTables: Int = 8, threshold: Double = 0.4): DataFrame = {
+    val keys = array((0 until numTables).map(t =>
+      concat_ws(":", lit(t.toString), lshKey(col("embedding"), dim, bits, table = t))): _*)
     val keyed = embeddings.select(
-      col("vec_id"), col("embedding"),
-      lshKey(col("embedding"), dim, bits).as("bucket"),
-      norm(col("embedding")).as("nrm"))
-    keyed.as("a")
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+      explode(keys).as("bucket"))
+    // candidate pairs, deduped across tables before the expensive dot product;
+    // embeddings ride through the (small) candidate shuffle so the base table
+    // is never re-joined
+    val candidates = keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dotDecimal(col("a.embedding"), col("b.embedding")).cast("double")
-          / (col("a.nrm") * col("b.nrm")), 12).as("cosine"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"),
+        first(col("a.nrm")).as("na"), first(col("b.nrm")).as("nb"))
+    candidates
+      .select(col("vec_a"), col("vec_b"),
+        round(cosFast(col("ea"), col("eb"), col("na"), col("nb")), 12).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -94,6 +94,16 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** Query surface for [[winnow]]: one scalar row per (doc_id, fingerprint).
+    * The array form stays the programmatic API (set-intersection consumers
+    * want it packed); the exploded form is what external result stores and
+    * row-wise comparers consume — scalar columns only.
+    */
+  def winnowExploded(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnow(documents, k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
   /** Polynomial rolling-hash fingerprint (Karp–Rabin) over words, mod the
     * Mersenne prime 2^31−1: h ← (h·31 + (xxhash64(word) mod p)) mod p.
     * Order-sensitive (unlike a bag-of-words hash), one pass, and the mod-p

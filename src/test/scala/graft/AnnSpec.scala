@@ -72,6 +72,27 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // anti-parallel never pairs
   }
 
+  test("embedding near-dup emits real pairs on testdata with default params") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Ann.embeddingNearDupPairs(emb)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    // the recorded query must prove something: non-trivial output...
+    assert(pairs.nonEmpty, "default params must emit pairs on driver testdata")
+    // ...with perfect precision (candidates are scored exactly, so every
+    // emitted pair genuinely clears the threshold)
+    assert(pairs.forall(_._3 >= 0.4))
+    // and each emitted pair matches the brute-force cosine for those ids
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val vecsById = emb.where($"vec_id".isInCollection(ids))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    pairs.foreach { case (a, b, cos) =>
+      val (va, vb) = (vecsById(a).map(_.toDouble), vecsById(b).map(_.toDouble))
+      val brute = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(brute - cos) < 1e-9, s"pair ($a,$b) cosine mismatch")
+    }
+  }
+
   test("lsh bucket key is deterministic across evaluations") {
     val k1 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
     val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()

@@ -39,6 +39,21 @@ class TextMetricsSpec extends SparkSpec {
     assert(r.values.forall(h => h >= 0 && h < 2147483647L)) // mod-p range
   }
 
+  test("winnowExploded is the scalar-row view of the array winnow") {
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "short doc")
+    ).toDF("doc_id", "text")
+    val packed = TextMetrics.winnow(docs).as[(Long, Seq[Long])].collect()
+      .flatMap { case (id, fps) => fps.map(id -> _) }.toSet
+    val exploded = TextMetrics.winnowExploded(docs).as[(Long, Long)].collect()
+    assert(exploded.toSet == packed) // same content, one scalar row per fp
+    assert(exploded.length == packed.size) // array was already distinct
+    // scalar schema only — the shape the external comparer requires
+    val schema = TextMetrics.winnowExploded(docs).schema
+    assert(schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "long"))
+  }
+
   test("token counts: BPE-ish regex splits punctuation and digits") {
     val docs = Seq((0L, "ab12 cd, ef")).toDF("doc_id", "text")
     val r = TextMetrics.tokenCounts(docs).collect()(0)
