@@ -49,6 +49,12 @@ object SparkEntry {
         .withColumn("value", conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
       CirclesViews.balancesBySafeAndToken(transfers)
     }),
+    "q_eth_transfers" -> ((s, d) =>
+      ReceiptClassifier.extractEthTransfers(ReceiptClassifier.demoReceipts(Tables.events(s, d)))
+        .orderBy("hash")),
+    "q_safe_eth_transfers" -> ((s, d) =>
+      ReceiptClassifier.extractSafeEthTransfers(ReceiptClassifier.demoReceipts(Tables.events(s, d)))
+        .orderBy("hash")),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
     "q_extract_details" -> ((s, d) => Classify.extractDetails(Tables.events(s, d))),
     "q_latest_event" -> ((s, d) => StateOps.latestPerKey(Tables.events(s, d))),
@@ -208,6 +214,21 @@ object SparkEntry {
         |   CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0 THEN 'EvenProp' END
         | ), ''), 'Unknown') AS classification
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_eth_transfers" ->
+      """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        | '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",
+        | '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "to",
+        | '1000000' AS value
+        |FROM events WHERE event_type = 'error' AND event_id % 2 = 1
+        |ORDER BY hash""".stripMargin,
+    "q_safe_eth_transfers" ->
+      """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        | '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS initiator,
+        | '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "from",
+        | '0x' || lpad(lower(to_hex(user_id + 3000000)), 40, '0') AS "to",
+        | '0x' || lpad(lower(to_hex(event_id)), 64, '0') AS value_hex
+        |FROM events WHERE event_type = 'error' AND event_id % 2 = 0
+        |ORDER BY hash""".stripMargin,
     "q_signup_pattern" ->
       """SELECT user_id,
         | count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,

@@ -60,45 +60,61 @@ object ReceiptClassifier {
       log.getField("address") === hub &&
       size(log.getField("topics")) === 2
 
-  private def signupLog(log: Column, hub: String): Column =
-    array_contains(log.getField("topics"), CrcSignupTopic) &&
-      log.getField("address") === hub &&
-      size(log.getField("topics")) === 2
-
   // --- per-transaction predicates ----------------------------------------
 
   private def existsLog(logs: Column, pred: Column => Column): Column =
     exists(logs, pred)
 
+  /** Logs whose topics merely CONTAIN the given topic — the reference's
+    * `SingleOrDefault` filters select on topic-containment alone and
+    * validate address/arity afterwards, so exactly-one-ness must be decided
+    * on this looser set (a second topic-bearing log at a WRONG address still
+    * makes `SingleOrDefault` throw).
+    */
+  private def topicLogs(logs: Column, topic: String): Column =
+    filter(logs, l => array_contains(l.getField("topics"), topic))
+
   /** TransactionClassifier.cs:25 IsCrcSignup — the 3-log co-occurrence:
-    * one Signup log (user, token), one SELF-trust log for that user, one
-    * mint Transfer of exactly 50e18 from 0x0 to the user on the new token.
+    * EXACTLY one Signup log (user, token), EXACTLY one trust log which must
+    * be the user's SELF-trust, EXACTLY one Transfer log which must be the
+    * 50e18 mint from 0x0 to the user on the new token. The exactly-one
+    * shape mirrors the reference's `SingleOrDefault` chain
+    * (TransactionClassifier.cs:41,67,92) — extra matching logs are not
+    * "also fine", they throw (see [[classifyThrows]]).
     */
   def isCrcSignup(logs: Column, hub: String = DefaultHubAddress): Column = {
-    val su = filter(logs, l => signupLog(l, hub))
-    val suLog = element_at(su, 1)
-    val user = topicAddress(element_at(suLog.getField("topics"), 2))
+    val su = topicLogs(logs, CrcSignupTopic)
+    val suLog = get(su, lit(0)) // null-safe: subexpr elimination may eval eagerly
+    val user = topicAddress(get(suLog.getField("topics"), lit(1)))
     val token = concat(lit("0x"), substring(suLog.getField("data"), 27, 40))
-    val selfTrust = (l: Column) => isCrcTrustLog(l, hub) &&
-      topicAddress(element_at(l.getField("topics"), 2)) === user &&
-      topicAddress(element_at(l.getField("topics"), 3)) === user
-    val mint = (l: Column) => isErc20TransferLog(l) &&
-      l.getField("address") === token &&
-      topicAddress(element_at(l.getField("topics"), 2)) === EmptyAddress &&
-      topicAddress(element_at(l.getField("topics"), 3)) === user &&
-      l.getField("data") === SignupMintHex
+    val trusts = filter(logs, l => isCrcTrustLog(l, hub))
+    val tLog = get(trusts, lit(0))
+    val selfTrustOk =
+      topicAddress(get(tLog.getField("topics"), lit(1))) === user &&
+        topicAddress(get(tLog.getField("topics"), lit(2))) === user
+    val xfers = filter(logs, l => isErc20TransferLog(l))
+    val xLog = get(xfers, lit(0))
+    val mintOk = xLog.getField("address") === token &&
+      topicAddress(get(xLog.getField("topics"), lit(1))) === EmptyAddress &&
+      topicAddress(get(xLog.getField("topics"), lit(2))) === user &&
+      xLog.getField("data") === SignupMintHex
     size(logs) >= 3 && size(su) === 1 &&
-      existsLog(logs, selfTrust) && existsLog(logs, mint)
+      suLog.getField("address") === hub && size(suLog.getField("topics")) === 2 &&
+      size(trusts) === 1 && selfTrustOk &&
+      size(xfers) === 1 && mintOk
   }
 
-  /** TransactionClassifier.cs:155 IsCrcHubTransfer: one HubTransfer log at
-    * the hub with 3 topics, plus at least one ERC20 transfer log. */
+  /** TransactionClassifier.cs:157 IsCrcHubTransfer: EXACTLY one log bearing
+    * the HubTransfer topic (`SingleOrDefault` on topic-containment,
+    * cs:167), which must sit at the hub with 3 topics, plus at least one
+    * ERC20 transfer log (`Any`, cs:197). */
   def isCrcHubTransfer(logs: Column, hub: String = DefaultHubAddress): Column = {
-    val ht = filter(logs, l =>
-      array_contains(l.getField("topics"), CrcHubTransferTopic) &&
-        l.getField("address") === hub &&
-        size(l.getField("topics")) === 3)
-    size(ht) === 1 && existsLog(logs, l => isErc20TransferLog(l))
+    val ht = topicLogs(logs, CrcHubTransferTopic)
+    val htLog = get(ht, lit(0)) // null-safe: subexpr elimination may eval eagerly
+    size(ht) === 1 &&
+      htLog.getField("address") === hub &&
+      size(htLog.getField("topics")) === 3 &&
+      existsLog(logs, l => isErc20TransferLog(l))
   }
 
   /** TransactionClassifier.cs:317 IsEoaEthTransfer: value != 0, no logs,
@@ -106,24 +122,70 @@ object ReceiptClassifier {
   def isEoaEthTransfer(value: Column, input: Column, to: Column, logs: Column): Column =
     value =!= "0" && size(logs) === 0 && input === "0x" && to.isNotNull
 
-  /** TransactionClassifier.cs:258 IsSafeEthTransfer: execTransaction call
+  /** Head param i (32-byte word) of an ABI call: 1-based string offset
+    * 11 + 64*i (after "0x" + 8 selector chars). */
+  private def headWord(input: Column, i: Int): Column =
+    substring(input, 11 + 64 * i, 64)
+
+  /** TransactionClassifier.cs:277 IsSafeEthTransfer: execTransaction call
     * (ABI head decoded by fixed hex offsets: param2 `data` must be empty
-    * bytes via its tail length word, param3 `operation` must be 0) plus an
-    * ExecutionSuccess log.
+    * bytes via its tail length word, param3 `operation` must be 0) plus
+    * EXACTLY one ExecutionSuccess log (`SingleOrDefault`, cs:333).
     */
   def isSafeEthTransfer(input: Column, logs: Column): Column = {
-    // head param i (32-byte word) lives at string offset 11 + 64*i (1-based
-    // substring; after "0x" + 8 selector chars)
-    def headWord(i: Int): Column = substring(input, 11 + 64 * i, 64)
-    val dataOffsetBytes = conv(headWord(2), 16, 10).cast("long")
+    val dataOffsetBytes = conv(headWord(input, 2), 16, 10).cast("long")
     // ABI offsets are relative to the params section (char 11, after
     // "0x" + selector): byte b lives at 1-based char 11 + 2b
     val dataLen = conv(input.substr(lit(11) + dataOffsetBytes.cast("int") * 2, lit(64)), 16, 10).cast("long")
-    val operation = conv(headWord(3), 16, 10).cast("long")
+    val operation = conv(headWord(input, 3), 16, 10).cast("long")
     input.startsWith(ExecTransactionMethodId) &&
       length(input) >= 10 + 64 * 10 &&
       dataLen === 0 && operation === 0 &&
-      existsLog(logs, l => array_contains(l.getField("topics"), ExecutionSuccessTopic))
+      size(topicLogs(logs, ExecutionSuccessTopic)) === 1
+  }
+
+  /** The receipt shapes whose classification THROWS in the reference —
+    * `SingleOrDefault` over 2+ matches, or a malformed execTransaction ABI
+    * payload — which its Classify catches into `TransactionClass.Unknown`
+    * for the WHOLE transaction (TransactionClassifier.cs:438-443), wiping
+    * even flags that individually matched. Re-expressed declaratively:
+    *
+    *  - signup path (cs:41,67,92): reached only while the preceding checks
+    *    pass, so each `> 1` is guarded exactly as deep as the reference's
+    *    control flow;
+    *  - hub-transfer path (cs:167): unconditional topic-containment count;
+    *  - safe-transfer path (cs:295,333): a decodable empty-data CALL with
+    *    2+ ExecutionSuccess logs, or a selector-prefixed input too short
+    *    for the 10 head words (FunctionCallDecoder throws on truncation).
+    */
+  def classifyThrows(input: Column, logs: Column, hub: String = DefaultHubAddress): Column = {
+    val su = topicLogs(logs, CrcSignupTopic)
+    val suLog = get(su, lit(0)) // null-safe: subexpr elimination may eval eagerly
+    val suValid = suLog.getField("address") === hub && size(suLog.getField("topics")) === 2
+    val user = topicAddress(get(suLog.getField("topics"), lit(1)))
+    val trusts = filter(logs, l => isCrcTrustLog(l, hub))
+    val tLog = get(trusts, lit(0))
+    val selfTrustOk =
+      topicAddress(get(tLog.getField("topics"), lit(1))) === user &&
+        topicAddress(get(tLog.getField("topics"), lit(2))) === user
+    val xfers = filter(logs, l => isErc20TransferLog(l))
+    val signupThrows = size(logs) >= 3 && (
+      size(su) > 1 ||
+        (size(su) === 1 && suValid && (
+          size(trusts) > 1 ||
+            (size(trusts) === 1 && selfTrustOk && size(xfers) > 1))))
+
+    val hubThrows = size(topicLogs(logs, CrcHubTransferTopic)) > 1
+
+    val dataOffsetBytes = conv(headWord(input, 2), 16, 10).cast("long")
+    val dataLen = conv(input.substr(lit(11) + dataOffsetBytes.cast("int") * 2, lit(64)), 16, 10).cast("long")
+    val operation = conv(headWord(input, 3), 16, 10).cast("long")
+    val safeThrows = input.startsWith(ExecTransactionMethodId) && (
+      length(input) < 10 + 64 * 10 ||
+        (dataLen === 0 && operation === 0 &&
+          size(topicLogs(logs, ExecutionSuccessTopic)) > 1))
+
+    signupThrows || hubThrows || safeThrows
   }
 
   // --- classification + extraction ---------------------------------------
@@ -144,8 +206,33 @@ object ReceiptClassifier {
       "EoaEthTransfer" -> isEoaEthTransfer(col("value"), col("input"), col("to"), logs)
     ).map { case (name, pred) => when(pred, lit(name)) }
     txs.withColumn("classification",
-      coalesce(nullif(concat_ws(",", flags: _*), lit("")), lit("Unknown")))
+      when(classifyThrows(col("input"), logs, hub), lit("Unknown"))
+        .otherwise(coalesce(nullif(concat_ws(",", flags: _*), lit("")), lit("Unknown"))))
   }
+
+  /** EthTransferDetailExtractor.cs:9 — one (from, to, value) detail row per
+    * EOA eth transfer; value is the node's decimal string
+    * (`transactionData.Value.ToString()`), kept as text like the
+    * reference's Postgres column.
+    */
+  def extractEthTransfers(txs: DataFrame): DataFrame =
+    txs.where(isEoaEthTransfer(col("value"), col("input"), col("to"), col("logs")))
+      .select(col("hash"), col("from"), col("to"), col("value"))
+
+  /** GnosisSafeEthTransferDetailExtractor.cs:13 — (initiator, from, to,
+    * value) of a validated safe eth transfer: initiator = tx sender, from =
+    * the safe (tx target), to/value = ABI head params 0/1 of the
+    * execTransaction call. The uint256 value stays a hex word
+    * (`value_hex`), consistent with the other extractors.
+    */
+  def extractSafeEthTransfers(txs: DataFrame): DataFrame =
+    txs.where(isSafeEthTransfer(col("input"), col("logs")))
+      .select(
+        col("hash"),
+        lower(col("from")).as("initiator"),
+        lower(col("to")).as("from"),
+        concat(lit("0x"), substring(headWord(col("input"), 0), 25, 40)).as("to"),
+        concat(lit("0x"), headWord(col("input"), 1)).as("value_hex"))
 
   /** Erc20TransferDetailExtractor.cs:12 — one detail row per Transfer log
     * (1→N): token, from, to, value (hex word kept as text, like the
@@ -190,16 +277,37 @@ object ReceiptClassifier {
     val hubLog = struct(lit(hub).as("address"),
       array(lit(CrcHubTransferTopic), word(col("user_id")), word(col("user_id") + 2000000L)).as("topics"),
       word(col("event_id")).as("data"))
+    // even-numbered "error" events become safe eth transfers: a well-formed
+    // execTransaction(to=user+3M, value=event_id, data="", operation=0,
+    // gas/refund zeros, signatures="") plus its ExecutionSuccess log; odd
+    // ones stay plain EOA transfers — both detail extractors get real demo
+    // coverage from one event family.
+    val isSafeDemo = col("event_type") === "error" && col("event_id") % 2 === 0
+    val execSuccessLog = struct(other.as("address"),
+      array(lit(ExecutionSuccessTopic)).as("topics"), lit("0x").as("data"))
+    def hexWord(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val safeInput = concat(
+      lit(ExecTransactionMethodId),
+      hexWord(col("user_id") + 3000000L), // p0 to
+      hexWord(col("event_id")),           // p1 value (wei)
+      lit(f"${320L}%064x"),               // p2 data tail offset (10 head words)
+      lit("0" * 64 * 6),                  // p3 operation=CALL + p4..p8 gas params
+      lit(f"${352L}%064x"),               // p9 signatures tail offset
+      lit("0" * 128))                     // tails: data len 0, signatures len 0
     val logs = when(col("event_type") === "purchase", array(transferLog))
       .when(col("event_type") === "signup", array(trustLog))
       .when(col("event_type") === "view", array(orgLog))
       .when(col("event_type") === "click", array(hubLog, transferLog))
+      .when(isSafeDemo, array(execSuccessLog))
       .otherwise(array().cast("array<struct<address:string,topics:array<string>,data:string>>"))
     val txs = events.select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
       user.as("from"), other.as("to"),
-      when(col("event_type") === "error", lit("1000000")).otherwise(lit("0")).as("value"),
-      when(col("event_type") === "error", lit("0x")).otherwise(lit("0xdeadbeef")).as("input"),
+      when(col("event_type") === "error" && !isSafeDemo, lit("1000000"))
+        .otherwise(lit("0")).as("value"),
+      when(isSafeDemo, safeInput)
+        .when(col("event_type") === "error", lit("0x"))
+        .otherwise(lit("0xdeadbeef")).as("input"),
       logs.as("logs"),
       col("event_id"))
     txs

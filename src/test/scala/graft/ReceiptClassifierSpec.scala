@@ -123,8 +123,64 @@ class ReceiptClassifierSpec extends SparkSpec {
   }
 
   test("classification flags combine like the reference's [Flags] enum") {
-    val combined = tx(signupReceipt :+ trustLog(user, other, 10))
+    val ht = Log(hub, Seq(CrcHubTransferTopic, word(user), word(other)), limitHex(5))
+    val combined = tx(Seq(ht, transferLog(token, user, other), trustLog(user, other, 10)))
     val c = classOf1(combined)
-    assert(c.contains("Erc20Transfer") && c.contains("CrcSignup") && c.contains("CrcTrust"))
+    assert(c.contains("Erc20Transfer") && c.contains("CrcHubTransfer") && c.contains("CrcTrust"))
+  }
+
+  test("SingleOrDefault semantics: duplicate matching logs throw -> whole receipt Unknown") {
+    // 2nd trust log in a signup receipt: reference's SingleOrDefault(IsCrcTrust)
+    // throws (TransactionClassifier.cs:67) -> Classify catches -> Unknown,
+    // wiping even the Erc20Transfer/CrcTrust flags that individually match
+    assert(classOf1(tx(signupReceipt :+ trustLog(user, other, 10))) == "Unknown")
+    // 2nd signup-topic log (cs:41)
+    assert(classOf1(tx(signupReceipt :+ Log(hub, Seq(CrcSignupTopic, word(other)), word(token))))
+      == "Unknown")
+    // 2nd erc20 transfer in a signup receipt (cs:92)
+    assert(classOf1(tx(signupReceipt :+ transferLog(token, user, other))) == "Unknown")
+    // 2 hub-transfer-topic logs, even at a WRONG address: SingleOrDefault
+    // filters on topic containment only (cs:167) -> throws -> Unknown
+    val ht = Log(hub, Seq(CrcHubTransferTopic, word(user), word(other)), limitHex(5))
+    val htWrongAddr = Log(other, Seq(CrcHubTransferTopic, word(user), word(other)), limitHex(5))
+    assert(classOf1(tx(Seq(ht, htWrongAddr, transferLog(token, user, other)))) == "Unknown")
+    // but a receipt with ONE valid hub-transfer log still classifies
+    assert(classOf1(tx(Seq(ht, transferLog(token, user, other)))).contains("CrcHubTransfer"))
+  }
+
+  test("SingleOrDefault semantics: duplicate ExecutionSuccess + truncated exec input") {
+    def headWords(operation: Long): String = {
+      val p0 = word(other).drop(2)
+      val p1 = f"${1000000L}%064x"
+      val p2 = f"${320L}%064x"
+      val p3 = f"$operation%064x"
+      ExecTransactionMethodId + p0 + p1 + p2 + p3 + Seq.fill(6)("0" * 64).mkString + "0" * 64
+    }
+    val okLog = Log(other, Seq(ExecutionSuccessTopic), "0x")
+    // two ExecutionSuccess logs: SingleOrDefault throws (cs:333) -> Unknown
+    assert(classOf1(tx(Seq(okLog, okLog), input = headWords(0))) == "Unknown")
+    // selector-prefixed but truncated input: FunctionCallDecoder throws -> Unknown
+    assert(classOf1(tx(Nil, input = ExecTransactionMethodId + "00ff")) == "Unknown")
+  }
+
+  test("EthTransfer detail extractor mirrors EthTransferDetailExtractor.cs") {
+    val eoa = tx(Nil, value = "12345", input = "0x")
+    val r = extractEthTransfers(Seq(eoa, tx(signupReceipt)).toDS.toDF)
+      .select("from", "to", "value").as[(String, String, String)].collect()
+    assert(r.toSeq == Seq((user, other, "12345"))) // only the EOA transfer row
+  }
+
+  test("GnosisSafeEthTransfer detail extractor ABI-decodes to/value head params") {
+    val dest = "0xbbbb74ece6fa50e781e81aac78e811b33d1691bb"
+    val valueWord = f"${77000L}%064x"
+    val input = ExecTransactionMethodId + word(dest).drop(2) + valueWord +
+      f"${320L}%064x" + "0" * 64 + Seq.fill(5)("0" * 64).mkString +
+      f"${352L}%064x" + "0" * 128
+    val safeTx = tx(Seq(Log(other, Seq(ExecutionSuccessTopic), "0x")), input = input)
+    val r = extractSafeEthTransfers(Seq(safeTx, tx(signupReceipt)).toDS.toDF)
+      .select("initiator", "from", "to", "value_hex")
+      .as[(String, String, String, String)].collect()
+    // initiator = tx sender, from = the safe (tx target), to/value from ABI head
+    assert(r.toSeq == Seq((user, other, dest, "0x" + valueWord)))
   }
 }
