@@ -69,14 +69,18 @@ object Integrity {
     * a sort-limit (Spark takes per-partition top-K then merges K·parts rows —
     * no full sort).
     */
+  /** The deterministic row fingerprint both halves of the reorg loop use
+    * (stored tail vs freshly re-read rows) — ReorgSource compares the
+    * node's block hash; content-addressing the row is the table-side twin.
+    */
+  def rowFingerprint: org.apache.spark.sql.Column =
+    md5(concat_ws("|", col("event_id"), col("event_type"), col("props")))
+
   def reorgFingerprints(events: DataFrame, lastN: Int = 16): DataFrame =
     events
       .orderBy(col("event_id").desc)
       .limit(lastN)
-      .select(
-        col("event_id"),
-        md5(concat_ws("|", col("event_id"), col("event_type"), col("props"))).as("fingerprint")
-      )
+      .select(col("event_id"), rowFingerprint.as("fingerprint"))
       .orderBy(col("event_id").desc)
 
   /** Complete groups: parent rows whose child count equals the declared

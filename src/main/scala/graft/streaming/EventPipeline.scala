@@ -87,24 +87,37 @@ object EventPipeline {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_start_id"), col("n_events"))
 
+  /** Default `onImported`: a named no-op so [[startImport]] can tell "nobody
+    * is listening" apart from a real subscriber and skip id materialization
+    * entirely.
+    */
+  val NoOpOnImported: (Long, Iterator[Long]) => Unit = (_, _) => ()
+
   /** Idempotent micro-batch import: write the batch to `tableDir` (append,
     * partitioned by day), then surface the imported ids — the
     * `import_from_staging` + websocket-broadcast step. `onImported` receives
-    * (batchId, importedEventIds).
+    * (batchId, importedEventIds) as a driver-side iterator fed one partition
+    * at a time (`toLocalIterator`), so peak driver memory is O(largest
+    * partition's ids), not O(batch) — a backfill micro-batch of millions of
+    * rows never materializes on the driver. When no callback is supplied the
+    * id job is skipped altogether.
     */
   def startImport(
       deduped: DataFrame,
       tableDir: String,
       checkpointDir: String,
-      onImported: (Long, Array[Long]) => Unit = (_, _) => ()
+      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported
   ) =
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val withDay = batch.withColumn("day", to_date(col("ts")))
         withDay.write.mode("append").partitionBy("day").parquet(tableDir)
-        val ids = batch.select("event_id").collect().map(_.getLong(0))
-        onImported(batchId, ids)
+        if (onImported ne NoOpOnImported) {
+          import scala.jdk.CollectionConverters._
+          val ids = batch.select("event_id").toLocalIterator().asScala.map(_.getLong(0))
+          onImported(batchId, ids)
+        }
         ()
       }
       .start()

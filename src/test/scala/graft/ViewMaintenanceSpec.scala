@@ -40,4 +40,36 @@ class ViewMaintenanceSpec extends SparkSpec {
       ("u2", "v1", 100L, 1L), // untouched edge preserved
       ("u3", "v2", 10L, 1L))) // new edge
   }
+
+  test("a batch touching one key rewrites one bucket, not the view") {
+    import graft.streaming.ViewMaintenance.mergeTrustBatch
+    val viewDir = Files.createTempDirectory("graft-bucketed").toString + "/view"
+    // seed: 32 users spread over the bucket space
+    val seed = (1 to 32).map(i => TrustEv(f"0xs$i%02d", s"u$i", "v", 10L))
+    mergeTrustBatch(spark, seed.toDF, viewDir, numBuckets = 16)
+
+    def fileState(): Map[String, Long] = {
+      val root = new java.io.File(viewDir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath.stripPrefix(viewDir) -> f.lastModified()).toMap
+    }
+    val before = fileState()
+    val buckets = before.keys.map(_.split("/")(1)).toSet
+    assert(buckets.size > 1, s"seed must span several buckets, got $buckets")
+
+    mergeTrustBatch(spark, Seq(TrustEv("0xzz", "u1", "v", 99L)).toDF, viewDir, numBuckets = 16)
+
+    val after = fileState()
+    val changedBuckets = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.split("/")(1))
+    assert(changedBuckets.size == 1, s"expected 1 rewritten bucket, got $changedBuckets")
+    // and the merge is still correct: u1 updated, everyone else intact
+    val v = spark.read.parquet(viewDir)
+      .select("user", "limit", "history_count")
+      .as[(String, Long, Long)].collect().map { case (u, l, h) => u -> (l, h) }.toMap
+    assert(v("u1") == (99L, 2L) && v("u2") == (10L, 1L) && v.size == 32)
+  }
 }
