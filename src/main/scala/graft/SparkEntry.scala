@@ -27,6 +27,7 @@ object SparkEntry {
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
     "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.segmentPercentiles(Tables.customer(s, d))),
+    "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
     "q_above_seg_avg" -> ((s, d) => SqlSurface.aboveSegmentAverage(Tables.customer(s, d))),
     "q_order_sequences" -> ((s, d) => SqlSurface.orderSequences(Tables.orders(s, d))),
     "q_set_ops" -> ((s, d) => SqlSurface.customerSetOps(Tables.orders(s, d))),

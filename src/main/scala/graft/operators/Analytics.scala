@@ -158,6 +158,25 @@ object Analytics {
       )
       .orderBy("c_mktsegment")
 
+  /** The 100 TB reporting path [[segmentPercentiles]]'s doc promises:
+    * `percentile_approx` (a quantile sketch) is partial-aggregable, so the
+    * shuffle carries one fixed-size sketch per (segment, partition) instead
+    * of every value. `accuracy` trades sketch size for error
+    * (1/accuracy relative rank error); the spec pins the result within
+    * tolerance of the exact operator. Not oracle-checked: DuckDB's
+    * approx_quantile is a different sketch, so only the exact twin has a
+    * cross-engine contract.
+    */
+  def segmentPercentilesApprox(customer: DataFrame, accuracy: Int = 10000): DataFrame =
+    customer
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr(s"percentile_approx(c_acctbal, 0.5, $accuracy)"), 4).as("median_bal"),
+        round(expr(s"percentile_approx(c_acctbal, 0.9, $accuracy)"), 4).as("p90_bal"),
+        approx_count_distinct(col("c_nationkey")).as("n_nations_approx")
+      )
+      .orderBy("c_mktsegment")
+
   /** JSON payload decode (log `data`/`topics` parsing in the classifier):
     * get_json_object is codegen'd; the projection prunes to (event_id,
     * props) at the scan.

@@ -9,8 +9,9 @@ import org.apache.spark.sql.expressions.Window
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
   *    set against a linear scan of the base. No shuffle of the base except
-  *    the final per-query top-k (WindowGroupLimit keeps it a per-partition
-  *    heap, not a sort).
+  *    the final per-query top-k, which runs on the engine's bounded-heap
+  *    [[graft.functions.TopKAgg]] so only k·queries rows per partition
+  *    ever cross the wire.
   *  - [[lshTopK]]: random-hyperplane LSH — bucket base and queries by the
   *    sign-bit key, search only matching buckets. The 100 TB path: the scan
   *    is pruned to candidate buckets, trading recall for a ~2^bits fan-in
@@ -36,6 +37,25 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dotDecimal(a, a).cast("double"))
 
+  /** Per-query top-k ranking of a scored (qid, nid, cosine) frame via the
+    * engine's bounded-heap [[graft.functions.TopKAgg]] instead of a
+    * `row_number()` window: partials combine map-side, so the shuffle
+    * carries at most k·queries·partitions rows — the answer, not the
+    * candidate set. Ordering (cosine desc, nid asc) is encoded as the
+    * struct's lexicographic order on (−cosine, nid); output is identical
+    * to the window formulation (AnnSpec pins this).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val item = struct(negate(col("cosine")).as("neg_cosine"), col("nid").as("nid"), col("cosine").as("cosine"))
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(item, k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.nid").as("nid"), col("col.cosine").as("cosine"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
@@ -49,12 +69,7 @@ object Ann {
         col("qid"), col("nid"),
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine")
       )
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
-      .orderBy("qid", "rk")
+    rankTopK(scored, k)
   }
 
   /** Cheap double cosine for bucketing decisions (not oracle-checked —
@@ -101,10 +116,7 @@ object Ann {
     val scored = probes.join(assigned, "cid")
       .select(col("qid"), col("nid"),
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
-      .orderBy("qid", "rk")
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane sign-bit bucket key. Hyperplane h_i components are
@@ -170,9 +182,6 @@ object Ann {
     val scored = base.join(broadcast(q), "bucket")
       .select(col("qid"), col("nid"),
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rk").cast("long").as("rk"))
-      .orderBy("qid", "rk")
+    rankTopK(scored, k)
   }
 }

@@ -24,6 +24,21 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("segmentPercentilesApprox tracks the exact reporting operator") {
+    import graft.operators.Analytics
+    val exact = Analytics.segmentPercentiles(customer).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Analytics.segmentPercentilesApprox(customer).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (m, p90) = exact(r.getString(0))
+      // at accuracy=10000 on ~3k rows/segment the sketch is near-exact
+      assert(math.abs(r.getDouble(1) - m) <= math.abs(m) * 0.05 + 50.0)
+      assert(math.abs(r.getDouble(2) - p90) <= math.abs(p90) * 0.05 + 50.0)
+      assert(r.getAs[Long]("n_nations_approx") >= 20 && r.getAs[Long]("n_nations_approx") <= 30)
+    }
+  }
+
   test("approx_count_distinct within configured rsd of exact") {
     val r = customer.agg(
       countDistinct("c_custkey").as("exact"),
