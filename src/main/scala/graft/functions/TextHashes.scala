@@ -122,6 +122,48 @@ object TextHashImpl {
   def shingleHashesArrayData(text: UTF8String, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(text, k))
 
+  /** Winnowing fingerprints (MOSS): hash every word k-gram, keep the min
+    * hash of each sliding window of `w` grams, distinct, sorted. One pass —
+    * the HOF formulation (`TextMetrics.winnowHof`) inlines the whole gram
+    * array into every window's lambda, re-splitting the text per element
+    * access (quadratic, interpreted), and the optimizer's
+    * InferFiltersFromGenerate then doubles it with a `size(...) > 0` filter
+    * when the result is exploded — measured 97s vs this kernel's
+    * sub-second at sf0.01. Same output bit-for-bit (TextMetricsSpec).
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val words = split(text)
+    val grams: Array[Long] =
+      if (words.length < k) Array(hashWord(text, Seed))
+      else {
+        val n = words.length - k + 1
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = hashWord(
+            UTF8String.concatWs(UTF8String.fromString(" "), words.slice(i, i + k): _*), Seed)
+          i += 1
+        }
+        out
+      }
+    val nWin = math.max(grams.length - w, 0) + 1
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nWin) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, grams.length)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   private def split(text: UTF8String): Array[UTF8String] = {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     val bytes = text.getBytes
@@ -161,6 +203,17 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int) extends Una
     copy(child = newChild)
 }
 
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -179,4 +232,6 @@ object TextHashes {
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k, numHashes))
   def shingleHashes(c: Column, k: Int = 3): Column =
     GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(c), k))
+  def winnowFingerprints(c: Column, k: Int = 3, w: Int = 4): Column =
+    GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
 }

@@ -119,11 +119,15 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** Random-hyperplane sign-bit bucket key. Hyperplane h_i components are
-    * derived deterministically from (table, i, dim) via xxhash64 → uniform
-    * in [-0.5, 0.5): reproducible with zero stored state, codegen-friendly.
-    * Distinct `table` values give independent hash tables for multi-probe
-    * recall compounding.
+  /** Random-hyperplane sign-bit bucket key — the readable Column-expression
+    * REFERENCE formulation. Hyperplane h_i components are derived
+    * deterministically from (table, i, dim) via xxhash64 → uniform in
+    * [-0.5, 0.5): reproducible with zero stored state. Distinct `table`
+    * values give independent hash tables for multi-probe recall
+    * compounding. Hot paths use the bit-identical native
+    * [[graft.functions.LshKeys.signKeys]] (this tree is numTables×bits×dim
+    * multiply nodes — past what codegen handles well); LshKeysSpec pins the
+    * two against each other bit-for-bit.
     */
   def lshKey(e: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     def planeComponent(i: Int, d: Int): Column =
@@ -152,8 +156,7 @@ object Ann {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
                             numTables: Int = 8, threshold: Double = 0.4): DataFrame = {
-    val keys = array((0 until numTables).map(t =>
-      concat_ws(":", lit(t.toString), lshKey(col("embedding"), dim, bits, table = t))): _*)
+    val keys = graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, numTables)
     val keyed = embeddings.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       explode(keys).as("bucket"))
@@ -174,7 +177,8 @@ object Ann {
 
   def lshTopK(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
               numQueries: Int = 5, k: Int = 5): DataFrame = {
-    val keyed = embeddings.select(col("vec_id"), col("embedding"), lshKey(col("embedding"), dim, bits).as("bucket"))
+    val keyed = embeddings.select(col("vec_id"), col("embedding"),
+      get(graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, 1), lit(0)).as("bucket"))
     val q = keyed.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"), col("bucket"))
     val base = keyed.where(col("vec_id") >= numQueries)

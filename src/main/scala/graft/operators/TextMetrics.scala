@@ -71,13 +71,26 @@ object TextMetrics {
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme): hash
     * every word k-gram, then keep the minimum hash of each sliding window of
-    * `w` grams (rightmost on ties), distinct. Guarantees any shared run of
-    * ≥ w+k−1 words between two documents shares a fingerprint — the
-    * position-robust dedup signature (rolling-hash [[fingerprint]] breaks on
-    * any single edit; winnowing localizes it). Built from codegen'd HOFs:
-    * grams → hashes → per-window array_min → array_distinct.
+    * `w` grams, distinct. Guarantees any shared run of ≥ w+k−1 words between
+    * two documents shares a fingerprint — the position-robust dedup
+    * signature (rolling-hash [[fingerprint]] breaks on any single edit;
+    * winnowing localizes it). Runs on the one-pass native
+    * [[graft.functions.TextHashes.winnowFingerprints]] kernel;
+    * [[winnowHof]] is the readable reference formulation it must match.
     */
-  def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    documents.select(
+      col("doc_id"),
+      graft.functions.TextHashes.winnowFingerprints(col("text"), k, w).as("fingerprints")
+    ).orderBy("doc_id")
+
+  /** The HOF reference formulation of [[winnow]] — kept as the native
+    * kernel's semantic oracle (TextMetricsSpec pins them equal). NOT a hot
+    * path: the windows lambda inlines the whole `grams` subtree, so every
+    * window re-derives every gram interpreted (quadratic; 97s vs <1s at
+    * sf0.01 when exploded).
+    */
+  def winnowHof(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val words = wsWords(col("text"))
     // short docs degrade to one whole-text gram (ANSI: element_at past the
     // end is an error, so the branch is explicit)

@@ -54,6 +54,19 @@ class TextMetricsSpec extends SparkSpec {
     assert(schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "long"))
   }
 
+  test("native winnow kernel matches the HOF reference formulation bit-for-bit") {
+    // real testdata docs (varied lengths) + edge shapes: empty, sub-k, sub-w
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "one two three"), (9005L, "one two three four five"))
+      .toDF("doc_id", "text")
+    Seq(real, edges).foreach { docs =>
+      val native = TextMetrics.winnow(docs).as[(Long, Seq[Long])].collect().toMap
+      val hof = TextMetrics.winnowHof(docs).as[(Long, Seq[Long])].collect().toMap
+      assert(native == hof)
+    }
+  }
+
   test("token counts: BPE-ish regex splits punctuation and digits") {
     val docs = Seq((0L, "ab12 cd, ef")).toDF("doc_id", "text")
     val r = TextMetrics.tokenCounts(docs).collect()(0)
