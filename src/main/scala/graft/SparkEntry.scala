@@ -227,7 +227,7 @@ object SparkEntry {
         | '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS initiator,
         | '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "from",
         | '0x' || lpad(lower(to_hex(user_id + 3000000)), 40, '0') AS "to",
-        | '0x' || lpad(lower(to_hex(event_id)), 64, '0') AS value_hex
+        | CAST(event_id AS VARCHAR) AS "value"
         |FROM events WHERE event_type = 'error' AND event_id % 2 = 0
         |ORDER BY hash""".stripMargin,
     "q_signup_pattern" ->

@@ -44,10 +44,28 @@ object ReceiptClassifier {
     array_contains(log.getField("topics"), TransferTopic) &&
       size(log.getField("topics")) === 3
 
+  /** Hex string (0x already stripped, any length ≤ 64) → long; null when
+    * the string is not pure hex or its value needs more than 15 hex digits
+    * (< 2^60). The guards run BEFORE conv/cast, so ANSI mode can never
+    * raise on hostile words — unguarded, `conv` throws past 64 bits and
+    * the long cast past Long.MaxValue, turning one bad on-chain word into
+    * a whole-query crash. Callers translate null into "decode failed" /
+    * "value out of range", matching the reference's BigInteger semantics
+    * (no overflow, range checks just fail).
+    */
+  def hexLong(h: Column): Column =
+    when(
+      h.rlike("^[0-9a-fA-F]{1,64}$") &&
+        length(regexp_replace(h, "^0+", "")) <= 15,
+      conv(h, 16, 10).cast("long")
+    ).otherwise(lit(null).cast("long"))
+
   /** TransactionClassifier.cs:199 IsCrcTrust: Trust topic, hub address,
-    * 3 topics, 0 <= limit <= 100. */
+    * 3 topics, 0 <= limit <= 100. The reference parses the limit as a
+    * BigInteger (cs:231) — huge values fail the ≤100 check rather than
+    * overflow, which [[hexLong]]'s null models exactly. */
   def isCrcTrustLog(log: Column, hub: String = DefaultHubAddress): Column = {
-    val limit = conv(regexp_replace(log.getField("data"), "^0x", ""), 16, 10).cast("long")
+    val limit = hexLong(regexp_replace(log.getField("data"), "^0x", ""))
     array_contains(log.getField("topics"), CrcTrustTopic) &&
       log.getField("address") === hub &&
       size(log.getField("topics")) === 3 &&
@@ -82,39 +100,68 @@ object ReceiptClassifier {
     * (TransactionClassifier.cs:41,67,92) — extra matching logs are not
     * "also fine", they throw (see [[classifyThrows]]).
     */
-  def isCrcSignup(logs: Column, hub: String = DefaultHubAddress): Column = {
-    val su = topicLogs(logs, CrcSignupTopic)
+  def isCrcSignup(logs: Column, hub: String = DefaultHubAddress): Column =
+    signupFrom(logs, topicLogs(logs, CrcSignupTopic),
+      filter(logs, l => isCrcTrustLog(l, hub)),
+      filter(logs, l => isErc20TransferLog(l)), hub)
+
+  /** Signup validity pieces over PRE-FILTERED log subsets — [[classify]]
+    * computes `su`/`trusts`/`xfers` once per row and feeds both this and
+    * [[signupThrowsFrom]], instead of each predicate re-filtering the logs
+    * array (the predicate forest used to evaluate roughly twice per row).
+    */
+  private def signupParts(su: Column, trusts: Column, xfers: Column,
+                          hub: String): (Column, Column, Column) = {
     val suLog = get(su, lit(0)) // null-safe: subexpr elimination may eval eagerly
+    val suValid = suLog.getField("address") === hub && size(suLog.getField("topics")) === 2
     val user = topicAddress(get(suLog.getField("topics"), lit(1)))
     val token = concat(lit("0x"), substring(suLog.getField("data"), 27, 40))
-    val trusts = filter(logs, l => isCrcTrustLog(l, hub))
     val tLog = get(trusts, lit(0))
     val selfTrustOk =
       topicAddress(get(tLog.getField("topics"), lit(1))) === user &&
         topicAddress(get(tLog.getField("topics"), lit(2))) === user
-    val xfers = filter(logs, l => isErc20TransferLog(l))
     val xLog = get(xfers, lit(0))
     val mintOk = xLog.getField("address") === token &&
       topicAddress(get(xLog.getField("topics"), lit(1))) === EmptyAddress &&
       topicAddress(get(xLog.getField("topics"), lit(2))) === user &&
       xLog.getField("data") === SignupMintHex
-    size(logs) >= 3 && size(su) === 1 &&
-      suLog.getField("address") === hub && size(suLog.getField("topics")) === 2 &&
+    (suValid, selfTrustOk, mintOk)
+  }
+
+  private def signupFrom(logs: Column, su: Column, trusts: Column, xfers: Column,
+                         hub: String): Column = {
+    val (suValid, selfTrustOk, mintOk) = signupParts(su, trusts, xfers, hub)
+    size(logs) >= 3 && size(su) === 1 && suValid &&
       size(trusts) === 1 && selfTrustOk &&
       size(xfers) === 1 && mintOk
+  }
+
+  /** Signup-path `SingleOrDefault` throws (TransactionClassifier.cs:41,67,
+    * 92), guarded exactly as deep as the reference's control flow. */
+  private def signupThrowsFrom(logs: Column, su: Column, trusts: Column,
+                               xfers: Column, hub: String): Column = {
+    val (suValid, selfTrustOk, _) = signupParts(su, trusts, xfers, hub)
+    size(logs) >= 3 && (
+      size(su) > 1 ||
+        (size(su) === 1 && suValid && (
+          size(trusts) > 1 ||
+            (size(trusts) === 1 && selfTrustOk && size(xfers) > 1))))
   }
 
   /** TransactionClassifier.cs:157 IsCrcHubTransfer: EXACTLY one log bearing
     * the HubTransfer topic (`SingleOrDefault` on topic-containment,
     * cs:167), which must sit at the hub with 3 topics, plus at least one
     * ERC20 transfer log (`Any`, cs:197). */
-  def isCrcHubTransfer(logs: Column, hub: String = DefaultHubAddress): Column = {
-    val ht = topicLogs(logs, CrcHubTransferTopic)
+  def isCrcHubTransfer(logs: Column, hub: String = DefaultHubAddress): Column =
+    hubTransferFrom(topicLogs(logs, CrcHubTransferTopic),
+      filter(logs, l => isErc20TransferLog(l)), hub)
+
+  private def hubTransferFrom(ht: Column, xfers: Column, hub: String): Column = {
     val htLog = get(ht, lit(0)) // null-safe: subexpr elimination may eval eagerly
     size(ht) === 1 &&
       htLog.getField("address") === hub &&
       size(htLog.getField("topics")) === 3 &&
-      existsLog(logs, l => isErc20TransferLog(l))
+      size(xfers) > 0
   }
 
   /** TransactionClassifier.cs:317 IsEoaEthTransfer: value != 0, no logs,
@@ -127,22 +174,49 @@ object ReceiptClassifier {
   private def headWord(input: Column, i: Int): Column =
     substring(input, 11 + 64 * i, 64)
 
+  /** The `data` param's tail length word, decoded defensively: null when
+    * the offset word (head param 2) is not clean hex, is implausibly huge,
+    * or points outside the input — every case where the reference's
+    * DecodeFunctionInput would throw (TransactionClassifier.cs:295).
+    * ABI offsets are relative to the params section (char 11, after
+    * "0x" + selector): byte b lives at 1-based char 11 + 2b.
+    */
+  private def safeDataLen(input: Column): Column = {
+    val off = hexLong(headWord(input, 2))
+    // bound before the int cast (ANSI: casting >Int.Max throws); an offset
+    // past 1e9 chars is outside any real input and decodes to null anyway
+    val start = when(off.isNotNull && off < 1000000000L, lit(11) + off.cast("int") * 2)
+    hexLong(input.substr(start, lit(64)))
+  }
+
   /** TransactionClassifier.cs:277 IsSafeEthTransfer: execTransaction call
     * (ABI head decoded by fixed hex offsets: param2 `data` must be empty
     * bytes via its tail length word, param3 `operation` must be 0) plus
     * EXACTLY one ExecutionSuccess log (`SingleOrDefault`, cs:333).
     */
-  def isSafeEthTransfer(input: Column, logs: Column): Column = {
-    val dataOffsetBytes = conv(headWord(input, 2), 16, 10).cast("long")
-    // ABI offsets are relative to the params section (char 11, after
-    // "0x" + selector): byte b lives at 1-based char 11 + 2b
-    val dataLen = conv(input.substr(lit(11) + dataOffsetBytes.cast("int") * 2, lit(64)), 16, 10).cast("long")
-    val operation = conv(headWord(input, 3), 16, 10).cast("long")
+  def isSafeEthTransfer(input: Column, logs: Column): Column =
+    safeFrom(input, safeDataLen(input), hexLong(headWord(input, 3)),
+      topicLogs(logs, ExecutionSuccessTopic))
+
+  private def safeFrom(input: Column, dataLen: Column, operation: Column,
+                       es: Column): Column =
     input.startsWith(ExecTransactionMethodId) &&
       length(input) >= 10 + 64 * 10 &&
       dataLen === 0 && operation === 0 &&
-      size(topicLogs(logs, ExecutionSuccessTopic)) === 1
-  }
+      size(es) === 1
+
+  /** Safe-path throws (cs:295,333): a selector-prefixed input too short for
+    * the 10 head words, a full-length input whose `data`/`operation` words
+    * fail to decode (garbage offset, non-hex chars, out-of-range tail —
+    * DecodeFunctionInput throws, nulls here), or a decodable empty-data
+    * CALL with 2+ ExecutionSuccess logs (`SingleOrDefault`).
+    */
+  private def safeThrowsFrom(input: Column, dataLen: Column, operation: Column,
+                             es: Column): Column =
+    input.startsWith(ExecTransactionMethodId) && (
+      length(input) < 10 + 64 * 10 ||
+        dataLen.isNull || operation.isNull ||
+        (dataLen === 0 && operation === 0 && size(es) > 1))
 
   /** The receipt shapes whose classification THROWS in the reference —
     * `SingleOrDefault` over 2+ matches, or a malformed execTransaction ABI
@@ -158,35 +232,13 @@ object ReceiptClassifier {
     *    2+ ExecutionSuccess logs, or a selector-prefixed input too short
     *    for the 10 head words (FunctionCallDecoder throws on truncation).
     */
-  def classifyThrows(input: Column, logs: Column, hub: String = DefaultHubAddress): Column = {
-    val su = topicLogs(logs, CrcSignupTopic)
-    val suLog = get(su, lit(0)) // null-safe: subexpr elimination may eval eagerly
-    val suValid = suLog.getField("address") === hub && size(suLog.getField("topics")) === 2
-    val user = topicAddress(get(suLog.getField("topics"), lit(1)))
-    val trusts = filter(logs, l => isCrcTrustLog(l, hub))
-    val tLog = get(trusts, lit(0))
-    val selfTrustOk =
-      topicAddress(get(tLog.getField("topics"), lit(1))) === user &&
-        topicAddress(get(tLog.getField("topics"), lit(2))) === user
-    val xfers = filter(logs, l => isErc20TransferLog(l))
-    val signupThrows = size(logs) >= 3 && (
-      size(su) > 1 ||
-        (size(su) === 1 && suValid && (
-          size(trusts) > 1 ||
-            (size(trusts) === 1 && selfTrustOk && size(xfers) > 1))))
-
-    val hubThrows = size(topicLogs(logs, CrcHubTransferTopic)) > 1
-
-    val dataOffsetBytes = conv(headWord(input, 2), 16, 10).cast("long")
-    val dataLen = conv(input.substr(lit(11) + dataOffsetBytes.cast("int") * 2, lit(64)), 16, 10).cast("long")
-    val operation = conv(headWord(input, 3), 16, 10).cast("long")
-    val safeThrows = input.startsWith(ExecTransactionMethodId) && (
-      length(input) < 10 + 64 * 10 ||
-        (dataLen === 0 && operation === 0 &&
-          size(topicLogs(logs, ExecutionSuccessTopic)) > 1))
-
-    signupThrows || hubThrows || safeThrows
-  }
+  def classifyThrows(input: Column, logs: Column, hub: String = DefaultHubAddress): Column =
+    signupThrowsFrom(logs, topicLogs(logs, CrcSignupTopic),
+      filter(logs, l => isCrcTrustLog(l, hub)),
+      filter(logs, l => isErc20TransferLog(l)), hub) ||
+      size(topicLogs(logs, CrcHubTransferTopic)) > 1 ||
+      safeThrowsFrom(input, safeDataLen(input), hexLong(headWord(input, 3)),
+        topicLogs(logs, ExecutionSuccessTopic))
 
   // --- classification + extraction ---------------------------------------
 
@@ -195,19 +247,39 @@ object ReceiptClassifier {
     * input, logs).
     */
   def classify(txs: DataFrame, hub: String = DefaultHubAddress): DataFrame = {
+    // The shared log subsets and ABI decodes land in their own projection
+    // layer, computed ONCE per row; the flag forest and the throws
+    // predicate both consume the materialized arrays (previously each side
+    // re-filtered `logs`, evaluating the predicate forest roughly twice).
+    // CollapseProject keeps the layers separate (the arrays are non-cheap
+    // and multiply-referenced), and whole-stage codegen fuses them into
+    // one pass with no intermediate row materialization.
     val logs = col("logs")
+    val shared = txs
+      .withColumn("_su", topicLogs(logs, CrcSignupTopic))
+      .withColumn("_trusts", filter(logs, l => isCrcTrustLog(l, hub)))
+      .withColumn("_xfers", filter(logs, l => isErc20TransferLog(l)))
+      .withColumn("_ht", topicLogs(logs, CrcHubTransferTopic))
+      .withColumn("_es", topicLogs(logs, ExecutionSuccessTopic))
+      .withColumn("_data_len", safeDataLen(col("input")))
+      .withColumn("_op", hexLong(headWord(col("input"), 3)))
     val flags = Seq(
-      "Erc20Transfer" -> existsLog(logs, l => isErc20TransferLog(l)),
-      "CrcSignup" -> isCrcSignup(logs, hub),
+      "Erc20Transfer" -> (size(col("_xfers")) > 0),
+      "CrcSignup" -> signupFrom(logs, col("_su"), col("_trusts"), col("_xfers"), hub),
       "CrcOrganisationSignup" -> existsLog(logs, l => isCrcOrgSignupLog(l, hub)),
-      "CrcHubTransfer" -> isCrcHubTransfer(logs, hub),
-      "CrcTrust" -> existsLog(logs, l => isCrcTrustLog(l, hub)),
-      "SafeEthTransfer" -> isSafeEthTransfer(col("input"), logs),
+      "CrcHubTransfer" -> hubTransferFrom(col("_ht"), col("_xfers"), hub),
+      "CrcTrust" -> (size(col("_trusts")) > 0),
+      "SafeEthTransfer" -> safeFrom(col("input"), col("_data_len"), col("_op"), col("_es")),
       "EoaEthTransfer" -> isEoaEthTransfer(col("value"), col("input"), col("to"), logs)
     ).map { case (name, pred) => when(pred, lit(name)) }
-    txs.withColumn("classification",
-      when(classifyThrows(col("input"), logs, hub), lit("Unknown"))
+    val throws =
+      signupThrowsFrom(logs, col("_su"), col("_trusts"), col("_xfers"), hub) ||
+        size(col("_ht")) > 1 ||
+        safeThrowsFrom(col("input"), col("_data_len"), col("_op"), col("_es"))
+    shared.withColumn("classification",
+      when(throws, lit("Unknown"))
         .otherwise(coalesce(nullif(concat_ws(",", flags: _*), lit("")), lit("Unknown"))))
+      .drop("_su", "_trusts", "_xfers", "_ht", "_es", "_data_len", "_op")
   }
 
   /** EthTransferDetailExtractor.cs:9 — one (from, to, value) detail row per
@@ -219,11 +291,31 @@ object ReceiptClassifier {
     txs.where(isEoaEthTransfer(col("value"), col("input"), col("to"), col("logs")))
       .select(col("hash"), col("from"), col("to"), col("value"))
 
+  /** 64-char uint word → DECIMAL string. Horner decode with decimal(38,0)
+    * over the last 31 hex digits, requiring the top 33 to be zero — i.e.
+    * value < 16^31 ≈ 2.1e37, generously above any real wei amount (total
+    * ETH supply ≈ 1.2e26 wei). Larger or malformed words yield null rather
+    * than a wrong number (uint256 caveat: Spark has no 256-bit integer; a
+    * full-width decode would need a custom expression). The bound also
+    * guarantees every Horner intermediate fits decimal(38,0), so ANSI mode
+    * cannot raise.
+    */
+  def hexDecimalString(word: Column): Column = {
+    val digits = (0 until 31).map(i =>
+      conv(substring(word, 34 + i, 1), 16, 10).cast("decimal(38,0)"))
+    val horner = digits.reduceLeft((acc, d) => (acc * 16 + d).cast("decimal(38,0)"))
+    when(word.rlike("^0{33}[0-9a-fA-F]{31}$"), horner.cast("string"))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** GnosisSafeEthTransferDetailExtractor.cs:13 — (initiator, from, to,
     * value) of a validated safe eth transfer: initiator = tx sender, from =
     * the safe (tx target), to/value = ABI head params 0/1 of the
-    * execTransaction call. The uint256 value stays a hex word
-    * (`value_hex`), consistent with the other extractors.
+    * execTransaction call. Like the reference, the decoded `to` is
+    * lowercased (Nethereum normalizes, cs:312 — raw input hex may be
+    * mixed-case) and `value` is the DECIMAL string
+    * (GnosisSafeEthTransfer.Value = value.ToString(), cs:33), via
+    * [[hexDecimalString]].
     */
   def extractSafeEthTransfers(txs: DataFrame): DataFrame =
     txs.where(isSafeEthTransfer(col("input"), col("logs")))
@@ -231,8 +323,8 @@ object ReceiptClassifier {
         col("hash"),
         lower(col("from")).as("initiator"),
         lower(col("to")).as("from"),
-        concat(lit("0x"), substring(headWord(col("input"), 0), 25, 40)).as("to"),
-        concat(lit("0x"), headWord(col("input"), 1)).as("value_hex"))
+        lower(concat(lit("0x"), substring(headWord(col("input"), 0), 25, 40))).as("to"),
+        hexDecimalString(headWord(col("input"), 1)).as("value"))
 
   /** Erc20TransferDetailExtractor.cs:12 — one detail row per Transfer log
     * (1→N): token, from, to, value (hex word kept as text, like the

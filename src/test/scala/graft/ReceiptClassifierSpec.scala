@@ -178,9 +178,56 @@ class ReceiptClassifierSpec extends SparkSpec {
       f"${352L}%064x" + "0" * 128
     val safeTx = tx(Seq(Log(other, Seq(ExecutionSuccessTopic), "0x")), input = input)
     val r = extractSafeEthTransfers(Seq(safeTx, tx(signupReceipt)).toDS.toDF)
-      .select("initiator", "from", "to", "value_hex")
+      .select("initiator", "from", "to", "value")
       .as[(String, String, String, String)].collect()
-    // initiator = tx sender, from = the safe (tx target), to/value from ABI head
-    assert(r.toSeq == Seq((user, other, dest, "0x" + valueWord)))
+    // initiator = tx sender, from = the safe (tx target), to/value from ABI
+    // head; value is the reference's DECIMAL string (cs:33), to lowercased
+    assert(r.toSeq == Seq((user, other, dest, "77000")))
+  }
+
+  test("mixed-case ABI `to` is lowercased like Nethereum's decode (cs:312)") {
+    val dest = "0xBBBB74ECE6FA50E781E81AAC78E811B33D1691BB"
+    val input = ExecTransactionMethodId + word(dest).drop(2) + f"${7L}%064x" +
+      f"${320L}%064x" + "0" * 64 + Seq.fill(5)("0" * 64).mkString +
+      f"${352L}%064x" + "0" * 128
+    val safeTx = tx(Seq(Log(other, Seq(ExecutionSuccessTopic), "0x")), input = input)
+    val r = extractSafeEthTransfers(Seq(safeTx).toDS.toDF)
+      .select("to", "value").as[(String, String)].collect()
+    assert(r.toSeq == Seq((dest.toLowerCase, "7")))
+  }
+
+  test("malformed execTransaction decode throws -> whole receipt Unknown (cs:295)") {
+    val okLog = Log(other, Seq(ExecutionSuccessTopic), "0x")
+    def withOffsetWord(offsetWord: String): String =
+      ExecTransactionMethodId + word(other).drop(2) + f"${1L}%064x" +
+        offsetWord + "0" * 64 + Seq.fill(5)("0" * 64).mkString +
+        f"${352L}%064x" + "0" * 128
+    // full-length input, data offset points past the end of the input:
+    // the tail length word is unreadable -> DecodeFunctionInput throws
+    assert(classOf1(tx(Seq(okLog), input = withOffsetWord(f"${99999L * 64}%064x"))) == "Unknown")
+    // non-hex garbage in the offset word -> decode throws
+    assert(classOf1(tx(Seq(okLog), input = withOffsetWord("zz" + "0" * 62))) == "Unknown")
+    // absurdly huge offset (would overflow any sane decode) -> Unknown, and
+    // crucially NOT a Spark-side ANSI conv/cast crash
+    assert(classOf1(tx(Seq(okLog), input = withOffsetWord("f" * 64))) == "Unknown")
+    // a well-formed non-empty-data call is NOT a throw: decode succeeds,
+    // the safe-transfer flag is simply false, other flags still apply
+    val dataAt320 = f"${2L}%064x" + "abcd" + "0" * 60 // len 2, 2 bytes data
+    val nonEmpty = ExecTransactionMethodId + word(other).drop(2) + f"${1L}%064x" +
+      f"${320L}%064x" + "0" * 64 + Seq.fill(5)("0" * 64).mkString +
+      f"${448L}%064x" + dataAt320 + "0" * 64
+    assert(classOf1(tx(Seq(transferLog(token, user, other)), input = nonEmpty)) == "Erc20Transfer")
+  }
+
+  test("hostile trust-log data words never crash ANSI, they just don't classify") {
+    // huge uint256 limit: reference's BigInteger check fails (limit > 100);
+    // an unguarded conv/cast would throw ARITHMETIC_OVERFLOW here
+    val hugeTrust = Log(hub, Seq(CrcTrustTopic, word(other), word(user)), "0x" + "f" * 64)
+    assert(classOf1(tx(Seq(hugeTrust))) == "Unknown") // no flag matches
+    // non-hex data word: parse fails -> not a trust log
+    val garbageTrust = Log(hub, Seq(CrcTrustTopic, word(other), word(user)), "0x" + "zz" + "0" * 62)
+    assert(classOf1(tx(Seq(garbageTrust))) == "Unknown")
+    // boundary: limit exactly 100 still classifies
+    assert(classOf1(tx(Seq(trustLog(user, other, 100)))) == "CrcTrust")
   }
 }
