@@ -93,14 +93,32 @@ object EventPipeline {
     */
   val NoOpOnImported: (Long, Iterator[Long]) => Unit = (_, _) => ()
 
+  /** Ids per `onImported` call — each chunk is MATERIALIZED before the
+    * callback fires, so peak driver memory is O(chunk), and the handed-over
+    * iterator stays valid after the callback returns (a deferring
+    * subscriber, e.g. a websocket broadcast queue, may retain it; nothing
+    * references the batch DataFrame). A batch larger than one chunk means
+    * several calls with the same batchId.
+    */
+  val IdChunkSize = 65536
+
+  private def broadcastIds(batch: DataFrame, batchId: Long, key: String,
+                           onImported: (Long, Iterator[Long]) => Unit): Unit =
+    if (onImported ne NoOpOnImported) {
+      import scala.jdk.CollectionConverters._
+      batch.select(key).toLocalIterator().asScala.map(_.getLong(0))
+        .grouped(IdChunkSize)
+        .foreach(chunk => onImported(batchId, chunk.iterator))
+    }
+
   /** Idempotent micro-batch import: write the batch to `tableDir` (append,
     * partitioned by day), then surface the imported ids — the
     * `import_from_staging` + websocket-broadcast step. `onImported` receives
-    * (batchId, importedEventIds) as a driver-side iterator fed one partition
-    * at a time (`toLocalIterator`), so peak driver memory is O(largest
-    * partition's ids), not O(batch) — a backfill micro-batch of millions of
-    * rows never materializes on the driver. When no callback is supplied the
-    * id job is skipped altogether.
+    * (batchId, importedEventIds) in bounded chunks (≤ [[IdChunkSize]] per
+    * call, each safe to consume after the callback returns — see
+    * [[broadcastIds]]); a backfill micro-batch of millions of rows never
+    * materializes on the driver. When no callback is supplied the id job is
+    * skipped altogether.
     */
   def startImport(
       deduped: DataFrame,
@@ -113,12 +131,132 @@ object EventPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val withDay = batch.withColumn("day", to_date(col("ts")))
         withDay.write.mode("append").partitionBy("day").parquet(tableDir)
-        if (onImported ne NoOpOnImported) {
-          import scala.jdk.CollectionConverters._
-          val ids = batch.select("event_id").toLocalIterator().asScala.map(_.getLong(0))
-          onImported(batchId, ids)
-        }
+        broadcastIds(batch, batchId, "event_id", onImported)
         ()
+      }
+      .start()
+
+  // ---- complete-block-gated import (import_from_staging step 1.1) --------
+
+  /** Latest committed staging snapshot version under `stagingDir` (dirs
+    * named `v=<batchId>`, committed iff their _SUCCESS marker exists).
+    */
+  private def latestStagingVersion(spark: SparkSession, stagingDir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$stagingDir/v=$v/_SUCCESS")))
+      .sorted.lastOption
+  }
+
+  /** One micro-batch of the complete-block-gated import — the reference's
+    * full `import_from_staging()` contract (Persistence/ImportProcedure.cs):
+    *
+    *  1.1 only rows whose group is COMPLETE import (distinct `key` count
+    *      reaches the group's declared total — the staging→block_total
+    *      check); incomplete groups are HELD BACK, not half-imported;
+    *  1.2 already-imported keys are skipped (anti-join against the main
+    *      table), so replays insert nothing twice;
+    *  2   the held-back remainder becomes the next staging snapshot and
+    *      re-enters consideration when later batches complete its groups.
+    *
+    * Exposed standalone so specs and batch backfills can drive it without
+    * streaming machinery; [[startGatedImport]] wires it into foreachBatch.
+    *
+    * Idempotent under Spark's at-least-once batch replay: a replayed batch
+    * re-derives the same complete groups and the main-table anti-join
+    * discards everything already appended. Staging snapshots are
+    * write-new-then-prune, never overwrite-in-place — a crash mid-write
+    * leaves the previous `v=` snapshot committed (no _SUCCESS on the torn
+    * one), so held-back rows can never be lost.
+    *
+    * Scale: every join is keyed (group key / row key); the main-table
+    * anti-join reads only the `key` column (parquet column pruning), and at
+    * 100 TB would be bounded further by partition-pruning the key frontier
+    * (recent days), as the reference bounds its NOT EXISTS with the staging
+    * block range.
+    */
+  def importGatedBatch(batch: DataFrame, batchId: Long, tableDir: String,
+      stagingDir: String, key: String = "event_id", groupCol: String,
+      declaredCol: String,
+      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staged = latestStagingVersion(spark, stagingDir) match {
+      case Some(v) => spark.read.schema(batch.schema).parquet(s"$stagingDir/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    val combined = batch.unionByName(staged).persist()
+    try {
+      val completeKeys = combined.groupBy(col(groupCol))
+        .agg(count_distinct(col(key)).as("_n"), max(col(declaredCol)).as("_declared"))
+        .where(col("_n") === col("_declared"))
+        .select(groupCol)
+      val candidates = combined.join(completeKeys, Seq(groupCol), "left_semi")
+        .dropDuplicates(key)
+      val mainKeys = if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+        Some(spark.read.schema(batch.schema).parquet(tableDir).select(key))
+      else None
+      val toImport = mainKeys.fold(candidates)(mk =>
+        candidates.join(mk, Seq(key), "left_anti"))
+      // Both writes below are staged OUTSIDE the table first: the anti-joins
+      // read tableDir, and appending to a path a live plan reads refreshes
+      // its cached file index mid-flight (the relation was resolved against
+      // the pre-write partition layout — Spark then fails the scan). Every
+      // tableDir-reading plan therefore executes BEFORE the append.
+      val spillImport = s"$stagingDir/_import_spill"
+      val spillHeld = s"$stagingDir/_held_spill"
+      toImport.write.mode("overwrite").parquet(spillImport)
+      val stable = spark.read.schema(batch.schema).parquet(spillImport)
+      // held = rows of incomplete groups, minus anything already imported
+      // (the reference purges imported staging rows — a re-received copy of
+      // an imported row must not sit in staging forever; its siblings live
+      // in main, so its group can never complete from staging alone)
+      val held = combined.join(completeKeys, Seq(groupCol), "left_anti")
+        .dropDuplicates(key)
+      mainKeys.fold(held)(mk => held.join(mk, Seq(key), "left_anti"))
+        .write.mode("overwrite").parquet(spillHeld)
+      // append AFTER the staging spill is on disk: if we crash here, the
+      // previous v= snapshot is still committed and a replay re-derives
+      // everything (the main anti-join discards what the append landed)
+      stable.withColumn("day", to_date(col("ts")))
+        .write.mode("append").partitionBy("day").parquet(tableDir)
+      // commit the new snapshot by rename (atomic), then prune older ones
+      val committed = new org.apache.hadoop.fs.Path(s"$stagingDir/v=$batchId")
+      fs.delete(committed, true) // replay leftovers
+      fs.rename(new org.apache.hadoop.fs.Path(spillHeld), committed)
+      fs.listStatus(new org.apache.hadoop.fs.Path(stagingDir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filter(_.getPath.getName.stripPrefix("v=").toLong < batchId)
+        .foreach(s => fs.delete(s.getPath, true))
+      broadcastIds(stable, batchId, key, onImported)
+      fs.delete(new org.apache.hadoop.fs.Path(spillImport), true)
+      ()
+    } finally { combined.unpersist(); () }
+  }
+
+  /** Streaming wrapper for [[importGatedBatch]] — the micro-batch twin of
+    * the reference's poll-loop `import_from_staging()` call.
+    */
+  def startGatedImport(
+      deduped: DataFrame,
+      tableDir: String,
+      stagingDir: String,
+      checkpointDir: String,
+      groupCol: String,
+      declaredCol: String,
+      key: String = "event_id",
+      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported
+  ) =
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        importGatedBatch(batch, batchId, tableDir, stagingDir, key, groupCol,
+          declaredCol, onImported)
       }
       .start()
 

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.EventPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import java.nio.file.Files
+
+case class GatedRow(event_id: Long, ts: Timestamp, block: Long, declared: Long, payload: String)
+
+/** Complete-block gating (reference ImportProcedure.cs step 1.1): a
+  * micro-batch imports ONLY rows whose group is complete; incomplete groups
+  * stay staged until later batches complete them.
+  */
+class GatedImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def row(id: Long, block: Long, declared: Long) =
+    GatedRow(id, ts("2024-01-01 10:00:00"), block, declared, s"p$id")
+
+  test("streaming: partial groups are held back, then import once completed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GatedRow]
+    val tableDir = Files.createTempDirectory("graft-gated-table").toString
+    val stagingDir = Files.createTempDirectory("graft-gated-staging").toString
+    val ckpt = Files.createTempDirectory("graft-gated-ckpt").toString
+
+    var broadcasts = Vector.empty[(Long, Set[Long])]
+    val q = EventPipeline.startGatedImport(mem.toDF(), tableDir, stagingDir, ckpt,
+      groupCol = "block", declaredCol = "declared",
+      onImported = (bid, ids) => broadcasts :+= (bid, ids.toSet))
+
+    // batch 1: block 100 complete (2/2), block 101 partial (1/2)
+    mem.addData(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2))
+    q.processAllAvailable()
+    assert(spark.read.parquet(tableDir).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "only the complete block imports")
+
+    // batch 2: block 101's missing row arrives (plus a duplicate of an
+    // already-imported row, which the main anti-join must discard)
+    mem.addData(row(4, 101, 2), row(1, 100, 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val imported = spark.read.parquet(tableDir).select("event_id").as[Long].collect().sorted.toSeq
+    assert(imported == Seq(1L, 2L, 3L, 4L), "held-back group imports exactly once on completion")
+    assert(broadcasts.flatMap(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // the completed group's rows left staging
+    val stagedNow = spark.read.schema(mem.toDF().schema)
+      .parquet(s"$stagingDir/v=1").count()
+    assert(stagedNow == 0, "staging snapshot is empty once every group completed")
+  }
+
+  test("batch replay is idempotent: same batch twice appends nothing twice") {
+    val tableDir = Files.createTempDirectory("graft-gated2-table").toString
+    val stagingDir = Files.createTempDirectory("graft-gated2-staging").toString
+    val batch = Seq(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2)).toDF
+
+    EventPipeline.importGatedBatch(batch, 0L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared")
+    EventPipeline.importGatedBatch(batch, 0L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared") // replay after crash-before-checkpoint
+
+    assert(spark.read.parquet(tableDir).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    val staged = spark.read.schema(batch.schema).parquet(s"$stagingDir/v=0")
+      .select("event_id").as[Long].collect().toSeq
+    assert(staged == Seq(3L), "incomplete group still staged after replay")
+  }
+
+  test("a torn staging snapshot (no _SUCCESS) is ignored; held rows survive") {
+    val tableDir = Files.createTempDirectory("graft-gated3-table").toString
+    val stagingDir = Files.createTempDirectory("graft-gated3-staging").toString
+
+    EventPipeline.importGatedBatch(Seq(row(3, 101, 2)).toDF, 0L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared")
+    // simulate a crash mid-write of the NEXT snapshot: v=1 exists without
+    // its _SUCCESS marker — the committed snapshot is still v=0
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingDir/v=1"))
+
+    // the replayed batch completes block 101 together with the held row
+    EventPipeline.importGatedBatch(Seq(row(4, 101, 2)).toDF, 1L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared")
+    assert(spark.read.parquet(tableDir).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L), "held-back row was not lost to the torn snapshot")
+  }
+}
