@@ -3,32 +3,47 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Incremental maintenance of the derived-view layer (the reference's
   * `import_from_staging` refreshes its cache_* tables inside the same
   * transaction; Spark-side, each micro-batch merges its delta into the
   * stored view).
   *
-  * The stored view is hash-bucketed on the merge key: parquet partitioned by
-  * `bucket = pmod(xxhash64(user), numBuckets)`. A micro-batch
+  * The stored view is hash-bucketed on the merge key and MANIFEST-COMMITTED:
+  *
+  *  - data lives in immutable generation dirs
+  *    `viewDir/data/g=<version>/bucket=<b>/…`;
+  *  - a manifest file `viewDir/manifest-<version>` maps every bucket to the
+  *    generation that last wrote it; the CURRENT view is defined by the
+  *    highest-numbered manifest, nothing else;
+  *  - a merge writes its touched buckets into a NEW generation, then
+  *    publishes a new manifest via write-temp + atomic rename. Readers
+  *    compose the view by reading, per bucket, exactly the generation the
+  *    manifest names ([[readView]]).
+  *
+  * This closes the torn-merge window a multi-directory dynamic overwrite
+  * has: a crash at ANY point before the manifest rename leaves the previous
+  * manifest current — the half-written generation is invisible — and a
+  * replay re-merges from the pre-batch state. A crash AFTER the rename is
+  * detected on replay by version (`latest manifest ≥ this batch` → the
+  * batch is already committed → no-op), so the non-idempotent
+  * history_count accumulation can never double-add. Unreferenced
+  * generations are garbage-collected after each successful commit.
+  *
+  * A micro-batch still
   *   1. reduces to its delta (one partial-aggregable shuffle over the batch),
-  *   2. reads ONLY the buckets its keys fall in (directory-level partition
-  *      pruning — the untouched view is never opened),
-  *   3. merges and rewrites ONLY those buckets (dynamic partition
-  *      overwrite).
-  * Maintenance cost is therefore O(batch + touched-buckets), independent of
-  * total view size: a batch touching one key reads and rewrites one bucket.
-  * `numBuckets` must stay fixed for the lifetime of a view directory (it
-  * defines the layout); size it so view_size/numBuckets fits an executor.
+  *   2. reads ONLY the buckets its keys fall in, each from its manifest
+  *      generation (directory-level pruning — the untouched view is never
+  *      opened),
+  *   3. writes ONLY those buckets into the new generation.
+  * Maintenance cost is O(batch + touched-buckets), independent of total
+  * view size. `numBuckets` must stay fixed for the lifetime of a view
+  * directory; size it so view_size/numBuckets fits an executor.
   *
   * The trust view merges associatively: for each edge,
   *   limit        ← the side with the greater last_change wins
   *   history_count← sum of both sides
-  * The streaming checkpoint guards replays at batch granularity (committed
-  * batches are not re-run; an interrupted overwrite is replayed whole, and
-  * rewriting a bucket from the same pre-batch state is idempotent only if
-  * the failure happened before any bucket commit — a table format with
-  * multi-partition atomic commit closes that window in production).
   */
 object ViewMaintenance {
 
@@ -37,26 +52,117 @@ object ViewMaintenance {
   private def bucketOf(numBuckets: Int) =
     pmod(xxhash64(col("user")), lit(numBuckets.toLong)).cast("int")
 
+  private def fsOf(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, bucket → generation) of the newest committed manifest, or
+    * (-1, empty) for a fresh view dir. Manifest files are
+    * `manifest-<version>`, one `<bucket> <generation>` pair per line —
+    * their atomic-rename creation means existence ⇒ complete.
+    */
+  def readManifest(spark: SparkSession, viewDir: String): (Long, Map[Int, Long]) = {
+    val fs = fsOf(spark)
+    val dir = new Path(viewDir)
+    if (!fs.exists(dir)) return (-1L, Map.empty)
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong)
+    if (versions.isEmpty) return (-1L, Map.empty)
+    val v = versions.max
+    val in = fs.open(new Path(s"$viewDir/manifest-$v"))
+    val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val mapping = content.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.split(" ")
+      b.toInt -> g.toLong
+    }.toMap
+    (v, mapping)
+  }
+
+  private def writeManifest(spark: SparkSession, viewDir: String, version: Long,
+                            mapping: Map[Int, Long]): Unit = {
+    val fs = fsOf(spark)
+    val tmp = new Path(s"$viewDir/_manifest_tmp_$version")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(mapping.toSeq.sorted.map { case (b, g) => s"$b $g" }
+        .mkString("\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    val committed = new Path(s"$viewDir/manifest-$version")
+    fs.delete(committed, false) // replay leftover (we only get here pre-commit)
+    fs.rename(tmp, committed)
+    ()
+  }
+
+  /** Drop generations no manifest-current bucket references, and manifests
+    * older than the current one (metadata-only deletes; crash-safe — GC'd
+    * state is unreachable from the latest manifest by construction).
+    */
+  private def gc(spark: SparkSession, viewDir: String, version: Long,
+                 mapping: Map[Int, Long]): Unit = {
+    val fs = fsOf(spark)
+    val referenced = mapping.values.toSet
+    val dataDir = new Path(s"$viewDir/data")
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
+        .filter { s =>
+          val g = s.getPath.getName.stripPrefix("g=").toLong
+          g < version && !referenced.contains(g)
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    fs.listStatus(new Path(viewDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.stripPrefix("manifest-").toLong < version)
+      .foreach(n => fs.delete(new Path(s"$viewDir/$n"), false))
+  }
+
+  /** The current view as defined by the newest manifest: per distinct
+    * generation, one pruned read of exactly the buckets mapped to it
+    * (≤ numBuckets reads total, usually a handful after GC+compaction).
+    */
+  def readView(spark: SparkSession, viewDir: String): DataFrame = {
+    val (_, mapping) = readManifest(spark, viewDir)
+    val byGen = mapping.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    byGen.map { case (g, buckets) =>
+      spark.read.parquet(s"$viewDir/data/g=$g")
+        .where(col("bucket").isin(buckets.map(Int.box): _*))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Merge a batch of trust-detail rows (hash, user, can_send_to, limit)
-    * into the stored view at `viewDir`, rewriting only the buckets the
-    * batch's keys fall in.
+    * into the stored view at `viewDir`, writing only the buckets the
+    * batch's keys fall in and committing via manifest rename.
+    *
+    * `version` must increase per batch (foreachBatch's batchId); the
+    * default −1 auto-assigns latest+1 for batch/backfill callers. A replay
+    * of an already-committed version is a detected no-op.
     */
   def mergeTrustBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
-                      numBuckets: Int = DefaultNumBuckets): Unit = {
+                      numBuckets: Int = DefaultNumBuckets, version: Long = -1L): Unit = {
+    val (curVer, mapping) = readManifest(spark, viewDir)
+    val v = if (version >= 0) version else curVer + 1
+    if (curVer >= v) return // replay of a committed batch: already merged
     val delta = graft.operators.CirclesViews.currentTrust(batch)
       .withColumn("bucket", bucketOf(numBuckets))
     // the touched-bucket set is bounded by numBuckets — a small, safe collect
     val touched = delta.select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return
-    val existingTouched =
-      try
-        spark.read.parquet(viewDir) // partitioned by bucket → pruned scan
-          .where(col("bucket").isin(touched.map(Int.box): _*))
-      catch { case _: Throwable => spark.emptyDataFrame }
-    val merged =
-      if (existingTouched.isEmpty) delta
-      else {
-        val e = existingTouched.select(
+    val existingTouched = touched.toSeq
+      .flatMap(b => mapping.get(b).map(g => (g, b)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .map { case (g, buckets) =>
+        spark.read.parquet(s"$viewDir/data/g=$g")
+          .where(col("bucket").isin(buckets.map(Int.box): _*))
+      }
+      .reduceOption(_.unionByName(_))
+    val merged = existingTouched match {
+      case None => delta
+      case Some(existing) =>
+        val e = existing.select(
           col("user"), col("can_send_to"),
           struct(col("last_change"), col("limit")).as("st_a"),
           col("history_count").as("hc_a"))
@@ -71,22 +177,22 @@ object ViewMaintenance {
             (coalesce(col("hc_a"), lit(0L)) + coalesce(col("hc_b"), lit(0L))).as("history_count"),
             greatest(col("st_a"), col("st_b")).getField("last_change").as("last_change"))
           .withColumn("bucket", bucketOf(numBuckets))
-      }
-    // dynamic overwrite replaces exactly the bucket directories present in
-    // `merged` — the touched set — and leaves every other bucket's files alone
-    merged.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(viewDir)
+    }
+    // write the new generation (invisible until the manifest names it) …
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$viewDir/data/g=$v")
+    // … then commit: every touched bucket now lives in generation v
+    val newMapping = mapping ++ touched.map(_ -> v)
+    writeManifest(spark, viewDir, v, newMapping)
+    gc(spark, viewDir, v, newMapping)
   }
 
   def startTrustView(trustDetails: DataFrame, viewDir: String, checkpointDir: String,
                      numBuckets: Int = DefaultNumBuckets): StreamingQuery =
     trustDetails.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeTrustBatch(batch.sparkSession, batch, viewDir, numBuckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeTrustBatch(batch.sparkSession, batch, viewDir, numBuckets, batchId)
         ()
       }
       .start()

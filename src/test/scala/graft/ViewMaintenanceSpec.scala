@@ -1,13 +1,20 @@
 package graft
 
 import graft.streaming.ViewMaintenance
+import graft.streaming.ViewMaintenance.{mergeTrustBatch, readView}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 case class TrustEv(hash: String, user: String, can_send_to: String, limit: Long)
 
 class ViewMaintenanceSpec extends SparkSpec {
   import spark.implicits._
+
+  private def viewState(viewDir: String): Set[(String, String, Long, Long)] =
+    readView(spark, viewDir)
+      .select("user", "can_send_to", "limit", "history_count")
+      .as[(String, String, Long, Long)].collect().toSet
 
   test("trust view merges micro-batch deltas: latest wins, history accumulates") {
     implicit val sqlCtx = spark.sqlContext
@@ -21,10 +28,7 @@ class ViewMaintenanceSpec extends SparkSpec {
       TrustEv("0xa1", "u1", "v1", 50L),
       TrustEv("0xa2", "u2", "v1", 100L))
     q.processAllAvailable()
-    val v1 = spark.read.parquet(viewDir)
-      .select("user", "can_send_to", "limit", "history_count")
-      .as[(String, String, Long, Long)].collect().toSet
-    assert(v1 == Set(("u1", "v1", 50L, 1L), ("u2", "v1", 100L, 1L)))
+    assert(viewState(viewDir) == Set(("u1", "v1", 50L, 1L), ("u2", "v1", 100L, 1L)))
 
     // batch 2: update u1's edge + a brand-new edge
     mem.addData(
@@ -32,17 +36,13 @@ class ViewMaintenanceSpec extends SparkSpec {
       TrustEv("0xa4", "u3", "v2", 10L))
     q.processAllAvailable()
     q.stop()
-    val v2 = spark.read.parquet(viewDir)
-      .select("user", "can_send_to", "limit", "history_count")
-      .as[(String, String, Long, Long)].collect().toSet
-    assert(v2 == Set(
+    assert(viewState(viewDir) == Set(
       ("u1", "v1", 75L, 2L), // updated limit, accumulated history
       ("u2", "v1", 100L, 1L), // untouched edge preserved
       ("u3", "v2", 10L, 1L))) // new edge
   }
 
-  test("a batch touching one key rewrites one bucket, not the view") {
-    import graft.streaming.ViewMaintenance.mergeTrustBatch
+  test("a batch touching one key writes one bucket into the new generation") {
     val viewDir = Files.createTempDirectory("graft-bucketed").toString + "/view"
     // seed: 32 users spread over the bucket space
     val seed = (1 to 32).map(i => TrustEv(f"0xs$i%02d", s"u$i", "v", 10L))
@@ -56,20 +56,52 @@ class ViewMaintenanceSpec extends SparkSpec {
         .map(f => f.getPath.stripPrefix(viewDir) -> f.lastModified()).toMap
     }
     val before = fileState()
-    val buckets = before.keys.map(_.split("/")(1)).toSet
-    assert(buckets.size > 1, s"seed must span several buckets, got $buckets")
+    val bucketsSeeded = before.keys.map(_.split("/")(3)).toSet
+    assert(bucketsSeeded.size > 1, s"seed must span several buckets, got $bucketsSeeded")
 
     mergeTrustBatch(spark, Seq(TrustEv("0xzz", "u1", "v", 99L)).toDF, viewDir, numBuckets = 16)
 
     val after = fileState()
-    val changedBuckets = (before.keySet ++ after.keySet)
-      .filter(k => before.get(k) != after.get(k))
-      .map(_.split("/")(1))
-    assert(changedBuckets.size == 1, s"expected 1 rewritten bucket, got $changedBuckets")
+    // every seed-generation file is untouched (generations are immutable)…
+    assert(before.forall { case (k, ts) => after.get(k).contains(ts) },
+      "previous generation must not be rewritten")
+    // …and the new generation holds exactly the one touched bucket
+    val newGenBuckets = (after.keySet -- before.keySet).map(_.split("/")(3)).toSet
+    assert(newGenBuckets.size == 1, s"expected 1 bucket in new gen, got $newGenBuckets")
     // and the merge is still correct: u1 updated, everyone else intact
-    val v = spark.read.parquet(viewDir)
+    val v = readView(spark, viewDir)
       .select("user", "limit", "history_count")
       .as[(String, Long, Long)].collect().map { case (u, l, h) => u -> (l, h) }.toMap
     assert(v("u1") == (99L, 2L) && v("u2") == (10L, 1L) && v.size == 32)
+  }
+
+  test("a crash before manifest commit leaves the torn generation invisible") {
+    val viewDir = Files.createTempDirectory("graft-torn").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
+    val preCrash = viewState(viewDir)
+
+    // simulate a merge of batch 1 that died between its generation write
+    // and its manifest rename: data exists under g=1, no manifest-1
+    Seq(TrustEv("0xkill", "u1", "v1", 99L)).toDF
+      .groupBy("user", "can_send_to")
+      .agg(max("limit").as("limit"), count(lit(1)).as("history_count"),
+        max("hash").as("last_change"))
+      .withColumn("bucket", lit(3))
+      .write.parquet(s"$viewDir/data/g=1")
+    assert(viewState(viewDir) == preCrash, "torn generation must be invisible")
+
+    // the replayed batch commits cleanly over the torn dir, exactly once
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 99L)).toDF, viewDir, version = 1L)
+    assert(viewState(viewDir) == Set(("u1", "v1", 99L, 2L)))
+  }
+
+  test("replaying a committed batch version is a detected no-op") {
+    val viewDir = Files.createTempDirectory("graft-replay").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
+    val batch1 = Seq(TrustEv("0xa2", "u1", "v1", 50L)).toDF
+    mergeTrustBatch(spark, batch1, viewDir, version = 1L)
+    mergeTrustBatch(spark, batch1, viewDir, version = 1L) // crash-after-commit replay
+    // history_count would be 3 if the replay re-merged
+    assert(viewState(viewDir) == Set(("u1", "v1", 50L, 2L)))
   }
 }
