@@ -84,29 +84,122 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x) / (an * bn)
 
-  /** IVF-style ANN: coarse quantizer (centroid set) partitions the base into
-    * inverted lists; a query probes only its `nprobe` nearest centroids'
-    * lists. At 100 TB the assignment is a write-once index (bucketed table
-    * partitioned by cid); query cost drops from |base| to
-    * nprobe/numCentroids of it. Centroids here are the first `numCentroids`
-    * base vectors (deterministic seed — a k-means refinement pass drops in
-    * without changing any plumbing).
+  /** Nearest-centroid id per base vector (argmax cosine, ties to smallest
+    * cid): one broadcast + one partial-agg shuffle.
     */
-  def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
-              numQueries: Int = 5, k: Int = 5): DataFrame = {
-    val base = embeddings.where(col("vec_id") >= numQueries)
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
-      .where(col("nn") > 0)
-    val centroids = base.orderBy("nid").limit(numCentroids)
-      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
-    // inverted lists: each base vector → nearest centroid (argmax cosine,
-    // ties to smallest cid), one broadcast + one partial-agg shuffle
-    val assigned = base.crossJoin(broadcast(centroids))
+  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
       .groupBy("nid")
       .agg(
         max_by(col("cid"), struct(round(cosFast(col("ne"), col("ce"), col("nn"), col("cn")), 12).as("s"),
           (lit(0L) - col("cid")).as("t"))).as("cid"),
         first(col("ne")).as("ne"), first(col("nn")).as("nn"))
+
+  /** Assignment plus the winning cosine — the trainer needs the score to
+    * find the worst-covered vectors (re-seed targets).
+    */
+  private def assignScored(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = round(cosFast(col("ne"), col("ce"), col("nn"), col("cn")), 12)
+    base.crossJoin(broadcast(centroids))
+      .groupBy("nid")
+      .agg(
+        max_by(col("cid"), struct(s.as("s"), (lit(0L) - col("cid")).as("t"))).as("cid"),
+        max(s).as("score"), first(col("ne")).as("ne"))
+  }
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0d || nb == 0.0d) 1.0d // degenerate → treat as duplicate
+    else dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** `iters` Lloyd refinements of the deterministic first-N seed centroids.
+    * Per iteration:
+    *  1. assign every base vector to its nearest centroid (cosine);
+    *  2. recompute each centroid as the per-dimension DECIMAL mean of its
+    *     members (order-independent sums → trained centroids are
+    *     bit-deterministic across runs and partitionings);
+    *  3. empty or near-duplicate centroids (cos > 0.995 with a lower-cid
+    *     survivor — plain Lloyd can never merge these, they just keep
+    *     splitting one dense region while other regions go uncovered)
+    *     RE-SEED to the worst-covered vectors (lowest winning cosine,
+    *     ties by id) — the standard empty-cluster fix, kept deterministic.
+    *
+    * The per-centroid sums are numCentroids × dim rows and the re-seed
+    * pick is a sort-limit — both driver-safe; the loop costs iters ×
+    * (one scan + one narrow shuffle). At 100 TB you'd train on a sample
+    * with the same code path; the centroid table is broadcast-sized
+    * either way.
+    */
+  def kmeansCentroids(base: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    var centroids = base.orderBy("nid").limit(numCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
+    for (_ <- 0 until iters) {
+      val assigned = assignScored(base, centroids).persist()
+      val sums = assigned
+        .select(col("cid"), posexplode(col("ne")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("decimal(28,18)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val means: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val v = new Array[Float](dim)
+        rows.foreach { r =>
+          v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+        }
+        cid -> v
+      }
+      val prev = centroids.select(col("cid"), col("ce")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      val reseedCids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      prev.foreach { case (c, ce) =>
+        val v = means.getOrElse(c, Array.empty[Float])
+        val degenerate = v.isEmpty ||
+          accepted.exists { case (_, u) => cosArr(u, v) > 0.995d }
+        if (degenerate) reseedCids += c else accepted += ((c, v))
+      }
+      if (reseedCids.nonEmpty) {
+        val worst = assigned.orderBy(col("score").asc, col("nid").asc)
+          .limit(reseedCids.size)
+          .select(col("nid"), col("ne")).as[(Long, Array[Float])].collect()
+        reseedCids.zip(worst).foreach { case (c, (_, v)) => accepted += ((c, v)) }
+      }
+      assigned.unpersist()
+      centroids = accepted.toSeq.toDF("cid", "ce")
+        .select(col("cid"), col("ce"), norm(col("ce")).as("cn"))
+        .where(col("cn") > 0)
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: coarse quantizer (centroid set) partitions the base into
+    * inverted lists; a query probes only its `nprobe` nearest centroids'
+    * lists. At 100 TB the assignment is a write-once index (bucketed table
+    * partitioned by cid); query cost drops from |base| to
+    * nprobe/numCentroids of it. Centroids seed from the first
+    * `numCentroids` base vectors (deterministic); `kmeansIters` > 0 runs
+    * that many Lloyd refinements first ([[kmeansCentroids]]) — better list
+    * balance and recall at equal nprobe, same plumbing.
+    */
+  def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
+              numQueries: Int = 5, k: Int = 5, kmeansIters: Int = 0): DataFrame = {
+    val base = embeddings.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(base, numCentroids, kmeansIters)
+      else base.orderBy("nid").limit(numCentroids)
+        .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
+    // inverted lists ([[assignToCentroids]]): at scale, a write-once
+    // bucketed table partitioned by cid
+    val assigned = assignToCentroids(base, centroids)
     // probe lists: nprobe nearest centroids per query (tiny cross join)
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))

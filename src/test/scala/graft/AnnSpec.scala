@@ -93,6 +93,51 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("k-means refinement improves IVF recall over first-N seeds at equal nprobe") {
+    // 6 TIGHT clusters on orthogonal axes (dim 8), 8 vectors each, ids
+    // ordered so the first-N seed centroids ALL land in cluster 0 — the
+    // worst case: a foreign cluster's members pick among near-identical
+    // cluster-0 seeds by jitter noise, scattering each cluster across many
+    // inverted lists, so nprobe=1 sees only a fraction of it
+    val rng = new scala.util.Random(7)
+    def axis(a: Int): Array[Float] = Array.tabulate(8)(d => if (d == a) 1f else 0f)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    // queries 0-5: one per cluster; base 6..53: cluster = (id-6)/8 so the
+    // first 6 base vectors (the seeds at numCentroids=6) are all cluster 0
+    val rows = (0 until 6).map(q => (q.toLong, jitter(axis(q)))) ++
+      (0 until 48).map(i => (6L + i, jitter(axis(i / 8))))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    def recall(kmeansIters: Int): Double = {
+      val brute = Ann.bruteForceTopK(emb, numQueries = 6, k = 5)
+        .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val ivf = Ann.ivfTopK(emb, numCentroids = 6, nprobe = 1, numQueries = 6,
+        k = 5, kmeansIters = kmeansIters)
+        .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, b) =>
+        ivf.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    }
+    val seedRecall = recall(0)
+    val kmeansRecall = recall(5)
+    info(f"recall@5 nprobe=1: seed=$seedRecall%.2f kmeans=$kmeansRecall%.2f")
+    assert(kmeansRecall > seedRecall, "refined centroids must beat first-N seeds")
+    assert(kmeansRecall >= 0.9, f"clustered data should be near-fully recovered, got $kmeansRecall%.2f")
+  }
+
+  test("trained centroids are deterministic across runs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select($"vec_id".as("nid"), $"embedding".as("ne"),
+      Ann.norm($"embedding").as("nn")).where($"nn" > 0)
+    def train() = Ann.kmeansCentroids(base, 8, 3)
+      .select("cid", "ce").as[(Long, Array[Float])].collect()
+      .map { case (c, v) => c -> v.toSeq }.toMap
+    assert(train() == train())
+  }
+
   test("near-dup candidate generation shuffles ids only, never embeddings") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val plan = Ann.embeddingNearDupPairs(vecs, dim = 4, bits = 4).queryExecution.optimizedPlan
