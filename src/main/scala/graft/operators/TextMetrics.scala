@@ -91,7 +91,9 @@ object TextMetrics {
     * sf0.01 when exploded).
     */
   def winnowHof(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val words = wsWords(col("text"))
+    // empty tokens are dropped, matching the native kernel's tokenizer
+    // (bare split(" ") keeps them: "a  b c" would make 3 grams instead of 1)
+    val words = filter(wsWords(col("text")), t => length(t) > 0)
     // short docs degrade to one whole-text gram (ANSI: element_at past the
     // end is an error, so the branch is explicit)
     val grams = when(size(words) < k, array(xxhash64(col("text"))))

@@ -58,7 +58,10 @@ class TextMetricsSpec extends SparkSpec {
     // real testdata docs (varied lengths) + edge shapes: empty, sub-k, sub-w
     val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
-      (9004L, "one two three"), (9005L, "one two three four five"))
+      (9004L, "one two three"), (9005L, "one two three four five"),
+      // irregular whitespace: both tokenizers must drop empty tokens
+      (9006L, "a  b c"), (9007L, "  leading and trailing  "),
+      (9008L, "one  two   three four  five six"))
       .toDF("doc_id", "text")
     Seq(real, edges).foreach { docs =>
       val native = TextMetrics.winnow(docs).as[(Long, Seq[Long])].collect().toMap
