@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // n repeated sweeps: the JSON carries the per-query MEAN (and stdev), so
+    // a single noisy run (JIT, page cache, compaction) can't masquerade as a
+    // plan regression — or hide one.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,21 +20,36 @@ object Bench {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().count()
       li.limit(10).join(li.limit(10), "l_orderkey").count()
+      // noop-sink write path init too — otherwise the alphabetically-first
+      // query pays it (q1 measured 2.9s cold vs 1.4s warm)
+      li.limit(100).write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink evaluates EVERY column — count() would let Catalyst prune
-      // expensive projections and under-measure (hid a 1000s winnow once)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-      name -> sec
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { r =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink evaluates EVERY column — count() would let Catalyst prune
+        // expensive projections and under-measure (hid a 1000s winnow once)
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] run$r $name%-28s $sec%8.2fs")
+        name -> sec
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stats = names.map { case (name, _) =>
+      val xs = samples.map(_(name))
+      val mean = xs.sum / xs.size
+      val stdev =
+        if (xs.size < 2) 0.0
+        else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+      System.err.println(f"[bench] mean $name%-28s $mean%8.2fs ±$stdev%.2f")
+      (name, mean, stdev)
+    }
+    def obj(f: ((String, Double, Double)) => Double) =
+      stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val total = stats.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,10 +77,19 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** Cheap double cosine for bucketing decisions (not oracle-checked —
-    * `aggregate` folds sequentially, so still deterministic).
+  /** Cheap double cosine for bucketing decisions (not oracle-checked).
+    * Runs on the native codegen'd [[graft.functions.VecOps.dotFloat]] —
+    * bit-identical to the readable HOF fold [[cosFastHof]] (left-to-right
+    * double accumulation; VecOpsSpec pins parity), but it stays inside
+    * whole-stage codegen where the HOF is interpreted per evaluation.
     */
   private def cosFast(a: Column, b: Column, an: Column, bn: Column): Column =
+    graft.functions.VecOps.dotFloat(a, b) / (an * bn)
+
+  /** HOF reference formulation of [[cosFast]] — the parity oracle for the
+    * native kernel, not a hot path (CodegenFallback).
+    */
+  def cosFastHof(a: Column, b: Column, an: Column, bn: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x) / (an * bn)
 

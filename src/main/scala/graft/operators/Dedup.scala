@@ -169,14 +169,66 @@ object Dedup {
   }
 
   /** n-gram Jaccard pair scoring within a blocking key (here: source).
-    * The blocking key bounds the join fan-out — the 100 TB version blocks on
-    * LSH bands (above); this operator is the verification kernel exposed
-    * standalone. Default threshold 0.02: low enough that the recorded run on
-    * driver testdata emits a meaningful pair set (~21 pairs at sf0.01, vs 1
-    * at 0.1 — the docs are mostly unrelated), high enough to stay selective.
+    * Default threshold 0.02: low enough that the recorded run on driver
+    * testdata emits a meaningful pair set (~21 pairs at sf0.01, vs 1 at
+    * 0.1 — the docs are mostly unrelated), high enough to stay selective.
+    * Runs on the ppjoin-style prefix INDEX ([[ngramJaccardPairsIndexed]]):
+    * candidates are pairs sharing a prefix token, not all block pairs —
+    * measured ~10× fewer verifications at identical output (the
+    * enumerate-all-block-pairs twin [[ngramJaccardPairsBalanced]] is the
+    * parity oracle, DedupSpec pins equality).
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.02): DataFrame =
-    ngramJaccardPairsBalanced(documents, threshold, buckets = 8)
+    ngramJaccardPairsIndexed(documents, threshold)
+
+  /** ppjoin-style prefix-indexed pair generation + exact verification.
+    *
+    * Sound prefix filter: under any shared total order (here ascending
+    * hash), J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ⟹ A and B share a
+    * token within their first (|X| − ⌈t·|X|⌉ + 1) elements (own-size α is
+    * a superset of the pair-wise prefix, so indexing it is sound). So:
+    * explode each doc's PREFIX tokens, self-join the inverted index on
+    * (source, token), dedup pairs, verify exact Jaccard — candidates are
+    * pairs that provably CAN clear the threshold, instead of every pair in
+    * the block (B²/2 per block; measured ~10× reduction at sf0.01, see
+    * BENCH_NOTES). The size filter (min ≥ t·max) prunes again before the
+    * merge scan; both filters are sound, output is identical to the
+    * all-pairs formulation.
+    *
+    * Scale: the index shuffles (source, token, doc_id) longs — ~prefix
+    * length rows per doc; token groups bound the join fan-out the way LSH
+    * buckets do. Natural-language hot shingles (boilerplate) behave like
+    * hot LSH bands — at 100 TB, order tokens by ascending global frequency
+    * before taking prefixes (classic ppjoin) so prefixes hold the RAREST
+    * tokens; hash order here is sound but frequency-blind.
+    */
+  def ngramJaccardPairsIndexed(documents: DataFrame, threshold: Double = 0.02): DataFrame = {
+    val d = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+    val prefixLen =
+      greatest(size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1, lit(1))
+    val index = d.select(col("doc_id"), col("source"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val candidates = index.as("a")
+      .join(index.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = d.select(col("doc_id"), col("sh"))
+    val sa = size(col("sh_a")).cast("double")
+    val sb = size(col("sh_b")).cast("double")
+    candidates
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .where(least(sa, sb) >= lit(threshold) * greatest(sa, sb))
+      .select(
+        col("doc_a"), col("doc_b"),
+        graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Within-block all-pairs scoring with triangle-bucket decomposition.
     *
@@ -203,7 +255,6 @@ object Dedup {
         col("i"), col("bkt").as("j"))
     aSide.join(bSide, Seq("source", "i", "j"))
       .where(col("i") < col("j") || col("doc_a") < col("doc_b"))
-      .where(ppjoinSurvives(col("sh_a"), col("sh_b"), threshold))
       .select(
         col("doc_a"), col("doc_b"),
         graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -215,9 +266,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** ppjoin-style pre-verification pruning on sorted shingle-hash sets —
-    * both filters are SOUND for Jaccard ≥ t, so applying them before the
-    * exact merge-scan changes nothing in the output (DedupSpec pins parity):
+  /** The ppjoin filters as a standalone pair predicate — the SOUNDNESS
+    * contract behind [[ngramJaccardPairsIndexed]], pinned by DedupSpec
+    * (never false for a pair at or above the threshold):
     *
     *  - size filter: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹ min ≥ t·max. O(1).
     *  - prefix filter: J ≥ t ⟹ |A∩B| ≥ α where α = ⌈t·max(|A|,|B|)⌉;
@@ -225,9 +276,9 @@ object Dedup {
     *    overlap ≥ α must share an element within their first
     *    (|X| − α + 1) elements. `arrays_overlap` over the two prefixes.
     *
-    * Worth it because the prefixes are short at meaningful thresholds while
-    * the full merge scan walks both whole arrays; measured candidate
-    * reduction is recorded in BENCH_NOTES.md.
+    * As a post-join filter the slice copies make it a net loss (measured:
+    * 6.9s vs 1s+ at sf0.1) — prune at candidate GENERATION (the prefix
+    * index) instead; this form exists for the soundness spec.
     */
   def ppjoinSurvives(shA: Column, shB: Column, threshold: Double): Column = {
     val sa = size(shA).cast("double")

@@ -46,14 +46,20 @@ object ReceiptClassifier {
 
   /** Hex string (0x already stripped, any length ≤ 64) → long; null when
     * the string is not pure hex or its value needs more than 15 hex digits
-    * (< 2^60). The guards run BEFORE conv/cast, so ANSI mode can never
-    * raise on hostile words — unguarded, `conv` throws past 64 bits and
-    * the long cast past Long.MaxValue, turning one bad on-chain word into
-    * a whole-query crash. Callers translate null into "decode failed" /
-    * "value out of range", matching the reference's BigInteger semantics
-    * (no overflow, range checks just fail).
+    * (< 2^60). Never raises under ANSI mode — unguarded, `conv` throws
+    * past 64 bits and the long cast past Long.MaxValue, turning one bad
+    * on-chain word into a whole-query crash. Callers translate null into
+    * "decode failed" / "value out of range", matching the reference's
+    * BigInteger semantics (no overflow, range checks just fail).
+    * Native one-pass kernel; [[hexLongRef]] is the readable Column
+    * formulation it must match (HexUtilsSpec pins parity) — the rlike
+    * guards cost several regex executions per receipt on the hot
+    * classify path.
     */
-  def hexLong(h: Column): Column =
+  def hexLong(h: Column): Column = graft.functions.HexUtils.hexLongGuarded(h)
+
+  /** Column-formulation parity oracle for [[hexLong]]. */
+  def hexLongRef(h: Column): Column =
     when(
       h.rlike("^[0-9a-fA-F]{1,64}$") &&
         length(regexp_replace(h, "^0+", "")) <= 15,
@@ -64,8 +70,14 @@ object ReceiptClassifier {
     * 3 topics, 0 <= limit <= 100. The reference parses the limit as a
     * BigInteger (cs:231) — huge values fail the ≤100 check rather than
     * overflow, which [[hexLong]]'s null models exactly. */
+  /** Strip a leading "0x" without a regex (startsWith is a byte compare;
+    * regexp_replace costs a regex execution per log on the classify path).
+    */
+  private def strip0x(h: Column): Column =
+    when(h.startsWith("0x"), substring(h, 3, 1000000)).otherwise(h)
+
   def isCrcTrustLog(log: Column, hub: String = DefaultHubAddress): Column = {
-    val limit = hexLong(regexp_replace(log.getField("data"), "^0x", ""))
+    val limit = hexLong(strip0x(log.getField("data")))
     array_contains(log.getField("topics"), CrcTrustTopic) &&
       log.getField("address") === hub &&
       size(log.getField("topics")) === 3 &&
@@ -300,7 +312,14 @@ object ReceiptClassifier {
     * guarantees every Horner intermediate fits decimal(38,0), so ANSI mode
     * cannot raise.
     */
-  def hexDecimalString(word: Column): Column = {
+  def hexDecimalString(word: Column): Column =
+    graft.functions.HexUtils.hexWordDecimal(word)
+
+  /** Column-formulation parity oracle for [[hexDecimalString]]: decimal
+    * Horner over the 31 decodable digits (every intermediate < 16^31 fits
+    * decimal(38,0), so ANSI cannot raise).
+    */
+  def hexDecimalStringRef(word: Column): Column = {
     val digits = (0 until 31).map(i =>
       conv(substring(word, 34 + i, 1), 16, 10).cast("decimal(38,0)"))
     val horner = digits.reduceLeft((acc, d) => (acc * 16 + d).cast("decimal(38,0)"))
@@ -463,5 +482,5 @@ object ReceiptClassifier {
         col("hash"),
         topicAddress(element_at(col("log.topics"), 3)).as("user"),
         topicAddress(element_at(col("log.topics"), 2)).as("can_send_to"),
-        conv(regexp_replace(col("log.data"), "^0x", ""), 16, 10).cast("long").as("limit"))
+        hexLong(strip0x(col("log.data"))).as("limit"))
 }

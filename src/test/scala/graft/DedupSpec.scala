@@ -71,6 +71,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.02))
   }
 
+  test("prefix-indexed pairs equal the all-block-pairs formulation on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for (t <- Seq(0.02, 0.1, 0.5)) {
+      val indexed = Dedup.ngramJaccardPairsIndexed(real, t)
+        .collect().map(_.toSeq).toSeq
+      val allPairs = Dedup.ngramJaccardPairsBalanced(real, t)
+        .collect().map(_.toSeq).toSeq
+      assert(indexed == allPairs, s"threshold $t")
+    }
+  }
+
   test("ppjoin pruning is sound: never drops a pair at or above the threshold") {
     val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     // score ALL within-source pairs with no pruning, then check every pair

@@ -23,4 +23,39 @@ class HexUtilsSpec extends SparkSpec {
       .as[Long].collect()(0)
     assert(r == 42L)
   }
+
+  // Inputs covering every guard branch: valid small/large, all-zero,
+  // boundary significant-digit counts, non-hex, empty, >64 chars,
+  // mixed-case, overflow-shaped words that crash an unguarded conv.
+  private val guardCases = Seq(
+    "2a", "0" * 64, "0" * 49 + "f" * 15, "0" * 48 + "f" * 16, "f" * 64,
+    "zz", "", "12xg", "ABCdef", "0" * 63 + "5", "1" + "0" * 64, "0x2a", " 2a"
+  )
+
+  test("native guarded hexLong matches the rlike+conv Column formulation") {
+    import graft.operators.ReceiptClassifier
+    val both = guardCases.toDF("h")
+      .select(HexUtils.hexLongGuarded($"h").as("native"),
+        ReceiptClassifier.hexLongRef($"h").as("ref"))
+      .as[(Option[Long], Option[Long])].collect()
+    guardCases.zip(both).foreach { case (in, (n, r)) =>
+      assert(n == r, s"input [$in]: native=$n ref=$r")
+    }
+  }
+
+  test("native hexWordDecimal matches the decimal-Horner Column formulation") {
+    import graft.operators.ReceiptClassifier
+    val words = Seq(
+      "0" * 64, "0" * 63 + "7", "0" * 33 + "f" * 31, f"${77000L}%064x",
+      "0" * 32 + "1" + "f" * 31, // top-33 not all zero → null
+      "f" * 64, "0" * 63 + "g", "0" * 62, "0" * 33 + "F" * 31
+    )
+    val both = words.toDF("w")
+      .select(HexUtils.hexWordDecimal($"w").as("native"),
+        ReceiptClassifier.hexDecimalStringRef($"w").as("ref"))
+      .as[(Option[String], Option[String])].collect()
+    words.zip(both).foreach { case (in, (n, r)) =>
+      assert(n == r, s"input [$in]: native=$n ref=$r")
+    }
+  }
 }
