@@ -55,37 +55,43 @@ object ViewMaintenance {
   private def fsOf(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** (version, bucket → generation) of the newest committed manifest, or
-    * (-1, empty) for a fresh view dir. Manifest files are
-    * `manifest-<version>`, one `<bucket> <generation>` pair per line —
-    * their atomic-rename creation means existence ⇒ complete.
+  /** (version, lastBatch, bucket → generation) of the newest committed
+    * manifest, or (-1, -1, empty) for a fresh view dir. Manifest files are
+    * `manifest-<version>`: a `batch <id>` header (the last merged batch —
+    * replay detection is by BATCH id, so compaction can bump the manifest
+    * version without masking the next batch) followed by one
+    * `<bucket> <generation>` pair per line. Atomic-rename creation means
+    * existence ⇒ complete.
     */
-  def readManifest(spark: SparkSession, viewDir: String): (Long, Map[Int, Long]) = {
+  def readManifest(spark: SparkSession, viewDir: String): (Long, Long, Map[Int, Long]) = {
     val fs = fsOf(spark)
     val dir = new Path(viewDir)
-    if (!fs.exists(dir)) return (-1L, Map.empty)
+    if (!fs.exists(dir)) return (-1L, -1L, Map.empty)
     val versions = fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("manifest-"))
       .map(_.stripPrefix("manifest-").toLong)
-    if (versions.isEmpty) return (-1L, Map.empty)
+    if (versions.isEmpty) return (-1L, -1L, Map.empty)
     val v = versions.max
     val in = fs.open(new Path(s"$viewDir/manifest-$v"))
     val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val mapping = content.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = content.linesIterator.filter(_.nonEmpty).toSeq
+    val lastBatch = lines.headOption.filter(_.startsWith("batch "))
+      .map(_.stripPrefix("batch ").toLong).getOrElse(-1L)
+    val mapping = lines.filterNot(_.startsWith("batch ")).map { line =>
       val Array(b, g) = line.split(" ")
       b.toInt -> g.toLong
     }.toMap
-    (v, mapping)
+    (v, lastBatch, mapping)
   }
 
   private def writeManifest(spark: SparkSession, viewDir: String, version: Long,
-                            mapping: Map[Int, Long]): Unit = {
+                            lastBatch: Long, mapping: Map[Int, Long]): Unit = {
     val fs = fsOf(spark)
     val tmp = new Path(s"$viewDir/_manifest_tmp_$version")
     val out = fs.create(tmp, true)
     try {
-      out.write(mapping.toSeq.sorted.map { case (b, g) => s"$b $g" }
+      out.write((s"batch $lastBatch" +: mapping.toSeq.sorted.map { case (b, g) => s"$b $g" })
         .mkString("\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
@@ -124,7 +130,7 @@ object ViewMaintenance {
     * (≤ numBuckets reads total, usually a handful after GC+compaction).
     */
   def readView(spark: SparkSession, viewDir: String): DataFrame = {
-    val (_, mapping) = readManifest(spark, viewDir)
+    val (_, _, mapping) = readManifest(spark, viewDir)
     val byGen = mapping.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     byGen.map { case (g, buckets) =>
       spark.read.parquet(s"$viewDir/data/g=$g")
@@ -142,10 +148,12 @@ object ViewMaintenance {
     * of an already-committed version is a detected no-op.
     */
   def mergeTrustBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
-                      numBuckets: Int = DefaultNumBuckets, version: Long = -1L): Unit = {
-    val (curVer, mapping) = readManifest(spark, viewDir)
-    val v = if (version >= 0) version else curVer + 1
-    if (curVer >= v) return // replay of a committed batch: already merged
+                      numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                      maxGenerations: Int = DefaultMaxGenerations): Unit = {
+    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
+    val batchId = if (version >= 0) version else lastBatch + 1
+    if (lastBatch >= batchId) return // replay of a committed batch: already merged
+    val v = curVer + 1 // generation AND manifest version for this merge
     val delta = graft.operators.CirclesViews.currentTrust(batch)
       .withColumn("bucket", bucketOf(numBuckets))
     // the touched-bucket set is bounded by numBuckets — a small, safe collect
@@ -183,7 +191,32 @@ object ViewMaintenance {
       .parquet(s"$viewDir/data/g=$v")
     // … then commit: every touched bucket now lives in generation v
     val newMapping = mapping ++ touched.map(_ -> v)
-    writeManifest(spark, viewDir, v, newMapping)
+    writeManifest(spark, viewDir, v, batchId, newMapping)
+    gc(spark, viewDir, v, newMapping)
+    // bound read fragmentation: a reader unions one pruned scan per
+    // distinct generation, so fold the view back into a single generation
+    // once the mapping spreads too far
+    if (newMapping.values.toSet.size > maxGenerations) compact(spark, viewDir)
+  }
+
+  val DefaultMaxGenerations = 8
+
+  /** Fold every bucket into ONE fresh generation and commit a manifest
+    * mapping all of them to it — an O(view) rewrite that resets
+    * [[readView]]'s per-generation union to a single pruned scan.
+    * Crash-safe by the same mechanism as a merge: the rewrite is invisible
+    * until the manifest rename, and the batch header is carried over so
+    * replay detection is unaffected.
+    */
+  def compact(spark: SparkSession, viewDir: String): Unit = {
+    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
+    if (mapping.isEmpty || mapping.values.toSet.size <= 1) return
+    val v = curVer + 1
+    readView(spark, viewDir)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$viewDir/data/g=$v")
+    val newMapping = mapping.keys.map(_ -> v).toMap
+    writeManifest(spark, viewDir, v, lastBatch, newMapping)
     gc(spark, viewDir, v, newMapping)
   }
 

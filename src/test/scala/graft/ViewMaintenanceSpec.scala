@@ -95,6 +95,44 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(viewState(viewDir) == Set(("u1", "v1", 99L, 2L)))
   }
 
+  test("compaction folds the view into one generation, content unchanged") {
+    val viewDir = Files.createTempDirectory("graft-compact").toString + "/view"
+    // 6 single-key batches → mapping spread over up to 6 generations
+    (1 to 6).foreach { i =>
+      mergeTrustBatch(spark, Seq(TrustEv(f"0x$i%02d", s"u$i", "v", i.toLong)).toDF,
+        viewDir, numBuckets = 8, version = i.toLong, maxGenerations = 100)
+    }
+    val before = viewState(viewDir)
+    val (_, _, mapping) = ViewMaintenance.readManifest(spark, viewDir)
+    assert(mapping.values.toSet.size > 1, "setup must fragment generations")
+
+    ViewMaintenance.compact(spark, viewDir)
+    assert(viewState(viewDir) == before, "compaction must not change content")
+    val (_, lastBatch, after) = ViewMaintenance.readManifest(spark, viewDir)
+    assert(after.values.toSet.size == 1, "one generation after compaction")
+    assert(lastBatch == 6L, "batch header carries over (replay detection intact)")
+    // old generation dirs are GC'd
+    val gens = new java.io.File(s"$viewDir/data").listFiles().map(_.getName).toSet
+    assert(gens.size == 1, s"unreferenced generations must be deleted, got $gens")
+    // and the stream continues cleanly after compaction
+    mergeTrustBatch(spark, Seq(TrustEv("0xzz", "u1", "v", 99L)).toDF,
+      viewDir, numBuckets = 8, version = 7L)
+    assert(viewState(viewDir).contains(("u1", "v", 99L, 2L)))
+  }
+
+  test("auto-compaction triggers when generations exceed the bound") {
+    val viewDir = Files.createTempDirectory("graft-autocompact").toString + "/view"
+    (1 to 5).foreach { i =>
+      mergeTrustBatch(spark, Seq(TrustEv(f"0x$i%02d", s"u$i", "v", i.toLong)).toDF,
+        viewDir, numBuckets = 8, version = i.toLong, maxGenerations = 2)
+    }
+    val (_, _, mapping) = ViewMaintenance.readManifest(spark, viewDir)
+    assert(mapping.values.toSet.size <= 2 + 1,
+      s"auto-compaction must bound fragmentation, got ${mapping.values.toSet}")
+    assert(viewState(viewDir).map(t => (t._1, t._3)) ==
+      Set(("u1", 1L), ("u2", 2L), ("u3", 3L), ("u4", 4L), ("u5", 5L)))
+  }
+
   test("replaying a committed batch version is a detected no-op") {
     val viewDir = Files.createTempDirectory("graft-replay").toString + "/view"
     mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
