@@ -197,25 +197,54 @@ object Dedup {
     *
     * Scale: the index shuffles (source, token, doc_id) longs — ~prefix
     * length rows per doc; token groups bound the join fan-out the way LSH
-    * buckets do. Natural-language hot shingles (boilerplate) behave like
-    * hot LSH bands — at 100 TB, order tokens by ascending global frequency
-    * before taking prefixes (classic ppjoin) so prefixes hold the RAREST
-    * tokens; hash order here is sound but frequency-blind.
+    * buckets do. `orderByFrequency` enables classic ppjoin token ordering:
+    * prefixes are taken under ascending DOCUMENT FREQUENCY (rarest tokens
+    * first) instead of hash order — both are sound (any shared total order
+    * works), but rarest-first keeps natural-language hot shingles
+    * (boilerplate) OUT of the prefixes, so hot-token join groups shrink
+    * and candidate counts drop further (measured in BENCH_NOTES); it costs
+    * one extra aggregation + per-doc window over the token index.
     */
-  def ngramJaccardPairsIndexed(documents: DataFrame, threshold: Double = 0.02): DataFrame = {
-    val d = documents.select(
-      col("doc_id"), col("source"),
-      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
-    val prefixLen =
-      greatest(size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1, lit(1))
-    val index = d.select(col("doc_id"), col("source"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
-    val candidates = index.as("a")
+  /** (doc_id, source, tok) inverted index over each doc's ppjoin prefix.
+    * Hash order slices the already-sorted array; frequency order ranks
+    * each doc's tokens by (doc frequency asc, token asc) per source —
+    * the shared total order soundness requires — and keeps the first
+    * (n − ⌈t·n⌉ + 1).
+    */
+  private def prefixIndex(d: DataFrame, threshold: Double,
+                          orderByFrequency: Boolean): DataFrame =
+    if (!orderByFrequency) {
+      val prefixLen = greatest(
+        size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1, lit(1))
+      d.select(col("doc_id"), col("source"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    } else {
+      val toks = d.select(col("doc_id"), col("source"), size(col("sh")).as("n"),
+        explode(col("sh")).as("tok"))
+      val tokDf = toks.groupBy("source", "tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "doc_id").orderBy(col("df"), col("tok"))
+      toks.join(tokDf, Seq("source", "tok"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <=
+          greatest(col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1, lit(1)))
+        .select(col("doc_id"), col("source"), col("tok"))
+    }
+
+  private def indexCandidates(index: DataFrame): DataFrame =
+    index.as("a")
       .join(index.as("b"),
         col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  def ngramJaccardPairsIndexed(documents: DataFrame, threshold: Double = 0.02,
+                               orderByFrequency: Boolean = false): DataFrame = {
+    val d = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+    val candidates = indexCandidates(prefixIndex(d, threshold, orderByFrequency))
     val sh = d.select(col("doc_id"), col("sh"))
     val sa = size(col("sh_a")).cast("double")
     val sb = size(col("sh_b")).cast("double")
@@ -228,6 +257,18 @@ object Dedup {
         graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate-pair count of the prefix index under each token order —
+    * the measurement hook behind BENCH_NOTES' ppjoin numbers (not a query
+    * surface).
+    */
+  def prefixIndexCandidateCount(documents: DataFrame, threshold: Double,
+                                orderByFrequency: Boolean): Long = {
+    val d = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+    indexCandidates(prefixIndex(d, threshold, orderByFrequency)).count()
   }
 
   /** Within-block all-pairs scoring with triangle-bucket decomposition.

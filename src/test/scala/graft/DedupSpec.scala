@@ -73,12 +73,22 @@ class DedupSpec extends SparkSpec {
 
   test("prefix-indexed pairs equal the all-block-pairs formulation on real data") {
     val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    for (t <- Seq(0.02, 0.1, 0.5)) {
-      val indexed = Dedup.ngramJaccardPairsIndexed(real, t)
+    for (t <- Seq(0.02, 0.1, 0.5); byFreq <- Seq(false, true)) {
+      val indexed = Dedup.ngramJaccardPairsIndexed(real, t, orderByFrequency = byFreq)
         .collect().map(_.toSeq).toSeq
       val allPairs = Dedup.ngramJaccardPairsBalanced(real, t)
         .collect().map(_.toSeq).toSeq
-      assert(indexed == allPairs, s"threshold $t")
+      assert(indexed == allPairs, s"threshold $t byFreq $byFreq")
+    }
+  }
+
+  test("frequency-ordered prefixes never admit more candidates than hash order") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for (t <- Seq(0.1, 0.3)) {
+      val hashOrder = Dedup.prefixIndexCandidateCount(real, t, orderByFrequency = false)
+      val freqOrder = Dedup.prefixIndexCandidateCount(real, t, orderByFrequency = true)
+      info(s"t=$t candidates: hash-order=$hashOrder freq-order=$freqOrder")
+      assert(freqOrder <= hashOrder)
     }
   }
 
