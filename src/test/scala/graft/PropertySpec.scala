@@ -69,6 +69,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("guarded hexLong: native == Column formulation on generated inputs") {
+    val rng = new scala.util.Random(99)
+    val hexChars = "0123456789abcdefABCDEF"
+    val junkChars = hexChars + "ghxyz -!"
+    def gen(chars: String, max: Int) =
+      List.fill(rng.nextInt(max))(chars(rng.nextInt(chars.length))).mkString
+    val inputs = (1 to 150).map(_ => gen(hexChars, 70)) ++
+      (1 to 150).map(_ => gen(junkChars, 70)) ++
+      (1 to 50).map(_ => "0" * rng.nextInt(66) + gen(hexChars, 18))
+    val both = inputs.toDF("h")
+      .select(graft.functions.HexUtils.hexLongGuarded($"h").as("native"),
+        graft.operators.ReceiptClassifier.hexLongRef($"h").as("ref"))
+      .as[(Option[Long], Option[Long])].collect()
+    inputs.zip(both).foreach { case (in, (n, r)) =>
+      assert(n == r, s"input [$in]")
+    }
+  }
+
+  test("hexWordDecimal: native decimal string == BigInteger ground truth") {
+    val rng = new scala.util.Random(5)
+    (1 to 200).foreach { _ =>
+      val digits = 1 + rng.nextInt(31)
+      val hex = List.fill(digits)("0123456789abcdef"(rng.nextInt(16))).mkString
+      val word = "0" * (64 - digits) + hex
+      val got = graft.functions.HexWordImpl.hexWordDecimal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word))
+      val want = new java.math.BigInteger(hex, 16).toString
+      assert(got != null && got.toString == want, s"word $word")
+    }
+    // out-of-range and garbage words are null, never a crash
+    assert(graft.functions.HexWordImpl.hexWordDecimal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("f" * 64)) == null)
+    assert(graft.functions.HexWordImpl.hexWordDecimal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("0" * 63 + "g")) == null)
+  }
+
+  test("dotFloat == plain scala fold on random vectors") {
+    val rng = new scala.util.Random(21)
+    (1 to 100).foreach { _ =>
+      val n = 1 + rng.nextInt(80)
+      val a = Array.fill(n)(rng.nextFloat() * 4 - 2)
+      val b = Array.fill(n)(rng.nextFloat() * 4 - 2)
+      val got = graft.functions.DotImpl.dotFloat(
+        new GenericArrayData(a), new GenericArrayData(b))
+      var want = 0.0d
+      (0 until n).foreach(i => want += a(i).toDouble * b(i).toDouble)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want))
+    }
+  }
+
+  test("prefix-indexed jaccard == all-pairs on randomized overlapping docs") {
+    val rng = new scala.util.Random(31)
+    val vocab = (1 to 60).map(i => s"w$i")
+    def doc(n: Int) = List.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    // random docs + near-dup pairs built by word substitution
+    val bases = (0 until 12).map(i => (i.toLong, doc(8 + rng.nextInt(25)), s"s${i % 3}"))
+    val dups = bases.take(5).map { case (id, t, s) =>
+      val w = t.split(" "); w(rng.nextInt(w.length)) = "sub"
+      (id + 100, w.mkString(" "), s)
+    }
+    val docs = (bases ++ dups).toDF("doc_id", "text", "source")
+    for (t <- Seq(0.05, 0.3); byFreq <- Seq(false, true)) {
+      val indexed = graft.operators.Dedup.ngramJaccardPairsIndexed(docs, t, byFreq)
+        .collect().map(_.toSeq).toSeq
+      val allPairs = graft.operators.Dedup.ngramJaccardPairsBalanced(docs, t, buckets = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(indexed == allPairs, s"t=$t byFreq=$byFreq")
+      assert(allPairs.nonEmpty, "dup construction must produce pairs")
+    }
+  }
+
   test("winnowing: shared long runs share fingerprints; disjoint texts don't") {
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")
     val docs = Seq(
