@@ -198,9 +198,18 @@ object EventPipeline {
         .select(groupCol)
       val candidates = combined.join(completeKeys, Seq(groupCol), "left_semi")
         .dropDuplicates(key)
-      val mainKeys = if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
-        Some(spark.read.schema(batch.schema).parquet(tableDir).select(key))
-      else None
+      // bound the already-imported check to this batch's key range, like
+      // the reference bounds its NOT EXISTS to the staging block range
+      // (ImportProcedure.cs): keys outside [lo, hi] cannot collide, and the
+      // range predicate pushes down to the parquet scan (row-group pruning)
+      // so the anti-join never reads the whole key frontier
+      val bounds = combined.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).collect()(0)
+      val mainKeys =
+        if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)) && !bounds.isNullAt(0))
+          Some(spark.read.schema(batch.schema).parquet(tableDir)
+            .where(col(key).between(bounds.get(0), bounds.get(1)))
+            .select(key))
+        else None
       val toImport = mainKeys.fold(candidates)(mk =>
         candidates.join(mk, Seq(key), "left_anti"))
       // Both writes below are staged OUTSIDE the table first: the anti-joins
