@@ -231,20 +231,45 @@ object Dedup {
         .select(col("doc_id"), col("source"), col("tok"))
     }
 
-  private def indexCandidates(index: DataFrame): DataFrame =
-    index.as("a")
-      .join(index.as("b"),
-        col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  /** Self-join of the inverted index on (source, token) → distinct doc
+    * pairs. `saltBuckets` > 1 applies the triangle-bucket decomposition
+    * WITHIN each token group (same machinery as
+    * [[ngramJaccardPairsBalanced]], same output): a hot token's pair
+    * enumeration spreads over B(B+1)/2 join groups instead of landing on
+    * one reducer — the skew valve for boilerplate shingles that survive
+    * into prefixes.
+    */
+  private def indexCandidates(index: DataFrame, saltBuckets: Int = 1): DataFrame =
+    if (saltBuckets <= 1)
+      index.as("a")
+        .join(index.as("b"),
+          col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    else {
+      val d = index.withColumn("bkt",
+        pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int"))
+      val aSide = d.withColumn("j", explode(sequence(col("bkt"), lit(saltBuckets - 1))))
+        .select(col("doc_id").as("doc_a"), col("source"), col("tok"), col("bkt").as("i"), col("j"))
+      val bSide = d.withColumn("i", explode(sequence(lit(0), col("bkt"))))
+        .select(col("doc_id").as("doc_b"), col("source"), col("tok"), col("i"), col("bkt").as("j"))
+      aSide.join(bSide, Seq("source", "tok", "i", "j"))
+        .where(col("i") < col("j") || col("doc_a") < col("doc_b"))
+        .select(
+          least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    }
 
   def ngramJaccardPairsIndexed(documents: DataFrame, threshold: Double = 0.02,
-                               orderByFrequency: Boolean = false): DataFrame = {
+                               orderByFrequency: Boolean = false,
+                               saltBuckets: Int = 1): DataFrame = {
     val d = documents.select(
       col("doc_id"), col("source"),
       graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
-    val candidates = indexCandidates(prefixIndex(d, threshold, orderByFrequency))
+    val candidates =
+      indexCandidates(prefixIndex(d, threshold, orderByFrequency), saltBuckets)
     val sh = d.select(col("doc_id"), col("sh"))
     val sa = size(col("sh_a")).cast("double")
     val sb = size(col("sh_b")).cast("double")

@@ -131,12 +131,12 @@ class PropertySpec extends SparkSpec {
       (id + 100, w.mkString(" "), s)
     }
     val docs = (bases ++ dups).toDF("doc_id", "text", "source")
-    for (t <- Seq(0.05, 0.3); byFreq <- Seq(false, true)) {
-      val indexed = graft.operators.Dedup.ngramJaccardPairsIndexed(docs, t, byFreq)
+    for (t <- Seq(0.05, 0.3); byFreq <- Seq(false, true); salt <- Seq(1, 3)) {
+      val indexed = graft.operators.Dedup.ngramJaccardPairsIndexed(docs, t, byFreq, salt)
         .collect().map(_.toSeq).toSeq
       val allPairs = graft.operators.Dedup.ngramJaccardPairsBalanced(docs, t, buckets = 4)
         .collect().map(_.toSeq).toSeq
-      assert(indexed == allPairs, s"t=$t byFreq=$byFreq")
+      assert(indexed == allPairs, s"t=$t byFreq=$byFreq salt=$salt")
       assert(allPairs.nonEmpty, "dup construction must produce pairs")
     }
   }
