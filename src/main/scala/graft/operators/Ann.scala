@@ -257,11 +257,11 @@ object Ann {
     * shape as minhash LSH banding, so candidate cost is Σ bucket² per table,
     * never n², and recall compounds as 1−(1−p^bits)^numTables.
     *
-    * Scoring uses the sequential-fold double cosine (deterministic: Spark
-    * folds `aggregate` left-to-right within a row) rounded to 12 dp — this
-    * path is verified against brute force in AnnSpec rather than a SQL
-    * oracle, so the decimal-exact machinery of [[bruteForceTopK]] isn't
-    * needed in the hot loop.
+    * Scoring uses the native double cosine ([[cosFast]] — left-to-right
+    * accumulation, bit-identical to the HOF fold, deterministic) rounded
+    * to 12 dp — this path is verified against brute force in AnnSpec
+    * rather than a SQL oracle, so the decimal-exact machinery of
+    * [[bruteForceTopK]] isn't needed in the hot loop.
     *
     * Shuffle shape (the 100 TB property): candidate generation shuffles
     * (vec_id, bucket) longs ONLY — 16 bytes/row regardless of embedding
