@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ))
     }
     ext.injectOptimizerRule(_ => IntegralEpochMsRule)
+    ext.injectOptimizerRule(_ => RowNumberToPickRule)
   }
 }
 
@@ -57,9 +58,11 @@ object GraftExtensions {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(IntegralEpochMsRule)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IntegralEpochMsRule
+    Seq(IntegralEpochMsRule, RowNumberToPickRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+      }
     }
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.plans.{GraftExtensions, RowNumberToPickRule}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RowNumberToPickRuleSpec extends SparkSpec {
+
+  private def hasWindow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+
+  private def hasPickAgg(df: DataFrame): Boolean = {
+    val s = df.queryExecution.optimizedPlan.toString
+    s.contains("min_by") || s.contains("max_by")
+  }
+
+  test("rn=1 desc window becomes max_by; results match the unrewritten form") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val rewritten = events.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(!hasWindow(rewritten), "window must be rewritten away")
+    assert(hasPickAgg(rewritten))
+    // baseline: same query shape the rule does NOT match (rn <= 1)
+    val baseline = events.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
+    assert(hasWindow(baseline), "baseline must keep the window")
+    val a = rewritten.select("user_id", "event_id", "event_type", "rn")
+      .collect().map(_.toSeq).toSet
+    val b = baseline.select("user_id", "event_id", "event_type", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("rn=1 asc window becomes min_by; multi-key ordering preserved") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("l_quantity"))
+    val rewritten = li.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(!hasWindow(rewritten) && hasPickAgg(rewritten))
+    val baseline = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
+    assert(rewritten.collect().map(_.toSeq).toSet == baseline.collect().map(_.toSeq).toSet)
+  }
+
+  test("rule does not fire on rn=2, mixed directions, global or non-default-null windows") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("props"))
+    def rn(w: org.apache.spark.sql.expressions.WindowSpec) =
+      events.withColumn("rn", row_number().over(w))
+
+    val byUser = Window.partitionBy("user_id")
+    assert(hasWindow(rn(byUser.orderBy("event_id")).where(col("rn") === 2)))
+    assert(hasWindow(rn(byUser.orderBy(col("event_id").asc, col("user_id").desc))
+      .where(col("rn") === 1)))
+    assert(hasWindow(rn(Window.orderBy("event_id")).where(col("rn") === 1)),
+      "global window (empty partition) must not rewrite")
+    assert(hasWindow(rn(byUser.orderBy(col("props").asc_nulls_last)).where(col("rn") === 1)),
+      "non-default null placement must not rewrite")
+  }
+
+  test("nullable order keys with default null placement: rewrite matches the window") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    import s.implicits._
+    // unique (k, s) per group so both formulations are deterministic;
+    // group 3 is a single all-null-key row
+    val df = Seq(
+      (1L, Some("b"), "r1"), (1L, Some("a"), "r2"), (1L, None: Option[String], "r3"),
+      (2L, Some("x"), "r4"), (3L, None: Option[String], "r5")
+    ).toDF("k", "s", "v")
+    for (ord <- Seq(col("s").desc, col("s").asc)) {
+      val w = Window.partitionBy("k").orderBy(ord)
+      val rewritten = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val baseline = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
+      assert(hasPickAgg(rewritten), s"rule must fire for $ord")
+      assert(rewritten.collect().map(_.toSeq).toSet ==
+        baseline.collect().map(_.toSeq).toSet, s"ordering $ord")
+    }
+    // desc nulls-last: group 1's winner is "b", the null row never ranks 1
+    val top = df.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy(col("s").desc)))
+      .where(col("rn") === 1)
+      .select("k", "s").as[(Long, Option[String])].collect().toMap
+    assert(top(1L).contains("b") && top(3L).isEmpty)
+  }
+}
