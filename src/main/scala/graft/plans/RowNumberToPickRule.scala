@@ -1,55 +1,78 @@
 package graft.plans
 
+import graft.functions.TopKAgg
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-/** Optimizer rule: `row_number() OVER (PARTITION BY k ORDER BY s) = 1`
-  * filters become `min_by`/`max_by` aggregations.
+/** Optimizer rule: rank-filtered ROW_NUMBER windows become pick/top-k
+  * aggregations.
   *
-  * The window form is what users naturally write for latest-per-key, but it
-  * SORTS every partition just to keep one row — at scale the sort spills
-  * while the aggregate form combines map-side and shuffles only one row
-  * per key (the same plan shape the engine's own `StateOps.latestPerKey`
-  * hand-writes; this rule gives the window spelling the same physics).
+  *  - `row_number() OVER (PARTITION BY k ORDER BY s) = 1` →
+  *    `min_by`/`max_by` aggregation (one row per key, map-side combined);
+  *  - `row_number() ... <= k` (all-ascending ordering) → the engine's
+  *    bounded-heap [[graft.functions.TopKAgg]] + posexplode — the shuffle
+  *    carries k·groups·partitions rows, the answer, not the input.
+  *
+  * The window form is what users naturally write for latest-per-key /
+  * top-k-per-group, but it SORTS every partition just to keep k rows — at
+  * scale the sort spills while the aggregate forms combine map-side (the
+  * same plan shapes `StateOps.latestPerKey` and `Analytics.topKPerGroup`
+  * hand-write; this rule gives the window spelling the same physics).
   *
   * Fires only where the rewrite is semantics-preserving:
   *  - exactly one window expression, a bare ROW_NUMBER, and the filter is
-  *    exactly `rn = 1`;
+  *    exactly `rn = 1` / `rn <= k` with a positive int literal;
   *  - PARTITION BY is non-empty (a global aggregate would return one
   *    default row on empty input where the window form returns none);
-  *  - all ORDER BY keys share one direction (asc → min_by, desc → max_by)
-  *    with the DEFAULT null placement (asc nulls-first / desc nulls-last):
-  *    the pick key is a struct, whose field comparison treats null as
-  *    smallest — min over it ranks nulls first and max ranks them last,
-  *    exactly the defaults (null keys never nullify the struct itself, so
-  *    min_by/max_by's null-ordering skip can't trigger);
+  *  - all ORDER BY keys share one direction with the DEFAULT null
+  *    placement (asc nulls-first / desc nulls-last): the pick key is a
+  *    struct, whose field comparison treats null as smallest — min over it
+  *    ranks nulls first and max ranks them last, exactly the defaults
+  *    (null keys never nullify the struct itself, so min_by/max_by's
+  *    null-ordering skip can't trigger). The `<= k` form additionally
+  *    requires all-ASCENDING keys (the heap's struct order is ascending;
+  *    negating keys to encode desc would flip null placement and can
+  *    overflow under ANSI);
   *  - every involved type is orderable (the pick key is a struct).
   *
   * Ties: row_number's choice among order-key ties is partition-layout
-  * nondeterministic; the rewrite appends the full row as a tiebreak, so it
-  * deterministically picks one of the same tied candidates — a refinement,
-  * not a divergence. RowNumberToPickRuleSpec pins results equal to the
-  * unrewritten window on real data and the non-fire cases.
+  * nondeterministic; the rewrites append the full row as a tiebreak, so
+  * they deterministically keep/rank one of the same tied candidates — a
+  * refinement, not a divergence. RowNumberToPickRuleSpec pins results
+  * equal to the unrewritten window on real data and the non-fire cases.
   */
 object RowNumberToPickRule extends Rule[LogicalPlan] {
 
-  private def isRnEqOne(cond: Expression, rn: Attribute): Boolean = cond match {
-    case EqualTo(a: Attribute, Literal(1, IntegerType)) => a.exprId == rn.exprId
-    case EqualTo(Literal(1, IntegerType), a: Attribute) => a.exprId == rn.exprId
-    case _ => false
-  }
+  private sealed trait RankFilter
+  private case object EqOne extends RankFilter
+  private case class LeqK(k: Int) extends RankFilter
+
+  private def rankFilterOf(cond: Expression, rn: Attribute): Option[RankFilter] =
+    cond match {
+      case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.exprId == rn.exprId =>
+        Some(EqOne)
+      case EqualTo(Literal(1, IntegerType), a: Attribute) if a.exprId == rn.exprId =>
+        Some(EqOne)
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+          if a.exprId == rn.exprId && k >= 1 => Some(LeqK(k))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+          if a.exprId == rn.exprId && k >= 1 => Some(LeqK(k))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+          if a.exprId == rn.exprId && k >= 2 => Some(LeqK(k - 1))
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
+    case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
       val rewritten = for {
         rnAlias <- Some(w.windowExpressions.head).collect { case a: Alias => a }
         we <- Some(rnAlias.child).collect {
           case e: WindowExpression if e.windowFunction.isInstanceOf[RowNumber] => e
         }
-        if isRnEqOne(cond, rnAlias.toAttribute)
+        rank <- rankFilterOf(cond, rnAlias.toAttribute)
         spec = we.windowSpec
         if spec.partitionSpec.nonEmpty
         if spec.orderSpec.nonEmpty
@@ -59,22 +82,51 @@ object RowNumberToPickRule extends Rule[LogicalPlan] {
         if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
         directions = spec.orderSpec.map(_.direction).distinct
         if directions.size == 1
-      } yield {
-        val childOut = w.child.output
-        val valueStruct = CreateStruct(childOut)
-        val keyStruct = CreateStruct(spec.orderSpec.map(_.child) ++ childOut)
-        val pickFn = directions.head match {
-          case Ascending => MinBy(valueStruct, keyStruct)
-          case Descending => MaxBy(valueStruct, keyStruct)
+        result <- rank match {
+          case EqOne => Some(rewriteEqOne(w, spec, rnAlias, directions.head))
+          case LeqK(k) if directions.head == Ascending =>
+            Some(rewriteLeqK(w, spec, rnAlias, k))
+          case _ => None // desc top-k: heap order can't encode it safely
         }
-        val pick = Alias(pickFn.toAggregateExpression(), "_graft_pick")()
-        val agg = Aggregate(spec.partitionSpec, Seq(pick), w.child)
-        val pickAttr = pick.toAttribute
-        val projList = childOut.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(pickAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
-        } :+ Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
-        Project(projList, agg)
-      }
-      rewritten.getOrElse(Filter(cond, w))
+      } yield result
+      rewritten.getOrElse(f)
+  }
+
+  private def rewriteEqOne(w: Window, spec: WindowSpecDefinition, rnAlias: Alias,
+                           direction: SortDirection): LogicalPlan = {
+    val childOut = w.child.output
+    val valueStruct = CreateStruct(childOut)
+    val keyStruct = CreateStruct(spec.orderSpec.map(_.child) ++ childOut)
+    val pickFn = direction match {
+      case Ascending => MinBy(valueStruct, keyStruct)
+      case Descending => MaxBy(valueStruct, keyStruct)
+    }
+    val pick = Alias(pickFn.toAggregateExpression(), "_graft_pick")()
+    val agg = Aggregate(spec.partitionSpec, Seq(pick), w.child)
+    val pickAttr = pick.toAttribute
+    val projList = childOut.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(pickAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+    } :+ Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
+    Project(projList, agg)
+  }
+
+  /** `rn <= k` → topK(struct(orderKeys…, row…), k) + posexplode; rank =
+    * array position + 1 (TopKAgg returns the k smallest, sorted).
+    */
+  private def rewriteLeqK(w: Window, spec: WindowSpecDefinition, rnAlias: Alias,
+                          k: Int): LogicalPlan = {
+    val childOut = w.child.output
+    val nOrd = spec.orderSpec.size
+    val item = CreateStruct(spec.orderSpec.map(_.child) ++ childOut)
+    val pick = Alias(TopKAgg(item, k).toAggregateExpression(), "_graft_topk")()
+    val agg = Aggregate(spec.partitionSpec, Seq(pick), w.child)
+    val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
+    val itemAttr = AttributeReference("_graft_item", item.dataType, nullable = false)()
+    val generate = Generate(PosExplode(pick.toAttribute), unrequiredChildIndex = Seq(0),
+      outer = false, qualifier = None, generatorOutput = Seq(posAttr, itemAttr), agg)
+    val projList = childOut.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(itemAttr, nOrd + i, Some(a.name)), a.name)(exprId = a.exprId)
+    } :+ Alias(Add(posAttr, Literal(1)), rnAlias.name)(exprId = rnAlias.exprId)
+    Project(projList, generate)
   }
 }

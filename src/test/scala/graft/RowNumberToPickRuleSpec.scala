@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{GraftExtensions, RowNumberToPickRule}
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,22 +17,25 @@ class RowNumberToPickRuleSpec extends SparkSpec {
     s.contains("min_by") || s.contains("max_by")
   }
 
+  // same predicate as rn === 1 / rn <= k but a shape the rule leaves alone —
+  // the unrewritten-window baseline for result comparison
+  private def dodge(df: DataFrame, k: Int): DataFrame =
+    df.where(col("rn") >= 1 && col("rn") <= k)
+
   test("rn=1 desc window becomes max_by; results match the unrewritten form") {
     val s = SparkSpec.session.newSession()
     GraftExtensions.registerAll(s)
     val events = Tables.events(s, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-    val rewritten = events.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val rn = events.withColumn("rn", row_number().over(w))
+    val rewritten = rn.where(col("rn") === 1)
     assert(!hasWindow(rewritten), "window must be rewritten away")
     assert(hasPickAgg(rewritten))
-    // baseline: same query shape the rule does NOT match (rn <= 1)
-    val baseline = events.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
+    val baseline = dodge(rn, 1)
     assert(hasWindow(baseline), "baseline must keep the window")
-    val a = rewritten.select("user_id", "event_id", "event_type", "rn")
-      .collect().map(_.toSeq).toSet
-    val b = baseline.select("user_id", "event_id", "event_type", "rn")
-      .collect().map(_.toSeq).toSet
+    val a = rewritten.collect().map(_.toSeq).toSet
+    val b = baseline.collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
 
@@ -42,13 +45,33 @@ class RowNumberToPickRuleSpec extends SparkSpec {
     val li = Tables.lineitem(s, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("l_quantity"))
-    val rewritten = li.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val rn = li.withColumn("rn", row_number().over(w))
+    val rewritten = rn.where(col("rn") === 1)
     assert(!hasWindow(rewritten) && hasPickAgg(rewritten))
-    val baseline = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
-    assert(rewritten.collect().map(_.toSeq).toSet == baseline.collect().map(_.toSeq).toSet)
+    assert(rewritten.collect().map(_.toSeq).toSet ==
+      dodge(rn, 1).collect().map(_.toSeq).toSet)
   }
 
-  test("rule does not fire on rn=2, mixed directions, global or non-default-null windows") {
+  test("rn<=k asc window becomes the bounded-heap top-k aggregate") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("l_quantity"))
+    val rn = li.withColumn("rn", row_number().over(w))
+    val rewritten = rn.where(col("rn") <= 3)
+    assert(!hasWindow(rewritten), "window must be rewritten away")
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_top_k"))
+    val a = rewritten.collect().map(_.toSeq).toSet
+    val b = dodge(rn, 3).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "top-3 results and ranks must match the window")
+    // rn < k also fires (as <= k-1)
+    val lt = rn.where(col("rn") < 3)
+    assert(!hasWindow(lt))
+    assert(lt.collect().map(_.toSeq).toSet == dodge(rn, 2).collect().map(_.toSeq).toSet)
+  }
+
+  test("rule does not fire on rn=2, mixed directions, global, desc-top-k, non-default nulls") {
     val s = SparkSpec.session.newSession()
     GraftExtensions.registerAll(s)
     val events = Tables.events(s, "/root/testdata/sf0.001")
@@ -62,6 +85,8 @@ class RowNumberToPickRuleSpec extends SparkSpec {
       .where(col("rn") === 1)))
     assert(hasWindow(rn(Window.orderBy("event_id")).where(col("rn") === 1)),
       "global window (empty partition) must not rewrite")
+    assert(hasWindow(rn(byUser.orderBy(col("event_id").desc)).where(col("rn") <= 2)),
+      "desc top-k must not rewrite (heap order is ascending)")
     assert(hasWindow(rn(byUser.orderBy(col("props").asc_nulls_last)).where(col("rn") === 1)),
       "non-default null placement must not rewrite")
   }
@@ -78,12 +103,17 @@ class RowNumberToPickRuleSpec extends SparkSpec {
     ).toDF("k", "s", "v")
     for (ord <- Seq(col("s").desc, col("s").asc)) {
       val w = Window.partitionBy("k").orderBy(ord)
-      val rewritten = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      val baseline = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 1)
+      val rn = df.withColumn("rn", row_number().over(w))
+      val rewritten = rn.where(col("rn") === 1)
       assert(hasPickAgg(rewritten), s"rule must fire for $ord")
       assert(rewritten.collect().map(_.toSeq).toSet ==
-        baseline.collect().map(_.toSeq).toSet, s"ordering $ord")
+        dodge(rn, 1).collect().map(_.toSeq).toSet, s"ordering $ord")
     }
+    // asc nulls-first top-2: the null row ranks 1 in group 1
+    val w = Window.partitionBy("k").orderBy(col("s"))
+    val rn = df.withColumn("rn", row_number().over(w))
+    val top2 = rn.where(col("rn") <= 2)
+    assert(top2.collect().map(_.toSeq).toSet == dodge(rn, 2).collect().map(_.toSeq).toSet)
     // desc nulls-last: group 1's winner is "b", the null row never ranks 1
     val top = df.withColumn("rn",
         row_number().over(Window.partitionBy("k").orderBy(col("s").desc)))
