@@ -9,8 +9,12 @@ import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Bounded top-K aggregate: keeps the K smallest rows of `child` (a struct —
-  * put the ordering columns first; encode DESC by negating numeric columns)
-  * under the struct's natural ordering, returning them as a sorted array.
+  * put the ordering columns first) under the struct's natural ordering,
+  * returning them as a sorted array. `reverse = true` keeps the K LARGEST,
+  * returned largest-first — the DESC ranking without negating columns
+  * (negation flips null placement and can overflow under ANSI; reversing
+  * the comparator does neither: nulls-smallest under the base order makes
+  * reverse mode rank them last, exactly desc-nulls-last).
   *
   * Why this exists: `row_number() OVER (PARTITION BY g ORDER BY o) <= k`
   * cannot combine map-side — every row of every group crosses the shuffle,
@@ -26,13 +30,18 @@ import org.apache.spark.sql.types._
 case class TopKAgg(
     child: Expression,
     k: Int,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
-  private lazy val ordering: Ordering[InternalRow] =
+  private lazy val baseOrdering: Ordering[InternalRow] =
     TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+  // "better" = smaller under this ordering; reverse mode flips it so the
+  // aggregate keeps the k LARGEST and emits them largest-first
+  private lazy val ordering: Ordering[InternalRow] =
+    if (reverse) baseOrdering.reverse else baseOrdering
   // max-heap of the kept set: the head is the *worst* kept row, evicted when
   // a better (smaller) row arrives
   private lazy val reverseOrdering = ordering.reverse
@@ -130,4 +139,9 @@ object TopKAgg {
     */
   def topK(c: Column, k: Int): Column =
     GraftBridge.column(TopKAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** The k LARGEST, largest-first (see the reverse note above). */
+  def bottomK(c: Column, k: Int): Column =
+    GraftBridge.column(TopKAgg(GraftBridge.expression(c), k, reverse = true)
+      .toAggregateExpression())
 }

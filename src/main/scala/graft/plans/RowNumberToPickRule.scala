@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.IntegerType
   *
   *  - `row_number() OVER (PARTITION BY k ORDER BY s) = 1` →
   *    `min_by`/`max_by` aggregation (one row per key, map-side combined);
-  *  - `row_number() ... <= k` (all-ascending ordering) → the engine's
-  *    bounded-heap [[graft.functions.TopKAgg]] + posexplode — the shuffle
-  *    carries k·groups·partitions rows, the answer, not the input.
+  *  - `row_number() ... <= k` → the engine's bounded-heap
+  *    [[graft.functions.TopKAgg]] + posexplode — the shuffle carries
+  *    k·groups·partitions rows, the answer, not the input (descending
+  *    windows use the aggregate's reverse mode: keep-largest,
+  *    largest-first, which reproduces desc-nulls-last exactly).
   *
   * The window form is what users naturally write for latest-per-key /
   * top-k-per-group, but it SORTS every partition just to keep k rows — at
@@ -32,10 +34,7 @@ import org.apache.spark.sql.types.IntegerType
   *    struct, whose field comparison treats null as smallest — min over it
   *    ranks nulls first and max ranks them last, exactly the defaults
   *    (null keys never nullify the struct itself, so min_by/max_by's
-  *    null-ordering skip can't trigger). The `<= k` form additionally
-  *    requires all-ASCENDING keys (the heap's struct order is ascending;
-  *    negating keys to encode desc would flip null placement and can
-  *    overflow under ANSI);
+  *    null-ordering skip can't trigger);
   *  - every involved type is orderable (the pick key is a struct).
   *
   * Ties: row_number's choice among order-key ties is partition-layout
@@ -82,11 +81,10 @@ object RowNumberToPickRule extends Rule[LogicalPlan] {
         if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
         directions = spec.orderSpec.map(_.direction).distinct
         if directions.size == 1
-        result <- rank match {
-          case EqOne => Some(rewriteEqOne(w, spec, rnAlias, directions.head))
-          case LeqK(k) if directions.head == Ascending =>
-            Some(rewriteLeqK(w, spec, rnAlias, k))
-          case _ => None // desc top-k: heap order can't encode it safely
+        result = rank match {
+          case EqOne => rewriteEqOne(w, spec, rnAlias, directions.head)
+          case LeqK(k) =>
+            rewriteLeqK(w, spec, rnAlias, k, reverse = directions.head == Descending)
         }
       } yield result
       rewritten.getOrElse(f)
@@ -111,14 +109,15 @@ object RowNumberToPickRule extends Rule[LogicalPlan] {
   }
 
   /** `rn <= k` → topK(struct(orderKeys…, row…), k) + posexplode; rank =
-    * array position + 1 (TopKAgg returns the k smallest, sorted).
+    * array position + 1 (TopKAgg returns the k best in rank order:
+    * smallest-first, or largest-first in reverse mode for DESC windows).
     */
   private def rewriteLeqK(w: Window, spec: WindowSpecDefinition, rnAlias: Alias,
-                          k: Int): LogicalPlan = {
+                          k: Int, reverse: Boolean): LogicalPlan = {
     val childOut = w.child.output
     val nOrd = spec.orderSpec.size
     val item = CreateStruct(spec.orderSpec.map(_.child) ++ childOut)
-    val pick = Alias(TopKAgg(item, k).toAggregateExpression(), "_graft_topk")()
+    val pick = Alias(TopKAgg(item, k, reverse).toAggregateExpression(), "_graft_topk")()
     val agg = Aggregate(spec.partitionSpec, Seq(pick), w.child)
     val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
     val itemAttr = AttributeReference("_graft_item", item.dataType, nullable = false)()

@@ -71,7 +71,22 @@ class RowNumberToPickRuleSpec extends SparkSpec {
     assert(lt.collect().map(_.toSeq).toSet == dodge(rn, 2).collect().map(_.toSeq).toSet)
   }
 
-  test("rule does not fire on rn=2, mixed directions, global, desc-top-k, non-default nulls") {
+  test("rn<=k desc window uses the reversed heap; ranks match the window") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val rn = events.withColumn("rn", row_number().over(w))
+    val rewritten = rn.where(col("rn") <= 3)
+    assert(!hasWindow(rewritten), "desc top-k must rewrite via reverse mode")
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_top_k"))
+    val a = rewritten.collect().map(_.toSeq).toSet
+    val b = dodge(rn, 3).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("rule does not fire on rn=2, mixed directions, global, non-default nulls") {
     val s = SparkSpec.session.newSession()
     GraftExtensions.registerAll(s)
     val events = Tables.events(s, "/root/testdata/sf0.001")
@@ -85,8 +100,6 @@ class RowNumberToPickRuleSpec extends SparkSpec {
       .where(col("rn") === 1)))
     assert(hasWindow(rn(Window.orderBy("event_id")).where(col("rn") === 1)),
       "global window (empty partition) must not rewrite")
-    assert(hasWindow(rn(byUser.orderBy(col("event_id").desc)).where(col("rn") <= 2)),
-      "desc top-k must not rewrite (heap order is ascending)")
     assert(hasWindow(rn(byUser.orderBy(col("props").asc_nulls_last)).where(col("rn") === 1)),
       "non-default null placement must not rewrite")
   }
@@ -109,11 +122,15 @@ class RowNumberToPickRuleSpec extends SparkSpec {
       assert(rewritten.collect().map(_.toSeq).toSet ==
         dodge(rn, 1).collect().map(_.toSeq).toSet, s"ordering $ord")
     }
-    // asc nulls-first top-2: the null row ranks 1 in group 1
-    val w = Window.partitionBy("k").orderBy(col("s"))
-    val rn = df.withColumn("rn", row_number().over(w))
-    val top2 = rn.where(col("rn") <= 2)
-    assert(top2.collect().map(_.toSeq).toSet == dodge(rn, 2).collect().map(_.toSeq).toSet)
+    // asc nulls-first top-2: the null row ranks 1 in group 1; desc
+    // nulls-last top-2 (reverse heap): the null row ranks LAST
+    for (ord <- Seq(col("s").asc, col("s").desc)) {
+      val w = Window.partitionBy("k").orderBy(ord)
+      val rn = df.withColumn("rn", row_number().over(w))
+      val top2 = rn.where(col("rn") <= 2)
+      assert(top2.collect().map(_.toSeq).toSet ==
+        dodge(rn, 2).collect().map(_.toSeq).toSet, s"top-2 $ord")
+    }
     // desc nulls-last: group 1's winner is "b", the null row never ranks 1
     val top = df.withColumn("rn",
         row_number().over(Window.partitionBy("k").orderBy(col("s").desc)))
