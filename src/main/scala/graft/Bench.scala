@@ -14,6 +14,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom SQL functions + optimizer rules active, as in Verify
+    graft.plans.GraftExtensions.registerAll(spark)
     // Untimed warmup: JVM/codegen/FileIndex initialization otherwise lands
     // entirely on whichever query happens to run first.
     try {
