@@ -69,6 +69,26 @@ class GatedImportSpec extends SparkSpec {
     assert(staged == Seq(3L), "incomplete group still staged after replay")
   }
 
+  test("empty micro-batches are harmless no-ops at any point in the flow") {
+    val tableDir = Files.createTempDirectory("graft-gated4-table").toString
+    val stagingDir = Files.createTempDirectory("graft-gated4-staging").toString
+    val empty = Seq.empty[GatedRow].toDF
+    // empty batch against an empty table
+    EventPipeline.importGatedBatch(empty, 0L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared")
+    // real batch, then another empty one
+    EventPipeline.importGatedBatch(Seq(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2)).toDF,
+      1L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared")
+    EventPipeline.importGatedBatch(empty, 2L, tableDir, stagingDir,
+      groupCol = "block", declaredCol = "declared")
+    assert(spark.read.parquet(tableDir).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    // the held row survived both empty batches
+    val staged = spark.read.schema(empty.schema).parquet(s"$stagingDir/v=2")
+      .select("event_id").as[Long].collect().toSeq
+    assert(staged == Seq(3L))
+  }
+
   test("a torn staging snapshot (no _SUCCESS) is ignored; held rows survive") {
     val tableDir = Files.createTempDirectory("graft-gated3-table").toString
     val stagingDir = Files.createTempDirectory("graft-gated3-staging").toString
