@@ -46,7 +46,9 @@ object GraftExtensions {
     }),
     "graft_top_k" -> ((args: Seq[Expression]) => args match {
       case Seq(item, k) => TopKAgg(item, intArg(k, "k")).toAggregateExpression()
-      case _ => throw new IllegalArgumentException("graft_top_k(item, k)")
+      case Seq(item, k, Literal(rev: Boolean, _)) =>
+        TopKAgg(item, intArg(k, "k"), reverse = rev).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("graft_top_k(item, k[, reverse])")
     })
   )
 

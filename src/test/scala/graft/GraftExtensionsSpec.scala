@@ -29,5 +29,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_top_k(named_struct('v', id), 2) AS t FROM docs")
       .selectExpr("t.v").as[Seq[Long]].collect()(0)
     assert(top == Seq(0L, 1L))
+
+    // reverse mode: the k LARGEST, largest-first
+    val bottom = spark.sql(
+      "SELECT graft_top_k(named_struct('v', id), 2, true) AS t FROM docs")
+      .selectExpr("t.v").as[Seq[Long]].collect()(0)
+    assert(bottom == Seq(2L, 1L))
   }
 }
