@@ -56,6 +56,69 @@ object SparkEntry {
     "q_safe_eth_transfers" -> ((s, d) =>
       ReceiptClassifier.extractSafeEthTransfers(ReceiptClassifier.demoReceipts(Tables.events(s, d)))
         .orderBy("hash")),
+    // ---- SQL-migration view catalog (SURVEY §2 #4c-4g) ----
+    "q_safe_timeline" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev)
+      CirclesViews.safeTimeline(
+        ReceiptClassifier.demoSignups(ev),
+        ReceiptClassifier.extractTrusts(r),
+        Demo.hubStr(r),
+        Demo.erc20Str(r),
+        ReceiptClassifier.extractEthTransfers(r),
+        ReceiptClassifier.extractSafeEthTransfers(r))
+        .withColumnRenamed("hash", "transaction_hash")
+        .orderBy("transaction_hash", "type", "safe_address")
+    }),
+    "q_crc_ledger" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.ledger(Demo.erc20Num(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoSignups(ev))
+        .orderBy("transaction_id", "verb", "safe_address")
+    }),
+    "q_balances_by_safe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.balancesBySafe(
+        CirclesViews.ledger(Demo.erc20Num(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoSignups(ev)))
+    }),
+    "q_erc20_minting" -> ((s, d) =>
+      CirclesViews.erc20Minting(Demo.erc20Str(ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+        .orderBy("hash")),
+    "q_crc_minting" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.crcMinting(Demo.erc20Str(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoSignups(ev))
+        .select("hash", "token", "from", "to", "value", "token_owner")
+        .orderBy("hash")
+    }),
+    "q_total_minted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.totalMinted(Demo.erc20Num(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoSignups(ev))
+    }),
+    "q_alive_accounts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.aliveAccounts(Demo.crcTransfers(ev), ReceiptClassifier.demoBlocks(ev),
+        horizonDays = 2)
+    }),
+    "q_dead_accounts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.deadAccounts(Demo.crcTransfers(ev), ReceiptClassifier.demoBlocks(ev),
+        horizonDays = 2)
+    }),
+    "q_hub_transfers_per_day" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.perDayCounts(
+        ReceiptClassifier.extractHubTransfers(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev), "transfers")
+    }),
+    "q_signups_per_day" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.perDayCounts(
+        ReceiptClassifier.extractOrgSignups(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev), "signups")
+    }),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
     "q_extract_details" -> ((s, d) => Classify.extractDetails(Tables.events(s, d))),
     "q_latest_event" -> ((s, d) => StateOps.latestPerKey(Tables.events(s, d))),
@@ -71,6 +134,9 @@ object SparkEntry {
     "q_incremental_import" -> ((s, d) => Integrity.incrementalImportQuery(Tables.events(s, d))),
     // ---- LLM-data pipeline (SURVEY §2 #24-33) ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    // the 100 TB form (8-byte shuffle key): same answer as q_dedup_exact,
+    // recorded in the per-round gate rather than only in DedupSpec
+    "q_dedup_exact_hash" -> ((s, d) => Dedup.exactByHash(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -88,6 +154,54 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
     "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
   )
+
+  /** Shared demo detail frames for the view-catalog queries (SURVEY §2
+    * #4c-4g): receipts → extractors, with the erc20/hub hex value words
+    * decoded to the forms the catalog expects (::text strings on the
+    * timeline/minting surface, numerics in the ledger).
+    */
+  private object Demo {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def valueOf(hexWord: Column): Column =
+      ReceiptClassifier.hexLong(substring(hexWord, 3, 64))
+    def erc20Str(r: DataFrame): DataFrame =
+      ReceiptClassifier.extractErc20Transfers(r)
+        .withColumn("value", valueOf(col("value_hex")).cast("string")).drop("value_hex")
+    def erc20Num(r: DataFrame): DataFrame =
+      ReceiptClassifier.extractErc20Transfers(r)
+        .withColumn("value", valueOf(col("value_hex"))).drop("value_hex")
+    def hubStr(r: DataFrame): DataFrame =
+      ReceiptClassifier.extractHubTransfers(r)
+        .withColumn("value", valueOf(col("value_hex")).cast("string")).drop("value_hex")
+    /** crc_token_transfer_2 (0.0.64.sql:678): transfers of CRC tokens. */
+    def crcTransfers(ev: DataFrame): DataFrame =
+      erc20Str(ReceiptClassifier.demoReceipts(ev)).join(
+        ReceiptClassifier.demoSignups(ev).where(col("token").isNotNull).select("token"),
+        Seq("token"), "left_semi")
+  }
+
+  /** Shared oracle CTE prefix: the demo signup registry + erc20 transfer
+    * rows exactly as [[graft.operators.ReceiptClassifier.demoReceipts]] /
+    * [[graft.operators.ReceiptClassifier.demoSignups]] construct them.
+    */
+  private val demoCte =
+    """WITH reg AS (
+      | SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,
+      |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+      |  CASE WHEN user_id % 4 <> 3
+      |       THEN '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') END AS token
+      | FROM (SELECT DISTINCT user_id FROM events)),
+      |erc AS (
+      | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, ts,
+      |  '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') AS token,
+      |  CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 THEN '0x' || repeat('0', 40)
+      |       ELSE '0x' || lpad(lower(to_hex(user_id)), 40, '0') END AS "from",
+      |  CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
+      |       THEN '0x' || lpad(lower(to_hex(user_id)), 40, '0')
+      |       ELSE '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') END AS "to",
+      |  CAST(event_id AS VARCHAR) AS value
+      | FROM events WHERE event_type IN ('purchase', 'click'))""".stripMargin
 
   /** ANSI SQL oracles (DuckDB) — byte-identical aliases to the Spark side.
     * Omitted keys (minhash/simhash/ngram/lsh/lang_id/fingerprint) are
@@ -230,7 +344,7 @@ object SparkEntry {
       """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
         | '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS initiator,
         | '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "from",
-        | '0x' || lpad(lower(to_hex(user_id + 3000000)), 40, '0') AS "to",
+        | '0x' || lpad(lower(to_hex((user_id * 13 + 29) % 150)), 40, '0') AS "to",
         | CAST(event_id AS VARCHAR) AS "value"
         |FROM events WHERE event_type = 'error' AND event_id % 2 = 0
         |ORDER BY hash""".stripMargin,
@@ -329,6 +443,148 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    // same answer as q_dedup_exact by construction — the hash-keyed scale
+    // twin must reproduce it exactly
+    "q_dedup_exact_hash" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "q_safe_timeline" -> (demoCte +
+      """,
+        |hub AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex((user_id * 11 + 7) % 150)), 40, '0') AS "to",
+        |  CAST(event_id AS VARCHAR) AS value
+        | FROM events WHERE event_type = 'click'),
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS VARCHAR) AS value
+        | FROM events WHERE event_type = 'signup'),
+        |eth AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "to",
+        |  '1000000' AS value
+        | FROM events WHERE event_type = 'error' AND event_id % 2 = 1),
+        |seth AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex((user_id * 13 + 29) % 150)), 40, '0') AS "to",
+        |  CAST(event_id AS VARCHAR) AS value
+        | FROM events WHERE event_type = 'error' AND event_id % 2 = 0),
+        |legs AS (
+        | SELECT hash, 'CrcSignup' AS type, "user" AS safe_address,
+        |  "user" AS contact_address, 'self' AS direction, '0' AS value FROM reg
+        | UNION ALL
+        | SELECT hash, 'CrcTrust', can_send_to, "user", 'out', value FROM tr
+        |  WHERE can_send_to IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'CrcTrust', "user", can_send_to, 'in', value FROM tr
+        |  WHERE "user" <> can_send_to AND "user" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'CrcHubTransfer', "from", "to",
+        |  CASE WHEN "from" = "to" THEN 'self' ELSE 'out' END, value FROM hub
+        |  WHERE "from" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'CrcHubTransfer', "to", "from", 'in', value FROM hub
+        |  WHERE "from" <> "to" AND "to" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT e.hash, 'CrcMinting', r."user", e."from", 'in', e.value
+        |  FROM erc e JOIN reg r ON e.token = r.token
+        |  WHERE e."from" = '0x' || repeat('0', 40)
+        | UNION ALL
+        | SELECT hash, 'EthTransfer', "from", "to",
+        |  CASE WHEN "from" = "to" THEN 'self' ELSE 'out' END, value FROM eth
+        |  WHERE "from" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'EthTransfer', "to", "from", 'in', value FROM eth
+        |  WHERE "from" <> "to" AND "to" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'Erc20Transfer', "from", "to",
+        |  CASE WHEN "from" = "to" THEN 'self' ELSE 'out' END, value FROM erc
+        |  WHERE token NOT IN (SELECT token FROM reg WHERE token IS NOT NULL)
+        |   AND "from" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'Erc20Transfer', "to", "from", 'in', value FROM erc
+        |  WHERE token NOT IN (SELECT token FROM reg WHERE token IS NOT NULL)
+        |   AND "from" <> "to" AND "to" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'GnosisSafeEthTransfer', "from", "to",
+        |  CASE WHEN "from" = "to" THEN 'self' ELSE 'out' END, value FROM seth
+        |  WHERE "from" IN (SELECT "user" FROM reg)
+        | UNION ALL
+        | SELECT hash, 'GnosisSafeEthTransfer', "to", "from", 'in', value FROM seth
+        |  WHERE "from" <> "to" AND "to" IN (SELECT "user" FROM reg))
+        |SELECT hash AS transaction_hash, type, safe_address, contact_address, direction, value
+        |FROM legs ORDER BY transaction_hash, type, safe_address""".stripMargin),
+    "q_crc_ledger" -> (demoCte +
+      """,
+        |crc AS (
+        | SELECT e.hash, e."from", e."to", e.token,
+        |  CAST(e.value AS DECIMAL(18,4)) AS value, r."user" AS token_owner
+        | FROM erc e JOIN reg r ON e.token = r.token)
+        |SELECT * FROM (
+        | SELECT hash AS transaction_id, 'add' AS verb, CAST(SUM(value) AS DOUBLE) AS value,
+        |  token, token_owner, 'to' AS predicate, "to" AS safe_address
+        | FROM crc GROUP BY hash, "to", token, token_owner
+        | UNION ALL
+        | SELECT hash, 'remove', CAST(-SUM(value) AS DOUBLE), token, token_owner, 'from', "from"
+        | FROM crc GROUP BY hash, "from", token, token_owner)
+        |ORDER BY transaction_id, verb, safe_address""".stripMargin),
+    "q_balances_by_safe" -> (demoCte +
+      """,
+        |crc AS (
+        | SELECT e.hash, e."from", e."to", e.token,
+        |  CAST(e.value AS DECIMAL(18,4)) AS value, r."user" AS token_owner
+        | FROM erc e JOIN reg r ON e.token = r.token),
+        |l AS (
+        | SELECT 'add' AS verb, CAST(SUM(value) AS DOUBLE) AS value, "to" AS safe_address
+        | FROM crc GROUP BY hash, "to", token, token_owner
+        | UNION ALL
+        | SELECT 'remove', CAST(-SUM(value) AS DOUBLE), "from"
+        | FROM crc GROUP BY hash, "from", token, token_owner)
+        |SELECT safe_address, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS balance
+        |FROM l GROUP BY safe_address ORDER BY safe_address""".stripMargin),
+    "q_erc20_minting" -> (demoCte +
+      """
+        |SELECT hash, token, "from", "to", value FROM erc
+        |WHERE "from" = '0x' || repeat('0', 40) ORDER BY hash""".stripMargin),
+    "q_crc_minting" -> (demoCte +
+      """
+        |SELECT e.hash, e.token, e."from", e."to", e.value, r."user" AS token_owner
+        |FROM erc e JOIN reg r ON e.token = r.token
+        |WHERE e."from" = '0x' || repeat('0', 40) ORDER BY e.hash""".stripMargin),
+    "q_total_minted" -> (demoCte +
+      """
+        |SELECT CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_crc_amount
+        |FROM erc e JOIN reg r ON e.token = r.token
+        |WHERE e."from" = '0x' || repeat('0', 40)""".stripMargin),
+    "q_alive_accounts" -> (demoCte +
+      """,
+        |crct AS (SELECT e.* FROM erc e
+        |         WHERE e.token IN (SELECT token FROM reg WHERE token IS NOT NULL)),
+        |act AS (SELECT "to", max(ts) AS last_seen FROM crct GROUP BY "to"),
+        |f AS (SELECT max(ts) AS frontier FROM events)
+        |SELECT "to" FROM act, f
+        |WHERE last_seen > frontier - INTERVAL 2 DAY ORDER BY "to"""".stripMargin),
+    "q_dead_accounts" -> (demoCte +
+      """,
+        |crct AS (SELECT e.* FROM erc e
+        |         WHERE e.token IN (SELECT token FROM reg WHERE token IS NOT NULL)),
+        |act AS (SELECT "to", max(ts) AS last_seen FROM crct GROUP BY "to"),
+        |f AS (SELECT max(ts) AS frontier FROM events)
+        |SELECT "to" FROM act, f
+        |WHERE last_seen < frontier - INTERVAL 2 DAY ORDER BY "to"""".stripMargin),
+    "q_hub_transfers_per_day" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS transfers
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY day_ms ORDER BY day_ms""".stripMargin,
+    "q_signups_per_day" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS signups
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY day_ms ORDER BY day_ms""".stripMargin,
     "q_ann_cosine" ->
       """WITH n AS (
         | SELECT vec_id, embedding,

@@ -76,6 +76,210 @@ object CirclesViews {
         lit(null).cast("string").as("token")))
       .orderBy("hash")
 
+  // --- the SQL-migration view catalog (DbMigrations/0.0.64.sql) ----------
+
+  /** One (participant, direction, contact) leg row per detail row — the
+    * Spark-native re-expression of the catalog's
+    * `JOIN signups ON user = "from" OR user = "to"` legs. An OR-equi-join
+    * hash-partitions on neither key (Postgres nested-loops it over btree
+    * probes; a distributed engine would fall back to a broadcast
+    * nested-loop over the FACT side — wrong at 100 TB). Instead each fact
+    * row explodes map-only into ≤2 keyed legs (`from`→out, `to`→in,
+    * collapsed to one `self` leg when equal, reproducing the view's CASE
+    * arms), and ONE left-semi equi-join per leg family restricts to
+    * signed-up safes — broadcastable (the registry ≪ facts) and correctly
+    * partitioned either way.
+    */
+  private def participantLegs(df: DataFrame, typ: String, registry: DataFrame,
+                              value: Column): DataFrame =
+    df.select(col("hash"), value.as("value"),
+        explode(when(col("from") === col("to"),
+          array(struct(col("from").as("safe_address"), col("to").as("contact_address"),
+            lit("self").as("direction"))))
+          .otherwise(array(
+            struct(col("from").as("safe_address"), col("to").as("contact_address"),
+              lit("out").as("direction")),
+            struct(col("to").as("safe_address"), col("from").as("contact_address"),
+              lit("in").as("direction"))))).as("leg"))
+      .select(col("hash"), lit(typ).as("type"), col("leg.safe_address"),
+        col("leg.contact_address"), col("leg.direction"), col("value"))
+      .join(registry, col("safe_address") === registry("user"), "left_semi")
+
+  /** crc_safe_timeline_2 (0.0.64.sql:1397) — the per-safe activity feed the
+    * reference API serves most: a UNION ALL over signups, trusts, hub
+    * transfers, mintings, eth / non-CRC erc20 / safe-eth transfers, one row
+    * per (event, participating safe) with type/contact/direction columns.
+    *
+    * Input schemas are the [[ReceiptClassifier]] extractor shapes; every
+    * `value` argument arrives as a string column (the catalog's ::text
+    * convention — uint256-safe). All joins are equi-joins against the
+    * distinct signup registry (see [[participantLegs]]) or the CRC token
+    * set — both broadcastable. Semantically identical to the catalog's
+    * per-signup-row OR-joins under the chain's one-signup-per-safe
+    * invariant (the registry IS distinct on-chain; CirclesViewsSpec pins
+    * each leg against its extractor).
+    *
+    * `withObj` additionally assembles the hub-transfer leg's
+    * `transitive_path` obj (the per-tx crc-token transfer steps, json_agg'd
+    * in the catalog — the one leg whose obj is not just its source row,
+    * which a hash join to the detail frame recovers): one extra partial-agg
+    * shuffle of the crc transfers, collect_list sorted for determinism.
+    * Kept off the oracle surface (JSON key order is engine-specific);
+    * spec-verified via from_json round-trip.
+    */
+  def safeTimeline(signups: DataFrame, trusts: DataFrame, hubTransfers: DataFrame,
+                   erc20Transfers: DataFrame, ethTransfers: DataFrame,
+                   safeEthTransfers: DataFrame, withObj: Boolean = false): DataFrame = {
+    val registry = signups.select("user").distinct()
+    val crcTokens = signups.where(col("token").isNotNull)
+      .select(col("token"), col("user").as("token_owner")).distinct()
+
+    val signupLeg = signups.select(col("hash"), lit("CrcSignup").as("type"),
+      col("user").as("safe_address"), col("user").as("contact_address"),
+      lit("self").as("direction"), lit("0").as("value"))
+
+    // trust CASE arms (0.0.64.sql:1452): can_send_to side is 'out' with the
+    // trustee as contact; the trustee(address) side is 'in'; self-trust
+    // collapses to one 'self' leg
+    val trustLegs = trusts.select(col("hash"), col("user"), col("can_send_to"),
+        col("limit").cast("string").as("value"),
+        explode(when(col("user") === col("can_send_to"),
+          array(struct(col("user").as("safe_address"), col("user").as("contact_address"),
+            lit("self").as("direction"))))
+          .otherwise(array(
+            struct(col("can_send_to").as("safe_address"), col("user").as("contact_address"),
+              lit("out").as("direction")),
+            struct(col("user").as("safe_address"), col("can_send_to").as("contact_address"),
+              lit("in").as("direction"))))).as("leg"))
+      .select(col("hash"), lit("CrcTrust").as("type"), col("leg.safe_address"),
+        col("leg.contact_address"), col("leg.direction"), col("value"))
+      .join(registry, col("safe_address") === registry("user"), "left_semi")
+
+    val hubLegs = participantLegs(hubTransfers, "CrcHubTransfer", registry, col("value"))
+
+    // CrcMinting (leg 4): crc-token transfers from 0x0, attributed to the
+    // token OWNER via the signup join (formatted_crc_minting ⋈ token)
+    val mintingLeg = crcMinting(erc20Transfers, signups)
+      .select(col("hash"), lit("CrcMinting").as("type"),
+        col("token_owner").as("safe_address"), col("from").as("contact_address"),
+        lit("in").as("direction"), col("value"))
+
+    val ethLegs = participantLegs(ethTransfers, "EthTransfer", registry, col("value"))
+
+    // non-CRC erc20 transfers only (the catalog's LEFT JOIN crc_signup_2 …
+    // WHERE s.token IS NULL) — anti-join on the token registry
+    val erc20Legs = participantLegs(
+      erc20Transfers.join(crcTokens, Seq("token"), "left_anti"),
+      "Erc20Transfer", registry, col("value"))
+
+    val safeEthLegs = participantLegs(safeEthTransfers, "GnosisSafeEthTransfer",
+      registry, col("value"))
+
+    val base = signupLeg.unionAll(trustLegs).unionAll(hubLegs).unionAll(mintingLeg)
+      .unionAll(ethLegs).unionAll(erc20Legs).unionAll(safeEthLegs)
+    if (!withObj) base
+    else {
+      // transitive_path steps for hub-transfer rows: the tx's crc-token
+      // transfers, collected once per hash (sorted → deterministic) and
+      // joined back — grouped-by-key, so the join can't fan out
+      val steps = erc20Transfers.join(crcTokens.select("token"), Seq("token"), "left_semi")
+        .groupBy("hash")
+        .agg(sort_array(collect_list(struct(col("from"), col("to"), col("token"),
+          col("value")))).as("transfers"))
+      val hubObj = hubTransfers.join(steps, Seq("hash"), "left")
+        .select(col("hash"), to_json(struct(col("hash").as("transactionHash"),
+          col("from"), col("to"), col("value").as("flow"), col("transfers"))).as("obj"))
+      base.join(hubObj, Seq("hash"), "left")
+        .withColumn("obj", when(col("type") === "CrcHubTransfer", col("obj")))
+    }
+  }
+
+  /** crc_ledger_2 (0.0.64.sql:741) — the auditable double-entry form of the
+    * balances view: each crc-token transfer becomes an `add` row at its
+    * receiver and a `remove` row (negated value) at its sender, token→owner
+    * attributed through the signup registry. `value` must be numeric here
+    * (the catalog SUMs it); per-(hash, side) grouping matches the view's
+    * GROUP BY. The catalog's UNION between the two legs is written
+    * UNION ALL: its implicit distinct is vacuous (the `verb` column differs
+    * across legs and each leg is already grouped unique), so the extra
+    * shuffle would buy nothing at any scale.
+    */
+  def ledger(erc20Transfers: DataFrame, signups: DataFrame): DataFrame = {
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token"), col("user").as("token_owner")).distinct()
+    val crc = erc20Transfers.join(owners, "token")
+    def side(partyCol: String, verb: String, sign: Column => Column) =
+      crc.groupBy(col("hash"), col(partyCol), col("token"), col("token_owner"))
+        .agg(sign(dsum(col("value"))).cast("double").as("value"))
+        .select(col("hash").as("transaction_id"), lit(verb).as("verb"), col("value"),
+          col("token"), col("token_owner"), lit(partyCol).as("predicate"),
+          col(partyCol).as("safe_address"))
+    side("to", "add", identity).unionAll(side("from", "remove", c => -c))
+  }
+
+  /** crc_balances_by_safe_2 (0.0.64.sql:786) — the ledger rolled up per
+    * safe. Composes over [[ledger]]; reconciles with
+    * [[balancesBySafeAndToken]] restricted to CRC tokens (spec-asserted).
+    */
+  def balancesBySafe(ledgerRows: DataFrame): DataFrame =
+    ledgerRows.groupBy("safe_address")
+      .agg(dsum(col("value")).cast("double").as("balance"))
+      .orderBy("safe_address")
+
+  /** erc20_minting_2 (0.0.64.sql:1265): transfers from the zero address. */
+  def erc20Minting(erc20Transfers: DataFrame): DataFrame =
+    erc20Transfers.where(col("from") === ReceiptClassifier.EmptyAddress)
+
+  /** crc_minting_2 (0.0.64.sql:1281): mintings of CRC tokens, token-owner
+    * attributed (UBI issuance rows).
+    */
+  def crcMinting(erc20Transfers: DataFrame, signups: DataFrame): DataFrame = {
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token"), col("user").as("token_owner")).distinct()
+    erc20Minting(erc20Transfers).join(owners, "token")
+  }
+
+  /** crc_total_minted_amount (0.0.64.sql:1573): Σ of all CRC minting. */
+  def totalMinted(erc20Transfers: DataFrame, signups: DataFrame): DataFrame =
+    crcMinting(erc20Transfers, signups)
+      .agg(dsum(col("value")).cast("double").as("total_crc_amount"))
+
+  /** crc_alive_accounts / crc_dead_accounts (0.0.64.sql:704,1241):
+    * activity-window selection over crc-token transfer recency — accounts
+    * whose LAST incoming transfer is inside (alive) / outside (dead) the
+    * horizon. The catalog anchors on `now()`; here the anchor is the data
+    * frontier (max block ts — deterministic, what a batch job wants). One
+    * partial-agg shuffle on `to`; the frontier is a 1-row cross join. The
+    * catalog's strict inequalities are preserved: a boundary account is in
+    * NEITHER view.
+    */
+  def accountActivity(crcTransfers: DataFrame, blocks: DataFrame): DataFrame =
+    crcTransfers.join(blocks.select("hash", "ts"), "hash")
+      .groupBy(col("to"))
+      .agg(max(col("ts")).as("last_seen"))
+      .crossJoin(blocks.agg(max(col("ts")).as("frontier")))
+
+  def aliveAccounts(crcTransfers: DataFrame, blocks: DataFrame, horizonDays: Int = 90): DataFrame =
+    accountActivity(crcTransfers, blocks)
+      .where(col("last_seen") > col("frontier") - expr(s"INTERVAL $horizonDays DAYS"))
+      .select("to").orderBy("to")
+
+  def deadAccounts(crcTransfers: DataFrame, blocks: DataFrame, horizonDays: Int = 90): DataFrame =
+    accountActivity(crcTransfers, blocks)
+      .where(col("last_seen") < col("frontier") - expr(s"INTERVAL $horizonDays DAYS"))
+      .select("to").orderBy("to")
+
+  /** crc_hub_transfers_per_day / crc_signups_per_day (0.0.64.sql:1253,
+    * 1563): date_trunc'd counts of a detail frame through the block join.
+    * Emits the day as epoch-ms (cross-engine-stable) — one partial-agg
+    * shuffle on ~|days| keys.
+    */
+  def perDayCounts(details: DataFrame, blocks: DataFrame, countAlias: String): DataFrame =
+    details.join(blocks.select("hash", "ts"), "hash")
+      .groupBy(StateOps.epochMs(date_trunc("day", col("ts"))).as("day_ms"))
+      .agg(count(lit(1)).as(countAlias))
+      .orderBy("day_ms")
+
   /** crc_capacity_graph: how much of `token` its holder can send to
     * `can_send_to` — balance joined with the receiver's current trust in
     * the token's owner, capacity = balance · limit / 100 (the hub's

@@ -377,29 +377,40 @@ object ReceiptClassifier {
     val token = addr(col("user_id") + 1000000L)
     val other = addr(col("user_id") + 2000000L)
     val limit = get_json_object(col("props"), "$.k").cast("long") % 101
+    // counterparties of trust/hub/safe events are OTHER REAL USERS
+    // (affine maps mod the 150-user id space; none has a fixed point, so
+    // no accidental self-edges) — this makes both join directions of the
+    // derived views (timeline in/out legs, trust graph) non-trivial.
+    val trustee = word((col("user_id") * 7 + 13) % 150)
+    val hubPeer = word((col("user_id") * 11 + 7) % 150)
+    // every 5th purchase is a MINT: transfer from 0x0 to the token's owner
+    // (the hub's UBI issuance shape) — feeds the minting/ledger views
+    val isMint = col("event_type") === "purchase" && col("event_id") % 5 === 0
     val transferLog = struct(token.as("address"),
-      array(lit(TransferTopic), word(col("user_id")), word(col("user_id") + 2000000L)).as("topics"),
+      array(lit(TransferTopic),
+        when(isMint, word(lit(0L))).otherwise(word(col("user_id"))),
+        when(isMint, word(col("user_id"))).otherwise(word(col("user_id") + 2000000L))).as("topics"),
       word(col("event_id")).as("data"))
     val trustLog = struct(lit(hub).as("address"),
-      array(lit(CrcTrustTopic), word(col("user_id") + 2000000L), word(col("user_id"))).as("topics"),
+      array(lit(CrcTrustTopic), trustee, word(col("user_id"))).as("topics"),
       word(limit).as("data"))
     val orgLog = struct(lit(hub).as("address"),
       array(lit(CrcOrgSignupTopic), word(col("user_id"))).as("topics"), lit("0x").as("data"))
     val hubLog = struct(lit(hub).as("address"),
-      array(lit(CrcHubTransferTopic), word(col("user_id")), word(col("user_id") + 2000000L)).as("topics"),
+      array(lit(CrcHubTransferTopic), word(col("user_id")), hubPeer).as("topics"),
       word(col("event_id")).as("data"))
     // even-numbered "error" events become safe eth transfers: a well-formed
-    // execTransaction(to=user+3M, value=event_id, data="", operation=0,
-    // gas/refund zeros, signatures="") plus its ExecutionSuccess log; odd
-    // ones stay plain EOA transfers — both detail extractors get real demo
-    // coverage from one event family.
+    // execTransaction(to=another real user, value=event_id, data="",
+    // operation=0, gas/refund zeros, signatures="") plus its
+    // ExecutionSuccess log; odd ones stay plain EOA transfers — both detail
+    // extractors get real demo coverage from one event family.
     val isSafeDemo = col("event_type") === "error" && col("event_id") % 2 === 0
     val execSuccessLog = struct(other.as("address"),
       array(lit(ExecutionSuccessTopic)).as("topics"), lit("0x").as("data"))
     def hexWord(c: Column): Column = lpad(lower(hex(c)), 64, "0")
     val safeInput = concat(
       lit(ExecTransactionMethodId),
-      hexWord(col("user_id") + 3000000L), // p0 to
+      hexWord((col("user_id") * 13 + 29) % 150), // p0 to (a real user safe)
       hexWord(col("event_id")),           // p1 value (wei)
       lit(f"${320L}%064x"),               // p2 data tail offset (10 head words)
       lit("0" * 64 * 6),                  // p3 operation=CALL + p4..p8 gas params
@@ -423,6 +434,33 @@ object ReceiptClassifier {
       col("event_id"))
     txs
   }
+
+  /** The demo's crc_all_signups registry — one signup per distinct user,
+    * mirroring the chain invariant (a safe signs up exactly once, enforced
+    * by the hub contract): users with `user_id % 4 != 3` are PERSON signups
+    * owning token `addr(user_id + 1e6)` (the token the demo transfer logs
+    * move); the rest are ORGANISATIONS (`token` null, like
+    * crc_organisation_signup_2 rows in crc_all_signups — 0.0.64.sql:716).
+    * The hash is synthetic but deterministic, so view outputs stay
+    * hash-comparable against the DuckDB oracle.
+    */
+  def demoSignups(events: DataFrame): DataFrame = {
+    def addr(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 40, "0"))
+    events.select(col("user_id")).distinct().select(
+      concat(lit("0x"), md5(concat(lit("signup-"), col("user_id").cast("string")))).as("hash"),
+      addr(col("user_id")).as("user"),
+      when(col("user_id") % 4 =!= 3, addr(col("user_id") + 1000000L)).as("token"))
+  }
+
+  /** The demo's `block` frame: (hash, ts, number) per event — the join
+    * target the reference's time-based views (alive/dead accounts, per-day
+    * stats) reach through transaction_2 → block.
+    */
+  def demoBlocks(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      col("ts"),
+      col("event_id").as("number"))
 
   /** The crc_current_trust view: latest limit per (user, can_send_to) edge
     * over extracted trust details — receipts → details → state view, the

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.CirclesViews
+import org.apache.spark.sql.functions._
 
 class CirclesViewsSpec extends SparkSpec {
   import spark.implicits._
@@ -65,5 +66,138 @@ class CirclesViewsSpec extends SparkSpec {
     assert(g == Set(("u3", "tokB", "u1", 8.0)))
     // tokA's owner u1 has no edges where user==u1 → no tokA capacity
     assert(!g.exists(_._2 == "tokA"))
+  }
+
+  // --- SQL-migration view catalog (0.0.64.sql) ---------------------------
+
+  private val zero = "0x" + "0" * 40
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def catSignups = Seq(
+    ("0xs1", "u1", "tokA"), ("0xs2", "u2", "tokB"), ("0xs3", "u3", null)
+  ).toDF("hash", "user", "token")
+  private def catTransfers = Seq(
+    ("0xa1", "tokA", "u1", "u2", 100L), // CRC: ledger only, not timeline
+    ("0xa2", "tokC", "u1", "u9", 7L),   // non-CRC, out only (u9 unregistered)
+    ("0xa3", "tokC", "u2", "u2", 5L),   // non-CRC self transfer
+    ("0xm1", "tokA", zero, "u1", 50L),  // CRC mint
+    ("0xm2", "tokC", zero, "u9", 11L),  // non-CRC mint (erc20_minting only)
+    ("0xh1", "tokA", "u1", "u2", 40L)   // the hub transfer's erc20 step
+  ).toDF("hash", "token", "from", "to", "value")
+  private def catHub = Seq(("0xh1", "u1", "u2", "40"), ("0xh2", "u1", "u9", "4"))
+    .toDF("hash", "from", "to", "value")
+  private def catTrusts = Seq(("0xt1", "u2", "u1", 50L), ("0xt2", "u3", "u3", 10L))
+    .toDF("hash", "user", "can_send_to", "limit")
+  private def catEth = Seq(("0xe1", "u9", "u1", "9")).toDF("hash", "from", "to", "value")
+  private def catSafeEth = Seq(("0xse1", "0xinit", "u9", "u2", "3"))
+    .toDF("hash", "initiator", "from", "to", "value")
+  private def catTimeline(withObj: Boolean = false) =
+    CirclesViews.safeTimeline(catSignups, catTrusts, catHub,
+      catTransfers.withColumn("value", $"value".cast("string")), catEth, catSafeEth,
+      withObj = withObj)
+
+  test("safeTimeline: every leg, direction arms, self collapse, registry restriction") {
+    val t = catTimeline()
+      .select("hash", "type", "safe_address", "contact_address", "direction", "value")
+      .as[(String, String, String, String, String, String)].collect().toSet
+    // hand-derived from the fixtures per the catalog's CASE arms
+    // (0.0.64.sql:1417-1545): CRC-token transfers appear only as
+    // CrcMinting (0xm1) or inside the ledger — never as Erc20Transfer
+    val expected = Set(
+      ("0xs1", "CrcSignup", "u1", "u1", "self", "0"),
+      ("0xs2", "CrcSignup", "u2", "u2", "self", "0"),
+      ("0xs3", "CrcSignup", "u3", "u3", "self", "0"),
+      ("0xt1", "CrcTrust", "u1", "u2", "out", "50"),
+      ("0xt1", "CrcTrust", "u2", "u1", "in", "50"),
+      ("0xt2", "CrcTrust", "u3", "u3", "self", "10"),
+      ("0xh1", "CrcHubTransfer", "u1", "u2", "out", "40"),
+      ("0xh1", "CrcHubTransfer", "u2", "u1", "in", "40"),
+      ("0xh2", "CrcHubTransfer", "u1", "u9", "out", "4"),
+      ("0xm1", "CrcMinting", "u1", zero, "in", "50"),
+      ("0xe1", "EthTransfer", "u1", "u9", "in", "9"),
+      ("0xa2", "Erc20Transfer", "u1", "u9", "out", "7"),
+      ("0xa3", "Erc20Transfer", "u2", "u2", "self", "5"),
+      ("0xse1", "GnosisSafeEthTransfer", "u2", "u9", "in", "3"))
+    assert(t == expected)
+  }
+
+  test("safeTimeline obj: hub transitive_path steps, absent elsewhere") {
+    val t = catTimeline(withObj = true)
+    val hubObjs = t.where($"type" === "CrcHubTransfer" && $"hash" === "0xh1")
+      .select(get_json_object($"obj", "$.transactionHash"),
+        get_json_object($"obj", "$.flow"),
+        get_json_object($"obj", "$.transfers[0].token"),
+        get_json_object($"obj", "$.transfers[0].value"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(hubObjs == Set(("0xh1", "40", "tokA", "40")))
+    // a hub tx with no crc steps keeps a well-formed obj with null transfers
+    // (one row: 0xh2's 'in' side u9 is unregistered)
+    assert(t.where($"hash" === "0xh2" && $"obj".isNotNull).count() == 1)
+    assert(t.where($"type" =!= "CrcHubTransfer" && $"obj".isNotNull).count() == 0)
+  }
+
+  test("ledger: double-entry add/remove rows, token-owner attributed, Σ = 0") {
+    val l = CirclesViews.ledger(catTransfers, catSignups)
+    val rows = l.as[(String, String, Double, String, String, String, String)]
+      .collect().toSet
+    assert(rows == Set(
+      ("0xa1", "add", 100.0, "tokA", "u1", "to", "u2"),
+      ("0xa1", "remove", -100.0, "tokA", "u1", "from", "u1"),
+      ("0xm1", "add", 50.0, "tokA", "u1", "to", "u1"),
+      ("0xm1", "remove", -50.0, "tokA", "u1", "from", zero),
+      ("0xh1", "add", 40.0, "tokA", "u1", "to", "u2"),
+      ("0xh1", "remove", -40.0, "tokA", "u1", "from", "u1")))
+    // the double-entry invariant the catalog's auditors rely on
+    assert(l.agg(sum($"value")).as[Double].head() == 0.0)
+  }
+
+  test("balancesBySafe reconciles with balancesBySafeAndToken on CRC tokens") {
+    val ledgerBal = CirclesViews.balancesBySafe(CirclesViews.ledger(catTransfers, catSignups))
+      .as[(String, Double)].collect().toSet
+    val crcOnly = catTransfers.join(
+      catSignups.where($"token".isNotNull).select("token").distinct(),
+      Seq("token"), "left_semi")
+    val viewBal = CirclesViews.balancesBySafeAndToken(crcOnly)
+      .groupBy($"safe_address").agg(sum($"balance").as("balance"))
+      .as[(String, Double)].collect().toSet
+    assert(ledgerBal == viewBal)
+    assert(ledgerBal == Set(("u1", -90.0), ("u2", 140.0), (zero, -50.0)))
+  }
+
+  test("minting views: transfers from 0x0, CRC attribution, total") {
+    assert(CirclesViews.erc20Minting(catTransfers).select("hash")
+      .as[String].collect().toSet == Set("0xm1", "0xm2"))
+    assert(CirclesViews.crcMinting(catTransfers, catSignups)
+      .select("hash", "token_owner").as[(String, String)].collect().toSet ==
+      Set(("0xm1", "u1")))
+    assert(CirclesViews.totalMinted(catTransfers, catSignups).as[Double].head() == 50.0)
+  }
+
+  test("alive/dead accounts: strict horizon split on last CRC-transfer recency") {
+    val blocks = Seq(
+      ("0xa1", ts("2024-01-02 00:00:00")), ("0xa3", ts("2024-01-03 00:00:00")),
+      ("0xh1", ts("2024-01-06 00:00:00")), ("0xb1", ts("2024-01-08 00:00:00")),
+      ("0xm1", ts("2024-01-10 00:00:00")), ("0xa2", ts("2024-01-11 00:00:00"))
+    ).toDF("hash", "ts")
+    val crc = catTransfers
+      .union(Seq(("0xb1", "tokA", "u9", "u3", 1L)).toDF("hash", "token", "from", "to", "value"))
+      .join(catSignups.where($"token".isNotNull).select("token").distinct(),
+        Seq("token"), "left_semi")
+    // frontier = 01-11 (block 0xa2), horizon 3d → cutoff 01-08
+    val alive = CirclesViews.aliveAccounts(crc, blocks, horizonDays = 3).as[String].collect().toSet
+    val dead = CirclesViews.deadAccounts(crc, blocks, horizonDays = 3).as[String].collect().toSet
+    assert(alive == Set("u1")) // last seen 01-10 (the mint)
+    assert(dead == Set("u2"))  // last seen 01-06
+    // u3's last transfer lands exactly ON the cutoff: the catalog's strict
+    // inequalities put a boundary account in NEITHER view
+    assert(!alive.contains("u3") && !dead.contains("u3"))
+  }
+
+  test("perDayCounts: date-truncated counts through the block join") {
+    val blocks = Seq(
+      ("0xh1", ts("2024-01-06 10:00:00")), ("0xh2", ts("2024-01-06 23:59:59"))
+    ).toDF("hash", "ts")
+    val r = CirclesViews.perDayCounts(catHub, blocks, "transfers")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((ts("2024-01-06 00:00:00").getTime, 2L)))
   }
 }

@@ -28,8 +28,10 @@ class EmptyInputSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = try fn(spark, emptyDir).count()
       catch { case e: Throwable => fail(s"$name threw on empty input: ${e.getMessage}") }
-      // q_last_valid legitimately returns its single watermark row
-      if (name != "q_last_valid") assert(n == 0L, s"$name returned $n rows on empty input")
+      // global aggregates legitimately return their single row on empty
+      // input (q_last_valid's watermark, q_total_minted's null sum)
+      if (name != "q_last_valid" && name != "q_total_minted")
+        assert(n == 0L, s"$name returned $n rows on empty input")
     }
   }
 }
