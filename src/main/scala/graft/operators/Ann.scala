@@ -93,28 +93,55 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x) / (an * bn)
 
-  /** Nearest-centroid id per base vector (argmax cosine, ties to smallest
-    * cid): one broadcast + one partial-agg shuffle.
+  /** The centroid set collected to the driver — bounded by construction
+    * (numCentroids rows, broadcast-sized), sorted by cid for determinism.
+    * Embedded as plan literals, the centroids ride the serialized task to
+    * every executor — an implicit broadcast — so assignment becomes a pure
+    * per-row computation.
     */
-  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cid"), struct(round(cosFast(col("ne"), col("ce"), col("nn"), col("cn")), 12).as("s"),
-          (lit(0L) - col("cid")).as("t"))).as("cid"),
-        first(col("ne")).as("ne"), first(col("nn")).as("nn"))
+  private[graft] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float], Double)] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("cid"), col("ce"), col("cn"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+  }
+
+  /** Per-row winner struct: lexicographic `greatest` over
+    * (rounded cosine, −cid) — max cosine, ties to the smallest cid
+    * (exactly the `max_by(cid, struct(s, −cid))` ordering the shuffled
+    * formulation used). numCentroids codegen'd [[cosFast]] kernels per row;
+    * scores can't be NaN (both sides are norm-filtered > 0).
+    */
+  private def winnerStruct(cents: Array[(Long, Array[Float], Double)]): Column = {
+    val scored = cents.map { case (cid, ce, cn) =>
+      struct(
+        round(graft.functions.VecOps.dotFloat(col("ne"), typedlit(ce)) / (col("nn") * lit(cn)), 12).as("s"),
+        lit(-cid).as("t"))
+    }
+    if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
+  }
+
+  /** Nearest-centroid id per base vector — MAP-SIDE: no shuffle, no join.
+    * Assignment is a per-ROW property, so the former
+    * crossJoin(broadcast) + groupBy(nid) argmax — which pushed the whole
+    * corpus (embeddings riding `first(ne)`) through an exchange to compute
+    * it — was one avoidable corpus-wide shuffle; this shape has zero
+    * (AnnSpec plan-asserts it), leaving the write-side cid clustering of
+    * [[buildIvfIndex]] as the only shuffle an IVF build pays.
+    */
+  private[graft] def assignToCentroids(base: DataFrame,
+                                       cents: Array[(Long, Array[Float], Double)]): DataFrame =
+    base.withColumn("_w", winnerStruct(cents))
+      .select(col("nid"), (-col("_w").getField("t")).as("cid"), col("ne"), col("nn"))
 
   /** Assignment plus the winning cosine — the trainer needs the score to
-    * find the worst-covered vectors (re-seed targets).
+    * find the worst-covered vectors (re-seed targets). Map-side like
+    * [[assignToCentroids]].
     */
-  private def assignScored(base: DataFrame, centroids: DataFrame): DataFrame = {
-    val s = round(cosFast(col("ne"), col("ce"), col("nn"), col("cn")), 12)
-    base.crossJoin(broadcast(centroids))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cid"), struct(s.as("s"), (lit(0L) - col("cid")).as("t"))).as("cid"),
-        max(s).as("score"), first(col("ne")).as("ne"))
-  }
+  private def assignScored(base: DataFrame, cents: Array[(Long, Array[Float], Double)]): DataFrame =
+    base.withColumn("_w", winnerStruct(cents))
+      .select(col("nid"), (-col("_w").getField("t")).as("cid"),
+        col("_w").getField("s").as("score"), col("ne"))
 
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
@@ -147,10 +174,10 @@ object Ann {
   def kmeansCentroids(base: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    var centroids = base.orderBy("nid").limit(numCentroids)
-      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
+    var cents = collectCentroids(base.orderBy("nid").limit(numCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
     for (_ <- 0 until iters) {
-      val assigned = assignScored(base, centroids).persist()
+      val assigned = assignScored(base, cents).persist()
       val sums = assigned
         .select(col("cid"), posexplode(col("ne")))
         .groupBy("cid", "pos")
@@ -164,11 +191,9 @@ object Ann {
         }
         cid -> v
       }
-      val prev = centroids.select(col("cid"), col("ce")).as[(Long, Array[Float])]
-        .collect().sortBy(_._1)
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
       val reseedCids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      prev.foreach { case (c, ce) =>
+      cents.foreach { case (c, ce, _) =>
         val v = means.getOrElse(c, Array.empty[Float])
         val degenerate = v.isEmpty ||
           accepted.exists { case (_, u) => cosArr(u, v) > 0.995d }
@@ -181,11 +206,13 @@ object Ann {
         reseedCids.zip(worst).foreach { case (c, (_, v)) => accepted += ((c, v)) }
       }
       assigned.unpersist()
-      centroids = accepted.toSeq.toDF("cid", "ce")
+      // norms through the same decimal-exact norm() the seeds used — a
+      // numCentroids-row job, so trained centroids stay bit-deterministic
+      cents = collectCentroids(accepted.toSeq.toDF("cid", "ce")
         .select(col("cid"), col("ce"), norm(col("ce")).as("cn"))
-        .where(col("cn") > 0)
+        .where(col("cn") > 0))
     }
-    centroids
+    cents.toSeq.toDF("cid", "ce", "cn")
   }
 
   /** IVF-style ANN: coarse quantizer (centroid set) partitions the base into
@@ -197,35 +224,91 @@ object Ann {
     * that many Lloyd refinements first ([[kmeansCentroids]]) — better list
     * balance and recall at equal nprobe, same plumbing.
     */
-  def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
-              numQueries: Int = 5, k: Int = 5, kmeansIters: Int = 0): DataFrame = {
-    val base = embeddings.where(col("vec_id") >= numQueries)
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
-      .where(col("nn") > 0)
-    val centroids =
-      if (kmeansIters > 0) kmeansCentroids(base, numCentroids, kmeansIters)
-      else base.orderBy("nid").limit(numCentroids)
-        .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn"))
-    // inverted lists ([[assignToCentroids]]): at scale, a write-once
-    // bucketed table partitioned by cid
-    val assigned = assignToCentroids(base, centroids)
-    // probe lists: nprobe nearest centroids per query (tiny cross join)
-    val q = embeddings.where(col("vec_id") < numQueries)
+  /** nprobe nearest centroids per query vector, carrying (qid, qe, qn, cid)
+    * — a tiny cross join (queries × numCentroids) + per-query window.
+    */
+  private def probeLists(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
       .where(col("qn") > 0)
     val wProbe = Window.partitionBy("qid")
       .orderBy(col("c_sim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qe"), col("qn"), col("cid"),
         round(cosFast(col("qe"), col("ce"), col("qn"), col("cn")), 12).as("c_sim"))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
       .select("qid", "qe", "qn", "cid")
-    // exact (decimal) scoring only inside probed lists
-    val scored = probes.join(assigned, "cid")
-      .select(col("qid"), col("nid"),
-        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
-    rankTopK(scored, k)
+  }
+
+  /** Exact (decimal) scoring of probed lists + bounded-heap ranking. The
+    * probe side (≤ queries·nprobe rows) is BROADCAST, so the corpus-sized
+    * list side never shuffles; the only exchange in the whole query is
+    * rankTopK's partial-agged k·queries rows.
+    */
+  private def scoreProbed(lists: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      lists.join(broadcast(probes), "cid")
+        .select(col("qid"), col("nid"),
+          round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine")),
+      k)
+
+  def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
+              numQueries: Int = 5, k: Int = 5, kmeansIters: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val cents = collectCentroids(
+      if (kmeansIters > 0) kmeansCentroids(base, numCentroids, kmeansIters)
+      else base.orderBy("nid").limit(numCentroids)
+        .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    val centsDf = cents.toSeq.toDF("cid", "ce", "cn")
+    // inverted lists, assigned map-side; [[buildIvfIndex]] is the
+    // write-once materialization of exactly this frame
+    val assigned = assignToCentroids(base, cents)
+    scoreProbed(assigned, probeLists(embeddings.where(col("vec_id") < numQueries), centsDf, nprobe), k)
+  }
+
+  /** Materialize the IVF index as the write-once artifact: inverted lists
+    * cid-PARTITIONED on disk (so queries prune to their probed partitions)
+    * plus the centroid table. The partitionBy write clusters rows by cid —
+    * the one shuffle any cid-partitioned layout costs, paid once at build
+    * time; assignment itself is map-side ([[assignToCentroids]]).
+    */
+  def buildIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
+                    numQueries: Int = 5, kmeansIters: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val cents = collectCentroids(
+      if (kmeansIters > 0) kmeansCentroids(base, numCentroids, kmeansIters)
+      else base.orderBy("nid").limit(numCentroids)
+        .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    cents.toSeq.toDF("cid", "ce", "cn")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignToCentroids(base, cents)
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Query the materialized index — the base table is never touched. The
+    * probed cid set is collected (bounded: ≤ queries·nprobe values) into an
+    * `isin` predicate on the PARTITION column, so the list scan opens only
+    * nprobe/numCentroids of the store (AnnSpec asserts the plan reads only
+    * probed partitions); candidates then score against the broadcast probe
+    * set exactly like the inline path.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probes = probeLists(queries, centroids, nprobe)
+    val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("cid").isin(probedCids: _*))
+    scoreProbed(lists, probes, k)
   }
 
   /** Random-hyperplane sign-bit bucket key — the readable Column-expression

@@ -152,6 +152,65 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  /** AQE wraps executedPlan in AdaptiveSparkPlanExec — a LEAF node, so
+    * collect() over it silently matches nothing and a plan assert passes
+    * vacuously. Physical-plan asserts run with AQE off.
+    */
+  private def withoutAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ivf assignment is map-side: zero exchanges, argmax matches driver math")(withoutAqe {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select($"vec_id".as("nid"), $"embedding".as("ne"),
+      Ann.norm($"embedding").as("nn")).where($"nn" > 0)
+    val cents = Ann.collectCentroids(base.orderBy("nid").limit(8)
+      .select($"nid".as("cid"), $"ne".as("ce"), $"nn".as("cn")))
+    val assigned = Ann.assignToCentroids(base, cents)
+    val exchanges = assigned.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(assigned.queryExecution.executedPlan.collectLeaves().nonEmpty)
+    assert(exchanges.isEmpty, "assignment must not shuffle the corpus")
+    // cross-check every assignment against driver-side argmax (same
+    // left-to-right double accumulation, same round-then-tie-break)
+    val centsD = cents.map { case (cid, ce, cn) => (cid, ce.map(_.toDouble), cn) }
+    val got = assigned.select("nid", "cid").as[(Long, Long)].collect().toMap
+    val rows = base.select("nid", "ne", "nn").as[(Long, Array[Float], Double)].collect()
+    rows.foreach { case (nid, ne, nn) =>
+      val best = centsD.map { case (cid, ce, cn) =>
+        val dot = ne.map(_.toDouble).zip(ce).map { case (x, y) => x * y }.sum
+        (BigDecimal(dot / (nn * cn)).setScale(12, BigDecimal.RoundingMode.HALF_UP), -cid)
+      }.max
+      assert(got(nid) == -best._2, s"nid $nid assigned ${got(nid)}, expected ${-best._2}")
+    }
+  })
+
+  test("ivf index: materialized store reproduces the inline path, scan prunes to probed cids")(withoutAqe {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Ann.buildIvfIndex(emb, dir, numCentroids = 8, numQueries = 5)
+    // queries as a local relation: every FILE scan in the plan must then
+    // belong to the index store — the base table is never touched
+    val queries = emb.where($"vec_id" < 5)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val fromIndex = Ann.ivfTopKFromIndex(queries, dir, nprobe = 4, k = 5)
+    val inline = Ann.ivfTopK(emb, numCentroids = 8, nprobe = 4, numQueries = 5, k = 5)
+    assert(fromIndex.as[(Long, Long, Double, Long)].collect().toSeq ==
+      inline.as[(Long, Long, Double, Long)].collect().toSeq)
+    val scans = fromIndex.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.forall(_.relation.location.rootPaths.forall(_.toString.contains(dir))),
+      "index query must read only the index store")
+    val listScans = scans.filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(listScans.nonEmpty)
+    assert(listScans.forall(_.partitionFilters.nonEmpty),
+      "probed-cid partition pruning must reach the list scan")
+  })
+
   test("zero-norm vectors are excluded before scoring (no NaN in rankings)") {
     val withZero = vecs.unionAll(Seq((7L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
     val r = Ann.bruteForceTopK(withZero, numQueries = 2, k = 10)
