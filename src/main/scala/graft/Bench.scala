@@ -51,7 +51,15 @@ object Bench {
     def obj(f: ((String, Double, Double)) => Double) =
       stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
     val total = stats.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"runs":$runs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // also write the JSON to a file: the driver captures only the TAIL of
+    // stdout, and round 3's mean block was lost to that truncation — the
+    // per-round artifact must be reconstructible without the console
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

@@ -131,17 +131,25 @@ object Ann {
     */
   private[graft] def assignToCentroids(base: DataFrame,
                                        cents: Array[(Long, Array[Float], Double)]): DataFrame =
-    base.withColumn("_w", winnerStruct(cents))
-      .select(col("nid"), (-col("_w").getField("t")).as("cid"), col("ne"), col("nn"))
+    if (cents.isEmpty) // empty corpus → no centroids → no lists (total op)
+      base.select(col("nid"), lit(null).cast("long").as("cid"), col("ne"), col("nn"))
+        .where(lit(false))
+    else
+      base.withColumn("_w", winnerStruct(cents))
+        .select(col("nid"), (-col("_w").getField("t")).as("cid"), col("ne"), col("nn"))
 
   /** Assignment plus the winning cosine — the trainer needs the score to
     * find the worst-covered vectors (re-seed targets). Map-side like
     * [[assignToCentroids]].
     */
   private def assignScored(base: DataFrame, cents: Array[(Long, Array[Float], Double)]): DataFrame =
-    base.withColumn("_w", winnerStruct(cents))
-      .select(col("nid"), (-col("_w").getField("t")).as("cid"),
-        col("_w").getField("s").as("score"), col("ne"))
+    if (cents.isEmpty)
+      base.select(col("nid"), lit(null).cast("long").as("cid"),
+        lit(null).cast("double").as("score"), col("ne")).where(lit(false))
+    else
+      base.withColumn("_w", winnerStruct(cents))
+        .select(col("nid"), (-col("_w").getField("t")).as("cid"),
+          col("_w").getField("s").as("score"), col("ne"))
 
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0

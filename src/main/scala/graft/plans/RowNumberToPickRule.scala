@@ -25,8 +25,16 @@ import org.apache.spark.sql.types.IntegerType
   * hand-write; this rule gives the window spelling the same physics).
   *
   * Fires only where the rewrite is semantics-preserving:
-  *  - exactly one window expression, a bare ROW_NUMBER, and the filter is
-  *    exactly `rn = 1` / `rn <= k` with a positive int literal;
+  *  - exactly one window expression, a bare ROW_NUMBER, and the filter
+  *    contains exactly ONE rank conjunct `rn = 1` / `rn <= k` (positive int
+  *    literal); other conjuncts (`rn = 1 AND region = 'EU'`) must not
+  *    reference rn and survive as a residual Filter above the rewrite —
+  *    the rank never depends on them, so filter-after-pick ≡
+  *    filter-after-window. A pure renaming/pruning Project between the
+  *    Filter and the Window (the subquery spelling
+  *    `SELECT … FROM (windowed) WHERE rn = 1` produces) is traversed:
+  *    the condition is mapped through the projection, the rewrite happens
+  *    below it, and the original projection is re-applied on top;
   *  - PARTITION BY is non-empty (a global aggregate would return one
   *    default row on empty input where the window form returns none);
   *  - all ORDER BY keys share one direction with the DEFAULT null
@@ -43,11 +51,21 @@ import org.apache.spark.sql.types.IntegerType
   * refinement, not a divergence. RowNumberToPickRuleSpec pins results
   * equal to the unrewritten window on real data and the non-fire cases.
   */
-object RowNumberToPickRule extends Rule[LogicalPlan] {
+object RowNumberToPickRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private sealed trait RankFilter
   private case object EqOne extends RankFilter
   private case class LeqK(k: Int) extends RankFilter
+
+  /** A projection that only renames/reorders/prunes attributes — safe to
+    * traverse (the condition maps through it attribute-for-attribute).
+    */
+  private def isRenaming(projList: Seq[NamedExpression]): Boolean =
+    projList.forall {
+      case _: Attribute => true
+      case Alias(_: Attribute, _) => true
+      case _ => false
+    }
 
   private def rankFilterOf(cond: Expression, rn: Attribute): Option[RankFilter] =
     cond match {
@@ -65,29 +83,55 @@ object RowNumberToPickRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
-      val rewritten = for {
-        rnAlias <- Some(w.windowExpressions.head).collect { case a: Alias => a }
-        we <- Some(rnAlias.child).collect {
-          case e: WindowExpression if e.windowFunction.isInstanceOf[RowNumber] => e
+    case f @ Filter(_, _: Window) => rewriteFilter(f).getOrElse(f)
+    case f @ Filter(_, Project(projList, _: Window)) if isRenaming(projList) =>
+      rewriteFilter(f).getOrElse(f)
+  }
+
+  private def rewriteFilter(f: Filter): Option[LogicalPlan] = {
+    // unwrap an intervening renaming Project: map the condition's
+    // attributes back to the window's own outputs; the rewrite keeps the
+    // original exprIds, so the projection re-applies unchanged on top
+    val (w, projOpt, cond) = f.child match {
+      case p @ Project(projList, pw: Window) =>
+        val mapping = projList.collect {
+          case al @ Alias(child: Attribute, _) => al.exprId -> child
+        }.toMap
+        val mapped = f.condition.transform {
+          case a: Attribute if mapping.contains(a.exprId) => mapping(a.exprId)
         }
-        rank <- rankFilterOf(cond, rnAlias.toAttribute)
-        spec = we.windowSpec
-        if spec.partitionSpec.nonEmpty
-        if spec.orderSpec.nonEmpty
-        if spec.orderSpec.forall(o => RowOrdering.isOrderable(o.child.dataType) &&
-          ((o.direction == Ascending && o.nullOrdering == NullsFirst) ||
-            (o.direction == Descending && o.nullOrdering == NullsLast)))
-        if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
-        directions = spec.orderSpec.map(_.direction).distinct
-        if directions.size == 1
-        result = rank match {
-          case EqOne => rewriteEqOne(w, spec, rnAlias, directions.head)
-          case LeqK(k) =>
-            rewriteLeqK(w, spec, rnAlias, k, reverse = directions.head == Descending)
-        }
-      } yield result
-      rewritten.getOrElse(f)
+        (pw, Some(p), mapped)
+      case pw: Window => (pw, None, f.condition)
+      case _ => return None
+    }
+    if (w.windowExpressions.size != 1) return None
+    for {
+      rnAlias <- Some(w.windowExpressions.head).collect { case a: Alias => a }
+      we <- Some(rnAlias.child).collect {
+        case e: WindowExpression if e.windowFunction.isInstanceOf[RowNumber] => e
+      }
+      rnAttr = rnAlias.toAttribute
+      conjuncts = splitConjunctivePredicates(cond)
+      (rankConjs, residual) = conjuncts.partition(c => rankFilterOf(c, rnAttr).isDefined)
+      if rankConjs.size == 1
+      if residual.forall(!_.references.contains(rnAttr))
+      rank <- rankFilterOf(rankConjs.head, rnAttr)
+      spec = we.windowSpec
+      if spec.partitionSpec.nonEmpty
+      if spec.orderSpec.nonEmpty
+      if spec.orderSpec.forall(o => RowOrdering.isOrderable(o.child.dataType) &&
+        ((o.direction == Ascending && o.nullOrdering == NullsFirst) ||
+          (o.direction == Descending && o.nullOrdering == NullsLast)))
+      if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
+      directions = spec.orderSpec.map(_.direction).distinct
+      if directions.size == 1
+      picked = rank match {
+        case EqOne => rewriteEqOne(w, spec, rnAlias, directions.head)
+        case LeqK(k) =>
+          rewriteLeqK(w, spec, rnAlias, k, reverse = directions.head == Descending)
+      }
+      filtered = if (residual.isEmpty) picked else Filter(residual.reduce(And), picked)
+    } yield projOpt.fold(filtered)(p => Project(p.projectList, filtered))
   }
 
   private def rewriteEqOne(w: Window, spec: WindowSpecDefinition, rnAlias: Alias,

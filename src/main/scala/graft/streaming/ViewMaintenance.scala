@@ -85,6 +85,19 @@ object ViewMaintenance {
     (v, lastBatch, mapping)
   }
 
+  /** DURABILITY CONSTRAINT: the commit protocol is write-tmp → rename, so
+    * it is atomic exactly where rename is atomic — HDFS, local/POSIX,
+    * ABFS, GCS. On S3 rename is copy+delete (non-atomic, and
+    * eventually-consistent list-after-write historically): run this store
+    * on an S3 deployment only behind a rename-atomic layer (EMRFS
+    * consistent view, HBase-style WAL, or S3 Express one-zone), or swap
+    * this method for a conditional-put pointer: write
+    * `manifest-<version>` directly with If-None-Match (S3 now supports
+    * conditional PUT), and treat precondition-failure as the lost-race /
+    * replay no-op the rename's existence check provides here. Readers are
+    * unaffected either way — they resolve the highest fully-written
+    * manifest version.
+    */
   private def writeManifest(spark: SparkSession, viewDir: String, version: Long,
                             lastBatch: Long, mapping: Map[Int, Long]): Unit = {
     val fs = fsOf(spark)

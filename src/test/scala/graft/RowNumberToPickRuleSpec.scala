@@ -86,6 +86,83 @@ class RowNumberToPickRuleSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("conjunctive filter: rn=1 AND p rewrites with a residual filter on p") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val rn = events.withColumn("rn", row_number().over(w))
+    val rewritten = rn.where(col("rn") === 1 && col("event_type") === "purchase")
+    assert(!hasWindow(rewritten), "rank conjunct must still fire inside AND")
+    assert(hasPickAgg(rewritten))
+    val baseline = dodge(rn, 1).where(col("event_type") === "purchase")
+    assert(rewritten.collect().map(_.toSeq).toSet ==
+      baseline.collect().map(_.toSeq).toSet)
+    // rn<=k inside a conjunction too
+    val topk = rn.where(col("rn") <= 3 && col("event_type") === "view")
+    assert(!hasWindow(topk))
+    assert(topk.collect().map(_.toSeq).toSet ==
+      dodge(rn, 3).where(col("event_type") === "view").collect().map(_.toSeq).toSet)
+  }
+
+  test("renaming Project between Filter and Window is traversed (subquery spelling)") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    s.read.parquet("/root/testdata/sf0.001/orders.parquet").createOrReplaceTempView("orders_v")
+    // the spelling users actually write: subquery + outer WHERE, columns
+    // renamed through the subquery's SELECT
+    val sql = s.sql(
+      """SELECT custkey, okey, rank FROM (
+        |  SELECT o_custkey AS custkey, o_orderkey AS okey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rank
+        |  FROM orders_v) t
+        |WHERE rank = 1 AND custkey % 2 = 0""".stripMargin)
+    assert(!hasWindow(sql), "filter-over-project-over-window must rewrite")
+    assert(hasPickAgg(sql))
+    val baseline = s.sql(
+      """SELECT custkey, okey, rank FROM (
+        |  SELECT o_custkey AS custkey, o_orderkey AS okey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rank
+        |  FROM orders_v) t
+        |WHERE rank >= 1 AND rank <= 1 AND custkey % 2 = 0""".stripMargin)
+    assert(hasWindow(baseline))
+    assert(sql.collect().map(_.toSeq).toSet == baseline.collect().map(_.toSeq).toSet)
+    assert(sql.count() > 0)
+  }
+
+  test("conjunction guards: overlapping rank conjuncts stay correct, computed projections do not fire") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val rn = events.withColumn("rn", row_number().over(w))
+    // overlapping rank conjuncts: Catalyst's own simplification (constant
+    // propagation / constraint pruning) may reduce them to ONE rank
+    // predicate before this rule runs — whether the rewrite then fires or
+    // the both-conjunct guard keeps the window, results must equal the
+    // window form
+    assert(rn.where(col("rn") === 1 && col("rn") <= 3).collect().map(_.toSeq).toSet ==
+      dodge(rn, 1).collect().map(_.toSeq).toSet)
+    // residual mentioning rn: ConstantPropagation substitutes rn=1 into it
+    // (making it rank-free) or the reference guard blocks — either way
+    // results match the window form
+    assert(rn.where(col("rn") === 1 && (col("rn") + col("event_id")) > 0)
+      .collect().map(_.toSeq).toSet == dodge(rn, 1).collect().map(_.toSeq).toSet)
+    // computed (non-renaming) projection between filter and window:
+    // PushPredicateThroughProject moves the rank filter below the Project
+    // before this rule runs, normalizing it into the fire-able shape — so
+    // the rewrite still applies, and results must match the window form
+    val computed = rn.select(col("user_id"), (col("event_id") * 2).as("eid2"), col("rn"))
+      .where(col("rn") === 1)
+    assert(!hasWindow(computed) && hasPickAgg(computed))
+    val computedBaseline = dodge(rn, 1).select(col("user_id"), (col("event_id") * 2).as("eid2"), col("rn"))
+    assert(computed.collect().map(_.toSeq).toSet ==
+      computedBaseline.collect().map(_.toSeq).toSet)
+    assert(computed.count() > 0)
+  }
+
   test("rule does not fire on rn=2, mixed directions, global, non-default nulls") {
     val s = SparkSpec.session.newSession()
     GraftExtensions.registerAll(s)
