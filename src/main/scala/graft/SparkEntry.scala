@@ -107,6 +107,12 @@ object SparkEntry {
       CirclesViews.deadAccounts(Demo.crcTransfers(ev), ReceiptClassifier.demoBlocks(ev),
         horizonDays = 2)
     }),
+    "q_accepted_tokens" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.safeAcceptedCrc(
+        ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoSignups(ev))
+    }),
     "q_hub_transfers_per_day" -> ((s, d) => {
       val ev = Tables.events(s, d)
       CirclesViews.perDayCounts(
@@ -577,6 +583,23 @@ object SparkEntry {
         |f AS (SELECT max(ts) AS frontier FROM events)
         |SELECT "to" FROM act, f
         |WHERE last_seen < frontier - INTERVAL 2 DAY ORDER BY "to"""".stripMargin),
+    "q_accepted_tokens" ->
+      """WITH reg AS (
+        | SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  CASE WHEN user_id % 4 <> 3
+        |       THEN '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') END AS token
+        | FROM (SELECT DISTINCT user_id FROM events)),
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup')
+        |SELECT t.can_send_to AS safe_address, r.token AS accepted_token,
+        | r."user" AS accepted_token_owner,
+        | arg_max(t."limit", t.hash) AS "limit", max(t.hash) AS last_change
+        |FROM tr t JOIN reg r ON r."user" = t."user" AND r.token IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY safe_address, accepted_token""".stripMargin,
     "q_hub_transfers_per_day" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS transfers
         |FROM events WHERE event_type = 'click'

@@ -269,6 +269,29 @@ object CirclesViews {
       .where(col("last_seen") < col("frontier") - expr(s"INTERVAL $horizonDays DAYS"))
       .select("to").orderBy("to")
 
+  /** crc_safe_accepted_crc (0.0.64.sql:1296): which tokens each safe
+    * currently accepts, at what limit — the LATEST trust edge per
+    * (safe, accepted token, owner), token-attributed through the signup
+    * registry. The catalog spells latest-per-key as
+    * max(timestamp) + a self-join back to the trust table; here it is one
+    * max_by aggregation after the (broadcastable) owner join — no second
+    * scan, no join-back, partial-aggregable map-side (the same physics as
+    * [[currentTrust]]).
+    */
+  def safeAcceptedCrc(trusts: DataFrame, signups: DataFrame,
+                      orderCol: String = "hash"): DataFrame = {
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("user"), col("token").as("accepted_token"),
+        col("user").as("accepted_token_owner"))
+    trusts.join(owners, "user") // trusts.user = the trustee (catalog's address)
+      .groupBy(col("can_send_to").as("safe_address"), col("accepted_token"),
+        col("accepted_token_owner"))
+      .agg(
+        max_by(col("limit"), col(orderCol)).as("limit"),
+        max(col(orderCol)).as("last_change"))
+      .orderBy("safe_address", "accepted_token")
+  }
+
   /** crc_hub_transfers_per_day / crc_signups_per_day (0.0.64.sql:1253,
     * 1563): date_trunc'd counts of a detail frame through the block join.
     * Emits the day as epoch-ms (cross-engine-stable) — one partial-agg

@@ -172,6 +172,20 @@ class CirclesViewsSpec extends SparkSpec {
     assert(CirclesViews.totalMinted(catTransfers, catSignups).as[Double].head() == 50.0)
   }
 
+  test("safeAcceptedCrc: latest trust edge per (safe, accepted token, owner)") {
+    val tr = Seq(
+      ("0xt1", "u2", "u1", 50L), // u1 accepts u2's token at 50…
+      ("0xt4", "u2", "u1", 80L), // …then 80 (later order wins)
+      ("0xt2", "u3", "u1", 10L), // u3 owns no token (org) → no accepted row
+      ("0xt3", "u1", "u2", 25L)
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val r = CirclesViews.safeAcceptedCrc(tr, catSignups)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(r == Set(
+      ("u1", "tokB", "u2", 80L, "0xt4"),
+      ("u2", "tokA", "u1", 25L, "0xt3")))
+  }
+
   test("alive/dead accounts: strict horizon split on last CRC-transfer recency") {
     val blocks = Seq(
       ("0xa1", ts("2024-01-02 00:00:00")), ("0xa3", ts("2024-01-03 00:00:00")),
