@@ -145,7 +145,19 @@ object SparkEntry {
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactByHash(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
-    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      // filter on the RAW jaccard (operator semantics), round for output
+      // parity; the hashed-shingle sets make the same set sizes as string
+      // shingles absent 2^-64 collisions, so the brute-force DuckDB twin
+      // is a true oracle for the index's sound prefix/size pruning
+      Dedup.ngramJaccardPairs(Tables.documents(s, d))
+        .withColumn("jaccard", round(col("jaccard"), 12))
+    }),
+    "q_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(Tables.documents(s, d),
+        threshold = 0.5, blockBySource = false))),
+    "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
@@ -626,6 +638,70 @@ object SparkEntry {
         |SELECT qid, nid, cosine, rk FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored) t
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // brute-force twin of the prefix-indexed ppjoin: the index's pruning
+    // is SOUND (never drops an at-threshold pair), so all-pairs scoring
+    // over string shingles must reproduce it exactly
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+        | SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |       ELSE list_distinct(list_transform(range(len(words) - 2),
+        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+        | FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 12) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE w AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |       ELSE list_distinct(list_transform(range(len(words) - 2),
+        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+        | FROM w),
+        |e AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM e
+        |        UNION ALL SELECT doc_b, doc_a FROM e),
+        |reach(id, r) AS (
+        | SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+        | UNION
+        | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH m AS (
+        | SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_chars < 100 THEN 'too_short'
+        |       WHEN n_words < 20 THEN 'too_few_words'
+        |       WHEN avg_word_len > 4.95 THEN 'gibberish_words'
+        |       WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+        |       WHEN stopword_ratio < 0.0 THEN 'low_stopword' END AS r
+        | FROM m)
+        |SELECT doc_id, r IS NULL AS keep, coalesce(r, 'ok') AS reason
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split(text, ' ')) AS n_words,

@@ -262,11 +262,17 @@ object Dedup {
         .distinct()
     }
 
+  /** `blockBySource = false` drops the source blocking key (one global
+    * dedup scope — the cross-corpus near-dup setting); the inverted index
+    * and its pruning work identically, token groups just span sources.
+    */
   def ngramJaccardPairsIndexed(documents: DataFrame, threshold: Double = 0.02,
                                orderByFrequency: Boolean = false,
-                               saltBuckets: Int = 1): DataFrame = {
+                               saltBuckets: Int = 1,
+                               blockBySource: Boolean = true): DataFrame = {
     val d = documents.select(
-      col("doc_id"), col("source"),
+      col("doc_id"),
+      (if (blockBySource) col("source") else lit("_global")).as("source"),
       graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
     val candidates =
       indexCandidates(prefixIndex(d, threshold, orderByFrequency), saltBuckets)
@@ -282,6 +288,60 @@ object Dedup {
         graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected components over an undirected duplicate-pair list — the
+    * CLUSTER step every near-dedup pipeline ends with (pairs → groups →
+    * keep one doc per group). Output: (doc_id, cluster_id) for every doc
+    * appearing in ≥1 pair, cluster_id = the smallest doc_id reachable
+    * from it (canonical, deterministic).
+    *
+    * Iterative hash-to-min label propagation: each vertex takes the
+    * minimum label in its closed neighborhood until fixpoint. Iterations
+    * are bounded by the largest cluster DIAMETER — near-dup graphs are
+    * shallow (boilerplate stars, short mutation chains), so a handful of
+    * rounds closes them; each round is two hash-partitioned shuffles
+    * (neighbor-min agg + label join) over (id, label) longs — 16 B/row
+    * regardless of corpus width — and the only driver traffic is a 1-row
+    * convergence probe per round. min() is order-independent, so results
+    * don't depend on partitioning. (GraphX does the same propagation; the
+    * DataFrame form keeps Catalyst/AQE in charge and the shuffle payload
+    * minimal.)
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // each round references the previous labels TWICE (neighbor-min join +
+    // the self merge), so chaining plans would DOUBLE the tree per round —
+    // 2^iters nodes by convergence. localCheckpoint(eager) severs the
+    // lineage every round: the next plan starts flat from materialized
+    // blocks (at cluster scale, reliable checkpoint() adds fault tolerance
+    // on top of the same mechanics).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .where(col("u.label") =!= col("l.label"))
+        .limit(1).count() // convergence probe: bounded to 1 row
+      labels = updated
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Candidate-pair count of the prefix index under each token order —

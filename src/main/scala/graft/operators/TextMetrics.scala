@@ -32,6 +32,27 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** C4/Gopher-style keep/drop decision composed from [[quality]] — the
+    * FILTER stage a training-data pipeline runs after scoring: map-only,
+    * `keep` plus the FIRST failing rule as the drop reason (the audit
+    * shape quality dashboards consume). Thresholds are caller knobs;
+    * defaults split the driver testdata non-trivially (its synthetic docs
+    * carry no punctuation, so the punct rule exists but won't fire there).
+    */
+  def qualityFilter(documents: DataFrame, minChars: Int = 100, minWords: Int = 20,
+                    maxAvgWordLen: Double = 4.95, maxPunctRatio: Double = 0.3,
+                    minStopwordRatio: Double = 0.0): DataFrame = {
+    val reason = when(col("n_chars") < minChars, "too_short")
+      .when(col("n_words") < minWords, "too_few_words")
+      .when(col("avg_word_len") > maxAvgWordLen, "gibberish_words")
+      .when(col("punct_ratio") > maxPunctRatio, "too_much_punct")
+      .when(col("stopword_ratio") < minStopwordRatio, "low_stopword")
+    quality(documents)
+      .select(col("doc_id"), reason.isNull.as("keep"),
+        coalesce(reason, lit("ok")).as("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer (letter
     * runs / single digits / single punctuation — the classic pre-tokenizer
     * shape). The regex is kept in the portable subset (character classes,

@@ -118,4 +118,43 @@ class DedupSpec extends SparkSpec {
     ).as[(Long, Long)].collect()
     both.foreach { case (n, r) => assert(n == r) }
   }
+
+  test("dupClusters: chain, star, and pair components each take their min id") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), star 10←{11,12,13},
+    // isolated pair (20,21); 99 appears in no pair → absent from output
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val r = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(r == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: long path converges (propagation reaches the far end)") {
+    // path 0-1-2-…-12: min label 0 must travel 12 hops
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val r = Dedup.dupClusters(pairs).as[(Long, Long)].collect()
+    assert(r.length == 13 && r.forall(_._2 == 0L))
+  }
+
+  test("dupClusters over global near-dup pairs groups the testdata duplicates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairsIndexed(docs, threshold = 0.5, blockBySource = false)
+    val clusters = Dedup.dupClusters(pairs).as[(Long, Long)].collect()
+    val nPairs = pairs.count()
+    assert(nPairs > 0, "testdata must contain near-dup pairs at 0.5")
+    // every paired doc is labeled; labels are cluster-minimal (a cluster id
+    // is itself a member with that label)
+    val labels = clusters.toMap
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (_, c) => assert(labels(c) == c, s"cluster id $c must be its own root") }
+    // each pair's two docs share a cluster (edges never straddle clusters)
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }

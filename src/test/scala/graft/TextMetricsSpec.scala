@@ -70,6 +70,30 @@ class TextMetricsSpec extends SparkSpec {
     }
   }
 
+  test("qualityFilter: each rule fires on its shaped doc, first reason wins") {
+    val docs = Seq(
+      // passes everything: long, many short words, punct-free, has stopwords
+      (1L, ("the quick fox " * 30).trim),
+      (2L, "tiny"),                                  // too_short (< 100 chars)
+      (3L, "x " * 60 + "y" * 30),                    // 151 chars but 61 words of avg len… compute: too_few? 61 words ≥ 20; avg_word_len = (151-61+1)/61 ≈ 1.5 → passes len rules; no stopwords
+      (4L, ("supercalifragilistic " * 10).trim),     // 10 words < 20 → too_few_words… 209 chars
+      (5L, ("pseudopseudohypoparathyroidism word " * 15).trim) // avg word len > 4.95
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.qualityFilter(docs, minStopwordRatio = 0.001)
+      .as[(Long, Boolean, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((true, "ok")))
+    assert(r(2L) == ((false, "too_short")))
+    assert(r(3L) == ((false, "low_stopword"))) // stopword rule with raised threshold
+    assert(r(4L) == ((false, "too_few_words")))
+    assert(r(5L) == ((false, "gibberish_words")))
+    // punct rule: short punct words keep avg_word_len low so the punct
+    // ratio (100/309 ≈ 0.32 > 0.3) is the first failing rule
+    val punct = Seq((9L, ("!! " * 50) + ("the a " * 10) + ("word " * 20).trim))
+      .toDF("doc_id", "text")
+    val pr = TextMetrics.qualityFilter(punct).as[(Long, Boolean, String)].collect()
+    assert(pr.head._3 == "too_much_punct")
+  }
+
   test("token counts: BPE-ish regex splits punctuation and digits") {
     val docs = Seq((0L, "ab12 cd, ef")).toDF("doc_id", "text")
     val r = TextMetrics.tokenCounts(docs).collect()(0)
