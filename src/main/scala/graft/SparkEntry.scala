@@ -620,6 +620,27 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS signups
         |FROM events WHERE event_type = 'view'
         |GROUP BY day_ms ORDER BY day_ms""".stripMargin,
+    "q_trust_view" ->
+      """WITH tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup')
+        |SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
+        | count(*) AS history_count, max(hash) AS last_change
+        |FROM tr GROUP BY "user", can_send_to
+        |ORDER BY "user", can_send_to""".stripMargin,
+    "q_token_balances" -> (demoCte +
+      """,
+        |d AS (
+        | SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
+        | UNION ALL
+        | SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc)
+        |SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        | max(hash) AS last_change_at
+        |FROM d GROUP BY safe_address, token
+        |ORDER BY safe_address, token""".stripMargin),
     "q_ann_cosine" ->
       """WITH n AS (
         | SELECT vec_id, embedding,

@@ -49,9 +49,6 @@ object ViewMaintenance {
 
   val DefaultNumBuckets = 64
 
-  private def bucketOf(numBuckets: Int) =
-    pmod(xxhash64(col("user")), lit(numBuckets.toLong)).cast("int")
-
   private def fsOf(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
@@ -162,27 +159,10 @@ object ViewMaintenance {
     */
   def mergeTrustBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
                       numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
-                      maxGenerations: Int = DefaultMaxGenerations): Unit = {
-    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
-    val batchId = if (version >= 0) version else lastBatch + 1
-    if (lastBatch >= batchId) return // replay of a committed batch: already merged
-    val v = curVer + 1 // generation AND manifest version for this merge
-    val delta = graft.operators.CirclesViews.currentTrust(batch)
-      .withColumn("bucket", bucketOf(numBuckets))
-    // the touched-bucket set is bounded by numBuckets — a small, safe collect
-    val touched = delta.select("bucket").distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) return
-    val existingTouched = touched.toSeq
-      .flatMap(b => mapping.get(b).map(g => (g, b)))
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      .map { case (g, buckets) =>
-        spark.read.parquet(s"$viewDir/data/g=$g")
-          .where(col("bucket").isin(buckets.map(Int.box): _*))
-      }
-      .reduceOption(_.unionByName(_))
-    val merged = existingTouched match {
-      case None => delta
-      case Some(existing) =>
+                      maxGenerations: Int = DefaultMaxGenerations): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      graft.operators.CirclesViews.currentTrust(batch), "user",
+      (existing, delta) => {
         val e = existing.select(
           col("user"), col("can_send_to"),
           struct(col("last_change"), col("limit")).as("st_a"),
@@ -197,7 +177,75 @@ object ViewMaintenance {
             greatest(col("st_a"), col("st_b")).getField("limit").as("limit"),
             (coalesce(col("hc_a"), lit(0L)) + coalesce(col("hc_b"), lit(0L))).as("history_count"),
             greatest(col("st_a"), col("st_b")).getField("last_change").as("last_change"))
-          .withColumn("bucket", bucketOf(numBuckets))
+      },
+      numBuckets, version, maxGenerations)
+
+  /** Balances-view maintenance (the cache_crc_balances_by_safe_and_token
+    * family): per-(safe, token) RUNNING DECIMAL sums over the transfer
+    * stream, (hash, token, from, to, value) per row. Addition is
+    * associative and the stored form stays decimal(38,4), so ANY
+    * micro-batch slicing converges bit-exactly to the batch recompute —
+    * a double store would drift by merge order. Serve-side casts to
+    * double exactly like the batch view (spec-asserted equal).
+    */
+  def mergeBalancesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                         numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                         maxGenerations: Int = DefaultMaxGenerations): Unit = {
+    val delta = batch.select(explode(array(
+        struct(col("to").as("safe_address"), col("token"), col("value").as("delta"), col("hash")),
+        struct(col("from").as("safe_address"), col("token"), (-col("value")).as("delta"), col("hash"))
+      )).as("m")).select("m.*")
+      .groupBy("safe_address", "token")
+      .agg(sum(col("delta").cast("decimal(18,4)")).cast("decimal(38,4)").as("balance"),
+        max("hash").as("last_change_at"))
+    mergeBatchGeneric(spark, viewDir, delta, "safe_address",
+      (existing, d) => {
+        val e = existing.select(col("safe_address"), col("token"),
+          col("balance").as("bal_a"), col("last_change_at").as("lc_a"))
+        val dd = d.select(col("safe_address"), col("token"),
+          col("balance").as("bal_b"), col("last_change_at").as("lc_b"))
+        e.join(dd, Seq("safe_address", "token"), "full_outer")
+          .select(col("safe_address"), col("token"),
+            (coalesce(col("bal_a"), lit(0).cast("decimal(38,4)")) +
+              coalesce(col("bal_b"), lit(0).cast("decimal(38,4)")))
+              .cast("decimal(38,4)").as("balance"), // stable schema across generations
+            greatest(col("lc_a"), col("lc_b")).as("last_change_at"))
+      },
+      numBuckets, version, maxGenerations)
+  }
+
+  /** The shared manifest-committed merge flow (crash/replay/GC/compaction
+    * semantics documented on the object): `delta` arrives reduced per key
+    * with no bucket column; `mergeFn(existing, delta)` combines the
+    * touched slice of the stored view with it. `bucketKey` must stay
+    * fixed for the view directory's lifetime.
+    */
+  private def mergeBatchGeneric(spark: SparkSession, viewDir: String,
+      delta: DataFrame, bucketKey: String,
+      mergeFn: (DataFrame, DataFrame) => DataFrame,
+      numBuckets: Int, version: Long, maxGenerations: Int): Unit = {
+    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
+    val batchId = if (version >= 0) version else lastBatch + 1
+    if (lastBatch >= batchId) return // replay of a committed batch: already merged
+    val v = curVer + 1 // generation AND manifest version for this merge
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("bucket",
+      pmod(xxhash64(col(bucketKey)), lit(numBuckets.toLong)).cast("int"))
+    val deltaB = bucketed(delta)
+    // the touched-bucket set is bounded by numBuckets — a small, safe collect
+    val touched = deltaB.select("bucket").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val existingTouched = touched.toSeq
+      .flatMap(b => mapping.get(b).map(g => (g, b)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .map { case (g, buckets) =>
+        spark.read.parquet(s"$viewDir/data/g=$g")
+          .where(col("bucket").isin(buckets.map(Int.box): _*))
+      }
+      .reduceOption(_.unionByName(_))
+    val merged = existingTouched match {
+      case None => deltaB
+      case Some(existing) =>
+        bucketed(mergeFn(existing.drop("bucket"), delta))
     }
     // write the new generation (invisible until the manifest names it) …
     merged.write.mode("overwrite").partitionBy("bucket")
@@ -239,6 +287,16 @@ object ViewMaintenance {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeTrustBatch(batch.sparkSession, batch, viewDir, numBuckets, batchId)
+        ()
+      }
+      .start()
+
+  def startBalancesView(transfers: DataFrame, viewDir: String, checkpointDir: String,
+                        numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    transfers.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBalancesBatch(batch.sparkSession, batch, viewDir, numBuckets, batchId)
         ()
       }
       .start()

@@ -133,6 +133,44 @@ class ViewMaintenanceSpec extends SparkSpec {
       Set(("u1", 1L), ("u2", 2L), ("u3", 3L), ("u4", 4L), ("u5", 5L)))
   }
 
+  test("balances maintenance: sliced micro-batches converge to the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewDir = Files.createTempDirectory("graft-balview").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-balview-ckpt").toString
+    val all = Seq(
+      ("0xa1", "tokA", "u1", "u2", 100L),
+      ("0xa2", "tokA", "u2", "u3", 30L),
+      ("0xa3", "tokB", "u1", "u3", 10L),
+      ("0xa4", "tokA", "u3", "u1", 5L),
+      ("0xa5", "tokB", "u3", "u1", 7L),
+      ("0xa6", "tokA", "u2", "u2", 9L) // self transfer: net zero, hash still advances
+    )
+    val mem = MemoryStream[(String, String, String, String, Long)]
+    val q = ViewMaintenance.startBalancesView(
+      mem.toDF().toDF("hash", "token", "from", "to", "value"), viewDir, ckpt)
+    // three uneven slices
+    mem.addData(all(0), all(1)); q.processAllAvailable()
+    mem.addData(all(2)); q.processAllAvailable()
+    mem.addData(all(3), all(4), all(5)); q.processAllAvailable()
+    q.stop()
+    val maintained = readView(spark, viewDir)
+      .select(col("safe_address"), col("token"),
+        col("balance").cast("double").as("balance"), col("last_change_at"))
+      .as[(String, String, Double, String)].collect().toSet
+    val recompute = graft.operators.CirclesViews.balancesBySafeAndToken(
+        all.toDF("hash", "token", "from", "to", "value"))
+      .select("safe_address", "token", "balance", "last_change_at")
+      .as[(String, String, Double, String)].collect().toSet
+    assert(maintained == recompute, "incremental view must equal the batch recompute")
+    // replay of a committed batch id is a no-op for the additive merge too
+    ViewMaintenance.mergeBalancesBatch(spark,
+      Seq(all(2)).toDF("hash", "token", "from", "to", "value"), viewDir, version = 1L)
+    val replayed = readView(spark, viewDir)
+      .select(col("safe_address"), col("token"), col("balance").cast("double"), col("last_change_at"))
+      .as[(String, String, Double, String)].collect().toSet
+    assert(replayed == recompute, "replay must not double-add")
+  }
+
   test("replaying a committed batch version is a detected no-op") {
     val viewDir = Files.createTempDirectory("graft-replay").toString + "/view"
     mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
