@@ -620,6 +620,40 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS signups
         |FROM events WHERE event_type = 'view'
         |GROUP BY day_ms ORDER BY day_ms""".stripMargin,
+    // expected-vs-actual functional oracle: the demo receipt construction
+    // makes each event_type's flag set deterministic (per-predicate edge
+    // semantics are pinned separately by ReceiptClassifierSpec against the
+    // reference's own test receipts)
+    "q_receipt_classify" ->
+      """SELECT event_id, '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        | CASE event_type
+        |  WHEN 'purchase' THEN 'Erc20Transfer'
+        |  WHEN 'signup' THEN 'CrcTrust'
+        |  WHEN 'view' THEN 'CrcOrganisationSignup'
+        |  WHEN 'click' THEN 'Erc20Transfer,CrcHubTransfer'
+        |  ELSE CASE WHEN event_id % 2 = 0 THEN 'SafeEthTransfer'
+        |            ELSE 'EoaEthTransfer' END
+        | END AS classification
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','and','of','to','is','in','that','it'))) AS en,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('el','la','de','que','y','en','los','es'))) AS es,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |      WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+        |      WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |      WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |      ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_trust_view" ->
       """WITH tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
