@@ -59,7 +59,12 @@ object SparkEntry {
     // ---- SQL-migration view catalog (SURVEY §2 #4c-4g) ----
     "q_safe_timeline" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val r = ReceiptClassifier.demoReceipts(ev)
+      // the synthetic receipts feed FIVE extractor legs; without a cache
+      // each leg re-derives the whole construction subtree (6 scans of
+      // events + 6× the md5/hex receipt build). persist() makes the legs
+      // share one InMemoryRelation — the real deployment reads stored
+      // detail tables here, so this mirrors that shape, not a bench trick
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
       CirclesViews.safeTimeline(
         ReceiptClassifier.demoSignups(ev),
         ReceiptClassifier.extractTrusts(r),
