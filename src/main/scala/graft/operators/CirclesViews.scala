@@ -127,11 +127,20 @@ object CirclesViews {
     * Kept off the oracle surface (JSON key order is engine-specific);
     * spec-verified via from_json round-trip.
     */
+  /** `joinRegistry`: the signup registry the participant legs join
+    * against. Defaults to `signups` itself (the batch view). The
+    * INCREMENTAL form ([[graft.streaming.ViewMaintenance.timelineOfBatch]])
+    * passes the batch's NEW signups as `signups` (their one-time self
+    * rows) but the FULL maintained registry here, so a batch's transfers
+    * join every safe signed up so far.
+    */
   def safeTimeline(signups: DataFrame, trusts: DataFrame, hubTransfers: DataFrame,
                    erc20Transfers: DataFrame, ethTransfers: DataFrame,
-                   safeEthTransfers: DataFrame, withObj: Boolean = false): DataFrame = {
-    val registry = signups.select("user").distinct()
-    val crcTokens = signups.where(col("token").isNotNull)
+                   safeEthTransfers: DataFrame, withObj: Boolean = false,
+                   joinRegistry: Option[DataFrame] = None): DataFrame = {
+    val reg = joinRegistry.getOrElse(signups)
+    val registry = reg.select("user").distinct()
+    val crcTokens = reg.where(col("token").isNotNull)
       .select(col("token"), col("user").as("token_owner")).distinct()
 
     val signupLeg = signups.select(col("hash"), lit("CrcSignup").as("type"),
@@ -159,7 +168,7 @@ object CirclesViews {
 
     // CrcMinting (leg 4): crc-token transfers from 0x0, attributed to the
     // token OWNER via the signup join (formatted_crc_minting ⋈ token)
-    val mintingLeg = crcMinting(erc20Transfers, signups)
+    val mintingLeg = crcMinting(erc20Transfers, reg)
       .select(col("hash"), lit("CrcMinting").as("type"),
         col("token_owner").as("safe_address"), col("from").as("contact_address"),
         lit("in").as("direction"), col("value"))

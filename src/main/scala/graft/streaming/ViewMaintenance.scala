@@ -300,4 +300,87 @@ object ViewMaintenance {
         ()
       }
       .start()
+
+  // --- append-only views (the timeline / ledger family) ------------------
+
+  /** Idempotent append for APPEND-ONLY derived views: the batch's rows
+    * land in partition `b=<batchId>` via dynamic partition overwrite, so a
+    * replayed batch overwrites ITSELF — at-least-once foreachBatch
+    * delivery yields exactly-once content with no merge, no manifest, and
+    * O(batch) work (no other batch's files are read or rewritten). Rows of
+    * a final block never change, which is what makes the timeline/ledger
+    * views append-only in the reference too.
+    */
+  def appendBatch(batch: DataFrame, viewDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.withColumn("b", lit(batchId))
+      .write.mode("overwrite").partitionBy("b").parquet(viewDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  def readAppendView(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(viewDir).drop("b")
+
+  /** The timeline rows ONE receipts micro-batch contributes: the batch's
+    * own new signups feed the one-time CrcSignup self rows, while every
+    * participant leg joins the FULL maintained `registry` (a
+    * slowly-changing dimension, re-read per batch — late signups affect
+    * only future batches, exactly like evaluating the catalog view
+    * incrementally). Grouping inside the legs is per transaction hash and
+    * a receipt's logs arrive in one row, so batch slicing can't split a
+    * leg's group.
+    */
+  def timelineOfBatch(receipts: DataFrame, registry: DataFrame): DataFrame = {
+    import graft.operators.{CirclesViews, ReceiptClassifier => RC}
+    def dec(c: org.apache.spark.sql.Column) =
+      RC.hexLong(substring(c, 3, 64)).cast("string")
+    val newSignups = CirclesViews.allSignups(
+      RC.extractSignups(receipts), RC.extractOrgSignups(receipts))
+    CirclesViews.safeTimeline(
+      newSignups,
+      RC.extractTrusts(receipts),
+      RC.extractHubTransfers(receipts)
+        .withColumn("value", dec(col("value_hex"))).drop("value_hex"),
+      RC.extractErc20Transfers(receipts)
+        .withColumn("value", dec(col("value_hex"))).drop("value_hex"),
+      RC.extractEthTransfers(receipts),
+      RC.extractSafeEthTransfers(receipts),
+      joinRegistry = Some(registry))
+  }
+
+  /** Streaming timeline maintenance over a receipts stream. `registry`
+    * is a thunk so each batch sees the registry AS OF that batch (e.g.
+    * the maintained signups view).
+    */
+  def startTimelineView(receipts: DataFrame, registry: () => DataFrame,
+                        viewDir: String, checkpointDir: String): StreamingQuery =
+    receipts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(timelineOfBatch(batch, registry()), viewDir, batchId)
+        ()
+      }
+      .start()
+
+  /** Streaming double-entry ledger over a transfer stream (flat rows
+    * (hash, token, from, to, value)): per-batch [[CirclesViews.ledger]]
+    * rows appended idempotently. Ledger grouping is per (hash, side) and
+    * a tx's transfers share its receipt row, so batch slicing never
+    * splits a group.
+    */
+  def startLedgerView(transfers: DataFrame, signups: () => DataFrame,
+                      viewDir: String, checkpointDir: String): StreamingQuery =
+    transfers.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(graft.operators.CirclesViews.ledger(batch, signups()), viewDir, batchId)
+        ()
+      }
+      .start()
 }

@@ -141,6 +141,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupClusters == union-find on random graphs") {
+    val rng = new scala.util.Random(11)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rng.nextInt(30)
+      val edges = List.fill(1 + rng.nextInt(40))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // reference: plain union-find over the same edges
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        val got = graft.operators.Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        // same vertex set; same PARTITION (min-root canonical labels agree)
+        assert(got.keySet == expected.keySet)
+        got.foreach { case (v, c) => assert(c == expected(v), s"vertex $v: $got vs $expected") }
+      }
+    }
+  }
+
   test("winnowing: shared long runs share fingerprints; disjoint texts don't") {
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")
     val docs = Seq(

@@ -171,6 +171,65 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(replayed == recompute, "replay must not double-add")
   }
 
+  test("append-only timeline: incremental batches == one-shot, replay overwrites itself") {
+    import graft.operators.ReceiptClassifier
+    val ev = Seq(
+      (1L, 1L, "purchase", """{"k":5}"""),  // person token → CRC transfer (ledger only)
+      (2L, 2L, "click", """{"k":6}"""),     // hub transfer 'out'
+      (3L, 3L, "signup", """{"k":7}"""),    // trust 'in' (trustee (7·3+13)%150=34 unregistered)
+      (4L, 4L, "view", """{"k":8}"""),      // org signup self row
+      (5L, 5L, "error", """{"k":9}"""),     // odd → EOA eth transfer 'out'
+      (6L, 21L, "error", """{"k":1}"""),    // even → safe eth to (13·21+29)%150 = user 2 → 'in'
+      (10L, 5L, "purchase", """{"k":2}"""), // %5 == 0 by a person → CrcMinting
+      (8L, 8L, "click", """{"k":3}"""),     // second hub transfer
+      (7L, 3L, "purchase", """{"k":4}""")   // org's token is non-CRC → Erc20Transfer 'out'
+    ).toDF("event_id", "user_id", "event_type", "props")
+    val receipts = ReceiptClassifier.demoReceipts(ev)
+    val registry = ReceiptClassifier.demoSignups(ev)
+    val dir = Files.createTempDirectory("graft-timeline").toString + "/view"
+    val b1 = receipts.where(col("event_id") % 2 === 1)
+    val b2 = receipts.where(col("event_id") % 2 === 0)
+    ViewMaintenance.appendBatch(ViewMaintenance.timelineOfBatch(b1, registry), dir, 0L)
+    ViewMaintenance.appendBatch(ViewMaintenance.timelineOfBatch(b2, registry), dir, 1L)
+    def state() = ViewMaintenance.readAppendView(spark, dir)
+      .as[(String, String, String, String, String, String)].collect().toSet
+    val oneShot = ViewMaintenance.timelineOfBatch(receipts, registry)
+      .as[(String, String, String, String, String, String)].collect().toSet
+    assert(state() == oneShot && oneShot.nonEmpty)
+    // every leg family made it through the incremental path
+    assert(oneShot.map(_._2) == Set("CrcSignup", "CrcTrust", "CrcHubTransfer",
+      "CrcMinting", "EthTransfer", "Erc20Transfer", "GnosisSafeEthTransfer"))
+    // a replayed batch overwrites its own partition: content unchanged
+    ViewMaintenance.appendBatch(ViewMaintenance.timelineOfBatch(b1, registry), dir, 0L)
+    assert(state() == oneShot)
+  }
+
+  test("streaming ledger view: sliced stream == batch ledger over all transfers") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = Seq(("0xs1", "u1", "tokA"), ("0xs2", "u2", "tokB"))
+      .toDF("hash", "user", "token")
+    val all = Seq(
+      ("0xa1", "tokA", "u1", "u2", 100L),
+      ("0xa2", "tokB", "u2", "u3", 30L),
+      ("0xa3", "tokC", "u1", "u3", 10L), // non-CRC: no ledger rows
+      ("0xa4", "tokA", "u3", "u1", 5L)
+    )
+    val dir = Files.createTempDirectory("graft-ledgerview").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-ledgerview-ckpt").toString
+    val mem = MemoryStream[(String, String, String, String, Long)]
+    val q = ViewMaintenance.startLedgerView(
+      mem.toDF().toDF("hash", "token", "from", "to", "value"), () => signups, dir, ckpt)
+    mem.addData(all(0), all(1)); q.processAllAvailable()
+    mem.addData(all(2), all(3)); q.processAllAvailable()
+    q.stop()
+    val streamed = ViewMaintenance.readAppendView(spark, dir)
+      .as[(String, String, Double, String, String, String, String)].collect().toSet
+    val batch = graft.operators.CirclesViews.ledger(
+        all.toDF("hash", "token", "from", "to", "value"), signups)
+      .as[(String, String, Double, String, String, String, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("replaying a committed batch version is a detected no-op") {
     val viewDir = Files.createTempDirectory("graft-replay").toString + "/view"
     mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
