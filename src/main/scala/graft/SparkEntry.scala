@@ -165,6 +165,7 @@ object SparkEntry {
     "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "q_ann_lsh_multiprobe" -> ((s, d) => Ann.lshTopKMultiprobe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     // train + query in one call: the k-means cost is real but ONE-TIME at
     // scale (centroids are a stored index); benched separately so the

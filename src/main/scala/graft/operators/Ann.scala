@@ -380,6 +380,56 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Multiprobe LSH top-k: the base is bucketed ONCE (exactly like
+    * [[lshTopK]]) and each query probes its own bucket PLUS the
+    * `extraProbes` buckets reached by flipping its lowest-|margin| sign
+    * bits — the buckets a near-boundary neighbor most likely landed in.
+    * This is the standard multiprobe trade: recall compounds like extra
+    * hash tables WITHOUT duplicating the corpus — the probe fan-out rides
+    * the (tiny) query side, the base never re-shuffles and holds one
+    * bucket entry per vector. Margins come from the same deterministic
+    * hyperplanes as the key ([[lshKey]]'s component family); the per-bit
+    * dot products are computed query-side only, so the interpreted HOF
+    * cost is queries×bits×dim — negligible.
+    */
+  def lshTopKMultiprobe(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
+                        numQueries: Int = 5, k: Int = 5,
+                        extraProbes: Int = 4): DataFrame = {
+    def planeComponent(i: Int, d: Int): Column =
+      (xxhash64(lit(s"plane:0:$i:$d")).cast("double") / lit(Long.MaxValue.toDouble) / 2.0d)
+    val keyed = embeddings.select(col("vec_id"), col("embedding"),
+      get(graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, 1), lit(0)).as("bucket"))
+    val base = keyed.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"), col("bucket"))
+      .where(col("nn") > 0)
+    // per-bit margins: |dot with hyperplane i|, ordered ascending — the
+    // flip targets. (abs, i) struct sort gives the deterministic order.
+    val dots = (0 until bits).map { i =>
+      (0 until dim).map(d => get(col("qe"), lit(d)).cast("double") * planeComponent(i, d)).reduce(_ + _)
+    }
+    val margins = array_sort(array(dots.zipWithIndex.map { case (dot, i) =>
+      struct(abs(dot).as("m"), lit(i).as("i"))
+    }: _*))
+    // native key layout ([[graft.functions.LshImpl.signKeys]]): one long,
+    // (table << bits) | signBits with plane i at bit (bits−1−i) — so
+    // probing the flip of plane i is a XOR with that bit's mask
+    val flipMasks = typedlit((0 until bits).map(i => 1L << (bits - 1 - i)).toArray)
+    val q = keyed.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"), col("bucket"))
+      .where(col("qn") > 0)
+      .withColumn("probes", array_union(
+        array(col("bucket")).cast("array<long>"),
+        transform(slice(margins, 1, extraProbes), m =>
+          col("bucket").bitwiseXOR(element_at(flipMasks, m.getField("i") + 1)))
+          .cast("array<long>")))
+      .select(col("qid"), col("qe"), col("qn"), explode(col("probes")).as("bucket"))
+    val scored = base.join(broadcast(q), "bucket")
+      .select(col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
+      .dropDuplicates("qid", "nid") // a neighbor can match via several probes
+    rankTopK(scored, k)
+  }
+
   def lshTopK(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
               numQueries: Int = 5, k: Int = 5): DataFrame = {
     val keyed = embeddings.select(col("vec_id"), col("embedding"),

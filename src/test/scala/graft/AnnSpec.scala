@@ -211,6 +211,40 @@ class AnnSpec extends SparkSpec {
       "probed-cid partition pruning must reach the list scan")
   })
 
+  test("multiprobe lsh: margin-guided flips recover boundary neighbors") {
+    // jittered clusters wide enough that true neighbors often flip ONE
+    // sign bit: single-probe misses them, probing the lowest-|margin|
+    // flipped buckets recovers them (measured on this seed:
+    // single 0.33 → multiprobe(+4) 1.00; +4 ≈ +8, i.e. the LOW-margin
+    // flips carry the recall — the multiprobe thesis)
+    val rng = new scala.util.Random(3)
+    val dim = 16
+    def vec() = Array.fill(dim)(rng.nextFloat() - 0.5f)
+    def jit(v: Array[Float]) = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.5f)
+    val qs = (0 until 3).map(_ => vec())
+    val emb = (qs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 60).map(i => (3L + i, jit(qs(i % 3))))).toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(emb, numQueries = 3, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      brute.map { case (q, b) =>
+        df.select("qid", "nid").as[(Long, Long)].collect()
+          .filter(_._1 == q).map(_._2).toSet.intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    val single = recallOf(Ann.lshTopK(emb, dim = dim, bits = 8, numQueries = 3, k = 5))
+    val multi = recallOf(Ann.lshTopKMultiprobe(emb, dim = dim, bits = 8, numQueries = 3, k = 5))
+    info(f"recall@5: single-probe=$single%.2f multiprobe(+4)=$multi%.2f")
+    assert(multi > single, "boundary neighbors must be recovered by the flips")
+    assert(multi >= 0.9, f"low-margin probes should recover nearly all, got $multi%.2f")
+    // and single-probe candidates are always a subset (own bucket probed)
+    val multiAll = Ann.lshTopKMultiprobe(emb, dim = dim, bits = 8, numQueries = 3, k = 1000)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val singleAll = Ann.lshTopK(emb, dim = dim, bits = 8, numQueries = 3, k = 1000)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(singleAll.subsetOf(multiAll), "own bucket is always probed")
+  }
+
   test("zero-norm vectors are excluded before scoring (no NaN in rankings)") {
     val withZero = vecs.unionAll(Seq((7L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
     val r = Ann.bruteForceTopK(withZero, numQueries = 2, k = 10)
