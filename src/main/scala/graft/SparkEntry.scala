@@ -163,6 +163,14 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(Tables.documents(s, d),
         threshold = 0.5, blockBySource = false))),
     "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
+    // decontamination demo split: even doc_ids are the "training" corpus,
+    // odd the held-out eval set
+    "q_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Ann.lshTopKMultiprobe(Tables.embeddings(s, d))),
@@ -742,6 +750,29 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |       ELSE list_distinct(list_transform(range(len(words) - 2),
+        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+        | FROM w),
+        |p AS (
+        | SELECT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        | FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |q AS (SELECT * FROM p WHERE j >= 0.5),
+        |m AS (SELECT train_doc_id, max(j) AS mj, count(*) AS n_matches
+        |      FROM q GROUP BY train_doc_id)
+        |SELECT m.train_doc_id, min(q.eval_doc_id) AS matched_eval_doc,
+        | round(m.mj, 12) AS jaccard, m.n_matches
+        |FROM m JOIN q ON q.train_doc_id = m.train_doc_id AND q.j = m.mj
+        |GROUP BY m.train_doc_id, m.mj, m.n_matches
+        |ORDER BY m.train_doc_id""".stripMargin,
     "q_quality_filter" ->
       """WITH m AS (
         | SELECT doc_id, length(text) AS n_chars,

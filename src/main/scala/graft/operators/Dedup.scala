@@ -290,6 +290,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-corpus near-duplicate detection — the DECONTAMINATION pass a
+    * training pipeline runs against its eval/benchmark sets: flag every
+    * train doc whose word-shingle Jaccard with ANY eval doc clears the
+    * threshold, with the best-matching eval doc as evidence.
+    *
+    * Candidates come from the same SOUND ppjoin prefix machinery as
+    * [[ngramJaccardPairsIndexed]] — each side indexes its own prefix
+    * tokens, and the index join only ever CROSSES sides — so candidate
+    * cost is bounded by shared prefix tokens, never |train|·|eval|, and
+    * no at-threshold pair can be missed. The index shuffles (token,
+    * doc_id) longs; shingle arrays cross the wire once per flagged
+    * candidate for the exact verify scan. Output: one row per
+    * contaminated train doc, `max_by` over its matches (partial-agged).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    threshold: Double = 0.5): DataFrame = {
+    def side(df: DataFrame) = df.select(
+      col("doc_id"), lit("_x").as("source"),
+      graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+    val (dTrain, dEval) = (side(train), side(evalSet))
+    val candidates = prefixIndex(dTrain, threshold, orderByFrequency = false).as("a")
+      .join(prefixIndex(dEval, threshold, orderByFrequency = false).as("b"),
+        col("a.tok") === col("b.tok"))
+      .select(col("a.doc_id").as("train_doc_id"), col("b.doc_id").as("eval_doc_id"))
+      .distinct()
+    val sa = size(col("sh_a")).cast("double")
+    val sb = size(col("sh_b")).cast("double")
+    candidates
+      .join(dTrain.select(col("doc_id").as("train_doc_id"), col("sh").as("sh_a")), "train_doc_id")
+      .join(dEval.select(col("doc_id").as("eval_doc_id"), col("sh").as("sh_b")), "eval_doc_id")
+      .where(least(sa, sb) >= lit(threshold) * greatest(sa, sb))
+      .select(col("train_doc_id"), col("eval_doc_id"),
+        graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("train_doc_id")
+      .agg(
+        max_by(col("eval_doc_id"), struct(col("jaccard"), -col("eval_doc_id"))).as("matched_eval_doc"),
+        round(max(col("jaccard")), 12).as("jaccard"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("train_doc_id")
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * CLUSTER step every near-dedup pipeline ends with (pairs → groups →
     * keep one doc per group). Output: (doc_id, cluster_id) for every doc

@@ -119,6 +119,27 @@ class DedupSpec extends SparkSpec {
     both.foreach { case (n, r) => assert(n == r) }
   }
 
+  test("decontaminate flags planted train/eval overlap, ignores train-internal dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val train = Seq(
+      (1L, base),                                   // contaminated: eval 101 is a near-copy
+      (2L, base),                                   // train-internal dup of 1 — must NOT be flagged by itself
+      (3L, "completely different words about spark catalyst optimizer rules engine")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, base + " extra"),                      // near-copy of train 1/2
+      (102L, "unrelated benchmark question answer pairs for evaluation only here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, eval, threshold = 0.5)
+      .as[(Long, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    // both near-copies of the eval doc are flagged, with 101 as evidence
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L)._2 == 101L && r(1L)._3 >= 0.5 && r(1L)._4 == 1L)
+    assert(r(2L)._2 == 101L)
+    // the clean doc is absent — and nothing was flagged against eval 102
+    assert(!r.contains(3L))
+  }
+
   test("dupClusters: chain, star, and pair components each take their min id") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), star 10←{11,12,13},
     // isolated pair (20,21); 99 appears in no pair → absent from output
