@@ -181,6 +181,13 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), kmeansIters = 2)),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
+    "q_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), "doc_id", permille = 200)
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_source_mix" -> ((s, d) =>
+      Sampling.sourceMix(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 100))
+        .select("doc_id", "source").orderBy("doc_id")),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
@@ -750,6 +757,19 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_hash_sample" ->
+      s"""SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.cutoffHex(200)}'
+        |ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      s"""SELECT doc_id, source FROM documents
+        |WHERE CASE source
+        |  WHEN 'src0' THEN '${graft.operators.Sampling.cutoffHex(1000)}'
+        |  WHEN 'src1' THEN '${graft.operators.Sampling.cutoffHex(500)}'
+        |  WHEN 'src2' THEN '${graft.operators.Sampling.cutoffHex(250)}'
+        |  WHEN 'src3' THEN '${graft.operators.Sampling.cutoffHex(100)}'
+        |  END > substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-gated corpus sampling — the REPRODUCIBLE subset
+  * machinery a training-data pipeline needs: the same rows are selected on
+  * any cluster size, any partitioning, any rerun, and any engine (the
+  * DuckDB oracle reproduces the exact sample), unlike RNG-seeded
+  * `df.sample` whose output depends on partition layout.
+  *
+  * Gate: a row is sampled iff the first 8 hex digits of md5(key ∥ salt)
+  * fall lexicographically under the rate's hex cutoff — hex strings of
+  * equal length order exactly like their numeric values, so no base
+  * conversion is needed on either engine and the comparison is
+  * codegen-friendly. Cutoff = permille · ⌊2³²/1000⌋ (integer-only: bias
+  * < 1e-6, exactness across engines guaranteed). Map-only, no shuffle;
+  * the filter pushes into the scan where the key is a plain column.
+  */
+object Sampling {
+
+  /** 8-hex-digit cutoff for a permille rate. 1000‰ maps to "g" — one past
+    * every hex digit — so a full-rate gate keeps EVERY row (the integer
+    * cutoff 1000·⌊2³²/1000⌋ < 2³²−1 would drop the ~7e-6 tail).
+    */
+  def cutoffHex(permille: Int): String = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    if (permille == 1000) "g" else f"${permille.toLong * 4294967L}%08x"
+  }
+
+  private def gate(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** Keep ≈ permille/1000 of rows, chosen by key hash. `salt` yields
+    * independent samples from the same corpus (disjointness is NOT
+    * guaranteed between salts, but rerun-stability per salt is).
+    */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int, salt: String = ""): DataFrame =
+    df.where(gate(col(keyCol), salt) < lit(cutoffHex(permille)))
+
+  /** Per-source weighted downsampling to a target mixture: source s keeps
+    * `permille(s)` of its rows; unlisted sources are dropped (the mixture
+    * is explicit). One map-only pass — the per-source cutoff is a
+    * when-chain literal, no join, no shuffle.
+    */
+  def sourceMix(df: DataFrame, sourceCol: String, keyCol: String,
+                permille: Map[String, Int], salt: String = ""): DataFrame = {
+    val cutoff = permille.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (s, p)) => when(col(sourceCol) === s, lit(cutoffHex(p))).otherwise(acc)
+    }
+    df.withColumn("_cut", cutoff)
+      .where(col("_cut").isNotNull && gate(col(keyCol), salt) < col("_cut"))
+      .drop("_cut")
+  }
+}

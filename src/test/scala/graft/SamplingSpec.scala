@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample: deterministic under repartitioning, rate within tolerance") {
+    val df = (0L until 5000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 200).as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(17), "id", 200).as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 1000) < 120, s"rate off: ${a.size}") // ±>4σ
+    // a different salt gives a different (but rerun-stable) sample
+    val c = Sampling.hashSample(df, "id", 200, salt = "v2").as[Long].collect().toSet
+    assert(c != a && math.abs(c.size - 1000) < 120)
+    // edges: 0‰ drops everything, 1000‰ keeps EVERYTHING (incl. the
+    // md5 prefixes at the very top of the hex range)
+    assert(Sampling.hashSample(df, "id", 0).count() == 0L)
+    assert(Sampling.hashSample(df, "id", 1000).count() == 5000L)
+  }
+
+  test("sourceMix: per-source rates hit, unlisted sources dropped") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val m = Sampling.sourceMix(df, "src", "id", Map("s0" -> 1000, "s1" -> 300))
+      .as[(Long, String)].collect()
+    val bySrc = m.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("s0") == 1000, "full-rate source keeps every row")
+    assert(math.abs(bySrc("s1") - 300) < 70, s"mixture rate off: ${bySrc("s1")}")
+    assert(!bySrc.contains("s2"), "unlisted source must be dropped")
+    // mixture is a subset of the corpus and deterministic
+    val again = Sampling.sourceMix(df, "src", "id", Map("s0" -> 1000, "s1" -> 300))
+      .as[(Long, String)].collect()
+    assert(again.toSet == m.toSet)
+  }
+}
