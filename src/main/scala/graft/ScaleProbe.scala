@@ -54,6 +54,16 @@ object ScaleProbe {
     time("simhash/native")(Dedup.simhashDedup(bigDocs).count())
     time("ngram/balanced-8")(Dedup.ngramJaccardPairsBalanced(bigDocs, 0.1, 8).count())
     time("ngram/naive-1")(Dedup.ngramJaccardPairsBalanced(bigDocs, 0.1, 1).count())
+    // round-4 additions: pair clustering, cross-corpus decontamination,
+    // deterministic sampling (all over the 10x corpus)
+    time("dup_clusters/pairs+cc") {
+      Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(bigDocs, 0.5, blockBySource = false)).count()
+    }
+    time("decontaminate/half-vs-half") {
+      Dedup.decontaminate(bigDocs.where(col("doc_id") % 2 === 0),
+        bigDocs.where(col("doc_id") % 2 === 1)).count()
+    }
+    time("hash_sample/20pct")(Sampling.hashSample(bigDocs, "doc_id", 200).count())
     spark.stop()
   }
 }
