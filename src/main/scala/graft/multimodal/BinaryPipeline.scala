@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, batched decode/feature-extract over partitions.
   *
   * The Spark-side contract is real and tested — schema, partition-batched
-  * execution, deterministic output — while the actual media decode is a
-  * STUB (`fakeDecode`): the container has no image/audio codecs, so the
-  * decode produces a deterministic synthetic "pixel summary" from the bytes.
-  * Swapping `fakeDecode` for a real codec (e.g. javacpp-ffmpeg) changes no
-  * plumbing.
+  * execution, deterministic output. The IMAGE path has a REAL decoder for
+  * the PPM P6 container ([[decodePpm]] — dependency-free: ASCII header +
+  * raw RGB), exercised end-to-end by decode/resize over genuine pixel
+  * grids; other formats fall back to a deterministic STUB (`fakeDecode` —
+  * the container ships no jpeg/audio codecs) with a visible
+  * `real_decode = false` quarantine flag. Swapping in a full codec (e.g.
+  * javacpp-ffmpeg) changes no plumbing.
   *
   * Scale notes: decode runs via `mapPartitions` (the Scala analogue of
   * `mapInPandas` batch UDFs) so per-partition setup (codec init) amortizes;
@@ -53,6 +55,70 @@ object BinaryPipeline {
     acc.map(a => if (payload.isEmpty) 0.0 else a.toDouble / payload.length)
   }
 
+  /** REAL decoder for the PPM P6 container (ASCII header + raw RGB) — the
+    * one raster format that needs no codec library, so the image path is
+    * genuinely exercised end-to-end: header parse (whitespace + '#'
+    * comments), dimension/maxval validation, payload-length check.
+    * Malformed or truncated payloads → None; callers fall back to
+    * [[fakeDecode]] — the quarantine path a production decode stage needs
+    * anyway. Other formats stay stubbed (no codec libs in this
+    * environment); swapping in a real codec changes no plumbing.
+    */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 2 || payload(0) != 'P'.toByte || payload(1) != '6'.toByte) return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') { while (i < payload.length && payload(i) != '\n'.toByte) i += 1 }
+        else if (c.isWhitespace) i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val s = i
+      while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) i += 1
+      if (i == s || i - s > 9) None else Some(new String(payload, s, i - s).toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv == 255
+      if i + 1 + w.toLong * h * 3 <= payload.length
+    } yield {
+      i += 1 // the single whitespace byte after maxval
+      (w, h, java.util.Arrays.copyOfRange(payload, i, i + w * h * 3))
+    }
+  }
+
+  /** Image decode stage: REAL per-channel means for PPM payloads, stub
+    * features + `real_decode = false` for everything else (quarantine
+    * semantics: nothing throws, undecodable rows are visibly flagged).
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channel_means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("real_decode", BooleanType, nullable = false))))
+    media.where(col("modality") === "image").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        decodePpm(p) match {
+          case Some((w, h, rgb)) =>
+            val sums = new Array[Double](3)
+            var i = 0
+            while (i < rgb.length) { sums(i % 3) += (rgb(i) & 0xff); i += 1 }
+            Row(r.getAs[Long]("media_id"), w, h, sums.map(_ / (w * h)), true)
+          case None =>
+            Row(r.getAs[Long]("media_id"), null, null, fakeDecode(p, 3), false)
+        }
+      }
+    }(enc)
+  }
+
   private def checksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -82,10 +148,10 @@ object BinaryPipeline {
       }(enc)
   }
 
-  /** Image resize stage (STUB decode): maps payload → fixed-size "pixel"
-    * grid deterministically. The real implementation swaps the per-element
-    * kernel; the contract (binary in, w×h float grid out, map-only,
-    * codec-per-partition) is what the pipeline depends on.
+  /** Image resize stage: REAL nearest-neighbor luma downscale for PPM
+    * payloads (decode → sample the actual pixel grid), deterministic stub
+    * grid for undecodable ones. Contract either way: binary in,
+    * outW×outH float grid in [0,1] out, map-only, codec-per-partition.
     */
   def resizeImages(media: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
@@ -94,8 +160,20 @@ object BinaryPipeline {
     media.where(col("modality") === "image").mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        val px = Array.tabulate(outW * outH) { i =>
-          if (p.isEmpty) 0.0 else (p(i % p.length) & 0xff) / 255.0
+        val px = decodePpm(p) match {
+          case Some((w, h, rgb)) =>
+            Array.tabulate(outW * outH) { i =>
+              val (ox, oy) = (i % outW, i / outW)
+              val (sx, sy) = (ox * w / outW, oy * h / outH) // nearest neighbor
+              val o = (sy * w + sx) * 3
+              // ITU-R 601 luma of the sampled pixel, normalized
+              (0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
+                0.114 * (rgb(o + 2) & 0xff)) / 255.0
+            }
+          case None =>
+            Array.tabulate(outW * outH) { i =>
+              if (p.isEmpty) 0.0 else (p(i % p.length) & 0xff) / 255.0
+            }
         }
         Row(r.getAs[Long]("media_id"), px)
       }
@@ -120,8 +198,9 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** Synthetic media table for tests/demos: payload bytes derived
-    * deterministically from the id.
+  /** Synthetic media table for tests/demos: image rows carry REAL PPM
+    * payloads (deterministic 8×6 RGB, decodable by [[decodePpm]]);
+    * audio/video payloads stay opaque deterministic bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -130,10 +209,16 @@ object BinaryPipeline {
       val modality = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val payload = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
+      val payload =
+        if (modality == "image") {
+          val (w, h) = (8, 6)
+          "P6\n8 6\n255\n".getBytes("US-ASCII") ++
+            Array.tabulate[Byte](w * h * 3)(i => ((id * 131 + i * 7) % 251).toByte)
+        } else
+          Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
       Row(id, modality,
-        if (modality == "image") Integer.valueOf(64) else null,
-        if (modality == "image") Integer.valueOf(48) else null,
+        if (modality == "image") Integer.valueOf(8) else null,
+        if (modality == "image") Integer.valueOf(6) else null,
         if (modality == "audio") Integer.valueOf(16000) else null,
         payload)
     }(enc)
