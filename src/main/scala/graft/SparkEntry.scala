@@ -180,6 +180,12 @@ object SparkEntry {
     // steady-state ivf query stays comparable round-over-round
     "q_ann_ivf_trained" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), kmeansIters = 2)),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    // the cluster step over the embedding pair list (pairs → keep-one
+    // groups) — same connected-components engine as q_dup_clusters
+    "q_dedup_embedding_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Ann.embeddingNearDupPairs(Tables.embeddings(s, d))
+        .select(org.apache.spark.sql.functions.col("vec_a").as("doc_a"),
+          org.apache.spark.sql.functions.col("vec_b").as("doc_b")))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d), "doc_id", permille = 200)
