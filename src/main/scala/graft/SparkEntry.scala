@@ -187,6 +187,13 @@ object SparkEntry {
         .select(org.apache.spark.sql.functions.col("vec_a").as("doc_a"),
           org.apache.spark.sql.functions.col("vec_b").as("doc_b")))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
+    "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
+    // real BPE: train merges on a 200-doc sample (one-time cost, like
+    // q_ann_ivf_trained), count tokens corpus-wide with the trained table
+    "q_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextMetrics.bpeTokenCounts(docs, TextMetrics.trainBpe(docs, numMerges = 12, sampleDocs = 200))
+    }),
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d), "doc_id", permille = 200)
         .select("doc_id", "source").orderBy("doc_id")),
@@ -763,6 +770,13 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | SUM(length(text)) AS total_chars,
+        | SUM(len(string_split(text, ' '))) AS total_tokens,
+        | round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS median_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.cutoffHex(200)}'

@@ -32,6 +32,88 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** Distributed BPE merge training — real tokenizer training over the
+    * corpus, not a heuristic:
+    *
+    *  1. ONE corpus pass builds the weighted pre-token VOCAB
+    *     (word → frequency) — the classic BPE-on-vocabulary reduction:
+    *     every later step is vocab-sized, independent of corpus size;
+    *  2. per merge round: adjacent-symbol pair weights (vocab-sized
+    *     partial agg), deterministic argmax (weight desc, then pair
+    *     lexicographic), then the merge applied to the vocab symbols via
+    *     a left-to-right fold (HOF — acceptable off the corpus hot path;
+    *     vocab rows are short) with eager localCheckpoint per round (the
+    *     iterative-lineage rule).
+    *
+    * Returns the rank-ordered merge list; stops early when no pair
+    * repeats. At 100 TB the vocab table (~1e7 pre-tokens) stays
+    * distributed and the corpus is still touched exactly once.
+    */
+  def trainBpe(documents: DataFrame, numMerges: Int = 16,
+               sampleDocs: Int = Int.MaxValue): Seq[(String, String)] = {
+    var vocab = (if (sampleDocs == Int.MaxValue) documents else documents.limit(sampleDocs))
+      .select(explode(filter(wsWords(col("text")), w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val best = vocab.select(col("freq"), explode(
+          when(size(col("syms")) < 2, array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("a"),
+                element_at(col("syms"), i + 2).as("b"))))).as("p"))
+        .groupBy("p").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("p.a"), col("p.b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(1) < 2) exhausted = true
+      else {
+        val p = best.head.getStruct(0)
+        val (a, b) = (p.getString(0), p.getString(1))
+        merges += ((a, b))
+        val mergedSyms = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === a && s === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        vocab = vocab.select(mergedSyms.as("syms"), col("freq")).localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Token counts under a trained BPE merge list — whitespace pre-tokens,
+    * greedy lowest-rank merges, via the codegen'd
+    * [[graft.functions.BpeOps.bpeCount]] kernel (the merge table rides the
+    * expression to every task). Map-only at any scale.
+    */
+  def bpeTokenCounts(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(wsWords(col("text"))).cast("long").as("ws_tokens"),
+      graft.functions.BpeOps.bpeCount(col("text"), merges).cast("long").as("bpe_tokens")
+    ).orderBy("doc_id")
+
+  /** Per-source corpus statistics — the "dataset card" numbers a training
+    * pipeline publishes per slice: doc and token volume, length
+    * distribution, language spread. One partial-aggregable pass; exact
+    * medians here (the sketch path for 100 TB is #37b's
+    * percentile_approx, same shape).
+    */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(size(wsWords(col("text"))).cast("long")).as("total_tokens"),
+        round(percentile(length(col("text")).cast("double"), lit(0.5)), 4).as("median_chars"),
+        countDistinct(col("lang")).as("n_langs")
+      )
+      .orderBy("source")
+
   /** C4/Gopher-style keep/drop decision composed from [[quality]] — the
     * FILTER stage a training-data pipeline runs after scoring: map-only,
     * `keep` plus the FIRST failing rule as the drop reason (the audit

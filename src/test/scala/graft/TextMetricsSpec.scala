@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextMetrics
+import org.apache.spark.sql.functions.{length, sum}
 
 class TextMetricsSpec extends SparkSpec {
   import spark.implicits._
@@ -92,6 +93,45 @@ class TextMetricsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val pr = TextMetrics.qualityFilter(punct).as[(Long, Boolean, String)].collect()
     assert(pr.head._3 == "too_much_punct")
+  }
+
+  test("BPE training learns the classic merges; counts match hand-encoding") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // hand-derived: pair weights (l,o)=5,(o,w)=5 tie→lex; then (lo,w)=5;
+    // then (low,e)=2 ties (e,r)=2 → lex picks (e,r); then (low,er)=2;
+    // all remaining pairs are singletons → early stop
+    val merges = TextMetrics.trainBpe(docs, numMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))
+    val counts = TextMetrics.bpeTokenCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // "low"×3 → 1 token each; "lower"×2 → low+er → lower, 1 each;
+    // "newest" has no applicable merge → 6 chars
+    assert(counts == Map(1L -> 3L, 2L -> 2L, 3L -> 6L))
+    // zero merges degrade to per-word character counts
+    val none = TextMetrics.bpeTokenCounts(docs, Nil)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(none == Map(1L -> 9L, 2L -> 10L, 3L -> 6L))
+  }
+
+  test("BPE on testdata: trained merges compress between word and char counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextMetrics.trainBpe(docs, numMerges = 8, sampleDocs = 100)
+    assert(merges.nonEmpty && merges == merges.distinct)
+    val r = TextMetrics.bpeTokenCounts(docs, merges)
+      .join(docs.select($"doc_id", length($"text").as("n_chars")), "doc_id")
+      .select("ws_tokens", "bpe_tokens", "n_chars")
+      .as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (ws, bpe, ch) =>
+      assert(bpe >= ws && bpe <= ch, s"counts out of order: ws=$ws bpe=$bpe chars=$ch")
+    }
+    // merges genuinely fire: strictly fewer tokens than the unmerged encode
+    val unmerged = TextMetrics.bpeTokenCounts(docs, Nil)
+      .agg(sum($"bpe_tokens")).as[Long].head()
+    val mergedTotal = TextMetrics.bpeTokenCounts(docs, merges)
+      .agg(sum($"bpe_tokens")).as[Long].head()
+    assert(mergedTotal < unmerged)
   }
 
   test("token counts: BPE-ish regex splits punctuation and digits") {
