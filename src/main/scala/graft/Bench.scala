@@ -50,10 +50,17 @@ object Bench {
     }
     def obj(f: ((String, Double, Double)) => Double) =
       stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    def r3(x: Double) = math.round(x * 1000.0) / 1000.0
     val total = stats.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"runs":$runs,"sf":"$sfDir"}"""
-    println(json)
+    // stdout gets the COMPACT line (total + 3-decimal means, no stdevs):
+    // the driver captures only the stdout tail and rounds 3-4's full
+    // mean+stdev line overflowed it ("parsed": null). Full precision +
+    // stdevs live in BENCH.json below.
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(t => r3(t._2))},"runs":$runs,"sf":"$sfDir"}"""
+    println(compact)
     // also write the JSON to a file: the driver captures only the TAIL of
     // stdout, and round 3's mean block was lost to that truncation — the
     // per-round artifact must be reconstructible without the console

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -130,6 +131,48 @@ object SparkEntry {
         ReceiptClassifier.extractOrgSignups(ReceiptClassifier.demoReceipts(ev)),
         ReceiptClassifier.demoBlocks(ev), "signups")
     }),
+    "q_capacity_graph" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      val signups = ReceiptClassifier.demoSignups(ev)
+      CirclesViews.capacityGraph2(
+        CirclesViews.balancesBySafeAndToken(Demo.erc20Num(r)),
+        CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(r)),
+        signups,
+        // the demo registry marks organisations as null-token signups
+        signups.where(col("token").isNull).select(col("user").as("organisation")))
+    }),
+    "q_capacity_graph_3" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      val signups = ReceiptClassifier.demoSignups(ev)
+      CirclesViews.capacityGraph3(
+        CirclesViews.balancesBySafeAndToken(Demo.erc20Num(r)),
+        CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(r)),
+        signups,
+        signups.where(col("token").isNull).select(col("user").as("organisation")),
+        ReceiptClassifier.demoBlocks(ev))
+    }),
+    "q_all_signups" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.allSignups(ReceiptClassifier.demoSignups(ev),
+        ReceiptClassifier.extractOrgSignups(ReceiptClassifier.demoReceipts(ev)))
+    }),
+    "q_all_addresses" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      CirclesViews.allAddresses(Demo.erc20Str(r),
+        ReceiptClassifier.extractTrusts(r),
+        ReceiptClassifier.demoSignups(ev),
+        ReceiptClassifier.extractOrgSignups(r))
+    }),
+    "q_erc20_balances" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      CirclesViews.erc20BalancesBySafeAndToken(Demo.erc20Num(r),
+        CirclesViews.allSignups(ReceiptClassifier.demoSignups(ev),
+          ReceiptClassifier.extractOrgSignups(r)))
+    }),
     "q_signup_pattern" -> ((s, d) => Classify.coOccurrence(Tables.events(s, d))),
     "q_extract_details" -> ((s, d) => Classify.extractDetails(Tables.events(s, d))),
     "q_latest_event" -> ((s, d) => StateOps.latestPerKey(Tables.events(s, d))),
@@ -192,7 +235,7 @@ object SparkEntry {
     // q_ann_ivf_trained), count tokens corpus-wide with the trained table
     "q_bpe_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextMetrics.bpeTokenCounts(docs, TextMetrics.trainBpe(docs, numMerges = 12, sampleDocs = 200))
+      TextMetrics.bpeTokenCounts(docs, TextMetrics.trainBpe(docs, numMerges = 12, samplePermille = 400))
     }),
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d), "doc_id", permille = 200)
@@ -646,6 +689,168 @@ object SparkEntry {
         | arg_max(t."limit", t.hash) AS "limit", max(t.hash) AS last_change
         |FROM tr t JOIN reg r ON r."user" = t."user" AND r.token IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY safe_address, accepted_token""".stripMargin,
+    // crc_capacity_graph_2 (0.0.64.sql:945): the CTE chain a→h transcribed
+    // verbatim over the demo registry — bal carries token_owner, orgs are
+    // the null-token signups, capacity arithmetic all in DOUBLE (both
+    // engines: left-assoc mul-then-div IEEE ops → bit-identical)
+    "q_capacity_graph" -> (demoCte +
+      """,
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup'),
+        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit"
+        |       FROM tr GROUP BY "user", can_send_to),
+        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
+        |balr AS (
+        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance FROM (
+        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta FROM erc
+        |  UNION ALL
+        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)) FROM erc) dd
+        | GROUP BY safe_address, token),
+        |bal AS (SELECT b.safe_address, b.token, o.token_owner, b.balance
+        |        FROM balr b JOIN own o ON o.token = b.token),
+        |orgs AS (SELECT "user" AS organisation FROM reg WHERE token IS NULL),
+        |a AS (SELECT o.token AS user_token, ct.can_send_to, ct."limit"
+        |      FROM ct JOIN own o ON o.token_owner = ct."user"),
+        |b2 AS (SELECT bal.safe_address AS "from", a.can_send_to AS "to", a."limit",
+        |              bal.token_owner, bal.balance AS from_balance
+        |       FROM a JOIN bal ON bal.token = a.user_token WHERE bal.balance >= 0),
+        |c AS (SELECT b2.*, ownh.balance AS to_own_token_holdings
+        |      FROM b2 LEFT JOIN bal ownh
+        |        ON ownh.safe_address = b2."to" AND ownh.token_owner = b2."to"),
+        |d AS (SELECT c.*, coalesce(held.balance, 0.0) AS to_already_holds_balance,
+        |             os.organisation IS NOT NULL AS to_is_orga,
+        |             c."to" = c.token_owner AS is_to_own_token
+        |      FROM c LEFT JOIN bal held
+        |        ON held.safe_address = c."to" AND held.token_owner = c.token_owner
+        |        LEFT JOIN orgs os ON os.organisation = c."to"),
+        |e AS (SELECT d.*,
+        |       CASE WHEN is_to_own_token OR to_is_orga THEN from_balance
+        |            ELSE to_own_token_holdings * "limit" / 100.0 END AS mta0 FROM d),
+        |f AS (SELECT e.*, CASE WHEN "limit" > 0 THEN mta0 ELSE 0.0 END AS mta,
+        |       to_already_holds_balance * (100 - "limit") / 100.0 AS dest_scaled FROM e),
+        |g AS (SELECT f.*, CASE WHEN mta < to_already_holds_balance THEN 0.0
+        |       ELSE CASE WHEN "limit" > 0 THEN mta - dest_scaled ELSE 0.0 END END AS cap_g FROM f),
+        |h AS (SELECT "from", "to", token_owner,
+        |       CASE WHEN to_is_orga OR is_to_own_token THEN mta
+        |            ELSE CASE WHEN cap_g < 0 THEN 0.0
+        |                 ELSE CASE WHEN from_balance < cap_g THEN from_balance - 1
+        |                      ELSE cap_g - 1 END END END AS capacity,
+        |       "limit"
+        |      FROM g WHERE "from" <> "to")
+        |SELECT "from", "to", token_owner,
+        | CASE WHEN capacity < 0 THEN 0.0 ELSE capacity END AS capacity, "limit"
+        |FROM h ORDER BY "from", "to", token_owner""".stripMargin),
+    // crc_capacity_graph_3 (0.0.64.sql:1107): simpler capacity (min of
+    // mta−dest_scaled and from_balance, no −1 margin, no limit gate) plus
+    // block-number provenance for each input's last change
+    "q_capacity_graph_3" -> (demoCte +
+      """,
+        |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |               event_id AS number FROM events),
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup'),
+        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
+        |              max(hash) AS last_change
+        |       FROM tr GROUP BY "user", can_send_to),
+        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
+        |balr AS (
+        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        |        max(hash) AS last_change_at FROM (
+        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
+        |  UNION ALL
+        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc) dd
+        | GROUP BY safe_address, token),
+        |bal AS (SELECT b.safe_address, b.token, o.token_owner, b.balance, blk.number
+        |        FROM balr b JOIN own o ON o.token = b.token
+        |        LEFT JOIN blk ON blk.hash = b.last_change_at),
+        |orgs AS (SELECT "user" AS organisation FROM reg WHERE token IS NULL),
+        |a AS (SELECT o.token AS user_token, ct.can_send_to, ct."limit",
+        |             blk.number AS trust_last_change
+        |      FROM ct JOIN own o ON o.token_owner = ct."user"
+        |      LEFT JOIN blk ON blk.hash = ct.last_change),
+        |b2 AS (SELECT bal.safe_address AS "from", a.can_send_to AS "to", a."limit",
+        |              bal.token_owner, bal.balance AS from_balance,
+        |              bal.number AS from_balance_last_change, a.trust_last_change
+        |       FROM a JOIN bal ON bal.token = a.user_token WHERE bal.balance >= 0),
+        |c AS (SELECT b2.*, ownh.balance AS to_own_token_holdings,
+        |             ownh.number AS to_own_token_holdings_last_change
+        |      FROM b2 LEFT JOIN bal ownh
+        |        ON ownh.safe_address = b2."to" AND ownh.token_owner = b2."to"),
+        |d AS (SELECT c.*, coalesce(held.balance, 0.0) AS to_already_holds_balance,
+        |             held.number AS to_already_holds_balance_last_change,
+        |             os.organisation IS NOT NULL AS to_is_orga,
+        |             c."to" = c.token_owner AS is_to_own_token
+        |      FROM c LEFT JOIN bal held
+        |        ON held.safe_address = c."to" AND held.token_owner = c.token_owner
+        |        LEFT JOIN orgs os ON os.organisation = c."to"),
+        |g AS (SELECT d.*,
+        |       CASE WHEN is_to_own_token OR to_is_orga THEN from_balance
+        |            ELSE to_own_token_holdings * "limit" / 100.0 END
+        |       - to_already_holds_balance * (100 - "limit") / 100.0 AS net FROM d)
+        |SELECT "from", "to", token_owner,
+        | CASE WHEN (CASE WHEN net > from_balance THEN from_balance ELSE net END) < 0
+        |      THEN 0.0
+        |      ELSE CASE WHEN net > from_balance THEN from_balance ELSE net END
+        | END AS capacity,
+        | trust_last_change, from_balance_last_change,
+        | to_already_holds_balance_last_change, to_own_token_holdings_last_change
+        |FROM g WHERE "from" <> "to"
+        |ORDER BY "from", "to", token_owner""".stripMargin),
+    "q_all_signups" ->
+      """WITH reg AS (
+        | SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  CASE WHEN user_id % 4 <> 3
+        |       THEN '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') END AS token
+        | FROM (SELECT DISTINCT user_id FROM events)),
+        |org AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  CAST(NULL AS VARCHAR) AS token
+        | FROM events WHERE event_type = 'view')
+        |SELECT hash, "user", token FROM reg
+        |UNION ALL SELECT hash, "user", token FROM org
+        |ORDER BY hash""".stripMargin,
+    "q_all_addresses" -> (demoCte +
+      """,
+        |tr AS (
+        | SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to
+        | FROM events WHERE event_type = 'signup'),
+        |legs AS (
+        | SELECT 'transfer_from' AS type, "from" AS address FROM erc
+        | UNION ALL SELECT 'transfer_to', "to" FROM erc
+        | UNION ALL SELECT 'trust_user', "user" FROM tr
+        | UNION ALL SELECT 'trust_can_send_to', can_send_to FROM tr
+        | UNION ALL SELECT 'signup_user', "user" FROM reg
+        | UNION ALL SELECT 'organisation', '0x' || lpad(lower(to_hex(user_id)), 40, '0')
+        |           FROM events WHERE event_type = 'view')
+        |SELECT DISTINCT type, address FROM legs ORDER BY type, address""".stripMargin),
+    // erc20_balances_by_safe_and_token (0.0.64.sql:1581): non-CRC tokens
+    // only (NOT IN the signup-token registry), participant legs of
+    // signed-up safes, one out-leg when from = to (the catalog's CASE)
+    "q_erc20_balances" -> (demoCte +
+      """,
+        |crc AS (SELECT token FROM reg WHERE token IS NOT NULL),
+        |ncl AS (
+        | SELECT l.safe_address, l.token, l.delta, l.hash FROM (
+        |  SELECT "from" AS safe_address, token, -CAST(value AS DECIMAL(18,4)) AS delta, hash
+        |  FROM erc WHERE token NOT IN (SELECT token FROM crc)
+        |  UNION ALL
+        |  SELECT "to", token, CAST(value AS DECIMAL(18,4)), hash
+        |  FROM erc WHERE token NOT IN (SELECT token FROM crc) AND "from" <> "to") l
+        | WHERE l.safe_address IN (SELECT "user" FROM reg))
+        |SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        | max(hash) AS last_change_at
+        |FROM ncl GROUP BY safe_address, token
+        |ORDER BY safe_address, token""".stripMargin),
     "q_hub_transfers_per_day" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS transfers
         |FROM events WHERE event_type = 'click'
@@ -772,8 +977,8 @@ object SparkEntry {
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
-        | SUM(length(text)) AS total_chars,
-        | SUM(len(string_split(text, ' '))) AS total_tokens,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         | round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS median_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -362,9 +362,19 @@ object Ann {
     * shuffle ~2·numTables× the corpus).
     */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
-                            numTables: Int = 8, threshold: Double = 0.4): DataFrame = {
+                            numTables: Int = 8, threshold: Double = 0.4,
+                            bucketCap: Int = 10000): DataFrame = {
     val keys = graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, numTables)
-    val keyed = embeddings.select(col("vec_id"), explode(keys).as("bucket"))
+    val allKeyed = embeddings.select(col("vec_id"), explode(keys).as("bucket"))
+    // Hot-bucket cap, same valve as minhashLsh: a degenerate sign-bit
+    // bucket (mass near-identical embeddings — common in real corpora)
+    // would quadratically explode one join group; its pairs are
+    // boilerplate-dup anyway. Partial-agg counts + broadcast anti-join;
+    // dropped buckets' members usually still pair through their OTHER
+    // numTables−1 keys unless those are equally degenerate.
+    val hotBuckets = allKeyed.groupBy("bucket")
+      .agg(count(lit(1)).as("n")).where(col("n") > bucketCap).select("bucket")
+    val keyed = allKeyed.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
     // candidate pairs, deduped across tables before the expensive dot product
     val candidates = keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -337,4 +337,163 @@ object CirclesViews {
       .where(col("capacity") > 0)
       .orderBy("token_holder", "token", "can_send_to")
   }
+
+  /** erc20_balances_by_safe_and_token (0.0.64.sql:1581): balances of
+    * NON-Circles tokens held by signed-up safes. The catalog filters
+    * transfers to those NOT in the signup-token registry (LEFT JOIN …
+    * WHERE s.token IS NULL) and then OR-joins participants; here that is a
+    * broadcast anti-join on the CRC token registry plus the ledger's
+    * map-only participant-leg explode (one leg when from = to, like the
+    * catalog's CASE arms) and a broadcast semi-join on the signup
+    * registry. One shuffle, on (safe, token) — the aggregation key.
+    */
+  def erc20BalancesBySafeAndToken(transfers: DataFrame, allSignups: DataFrame): DataFrame = {
+    val crcTokens = allSignups.where(col("token").isNotNull).select("token")
+    val nonCrc = transfers.join(broadcast(crcTokens), Seq("token"), "left_anti")
+    val outLeg = struct(col("from").as("safe_address"), col("token"),
+      (-col("value")).as("delta"), col("hash"))
+    val inLeg = struct(col("to").as("safe_address"), col("token"),
+      col("value").as("delta"), col("hash"))
+    val legs = nonCrc.select(explode(
+      when(col("from") === col("to"), array(outLeg))
+        .otherwise(array(outLeg, inLeg))).as("m")).select("m.*")
+    legs.join(broadcast(allSignups.select(col("user").as("safe_address")).distinct()),
+        Seq("safe_address"), "left_semi")
+      .groupBy("safe_address", "token")
+      .agg(dsum(col("delta")).cast("double").as("balance"),
+        max("hash").as("last_change_at"))
+      .orderBy("safe_address", "token")
+  }
+
+  /** Balances with the token's owner attributed — the shape of
+    * cache_crc_balances_by_safe_and_token's `token_owner` column
+    * (0.0.64.sql:1542). One broadcast registry join; orgs (null token)
+    * never own a token, so they drop out of the owner map.
+    */
+  private def ownedBalances(balances: DataFrame, signups: DataFrame): DataFrame = {
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token"), col("user").as("token_owner"))
+    balances.join(broadcast(owners), Seq("token"))
+      .select(col("safe_address"), col("token"), col("token_owner"),
+        col("balance"), col("last_change_at"))
+  }
+
+  /** crc_capacity_graph_2 (0.0.64.sql:945) — the REAL transfer-capacity
+    * formula the Circles pathfinder consumes, successor of the simple
+    * balance·limit/100 `_1` form above. Per (holder, receiver, token
+    * owner): org and own-token receivers accept up to the sender's full
+    * balance of the trusted token; everyone else accepts the trust-limit
+    * percentage of their OWN token holdings, reduced when the receiver
+    * already holds some of the sender's token (`dest_balance_scaled`),
+    * minus the catalog's `- 1` safety margin, clamped at 0. NULL capacity
+    * rows (receiver has no own-token balance row yet) propagate exactly as
+    * the Postgres CASE arms do.
+    *
+    * Join shape at 100 TB: trust edges and the signup/org registries are
+    * registry-sized → broadcast. `balances` is the one big frame
+    * (addresses × tokens), touched three times: the sender-side fact leg
+    * (keyed token, edge list broadcast onto it — no fact shuffle) and two
+    * receiver-side legs (own-token holdings keyed `to`, already-held
+    * sender-token keyed (`to`, token_owner)). Production pre-buckets
+    * balances by safe_address (sources.BucketedStore) so the receiver
+    * legs co-locate; the own-holdings leg is |users|-sized (one row per
+    * address that holds its own token) and usually broadcastable too.
+    */
+  def capacityGraph2(balances: DataFrame, trust: DataFrame, signups: DataFrame,
+                     orgs: DataFrame): DataFrame = {
+    val bal = ownedBalances(balances, signups)
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token").as("user_token"), col("user"))
+    val edges = trust.join(broadcast(owners), Seq("user"))
+      .select(col("user_token"), col("can_send_to"), col("limit"))
+    val b = bal.where(col("balance") >= 0)
+      .join(broadcast(edges), col("token") === col("user_token"))
+      .select(col("safe_address").as("from"), col("can_send_to").as("to"),
+        col("limit"), col("token_owner"), col("balance").as("from_balance"))
+    val ownHold = bal.where(col("safe_address") === col("token_owner"))
+      .select(col("safe_address").as("to"), col("balance").as("to_own_token_holdings"))
+    val held = bal.select(col("safe_address").as("to"), col("token_owner"),
+      col("balance").as("held_balance"))
+    val orgFlags = orgs.select(col("organisation").as("to"), lit(true).as("org_flag"))
+    val d = b
+      .join(ownHold, Seq("to"), "left")
+      .join(held, Seq("to", "token_owner"), "left")
+      .join(broadcast(orgFlags), Seq("to"), "left")
+      .withColumn("to_already_holds_balance", coalesce(col("held_balance"), lit(0.0d)))
+      .withColumn("to_is_orga", coalesce(col("org_flag"), lit(false)))
+      .withColumn("is_to_own_token", col("to") === col("token_owner"))
+    // CTE arms e→f→g→h of the catalog view, as nested column expressions
+    val mta0 = when(col("is_to_own_token") || col("to_is_orga"), col("from_balance"))
+      .otherwise(col("to_own_token_holdings") * col("limit") / lit(100.0d))
+    val mta = when(col("limit") > 0, mta0).otherwise(lit(0.0d))
+    val destScaled =
+      col("to_already_holds_balance") * (lit(100L) - col("limit")) / lit(100.0d)
+    val capG = when(mta < col("to_already_holds_balance"), lit(0.0d))
+      .otherwise(when(col("limit") > 0, mta - destScaled).otherwise(lit(0.0d)))
+    val capH = when(col("to_is_orga") || col("is_to_own_token"), mta)
+      .otherwise(when(capG < 0, lit(0.0d))
+        .otherwise(when(col("from_balance") < capG, col("from_balance") - lit(1))
+          .otherwise(capG - lit(1))))
+    d.where(col("from") =!= col("to"))
+      .select(col("from"), col("to"), col("token_owner"),
+        when(capH < 0, lit(0.0d)).otherwise(capH).as("capacity"), col("limit"))
+      .orderBy("from", "to", "token_owner")
+  }
+
+  /** crc_capacity_graph_3 (0.0.64.sql:1107) — the provenance-bearing
+    * variant: same trust/holdings composition as `_2` but a simpler
+    * capacity (min(max_transfer − dest_scaled, from_balance), no `- 1`
+    * margin, no limit>0 gating) plus the block number of each input's
+    * last change, so the pathfinder can cheaply diff what moved. Block
+    * numbers attach via one join of the balance frame against the block
+    * registry (blocks ≪ facts → broadcast; production keeps
+    * last_change_at_block directly on the balance store and skips it).
+    */
+  def capacityGraph3(balances: DataFrame, trust: DataFrame, signups: DataFrame,
+                     orgs: DataFrame, blocks: DataFrame): DataFrame = {
+    val blockNos = broadcast(blocks.select(col("hash").as("last_change_at"),
+      col("number")))
+    val bal = ownedBalances(balances, signups)
+      .join(blockNos, Seq("last_change_at"), "left")
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token").as("user_token"), col("user"))
+    val edges = trust.join(broadcast(owners), Seq("user"))
+      .join(broadcast(blocks.select(col("hash").as("last_change"),
+        col("number").as("trust_last_change"))), Seq("last_change"), "left")
+      .select(col("user_token"), col("can_send_to"), col("limit"),
+        col("trust_last_change"))
+    val b = bal.where(col("balance") >= 0)
+      .join(broadcast(edges), col("token") === col("user_token"))
+      .select(col("safe_address").as("from"), col("can_send_to").as("to"),
+        col("limit"), col("token_owner"), col("balance").as("from_balance"),
+        col("number").as("from_balance_last_change"), col("trust_last_change"))
+    val ownHold = bal.where(col("safe_address") === col("token_owner"))
+      .select(col("safe_address").as("to"),
+        col("balance").as("to_own_token_holdings"),
+        col("number").as("to_own_token_holdings_last_change"))
+    val held = bal.select(col("safe_address").as("to"), col("token_owner"),
+      col("balance").as("held_balance"),
+      col("number").as("to_already_holds_balance_last_change"))
+    val orgFlags = orgs.select(col("organisation").as("to"), lit(true).as("org_flag"))
+    val d = b
+      .join(ownHold, Seq("to"), "left")
+      .join(held, Seq("to", "token_owner"), "left")
+      .join(broadcast(orgFlags), Seq("to"), "left")
+      .withColumn("to_already_holds_balance", coalesce(col("held_balance"), lit(0.0d)))
+      .withColumn("to_is_orga", coalesce(col("org_flag"), lit(false)))
+      .withColumn("is_to_own_token", col("to") === col("token_owner"))
+    val mta0 = when(col("is_to_own_token") || col("to_is_orga"), col("from_balance"))
+      .otherwise(col("to_own_token_holdings") * col("limit") / lit(100.0d))
+    val destScaled =
+      col("to_already_holds_balance") * (lit(100L) - col("limit")) / lit(100.0d)
+    val cap = when(mta0 - destScaled > col("from_balance"), col("from_balance"))
+      .otherwise(mta0 - destScaled)
+    d.where(col("from") =!= col("to"))
+      .select(col("from"), col("to"), col("token_owner"),
+        when(cap < 0, lit(0.0d)).otherwise(cap).as("capacity"),
+        col("trust_last_change"), col("from_balance_last_change"),
+        col("to_already_holds_balance_last_change"),
+        col("to_own_token_holdings_last_change"))
+      .orderBy("from", "to", "token_owner")
+  }
 }

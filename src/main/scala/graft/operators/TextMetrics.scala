@@ -50,8 +50,13 @@ object TextMetrics {
     * distributed and the corpus is still touched exactly once.
     */
   def trainBpe(documents: DataFrame, numMerges: Int = 16,
-               sampleDocs: Int = Int.MaxValue): Seq[(String, String)] = {
-    var vocab = (if (sampleDocs == Int.MaxValue) documents else documents.limit(sampleDocs))
+               samplePermille: Int = 1000, idCol: String = "doc_id"): Seq[(String, String)] = {
+    // Hash-gated sampling, not limit(): limit's row choice depends on
+    // partition layout on a cluster, so the trained merges would differ
+    // run-to-run. The md5 gate picks the same docs on any partitioning
+    // (spec'd: merges invariant under repartition(7)).
+    var vocab = (if (samplePermille >= 1000) documents
+                 else Sampling.hashSample(documents, idCol, samplePermille, salt = "bpe"))
       .select(explode(filter(wsWords(col("text")), w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))

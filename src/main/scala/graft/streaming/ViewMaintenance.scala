@@ -45,6 +45,65 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   limit        ← the side with the greater last_change wins
   *   history_count← sum of both sides
   */
+/** The ONE atomicity primitive the view store needs: atomically make
+  * `viewDir/manifest-<version>` exist with `content`, returning false when
+  * another attempt already published that version — the lost race. The
+  * store's correctness reduces to this exchange: data generations are
+  * invisible until a manifest names them, so whichever protocol can
+  * create-exclusively (rename on HDFS/POSIX/ABFS/GCS, conditional PUT on
+  * S3) carries the whole crash/replay story.
+  *
+  * Operating assumption (same as the reference's single Postgres writer):
+  * ONE live writer per view directory — foreachBatch guarantees it per
+  * query. The committer defends against the crash-replay races that
+  * single writer still has (zombie retry of an already-committed version,
+  * stale manifest listing on an eventually-consistent store): the loser
+  * returns false and the caller treats the batch as already merged. A
+  * truly concurrent second writer additionally needs writer-unique
+  * generation prefixes (or a versioned bucket) so its pre-commit data
+  * writes can't collide — out of scope here, documented constraint.
+  */
+trait ManifestCommitter {
+  def commit(fs: FileSystem, viewDir: String, version: Long, content: String): Boolean
+}
+
+/** write-tmp → hsync → rename: atomic exactly where rename is atomic
+  * (HDFS, local/POSIX, ABFS, GCS). The pre-rename existence check is the
+  * lost-race detector; on HDFS rename-onto-existing also fails on its
+  * own, local POSIX rename would silently replace — hence the check.
+  */
+object RenameCommitter extends ManifestCommitter {
+  def commit(fs: FileSystem, viewDir: String, version: Long, content: String): Boolean = {
+    val tmp = new Path(s"$viewDir/_manifest_tmp_$version")
+    val out = fs.create(tmp, true)
+    try { out.write(content.getBytes("UTF-8")); out.hsync() } finally out.close()
+    val committed = new Path(s"$viewDir/manifest-$version")
+    if (fs.exists(committed)) { fs.delete(tmp, false); false }
+    else fs.rename(tmp, committed)
+  }
+}
+
+/** Conditional-PUT pointer, the S3 shape (`PUT If-None-Match: *` — the
+  * manifest object is written DIRECTLY, no rename): on S3 the PUT is
+  * all-or-nothing and the precondition failure is the lost race. Locally
+  * the exclusive `create(path, overwrite=false)` simulates exactly the
+  * race semantics (O_EXCL), which is what the lost-race spec exercises;
+  * an S3 deployment swaps the FileSystem, not this logic.
+  */
+object ConditionalPutCommitter extends ManifestCommitter {
+  def commit(fs: FileSystem, viewDir: String, version: Long, content: String): Boolean = {
+    val committed = new Path(s"$viewDir/manifest-$version")
+    val out =
+      try fs.create(committed, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(committed) => return false
+      }
+    try { out.write(content.getBytes("UTF-8")); out.hsync() } finally out.close()
+    true
+  }
+}
+
 object ViewMaintenance {
 
   val DefaultNumBuckets = 64
@@ -82,33 +141,18 @@ object ViewMaintenance {
     (v, lastBatch, mapping)
   }
 
-  /** DURABILITY CONSTRAINT: the commit protocol is write-tmp → rename, so
-    * it is atomic exactly where rename is atomic — HDFS, local/POSIX,
-    * ABFS, GCS. On S3 rename is copy+delete (non-atomic, and
-    * eventually-consistent list-after-write historically): run this store
-    * on an S3 deployment only behind a rename-atomic layer (EMRFS
-    * consistent view, HBase-style WAL, or S3 Express one-zone), or swap
-    * this method for a conditional-put pointer: write
-    * `manifest-<version>` directly with If-None-Match (S3 now supports
-    * conditional PUT), and treat precondition-failure as the lost-race /
-    * replay no-op the rename's existence check provides here. Readers are
-    * unaffected either way — they resolve the highest fully-written
-    * manifest version.
+  /** Serialize + publish a manifest through the chosen [[ManifestCommitter]]
+    * (rename by default; conditional PUT for S3-shaped stores — see the
+    * trait's scaladoc for the durability story). Returns the committer's
+    * verdict: false = lost race, the caller must NOT treat its generation
+    * as published.
     */
   private def writeManifest(spark: SparkSession, viewDir: String, version: Long,
-                            lastBatch: Long, mapping: Map[Int, Long]): Unit = {
-    val fs = fsOf(spark)
-    val tmp = new Path(s"$viewDir/_manifest_tmp_$version")
-    val out = fs.create(tmp, true)
-    try {
-      out.write((s"batch $lastBatch" +: mapping.toSeq.sorted.map { case (b, g) => s"$b $g" })
-        .mkString("\n").getBytes("UTF-8"))
-      out.hsync()
-    } finally out.close()
-    val committed = new Path(s"$viewDir/manifest-$version")
-    fs.delete(committed, false) // replay leftover (we only get here pre-commit)
-    fs.rename(tmp, committed)
-    ()
+                            lastBatch: Long, mapping: Map[Int, Long],
+                            committer: ManifestCommitter): Boolean = {
+    val content = (s"batch $lastBatch" +:
+      mapping.toSeq.sorted.map { case (b, g) => s"$b $g" }).mkString("\n")
+    committer.commit(fsOf(spark), viewDir, version, content)
   }
 
   /** Drop generations no manifest-current bucket references, and manifests
@@ -159,7 +203,8 @@ object ViewMaintenance {
     */
   def mergeTrustBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
                       numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
-                      maxGenerations: Int = DefaultMaxGenerations): Unit =
+                      maxGenerations: Int = DefaultMaxGenerations,
+                      committer: ManifestCommitter = RenameCommitter): Unit =
     mergeBatchGeneric(spark, viewDir,
       graft.operators.CirclesViews.currentTrust(batch), "user",
       (existing, delta) => {
@@ -178,7 +223,7 @@ object ViewMaintenance {
             (coalesce(col("hc_a"), lit(0L)) + coalesce(col("hc_b"), lit(0L))).as("history_count"),
             greatest(col("st_a"), col("st_b")).getField("last_change").as("last_change"))
       },
-      numBuckets, version, maxGenerations)
+      numBuckets, version, maxGenerations, committer)
 
   /** Balances-view maintenance (the cache_crc_balances_by_safe_and_token
     * family): per-(safe, token) RUNNING DECIMAL sums over the transfer
@@ -190,7 +235,8 @@ object ViewMaintenance {
     */
   def mergeBalancesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
                          numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
-                         maxGenerations: Int = DefaultMaxGenerations): Unit = {
+                         maxGenerations: Int = DefaultMaxGenerations,
+                         committer: ManifestCommitter = RenameCommitter): Unit = {
     val delta = batch.select(explode(array(
         struct(col("to").as("safe_address"), col("token"), col("value").as("delta"), col("hash")),
         struct(col("from").as("safe_address"), col("token"), (-col("value")).as("delta"), col("hash"))
@@ -211,7 +257,7 @@ object ViewMaintenance {
               .cast("decimal(38,4)").as("balance"), // stable schema across generations
             greatest(col("lc_a"), col("lc_b")).as("last_change_at"))
       },
-      numBuckets, version, maxGenerations)
+      numBuckets, version, maxGenerations, committer)
   }
 
   /** The shared manifest-committed merge flow (crash/replay/GC/compaction
@@ -223,7 +269,8 @@ object ViewMaintenance {
   private def mergeBatchGeneric(spark: SparkSession, viewDir: String,
       delta: DataFrame, bucketKey: String,
       mergeFn: (DataFrame, DataFrame) => DataFrame,
-      numBuckets: Int, version: Long, maxGenerations: Int): Unit = {
+      numBuckets: Int, version: Long, maxGenerations: Int,
+      committer: ManifestCommitter = RenameCommitter): Unit = {
     val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
     val batchId = if (version >= 0) version else lastBatch + 1
     if (lastBatch >= batchId) return // replay of a committed batch: already merged
@@ -252,7 +299,16 @@ object ViewMaintenance {
       .parquet(s"$viewDir/data/g=$v")
     // … then commit: every touched bucket now lives in generation v
     val newMapping = mapping ++ touched.map(_ -> v)
-    writeManifest(spark, viewDir, v, batchId, newMapping)
+    if (!writeManifest(spark, viewDir, v, batchId, newMapping, committer)) {
+      // Lost race: another attempt (a zombie retry of this same batch, or
+      // a stale-listing replay) already published version v. Under the
+      // single-writer assumption the winner merged the SAME batch into the
+      // same generation, so this is the replay no-op: do NOT delete g=v
+      // (the winner's manifest references it) and do NOT gc/compact (the
+      // winner did). The next invocation re-reads the manifest and the
+      // lastBatch check above short-circuits.
+      return
+    }
     gc(spark, viewDir, v, newMapping)
     // bound read fragmentation: a reader unions one pruned scan per
     // distinct generation, so fold the view back into a single generation
@@ -269,7 +325,8 @@ object ViewMaintenance {
     * until the manifest rename, and the batch header is carried over so
     * replay detection is unaffected.
     */
-  def compact(spark: SparkSession, viewDir: String): Unit = {
+  def compact(spark: SparkSession, viewDir: String,
+              committer: ManifestCommitter = RenameCommitter): Unit = {
     val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
     if (mapping.isEmpty || mapping.values.toSet.size <= 1) return
     val v = curVer + 1
@@ -277,8 +334,8 @@ object ViewMaintenance {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$viewDir/data/g=$v")
     val newMapping = mapping.keys.map(_ -> v).toMap
-    writeManifest(spark, viewDir, v, lastBatch, newMapping)
-    gc(spark, viewDir, v, newMapping)
+    if (writeManifest(spark, viewDir, v, lastBatch, newMapping, committer))
+      gc(spark, viewDir, v, newMapping)
   }
 
   def startTrustView(trustDetails: DataFrame, viewDir: String, checkpointDir: String,

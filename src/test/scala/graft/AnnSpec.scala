@@ -72,6 +72,30 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // anti-parallel never pairs
   }
 
+  test("embedding near-dup hot-bucket cap drops degenerate buckets, keeps the rest") {
+    // 40 identical vectors land every one of their keys in the same
+    // bucket per table — the degenerate mass-duplicate shape that would
+    // quadratically explode one reducer at scale. With the cap below
+    // their count, their pairs are dropped ENTIRELY (every table's bucket
+    // is equally degenerate — there is no alternate route), while an
+    // unrelated pair in healthy buckets must still be found.
+    val mass = (0L until 40L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val pairA = Seq((100L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val df = (mass ++ pairA).toDF("vec_id", "embedding")
+    val capped = Ann.embeddingNearDupPairs(df, dim = 4, bits = 4, threshold = 0.99,
+        bucketCap = 10)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), "healthy buckets must survive the cap")
+    assert(!capped.exists(p => p._1 < 40L && p._2 < 40L),
+      "degenerate-bucket pairs must be dropped by the cap")
+    // with the cap above the bucket size, the same mass pairs ARE emitted
+    val uncapped = Ann.embeddingNearDupPairs(df, dim = 4, bits = 4, threshold = 0.99,
+        bucketCap = 10000)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)))
+  }
+
   test("embedding near-dup emits real pairs on testdata with default params") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Ann.embeddingNearDupPairs(emb)

@@ -68,6 +68,98 @@ class CirclesViewsSpec extends SparkSpec {
     assert(!g.exists(_._2 == "tokA"))
   }
 
+  // --- crc_capacity_graph_2/_3 (0.0.64.sql:945,1107) ---------------------
+
+  // every CASE arm of the catalog formula gets a row: regular receiver
+  // with holdings + already-held deduction, org receiver, own-token
+  // receiver, limit-0 edge, missing-own-holdings NULL propagation,
+  // negative-balance holder exclusion, from=to self filter
+  private def capTransfers = Seq(
+    ("0xt1", "tokA", "alice", "carol", 100L), // carol holds 100 tokA
+    ("0xt2", "tokA", "alice", "bob", 20L),    // bob already holds 20 tokA
+    ("0xt3", "tokB", zero, "bob", 200L),      // bob mints own token
+    ("0xt4", "tokB", "bob", "alice", 80L),    // alice holds 80 tokB; bob own=120
+    ("0xt5", "tokC", "carol", "bob", 40L),    // bob holds 40 tokC; carol −40
+    ("0xt6", "tokC", zero, "carol", 50L)      // carol own tokC = 10
+  ).toDF("hash", "token", "from", "to", "value")
+  private def capTrusts = Seq(
+    ("0xh1", "alice", "bob", 50L),   // bob accepts tokA at 50%
+    ("0xh2", "bob", "org1", 60L),    // org receiver arm
+    ("0xh3", "carol", "carol", 100L),// own-token receiver arm (self-trust)
+    ("0xh4", "bob", "carol", 0L),    // revoked edge arm
+    ("0xh5", "carol", "eve", 40L)    // receiver with NO balance rows → NULL
+  ).toDF("hash", "user", "can_send_to", "limit")
+  private def capSignups = Seq(
+    ("0xs1", "alice", "tokA"), ("0xs2", "bob", "tokB"), ("0xs3", "carol", "tokC")
+  ).toDF("hash", "user", "token")
+  private def capOrgs = Seq("org1").toDF("organisation")
+
+  test("capacityGraph2: every catalog CASE arm against hand-computed capacities") {
+    val g = CirclesViews.capacityGraph2(
+        CirclesViews.balancesBySafeAndToken(capTransfers),
+        CirclesViews.currentTrust(capTrusts), capSignups, capOrgs)
+      .as[(String, String, String, Option[Double], Long)].collect().toSet
+    assert(g == Set(
+      // regular arm: bob's own 120·50% = 60, minus already-held 20 scaled
+      // by (100−50)% = 10 → 50, minus the catalog's 1 → 49
+      ("carol", "bob", "alice", Some(49.0), 50L),
+      // org receivers take the sender's full balance
+      ("alice", "org1", "bob", Some(80.0), 60L),
+      ("bob", "org1", "bob", Some(120.0), 60L),
+      // own-token receiver takes the sender's full balance
+      ("bob", "carol", "carol", Some(40.0), 100L),
+      // limit-0 edges carry zero capacity (not dropped)
+      ("alice", "carol", "bob", Some(0.0), 0L),
+      ("bob", "carol", "bob", Some(0.0), 0L),
+      // receiver with no own-token balance row: NULL propagates like the
+      // Postgres CASE arms (no invented zero)
+      ("bob", "eve", "carol", None, 40L),
+      ("carol", "eve", "carol", None, 40L)))
+    // the self pair (bob holds tokA, bob trusted for tokA) and every
+    // negative-balance holder (alice's tokA = −120) are excluded
+    assert(!g.exists(r => r._1 == r._2))
+    assert(!g.exists(r => r._1 == "alice" && r._3 == "alice"))
+  }
+
+  test("capacityGraph3: min(net, from_balance) capacity + block provenance") {
+    val blocks = Seq(
+      ("0xt1", 1L), ("0xt2", 2L), ("0xt3", 3L), ("0xt4", 4L), ("0xt5", 5L),
+      ("0xt6", 6L), ("0xh1", 11L), ("0xh2", 12L), ("0xh3", 13L), ("0xh4", 14L),
+      ("0xh5", 15L)
+    ).toDF("hash", "number").withColumn("ts", lit(null).cast("timestamp"))
+    val g = CirclesViews.capacityGraph3(
+        CirclesViews.balancesBySafeAndToken(capTransfers),
+        CirclesViews.currentTrust(capTrusts), capSignups, capOrgs, blocks)
+      .as[(String, String, String, Option[Double], Option[Long], Option[Long],
+           Option[Long], Option[Long])].collect()
+      .map(r => (r._1, r._2, r._3) -> r).toMap
+    // no −1 margin in _3: 60 − 10 = 50, min(50, 100) = 50; provenance =
+    // trust 0xh1→11, carol's tokA last move 0xt1→1, bob's tokA 0xt2→2,
+    // bob's own tokB last move 0xt4→4
+    assert(g(("carol", "bob", "alice")) ==
+      ("carol", "bob", "alice", Some(50.0), Some(11L), Some(1L), Some(2L), Some(4L)))
+    // _3 has no limit>0 gate, but a 0-limit edge still nets 10·0% − 0 = 0
+    assert(g(("alice", "carol", "bob"))._4 == Some(0.0))
+    // NULL own-holdings → NULL capacity and NULL holdings provenance
+    assert(g(("bob", "eve", "carol"))._4.isEmpty &&
+      g(("bob", "eve", "carol"))._8.isEmpty)
+  }
+
+  test("erc20BalancesBySafeAndToken: non-CRC only, registry legs, self collapse") {
+    val all = CirclesViews.allSignups(capSignups, Seq(("0xo1", "org1")).toDF("hash", "organisation"))
+    val tx = capTransfers.unionAll(Seq(
+      ("0xn1", "tokX", "alice", "dave", 30L), // dave unregistered → leg dropped
+      ("0xn2", "tokX", "dave", "bob", 10L),
+      ("0xn3", "tokX", "alice", "alice", 5L)  // self transfer → ONE out leg
+    ).toDF("hash", "token", "from", "to", "value"))
+    val r = CirclesViews.erc20BalancesBySafeAndToken(tx, all)
+      .as[(String, String, Double, String)].collect().toSet
+    // CRC tokens (tokA/B/C) are absent entirely; only tokX rows remain
+    assert(r == Set(
+      ("alice", "tokX", -35.0, "0xn3"),
+      ("bob", "tokX", 10.0, "0xn2")))
+  }
+
   // --- SQL-migration view catalog (0.0.64.sql) ---------------------------
 
   private val zero = "0x" + "0" * 40

@@ -116,8 +116,13 @@ class TextMetricsSpec extends SparkSpec {
 
   test("BPE on testdata: trained merges compress between word and char counts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val merges = TextMetrics.trainBpe(docs, numMerges = 8, sampleDocs = 100)
+    val merges = TextMetrics.trainBpe(docs, numMerges = 8, samplePermille = 200)
     assert(merges.nonEmpty && merges == merges.distinct)
+    // partition-invariance: the hash-gated sample (hence the trained merge
+    // sequence) is identical under any partition layout — the property
+    // limit()-based sampling cannot give on a cluster
+    val reparted = TextMetrics.trainBpe(docs.repartition(7), numMerges = 8, samplePermille = 200)
+    assert(reparted == merges)
     val r = TextMetrics.bpeTokenCounts(docs, merges)
       .join(docs.select($"doc_id", length($"text").as("n_chars")), "doc_id")
       .select("ws_tokens", "bpe_tokens", "n_chars")

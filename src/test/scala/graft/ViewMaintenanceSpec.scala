@@ -95,6 +95,72 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(viewState(viewDir) == Set(("u1", "v1", 99L, 2L)))
   }
 
+  test("conditional-PUT committer: same end-to-end view state as rename") {
+    import graft.streaming.ConditionalPutCommitter
+    val viewDir = Files.createTempDirectory("graft-casview").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir,
+      version = 0L, committer = ConditionalPutCommitter)
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 50L),
+      TrustEv("0xa3", "u2", "v1", 80L)).toDF, viewDir,
+      version = 1L, committer = ConditionalPutCommitter)
+    assert(viewState(viewDir) == Set(("u1", "v1", 50L, 2L), ("u2", "v1", 80L, 1L)))
+    // replay of batch 1 is a no-op under the CAS committer too
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 50L),
+      TrustEv("0xa3", "u2", "v1", 80L)).toDF, viewDir,
+      version = 1L, committer = ConditionalPutCommitter)
+    assert(viewState(viewDir) == Set(("u1", "v1", 50L, 2L), ("u2", "v1", 80L, 1L)))
+  }
+
+  test("lost manifest race: loser returns without corrupting the winner's commit") {
+    import graft.streaming.{ConditionalPutCommitter, RenameCommitter}
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (committer <- Seq(RenameCommitter, ConditionalPutCommitter)) {
+      val viewDir = Files.createTempDirectory("graft-race").toString + "/view"
+      mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir,
+        version = 0L, committer = committer)
+      // a "winner" (zombie twin of batch 1) publishes manifest-1 directly
+      val winner = "batch 1\n" +
+        ViewMaintenance.readManifest(spark, viewDir)._3.toSeq.sorted
+          .map { case (b, g) => s"$b $g" }.mkString("\n")
+      assert(committer.commit(fs, viewDir, 1L, winner))
+      // the loser's merge of batch 1 hits the occupied version: commit
+      // must return false and the merge must degrade to a silent no-op
+      assert(!committer.commit(fs, viewDir, 1L, "batch 1\nrogue"))
+      mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 99L)).toDF, viewDir,
+        version = 1L, committer = committer)
+      // winner's manifest content survived (not the loser's rogue write)
+      val in = fs.open(new Path(s"$viewDir/manifest-1"))
+      val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      assert(content == winner, s"winner's manifest must survive under $committer")
+      // replay of the lost batch is the documented no-op path
+      mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 99L)).toDF, viewDir,
+        version = 1L, committer = committer)
+      assert(viewState(viewDir) == Set(("u1", "v1", 10L, 1L)),
+        "view reflects the winner's committed state only")
+    }
+  }
+
+  test("a merge whose commit loses the race leaves the view untouched") {
+    import graft.streaming.{ManifestCommitter, RenameCommitter}
+    val viewDir = Files.createTempDirectory("graft-loser").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v1", 10L)).toDF, viewDir, version = 0L)
+    val before = viewState(viewDir)
+    // a committer that always loses simulates the CAS precondition failing
+    // mid-merge: the generation was written but must stay unpublished
+    object AlwaysLoses extends ManifestCommitter {
+      def commit(fs: org.apache.hadoop.fs.FileSystem, viewDir: String,
+                 version: Long, content: String): Boolean = false
+    }
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 99L)).toDF, viewDir,
+      version = 1L, committer = AlwaysLoses)
+    assert(viewState(viewDir) == before, "unpublished generation must be invisible")
+    // the writer recovers on the next (re)delivery with a working committer
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u1", "v1", 99L)).toDF, viewDir,
+      version = 1L, committer = RenameCommitter)
+    assert(viewState(viewDir) == Set(("u1", "v1", 99L, 2L)))
+  }
+
   test("compaction folds the view into one generation, content unchanged") {
     val viewDir = Files.createTempDirectory("graft-compact").toString + "/view"
     // 6 single-key batches → mapping spread over up to 6 generations

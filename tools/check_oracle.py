@@ -41,6 +41,12 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     bad = None
     for c in scols:
         sv, dv = sdf[c], ddf[c]
+        # dtype-strict: the driver hashes serialized values, so int64 vs
+        # float64/object (e.g. DuckDB HUGEINT) must fail here like it fails
+        # there, even when pandas would equate 357 == 357.0.
+        if sv.dtype != dv.dtype:
+            bad = f"col {c} dtype mismatch: spark={sv.dtype} duck={dv.dtype}"
+            break
         try:
             eq = (sv == dv) | (sv.isna() & dv.isna())
         except Exception:
