@@ -2,8 +2,9 @@ package graft.plans
 
 import graft.functions.TopKAgg
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, MaxBy, Min, MinBy}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -16,7 +17,13 @@ import org.apache.spark.sql.types.IntegerType
   *    [[graft.functions.TopKAgg]] + posexplode — the shuffle carries
   *    k·groups·partitions rows, the answer, not the input (descending
   *    windows use the aggregate's reverse mode: keep-largest,
-  *    largest-first, which reproduces desc-nulls-last exactly).
+  *    largest-first, which reproduces desc-nulls-last exactly);
+  *  - `rank()/dense_rank() ... = 1` (ALL tied-best rows per group, not
+  *    one) → a per-group min/max-key aggregate self-joined back to the
+  *    input on (group keys, key struct), null-safe — the aggregate forms
+  *    map-side and the join broadcasts (|groups| rows ≪ input), where the
+  *    window form sorts every partition. Only `= 1` qualifies: at k > 1
+  *    rank's gap semantics diverge from a bounded heap.
   *
   * The window form is what users naturally write for latest-per-key /
   * top-k-per-group, but it SORTS every partition just to keep k rows — at
@@ -108,8 +115,11 @@ object RowNumberToPickRule extends Rule[LogicalPlan] with PredicateHelper {
     for {
       rnAlias <- Some(w.windowExpressions.head).collect { case a: Alias => a }
       we <- Some(rnAlias.child).collect {
-        case e: WindowExpression if e.windowFunction.isInstanceOf[RowNumber] => e
+        case e: WindowExpression if e.windowFunction.isInstanceOf[RowNumber] ||
+          e.windowFunction.isInstanceOf[Rank] ||
+          e.windowFunction.isInstanceOf[DenseRank] => e
       }
+      isRowNumber = we.windowFunction.isInstanceOf[RowNumber]
       rnAttr = rnAlias.toAttribute
       conjuncts = splitConjunctivePredicates(cond)
       (rankConjs, residual) = conjuncts.partition(c => rankFilterOf(c, rnAttr).isDefined)
@@ -125,10 +135,12 @@ object RowNumberToPickRule extends Rule[LogicalPlan] with PredicateHelper {
       if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
       directions = spec.orderSpec.map(_.direction).distinct
       if directions.size == 1
-      picked = rank match {
-        case EqOne => rewriteEqOne(w, spec, rnAlias, directions.head)
-        case LeqK(k) =>
-          rewriteLeqK(w, spec, rnAlias, k, reverse = directions.head == Descending)
+      picked <- rank match {
+        case EqOne if isRowNumber => Some(rewriteEqOne(w, spec, rnAlias, directions.head))
+        case EqOne => Some(rewriteAllTiedBest(w, spec, rnAlias, directions.head))
+        case LeqK(k) if isRowNumber =>
+          Some(rewriteLeqK(w, spec, rnAlias, k, reverse = directions.head == Descending))
+        case _ => None // rank/dense_rank ≤ k: gap semantics, no rewrite
       }
       filtered = if (residual.isEmpty) picked else Filter(residual.reduce(And), picked)
     } yield projOpt.fold(filtered)(p => Project(p.projectList, filtered))
@@ -150,6 +162,38 @@ object RowNumberToPickRule extends Rule[LogicalPlan] with PredicateHelper {
       Alias(GetStructField(pickAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
     } :+ Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
     Project(projList, agg)
+  }
+
+  /** `rank()/dense_rank() = 1` → keep EVERY row whose order-key tuple
+    * equals the per-group best: Aggregate(group, min/max(keyStruct)) with
+    * FRESH output exprIds (group keys re-aliased) inner-joined back to
+    * the input, null-safe on both the group keys (a null partition value
+    * is one window group) and the key struct (struct ordering already
+    * treats null fields as equal — belt and braces). The two join inputs
+    * share the child SUBTREE (reused scan/exchange) but no output
+    * attributes, so the self-join is duplicate-resolved by construction.
+    * The appended rank column is the literal 1 under the window alias's
+    * exprId, like the other rewrites.
+    */
+  private def rewriteAllTiedBest(w: Window, spec: WindowSpecDefinition, rnAlias: Alias,
+                                 direction: SortDirection): LogicalPlan = {
+    val childOut = w.child.output
+    val keyStruct = CreateStruct(spec.orderSpec.map(_.child))
+    val bestFn = direction match {
+      case Ascending => Min(keyStruct)
+      case Descending => Max(keyStruct)
+    }
+    val bestAlias = Alias(bestFn.toAggregateExpression(), "_graft_best")()
+    val groupAliases = spec.partitionSpec.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"_graft_g$i")()
+    }
+    val agg = Aggregate(spec.partitionSpec, groupAliases :+ bestAlias, w.child)
+    val cond = (spec.partitionSpec.zip(groupAliases).map { case (l, r) =>
+      EqualNullSafe(l, r.toAttribute): Expression
+    } :+ EqualNullSafe(keyStruct, bestAlias.toAttribute)).reduce(And)
+    val join = Join(w.child, agg, Inner, Some(cond), JoinHint.NONE)
+    val projList = childOut :+ Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
+    Project(projList, join)
   }
 
   /** `rn <= k` → topK(struct(orderKeys…, row…), k) + posexplode; rank =

@@ -181,6 +181,68 @@ class RowNumberToPickRuleSpec extends SparkSpec {
       "non-default null placement must not rewrite")
   }
 
+  test("rank()=1 / dense_rank()=1 keep ALL tied-best rows via the self-join rewrite") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    import s.implicits._
+    // l_quantity repeats within an order → real tie groups: rank()=1 must
+    // keep EVERY minimal-quantity line, which row_number()=1 would not
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_quantity"))
+    for (fn <- Seq(rank(), dense_rank())) {
+      val rk = li.withColumn("rn", fn.over(w))
+      val rewritten = rk.where(col("rn") === 1)
+      assert(!hasWindow(rewritten), "rank=1 window must be rewritten away")
+      val a = rewritten.collect().map(_.toSeq).toSet
+      val b = dodge(rk, 1).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+      // some group genuinely ties (else this test proves nothing)
+      val perGroup = rewritten.groupBy("l_orderkey").count()
+        .agg(max("count")).as[Long].head()
+      assert(perGroup > 1, "fixture must contain a tied-best group")
+    }
+    // desc direction takes the max-key arm
+    val wd = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc)
+    val rkd = li.withColumn("rn", rank().over(wd))
+    val rewrittenD = rkd.where(col("rn") === 1)
+    assert(!hasWindow(rewrittenD))
+    assert(rewrittenD.collect().map(_.toSeq).toSet ==
+      dodge(rkd, 1).collect().map(_.toSeq).toSet)
+    // rank <= k (k>1) must NOT fire: gap semantics aren't a bounded heap
+    val leq = rkd.where(col("rn") <= 2)
+    assert(hasWindow(leq), "rank<=k must keep the window")
+    // null partition values are ONE window group — the self-join is
+    // null-safe, so the null group's tied best survives too
+    val withNullGroup = Seq((Some("a"), 1L), (Some("a"), 1L), (Some("a"), 2L),
+      (None, 5L), (None, 5L), (None, 7L)).toDF("g", "v")
+    val wn = Window.partitionBy("g").orderBy(col("v"))
+    val rkn = withNullGroup.withColumn("rn", rank().over(wn))
+    val rew = rkn.where(col("rn") === 1)
+    assert(!hasWindow(rew))
+    assert(rew.collect().map(_.toSeq).toSet ==
+      dodge(rkn, 1).collect().map(_.toSeq).toSet)
+    assert(rew.where(col("g").isNull).count() == 2,
+      "null group keeps both tied-best rows")
+  }
+
+  test("rank()=1 with residual conjunct and renaming Project still fires") {
+    val s = SparkSpec.session.newSession()
+    GraftExtensions.registerAll(s)
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_quantity"))
+    val rk = li.withColumn("rn", rank().over(w))
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"), col("rn").as("r"))
+    val rewritten = rk.where(col("r") === 1 && col("ln") % 2 === 1)
+    assert(!hasWindow(rewritten), "rank=1 must fire through rename + residual")
+    val baseline = rk.where(col("r") >= 1 && col("r") <= 1 && col("ln") % 2 === 1)
+    assert(hasWindow(baseline))
+    assert(rewritten.collect().map(_.toSeq).toSet ==
+      baseline.collect().map(_.toSeq).toSet)
+  }
+
   test("nullable order keys with default null placement: rewrite matches the window") {
     val s = SparkSpec.session.newSession()
     GraftExtensions.registerAll(s)
