@@ -131,6 +131,44 @@ object SparkEntry {
         ReceiptClassifier.extractOrgSignups(ReceiptClassifier.demoReceipts(ev)),
         ReceiptClassifier.demoBlocks(ev), "signups")
     }),
+    // the maintained view STORE on the driver gate: the same trust/balance
+    // state as q_trust_view / q_token_balances, but built by replaying
+    // three deterministic micro-batch slices through the manifest-committed
+    // store and SERVED from readView — batch/streaming convergence is now
+    // oracle-checked, not only spec'd
+    "q_trust_view_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val trusts = ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d)))
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-trust")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeTrustBatch(s,
+          trusts.where(pmod(xxhash64(col("hash")), lit(3)) === i),
+          viewDir, version = i.toLong)
+      }
+      graft.streaming.ViewMaintenance.readView(s, viewDir)
+        .select("user", "can_send_to", "limit", "history_count", "last_change")
+        .orderBy("user", "can_send_to")
+    }),
+    "q_token_balances_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val transfers = ReceiptClassifier.extractErc20Transfers(
+          ReceiptClassifier.demoReceipts(Tables.events(s, d)))
+        .withColumn("value",
+          conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-bal")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeBalancesBatch(s,
+          transfers.where(pmod(xxhash64(col("hash")), lit(3)) === i),
+          viewDir, version = i.toLong)
+      }
+      graft.streaming.ViewMaintenance.readView(s, viewDir)
+        .select(col("safe_address"), col("token"),
+          col("balance").cast("double").as("balance"), col("last_change_at"))
+        .orderBy("safe_address", "token")
+    }),
     "q_capacity_graph" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val r = ReceiptClassifier.demoReceipts(ev).persist()
@@ -893,6 +931,29 @@ object SparkEntry {
         |      WHEN en = greatest(de, en, es, fr) THEN 'en'
         |      ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the SERVED twins converge to the same state as the direct views —
+    // the oracle is identical by design
+    "q_trust_view_served" ->
+      """WITH tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup')
+        |SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
+        | count(*) AS history_count, max(hash) AS last_change
+        |FROM tr GROUP BY "user", can_send_to
+        |ORDER BY "user", can_send_to""".stripMargin,
+    "q_token_balances_served" -> (demoCte +
+      """,
+        |d AS (
+        | SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
+        | UNION ALL
+        | SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc)
+        |SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        | max(hash) AS last_change_at
+        |FROM d GROUP BY safe_address, token
+        |ORDER BY safe_address, token""".stripMargin),
     "q_trust_view" ->
       """WITH tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
