@@ -147,7 +147,8 @@ object SparkEntry {
           trusts.where(pmod(xxhash64(col("hash")), lit(3)) === i),
           viewDir, version = i.toLong)
       }
-      graft.streaming.ViewMaintenance.readView(s, viewDir)
+      graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+          CirclesViews.currentTrust(trusts))
         .select("user", "can_send_to", "limit", "history_count", "last_change")
         .orderBy("user", "can_send_to")
     }),
@@ -164,7 +165,8 @@ object SparkEntry {
           transfers.where(pmod(xxhash64(col("hash")), lit(3)) === i),
           viewDir, version = i.toLong)
       }
-      graft.streaming.ViewMaintenance.readView(s, viewDir)
+      graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+          graft.streaming.ViewMaintenance.balancesDelta(transfers))
         .select(col("safe_address"), col("token"),
           col("balance").cast("double").as("balance"), col("last_change_at"))
         .orderBy("safe_address", "token")

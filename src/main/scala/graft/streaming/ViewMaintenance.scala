@@ -193,6 +193,17 @@ object ViewMaintenance {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** [[readView]] with a schema-stable empty result: a store that has never
+    * committed a generation has no schema on disk, so readView degrades to a
+    * zero-column frame and breaks downstream selects. `prototype` is any
+    * frame with the view's serve-side columns (callers pass the batch
+    * pipeline that feeds the merge); only its schema is used.
+    */
+  def readViewOr(spark: SparkSession, viewDir: String, prototype: DataFrame): DataFrame = {
+    val v = readView(spark, viewDir)
+    if (v.schema.isEmpty) prototype.limit(0) else v
+  }
+
   /** Merge a batch of trust-detail rows (hash, user, can_send_to, limit)
     * into the stored view at `viewDir`, writing only the buckets the
     * batch's keys fall in and committing via manifest rename.
@@ -236,15 +247,8 @@ object ViewMaintenance {
   def mergeBalancesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
                          numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
                          maxGenerations: Int = DefaultMaxGenerations,
-                         committer: ManifestCommitter = RenameCommitter): Unit = {
-    val delta = batch.select(explode(array(
-        struct(col("to").as("safe_address"), col("token"), col("value").as("delta"), col("hash")),
-        struct(col("from").as("safe_address"), col("token"), (-col("value")).as("delta"), col("hash"))
-      )).as("m")).select("m.*")
-      .groupBy("safe_address", "token")
-      .agg(sum(col("delta").cast("decimal(18,4)")).cast("decimal(38,4)").as("balance"),
-        max("hash").as("last_change_at"))
-    mergeBatchGeneric(spark, viewDir, delta, "safe_address",
+                         committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir, balancesDelta(batch), "safe_address",
       (existing, d) => {
         val e = existing.select(col("safe_address"), col("token"),
           col("balance").as("bal_a"), col("last_change_at").as("lc_a"))
@@ -258,7 +262,18 @@ object ViewMaintenance {
             greatest(col("lc_a"), col("lc_b")).as("last_change_at"))
       },
       numBuckets, version, maxGenerations, committer)
-  }
+
+  /** The per-batch (safe, token) delta [[mergeBalancesBatch]] folds into the
+    * store — also the serve-side schema prototype for [[readViewOr]].
+    */
+  def balancesDelta(batch: DataFrame): DataFrame =
+    batch.select(explode(array(
+        struct(col("to").as("safe_address"), col("token"), col("value").as("delta"), col("hash")),
+        struct(col("from").as("safe_address"), col("token"), (-col("value")).as("delta"), col("hash"))
+      )).as("m")).select("m.*")
+      .groupBy("safe_address", "token")
+      .agg(sum(col("delta").cast("decimal(18,4)")).cast("decimal(38,4)").as("balance"),
+        max("hash").as("last_change_at"))
 
   /** The shared manifest-committed merge flow (crash/replay/GC/compaction
     * semantics documented on the object): `delta` arrives reduced per key
