@@ -284,6 +284,13 @@ object SparkEntry {
       Sampling.sourceMix(Tables.documents(s, d), "source", "doc_id",
         Map("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 100))
         .select("doc_id", "source").orderBy("doc_id")),
+    "q_repetition" -> ((s, d) => TextMetrics.repetition(Tables.documents(s, d))),
+    "q_repetition_filter" -> ((s, d) => TextMetrics.repetitionFilter(Tables.documents(s, d))),
+    // the testdata ships no PII, so the scrub demo decorates the corpus
+    // with deterministic doc_id-derived emails/phones/IPs — identically in
+    // the SQL twin (same pattern as the demo receipts)
+    "q_pii_scan" -> ((s, d) => Pii.scan(Demo.decoratedDocs(Tables.documents(s, d)))),
+    "q_pii_redact" -> ((s, d) => Pii.redact(Demo.decoratedDocs(Tables.documents(s, d)))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
@@ -309,6 +316,25 @@ object SparkEntry {
     def hubStr(r: DataFrame): DataFrame =
       ReceiptClassifier.extractHubTransfers(r)
         .withColumn("value", valueOf(col("value_hex")).cast("string")).drop("value_hex")
+    /** Documents decorated with deterministic doc_id-derived PII (emails,
+      * phones, IPv4) — the testdata ships none, so the scrub demo plants
+      * its own, reproduced verbatim in the SQL twin.
+      */
+    def decoratedDocs(documents: DataFrame): DataFrame =
+      documents.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com asap"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+            ((col("doc_id") * 13) % 256).cast("string"))).otherwise("")
+      ).as("text"))
+
     /** crc_token_transfer_2 (0.0.64.sql:678): transfers of CRC tokens. */
     def crcTransfers(ev: DataFrame): DataFrame =
       erc20Str(ReceiptClassifier.demoReceipts(ev)).join(
@@ -1115,6 +1141,108 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the repetition twin derives the top-bigram count via per-doc
+    // grouping where the Spark side uses a sorted-array fold — same number
+    "q_repetition" ->
+      """WITH words AS (
+        | SELECT doc_id, ws[pos] AS w, pos
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |      LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS pos) g),
+        |runs AS (
+        | SELECT doc_id, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+        | FROM words),
+        |run_lens AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+        | FROM runs GROUP BY doc_id, w, grp),
+        |bigrams AS (
+        | SELECT doc_id, bg FROM (
+        |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM words) x WHERE bg IS NOT NULL),
+        |bg_counts AS (
+        | SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        | FROM bigrams GROUP BY doc_id, bg),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+        | FROM words GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_words,
+        | round(1.0 - CAST(a.n_distinct AS DOUBLE)/a.n_words, 6) AS dup_word_frac,
+        | (SELECT max(run_len) FROM run_lens r WHERE r.doc_id=a.doc_id) AS max_word_run,
+        | round(CAST((SELECT max(c) FROM bg_counts b WHERE b.doc_id=a.doc_id) AS DOUBLE)
+        |       / nullif(a.n_words - 1, 0), 6) AS top_bigram_frac
+        |FROM agg a ORDER BY a.doc_id""".stripMargin,
+    "q_repetition_filter" ->
+      """WITH words AS (
+        | SELECT doc_id, ws[pos] AS w, pos
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |      LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS pos) g),
+        |runs AS (
+        | SELECT doc_id, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+        | FROM words),
+        |run_lens AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+        | FROM runs GROUP BY doc_id, w, grp),
+        |bigrams AS (
+        | SELECT doc_id, bg FROM (
+        |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM words) x WHERE bg IS NOT NULL),
+        |bg_counts AS (
+        | SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        | FROM bigrams GROUP BY doc_id, bg),
+        |m AS (
+        | SELECT a.doc_id,
+        |  round(1.0 - CAST(a.n_distinct AS DOUBLE)/a.n_words, 6) AS dup_word_frac,
+        |  (SELECT max(run_len) FROM run_lens r WHERE r.doc_id=a.doc_id) AS max_word_run,
+        |  round(CAST((SELECT max(c) FROM bg_counts b WHERE b.doc_id=a.doc_id) AS DOUBLE)
+        |        / nullif(a.n_words - 1, 0), 6) AS top_bigram_frac
+        | FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+        |       FROM words GROUP BY doc_id) a),
+        |d AS (
+        | SELECT doc_id,
+        |  CASE WHEN dup_word_frac > 0.6 THEN 'dup_words'
+        |       WHEN top_bigram_frac > 0.08 THEN 'top_bigram'
+        |       WHEN max_word_run > 2 THEN 'word_run' END AS r
+        | FROM m)
+        |SELECT doc_id, r IS NULL AS keep, coalesce(r, 'ok') AS reason
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_pii_scan" ->
+      s"""WITH deco AS ($decoSql)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+        |  + len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{4}'))
+        |  + len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0 AS has_pii
+        |FROM deco ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH deco AS ($decoSql)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+        |   '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM deco ORDER BY doc_id""".stripMargin
   )
+
+  /** The PII-decorated corpus, verbatim SQL twin of [[Demo.decoratedDocs]]. */
+  private val decoSql =
+    """SELECT doc_id,
+      | text ||
+      | CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+      |      ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0
+      |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      | CASE WHEN doc_id % 7 = 0
+      |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |        '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |        '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+      |      ELSE '' END AS text
+      |FROM documents""".stripMargin
 }

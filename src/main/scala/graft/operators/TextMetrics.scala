@@ -140,6 +140,65 @@ object TextMetrics {
       .orderBy("doc_id")
   }
 
+  /** Longest run of equal adjacent elements in an array — a single
+    * left-to-right fold with (prev, run, best) struct state. Used on the raw
+    * word sequence (max repeated-word run) and on a SORTED n-gram array
+    * (where the longest equal-adjacent run IS the top n-gram's frequency —
+    * sorting groups equal grams, so no per-doc groupBy/shuffle is needed).
+    */
+  private def maxAdjacentRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(acc.getField("prev") === w, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition metrics — the signals repetition filters cut
+    * on: duplicate-word mass, the top bigram's share of all bigrams, and the
+    * longest same-word run. Map-only per-row folds (no shuffle at any
+    * scale): the top-bigram count comes from the longest equal-adjacent run
+    * of the SORTED bigram array, not a per-doc groupBy. Ratios are
+    * integer-derived double divisions (deterministic cross-engine);
+    * single-word docs have no bigrams → null top_bigram_frac, like the
+    * SQL twin.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val ws = wsWords(col("text"))
+    val nWords = size(ws).cast("long")
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(lit(1.0) - size(array_distinct(ws)).cast("double") / nWords.cast("double"), 6)
+        .as("dup_word_frac"),
+      maxAdjacentRun(ws).as("max_word_run"),
+      when(size(ws) < 2, lit(null).cast("double"))
+        .otherwise(round(maxAdjacentRun(array_sort(bigrams)).cast("double") /
+          (nWords - 1).cast("double"), 6)).as("top_bigram_frac")
+    ).orderBy("doc_id")
+  }
+
+  /** Repetition keep/drop filter over [[repetition]] — the Gopher rules'
+    * composition shape, mirroring [[qualityFilter]]: `keep` plus the FIRST
+    * failing rule as the audit reason. Defaults split the driver testdata
+    * non-trivially (word-soup docs repeat heavily).
+    */
+  def repetitionFilter(documents: DataFrame, maxDupWordFrac: Double = 0.6,
+                       maxTopBigramFrac: Double = 0.08,
+                       maxWordRun: Long = 2L): DataFrame = {
+    val reason = when(col("dup_word_frac") > maxDupWordFrac, "dup_words")
+      .when(col("top_bigram_frac") > maxTopBigramFrac, "top_bigram")
+      .when(col("max_word_run") > maxWordRun, "word_run")
+    repetition(documents)
+      .select(col("doc_id"), reason.isNull.as("keep"),
+        coalesce(reason, lit("ok")).as("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer (letter
     * runs / single digits / single punctuation — the classic pre-tokenizer
     * shape). The regex is kept in the portable subset (character classes,

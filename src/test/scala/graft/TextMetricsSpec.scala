@@ -146,4 +146,58 @@ class TextMetricsSpec extends SparkSpec {
     // ab / 1 / 2 / cd / , / ef
     assert(r.getAs[Long]("re_tokens") == 6)
   }
+
+  test("repetition: hand-computed metrics on shaped docs") {
+    val docs = Seq(
+      (0L, "a a a b"),          // 4 words, 2 distinct, run 3, bigrams: "a a"x2,"a b" -> top 2/3
+      (1L, "x y x y x"),        // 5 words, 2 distinct, run 1, bigrams: "x y"x2,"y x"x2 -> top 2/4
+      (2L, "solo"),             // 1 word: no bigrams -> null frac
+      (3L, "p q r s")           // all distinct, run 1, top bigram 1/3
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.repetition(docs).collect().map(x =>
+      x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getLong(3),
+        if (x.isNullAt(4)) Double.NaN else x.getDouble(4)))).toMap
+    assert(r(0L) == ((4L, 0.5, 3L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(r(1L)._3 == 1L && r(1L)._4 == 0.5)
+    assert(r(2L)._1 == 1L && r(2L)._4.isNaN)
+    assert(r(3L) == ((4L, 0.0, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+  }
+
+  test("repetitionFilter: each rule fires on its shaped doc, first reason wins") {
+    val docs = Seq(
+      // clean: 14 distinct words -> top bigram 1/13 = 0.077 < 0.08, dup 0, run 1
+      (0L, "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu nu xi"),
+      // dup: 20 words, 5 distinct -> dup 0.75 > 0.6 (first rule wins over its runs)
+      (1L, "a a b a c a a b a c a a b a c a a b a c"),
+      // bigram: "p q" x4 of 19 = 0.21 > 0.08; dup = 1 - 14/20 = 0.3; run 1
+      (2L, "p q p q p q p q x y z w u v t s r m n o"),
+      // run: "x x x" run 3 > 2; 20 words 17 distinct -> dup 0.15; 19 bigrams,
+      // top "x x" x2 = 0.105 -> bigram rule precedes run rule
+      (3L, "a b c a b c x x x y z w u v t s r m n o")
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.repetitionFilter(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getString(2)))).toMap
+    assert(r(0L) == ((true, "ok")))
+    assert(r(1L) == ((false, "dup_words")))
+    assert(r(2L) == ((false, "top_bigram")))
+    assert(r(3L) == ((false, "top_bigram"))) // precedence: bigram rule precedes run rule
+  }
+
+  test("pii scan and redact on planted spans") {
+    val docs = Seq(
+      (0L, "reach me at bob1@mail.com or +1-555-0199 from 10.0.0.1 thanks"),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.co c@d.net and ip 192.168.1.255")
+    ).toDF("doc_id", "text")
+    val s = graft.operators.Pii.scan(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(s(0L) == ((1L, 1L, 1L, true)))
+    assert(s(1L) == ((0L, 0L, 0L, false)))
+    assert(s(2L) == ((2L, 0L, 1L, true)))
+    val red = graft.operators.Pii.redact(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(red(0L) == "reach me at <EMAIL> or <PHONE> from <IP> thanks")
+    assert(red(1L) == "no pii here at all")
+    assert(red(2L) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
 }
