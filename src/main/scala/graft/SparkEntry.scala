@@ -44,6 +44,20 @@ object SparkEntry {
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
       CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(receipts))
     }),
+    // the pathfinder precompute over the current-trust edge list: widest
+    // (max-min limit) routes within 3 hops, plus per-source fan-out stats
+    "q_trust_reach" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.widestPaths(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), maxHops = 3)
+    }),
+    "q_trust_reach_counts" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.reachCounts(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), maxHops = 3)
+    }),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
@@ -993,6 +1007,11 @@ object SparkEntry {
         | count(*) AS history_count, max(hash) AS last_change
         |FROM tr GROUP BY "user", can_send_to
         |ORDER BY "user", can_send_to""".stripMargin,
+    "q_trust_reach" -> (trustEdgesCte +
+      """SELECT src, dst, cap FROM h3 ORDER BY src, dst""".stripMargin),
+    "q_trust_reach_counts" -> (trustEdgesCte +
+      """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
+        |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_token_balances" -> (demoCte +
       """,
         |d AS (
@@ -1228,6 +1247,37 @@ object SparkEntry {
         |   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
         |FROM deco ORDER BY doc_id""".stripMargin
   )
+
+  /** Widest-path closure to 3 hops over the current-trust edge list — the
+    * SQL twin of [[graft.operators.Graph.widestPaths]]'s Bellman–Ford
+    * rounds, one CTE per hop bound.
+    */
+  private val trustEdgesCte =
+    """WITH tr AS (
+      | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+      |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+      |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+      | FROM events WHERE event_type = 'signup'),
+      |e1 AS (
+      | SELECT src, dst, cap FROM (
+      |  SELECT "user" AS src, can_send_to AS dst, arg_max("limit", hash) AS cap
+      |  FROM tr GROUP BY 1, 2) x WHERE cap > 0 AND src <> dst),
+      |h2 AS (
+      | SELECT src, dst, max(cap) AS cap FROM (
+      |  SELECT src, dst, cap FROM e1
+      |  UNION ALL
+      |  SELECT b.src, x.dst, least(b.cap, x.cap) AS cap
+      |  FROM e1 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
+      | ) u GROUP BY src, dst),
+      |h3 AS (
+      | SELECT src, dst, max(cap) AS cap FROM (
+      |  SELECT src, dst, cap FROM h2
+      |  UNION ALL
+      |  SELECT b.src, x.dst, least(b.cap, x.cap) AS cap
+      |  FROM h2 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
+      | ) u GROUP BY src, dst)
+      |""".stripMargin
 
   /** The PII-decorated corpus, verbatim SQL twin of [[Demo.decoratedDocs]]. */
   private val decoSql =

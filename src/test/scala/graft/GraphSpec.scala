@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("widestPaths: hand-computed diamond with a bottleneck") {
+    // a->b(5)->d(3), a->c(2)->d(10), d->e(7); plus a parallel a->b(1) edge
+    val edges = Seq(
+      ("a", "b", 5L), ("a", "b", 1L), ("b", "d", 3L),
+      ("a", "c", 2L), ("c", "d", 10L), ("d", "e", 7L)
+    ).toDF("src", "dst", "cap")
+    val r = Graph.widestPaths(edges, maxHops = 3).as[(String, String, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(r(("a", "b")) == 5L) // parallel edges reduce to max
+    assert(r(("a", "d")) == 3L) // min(5,3)=3 beats min(2,10)=2
+    assert(r(("a", "e")) == 3L) // 3-hop a->b->d->e
+    assert(r(("c", "e")) == 7L) // min(10,7)
+    assert(!r.contains(("e", "a")))
+  }
+
+  test("widestPaths: cycles don't create self-pairs and don't inflate caps") {
+    val edges = Seq(("a", "b", 4L), ("b", "a", 9L), ("b", "c", 2L))
+      .toDF("src", "dst", "cap")
+    val r = Graph.widestPaths(edges, maxHops = 4).as[(String, String, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(!r.contains(("a", "a")) && !r.contains(("b", "b")))
+    assert(r(("a", "c")) == 2L)
+    assert(r(("a", "b")) == 4L) // the a->b->a->b walk can't beat the edge
+  }
+
+  test("widestPaths matches brute-force walk enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 12
+    val edges = (for {
+      s <- 0 until n; t <- 0 until n
+      if s != t && rnd.nextInt(100) < 25
+    } yield (s.toString, t.toString, (rnd.nextInt(20) + 1).toLong)).toSeq
+    val maxHops = 3
+    // brute force: widest-path Bellman-Ford on the driver
+    val best = scala.collection.mutable.Map.empty[(String, String), Long]
+    edges.foreach { case (s, t, c) =>
+      best((s, t)) = math.max(best.getOrElse((s, t), Long.MinValue), c)
+    }
+    val base = best.toMap
+    for (_ <- 2 to maxHops) {
+      val snapshot = best.toMap
+      for (((s, w), c1) <- snapshot; ((w2, t), c2) <- base if w2 == w && s != t) {
+        val cand = math.min(c1, c2)
+        if (cand > best.getOrElse((s, t), Long.MinValue)) best((s, t)) = cand
+      }
+    }
+    val got = Graph.widestPaths(edges.toDF("src", "dst", "cap"), maxHops)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == best.toMap)
+  }
+
+  test("reachCounts aggregates the closure per source") {
+    val edges = Seq(("a", "b", 4L), ("b", "c", 9L)).toDF("src", "dst", "cap")
+    val r = Graph.reachCounts(edges, maxHops = 2).as[(String, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(("a")) == ((2L, 4L))) // reaches b(4) and c(min(4,9)=4)
+    assert(r(("b")) == ((1L, 9L)))
+  }
+}
