@@ -276,6 +276,10 @@ object SparkEntry {
     // scale (centroids are a stored index); benched separately so the
     // steady-state ivf query stays comparable round-over-round
     "q_ann_ivf_trained" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), kmeansIters = 2)),
+    // the compressed-index ANN leg: PQ codes + ADC lookups (train+encode+
+    // score in one call — training is the labeled one-time cost, like
+    // q_ann_ivf_trained)
+    "q_ann_pq" -> ((s, d) => Pq.pqTopK(Tables.embeddings(s, d), iters = 3)),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     // the cluster step over the embedding pair list (pairs → keep-one
     // groups) — same connected-components engine as q_dup_clusters

@@ -48,7 +48,7 @@ object Ann {
     * puts NaN first — so every caller excludes zero-norm vectors (the only
     * NaN source, 0/0) before scoring and the two formulations agree.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val item = struct(negate(col("cosine")).as("neg_cosine"), col("nid").as("nid"), col("cosine").as("cosine"))
     scored
       .groupBy("qid")

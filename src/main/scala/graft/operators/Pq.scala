@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the memory-bounded scale path of the ANN
+  * family (SURVEY §2 #28/29/29b cover brute force / LSH / IVF; this adds
+  * the compressed-index leg). A d-dim float vector (d·4 bytes) is encoded
+  * as `m` byte-ish codes (one nearest-centroid id per subspace), a
+  * d·4/m-fold compression: at 100 TB of embeddings the code table is
+  * hundreds of GB instead of the raw corpus, which is what makes
+  * exhaustive ADC scans affordable — queries score against codes via
+  * per-subspace lookup tables and never touch the raw vectors.
+  *
+  * Pipeline:
+  *  1. [[trainCodebooks]]: per-subspace k-means (L2, Lloyd) on a
+  *     hash-gated sample. The sample is collected — codebook training is
+  *     sample-based at ANY scale (same doctrine as IVF's
+  *     train-on-a-sample) and the artifact is m·ksub·(d/m) floats — KBs.
+  *     Deterministic: hash-gate row choice, first-k-distinct seeding,
+  *     lowest-index tie-breaks, double accumulators in a fixed order.
+  *  2. [[encode]]: map-side argmin over plan-literal centroids per
+  *     subspace (the IVF assignment pattern — zero shuffles, codegen'd
+  *     dot kernels under `greatest`).
+  *  3. [[pqTopK]]: ADC — each query computes its m×ksub lookup table of
+  *     subvector·centroid dots ONCE (query side, tiny), approximate
+  *     dot(q,x) = Σ_j lut[j][code_j(x)] is m array lookups per candidate
+  *     (static expressions, no HOF), normalized by the reconstructed
+  *     vector norm (a second literal lookup). The query side broadcasts;
+  *     the code table never shuffles — the only exchange is the bounded
+  *     top-k heap merge ([[Ann.rankTopK]]).
+  */
+object Pq {
+
+  private def normSq(v: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    s
+  }
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd iterations on the driver: seed = first k DISTINCT
+    * sub-vectors in input order; assignment ties break to the lowest
+    * centroid index; empty clusters keep their previous centroid; means
+    * accumulate in doubles in input order.
+    */
+  private def lloydL2(xs: Array[Array[Float]], k: Int, iters: Int): Seq[Array[Float]] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
+    xs.iterator.takeWhile(_ => seen.size < k).foreach(v => seen += v.toSeq)
+    var cents = seen.toArray.map(_.toArray)
+    if (cents.isEmpty) return Seq.empty
+    for (_ <- 0 until iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var bi = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < cents.length) {
+          val d = l2(x, cents(ci)); if (d < bd) { bd = d; bi = ci }; ci += 1
+        }
+        counts(bi) += 1
+        var j = 0; while (j < dim) { sums(bi)(j) += x(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else sums(ci).map(s => (s / counts(ci)).toFloat)
+      }
+    }
+    cents.toSeq
+  }
+
+  /** Per-subspace codebooks from a hash-gated sample (partition-invariant
+    * row choice, like every sampler in the engine). Returns m codebooks of
+    * ≤ ksub centroids each.
+    */
+  def trainCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
+                     iters: Int, samplePermille: Int = 1000,
+                     idCol: String = "vec_id"): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = (if (samplePermille >= 1000) embeddings
+                  else Sampling.hashSample(embeddings, idCol, samplePermille, salt = "pq"))
+      .select(col(idCol).cast("long"), col("embedding"))
+      .orderBy(idCol).as[(Long, Array[Float])].collect().map(_._2)
+    val subDim = dim / m
+    (0 until m).map { j =>
+      lloydL2(sample.map(_.slice(j * subDim, (j + 1) * subDim)), ksub, iters)
+    }
+  }
+
+  /** Map-side PQ encoding: per subspace, the argmin-L2 centroid id via
+    * plan-literal centroids — argmin ||x−c||² ≡ argmax (2x·c − ||c||²)
+    * since ||x||² is constant within a subspace, so each code is a
+    * `greatest` over ksub codegen'd dot kernels (ties → lowest id), the
+    * exact shape of IVF's map-side assignment. Zero shuffles at any scale.
+    */
+  def encode(embeddings: DataFrame, dim: Int,
+             codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val scored = cb.zipWithIndex.map { case (c, ci) =>
+        struct(
+          (graft.functions.VecOps.dotFloat(sub, typedlit(c)) * 2.0d - lit(normSq(c))).as("s"),
+          lit(-ci).as("t"))
+      }
+      val win = if (scored.length == 1) scored.head else greatest(scored: _*)
+      (-win.getField("t")).cast("int")
+    }
+    embeddings.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: train + encode + score in one call (training is the
+    * labeled one-time cost, as with q_ann_ivf_trained; at scale codes are
+    * a write-once table). Scores are approximate cosine — query·centroid
+    * lookups over the reconstructed vector, normalized by the
+    * reconstruction's norm — rounded to 12 dp; ranking via the
+    * bounded-heap top-k.
+    */
+  def pqTopK(embeddings: DataFrame, dim: Int = 64, m: Int = 8, ksub: Int = 16,
+             iters: Int = 5, numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val base = embeddings.where(col("vec_id") >= numQueries)
+    val queries = embeddings.where(col("vec_id") < numQueries)
+    val codebooks = trainCodebooks(base, dim, m, ksub, iters)
+    val subDim = dim / m
+    val codes = encode(base, dim, codebooks)
+      .select(col("vec_id").as("nid"), col("codes"))
+    // reconstructed ||x̂||² = Σ_j ||c_code_j||² — literal lookup per subspace
+    val reconNormSq = codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedlit(cb.map(normSq).toArray),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val lutCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col("qe"), j * subDim + 1, subDim)
+      array(cb.map(c => graft.functions.VecOps.dotFloat(sub, typedlit(c))): _*)
+    }: _*)
+    val q = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), Ann.norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .withColumn("luts", lutCol)
+      .select("qid", "qn", "luts")
+    val approxDot = codebooks.indices.map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes
+      .withColumn("rn", sqrt(reconNormSq))
+      .where(col("rn") > 0)
+      .join(broadcast(q))
+      .select(col("qid"), col("nid"),
+        round(approxDot / (col("qn") * col("rn")), 12).as("cosine"))
+    Ann.rankTopK(scored, k)
+  }
+}
