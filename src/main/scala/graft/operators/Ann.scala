@@ -235,7 +235,7 @@ object Ann {
   /** nprobe nearest centroids per query vector, carrying (qid, qe, qn, cid)
     * — a tiny cross join (queries × numCentroids) + per-query window.
     */
-  private def probeLists(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+  private[operators] def probeLists(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
       .where(col("qn") > 0)

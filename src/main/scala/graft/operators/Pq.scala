@@ -101,11 +101,29 @@ object Pq {
     * exact shape of IVF's map-side assignment. Zero shuffles at any scale.
     */
   def encode(embeddings: DataFrame, dim: Int,
-             codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+             codebooks: Seq[Seq[Array[Float]]]): DataFrame =
+    // empty corpus → empty codebooks → nothing to encode (total op)
+    if (codebooks.exists(_.isEmpty))
+      embeddings.select(col("vec_id"), typedlit(Array.empty[Int]).as("codes"))
+        .where(lit(false))
+    else
+      embeddings.select(col("vec_id"),
+        codeArray(col("embedding"), dim, codebooks).as("codes"))
+
+  /** Schema-stable empty top-k result for the empty-corpus degenerate case. */
+  private def emptyTopK(embeddings: DataFrame): DataFrame =
+    Ann.rankTopK(embeddings.select(col("vec_id").as("qid"),
+      col("vec_id").as("nid"), lit(0.0d).as("cosine")).where(lit(false)), 1)
+
+  /** The m-code array for one embedding column — each code a `greatest`
+    * over ksub codegen'd dot kernels (see [[encode]]).
+    */
+  private def codeArray(e: Column, dim: Int,
+                        codebooks: Seq[Seq[Array[Float]]]): Column = {
     val m = codebooks.length
     val subDim = dim / m
     val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val sub = slice(e, j * subDim + 1, subDim)
       val scored = cb.zipWithIndex.map { case (c, ci) =>
         struct(
           (graft.functions.VecOps.dotFloat(sub, typedlit(c)) * 2.0d - lit(normSq(c))).as("s"),
@@ -114,8 +132,33 @@ object Pq {
       val win = if (scored.length == 1) scored.head else greatest(scored: _*)
       (-win.getField("t")).cast("int")
     }
-    embeddings.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
+
+  /** Reconstructed ||x̂||² from the `codes` column — literal per-subspace
+    * ||centroid||² lookups.
+    */
+  private def reconNormSqCol(codebooks: Seq[Seq[Array[Float]]]): Column =
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedlit(cb.map(normSq).toArray),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Per-query ADC lookup table: luts[j][c] = q_subvector_j · centroid_c. */
+  private def lutArray(qe: Column, dim: Int,
+                       codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val subDim = dim / codebooks.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(qe, j * subDim + 1, subDim)
+      array(cb.map(c => graft.functions.VecOps.dotFloat(sub, typedlit(c))): _*)
+    }: _*)
+  }
+
+  /** Σ_j luts[j][code_j] — m static array lookups, no HOF. */
+  private def adcDot(m: Int): Column =
+    (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
 
   /** ADC top-k: train + encode + score in one call (training is the
     * labeled one-time cost, as with q_ann_ivf_trained; at scale codes are
@@ -129,32 +172,67 @@ object Pq {
     val base = embeddings.where(col("vec_id") >= numQueries)
     val queries = embeddings.where(col("vec_id") < numQueries)
     val codebooks = trainCodebooks(base, dim, m, ksub, iters)
-    val subDim = dim / m
+    if (codebooks.exists(_.isEmpty)) return emptyTopK(embeddings)
     val codes = encode(base, dim, codebooks)
       .select(col("vec_id").as("nid"), col("codes"))
-    // reconstructed ||x̂||² = Σ_j ||c_code_j||² — literal lookup per subspace
-    val reconNormSq = codebooks.zipWithIndex.map { case (cb, j) =>
-      element_at(typedlit(cb.map(normSq).toArray),
-        element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
-    val lutCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(col("qe"), j * subDim + 1, subDim)
-      array(cb.map(c => graft.functions.VecOps.dotFloat(sub, typedlit(c))): _*)
-    }: _*)
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), Ann.norm(col("embedding")).as("qn"))
       .where(col("qn") > 0)
-      .withColumn("luts", lutCol)
+      .withColumn("luts", lutArray(col("qe"), dim, codebooks))
       .select("qid", "qn", "luts")
-    val approxDot = codebooks.indices.map { j =>
-      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
     val scored = codes
-      .withColumn("rn", sqrt(reconNormSq))
+      .withColumn("rn", sqrt(reconNormSqCol(codebooks)))
       .where(col("rn") > 0)
       .join(broadcast(q))
       .select(col("qid"), col("nid"),
-        round(approxDot / (col("qn") * col("rn")), 12).as("cosine"))
+        round(adcDot(m) / (col("qn") * col("rn")), 12).as("cosine"))
+    Ann.rankTopK(scored, k)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes which inverted lists a query
+    * scores (IVF's nprobe/numCentroids read reduction) and PQ codes make
+    * the scoring itself compressed (ADC lookups instead of raw-vector
+    * dots) — composed exactly like the write-once IVF index plus a codes
+    * column instead of raw embeddings: at 100 TB the stored artifact is
+    * (nid, cid, m codes) ≈ tens of bytes/vector, cid-partition-pruned at
+    * query time. Assignment AND encoding are both map-side (plan-literal
+    * centroids/codebooks) — building this index shuffles nothing but the
+    * one cid-clustering write.
+    *
+    * This is the "flat" IVF-PQ (codes quantize raw vectors, not residuals
+    * x−centroid; the residual refinement drops reconstruction error
+    * further but needs per-row centroid subtraction before encoding —
+    * same plumbing, finer codebooks — and is intentionally left out until
+    * an accuracy budget demands it). With nprobe = numCentroids the list
+    * pruning is a no-op and results equal [[pqTopK]] (spec-pinned).
+    */
+  def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, numCentroids: Int = 16,
+                nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val baseAll = embeddings.where(col("vec_id") >= numQueries)
+    val base = baseAll
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), Ann.norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val cents = Ann.collectCentroids(base.orderBy("nid").limit(numCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    val codebooks = trainCodebooks(baseAll, dim, m, ksub, iters)
+    if (codebooks.exists(_.isEmpty)) return emptyTopK(embeddings)
+    // inverted lists carrying CODES, not raw vectors — both columns map-side
+    val lists = Ann.assignToCentroids(base, cents)
+      .select(col("nid"), col("cid"),
+        codeArray(col("ne"), dim, codebooks).as("codes"))
+    val probes = Ann.probeLists(embeddings.where(col("vec_id") < numQueries),
+        cents.toSeq.toDF("cid", "ce", "cn"), nprobe)
+      .withColumn("luts", lutArray(col("qe"), dim, codebooks))
+      .select("qid", "qn", "cid", "luts")
+    val scored = lists
+      .withColumn("rn", sqrt(reconNormSqCol(codebooks)))
+      .where(col("rn") > 0)
+      .join(broadcast(probes), "cid")
+      .select(col("qid"), col("nid"),
+        round(adcDot(m) / (col("qn") * col("rn")), 12).as("cosine"))
     Ann.rankTopK(scored, k)
   }
 }

@@ -94,6 +94,38 @@ class PqSpec extends SparkSpec {
     assert(codes1 == codes2)
   }
 
+  test("ivfPqTopK with nprobe = numCentroids equals pqTopK (pruning no-op)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Pq.pqTopK(emb, dim = 64, m = 8, ksub = 16, iters = 3,
+      numQueries = 5, k = 5).collect().map(_.toSeq).toSeq
+    val ivf = Pq.ivfPqTopK(emb, dim = 64, numCentroids = 8, nprobe = 8,
+      m = 8, ksub = 16, iters = 3, numQueries = 5, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(ivf == full)
+  }
+
+  test("ivfPqTopK keeps cluster precision at nprobe=1 on clustered data") {
+    val rng = new scala.util.Random(13)
+    val dim = 16; val subDim = 4
+    def clusterVec(c: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d % subDim == c) 1f else 0f)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rng.nextFloat() - 0.5f) * 0.04f)
+    val rows = (0 until 4).map(q => (q.toLong, jitter(clusterVec(q)))) ++
+      (0 until 40).map(i => (4L + i, jitter(clusterVec(i / 10))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Pq.ivfPqTopK(emb, dim, numCentroids = 8, nprobe = 2, m = 4,
+      ksub = 8, iters = 5, numQueries = 4, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def clusterOf(id: Long): Long = if (id < 4) id else (id - 4) / 10
+    val precision = got.map { case (q, ns) =>
+      ns.count(n => clusterOf(n) == clusterOf(q)).toDouble / ns.size
+    }.sum / got.size
+    info(f"IVF-PQ cluster precision@5 (nprobe=2): $precision%.2f")
+    assert(precision == 1.0)
+  }
+
   test("pqTopK runs on the testdata embeddings and returns k rows per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Pq.pqTopK(emb, dim = 64, m = 8, ksub = 16, iters = 3,
