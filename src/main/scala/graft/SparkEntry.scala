@@ -303,6 +303,11 @@ object SparkEntry {
       Sampling.sourceMix(Tables.documents(s, d), "source", "doc_id",
         Map("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 100))
         .select("doc_id", "source").orderBy("doc_id")),
+    // pretraining sequence packing: concat-and-split layout offsets via the
+    // two-phase distributed prefix sum (bucket totals -> literal bases ->
+    // per-bucket windows)
+    "q_seq_pack" -> ((s, d) => Packing.packLayout(Tables.documents(s, d))),
+    "q_seq_fanin" -> ((s, d) => Packing.seqFanIn(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextMetrics.repetition(Tables.documents(s, d))),
     "q_repetition_filter" -> ((s, d) => TextMetrics.repetitionFilter(Tables.documents(s, d))),
     // the testdata ships no PII, so the scrub demo decorates the corpus
@@ -1166,6 +1171,33 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        | FROM t)
+        |SELECT doc_id, n_tok, tok_offset,
+        | CAST(tok_offset // 512 AS BIGINT) AS start_seq,
+        | CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS end_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q_seq_fanin" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        | FROM t),
+        |sp AS (
+        | SELECT unnest(generate_series(tok_offset // 512, (tok_offset + n_tok - 1) // 512)) AS seq
+        | FROM o)
+        |SELECT CAST(seq AS BIGINT) AS seq, count(*) AS n_docs
+        |FROM sp GROUP BY seq ORDER BY seq""".stripMargin,
     // the repetition twin derives the top-bigram count via per-doc
     // grouping where the Spark side uses a sorted-array fold — same number
     "q_repetition" ->

@@ -173,8 +173,14 @@ object Pq {
     val queries = embeddings.where(col("vec_id") < numQueries)
     val codebooks = trainCodebooks(base, dim, m, ksub, iters)
     if (codebooks.exists(_.isEmpty)) return emptyTopK(embeddings)
+    // BARRIER: without it CollapseProject inlines the 128-kernel codes
+    // expression into every downstream reference (m recon-norm + m ADC
+    // lookups → 16 copies), blowing past what codegen compiles — measured
+    // 38s → ~2s at sf0.1. Production writes codes as an index table
+    // (the buildIvfIndex pattern); the inline path materializes once.
     val codes = encode(base, dim, codebooks)
       .select(col("vec_id").as("nid"), col("codes"))
+      .localCheckpoint(true)
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), Ann.norm(col("embedding")).as("qn"))
       .where(col("qn") > 0)
@@ -220,9 +226,12 @@ object Pq {
     val codebooks = trainCodebooks(baseAll, dim, m, ksub, iters)
     if (codebooks.exists(_.isEmpty)) return emptyTopK(embeddings)
     // inverted lists carrying CODES, not raw vectors — both columns map-side
+    // same materialization barrier as pqTopK (codes referenced 2m times
+    // downstream); production writes these lists cid-partitioned
     val lists = Ann.assignToCentroids(base, cents)
       .select(col("nid"), col("cid"),
         codeArray(col("ne"), dim, codebooks).as("codes"))
+      .localCheckpoint(true)
     val probes = Ann.probeLists(embeddings.where(col("vec_id") < numQueries),
         cents.toSeq.toDF("cid", "ce", "cn"), nprobe)
       .withColumn("luts", lutArray(col("qe"), dim, codebooks))
