@@ -164,6 +164,61 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** One-pass repetition statistics: (n_words, n_distinct, max_run,
+    * top_bigram_count) over the whitespace word sequence. Word semantics
+    * match bare `split(text, ' ')` — EMPTY tokens kept (the quality/
+    * repetition family's convention, and the DuckDB twin's string_split),
+    * unlike [[split]] which drops them for the shingle kernels. The HOF
+    * formulation ([[graft.operators.TextMetrics.repetitionHof]]) folds the
+    * same numbers via interpreted ArrayAggregate (plus an array_sort for
+    * the bigram count); this kernel is one imperative pass and stays in
+    * whole-stage codegen — measured ~6.3s → sub-second for the sf0.1 scan.
+    */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val words = splitKeepEmpty(text)
+    val n = words.length
+    val distinct = new java.util.HashSet[UTF8String](n * 2)
+    var maxRun = 0L
+    var run = 0L
+    var i = 0
+    while (i < n) {
+      distinct.add(words(i))
+      if (i > 0 && words(i) == words(i - 1)) run += 1 else run = 1
+      if (run > maxRun) maxRun = run
+      i += 1
+    }
+    var topBigram = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Long]((n - 1) * 2)
+      i = 0
+      while (i < n - 1) {
+        val bg = UTF8String.concatWs(UTF8String.fromString(" "), words(i), words(i + 1))
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct.size().toLong, maxRun, topBigram))
+  }
+
+  /** Bare `split(text, ' ')` semantics: empty tokens KEPT ("" → [""]). */
+  private def splitKeepEmpty(text: UTF8String): Array[UTF8String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val bytes = text.getBytes
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        out += UTF8String.fromBytes(bytes, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   private def split(text: UTF8String): Array[UTF8String] = {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     val bytes = text.getBytes
@@ -214,6 +269,21 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_run", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_bigram", LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -234,4 +304,6 @@ object TextHashes {
     GraftBridge.column(ShingleHashesExpr(GraftBridge.expression(c), k))
   def winnowFingerprints(c: Column, k: Int = 3, w: Int = 4): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
+  def repetitionStats(c: Column): Column =
+    GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(c)))
 }

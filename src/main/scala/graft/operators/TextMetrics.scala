@@ -157,14 +157,36 @@ object TextMetrics {
 
   /** Gopher-style repetition metrics — the signals repetition filters cut
     * on: duplicate-word mass, the top bigram's share of all bigrams, and the
-    * longest same-word run. Map-only per-row folds (no shuffle at any
-    * scale): the top-bigram count comes from the longest equal-adjacent run
-    * of the SORTED bigram array, not a per-doc groupBy. Ratios are
+    * longest same-word run. Map-only, no shuffle at any scale: the counts
+    * come from the one-pass codegen'd
+    * [[graft.functions.TextHashes.repetitionStats]] kernel ([[repetitionHof]]
+    * is the readable reference formulation it must match — interpreted
+    * ArrayAggregate folds, ~10× slower per scan). Ratios are
     * integer-derived double divisions (deterministic cross-engine);
     * single-word docs have no bigrams → null top_bigram_frac, like the
     * SQL twin.
     */
   def repetition(documents: DataFrame): DataFrame = {
+    val st = graft.functions.TextHashes.repetitionStats(col("text"))
+    val nWords = st.getField("n_words")
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(lit(1.0) - st.getField("n_distinct").cast("double") / nWords.cast("double"), 6)
+        .as("dup_word_frac"),
+      st.getField("max_run").as("max_word_run"),
+      when(nWords < 2, lit(null).cast("double"))
+        .otherwise(round(st.getField("top_bigram").cast("double") /
+          (nWords - 1).cast("double"), 6)).as("top_bigram_frac")
+    ).orderBy("doc_id")
+  }
+
+  /** The HOF reference formulation of [[repetition]] — the semantic oracle
+    * the native kernel is spec'd against (the top-bigram count spelled as
+    * the longest equal-adjacent run of the SORTED bigram array). NOT a hot
+    * path: ArrayAggregate folds are interpreted per row.
+    */
+  def repetitionHof(documents: DataFrame): DataFrame = {
     val ws = wsWords(col("text"))
     val nWords = size(ws).cast("long")
     val bigrams = when(size(ws) < 2, array().cast("array<string>"))

@@ -163,6 +163,17 @@ class TextMetricsSpec extends SparkSpec {
     assert(r(3L) == ((4L, 0.0, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
   }
 
+  test("native repetition kernel matches the HOF reference bit-for-bit on testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = TextMetrics.repetition(docs).collect().map(_.toSeq).toSeq
+    val hof = TextMetrics.repetitionHof(docs).collect().map(_.toSeq).toSeq
+    assert(native == hof)
+    // empty-token semantics parity too: double spaces keep empty words
+    val shaped = Seq((0L, "a  a b"), (1L, ""), (2L, " ")).toDF("doc_id", "text")
+    assert(TextMetrics.repetition(shaped).collect().map(_.toSeq).toSeq ==
+      TextMetrics.repetitionHof(shaped).collect().map(_.toSeq).toSeq)
+  }
+
   test("repetitionFilter: each rule fires on its shaped doc, first reason wins") {
     val docs = Seq(
       // clean: 14 distinct words -> top bigram 1/13 = 0.077 < 0.08, dup 0, run 1
