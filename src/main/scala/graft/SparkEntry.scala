@@ -315,6 +315,10 @@ object SparkEntry {
     // the SQL twin (same pattern as the demo receipts)
     "q_pii_scan" -> ((s, d) => Pii.scan(Demo.decoratedDocs(Tables.documents(s, d)))),
     "q_pii_redact" -> ((s, d) => Pii.redact(Demo.decoratedDocs(Tables.documents(s, d)))),
+    // C4-style domain curation over URL-decorated docs (same demo pattern)
+    "q_url_domains" -> ((s, d) => UrlOps.extractDomains(Demo.urlDocs(Tables.documents(s, d)))),
+    "q_domain_filter" -> ((s, d) =>
+      UrlOps.domainFilter(Demo.urlDocs(Tables.documents(s, d)), Seq("ads.badsite.net"))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
@@ -357,6 +361,21 @@ object SparkEntry {
           concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
             ((col("doc_id") * 7) % 256).cast("string"), lit("."),
             ((col("doc_id") * 13) % 256).cast("string"))).otherwise("")
+      ).as("text"))
+
+    /** Documents decorated with deterministic doc_id-derived URLs (one
+      * benign host family, one blocklisted ad-tracker family) — the URL
+      * twin of [[decoratedDocs]].
+      */
+    def urlDocs(documents: DataFrame): DataFrame =
+      documents.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.org/p"))).otherwise(""),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" ref http://a"), (col("doc_id") % 3).cast("string"),
+            lit(".ads.badsite.net/x"))).otherwise("")
       ).as("text"))
 
     /** crc_token_transfer_2 (0.0.64.sql:678): transfers of CRC tokens. */
@@ -1275,6 +1294,18 @@ object SparkEntry {
         |  + len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{4}'))
         |  + len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0 AS has_pii
         |FROM deco ORDER BY doc_id""".stripMargin,
+    "q_url_domains" ->
+      s"""WITH deco AS ($urlDecoSql)
+        |SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)) AS domain
+        |FROM deco ORDER BY doc_id, domain""".stripMargin,
+    "q_domain_filter" ->
+      s"""WITH deco AS ($urlDecoSql),
+        |f AS (SELECT doc_id,
+        |  list_filter(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1),
+        |    d -> d = 'ads.badsite.net' OR ends_with(d, '.ads.badsite.net')) AS b
+        | FROM deco)
+        |SELECT doc_id, len(b) = 0 AS keep, coalesce(b[1], 'ok') AS reason
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       s"""WITH deco AS ($decoSql)
         |SELECT doc_id,
@@ -1315,6 +1346,18 @@ object SparkEntry {
       |  FROM h2 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
       | ) u GROUP BY src, dst)
       |""".stripMargin
+
+  /** The URL-decorated corpus, verbatim SQL twin of [[Demo.urlDocs]]. */
+  private val urlDecoSql =
+    """SELECT doc_id,
+      | text ||
+      | CASE WHEN doc_id % 4 = 0
+      |      THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p'
+      |      ELSE '' END ||
+      | CASE WHEN doc_id % 9 = 0
+      |      THEN ' ref http://a' || CAST(doc_id % 3 AS VARCHAR) || '.ads.badsite.net/x'
+      |      ELSE '' END AS text
+      |FROM documents""".stripMargin
 
   /** The PII-decorated corpus, verbatim SQL twin of [[Demo.decoratedDocs]]. */
   private val decoSql =

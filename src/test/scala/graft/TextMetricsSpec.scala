@@ -194,6 +194,24 @@ class TextMetricsSpec extends SparkSpec {
     assert(r(3L) == ((false, "top_bigram"))) // precedence: bigram rule precedes run rule
   }
 
+  test("url domain extraction and suffix-semantics blocklist filter") {
+    val docs = Seq(
+      (0L, "intro https://a.example.org/x and http://b.ads.net/y end"),
+      (1L, "no urls at all"),
+      (2L, "exact http://ads.net/z plus https://safe-ads.net/ok")
+    ).toDF("doc_id", "text")
+    val doms = graft.operators.UrlOps.extractDomains(docs)
+      .as[(Long, String)].collect().toSeq
+    assert(doms == Seq((0L, "a.example.org"), (0L, "b.ads.net"),
+      (2L, "ads.net"), (2L, "safe-ads.net")))
+    val f = graft.operators.UrlOps.domainFilter(docs, Seq("ads.net"))
+      .collect().map(x => x.getLong(0) -> ((x.getBoolean(1), x.getString(2)))).toMap
+    assert(f(0L) == ((false, "b.ads.net"))) // subdomain blocked by suffix
+    assert(f(1L) == ((true, "ok")))
+    // exact match blocked; 'safe-ads.net' is NOT a subdomain of ads.net
+    assert(f(2L) == ((false, "ads.net")))
+  }
+
   test("pii scan and redact on planted spans") {
     val docs = Seq(
       (0L, "reach me at bob1@mail.com or +1-555-0199 from 10.0.0.1 thanks"),
