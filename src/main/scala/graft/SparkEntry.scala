@@ -152,15 +152,18 @@ object SparkEntry {
     // oracle-checked, not only spec'd
     "q_trust_view_served" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // persisted: each merge runs 2 actions (touched-bucket probe + write),
+      // so the md5-heavy demo extraction would otherwise recompute 6×
       val trusts = ReceiptClassifier.extractTrusts(
-        ReceiptClassifier.demoReceipts(Tables.events(s, d)))
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))).persist()
       val viewDir = java.nio.file.Files.createTempDirectory("graft-served-trust")
         .toString + "/view"
       (0 until 3).foreach { i =>
         graft.streaming.ViewMaintenance.mergeTrustBatch(s,
           trusts.where(pmod(xxhash64(col("hash")), lit(3)) === i),
-          viewDir, version = i.toLong)
+          viewDir, numBuckets = 8, version = i.toLong) // buckets sized to the demo view
       }
+      trusts.unpersist()
       graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
           CirclesViews.currentTrust(trusts))
         .select("user", "can_send_to", "limit", "history_count", "last_change")
@@ -172,13 +175,15 @@ object SparkEntry {
           ReceiptClassifier.demoReceipts(Tables.events(s, d)))
         .withColumn("value",
           conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
+        .persist() // see q_trust_view_served: merges run 2 actions per slice
       val viewDir = java.nio.file.Files.createTempDirectory("graft-served-bal")
         .toString + "/view"
       (0 until 3).foreach { i =>
         graft.streaming.ViewMaintenance.mergeBalancesBatch(s,
           transfers.where(pmod(xxhash64(col("hash")), lit(3)) === i),
-          viewDir, version = i.toLong)
+          viewDir, numBuckets = 8, version = i.toLong) // buckets sized to the demo view
       }
+      transfers.unpersist()
       graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
           graft.streaming.ViewMaintenance.balancesDelta(transfers))
         .select(col("safe_address"), col("token"),
@@ -242,6 +247,8 @@ object SparkEntry {
     "q_incremental_import" -> ((s, d) => Integrity.incrementalImportQuery(Tables.events(s, d))),
     // ---- LLM-data pipeline (SURVEY §2 #24-33) ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    // C4-style corpus-wide paragraph dedup over paragraph-decorated docs
+    "q_para_dedup" -> ((s, d) => Dedup.paragraphDedup(Demo.paraDocs(Tables.documents(s, d)))),
     // the 100 TB form (8-byte shuffle key): same answer as q_dedup_exact,
     // recorded in the per-round gate rather than only in DedupSpec
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactByHash(Tables.documents(s, d))),
@@ -377,6 +384,23 @@ object SparkEntry {
           concat(lit(" ref http://a"), (col("doc_id") % 3).cast("string"),
             lit(".ads.badsite.net/x"))).otherwise("")
       ).as("text"))
+
+    /** Documents decorated into multi-paragraph texts with planted
+      * cross-doc boilerplate (variant families) and within-doc repeats —
+      * the paragraph-dedup twin of [[decoratedDocs]].
+      */
+    def paraDocs(documents: DataFrame): DataFrame = {
+      val d = lit("\n\n")
+      val boiler = concat(lit("shared boilerplate block variant "),
+        (col("doc_id") % 7).cast("string"))
+      documents.select(col("doc_id"), concat(
+        lit("intro for doc "), col("doc_id").cast("string"),
+        d, boiler,
+        d, when(col("doc_id") % 3 === 0, lit("common promo text"))
+          .otherwise(concat(lit("tail words for doc "), col("doc_id").cast("string"))),
+        when(col("doc_id") % 5 === 0, concat(d, boiler)).otherwise("")
+      ).as("text"))
+    }
 
     /** crc_token_transfer_2 (0.0.64.sql:678): transfers of CRC tokens. */
     def crcTransfers(ev: DataFrame): DataFrame =
@@ -647,6 +671,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "q_para_dedup" ->
+      s"""WITH deco AS ($paraDecoSql),
+        |p AS (SELECT doc_id,
+        |        unnest(string_split(text, chr(10)||chr(10))) AS para,
+        |        generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS idx
+        |      FROM deco),
+        |s AS (SELECT doc_id, idx, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |      FROM p),
+        |r AS (SELECT doc_id,
+        |        string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text,
+        |        count(*) AS n_kept
+        |      FROM s WHERE rn = 1 GROUP BY doc_id),
+        |t AS (SELECT doc_id, len(string_split(text, chr(10)||chr(10))) AS n_paras
+        |      FROM deco)
+        |SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_paras,
+        |       coalesce(r.n_kept, 0) AS n_kept
+        |FROM t LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // same answer as q_dedup_exact by construction — the hash-keyed scale
     // twin must reproduce it exactly
     "q_dedup_exact_hash" ->
@@ -1346,6 +1388,21 @@ object SparkEntry {
       |  FROM h2 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
       | ) u GROUP BY src, dst)
       |""".stripMargin
+
+  /** The paragraph-decorated corpus, verbatim SQL twin of [[Demo.paraDocs]]. */
+  private val paraDecoSql =
+    """SELECT doc_id,
+      | 'intro for doc ' || CAST(doc_id AS VARCHAR) ||
+      | chr(10) || chr(10) ||
+      | 'shared boilerplate block variant ' || CAST(doc_id % 7 AS VARCHAR) ||
+      | chr(10) || chr(10) ||
+      | CASE WHEN doc_id % 3 = 0 THEN 'common promo text'
+      |      ELSE 'tail words for doc ' || CAST(doc_id AS VARCHAR) END ||
+      | CASE WHEN doc_id % 5 = 0
+      |      THEN chr(10) || chr(10) ||
+      |           'shared boilerplate block variant ' || CAST(doc_id % 7 AS VARCHAR)
+      |      ELSE '' END AS text
+      |FROM documents""".stripMargin
 
   /** The URL-decorated corpus, verbatim SQL twin of [[Demo.urlDocs]]. */
   private val urlDecoSql =

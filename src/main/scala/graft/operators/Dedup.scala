@@ -458,4 +458,50 @@ object Dedup {
       slice(shB, lit(1), greatest(sb.cast("int") - alpha + 1, lit(0))))
     sizeOk && prefixOk
   }
+
+  /** Paragraph-level exact dedup (the C4 boilerplate stage): every
+    * paragraph that occurs more than once ACROSS THE WHOLE CORPUS survives
+    * only at its first occurrence — smallest (doc_id, position) — and each
+    * document is reassembled from its surviving paragraphs in original
+    * order. Documents made entirely of previously-seen paragraphs come back
+    * with empty text (kept as rows: the drop decision belongs to a filter,
+    * not the dedup).
+    *
+    * Scale shape — two shuffles, no self-join, no window:
+    *  1. explode → groupBy(paragraph).agg(min(struct(doc_id, idx))): the
+    *     surviving occurrence IS the aggregate row, so there is no
+    *     join-back, and map-side partial aggregation collapses hot
+    *     boilerplate paragraphs (the million-fold "subscribe" block
+    *     arrives at the reducer once per map partition, not once per copy).
+    *     A window over partition-by-paragraph would put every copy of the
+    *     hot key in one partition; the groupBy form cannot skew.
+    *  2. regroup by doc_id to reassemble (sort_array over (idx, para)
+    *     structs restores document order).
+    */
+  def paragraphDedup(documents: DataFrame, delim: String = "\n\n"): DataFrame = {
+    val paras = documents.select(
+      col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(delim), -1))
+        .as(Seq("idx", "para")))
+    val survivors = paras
+      .groupBy("para")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.idx").as("idx"), col("para"))
+    val rebuilt = survivors
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para")),
+          delim).as("text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), java.util.regex.Pattern.quote(delim), -1))
+          .cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
 }

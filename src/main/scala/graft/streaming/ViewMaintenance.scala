@@ -310,7 +310,11 @@ object ViewMaintenance {
         bucketed(mergeFn(existing.drop("bucket"), delta))
     }
     // write the new generation (invisible until the manifest names it) …
-    merged.write.mode("overwrite").partitionBy("bucket")
+    // repartition by bucket first: without it every shuffle task writes a
+    // sliver of every touched bucket (tasks × buckets tiny files per
+    // generation — the small-files problem that kills listing/GC/read at
+    // scale); with it each bucket is exactly one file
+    merged.repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$viewDir/data/g=$v")
     // … then commit: every touched bucket now lives in generation v
     val newMapping = mapping ++ touched.map(_ -> v)
@@ -346,6 +350,7 @@ object ViewMaintenance {
     if (mapping.isEmpty || mapping.values.toSet.size <= 1) return
     val v = curVer + 1
     readView(spark, viewDir)
+      .repartition(col("bucket")) // one file per bucket, see mergeBatchGeneric
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$viewDir/data/g=$v")
     val newMapping = mapping.keys.map(_ -> v).toMap

@@ -178,4 +178,20 @@ class DedupSpec extends SparkSpec {
       assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  test("paragraph dedup: first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (0L, "alpha\n\nboiler\n\nomega"),
+      (1L, "boiler\n\nbravo\n\nboiler"), // cross-doc dup + within-doc repeat
+      (2L, "alpha\n\nboiler"),           // entirely previously-seen → empty
+      (3L, "charlie")                    // single paragraph, untouched
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.paragraphDedup(docs)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, "alpha\n\nboiler\n\nomega", 3L, 3L),
+      (1L, "bravo", 3L, 1L), // both boiler copies lost to doc 0
+      (2L, "", 2L, 0L),      // row kept, text emptied
+      (3L, "charlie", 1L, 1L)))
+  }
 }
