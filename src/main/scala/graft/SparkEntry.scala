@@ -327,6 +327,7 @@ object SparkEntry {
     "q_domain_filter" -> ((s, d) =>
       UrlOps.domainFilter(Demo.urlDocs(Tables.documents(s, d)), Seq("ads.badsite.net"))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
+    "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
     "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
@@ -1232,6 +1233,23 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // scores rounded to 12 decimals BEFORE ranking on both sides: libm ln
+    // may differ in the last ulp, and an unrounded rank could then select a
+    // different boundary row (see TextMetrics.tfidfTopTerms)
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |        round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 12) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |      FROM s)
+        |SELECT doc_id, term, tf, score FROM r WHERE rn <= 5
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -322,4 +322,36 @@ object TextMetrics {
         (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fingerprint")
     ).orderBy("doc_id")
   }
+
+  /** TF-IDF top-k terms per document — the classic keyword/representation
+    * stage (smooth idf: ln((N+1)/(df+1)) + 1). Scores are rounded to 12
+    * decimals BEFORE ranking so the selected set is engine-portable (libm
+    * `ln` may differ in the last ulp; an unrounded rank could then pick a
+    * different boundary row), ties broken by term ascending.
+    *
+    * Scale shape: tf is one (doc_id, term) groupBy with map-side combine;
+    * df partial-aggregates off the tf frame (already one row per (doc,
+    * term) — never re-reads the corpus); the tf×df join shuffles on term
+    * (AQE broadcasts when the vocab fits); per-doc top-k goes through the
+    * bounded-heap [[graft.functions.TopKAgg]], so the final shuffle carries
+    * k rows per (doc, partition), not the whole scored frame, and N is a
+    * single bounded driver aggregate.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
+    val n = documents.count()
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").withColumn("score",
+      round(col("tf") * (log((lit(n) + 1.0d) / (col("df") + 1.0d)) + 1.0d), 12))
+    val item = struct(negate(col("score")).as("neg"),
+      col("term"), col("tf"), col("score"))
+    scored.groupBy("doc_id")
+      .agg(graft.functions.TopKAgg.topK(item, topK).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"),
+        col("t.tf").as("tf"), col("t.score").as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
 }

@@ -212,6 +212,45 @@ class TextMetricsSpec extends SparkSpec {
     assert(f(2L) == ((false, "ads.net")))
   }
 
+  test("tfidf: corpus-wide idf, per-doc top-k, deterministic tie order") {
+    // N=3. "rare" appears in 1 doc, "both" in 2, "all" in 3.
+    val docs = Seq(
+      (0L, "all both rare rare"),
+      (1L, "all both all"),
+      (2L, "all")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextMetrics.tfidfTopTerms(docs, topK = 2)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    def idf(df: Int) = math.log(4.0 / (df + 1.0)) + 1.0
+    def rnd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: rare tf=2 score=2*idf(1); both=1*idf(2); all=1*idf(3) (cut)
+    assert(r.filter(_._1 == 0L) == Seq(
+      (0L, "rare", 2L, rnd(2 * idf(1))), (0L, "both", 1L, rnd(idf(2)))))
+    // doc 1: all tf=2; both tf=1
+    assert(r.filter(_._1 == 1L) == Seq(
+      (1L, "all", 2L, rnd(2 * idf(3))), (1L, "both", 1L, rnd(idf(2)))))
+    assert(r.filter(_._1 == 2L) == Seq((2L, "all", 1L, rnd(idf(3)))))
+  }
+
+  test("tfidf TopKAgg selection equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.TextMetrics.tfidfTopTerms(docs, topK = 3)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    val want = tf.join(dfreq, "term").withColumn("score",
+        round(col("tf") * (log((lit(n) + 1.0d) / (col("df") + 1.0d)) + 1.0d), 12))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("pii scan and redact on planted spans") {
     val docs = Seq(
       (0L, "reach me at bob1@mail.com or +1-555-0199 from 10.0.0.1 thanks"),
