@@ -16,20 +16,29 @@ object TextMetrics {
     * ratio, stopword ratio. Ratios are integer-derived double divisions —
     * deterministic across engines (IEEE ops on exactly-representable ints).
     */
-  def quality(documents: DataFrame): DataFrame = {
+  def quality(documents: DataFrame): DataFrame =
+    withQuality(documents).select(col("doc_id"), col("n_chars"), col("n_words"),
+      col("avg_word_len"), col("punct_ratio"), col("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** The metric columns of [[quality]] APPENDED to the input frame — no
+    * projection-away, no ordering, so it composes into streaming stages
+    * (sorts are illegal on unbounded frames) and into pipelines that still
+    * need the text downstream.
+    */
+  def withQuality(documents: DataFrame): DataFrame = {
     val words = wsWords(col("text"))
     val nWords = size(words)
     val nChars = length(col("text"))
     val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     val nStop = size(filter(words, w => w === "the" || w === "a"))
-    documents.select(
-      col("doc_id"),
-      nChars.cast("long").as("n_chars"),
-      nWords.cast("long").as("n_words"),
-      ((nChars - nWords + 1).cast("double") / nWords.cast("double")).as("avg_word_len"),
-      (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
-      (nStop.cast("double") / nWords.cast("double")).as("stopword_ratio")
-    ).orderBy("doc_id")
+    documents
+      .withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("avg_word_len",
+        (nChars - nWords + 1).cast("double") / nWords.cast("double"))
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars.cast("double"))
+      .withColumn("stopword_ratio", nStop.cast("double") / nWords.cast("double"))
   }
 
   /** Distributed BPE merge training — real tokenizer training over the
@@ -128,17 +137,27 @@ object TextMetrics {
     */
   def qualityFilter(documents: DataFrame, minChars: Int = 100, minWords: Int = 20,
                     maxAvgWordLen: Double = 4.95, maxPunctRatio: Double = 0.3,
-                    minStopwordRatio: Double = 0.0): DataFrame = {
-    val reason = when(col("n_chars") < minChars, "too_short")
+                    minStopwordRatio: Double = 0.0): DataFrame =
+    withQuality(documents)
+      .select(col("doc_id"),
+        qualityReason(minChars, minWords, maxAvgWordLen, maxPunctRatio,
+          minStopwordRatio).isNull.as("keep"),
+        coalesce(qualityReason(minChars, minWords, maxAvgWordLen,
+          maxPunctRatio, minStopwordRatio), lit("ok")).as("reason"))
+      .orderBy("doc_id")
+
+  /** The [[qualityFilter]] rule chain over [[withQuality]] columns: the
+    * FIRST failing rule, null when all pass — shared by the batch filter
+    * and the streaming curate stage.
+    */
+  def qualityReason(minChars: Int = 100, minWords: Int = 20,
+                    maxAvgWordLen: Double = 4.95, maxPunctRatio: Double = 0.3,
+                    minStopwordRatio: Double = 0.0): Column =
+    when(col("n_chars") < minChars, "too_short")
       .when(col("n_words") < minWords, "too_few_words")
       .when(col("avg_word_len") > maxAvgWordLen, "gibberish_words")
       .when(col("punct_ratio") > maxPunctRatio, "too_much_punct")
       .when(col("stopword_ratio") < minStopwordRatio, "low_stopword")
-    quality(documents)
-      .select(col("doc_id"), reason.isNull.as("keep"),
-        coalesce(reason, lit("ok")).as("reason"))
-      .orderBy("doc_id")
-  }
 
   /** Longest run of equal adjacent elements in an array — a single
     * left-to-right fold with (prev, run, best) struct state. Used on the raw
@@ -166,19 +185,26 @@ object TextMetrics {
     * single-word docs have no bigrams → null top_bigram_frac, like the
     * SQL twin.
     */
-  def repetition(documents: DataFrame): DataFrame = {
+  def repetition(documents: DataFrame): DataFrame =
+    withRepetition(documents).select(col("doc_id"), col("n_words"),
+      col("dup_word_frac"), col("max_word_run"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** [[repetition]]'s metric columns APPENDED to the input frame — the
+    * streaming-safe/composable form, like [[withQuality]].
+    */
+  def withRepetition(documents: DataFrame): DataFrame = {
     val st = graft.functions.TextHashes.repetitionStats(col("text"))
     val nWords = st.getField("n_words")
-    documents.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      round(lit(1.0) - st.getField("n_distinct").cast("double") / nWords.cast("double"), 6)
-        .as("dup_word_frac"),
-      st.getField("max_run").as("max_word_run"),
-      when(nWords < 2, lit(null).cast("double"))
-        .otherwise(round(st.getField("top_bigram").cast("double") /
-          (nWords - 1).cast("double"), 6)).as("top_bigram_frac")
-    ).orderBy("doc_id")
+    documents
+      .withColumn("n_words", nWords)
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - st.getField("n_distinct").cast("double") / nWords.cast("double"), 6))
+      .withColumn("max_word_run", st.getField("max_run"))
+      .withColumn("top_bigram_frac",
+        when(nWords < 2, lit(null).cast("double"))
+          .otherwise(round(st.getField("top_bigram").cast("double") /
+            (nWords - 1).cast("double"), 6)))
   }
 
   /** The HOF reference formulation of [[repetition]] — the semantic oracle
@@ -211,15 +237,24 @@ object TextMetrics {
     */
   def repetitionFilter(documents: DataFrame, maxDupWordFrac: Double = 0.6,
                        maxTopBigramFrac: Double = 0.08,
-                       maxWordRun: Long = 2L): DataFrame = {
-    val reason = when(col("dup_word_frac") > maxDupWordFrac, "dup_words")
+                       maxWordRun: Long = 2L): DataFrame =
+    withRepetition(documents)
+      .select(col("doc_id"),
+        repetitionReason(maxDupWordFrac, maxTopBigramFrac, maxWordRun)
+          .isNull.as("keep"),
+        coalesce(repetitionReason(maxDupWordFrac, maxTopBigramFrac, maxWordRun),
+          lit("ok")).as("reason"))
+      .orderBy("doc_id")
+
+  /** The [[repetitionFilter]] rule chain over [[withRepetition]] columns:
+    * first failing rule, null when all pass.
+    */
+  def repetitionReason(maxDupWordFrac: Double = 0.6,
+                       maxTopBigramFrac: Double = 0.08,
+                       maxWordRun: Long = 2L): Column =
+    when(col("dup_word_frac") > maxDupWordFrac, "dup_words")
       .when(col("top_bigram_frac") > maxTopBigramFrac, "top_bigram")
       .when(col("max_word_run") > maxWordRun, "word_run")
-    repetition(documents)
-      .select(col("doc_id"), reason.isNull.as("keep"),
-        coalesce(reason, lit("ok")).as("reason"))
-      .orderBy("doc_id")
-  }
 
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer (letter
     * runs / single digits / single punctuation — the classic pre-tokenizer

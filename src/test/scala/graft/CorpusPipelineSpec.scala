@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.CorpusPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Doc(doc_id: Long, text: String, source: String, ingest_ts: Timestamp)
+
+  // 25 distinct 4-char words: passes every default curate rule
+  private def goodText(tag: String): String =
+    (1 to 25).map(i => f"$tag%s${i}%02d").mkString(" ")
+
+  test("curate matches the batch quality+repetition filter composition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = CorpusPipeline.curate(docs)
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().map { case (id, k, r) => id -> ((k, r)) }.toMap
+    val qf = graft.operators.TextMetrics.qualityFilter(docs)
+      .as[(Long, Boolean, String)].collect().map { case (id, k, r) => id -> ((k, r)) }.toMap
+    val rf = graft.operators.TextMetrics.repetitionFilter(docs)
+      .as[(Long, Boolean, String)].collect().map { case (id, k, r) => id -> ((k, r)) }.toMap
+    assert(got.keySet == qf.keySet)
+    got.foreach { case (id, (keep, reason)) =>
+      assert(keep == (qf(id)._1 && rf(id)._1), s"doc $id keep")
+      val want = if (!qf(id)._1) qf(id)._2 else rf(id)._2
+      assert(reason == want, s"doc $id reason")
+    }
+    assert(got.values.exists(_._1) && got.values.exists(!_._1)) // both branches real
+  }
+
+  test("streaming dedup drops cross-batch duplicates, re-admits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = CorpusPipeline.dedupKept(CorpusPipeline.curate(mem.toDF()))
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("corpus").outputMode("append").start()
+
+    val t1 = goodText("aa")
+    mem.addData(
+      Doc(0L, t1, "src0", ts("2024-01-01 10:00:00")),
+      Doc(1L, "too short", "src0", ts("2024-01-01 10:00:01"))) // curated out
+    q.processAllAvailable()
+    mem.addData(
+      Doc(2L, t1, "src1", ts("2024-01-01 10:30:00")),           // dup of doc 0
+      Doc(3L, goodText("bb"), "src1", ts("2024-01-01 10:30:01")))
+    q.processAllAvailable()
+    assert(spark.table("corpus").select("doc_id").as[Long].collect().toSet
+      == Set(0L, 3L))
+
+    // advance the watermark far past t1's state lifetime (1h delay): the
+    // key is evicted, so a very late duplicate re-enters — the documented
+    // bound of watermarked dedup (the batch sweep is the ground truth)
+    mem.addData(Doc(4L, goodText("cc"), "src2", ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    mem.addData(Doc(5L, t1, "src2", ts("2024-01-01 20:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("corpus").select("doc_id").as[Long].collect().toSet
+      == Set(0L, 3L, 4L, 5L))
+  }
+
+  test("rolling per-source stats count arrivals, kept docs and kept tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = CorpusPipeline.sourceStats(CorpusPipeline.curate(mem.toDF()))
+      .writeStream.format("memory").queryName("stats").outputMode("complete").start()
+    mem.addData(
+      Doc(0L, goodText("aa"), "src0", ts("2024-01-01 10:00:00")),
+      Doc(1L, "too short", "src0", ts("2024-01-01 10:10:00")),
+      Doc(2L, goodText("bb"), "src1", ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stats")
+      .select("source", "docs", "kept", "kept_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("src0", 2L, 1L, 25L), ("src1", 1L, 1L, 25L)))
+  }
+}
