@@ -288,6 +288,7 @@ object SparkEntry {
     // q_ann_ivf_trained)
     "q_ann_pq" -> ((s, d) => Pq.pqTopK(Tables.embeddings(s, d), iters = 3)),
     "q_ann_ivfpq" -> ((s, d) => Pq.ivfPqTopK(Tables.embeddings(s, d), iters = 3)),
+    "q_ann_ivfpq_res" -> ((s, d) => Pq.ivfPqResidualTopK(Tables.embeddings(s, d), iters = 3)),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     // the cluster step over the embedding pair list (pairs → keep-one
     // groups) — same connected-components engine as q_dup_clusters

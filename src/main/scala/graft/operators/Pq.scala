@@ -195,6 +195,79 @@ object Pq {
     Ann.rankTopK(scored, k)
   }
 
+  private def dotArr(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0d; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Residual codebooks: per-subspace k-means over (x − assigned coarse
+    * centroid) on a hash-gated sample. Assignment replicates
+    * `Ann.assignToCentroids`'s rule exactly (max cosine rounded to 12 dp,
+    * ties to the smallest cid) so training sees the same residuals the
+    * encoder will quantize.
+    */
+  def trainResidualCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
+                             iters: Int, cents: Array[(Long, Array[Float], Double)],
+                             samplePermille: Int = 1000,
+                             idCol: String = "vec_id"): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = (if (samplePermille >= 1000) embeddings
+                  else Sampling.hashSample(embeddings, idCol, samplePermille, salt = "pq"))
+      .select(col(idCol).cast("long"), col("embedding"))
+      .orderBy(idCol).as[(Long, Array[Float])].collect().map(_._2)
+    def rnd12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val resids = sample.flatMap { v =>
+      val vn = math.sqrt(normSq(v))
+      if (vn == 0.0d || cents.isEmpty) None
+      else {
+        var bs = Double.MinValue; var bcid = Long.MaxValue; var bce: Array[Float] = null
+        cents.foreach { case (cid, ce, cn) =>
+          val s = rnd12(dotArr(v, ce) / (vn * cn))
+          if (s > bs || (s == bs && cid < bcid)) { bs = s; bcid = cid; bce = ce }
+        }
+        Some(v.indices.map(i => v(i) - bce(i)).toArray)
+      }
+    }
+    val subDim = dim / m
+    (0 until m).map { j =>
+      lloydL2(resids.map(_.slice(j * subDim, (j + 1) * subDim)), ksub, iters)
+    }
+  }
+
+  /** Residual PQ codes WITHOUT materializing the residual: per subspace,
+    * argmin ||(x−cent)−c||² ≡ argmax 2·((x−cent)·c) − ||c||²
+    *       ≡ argmax 2·(x_sub·c) − (2·(cent_sub·c) + ||c||²),
+    * and the second term depends only on (cid, c) — a literal map lookup.
+    * So residual encoding keeps the flat encoder's shape exactly: ksub
+    * codegen'd dot kernels per subspace plus one `element_at` on a
+    * plan-literal map, zero shuffles, no per-row vector subtraction HOF.
+    */
+  private def residualCodeArray(e: Column, cidCol: Column, dim: Int,
+                                codebooks: Seq[Seq[Array[Float]]],
+                                cents: Array[(Long, Array[Float], Double)]): Column = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(e, j * subDim + 1, subDim)
+      val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val off = cents.map { case (cid, ce, _) =>
+          cid -> (2.0d * dotArr(ce.slice(j * subDim, (j + 1) * subDim), c) + normSq(c))
+        }.toMap
+        struct(
+          (graft.functions.VecOps.dotFloat(sub, typedlit(c)) * 2.0d -
+            element_at(typedlit(off), cidCol)).as("s"),
+          lit(-ci).as("t"))
+      }
+      val win = if (scored.length == 1) scored.head else greatest(scored: _*)
+      (-win.getField("t")).cast("int")
+    }
+    array(codeCols: _*)
+  }
+
   /** IVF-PQ: the coarse quantizer prunes which inverted lists a query
     * scores (IVF's nprobe/numCentroids read reduction) and PQ codes make
     * the scoring itself compressed (ADC lookups instead of raw-vector
@@ -205,12 +278,12 @@ object Pq {
     * centroids/codebooks) — building this index shuffles nothing but the
     * one cid-clustering write.
     *
-    * This is the "flat" IVF-PQ (codes quantize raw vectors, not residuals
-    * x−centroid; the residual refinement drops reconstruction error
-    * further but needs per-row centroid subtraction before encoding —
-    * same plumbing, finer codebooks — and is intentionally left out until
-    * an accuracy budget demands it). With nprobe = numCentroids the list
-    * pruning is a no-op and results equal [[pqTopK]] (spec-pinned).
+    * This is the "flat" IVF-PQ (codes quantize raw vectors);
+    * [[ivfPqResidualTopK]] is the residual refinement — quantizing
+    * x−centroid instead shrinks the dynamic range the codebooks must
+    * cover, dropping reconstruction error (spec-measured). With
+    * nprobe = numCentroids the list pruning is a no-op and results equal
+    * [[pqTopK]] (spec-pinned).
     */
   def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, numCentroids: Int = 16,
                 nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
@@ -242,6 +315,68 @@ object Pq {
       .join(broadcast(probes), "cid")
       .select(col("qid"), col("nid"),
         round(adcDot(m) / (col("qn") * col("rn")), 12).as("cosine"))
+    Ann.rankTopK(scored, k)
+  }
+
+  /** Residual IVF-PQ (the FAISS-style refinement of [[ivfPqTopK]]): codes
+    * quantize x−centroid, whose dynamic range is the within-list spread
+    * instead of the whole corpus — the same m·ksub codebook budget covers
+    * it far more finely (spec measures the reconstruction-error drop).
+    *
+    * Everything stays map-side via plan literals, nothing new shuffles:
+    *  - encoding: [[residualCodeArray]] — the centroid subtraction folds
+    *    algebraically into per-(cid, code) literal offsets;
+    *  - scoring: dot(q, x̂) = q·cent + Σ_j lut_j[code_j] (x̂ = cent + r̂),
+    *    where q·cent is one literal-map dot per probed (query, cid) pair —
+    *    already broadcast-sized — and the luts are the flat ADC tables
+    *    over residual codebooks;
+    *  - reconstructed ‖x̂‖² = ‖cent‖² + 2·Σ_j cent_j·r̂_j + Σ_j ‖r̂_j‖²,
+    *    all three terms (cid literal, per-(cid,j,code) literal,
+    *    per-(j,code) literal) static lookups on the code row.
+    */
+  def ivfPqResidualTopK(embeddings: DataFrame, dim: Int = 64, numCentroids: Int = 16,
+                        nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                        numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val baseAll = embeddings.where(col("vec_id") >= numQueries)
+    val base = baseAll
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), Ann.norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val cents = Ann.collectCentroids(base.orderBy("nid").limit(numCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    val codebooks = trainResidualCodebooks(baseAll, dim, m, ksub, iters, cents)
+    if (cents.isEmpty || codebooks.exists(_.isEmpty)) return emptyTopK(embeddings)
+    val subDim = dim / m
+    val centMapLit = typedlit(cents.map { case (cid, ce, _) => cid -> ce }.toMap)
+    val cnormLit = typedlit(cents.map { case (cid, ce, _) => cid -> normSq(ce) }.toMap)
+    // per-subspace cid → (cent_sub_j · residual-centroid_c) lookup arrays
+    val cdotLits = (0 until m).map { j =>
+      typedlit(cents.map { case (cid, ce, _) =>
+        cid -> codebooks(j).map(c => dotArr(ce.slice(j * subDim, (j + 1) * subDim), c)).toArray
+      }.toMap)
+    }
+    // same materialization barrier as pqTopK/ivfPqTopK
+    val lists = Ann.assignToCentroids(base, cents)
+      .select(col("nid"), col("cid"),
+        residualCodeArray(col("ne"), col("cid"), dim, codebooks, cents).as("codes"))
+      .localCheckpoint(true)
+    val probes = Ann.probeLists(embeddings.where(col("vec_id") < numQueries),
+        cents.toSeq.toDF("cid", "ce", "cn"), nprobe)
+      .withColumn("luts", lutArray(col("qe"), dim, codebooks))
+      .withColumn("qc", graft.functions.VecOps.dotFloat(col("qe"),
+        element_at(centMapLit, col("cid"))))
+      .select("qid", "qn", "cid", "qc", "luts")
+    val crossTerm = (0 until m).map { j =>
+      element_at(element_at(cdotLits(j), col("cid")), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = lists
+      .withColumn("rn",
+        sqrt(element_at(cnormLit, col("cid")) + crossTerm * 2.0d + reconNormSqCol(codebooks)))
+      .where(col("rn") > 0)
+      .join(broadcast(probes), "cid")
+      .select(col("qid"), col("nid"),
+        round((col("qc") + adcDot(m)) / (col("qn") * col("rn")), 12).as("cosine"))
     Ann.rankTopK(scored, k)
   }
 }

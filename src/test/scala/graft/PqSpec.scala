@@ -126,6 +126,72 @@ class PqSpec extends SparkSpec {
     assert(precision == 1.0)
   }
 
+  test("residual IVF-PQ is exact when every base vector sits on a coarse centroid") {
+    val dim = 8; val m = 2
+    // base 3..26 over 4 exact axis clusters; coarse = first 4 base vectors
+    // = all 4 axes; residuals are identically zero, so x̂ = centroid exactly
+    val rows = (0 until 3).map(i => (i.toLong, axis(i % 4, dim))) ++
+      (3 until 27).map(i => (i.toLong, axis((i - 3) % 4, dim)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Pq.ivfPqResidualTopK(emb, dim, numCentroids = 4, nprobe = 4,
+      m = m, ksub = 4, iters = 4, numQueries = 3, k = 5)
+      .select("qid", "nid", "cosine").as[(Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (_, _, c) => c == 1.0d || c == 0.0d })
+    val top1 = r.groupBy(_._1).view.mapValues(_.maxBy(_._3)._3).toMap
+    assert(top1.values.forall(_ == 1.0d))
+  }
+
+  test("residual codes drop reconstruction error vs flat IVF-PQ") {
+    // Each base vector = cluster center + one of 4 FIXED offset patterns
+    // (offset 0 = none). The residual distribution is exactly {0, o1, o2,
+    // o3} — learnable perfectly with ksub=4 — while flat codebooks must
+    // cover 16 distinct per-subspace patterns with 4 centroids and cannot
+    // be exact. Clusters live in dims 0-3 of each subspace block, offsets
+    // in dims 4-7, so neither signal hides from any sub-quantizer.
+    val dim = 16; val m = 2; val subDim = dim / m
+    def clusterVec(c: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d % subDim == c) 1f else 0f)
+    def offVec(p: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (p > 0 && d % subDim == 3 + p) 0.1f else 0f)
+    def plus(a: Array[Float], b: Array[Float]) = a.indices.map(i => a(i) + b(i)).toArray
+    val queries = (0 until 4).map(q => (q.toLong, clusterVec(q)))
+    val coarse = (0 until 4).map(c => (4L + c, clusterVec(c))) // pure centers first
+    val rest = (0 until 40).map { i =>
+      (8L + i, plus(clusterVec(i % 4), offVec((i / 4) % 4)))
+    }
+    val emb = (queries ++ coarse ++ rest).toDF("vec_id", "embedding")
+    val vecs = (queries ++ coarse ++ rest).toMap
+    def exactCos(q: Long, n: Long): Double = {
+      val a = vecs(q); val b = vecs(n)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    def meanErr(rows: Array[(Long, Long, Double)]): Double =
+      rows.map { case (q, n, c) => math.abs(c - exactCos(q, n)) }.sum / rows.length
+    val res = Pq.ivfPqResidualTopK(emb, dim, numCentroids = 4, nprobe = 4,
+      m = m, ksub = 4, iters = 5, numQueries = 4, k = 8)
+      .select("qid", "nid", "cosine").as[(Long, Long, Double)].collect()
+    val flat = Pq.ivfPqTopK(emb, dim, numCentroids = 4, nprobe = 4,
+      m = m, ksub = 4, iters = 5, numQueries = 4, k = 8)
+      .select("qid", "nid", "cosine").as[(Long, Long, Double)].collect()
+    val (resErr, flatErr) = (meanErr(res), meanErr(flat))
+    info(f"mean |ADC - exact| residual: $resErr%.2e, flat: $flatErr%.2e")
+    assert(resErr < 1e-8, f"residual ADC should be near-exact here, got $resErr%.2e")
+    assert(flatErr > 1e-5, f"flat should show real quantization error here, got $flatErr%.2e")
+    assert(resErr < flatErr)
+  }
+
+  test("residual IVF-PQ is deterministic under repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqResidualTopK(df, dim = 64, numCentroids = 8, nprobe = 3,
+        m = 8, ksub = 16, iters = 3, numQueries = 5, k = 5)
+        .collect().map(_.toSeq).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
+
   test("pqTopK runs on the testdata embeddings and returns k rows per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Pq.pqTopK(emb, dim = 64, m = 8, ksub = 16, iters = 3,
