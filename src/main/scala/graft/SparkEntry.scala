@@ -58,6 +58,13 @@ object SparkEntry {
       Graph.reachCounts(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), maxHops = 3)
     }),
+    // trust-endorsement centrality over the same edge list
+    "q_trust_rank" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.pageRank(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
+    }),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
@@ -1085,6 +1092,7 @@ object SparkEntry {
     "q_trust_reach_counts" -> (trustEdgesCte +
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
+    "q_trust_rank" -> trustRankSql,
     "q_token_balances" -> (demoCte +
       """,
         |d AS (
@@ -1381,7 +1389,10 @@ object SparkEntry {
     * SQL twin of [[graft.operators.Graph.widestPaths]]'s Bellman–Ford
     * rounds, one CTE per hop bound.
     */
-  private val trustEdgesCte =
+  /** Shared demo trust edge list (tr + e1) — prefix of [[trustEdgesCte]]
+    * and [[trustRankSql]].
+    */
+  private val trustE1Cte =
     """WITH tr AS (
       | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
       |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
@@ -1391,7 +1402,10 @@ object SparkEntry {
       |e1 AS (
       | SELECT src, dst, cap FROM (
       |  SELECT "user" AS src, can_send_to AS dst, arg_max("limit", hash) AS cap
-      |  FROM tr GROUP BY 1, 2) x WHERE cap > 0 AND src <> dst),
+      |  FROM tr GROUP BY 1, 2) x WHERE cap > 0 AND src <> dst)""".stripMargin
+
+  private val trustEdgesCte = trustE1Cte +
+    """,
       |h2 AS (
       | SELECT src, dst, max(cap) AS cap FROM (
       |  SELECT src, dst, cap FROM e1
@@ -1407,6 +1421,33 @@ object SparkEntry {
       |  FROM h2 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
       | ) u GROUP BY src, dst)
       |""".stripMargin
+
+  /** Unrolled PageRank twin of [[graft.operators.Graph.pageRank]] (5
+    * iterations, damping 0.85, dangling mass dropped, per-iteration
+    * round-to-12 — see the operator doc for why). Iteration CTEs are
+    * GENERATED, mirroring the per-hop unrolling of [[trustEdgesCte]].
+    */
+  private val trustRankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (
+        | SELECT nd.node,
+        |  round(0.15 / (SELECT count(*) FROM nodes)
+        |        + 0.85 * coalesce(c.s, 0), 12) AS r
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node, sum(p.r / o.deg) AS s
+        |  FROM e1 e JOIN p${i - 1} p ON p.node = e.src
+        |            JOIN outdeg o ON o.src = e.src
+        |  GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    trustE1Cte +
+      """,
+        |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |outdeg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |p0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 12) AS r
+        |       FROM nodes),
+        |""".stripMargin + iterCtes + """
+        |SELECT node, r FROM p5 ORDER BY r DESC, node""".stripMargin
+  }
 
   /** The paragraph-decorated corpus, verbatim SQL twin of [[Demo.paraDocs]]. */
   private val paraDecoSql =

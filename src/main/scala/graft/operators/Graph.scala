@@ -70,4 +70,55 @@ object Graph {
       .groupBy("src")
       .agg(count(lit(1)).as("n_reachable"), max("cap").as("best_cap"))
       .orderBy("src")
+
+  /** PageRank over the trust graph — the "who does the network vouch for"
+    * centrality a social-currency UI ranks accounts by (trust edges are
+    * endorsements; rank flows along them). Fixed-iteration power method:
+    *
+    *   r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/outdeg(u)
+    *
+    * Dangling-node mass is dropped (not redistributed) — the deterministic
+    * variant an unrolled SQL twin can express; ranks then sum to < 1,
+    * which only rescales the ordering. Ranks are rounded to 12 decimals
+    * EVERY iteration on both engines, so cross-engine double-sum ulp drift
+    * cannot compound across rounds.
+    *
+    * Scale shape, per iteration: one join of edges⋈ranks on src (edges
+    * pre-partitioned by src once, outside the loop), one partial-agg sum
+    * shuffle on dst, one co-partitioned left join back to the node set —
+    * payload is (node, double) pairs regardless of graph size. Eager
+    * localCheckpoint per round keeps the plan flat (the 2^n-lineage rule);
+    * iteration count is a fixed knob, not data-dependent. Hub skew lives
+    * in the dst-sum, which partial-aggregates map-side — the hot key
+    * arrives at its reducer once per map partition.
+    *
+    * Input `edges`: (src, dst, cap) — cap>0/self-loop normalization as
+    * [[widestPaths]]; parallel edges collapse to one.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .where(col("cap") > 0 && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // bounded driver aggregate: one long
+    var ranks = nodes.select(col("node"), round(lit(1.0d / n), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0d - damping) / n) +
+            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("r").desc, col("node"))
+  }
 }

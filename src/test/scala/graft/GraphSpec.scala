@@ -63,4 +63,35 @@ class GraphSpec extends SparkSpec {
     assert(r(("a")) == ((2L, 4L))) // reaches b(4) and c(min(4,9)=4)
     assert(r(("b")) == ((1L, 9L)))
   }
+
+  test("pageRank: cycle is uniform, dangling mass drops, hand-checked values") {
+    // 3-cycle: perfectly symmetric, no dangling → every iteration preserves
+    // the uniform 1/3 exactly
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "cap")
+    val rc = Graph.pageRank(cyc, iters = 5)
+      .as[(String, Double)].collect().toMap
+    val third = BigDecimal(1.0 / 3).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rc.values.forall(_ == third))
+
+    // a→b with b dangling, one iteration: p0 = (0.5, 0.5);
+    // r(a) = 0.15/2 = 0.075 (nothing points at a),
+    // r(b) = 0.075 + 0.85·(0.5/1) = 0.5; b's own mass evaporates
+    val dang = Seq(("a", "b", 1L)).toDF("src", "dst", "cap")
+    val rd = Graph.pageRank(dang, iters = 1).as[(String, Double)].collect().toMap
+    assert(rd == Map("a" -> 0.075, "b" -> 0.5))
+  }
+
+  test("pageRank: hub of a star collects the rank; deterministic under repartition") {
+    val edges = ((1 to 6).map(i => (s"leaf$i", "hub", 1L)) ++
+      Seq(("hub", "leaf1", 1L))).toDF("src", "dst", "cap")
+    val r = Graph.pageRank(edges, iters = 5).as[(String, Double)].collect()
+    assert(r.head._1 == "hub") // output is rank-descending
+    // hub > 2× the best leaf (leaf1 gets ALL the hub's mass back, so the
+    // gap is bounded by damping, not by the fan-in)
+    assert(r.head._2 > r.tail.map(_._2).max * 2)
+    val r2 = Graph.pageRank(edges.repartition(7), iters = 5)
+      .as[(String, Double)].collect()
+    assert(r.toSeq == r2.toSeq)
+  }
 }
