@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real and tested — schema, partition-batched
   * execution, deterministic output. The IMAGE path has a REAL decoder for
   * the PPM P6 container ([[decodePpm]] — dependency-free: ASCII header +
-  * raw RGB), exercised end-to-end by decode/resize over genuine pixel
-  * grids; other formats fall back to a deterministic STUB (`fakeDecode` —
-  * the container ships no jpeg/audio codecs) with a visible
-  * `real_decode = false` quarantine flag. Swapping in a full codec (e.g.
-  * javacpp-ffmpeg) changes no plumbing.
+  * raw RGB) and the AUDIO path a REAL decoder for RIFF/WAVE PCM
+  * ([[decodeWav]] — chunk walk + sample normalization), both exercised
+  * end-to-end over genuine payloads; other formats (jpeg, mp3, video —
+  * this environment ships no codec libraries) fall back to a deterministic
+  * STUB (`fakeDecode`) with a visible `real_decode = false` quarantine
+  * flag. Swapping in a full codec (e.g. javacpp-ffmpeg) changes no
+  * plumbing.
   *
   * Scale notes: decode runs via `mapPartitions` (the Scala analogue of
   * `mapInPandas` batch UDFs) so per-partition setup (codec init) amortizes;
@@ -119,6 +121,93 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** REAL decoder for RIFF/WAVE PCM (the audio analogue of [[decodePpm]] —
+    * the one audio container that needs no codec library): RIFF header,
+    * word-aligned chunk walk, `fmt ` (PCM only, 8/16-bit) + `data`.
+    * Returns (sample_rate, channels, per-channel samples in [−1, 1)).
+    * Malformed/truncated/compressed payloads → None (quarantine).
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Array[Double]])] = {
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= payload.length && new String(payload, o, 4, "US-ASCII") == s
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None     // offset, length
+    while (i + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(payload, i, 4, "US-ASCII")
+      val sz = u32(i + 4)
+      val body = i + 8
+      if (body + sz > payload.length) return None // truncated chunk
+      id match {
+        case "fmt " if sz >= 16 =>
+          if (u16(body) != 1) return None // PCM only; no codec libs here
+          fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+        case "data" => data = Some((body, sz.toInt))
+        case _ => // skip unknown chunks (LIST, cue, …)
+      }
+      i = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (off, len) <- data
+      if ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+    } yield {
+      val bytesPer = bits / 8
+      val frames = len / (bytesPer * ch)
+      val out = Array.fill(ch)(new Array[Double](frames))
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val o = off + (f * ch + c) * bytesPer
+          out(c)(f) =
+            if (bits == 8) ((payload(o) & 0xff) - 128) / 128.0 // unsigned PCM8
+            else ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        f += 1
+      }
+      (rate, ch, out)
+    }
+  }
+
+  /** Audio decode stage: REAL duration/per-channel RMS/peak for WAV PCM
+    * payloads, stub features + `real_decode = false` otherwise — the same
+    * quarantine contract as [[decodeImages]].
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("rms", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("real_decode", BooleanType, nullable = false))))
+    media.where(col("modality") === "audio").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        decodeWav(p) match {
+          case Some((rate, ch, chans)) =>
+            val rms = chans.map { s =>
+              var acc = 0.0; s.foreach(x => acc += x * x)
+              math.sqrt(acc / math.max(s.length, 1))
+            }
+            val peak = chans.iterator.flatMap(_.iterator).map(math.abs)
+              .foldLeft(0.0)(math.max)
+            val dur = chans.headOption.map(_.length).getOrElse(0).toDouble / rate
+            Row(r.getAs[Long]("media_id"), rate, ch, dur, rms, peak, true)
+          case None =>
+            Row(r.getAs[Long]("media_id"), null, null, null, fakeDecode(p, 2), null, false)
+        }
+      }
+    }(enc)
+  }
+
   private def checksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -199,8 +288,9 @@ object BinaryPipeline {
   }
 
   /** Synthetic media table for tests/demos: image rows carry REAL PPM
-    * payloads (deterministic 8×6 RGB, decodable by [[decodePpm]]);
-    * audio/video payloads stay opaque deterministic bytes.
+    * payloads (deterministic 8×6 RGB, decodable by [[decodePpm]]), audio
+    * rows REAL mono PCM16 WAVs (deterministic samples, decodable by
+    * [[decodeWav]]); video payloads stay opaque deterministic bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -214,6 +304,19 @@ object BinaryPipeline {
           val (w, h) = (8, 6)
           "P6\n8 6\n255\n".getBytes("US-ASCII") ++
             Array.tabulate[Byte](w * h * 3)(i => ((id * 131 + i * 7) % 251).toByte)
+        } else if (modality == "audio") {
+          val frames = 32 + (id % 16).toInt
+          val bb = java.nio.ByteBuffer.allocate(44 + frames * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(frames * 2)
+          (0 until frames).foreach { k =>
+            bb.putShort((((id * 131 + k * 7) % 251 - 125) * 100).toShort)
+          }
+          bb.array()
         } else
           Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
       Row(id, modality,

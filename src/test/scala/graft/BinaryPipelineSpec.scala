@@ -71,6 +71,53 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(synth.length == 10 && synth.forall(_.getAs[Boolean]("real_decode")))
   }
 
+  test("wav decode: exact samples, rms and duration; truncation → quarantine") {
+    // mono PCM16 @ 4 Hz, 4 known samples: 0, max, min, half
+    def wav(samples: Seq[Short], channels: Short = 1, rate: Int = 4): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val p = wav(Seq[Short](0, 32767, -32768, 16384))
+    val Some((rate, ch, chans)) = BinaryPipeline.decodeWav(p)
+    assert(rate == 4 && ch == 1)
+    assert(chans(0).toSeq == Seq(0.0, 32767.0 / 32768, -1.0, 0.5))
+    // stereo de-interleaves: L = (0, max), R = (min, half)
+    val Some((_, 2, st)) = BinaryPipeline.decodeWav(
+      wav(Seq[Short](0, -32768, 32767, 16384), channels = 2))
+    assert(st(0).toSeq == Seq(0.0, 32767.0 / 32768) && st(1).toSeq == Seq(-1.0, 0.5))
+    // truncated data chunk and non-PCM format both quarantine
+    assert(BinaryPipeline.decodeWav(p.dropRight(3)).isEmpty)
+    val nonPcm = p.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assert(BinaryPipeline.decodeWav(nonPcm).isEmpty)
+
+    val media = Seq((1L, p)).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    val r = BinaryPipeline.decodeAudio(media).collect().head
+    assert(r.getAs[Boolean]("real_decode") && r.getAs[Int]("sample_rate") == 4)
+    assert(r.getAs[Double]("duration_s") == 1.0) // 4 frames at 4 Hz
+    val wantRms = math.sqrt((0.0 + math.pow(32767.0 / 32768, 2) + 1.0 + 0.25) / 4)
+    assert(math.abs(r.getAs[scala.collection.Seq[Double]]("rms").head - wantRms) < 1e-12)
+    assert(r.getAs[Double]("peak") == 1.0)
+  }
+
+  test("synthetic audio rows are real WAVs; garbage stays quarantined") {
+    val synth = BinaryPipeline.decodeAudio(BinaryPipeline.syntheticMedia(spark, 30)).collect()
+    assert(synth.length == 10 && synth.forall(_.getAs[Boolean]("real_decode")))
+    assert(synth.forall(_.getAs[Int]("sample_rate") == 16000))
+    val junk = Seq((1L, Array.tabulate[Byte](50)(_.toByte))).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    val q = BinaryPipeline.decodeAudio(junk).collect().head
+    assert(!q.getAs[Boolean]("real_decode") && q.isNullAt(q.fieldIndex("duration_s")))
+  }
+
   test("frame sampling: 1→N explode with stride") {
     val media = BinaryPipeline.syntheticMedia(spark, 30)
     val frames = BinaryPipeline.sampleFrames(media, frameBytes = 16, stride = 2)
