@@ -256,6 +256,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     // C4-style corpus-wide paragraph dedup over paragraph-decorated docs
     "q_para_dedup" -> ((s, d) => Dedup.paragraphDedup(Demo.paraDocs(Tables.documents(s, d)))),
+    // Bloom contamination gate: eval set = every 10th doc; engine-specific
+    // hashing → rows-only (exactness and FPR are spec'd in BloomSpec)
+    "q_bloom_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bloom = Dedup.buildContaminationBloom(docs.where(col("doc_id") % 10 === 0))
+      Dedup.bloomGate(docs, bloom)
+        .select("doc_id", "maybe_contaminated").orderBy("doc_id")
+    }),
     // the 100 TB form (8-byte shuffle key): same answer as q_dedup_exact,
     // recorded in the per-round gate rather than only in DedupSpec
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactByHash(Tables.documents(s, d))),

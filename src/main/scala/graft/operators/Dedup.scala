@@ -459,6 +459,32 @@ object Dedup {
     sizeOk && prefixOk
   }
 
+  /** The eval-set Bloom artifact for [[bloomGate]]: one pass over the eval
+    * corpus, any partitioning (the aggregate merges by OR, so map-side
+    * partials combine), returning numBits/8 bytes — a bounded driver
+    * collect sized to the EVAL set's membership question, never the
+    * corpus. Keys are xxhash64(text): the EXACT-match gate; the n-gram
+    * [[decontaminate]] stays the near-match sweep.
+    */
+  def buildContaminationBloom(evalDocs: DataFrame,
+                              numBits: Int = 1 << 20,
+                              numHashes: Int = graft.functions.BloomOps.DefaultNumHashes): Array[Byte] =
+    evalDocs.select(graft.functions.BloomOps.bloomAgg(
+        xxhash64(col("text")), numBits, numHashes).as("b"))
+      .head.getAs[Array[Byte]](0)
+
+  /** Map-only contamination gate: flags rows whose exact text hash MIGHT
+    * be in the eval set (no false negatives; false positives at the
+    * filter's FPR route to a recheck, never to a wrong answer). The
+    * artifact rides the plan as one binary literal and the probe is k
+    * bit-reads inside codegen — streaming-safe (stateless), the ingest
+    * twin of batch decontamination.
+    */
+  def bloomGate(docs: DataFrame, bloom: Array[Byte],
+                numHashes: Int = graft.functions.BloomOps.DefaultNumHashes): DataFrame =
+    docs.withColumn("maybe_contaminated",
+      graft.functions.BloomOps.mightContain(lit(bloom), xxhash64(col("text")), numHashes))
+
   /** Paragraph-level exact dedup (the C4 boilerplate stage): every
     * paragraph that occurs more than once ACROSS THE WHOLE CORPUS survives
     * only at its first occurrence — smallest (doc_id, position) — and each
