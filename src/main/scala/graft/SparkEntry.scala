@@ -29,6 +29,15 @@ object SparkEntry {
     "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.segmentPercentiles(Tables.customer(s, d))),
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
+    // distinct users per event_type served from per-(type, day) HLL
+    // sketches — rows-only (sketch estimates are engine-specific)
+    "q_distinct_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+      Analytics.distinctFromSketches(
+        Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
+        Seq("event_type")).orderBy("event_type")
+    }),
     "q_above_seg_avg" -> ((s, d) => SqlSurface.aboveSegmentAverage(Tables.customer(s, d))),
     "q_order_sequences" -> ((s, d) => SqlSurface.orderSequences(Tables.orders(s, d))),
     "q_set_ops" -> ((s, d) => SqlSurface.customerSetOps(Tables.orders(s, d))),

@@ -62,4 +62,31 @@ class ApproxAggSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(g == Set(("u1", "v1", 80L), ("u2", "v1", 100L)))
   }
+
+  test("sketch table: rollup from stored sketches tracks exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("day", col("ts").cast("date"))
+    val daily = graft.operators.Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))
+    // the sketch table is small: one row per (type, day), fixed-size sketch
+    assert(daily.count() == ev.select("event_type", "day").distinct().count())
+    val got = graft.operators.Analytics.distinctFromSketches(daily, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(got(k) - n).toDouble / n
+      assert(rel < 0.05, s"$k: sketch ${got(k)} vs exact $n (rel $rel)")
+    }
+    // merging stored partials tracks a direct one-shot sketch (sparse/dense
+    // transitions may differ → tolerance, not equality)
+    val direct = graft.operators.Analytics.distinctFromSketches(
+        graft.operators.Analytics.hllSketchTable(ev, "user_id", Seq("event_type")),
+        Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n).toDouble / math.max(n, 1) < 0.02)
+    }
+  }
 }
