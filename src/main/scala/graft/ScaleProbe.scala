@@ -64,6 +64,35 @@ object ScaleProbe {
         bigDocs.where(col("doc_id") % 2 === 1)).count()
     }
     time("hash_sample/20pct")(Sampling.hashSample(bigDocs, "doc_id", 200).count())
+    // round-5 additions: paragraph dedup (3-4 paragraphs/doc, heavy planted
+    // boilerplate), tf-idf, pagerank, bloom gate, sketch-table serve
+    time("para_dedup/10x-boiler") {
+      val d = lit("\n\n")
+      val boiler = concat(lit("shared boilerplate block variant "),
+        (col("doc_id") % 7).cast("string"))
+      val para = bigDocs.select(col("doc_id"), concat(
+        lit("intro for doc "), col("doc_id").cast("string"), d, boiler, d,
+        when(col("doc_id") % 3 === 0, lit("common promo text"))
+          .otherwise(concat(lit("tail words for doc "), col("doc_id").cast("string"))),
+        when(col("doc_id") % 5 === 0, concat(d, boiler)).otherwise("")).as("text"))
+      Dedup.paragraphDedup(para).count()
+    }
+    time("tfidf/top5")(TextMetrics.tfidfTopTerms(bigDocs).count())
+    time("pagerank/5-iters") {
+      val edges = bigEvents.select((col("user_id") % 50000).as("src"),
+        ((col("user_id") * 7 + 13) % 50000).as("dst"), lit(1L).as("cap"))
+      Graph.pageRank(edges, iters = 5).count()
+    }
+    time("bloom_gate/10pct-eval") {
+      val bloom = Dedup.buildContaminationBloom(bigDocs.where(col("doc_id") % 10 === 0))
+      Dedup.bloomGate(bigDocs, bloom).where(col("maybe_contaminated")).count()
+    }
+    time("sketch_table/build+serve") {
+      Analytics.distinctFromSketches(
+        Analytics.hllSketchTable(bigEvents.withColumn("day", col("ts").cast("date")),
+          "user_id", Seq("event_type", "day")),
+        Seq("event_type")).count()
+    }
     spark.stop()
   }
 }

@@ -378,6 +378,52 @@ object ViewMaintenance {
       }
       .start()
 
+  /** Incremental maintenance of the HLL sketch table
+    * ([[graft.operators.Analytics.hllSketchTable]]): each micro-batch's
+    * per-group sketches fold into the stored view by `hll_union` —
+    * sketch-union is associative/commutative like the balances sum, so any
+    * micro-batch slicing converges to the batch build (estimates equal;
+    * ApproxAggSpec pins it). Buckets key on the FIRST groupBy column.
+    *
+    * This is the distinct-count dashboard at 100 TB: the store holds one
+    * fixed-size sketch per finest group, readers union to any coarser
+    * grouping ([[graft.operators.Analytics.distinctFromSketches]]), and
+    * ingest touches only the buckets the batch's groups fall in.
+    */
+  def mergeSketchesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                         keyCol: String, byCols: Seq[String], lgK: Int = 12,
+                         numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                         maxGenerations: Int = DefaultMaxGenerations,
+                         committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      graft.operators.Analytics.hllSketchTable(batch, keyCol, byCols, lgK),
+      byCols.head,
+      (existing, delta) => {
+        val e = existing.select(byCols.map(col) :+ col("sketch").as("sk_a")
+          :+ col("n_rows").as("nr_a"): _*)
+        val d = delta.select(byCols.map(col) :+ col("sketch").as("sk_b")
+          :+ col("n_rows").as("nr_b"): _*)
+        e.join(d, byCols, "full_outer")
+          .select(byCols.map(col) :+
+            (when(col("sk_a").isNull, col("sk_b"))
+              .when(col("sk_b").isNull, col("sk_a"))
+              .otherwise(hll_union(col("sk_a"), col("sk_b")))).as("sketch") :+
+            (coalesce(col("nr_a"), lit(0L)) + coalesce(col("nr_b"), lit(0L))).as("n_rows"): _*)
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  def startSketchView(events: DataFrame, viewDir: String, checkpointDir: String,
+                      keyCol: String, byCols: Seq[String], lgK: Int = 12,
+                      numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSketchesBatch(batch.sparkSession, batch, viewDir, keyCol, byCols,
+          lgK, numBuckets, batchId)
+        ()
+      }
+      .start()
+
   // --- append-only views (the timeline / ledger family) ------------------
 
   /** Idempotent append for APPEND-ONLY derived views: the batch's rows

@@ -305,4 +305,40 @@ class ViewMaintenanceSpec extends SparkSpec {
     // history_count would be 3 if the replay re-merged
     assert(viewState(viewDir) == Set(("u1", "v1", 50L, 2L)))
   }
+
+  test("sketch view: sliced micro-batches converge to the batch sketch table") {
+    val viewDir = Files.createTempDirectory("graft-sketchview").toString + "/view"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", col("ts").cast("date"))
+      .persist()
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeSketchesBatch(spark,
+        ev.where(pmod(col("event_id"), lit(3)) === i),
+        viewDir, keyCol = "user_id", byCols = Seq("event_type", "day"),
+        numBuckets = 8, version = i.toLong)
+    }
+    ev.unpersist()
+    val served = graft.operators.Analytics.distinctFromSketches(
+        readView(spark, viewDir).drop("bucket"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = graft.operators.Analytics.distinctFromSketches(
+        graft.operators.Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
+        Seq("event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(served.keySet == direct.keySet)
+    direct.foreach { case (t, (est, nRows)) =>
+      assert(served(t)._2 == nRows, s"$t: row counts must be EXACT")
+      // union of sliced partials vs one-shot: same registers up to
+      // sparse/dense transitions → estimates within the 2% convention
+      assert(math.abs(served(t)._1 - est).toDouble / math.max(est, 1) < 0.02, s"$t")
+    }
+    // replaying a committed version is a no-op (row counts would double)
+    ViewMaintenance.mergeSketchesBatch(spark, ev, viewDir,
+      keyCol = "user_id", byCols = Seq("event_type", "day"),
+      numBuckets = 8, version = 2L)
+    val again = graft.operators.Analytics.distinctFromSketches(
+        readView(spark, viewDir).drop("bucket"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    direct.foreach { case (t, (_, nRows)) => assert(again(t) == nRows) }
+  }
 }
