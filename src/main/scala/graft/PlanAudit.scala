@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val windows = plan.linesIterator.count(l => l.trim.startsWith("Window"))
+      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      println(s"[audit] $name: exchanges=$exchanges windows=$windows wscg=$wsc")
+    }
+    audit("para_dedup", Dedup.paragraphDedup(docs))
+    audit("tfidf", TextMetrics.tfidfTopTerms(docs))
+    val bloom = Dedup.buildContaminationBloom(docs.where(col("doc_id") % 10 === 0))
+    audit("bloom_gate", Dedup.bloomGate(docs, bloom))
+    val ev = Tables.events(spark, sf).withColumn("day", col("ts").cast("date"))
+    audit("sketch_serve", Analytics.distinctFromSketches(
+      Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")), Seq("event_type")))
+    // print the interesting one in full
+    println("==== tfidf formatted ====")
+    TextMetrics.tfidfTopTerms(docs).explain("formatted")
+    println("==== para_dedup formatted ====")
+    Dedup.paragraphDedup(docs).explain("formatted")
+    spark.stop()
+  }
+}

@@ -364,10 +364,12 @@ object TextMetrics {
     * `ln` may differ in the last ulp; an unrounded rank could then pick a
     * different boundary row), ties broken by term ascending.
     *
-    * Scale shape: tf is one (doc_id, term) groupBy with map-side combine;
-    * df partial-aggregates off the tf frame (already one row per (doc,
-    * term) — never re-reads the corpus); the tf×df join shuffles on term
-    * (AQE broadcasts when the vocab fits); per-doc top-k goes through the
+    * Scale shape: tf is one (doc_id, term) groupBy with map-side combine,
+    * MATERIALIZED (localCheckpoint) because two consumers read it — without
+    * the barrier Catalyst duplicates the subtree and the corpus is scanned
+    * and tokenized TWICE (plan-audited); df then partial-aggregates off the
+    * stored (doc_id, term, tf) rows. The tf×df join shuffles on term (AQE
+    * broadcasts when the vocab fits); per-doc top-k goes through the
     * bounded-heap [[graft.functions.TopKAgg]], so the final shuffle carries
     * k rows per (doc, partition), not the whole scored frame, and N is a
     * single bounded driver aggregate.
@@ -377,6 +379,7 @@ object TextMetrics {
     val tf = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term").withColumn("score",
       round(col("tf") * (log((lit(n) + 1.0d) / (col("df") + 1.0d)) + 1.0d), 12))
