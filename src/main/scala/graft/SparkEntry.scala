@@ -29,6 +29,8 @@ object SparkEntry {
     "q_rollup_orders" -> ((s, d) => Analytics.rollupOrders(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Analytics.segmentPercentiles(Tables.customer(s, d))),
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
+    // group-size skew diagnostics over the orders-per-customer key
+    "q_skew_report" -> ((s, d) => Analytics.skewReport(Tables.orders(s, d), "o_custkey")),
     // distinct users per event_type served from per-(type, day) HLL
     // sketches — rows-only (sketch estimates are engine-specific)
     "q_distinct_sketch" -> ((s, d) => {
@@ -514,6 +516,20 @@ object SparkEntry {
         | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
         | count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_skew_report" ->
+      """WITH sizes AS (
+        | SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |heavy AS (
+        | SELECT key, n,
+        |  row_number() OVER (ORDER BY n DESC, key DESC) AS rank
+        | FROM sizes QUALIFY rank <= 5),
+        |stats AS (
+        | SELECT count(*) AS n_keys, max(n) AS max_n, round(avg(n), 4) AS mean_n,
+        |  round(quantile_cont(n, 0.5), 4) AS p50_n,
+        |  round(quantile_cont(n, 0.99), 4) AS p99_n
+        | FROM sizes)
+        |SELECT key, n, rank, n_keys, max_n, mean_n, p50_n, p99_n
+        |FROM heavy CROSS JOIN stats ORDER BY rank""".stripMargin,
     "q_above_seg_avg" ->
       """WITH seg AS (
         | SELECT c_mktsegment,

@@ -202,6 +202,30 @@ object Analytics {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
         sum("n_rows").as("n_rows"))
 
+  /** Key-skew report — the diagnostic every shuffle-heavy operator in this
+    * engine sizes its salting/bucket-cap valves with: group-size
+    * distribution (count, max, mean, exact p50/p99 — percentiles over the
+    * GROUP SIZES, a keys-sized frame, not the data) plus the top-k heaviest
+    * keys via the bounded-heap aggregate. One partial-agg shuffle over the
+    * data, then keys-sized work.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val sizes = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val heavy = sizes.agg(graft.functions.TopKAgg.bottomK(
+        struct(col("n"), col("key")), topK).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.key").as("key"), col("t.n").as("n"))
+      .withColumn("rank", row_number().over(
+        // ties by key DESC — the reverse-mode heap's own boundary order
+        Window.orderBy(col("n").desc, col("key").desc)).cast("long"))
+    val stats = sizes.agg(
+      count(lit(1)).as("n_keys"), max("n").as("max_n"),
+      round(avg("n"), 4).as("mean_n"),
+      round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+      round(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+    heavy.crossJoin(stats).orderBy("rank")
+  }
+
   /** JSON payload decode (log `data`/`topics` parsing in the classifier):
     * get_json_object is codegen'd; the projection prunes to (event_id,
     * props) at the scan.

@@ -503,6 +503,12 @@ object Dedup {
     *     hot key in one partition; the groupBy form cannot skew.
     *  2. regroup by doc_id to reassemble (sort_array over (idx, para)
     *     structs restores document order).
+    *
+    * The corpus is scanned twice — once exploded, once for the per-doc
+    * paragraph totals (both pruned to (doc_id, text)). Deliberate:
+    * materializing the exploded side to read it twice would trade the
+    * second read for a corpus-sized write, and a fully-deduped doc's total
+    * can't ride the survivor aggregation (it has no survivor rows).
     */
   def paragraphDedup(documents: DataFrame, delim: String = "\n\n"): DataFrame = {
     val paras = documents.select(

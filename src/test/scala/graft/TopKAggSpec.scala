@@ -33,4 +33,18 @@ class TopKAggSpec extends SparkSpec {
     val b = Analytics.topKPerGroupWindow(part, 3).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("skewReport: hand-computed group sizes, heavy keys ranked") {
+    import spark.implicits._
+    // key 1 → 5 rows, key 2 → 3, key 3 → 1, key 4 → 1
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L)).toDF("k")
+    val r = Analytics.skewReport(df, "k", topK = 2).collect()
+    assert(r.map(x => (x.getAs[Long]("key"), x.getAs[Long]("n"), x.getAs[Long]("rank"))).toSeq
+      == Seq((1L, 5L, 1L), (2L, 3L, 2L)))
+    val h = r.head
+    assert(h.getAs[Long]("n_keys") == 4 && h.getAs[Long]("max_n") == 5)
+    assert(h.getAs[Double]("mean_n") == 2.5)
+    assert(h.getAs[Double]("p50_n") == 2.0)  // sizes (1,1,3,5) interpolated
+    assert(h.getAs[Double]("p99_n") == 4.94) // 1 + 0.97*... → round(4.94,4)
+  }
 }
