@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for append-mode parquet stores (the streaming
+  * corpus sink writes a file per micro-batch per partition — after a day of
+  * 1-minute batches that's thousands of slivers, and at 100 TB the
+  * listing + per-file open overhead dominates reads long before the data
+  * does).
+  *
+  * Compaction is a generation swap, the same crash-safety shape as the
+  * view store: rewrite into `<dir>-gN` sized to `targetBytes` per file,
+  * verify the row count, then flip the `current` pointer file — readers
+  * resolve the pointer first, so they see the old or the new generation,
+  * never a half-written directory. The streaming sink keeps appending to
+  * the live dir between compactions; compact during a quiet window or on
+  * the closed partitions of a time-partitioned store.
+  */
+object ParquetCompactor {
+
+  /** Resolve the current generation dir (falls back to `dir` itself for
+    * stores that never compacted).
+    */
+  def currentDir(spark: SparkSession, dir: String): String = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(s"$dir-current")
+    if (!fs.exists(ptr)) dir
+    else {
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+  }
+
+  def read(spark: SparkSession, dir: String) =
+    spark.read.parquet(currentDir(spark, dir))
+
+  /** One compaction round: returns the new generation path. `targetBytes`
+    * sizes output files from the INPUT's total byte size — an estimate
+    * (recompression changes it), which is all file sizing needs.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): String = {
+    val src = currentDir(spark, dir)
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new Path(src)).toSeq
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // monotonic generation counter parsed from the current dir — wall-clock
+    // names collide for back-to-back rounds
+    val gen = if (src == dir) 1L
+      else src.substring(src.lastIndexOf("-g") + 2).toLong + 1L
+    val out = s"$dir-g$gen"
+    val df = spark.read.parquet(src)
+    df.coalesce(nFiles).write.mode("overwrite").parquet(out)
+    // verify before publishing: a lost row means we keep the old generation
+    val (inRows, outRows) = (df.count(), spark.read.parquet(out).count())
+    if (inRows != outRows) {
+      fs.delete(new Path(out), true)
+      sys.error(s"compaction row mismatch: $inRows != $outRows — old generation kept")
+    }
+    val tmp = new Path(s"$dir-current.tmp$gen")
+    val os = fs.create(tmp, true)
+    try os.write(out.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, new Path(s"$dir-current"))) {
+      fs.delete(new Path(s"$dir-current"), false)
+      fs.rename(tmp, new Path(s"$dir-current"))
+    }
+    // old generation is unreachable from the pointer now; GC it unless it
+    // is the original live dir (a streaming sink may still append there)
+    if (src != dir) fs.delete(new Path(src), true)
+    out
+  }
+}
