@@ -355,6 +355,7 @@ object SparkEntry {
       UrlOps.domainFilter(Demo.urlDocs(Tables.documents(s, d)), Seq("ads.badsite.net"))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
+    "q_unigram_logprob" -> ((s, d) => TextMetrics.unigramLogProb(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
     "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
@@ -1275,6 +1276,21 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-token terms rounded to 12 dp then summed EXACTLY as decimal —
+    // a double mean sums in engine-specific order and can cross the final
+    // rounding boundary (observed)
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |total AS (SELECT count(*) AS t FROM tok)
+        |SELECT doc_id,
+        | round(CAST(SUM(CAST(round(ln(CAST(total.t AS DOUBLE))
+        |   - ln(CAST(freq.cnt AS DOUBLE)), 12) AS DECIMAL(28,14))) AS DOUBLE)
+        |  / count(*), 12) AS surprisal,
+        | count(*) AS n_tokens
+        |FROM tok JOIN freq USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // scores rounded to 12 decimals BEFORE ranking on both sides: libm ln
     // may differ in the last ulp, and an unrounded rank could then select a
     // different boundary row (see TextMetrics.tfidfTopTerms)

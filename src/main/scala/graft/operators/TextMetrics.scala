@@ -358,6 +358,38 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** Unigram-LM surprisal per document — the CCNet-style quality signal:
+    * score(doc) = mean over tokens of −ln p(w), with p(w) the corpus
+    * unigram frequency. Low = head-like/common text, high = rare/garbled;
+    * filters cut both tails. Scored on the training corpus itself, so
+    * every token has mass (no OOV smoothing needed). Parity: a plain
+    * double mean is summed in engine-specific order and CAN cross the
+    * final rounding boundary (observed at sf0.01), so each per-token term
+    * is rounded to 12 dp (portable: libm ln agrees far below that) and
+    * summed EXACTLY as decimal — the engine's decimal-cast-sums rule.
+    *
+    * Same shape (and same materialization barrier) as [[tfidfTopTerms]]:
+    * the token frame feeds both the frequency model and the scoring join,
+    * so it is localCheckpointed — one corpus read. The model join shuffles
+    * on term (AQE broadcasts a fitting vocab); scoring is a partial-agg
+    * mean per doc.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint(true)
+    val total = tok.count()
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val term = round(log(lit(total.toDouble)) - log(col("cnt")), 12)
+      .cast("decimal(28,14)")
+    tok.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(
+        round(sum(term).cast("double") / count(lit(1)), 12).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword/representation
     * stage (smooth idf: ln((N+1)/(df+1)) + 1). Scores are rounded to 12
     * decimals BEFORE ranking so the selected set is engine-portable (libm

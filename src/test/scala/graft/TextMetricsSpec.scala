@@ -232,6 +232,20 @@ class TextMetricsSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L) == Seq((2L, "all", 1L, rnd(idf(3)))))
   }
 
+  test("unigram surprisal: hand-computed corpus model, rare tokens score high") {
+    // corpus: "a a a b" + "b c" → total 6; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    val docs = Seq((0L, "a a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val r = graft.operators.TextMetrics.unigramLogProb(docs)
+      .as[(Long, Double, Long)].collect().map { case (id, s, n) => id -> ((s, n)) }.toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-token terms are rounded to 12 BEFORE the exact decimal sum
+    def sur(cnt: Double) = rnd(math.log(6.0) - math.log(cnt))
+    assert(r(0L)._2 == 4L && r(1L)._2 == 2L)
+    assert(r(0L)._1 == rnd((3 * sur(3) + sur(2)) / 4))
+    assert(r(1L)._1 == rnd((sur(2) + sur(1)) / 2))
+    assert(r(1L)._1 > r(0L)._1) // the rare-token doc is more surprising
+  }
+
   test("tfidf TopKAgg selection equals the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
