@@ -356,6 +356,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
     "q_unigram_logprob" -> ((s, d) => TextMetrics.unigramLogProb(Tables.documents(s, d))),
+    "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
     "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
@@ -1276,6 +1277,17 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+        |c AS (SELECT doc_id, ws,
+        |       unnest(generate_series(0,
+        |         greatest(CAST(ceil((nw - 8) / 56.0) AS BIGINT), 1) - 1)) AS i
+        |      FROM n)
+        |SELECT doc_id, i AS chunk_idx,
+        | array_to_string(ws[(i*56+1):(i*56+64)], ' ') AS chunk_text,
+        | len(ws[(i*56+1):(i*56+64)]) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // per-token terms rounded to 12 dp then summed EXACTLY as decimal —
     // a double mean sums in engine-specific order and can cross the final
     // rounding boundary (observed)

@@ -358,6 +358,30 @@ object TextMetrics {
     ).orderBy("doc_id")
   }
 
+  /** Fixed-size overlapping chunks over the whitespace token sequence —
+    * the context-window preparation step RAG indexing and long-doc
+    * pretraining share (complementing [[graft.operators.Packing]]'s
+    * concat-and-split layout: packing fills windows ACROSS documents,
+    * chunking windows WITHIN one). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens), stride = chunkTokens − overlap;
+    * the final chunk may run short rather than re-padding. Map-only
+    * explode — no shuffle at any scale, 1→N like the frame sampler.
+    */
+  def chunk(documents: DataFrame, chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val words = wsWords(col("text"))
+    val nChunks = greatest(
+      ceil((size(words) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    documents.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(words, i * stride + 1, lit(chunkTokens)))).as(Seq("chunk_idx", "cw")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("cw")).as("chunk_text"),
+        size(col("cw")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Unigram-LM surprisal per document — the CCNet-style quality signal:
     * score(doc) = mean over tokens of −ln p(w), with p(w) the corpus
     * unigram frequency. Low = head-like/common text, high = rare/garbled;

@@ -232,6 +232,26 @@ class TextMetricsSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L) == Seq((2L, "all", 1L, rnd(idf(3)))))
   }
 
+  test("chunking: overlap, short tail, sub-chunk doc passthrough") {
+    val docs = Seq(
+      (0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens
+      (1L, "a b")                             // shorter than one chunk
+    ).toDF("doc_id", "text")
+    // chunk=4, overlap=1, stride=3 → starts 0,3,6 (ceil((10-1)/3)=3)
+    val r = graft.operators.TextMetrics.chunk(docs, chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, "w0 w1 w2 w3", 4L),
+      (0L, 1L, "w3 w4 w5 w6", 4L), // overlaps w3
+      (0L, 2L, "w6 w7 w8 w9", 4L), // overlaps w6, covers the tail
+      (1L, 0L, "a b", 2L)))
+    // every token index appears in some chunk; consecutive chunks share
+    // exactly `overlap` tokens
+    val c0 = r.filter(_._1 == 0L).map(_._3.split(" ").toSeq)
+    c0.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)) }
+    assert(c0.flatten.toSet == (0 until 10).map(i => s"w$i").toSet)
+  }
+
   test("unigram surprisal: hand-computed corpus model, rare tokens score high") {
     // corpus: "a a a b" + "b c" → total 6; p(a)=3/6, p(b)=2/6, p(c)=1/6
     val docs = Seq((0L, "a a a b"), (1L, "b c")).toDF("doc_id", "text")
