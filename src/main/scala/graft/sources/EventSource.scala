@@ -35,4 +35,28 @@ object EventSource {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+
+  /** Typed parse of a raw JSON payload column with QUARANTINE semantics —
+    * the RPC-ingest front door (the reference deserializes node JSON in
+    * its sources; a malformed payload there throws and wedges the block):
+    * `from_json` in PERMISSIVE mode never throws, rows that fail to parse
+    * keep their raw text with `valid = false`, and — the from_json
+    * subtlety — JSON that parses but matches NO schema field (all-null
+    * struct) is quarantined too, not passed through as an empty row.
+    * Map-only, codegen'd, works identically on batch and streaming frames.
+    */
+  def parseJson(df: DataFrame, schema: StructType,
+                jsonCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parsed = from_json(col(jsonCol), schema,
+      Map("mode" -> "PERMISSIVE"))
+    val anyField = schema.fieldNames
+      .map(f => parsed.getField(f).isNotNull)
+      .reduce(_ || _)
+    df.withColumn("parsed", parsed)
+      .withColumn("valid", col("parsed").isNotNull && anyField)
+      .select(col("*") +: schema.fieldNames.map(f =>
+        when(col("valid"), col("parsed").getField(f)).as(f)): _*)
+      .drop("parsed")
+  }
 }
