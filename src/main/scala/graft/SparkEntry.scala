@@ -23,6 +23,21 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Analytics.shippingPriority(s, d)),
     "q5_region_revenue" -> ((s, d) => Analytics.regionRevenue(s, d)),
     "q_topk_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
+    // TPC-H-shape breadth pack (SURVEY §2 #19b) — the remaining distinctive
+    // distributed-plan shapes of the suite, adapted to the reduced schema
+    "q7_nation_volume" -> ((s, d) => TpchShapes.nationVolume(s, d)),
+    "q8_mkt_share" -> ((s, d) => TpchShapes.marketShare(s, d)),
+    "q9_profit_by_nation" -> ((s, d) => TpchShapes.profitByNation(s, d)),
+    "q10_returned_top" -> ((s, d) => TpchShapes.returnedTop(s, d)),
+    "q12_late_priority" -> ((s, d) => TpchShapes.lateLinesByPriority(s, d)),
+    "q13_order_dist" -> ((s, d) => TpchShapes.orderCountDistribution(s, d)),
+    "q14_promo_share" -> ((s, d) => TpchShapes.promoShare(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => TpchShapes.supplierCountByPart(s, d)),
+    "q18_large_orders" -> ((s, d) => TpchShapes.largeOrders(s, d)),
+    "q19_disjunctive_rev" -> ((s, d) => TpchShapes.disjunctiveRevenue(s, d)),
+    "q20_qualified_suppliers" -> ((s, d) => TpchShapes.qualifiedSuppliers(s, d)),
+    "q21_late_sole_supplier" -> ((s, d) => TpchShapes.soleLateSupplier(s, d)),
+    "q22_idle_customers" -> ((s, d) => TpchShapes.idleRichCustomers(s, d)),
     "q_customers_without_orders" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
@@ -40,6 +55,14 @@ object SparkEntry {
         Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
         Seq("event_type")).orderBy("event_type")
     }),
+    // per-source doc-length quantiles served FROM per-(source,lang) stored
+    // quantile sketches — rows-only (sample-based estimates are
+    // engine-specific; exactness/semilattice properties in QuantileSketchSpec)
+    "q_quantile_sketch" -> ((s, d) =>
+      Analytics.quantilesFromSketches(
+        Analytics.quantileSketchTable(Tables.documents(s, d), "doc_id", "n_chars",
+          Seq("source", "lang")),
+        Seq("source")).orderBy("source")),
     "q_above_seg_avg" -> ((s, d) => SqlSurface.aboveSegmentAverage(Tables.customer(s, d))),
     "q_order_sequences" -> ((s, d) => SqlSurface.orderSequences(Tables.orders(s, d))),
     "q_set_ops" -> ((s, d) => SqlSurface.customerSetOps(Tables.orders(s, d))),
@@ -267,6 +290,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     // C4-style corpus-wide paragraph dedup over paragraph-decorated docs
     "q_para_dedup" -> ((s, d) => Dedup.paragraphDedup(Demo.paraDocs(Tables.documents(s, d)))),
+    "q_substring_dedup" -> ((s, d) => Dedup.substringDedup(Tables.documents(s, d))),
     // Bloom contamination gate: eval set = every 10th doc; engine-specific
     // hashing → rows-only (exactness and FPR are spec'd in BloomSpec)
     "q_bloom_gate" -> ((s, d) => {
@@ -322,6 +346,9 @@ object SparkEntry {
       Dedup.dupClusters(Ann.embeddingNearDupPairs(Tables.embeddings(s, d))
         .select(org.apache.spark.sql.functions.col("vec_a").as("doc_a"),
           org.apache.spark.sql.functions.col("vec_b").as("doc_b")))),
+    // SemDeDup: kmeans-cluster then in-cluster near-dup groups — rows-only
+    // (kmeans is engine-specific; planted-cluster behavior spec'd in AnnSpec)
+    "q_semantic_dedup" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
     // real BPE: train merges on a 200-doc sample (one-time cost, like
@@ -337,6 +364,10 @@ object SparkEntry {
       Sampling.sourceMix(Tables.documents(s, d), "source", "doc_id",
         Map("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 100))
         .select("doc_id", "source").orderBy("doc_id")),
+    "q_stratified_split" -> ((s, d) =>
+      Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id",
+        valPermille = 100, testPermille = 100)
+        .select("doc_id", "source", "split").orderBy("doc_id")),
     // pretraining sequence packing: concat-and-split layout offsets via the
     // two-phase distributed prefix sum (bucket totals -> literal bases ->
     // per-bucket windows)
@@ -497,6 +528,141 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_mkt_share" ->
+      """SELECT o_year, nat_volume, total_volume,
+        | round(nat_volume / total_volume, 6) AS mkt_share
+        |FROM (
+        | SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS nat_volume,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1) ORDER BY o_year""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_top" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        | count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT promo_revenue, total_revenue,
+        | round(100.0 * promo_revenue / total_revenue, 6) AS promo_share
+        |FROM (
+        | SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        | o_totalprice, sum_qty
+        |FROM (
+        | SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
+        | JOIN orders ON big.l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_rev" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q20_qualified_suppliers" ->
+      """SELECT s_suppkey, s_name, total_qty FROM (
+        | SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE '%gear%'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY l_suppkey) q
+        | JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_qty > 380.0
+        |ORDER BY s_name""".stripMargin,
+    "q21_late_sole_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        | JOIN orders ON l1.l_orderkey = o_orderkey
+        | JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4))
+        |       * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-08-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_topk_per_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
         | SELECT p_brand, p_partkey, p_retailprice,
@@ -715,6 +881,35 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        | SELECT doc_id, u.g AS pos, array_to_string(t[u.g+1 : u.g+5], ' ') AS gram
+        | FROM toks, unnest(CASE WHEN len(t) >= 5
+        |                        THEN generate_series(0, len(t)-5) ELSE [] END) AS u(g)),
+        |flagged AS (
+        | SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ) WHERE rn > 1),
+        |covered AS (
+        | SELECT DISTINCT doc_id, v.p AS cp
+        | FROM flagged, unnest(generate_series(pos, pos+4)) AS v(p)),
+        |cov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id),
+        |kept AS (
+        | SELECT t.doc_id, s.i AS i, t.t[s.i] AS tok
+        | FROM toks t, unnest(generate_series(1, len(t.t))) AS s(i)
+        | WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                   WHERE c.doc_id = t.doc_id AND c.cp = s.i - 1)),
+        |rebuilt AS (
+        | SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS text_dedup
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |       coalesce(c.n_removed, 0) AS n_removed
+        |FROM documents d
+        | LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        | LEFT JOIN cov c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_para_dedup" ->
       s"""WITH deco AS ($paraDecoSql),
         |p AS (SELECT doc_id,
@@ -1219,6 +1414,14 @@ object SparkEntry {
         |  WHEN 'src3' THEN '${graft.operators.Sampling.cutoffHex(100)}'
         |  END > substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |ORDER BY doc_id""".stripMargin,
+    "q_stratified_split" ->
+      s"""SELECT doc_id, source,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        < '${graft.operators.Sampling.cutoffHex(100)}' THEN 'val'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        < '${graft.operators.Sampling.cutoffHex(200)}' THEN 'test'
+        |      ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words

@@ -202,6 +202,34 @@ object Analytics {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
         sum("n_rows").as("n_rows"))
 
+  /** Quantile twin of [[hllSketchTable]]: per-group value DISTRIBUTIONS
+    * pre-aggregated once at the finest grouping into fixed-size mergeable
+    * bottom-k sketches (functions.QuantileSketchOps), rollups served by
+    * UNIONING sketches — and because bottom-k is an exact semilattice, the
+    * united rollup sketch is byte-identical to a one-shot build (spec'd),
+    * so micro-batch maintenance through the view store cannot drift.
+    * `keyCol` must be a unique row id (it seeds the deterministic sample).
+    */
+  def quantileSketchTable(df: DataFrame, keyCol: String, valueCol: String,
+                          byCols: Seq[String], k: Int = 512): DataFrame =
+    df.groupBy(byCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchOps.sketchAgg(col(keyCol), col(valueCol), k).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Quantile rollup served FROM the sketch table — no raw-data rescan;
+    * rank error is the sampling bound O(1/√k).
+    */
+  def quantilesFromSketches(sketches: DataFrame, byCols: Seq[String],
+                            ps: Seq[Double] = Seq(0.5, 0.9), k: Int = 512): DataFrame = {
+    val united = sketches.groupBy(byCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchOps.sketchUnionAgg(col("sketch"), k).as("sk"),
+        sum("n_rows").as("n_rows"))
+    val qCols = ps.map(p =>
+      graft.functions.QuantileSketchOps.sketchQuantile(col("sk"), p)
+        .as(s"p${(p * 100).round}_est"))
+    united.select(byCols.map(col) ++ qCols :+ col("n_rows"): _*)
+  }
+
   /** Key-skew report — the diagnostic every shuffle-heavy operator in this
     * engine sizes its salting/bucket-cap valves with: group-size
     * distribution (count, max, mean, exact p50/p99 — percentiles over the

@@ -455,4 +455,59 @@ object Ann {
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster the
+    * embedding space, then inside each cluster drop every member of a
+    * semantic-duplicate group (pairwise cosine ≥ tau) except its min-id
+    * representative. Near-dup detection never compares across clusters —
+    * that is the point: candidate generation is cluster-keyed, so the pair
+    * join's cost is Σ|cluster|², not |corpus|².
+    *
+    * Composition of the engine's own parts, with the established shuffle
+    * discipline at every stage:
+    *  1. centroids: [[kmeansCentroids]] (deterministic; at 100 TB train on
+    *     a [[Sampling.hashSample]] gate — the artifact is broadcast-sized);
+    *  2. assignment: MAP-SIDE ([[assignToCentroids]], zero corpus shuffle);
+    *  3. candidate pairs: cid-keyed self-join over (nid, cid) LONGS — 16
+    *     bytes/row like [[embeddingNearDupPairs]]; embeddings are fetched
+    *     back by id only for in-cluster scoring. Degenerate clusters above
+    *     `clusterCap` are dropped by the same partial-agg + broadcast
+    *     anti-join valve (their pairs are boilerplate; raise numCentroids
+    *     or pre-shard them instead of letting one reducer own the square);
+    *  4. groups: [[Dedup.dupClusters]] label propagation (labels are
+    *     group-minimal ids, so the representative IS the label);
+    *  5. verdict: every input vector gets (group_id, keep) — unpaired
+    *     vectors (incl. zero-norm ones, which score with nobody) keep.
+    *
+    * Rows-only on the driver gate (k-means is engine-specific); AnnSpec
+    * proves planted-cluster behavior, representative choice, and
+    * repartition invariance.
+    */
+  def semanticDedup(embeddings: DataFrame, numCentroids: Int = 16, tau: Double = 0.7,
+                    kmeansIters: Int = 4, clusterCap: Int = 10000): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val cents = collectCentroids(kmeansCentroids(base, numCentroids, kmeansIters))
+    val assigned = assignToCentroids(base, cents).select(col("nid"), col("cid"))
+    val hot = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n")).where(col("n") > clusterCap).select("cid")
+    val keyed = assigned.join(broadcast(hot), Seq("cid"), "left_anti")
+    val candidates = keyed.as("a")
+      .join(keyed.as("b"), col("a.cid") === col("b.cid") && col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("vec_a"), col("b.nid").as("vec_b"))
+    val emb = embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val pairs = candidates
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .where(round(cosFast(col("ea"), col("eb"), col("na"), col("nb")), 12) >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val groups = Dedup.dupClusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    embeddings.select(col("vec_id"))
+      .join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
 }

@@ -536,4 +536,78 @@ object Dedup {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("doc_id")
   }
+
+  /** Substring-level exact dedup (the ExactSubstr pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", at token
+    * granularity): every k-token span that appears MORE than once in the
+    * corpus is removed everywhere EXCEPT its first occurrence (first by
+    * (doc_id, position) — deterministic, like paragraphDedup). Documents are
+    * reassembled from their surviving tokens; fully-covered docs come back
+    * as empty rows (dropping is the filter's job).
+    *
+    * The reference algorithm builds a corpus-wide suffix array; that is a
+    * single-machine design. The distributed re-expression works on stride-1
+    * k-gram occurrences:
+    *  1. occurrences: map-only explode → (doc_id, pos, gram). O(tokens) rows.
+    *  2. duplicate grams: groupBy(gram).agg(count, min(struct(doc_id,pos))).
+    *     Partial aggregation collapses hot boilerplate grams map-side — the
+    *     million-fold license header reaches the reducer once per map
+    *     partition, exactly like paragraphDedup's survivor aggregation.
+    *  3. flagged occurrences: join occurrences back on gram, drop the
+    *     canonical one. The join is gram-keyed; its skew bound is the
+    *     occurrence count of the hottest gram, which step 2's `n` exposes —
+    *     feed `Analytics.skewReport` the gram frame to size a cap if a
+    *     corpus needs one.
+    *  4. covered positions: explode each flagged span to its k positions,
+    *     collect_set per doc (overlapping spans dedup in the aggregate).
+    *  5. rebuild: one narrow left join (only docs that lost tokens have a
+    *     row on the right), then a map-only index-aware filter + rejoin.
+    *     The per-token array_contains over the covered set is O(|covered|)
+    *     — bounded by doc length, never by corpus size.
+    *
+    * This k-gram formulation flags exactly the spans the suffix-array pass
+    * flags with match length = k; longer shared runs are covered by their
+    * overlapping k-grams (a shared m-token run, m ≥ k, is removed in full:
+    * all m−k+1 of its k-grams are duplicates).
+    *
+    * [[substringDedupByHash]] is the 100 TB twin: identical semantics keyed
+    * on xxhash64(gram) so shuffles carry 8-byte keys instead of k-word
+    * strings (collision odds 2^-64, the exactByHash precedent); spec-proven
+    * equal on the testdata corpus.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 5): DataFrame =
+    substringDedupImpl(documents, k, identity)
+
+  /** See [[substringDedup]] — 8-byte gram keys for narrow shuffles. */
+  def substringDedupByHash(documents: DataFrame, k: Int = 5): DataFrame =
+    substringDedupImpl(documents, k, xxhash64(_))
+
+  private def substringDedupImpl(documents: DataFrame, k: Int,
+                                 gramKey: Column => Column): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val occ = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= k, sequence(lit(0), size(col("t")) - k))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        gramKey(array_join(slice(col("t"), col("pos") + 1, lit(k)), " ")).as("gram"))
+    val dups = occ.groupBy("gram")
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("n") > 1)
+      .select(col("gram"), col("canon"))
+    val covered = occ.join(dups, Seq("gram"))
+      .where(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("cp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("cp"))).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(col("t"), (_, i) =>
+            !array_contains(coalesce(col("cov"), array().cast("array<int>")), i)),
+          " ").as("text_dedup"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
 }

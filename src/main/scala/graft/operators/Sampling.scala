@@ -52,4 +52,25 @@ object Sampling {
       .where(col("_cut").isNotNull && gate(col(keyCol), salt) < col("_cut"))
       .drop("_cut")
   }
+
+  /** Deterministic train/val/test assignment — the split every corpus
+    * needs before training. Row → split by where its hash gate lands:
+    * [0, val) → "val", [val, val+test) → "test", rest → "train". The
+    * same hash orders all three, so splits are DISJOINT and EXHAUSTIVE by
+    * construction (unlike three independent hashSample calls), stable
+    * under reruns/repartitioning, and a row keeps its split when the
+    * corpus grows — an eval doc can never silently migrate into train,
+    * which is the leakage property that matters. Map-only when-chain;
+    * no shuffle, no join.
+    */
+  def stratifiedSplit(df: DataFrame, keyCol: String, valPermille: Int,
+                      testPermille: Int, salt: String = ""): DataFrame = {
+    require(valPermille + testPermille <= 1000,
+      s"val+test > 1000 permille: $valPermille+$testPermille")
+    val g = gate(col(keyCol), salt)
+    df.withColumn("split",
+      when(g < lit(cutoffHex(valPermille)), "val")
+        .when(g < lit(cutoffHex(valPermille + testPermille)), "test")
+        .otherwise("train"))
+  }
 }

@@ -424,6 +424,50 @@ object ViewMaintenance {
       }
       .start()
 
+  /** Quantile twin of [[mergeSketchesBatch]]: per-group bottom-k value
+    * sketches (functions.QuantileSketchOps) folded into the manifest store
+    * by pairwise union. Bottom-k union is an EXACT semilattice — any
+    * micro-batch slicing converges to the byte-identical artifact a batch
+    * build produces (stronger than the HLL path's estimate-level
+    * convergence; ViewMaintenanceSpec asserts byte equality).
+    */
+  def mergeQuantileSketchesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                                 keyCol: String, valueCol: String, byCols: Seq[String],
+                                 k: Int = 512,
+                                 numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                                 maxGenerations: Int = DefaultMaxGenerations,
+                                 committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      graft.operators.Analytics.quantileSketchTable(batch, keyCol, valueCol, byCols, k),
+      byCols.head,
+      (existing, delta) => {
+        val e = existing.select(byCols.map(col) :+ col("sketch").as("sk_a")
+          :+ col("n_rows").as("nr_a"): _*)
+        val d = delta.select(byCols.map(col) :+ col("sketch").as("sk_b")
+          :+ col("n_rows").as("nr_b"): _*)
+        e.join(d, byCols, "full_outer")
+          .select(byCols.map(col) :+
+            (when(col("sk_a").isNull, col("sk_b"))
+              .when(col("sk_b").isNull, col("sk_a"))
+              .otherwise(graft.functions.QuantileSketchOps.sketchUnion2(
+                col("sk_a"), col("sk_b"), k))).as("sketch") :+
+            (coalesce(col("nr_a"), lit(0L)) + coalesce(col("nr_b"), lit(0L))).as("n_rows"): _*)
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  def startQuantileSketchView(events: DataFrame, viewDir: String, checkpointDir: String,
+                              keyCol: String, valueCol: String, byCols: Seq[String],
+                              k: Int = 512,
+                              numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeQuantileSketchesBatch(batch.sparkSession, batch, viewDir, keyCol,
+          valueCol, byCols, k, numBuckets, batchId)
+        ()
+      }
+      .start()
+
   // --- append-only views (the timeline / ledger family) ------------------
 
   /** Idempotent append for APPEND-ONLY derived views: the batch's rows

@@ -285,4 +285,45 @@ class AnnSpec extends SparkSpec {
     val k2 = vecs.select(Ann.lshKey($"embedding", 4, 8).as("b")).as[String].collect()
     assert(k1.toSeq == k2.toSeq)
   }
+
+  private def semDocs = Seq(
+    (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),  // } planted group: pairwise cos > 0.99
+    (1L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // }
+    (2L, Array(1.0f, -0.01f, 0.0f, 0.0f)), // }
+    (3L, Array(0.0f, 1.0f, 0.02f, 0.0f)),  // } second group
+    (4L, Array(0.01f, 0.99f, 0.0f, 0.0f)), // }
+    (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // singleton
+    (6L, Array(0.7f, 0.7f, 0.0f, 0.0f)),   // between groups, under tau with both
+    (7L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero-norm: scores with nobody
+  ).toDF("vec_id", "embedding")
+
+  test("semantic dedup: planted groups keep exactly their min-id representative") {
+    val r = Ann.semanticDedup(semDocs, numCentroids = 3, tau = 0.9, kmeansIters = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true), (6L, 6L, true), (7L, 7L, true)))
+  }
+
+  test("semantic dedup: invariant under repartitioning") {
+    val a = Ann.semanticDedup(semDocs, numCentroids = 3, tau = 0.9, kmeansIters = 3)
+      .collect().map(_.toSeq).toSeq
+    val b = Ann.semanticDedup(semDocs.repartition(5), numCentroids = 3, tau = 0.9, kmeansIters = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("semantic dedup: hot-cluster cap drops degenerate clusters, not the verdict frame") {
+    // 30 identical vectors: one cluster of 30 → 435 pairs; cap 5 drops the
+    // cluster from pairing, but every vector still gets a keep verdict.
+    val mass = (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val df = mass.toDF("vec_id", "embedding")
+    val r = Ann.semanticDedup(df, numCentroids = 2, tau = 0.9, kmeansIters = 1, clusterCap = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(r.length == 30 && r.forall(_._3), "capped cluster pairs with nobody → all keep")
+    val uncapped = Ann.semanticDedup(df, numCentroids = 2, tau = 0.9, kmeansIters = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(uncapped.count(_._3) == 1, "without the cap the mass collapses to one representative")
+  }
 }

@@ -194,4 +194,41 @@ class DedupSpec extends SparkSpec {
       (2L, "", 2L, 0L),      // row kept, text emptied
       (3L, "charlie", 1L, 1L)))
   }
+
+  private def substrDocs = Seq(
+    (0L, "a b c d e f"),       // canonical for every gram it contains
+    (1L, "a b c d e f"),       // exact copy → fully removed
+    (2L, "x y z a b c q"),     // shares one 3-gram with doc 0
+    (3L, "p q"),               // shorter than k → untouched
+    (4L, "m n o m n o"),       // within-doc repeat: second span removed
+    (5L, "u v w x y r1"),      // }
+    (6L, "s1 u v w x y")       // } share a 5-token run, k=3
+  ).toDF("doc_id", "text")
+
+  test("substring dedup: first occurrence wins at k-gram granularity") {
+    val r = Dedup.substringDedup(substrDocs, k = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, "a b c d e f", 0L),   // canonical doc untouched
+      (1L, "", 6L),              // exact copy fully covered
+      (2L, "x y z q", 3L),       // only the shared "a b c" span removed
+      (3L, "p q", 0L),           // below k, no grams
+      (4L, "m n o", 3L),         // within-doc repeat collapsed
+      (5L, "u v w x y r1", 0L),  // canonical side of the shared run
+      (6L, "s1", 5L)))           // whole 5-token run covered by 3 overlapping grams
+  }
+
+  test("substring dedup: hash-keyed scale twin matches the string-keyed form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.substringDedup(docs).collect().map(_.toSeq).toSeq
+    val b = Dedup.substringDedupByHash(docs).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.exists(_(2).asInstanceOf[Long] > 0L), "corpus must exercise removal")
+  }
+
+  test("substring dedup: invariant under repartitioning") {
+    val a = Dedup.substringDedup(substrDocs, k = 3).collect().map(_.toSeq).toSeq
+    val b = Dedup.substringDedup(substrDocs.repartition(7), k = 3).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -33,4 +33,28 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(again.toSet == m.toSet)
   }
+
+  test("stratifiedSplit: disjoint, exhaustive, rate-accurate, growth-stable") {
+    val df = (0L until 5000L).toDF("id")
+    val s = Sampling.stratifiedSplit(df, "id", valPermille = 100, testPermille = 100)
+      .as[(Long, String)].collect()
+    assert(s.length == 5000, "every row gets exactly one split")
+    val byS = s.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byS("val") - 500) < 90, s"val rate off: ${byS("val")}")
+    assert(math.abs(byS("test") - 500) < 90, s"test rate off: ${byS("test")}")
+    assert(byS("train") == 5000 - byS("val") - byS("test"))
+    // partition-layout invariance
+    val r = Sampling.stratifiedSplit(df.repartition(11), "id", 100, 100)
+      .as[(Long, String)].collect()
+    assert(r.toSet == s.toSet)
+    // growth stability: a row's split NEVER changes when the corpus grows —
+    // the anti-leakage property (an eval doc can't migrate into train)
+    val grown = Sampling.stratifiedSplit((0L until 10000L).toDF("id"), "id", 100, 100)
+      .as[(Long, String)].collect().toMap
+    s.foreach { case (id, sp) => assert(grown(id) == sp, s"row $id migrated") }
+    // val+test over 1000‰ is a caller bug, not a silent clamp
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "id", 800, 300)
+    }
+  }
 }

@@ -341,4 +341,34 @@ class ViewMaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     direct.foreach { case (t, (_, nRows)) => assert(again(t) == nRows) }
   }
+
+  test("quantile sketch view: sliced merges are BYTE-IDENTICAL to the batch build") {
+    val viewDir = Files.createTempDirectory("graft-qsketchview").toString + "/view"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").persist()
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeQuantileSketchesBatch(spark,
+        docs.where(pmod(col("doc_id"), lit(3)) === i),
+        viewDir, keyCol = "doc_id", valueCol = "n_chars",
+        byCols = Seq("source", "lang"), numBuckets = 8, version = i.toLong)
+    }
+    val served = readView(spark, viewDir).drop("bucket")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(3)))).toMap
+    val direct = graft.operators.Analytics
+      .quantileSketchTable(docs, "doc_id", "n_chars", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(3)))).toMap
+    docs.unpersist()
+    // bottom-k is an exact semilattice: slicing can't drift the ARTIFACT,
+    // not just the estimate — byte equality, the strongest convergence
+    assert(served == direct)
+    // replay of a committed version stays a no-op
+    ViewMaintenance.mergeQuantileSketchesBatch(spark, docs, viewDir,
+      keyCol = "doc_id", valueCol = "n_chars", byCols = Seq("source", "lang"),
+      numBuckets = 8, version = 2L)
+    val again = readView(spark, viewDir).drop("bucket")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(3)))).toMap
+    assert(again == direct)
+  }
 }
