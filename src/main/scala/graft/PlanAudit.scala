@@ -26,6 +26,16 @@ object PlanAudit {
     val ev = Tables.events(spark, sf).withColumn("day", col("ts").cast("date"))
     audit("sketch_serve", Analytics.distinctFromSketches(
       Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")), Seq("event_type")))
+    // round-5b additions
+    audit("substring_dedup", Dedup.substringDedup(docs))
+    audit("stratified_split", graft.operators.Sampling.stratifiedSplit(docs, "doc_id", 100, 100))
+    audit("quantile_sketch_serve", Analytics.quantilesFromSketches(
+      Analytics.quantileSketchTable(docs, "doc_id", "n_chars", Seq("source", "lang")),
+      Seq("source")))
+    audit("q7_nation_volume", TpchShapes.nationVolume(spark, sf))
+    audit("q13_order_dist", TpchShapes.orderCountDistribution(spark, sf))
+    audit("q18_large_orders", TpchShapes.largeOrders(spark, sf))
+    audit("q21_late_sole_supplier", TpchShapes.soleLateSupplier(spark, sf))
     // print the interesting one in full
     println("==== tfidf formatted ====")
     TextMetrics.tfidfTopTerms(docs).explain("formatted")

@@ -298,9 +298,56 @@ object Ann {
         .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
     cents.toSeq.toDF("cid", "ce", "cn")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    assignToCentroids(base, cents)
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/lists")
+    // `b` (ingest batch) is a nested partition under cid from birth so
+    // [[appendIvfBatch]] can land later batches in the same store —
+    // partition discovery requires one consistent depth; cid stays the
+    // top-level pruning key either way
+    assignToCentroids(base, cents).withColumn("b", lit(0L))
+      .write.partitionBy("cid", "b").mode("overwrite").parquet(s"$dir/lists")
   }
+
+  /** Incremental IVF maintenance: encode a NEW embedding batch with the
+    * index's FROZEN stored centroids — map-side plan literals, zero corpus
+    * shuffle, exactly [[buildIvfIndex]]'s assignment discipline — and land
+    * it in the same cid-partitioned list store under `b=<batchId>`.
+    * Dynamic partition overwrite makes a replayed batch overwrite ITSELF,
+    * so at-least-once foreachBatch delivery yields exactly-once lists (the
+    * ViewMaintenance.appendBatch contract); [[ivfTopKFromIndex]] still
+    * prunes on the top-level cid and never notices `b`. Centroids are
+    * frozen by design (the add-after-train contract every IVF library
+    * keeps): additions never reshape clusters mid-flight, drift is
+    * measured (assignment scores) and answered by retrain + rebuild.
+    */
+  def appendIvfBatch(newEmbeddings: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val base = newEmbeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try assignToCentroids(base, cents).withColumn("b", lit(batchId))
+      .write.mode("overwrite").partitionBy("cid", "b").parquet(s"$dir/lists")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Streaming IVF maintenance over an embeddings stream — each
+    * micro-batch is encoded map-side and appended idempotently.
+    */
+  def startIvfMaintenance(embeddings: DataFrame, dir: String,
+                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId 0 would collide with the build generation; offset by 1
+        appendIvfBatch(batch, dir, batchId + 1)
+        ()
+      }
+      .start()
 
   /** Query the materialized index — the base table is never touched. The
     * probed cid set is collected (bounded: ≤ queries·nprobe values) into an

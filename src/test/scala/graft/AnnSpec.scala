@@ -286,6 +286,29 @@ class AnnSpec extends SparkSpec {
     assert(k1.toSeq == k2.toSeq)
   }
 
+  test("ivf incremental append == one-shot build over the union (frozen seeds)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-oneshot").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf-incr").toString
+    // one-shot over everything; seed centroids = first 16 base vectors
+    Ann.buildIvfIndex(emb, dirA, numCentroids = 16, numQueries = 5)
+    // incremental: build on an id prefix (contains the same 16 seeds),
+    // then append the rest in two batches encoded with the FROZEN centroids
+    Ann.buildIvfIndex(emb.where($"vec_id" < 200), dirB, numCentroids = 16, numQueries = 5)
+    Ann.appendIvfBatch(emb.where($"vec_id" >= 200 && $"vec_id" < 350), dirB, batchId = 1L)
+    Ann.appendIvfBatch(emb.where($"vec_id" >= 350), dirB, batchId = 2L)
+    val a = Ann.ivfTopKFromIndex(queries, dirA).collect().map(_.toSeq).toSeq
+    val b = Ann.ivfTopKFromIndex(queries, dirB).collect().map(_.toSeq).toSeq
+    assert(a == b, "incrementally-maintained index must answer like the one-shot build")
+    // replayed batch overwrites itself: content unchanged
+    Ann.appendIvfBatch(emb.where($"vec_id" >= 350), dirB, batchId = 2L)
+    val c = Ann.ivfTopKFromIndex(queries, dirB).collect().map(_.toSeq).toSeq
+    assert(c == b, "at-least-once delivery must stay exactly-once content")
+    val n = spark.read.parquet(s"$dirB/lists").count()
+    assert(n == spark.read.parquet(s"$dirA/lists").count(), "no duplicate rows after replay")
+  }
+
   private def semDocs = Seq(
     (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),  // } planted group: pairwise cos > 0.99
     (1L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // }
