@@ -349,6 +349,10 @@ object SparkEntry {
     // SemDeDup: kmeans-cluster then in-cluster near-dup groups — rows-only
     // (kmeans is engine-specific; planted-cluster behavior spec'd in AnnSpec)
     "q_semantic_dedup" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
+    // model-free text→vector bridge feeding the same SemDeDup machinery —
+    // the full text-to-semantic-dedup path with no external embedding model
+    "q_semantic_dedup_docs" -> ((s, d) =>
+      Ann.semanticDedup(TextVectors.hashedVectors(Tables.documents(s, d)))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
     // real BPE: train merges on a 200-doc sample (one-time cost, like
