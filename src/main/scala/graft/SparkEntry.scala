@@ -280,6 +280,7 @@ object SparkEntry {
     "q_running_balance" -> ((s, d) => StateOps.runningBalance(Tables.events(s, d))),
     "q_windowed_counts" -> ((s, d) => StateOps.windowedCounts(Tables.events(s, d))),
     "q_sessions" -> ((s, d) => StateOps.sessionize(Tables.events(s, d))),
+    "q_resample_locf" -> ((s, d) => StateOps.resampleLocf(Tables.events(s, d))),
     "q_gaps" -> ((s, d) => Integrity.gaps(Tables.lineitem(s, d), "l_orderkey")),
     "q_last_valid" -> ((s, d) =>
       Integrity.lastValid(Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey")),
@@ -853,6 +854,18 @@ object SparkEntry {
         | CAST(floor((max(ts_us) - min(ts_us)) / 1000) AS BIGINT) AS duration_ms
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start_id""".stripMargin,
+    "q_resample_locf" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) AS tms, arg_max(value, event_id) AS value
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, ((min(tms) + 86399999) // 86400000) * 86400000 AS glo,
+        |             max(tms) AS hi
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT user_id, u.gts
+        |      FROM b, unnest(generate_series(glo, hi, 86400000)) AS u(gts))
+        |SELECT g.user_id, g.gts AS grid_ms, e.value
+        |FROM g ASOF JOIN e ON g.user_id = e.user_id AND g.gts >= e.tms
+        |ORDER BY g.user_id, grid_ms""".stripMargin,
     "q_gaps" ->
       """WITH k AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem)
         |SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end FROM (

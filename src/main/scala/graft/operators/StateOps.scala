@@ -136,4 +136,55 @@ object StateOps {
       .select("user_id", "session_start_id", "n_events", "duration_ms")
       .orderBy("user_id", "session_start_id")
   }
+
+  /** Regular-grid resampling with last-observation-carried-forward — the
+    * gap-filling step every time-series rollup needs before comparing
+    * users/periods on a common clock (the reference's per-day stats views
+    * implicitly assume a dense day grid; this makes any grid explicit).
+    *
+    * Per key: grid points every `stepMs` from the first on-grid tick at or
+    * after its first event through its last event; each point carries the
+    * latest value at-or-before it. Grid starts at the CEIL tick so no point
+    * precedes the first observation — the output is total (no null arm).
+    *
+    * Spark-first shape:
+    *  1. per-(key, ms) dedup via max_by(value, event_id) — ASOF semantics
+    *     need one row per timestamp, and the window below would otherwise
+    *     be tie-ambiguous; partial-aggregable shuffle on (key, ms).
+    *  2. bounds + explode the grid (rows = Σ span/step per key — the
+    *     caller sizes the step; the explode is map-only after the bounds
+    *     agg).
+    *  3. ONE union + ONE window per key ordered by (ts, isGrid):
+    *     `last(value, ignoreNulls)` carries observations forward into grid
+    *     rows; events sort before a same-ms grid point so "at or before"
+    *     is exact. This is the as-of union trick (AsOf.scala) — no
+    *     range-join explosion, one sort per key partition, bounded frame.
+    *
+    * Oracle: DuckDB ASOF JOIN against the same ceil-aligned grid.
+    */
+  def resampleLocf(events: DataFrame, stepMs: Long = 86400000L): DataFrame = {
+    val e = events
+      .select(col("user_id"), epochMs(col("ts")).as("tms"),
+        col("value"), col("event_id"))
+      .groupBy("user_id", "tms")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val grid = e.groupBy("user_id")
+      .agg(min("tms").as("lo"), max("tms").as("hi"))
+      .select(col("user_id"),
+        // integral div (the Tables.events `div` doctrine): epoch-ms values
+        // are double-safe today but the operator shouldn't depend on it
+        (expr(s"(lo + ${stepMs - 1L}) div ${stepMs}L") * stepMs).as("glo"), col("hi"))
+      .where(col("glo") <= col("hi"))
+      .select(col("user_id"), explode(sequence(col("glo"), col("hi"), lit(stepMs))).as("gts"))
+    val tagged = e.select(col("user_id"), col("tms"), col("value"), lit(0).as("is_grid"))
+      .unionByName(grid.select(col("user_id"), col("gts").as("tms"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid")))
+    val w = Window.partitionBy("user_id").orderBy("tms", "is_grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("locf", last("value", ignoreNulls = true).over(w))
+      .where(col("is_grid") === 1)
+      .select(col("user_id"), col("tms").as("grid_ms"), col("locf").as("value"))
+      .orderBy("user_id", "grid_ms")
+  }
 }

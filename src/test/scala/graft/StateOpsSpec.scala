@@ -68,4 +68,28 @@ class StateOpsSpec extends SparkSpec {
     assert(r.count() == 4L) // 3 purchases + 1 signup, clicks not extracted
     assert(r.where($"detail_type" === "signup").count() == 1L)
   }
+
+  test("resampleLocf: ceil-aligned grid, carry-forward, same-ms event wins, ties by event_id") {
+    def t(ms: Long) = new Timestamp(ms)
+    val ev = Seq(
+      // user 1: events at 5 and 25; step 10 → grid {10, 20}
+      (0L, t(5L), 1L, "x", 1.0, "{}"),
+      (1L, t(25L), 1L, "x", 2.0, "{}"),
+      // user 2: single on-grid event → grid {10}
+      (2L, t(10L), 2L, "x", 5.0, "{}"),
+      // user 3: single off-grid event, ceil(11)=20 > hi=11 → NO grid rows
+      (3L, t(11L), 3L, "x", 6.0, "{}"),
+      // user 4: same-ms tie at 10 → highest event_id wins; event AT the
+      // grid point is visible to it ("at or before")
+      (4L, t(10L), 4L, "x", 1.0, "{}"),
+      (5L, t(10L), 4L, "x", 9.0, "{}"),
+      (6L, t(30L), 4L, "x", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StateOps.resampleLocf(ev, stepMs = 10L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 10L, 1.0), (1L, 20L, 1.0),
+      (2L, 10L, 5.0),
+      (4L, 10L, 9.0), (4L, 20L, 9.0), (4L, 30L, 3.0)))
+  }
 }
