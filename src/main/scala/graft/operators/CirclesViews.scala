@@ -496,4 +496,22 @@ object CirclesViews {
         col("to_own_token_holdings_last_change"))
       .orderBy("from", "to", "token_owner")
   }
+
+  /** get_capacity_changes_since_block (0.0.64.sql:1743): the pathfinder's
+    * INCREMENTAL feed — capacity edges whose sender balance or trust edge
+    * changed at or after `sinceBlock` (the reference's exact two-column OR
+    * filter at 0.0.64.sql:1895; the receiver-holdings provenance columns
+    * ride along for consumers that want a wider net). A plain predicate
+    * over [[capacityGraph3]]'s provenance — the provenance exists precisely
+    * so this delta never rescans edges that didn't move: at scale both
+    * inputs are incrementally-maintained stores (ViewMaintenance) and the
+    * filter prunes to their deltas before the capacity arithmetic runs.
+    * Unknown provenance (left-join miss) counts as unchanged, matching the
+    * reference's null-comparison semantics.
+    */
+  def capacityChangesSince(balances: DataFrame, trust: DataFrame, signups: DataFrame,
+                           orgs: DataFrame, blocks: DataFrame, sinceBlock: Long): DataFrame =
+    capacityGraph3(balances, trust, signups, orgs, blocks)
+      .where(coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock ||
+             coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock)
 }

@@ -145,6 +145,35 @@ class CirclesViewsSpec extends SparkSpec {
       g(("bob", "eve", "carol"))._8.isEmpty)
   }
 
+  test("capacityChangesSince: provenance OR filter, null provenance = unchanged") {
+    // 0xh5 (the eve edges' trust hash) deliberately has NO block row →
+    // null trust provenance, which the reference's null comparison treats
+    // as unchanged: those edges pass only via their balance provenance
+    val blocks = Seq(
+      ("0xt1", 1L), ("0xt2", 2L), ("0xt3", 3L), ("0xt4", 4L), ("0xt5", 5L),
+      ("0xt6", 6L), ("0xh1", 11L), ("0xh2", 12L), ("0xh3", 13L), ("0xh4", 14L)
+    ).toDF("hash", "number").withColumn("ts", lit(null).cast("timestamp"))
+    def delta(since: Long) = CirclesViews.capacityChangesSince(
+        CirclesViews.balancesBySafeAndToken(capTransfers),
+        CirclesViews.currentTrust(capTrusts), capSignups, capOrgs, blocks, since)
+      .select("from", "to", "token_owner")
+      .as[(String, String, String)].collect().toSet
+    // hand-derived: trust edges 0xh2..0xh4 changed at blocks 12–14; the
+    // eve edges' balances last moved at 5 (bob tokC) and 6 (carol tokC)
+    assert(delta(12L) == Set(
+      ("alice", "org1", "bob"), ("bob", "org1", "bob"),
+      ("bob", "carol", "carol"), ("alice", "carol", "bob"),
+      ("bob", "carol", "bob")))
+    // (carol,bob,alice): trust block 11, balance block 1
+    assert(delta(11L).contains(("carol", "bob", "alice")))
+    assert(!delta(12L).contains(("carol", "bob", "alice")))
+    // balance-side arm: carol's tokC position last moved at block 6 (0xt6)
+    assert(delta(6L).contains(("carol", "eve", "carol")))
+    assert(!delta(7L).contains(("carol", "eve", "carol")))
+    // a floor sinceBlock returns the whole capacity graph
+    assert(delta(Long.MinValue).size == 8)
+  }
+
   test("erc20BalancesBySafeAndToken: non-CRC only, registry legs, self collapse") {
     val all = CirclesViews.allSignups(capSignups, Seq(("0xo1", "org1")).toDF("hash", "organisation"))
     val tx = capTransfers.unionAll(Seq(

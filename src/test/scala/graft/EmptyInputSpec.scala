@@ -29,8 +29,11 @@ class EmptyInputSpec extends SparkSpec {
       val n = try fn(spark, emptyDir).count()
       catch { case e: Throwable => fail(s"$name threw on empty input: ${e.getMessage}") }
       // global aggregates legitimately return their single row on empty
-      // input (q_last_valid's watermark, q_total_minted's null sum)
-      if (name != "q_last_valid" && name != "q_total_minted")
+      // input (q_last_valid's watermark, q_total_minted's / the TPC-H
+      // ratio queries' null sums)
+      val globalAggs = Set("q_last_valid", "q_total_minted",
+        "q14_promo_share", "q19_disjunctive_rev")
+      if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }
   }
