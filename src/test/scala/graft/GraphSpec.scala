@@ -94,4 +94,63 @@ class GraphSpec extends SparkSpec {
       .as[(String, Double)].collect()
     assert(r.toSeq == r2.toSeq)
   }
+
+  test("triangleStats: K4 + pendant, direction/multiplicity/self-loops erased") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), // reversed duplicate
+      ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"),
+      ("c", "d"),             // exact duplicate
+      ("a", "e"),             // pendant
+      ("d", "d")              // self-loop
+    ).toDF("src", "dst")
+    val r = Graph.triangleStats(edges)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // K4: every node in 3 triangles, clustering 1; a also holds the
+    // pendant → deg 4, clustering 2·3/(4·3) = 0.5; e: deg 1 → 0
+    assert(r == Seq(
+      ("a", 4L, 3L, 0.5),
+      ("b", 3L, 3L, 1.0),
+      ("c", 3L, 3L, 1.0),
+      ("d", 3L, 3L, 1.0),
+      ("e", 1L, 0L, 0.0)))
+    assert(r.map(_._3).sum == 4 * 3) // 4 triangles × 3 corners
+  }
+
+  test("triangleStats matches brute force; deterministic under repartition") {
+    val edges = (0 until 400)
+      .map(i => (((i * 37) % 30).toLong, ((i * 61 + 7) % 30).toLong))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).as[(Long, Long, Long, Double)].collect()
+    val und = edges.as[(Long, Long)].collect().filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = und.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    def adj(x: Long, y: Long) = und.contains((math.min(x, y), math.max(x, y)))
+    val wantTri = nodes.map { n =>
+      val nb = nodes.filter(m => m != n && adj(n, m))
+      n -> nb.combinations(2).count { case Seq(x, y) => adj(x, y) }.toLong
+    }.toMap
+    assert(r.map(x => x._1 -> x._3).toMap == wantTri)
+    assert(r.map(x => x._1 -> x._2).toMap ==
+      nodes.map(n => n -> nodes.count(m => m != n && adj(n, m)).toLong).toMap)
+    val r7 = Graph.triangleStats(edges.repartition(7))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq == r7.toSeq)
+  }
+
+  test("degreeStats: out/in/reciprocal counts, isolated self-loop node absent") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),            // mutual pair
+      ("a", "c"), ("c", "d"), ("d", "c"), // mutual pair c↔d
+      ("a", "c"),                        // duplicate collapses
+      ("e", "e")                         // self-loop only → node dropped
+    ).toDF("src", "dst")
+    val r = Graph.degreeStats(edges)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 2L, 1L, 1L),
+      ("b", 1L, 1L, 1L),
+      ("c", 1L, 2L, 1L),
+      ("d", 1L, 1L, 1L)))
+  }
 }
