@@ -414,6 +414,55 @@ object TextMetrics {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval — top-k documents for a bag-of-terms query (Robertson
+    * k1/b form, Lucene's idf = ln(1 + (N−df+0.5)/(df+0.5))). The lexical
+    * search leg of the retrieval stack (the embedding stack covers the
+    * dense leg) — what "find training docs about X" and RAG-over-corpus
+    * both run.
+    *
+    * Scale shape: doc length is a MAP-ONLY `size(split(...))` that rides
+    * the explode as a carried column (max-folded in the tf aggregate — it
+    * is constant per doc), so there is no corpus-wide lengths join and the
+    * token frame is never materialized. The term filter applies right
+    * after the explode, so the ONE (doc_id, term) shuffle carries only
+    * query-term hits (|Q| terms of postings, not the corpus); df off that
+    * tf frame is ≤|Q| rows and broadcasts back; N and total length are
+    * bounded driver aggregates; the final top-k is `orderBy().limit()` →
+    * TakeOrderedAndProject (per-partition heaps + driver merge of
+    * k·partitions rows, never a global sort).
+    *
+    * Parity: each per-term score is rounded to 12 dp (libm ln last-ulp)
+    * and summed exactly as decimal per the engine's decimal-cast-sums
+    * rule; avgdl = Σlen/N is one IEEE division of exact integers. Ties on
+    * the rounded score break by doc_id ascending.
+    */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], topK: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = split(col("text"), " ")
+    val stats = documents
+      .agg(count(lit(1)), coalesce(sum(size(words).cast("long")), lit(0L)))
+      .first()
+    val (n, totLen) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = totLen.toDouble / n
+    val tf = documents
+      .select(col("doc_id"), size(words).cast("long").as("dl"),
+        explode(words).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d))
+    val termScore = round(
+      idf * (col("tf") * (k1 + 1.0d)) /
+        (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / avgdl)), 12)
+    tf.join(broadcast(dfreq), "term")
+      .groupBy("doc_id")
+      .agg(
+        round(sum(termScore.cast("decimal(28,14)")).cast("double"), 12).as("score"),
+        count(lit(1)).as("matched_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword/representation
     * stage (smooth idf: ln((N+1)/(df+1)) + 1). Scores are rounded to 12
     * decimals BEFORE ranking so the selected set is engine-portable (libm

@@ -232,6 +232,30 @@ class TextMetricsSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L) == Seq((2L, "all", 1L, rnd(idf(3)))))
   }
 
+  test("bm25: hand-computed scores, ranking, unmatched docs absent") {
+    // N=4, Σlen=12 → avgdl=3. df(cat)=df(fish)=2 → idf=ln 2 for both.
+    val docs = Seq(
+      (0L, "cat dog cat"), (1L, "dog bird"),
+      (2L, "fish fish fish fish"), (3L, "cat fish dog")
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.bm25TopK(docs, Seq("cat", "fish"))
+      .as[(Long, Double, Long)].collect()
+    assert(r.map(_._1).toSeq == Seq(3L, 2L, 0L)) // doc 1 matches nothing
+    val idf = math.log(1.0 + (4.0 - 2 + 0.5) / (2 + 0.5))
+    def w(tf: Long, dl: Long) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 3.0))
+    val byDoc = r.map(x => x._1 -> x._2).toMap
+    assert(math.abs(byDoc(3L) - (w(1, 3) + w(1, 3))) < 1e-9) // both terms hit
+    assert(math.abs(byDoc(2L) - w(4, 4)) < 1e-9) // tf saturation vs long doc
+    assert(math.abs(byDoc(0L) - w(2, 3)) < 1e-9)
+    assert(r.map(_._3).toSeq == Seq(2L, 1L, 1L)) // matched_terms
+    assert(TextMetrics.bm25TopK(docs, Seq("cat", "fish"), topK = 2)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq == Seq(3L, 2L))
+    val r7 = TextMetrics.bm25TopK(docs.repartition(7), Seq("cat", "fish"))
+      .as[(Long, Double, Long)].collect()
+    assert(r7.toSeq == r.toSeq)
+  }
+
   test("chunking: overlap, short tail, sub-chunk doc passthrough") {
     val docs = Seq(
       (0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens
