@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array_contains, col, expr, split, when}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -98,6 +98,21 @@ object SparkEntry {
         ReceiptClassifier.demoReceipts(Tables.events(s, d))))
       Graph.pageRank(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
+    }),
+    // undirected triangle census over a dense demo contact graph (the
+    // demo trust functional graph u → 7u+13 mod 150 provably has no
+    // 3-cycles: 42u ≡ 9 mod 150 has no solution, gcd 6 ∤ 9)
+    "q_trust_triangles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Graph.triangleStats(ev.where(col("event_type") === "signup")
+        .select((col("user_id") % 25).as("src"),
+          expr("(user_id div 25) % 25").as("dst")))
+    }),
+    "q_trust_degrees" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.degreeStats(trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -253,6 +268,17 @@ object SparkEntry {
         signups.where(col("token").isNull).select(col("user").as("organisation")),
         ReceiptClassifier.demoBlocks(ev))
     }),
+    "q_capacity_changes" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      val signups = ReceiptClassifier.demoSignups(ev)
+      CirclesViews.capacityChangesSince(
+        CirclesViews.balancesBySafeAndToken(Demo.erc20Num(r)),
+        CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(r)),
+        signups,
+        signups.where(col("token").isNull).select(col("user").as("organisation")),
+        ReceiptClassifier.demoBlocks(ev), sinceBlock = 5000L)
+    }),
     "q_all_signups" -> ((s, d) => {
       val ev = Tables.events(s, d)
       CirclesViews.allSignups(ReceiptClassifier.demoSignups(ev),
@@ -351,9 +377,15 @@ object SparkEntry {
     // (kmeans is engine-specific; planted-cluster behavior spec'd in AnnSpec)
     "q_semantic_dedup" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
     // model-free text→vector bridge feeding the same SemDeDup machinery —
-    // the full text-to-semantic-dedup path with no external embedding model
+    // the full text-to-semantic-dedup path with no external embedding
+    // model. The vector frame MUST be materialized (spread + checkpoint)
+    // before the iterative consumer: left as a plan expression, the
+    // O(tokens·dim) hashing HOF re-evaluates once per centroid per k-means
+    // iteration (measured: 20+ min at sf0.1 vs ~8s materialized) — and the
+    // single-file parquet read would pin all that on one task
     "q_semantic_dedup_docs" -> ((s, d) =>
-      Ann.semanticDedup(TextVectors.hashedVectors(Tables.documents(s, d)))),
+      Ann.semanticDedup(TextVectors.hashedVectors(Tables.documents(s, d))
+        .repartition(col("vec_id")).localCheckpoint(true))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
     // real BPE: train merges on a 200-doc sample (one-time cost, like
@@ -391,6 +423,18 @@ object SparkEntry {
       UrlOps.domainFilter(Demo.urlDocs(Tables.documents(s, d)), Seq("ads.badsite.net"))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
+    "q_bm25" -> ((s, d) =>
+      TextMetrics.bm25TopK(Tables.documents(s, d), Seq("dup", "spark", "merge"))),
+    // trainable corpus gate: seed labels probe a token's presence; the
+    // classifier learns the corresponding hash-space direction (iterative
+    // sigmoid training → engine-specific → rows-only, spec'd instead)
+    "q_quality_clf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(array_contains(split(col("text"), " "), "dup"), 0.0d)
+          .otherwise(1.0d).as("label"))
+      QualityClassifier.classifyDocuments(docs, labels)
+    }),
     "q_unigram_logprob" -> ((s, d) => TextMetrics.unigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
@@ -502,6 +546,65 @@ object SparkEntry {
     * engine-specific (hash-seeded) and are instead verified against
     * brute-force references in ScalaTest → driver records rows-only.
     */
+  /** Shared oracle body for capacity_graph_3 and its since-block delta. */
+  private def capacityGraph3Sql: String = demoCte +
+      """,
+        |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |               event_id AS number FROM events),
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup'),
+        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
+        |              max(hash) AS last_change
+        |       FROM tr GROUP BY "user", can_send_to),
+        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
+        |balr AS (
+        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        |        max(hash) AS last_change_at FROM (
+        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
+        |  UNION ALL
+        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc) dd
+        | GROUP BY safe_address, token),
+        |bal AS (SELECT b.safe_address, b.token, o.token_owner, b.balance, blk.number
+        |        FROM balr b JOIN own o ON o.token = b.token
+        |        LEFT JOIN blk ON blk.hash = b.last_change_at),
+        |orgs AS (SELECT "user" AS organisation FROM reg WHERE token IS NULL),
+        |a AS (SELECT o.token AS user_token, ct.can_send_to, ct."limit",
+        |             blk.number AS trust_last_change
+        |      FROM ct JOIN own o ON o.token_owner = ct."user"
+        |      LEFT JOIN blk ON blk.hash = ct.last_change),
+        |b2 AS (SELECT bal.safe_address AS "from", a.can_send_to AS "to", a."limit",
+        |              bal.token_owner, bal.balance AS from_balance,
+        |              bal.number AS from_balance_last_change, a.trust_last_change
+        |       FROM a JOIN bal ON bal.token = a.user_token WHERE bal.balance >= 0),
+        |c AS (SELECT b2.*, ownh.balance AS to_own_token_holdings,
+        |             ownh.number AS to_own_token_holdings_last_change
+        |      FROM b2 LEFT JOIN bal ownh
+        |        ON ownh.safe_address = b2."to" AND ownh.token_owner = b2."to"),
+        |d AS (SELECT c.*, coalesce(held.balance, 0.0) AS to_already_holds_balance,
+        |             held.number AS to_already_holds_balance_last_change,
+        |             os.organisation IS NOT NULL AS to_is_orga,
+        |             c."to" = c.token_owner AS is_to_own_token
+        |      FROM c LEFT JOIN bal held
+        |        ON held.safe_address = c."to" AND held.token_owner = c.token_owner
+        |        LEFT JOIN orgs os ON os.organisation = c."to"),
+        |g AS (SELECT d.*,
+        |       CASE WHEN is_to_own_token OR to_is_orga THEN from_balance
+        |            ELSE to_own_token_holdings * "limit" / 100.0 END
+        |       - to_already_holds_balance * (100 - "limit") / 100.0 AS net FROM d)
+        |SELECT "from", "to", token_owner,
+        | CASE WHEN (CASE WHEN net > from_balance THEN from_balance ELSE net END) < 0
+        |      THEN 0.0
+        |      ELSE CASE WHEN net > from_balance THEN from_balance ELSE net END
+        | END AS capacity,
+        | trust_last_change, from_balance_last_change,
+        | to_already_holds_balance_last_change, to_own_token_holdings_last_change
+        |FROM g WHERE "from" <> "to"
+        |ORDER BY "from", "to", token_owner""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1154,63 +1257,11 @@ object SparkEntry {
     // crc_capacity_graph_3 (0.0.64.sql:1107): simpler capacity (min of
     // mta−dest_scaled and from_balance, no −1 margin, no limit gate) plus
     // block-number provenance for each input's last change
-    "q_capacity_graph_3" -> (demoCte +
-      """,
-        |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
-        |               event_id AS number FROM events),
-        |tr AS (
-        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
-        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
-        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
-        | FROM events WHERE event_type = 'signup'),
-        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
-        |              max(hash) AS last_change
-        |       FROM tr GROUP BY "user", can_send_to),
-        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
-        |balr AS (
-        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
-        |        max(hash) AS last_change_at FROM (
-        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
-        |  UNION ALL
-        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc) dd
-        | GROUP BY safe_address, token),
-        |bal AS (SELECT b.safe_address, b.token, o.token_owner, b.balance, blk.number
-        |        FROM balr b JOIN own o ON o.token = b.token
-        |        LEFT JOIN blk ON blk.hash = b.last_change_at),
-        |orgs AS (SELECT "user" AS organisation FROM reg WHERE token IS NULL),
-        |a AS (SELECT o.token AS user_token, ct.can_send_to, ct."limit",
-        |             blk.number AS trust_last_change
-        |      FROM ct JOIN own o ON o.token_owner = ct."user"
-        |      LEFT JOIN blk ON blk.hash = ct.last_change),
-        |b2 AS (SELECT bal.safe_address AS "from", a.can_send_to AS "to", a."limit",
-        |              bal.token_owner, bal.balance AS from_balance,
-        |              bal.number AS from_balance_last_change, a.trust_last_change
-        |       FROM a JOIN bal ON bal.token = a.user_token WHERE bal.balance >= 0),
-        |c AS (SELECT b2.*, ownh.balance AS to_own_token_holdings,
-        |             ownh.number AS to_own_token_holdings_last_change
-        |      FROM b2 LEFT JOIN bal ownh
-        |        ON ownh.safe_address = b2."to" AND ownh.token_owner = b2."to"),
-        |d AS (SELECT c.*, coalesce(held.balance, 0.0) AS to_already_holds_balance,
-        |             held.number AS to_already_holds_balance_last_change,
-        |             os.organisation IS NOT NULL AS to_is_orga,
-        |             c."to" = c.token_owner AS is_to_own_token
-        |      FROM c LEFT JOIN bal held
-        |        ON held.safe_address = c."to" AND held.token_owner = c.token_owner
-        |        LEFT JOIN orgs os ON os.organisation = c."to"),
-        |g AS (SELECT d.*,
-        |       CASE WHEN is_to_own_token OR to_is_orga THEN from_balance
-        |            ELSE to_own_token_holdings * "limit" / 100.0 END
-        |       - to_already_holds_balance * (100 - "limit") / 100.0 AS net FROM d)
-        |SELECT "from", "to", token_owner,
-        | CASE WHEN (CASE WHEN net > from_balance THEN from_balance ELSE net END) < 0
-        |      THEN 0.0
-        |      ELSE CASE WHEN net > from_balance THEN from_balance ELSE net END
-        | END AS capacity,
-        | trust_last_change, from_balance_last_change,
-        | to_already_holds_balance_last_change, to_own_token_holdings_last_change
-        |FROM g WHERE "from" <> "to"
-        |ORDER BY "from", "to", token_owner""".stripMargin),
+    "q_capacity_graph_3" -> capacityGraph3Sql,
+    "q_capacity_changes" ->
+      s"""SELECT * FROM ($capacityGraph3Sql) t
+        |WHERE from_balance_last_change >= 5000 OR trust_last_change >= 5000
+        |ORDER BY "from", "to", token_owner""".stripMargin,
     "q_all_signups" ->
       """WITH reg AS (
         | SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,
@@ -1340,6 +1391,47 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    // degree-ordered triangle enumeration, mirrored CASE-for-CASE (row-
+    // value comparisons spell the same (deg, id) total order)
+    "q_trust_triangles" ->
+      """WITH raw AS (SELECT user_id % 25 AS s, (user_id // 25) % 25 AS t
+        |             FROM events WHERE event_type = 'signup'),
+        |ed AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |       FROM raw WHERE s <> t),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |        (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) u
+        |        GROUP BY 1),
+        |ori AS (SELECT
+        |  CASE WHEN (da.deg, ed.a) < (db.deg, ed.b) THEN ed.a ELSE ed.b END AS lo,
+        |  CASE WHEN (da.deg, ed.a) < (db.deg, ed.b) THEN ed.b ELSE ed.a END AS hi,
+        |  CASE WHEN (da.deg, ed.a) < (db.deg, ed.b) THEN db.deg ELSE da.deg END AS hd
+        | FROM ed JOIN deg da ON da.node = ed.a JOIN deg db ON db.node = ed.b),
+        |tri AS (SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |        FROM ori e1
+        |        JOIN ori e2 ON e1.lo = e2.lo AND (e1.hd, e1.hi) < (e2.hd, e2.hi)
+        |        JOIN ori e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |pn AS (SELECT node, count(*) AS triangles FROM
+        |       (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |        UNION ALL SELECT w FROM tri) c GROUP BY 1)
+        |SELECT deg.node, deg.deg,
+        | coalesce(pn.triangles, 0) AS triangles,
+        | CASE WHEN deg.deg >= 2
+        |      THEN (coalesce(pn.triangles, 0) * 2.0) / (deg.deg * (deg.deg - 1))
+        |      ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
+    "q_trust_degrees" -> (trustE1Cte +
+      """,
+        |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |o AS (SELECT src AS node, count(*) AS c FROM e1 GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS c FROM e1 GROUP BY 1),
+        |r AS (SELECT x.src AS node, count(*) AS c FROM e1 x
+        |      JOIN e1 y ON x.src = y.dst AND x.dst = y.src GROUP BY 1)
+        |SELECT nodes.node, coalesce(o.c, 0) AS out_deg,
+        | coalesce(i.c, 0) AS in_deg, coalesce(r.c, 0) AS reciprocal
+        |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        |LEFT JOIN r USING (node)
+        |ORDER BY node""".stripMargin),
     "q_token_balances" -> (demoCte +
       """,
         |d AS (
@@ -1540,6 +1632,30 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, term, tf, score FROM r WHERE rn <= 5
         |ORDER BY doc_id, score DESC, term""".stripMargin,
+    // BM25: the arithmetic mirrors TextMetrics.bm25TopK operation-for-
+    // operation (k1+1 and 1−b spelled as the same source expressions, the
+    // (b·dl)/avgdl association kept) so the doubles agree bit-for-bit up to
+    // the ln last-ulp, which the 12-dp round absorbs; per-term scores sum
+    // exactly as decimal per the parity rulebook
+    "q_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+        |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+        |              * (tf.tf * (1.2 + 1.0))
+        |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+        |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
+        |          AS term_score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12) AS score,
+        |  count(*) AS matched_terms
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
