@@ -70,6 +70,29 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => SqlSurface.ordersWithBigLineitem(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_string_funcs" -> ((s, d) => SqlSurface.customerNameFeatures(Tables.customer(s, d))),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(Tables.events(s, d))),
+    // bucketized non-equi joins: every event against 20 hour-long demo
+    // windows; 20 hour-windows against 40 ten-minute windows
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      RangeJoin.pointInInterval(
+        ev.select(col("event_id").as("pid"), expr("unix_micros(ts)").as("t")),
+        ev.where(col("event_id") < 20).select(col("event_id").as("iid"),
+          expr("unix_micros(ts)").as("start"),
+          expr("unix_micros(ts) + 3600000000").as("end")),
+        width = 3600000000L)
+    }),
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      RangeJoin.intervalOverlap(
+        ev.where(col("event_id") < 20).select(col("event_id").as("lid"),
+          expr("unix_micros(ts)").as("lstart"),
+          expr("unix_micros(ts) + 3600000000").as("lend")),
+        ev.where(col("event_id") >= 20 && col("event_id") < 60)
+          .select(col("event_id").as("rid"),
+            expr("unix_micros(ts)").as("rstart"),
+            expr("unix_micros(ts) + 600000000").as("rend")),
+        width = 3600000000L)
+    }),
     // ---- indexer core (SURVEY §2 #1-15) ----
     "q_classify" -> ((s, d) => Classify.classify(Tables.events(s, d))),
     "q_receipt_classify" -> ((s, d) => ReceiptClassifier.demoFromEvents(Tables.events(s, d))),
@@ -114,6 +137,19 @@ object SparkEntry {
       Graph.degreeStats(trust.where(col("limit") > 0)
         .select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // link prediction over the same dense demo contact graph as the
+    // triangle census (the affine trust map is wedge-poor)
+    "q_recommend_edges" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Graph.recommendEdges(ev.where(col("event_type") === "signup")
+        .select((col("user_id") % 25).as("src"),
+          expr("(user_id div 25) % 25").as("dst")), topK = 5)
+    }),
+    // behavioral analytics over the event stream
+    "q_funnel" -> ((s, d) =>
+      Behavior.funnel(Tables.events(s, d), Seq("signup", "view", "purchase"),
+        horizonMs = 2L * 86400000L)),
+    "q_retention" -> ((s, d) => Behavior.retentionCohorts(Tables.events(s, d))),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
@@ -436,6 +472,7 @@ object SparkEntry {
       QualityClassifier.classifyDocuments(docs, labels)
     }),
     "q_unigram_logprob" -> ((s, d) => TextMetrics.unigramLogProb(Tables.documents(s, d))),
+    "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
@@ -869,6 +906,22 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS pid, epoch_us(ts) AS t FROM events),
+        |iv AS (SELECT event_id AS iid, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 3600000000 AS e
+        |       FROM events WHERE event_id < 20)
+        |SELECT iv.iid, p.pid, p.t FROM iv JOIN p ON p.t >= iv.s AND p.t < iv.e
+        |ORDER BY iid, pid""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH l AS (SELECT event_id AS lid, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 3600000000 AS e
+        |       FROM events WHERE event_id < 20),
+        |r AS (SELECT event_id AS rid, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 600000000 AS e
+        |       FROM events WHERE event_id >= 20 AND event_id < 60)
+        |SELECT l.lid, r.rid FROM l JOIN r ON l.s < r.e AND r.s < l.e
+        |ORDER BY lid, rid""".stripMargin,
     "q_classify" ->
       """SELECT event_id, user_id, event_type,
         | coalesce(nullif(concat_ws(',',
@@ -1432,6 +1485,66 @@ object SparkEntry {
         |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
         |LEFT JOIN r USING (node)
         |ORDER BY node""".stripMargin),
+    // Adamic-Adar terms round to 12 dp then sum as decimal (the engine's
+    // decimal-cast-sums parity rule) before the final 12-dp rounding
+    "q_recommend_edges" ->
+      """WITH raw AS (SELECT user_id % 25 AS s, (user_id // 25) % 25 AS t
+        |             FROM events WHERE event_type = 'signup'),
+        |ed AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |       FROM raw WHERE s <> t),
+        |adj AS (SELECT a AS node, b AS nbr FROM ed
+        |        UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT node AS w, count(*) AS degw FROM adj GROUP BY 1),
+        |mids AS (SELECT adj.nbr AS w, adj.node, deg.degw
+        |         FROM adj JOIN deg ON deg.w = adj.nbr),
+        |wed AS (SELECT x.node AS u, y.node AS v,
+        |          CAST(round(1.0 / ln(CAST(x.degw AS DOUBLE)), 12)
+        |               AS DECIMAL(28,14)) AS aa_term
+        |        FROM mids x JOIN mids y ON x.w = y.w AND x.node < y.node
+        |        WHERE NOT EXISTS (SELECT 1 FROM ed
+        |                          WHERE ed.a = x.node AND ed.b = y.node)),
+        |p AS (SELECT u, v, count(*) AS common_cnt,
+        |        round(CAST(sum(aa_term) AS DOUBLE), 12) AS aa_score
+        |      FROM wed GROUP BY 1, 2),
+        |bi AS (SELECT u AS node, v AS other, common_cnt, aa_score FROM p
+        |       UNION ALL SELECT v, u, common_cnt, aa_score FROM p)
+        |SELECT * FROM (
+        | SELECT node, other, common_cnt, aa_score,
+        |  CAST(row_number() OVER (PARTITION BY node
+        |        ORDER BY aa_score DESC, common_cnt DESC, other) AS INT) AS "rank"
+        | FROM bi) t
+        |WHERE "rank" <= 5 ORDER BY node, "rank"""".stripMargin,
+    // chain-of-mins funnel: t_{i+1} = min t of step i+1 with t >= t_i and
+    // t <= t1 + horizon (2 days); steps with zero users are absent
+    "q_funnel" ->
+      """WITH f AS (SELECT DISTINCT user_id, epoch_ms(ts) AS t, event_type
+        |           FROM events
+        |           WHERE event_type IN ('signup','view','purchase')),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM f
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT f.user_id, min(t) AS t2 FROM f JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t >= t1
+        |         AND t <= t1 + 172800000 GROUP BY 1),
+        |s3 AS (SELECT f.user_id, min(t) AS t3 FROM f
+        |       JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2
+        |         AND t <= t1 + 172800000 GROUP BY 1),
+        |c AS (SELECT 1 AS step, 'signup' AS step_name,
+        |             (SELECT count(*) FROM s1) AS users
+        |      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, users,
+        | round(CAST(users AS DOUBLE)
+        |       / (SELECT count(*) FROM s1), 12) AS pct_of_first
+        |FROM c WHERE users > 0 ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |fb AS (SELECT user_id, min(t) // 604800000 AS cohort
+        |       FROM t GROUP BY 1)
+        |SELECT fb.cohort, t.t // 604800000 - fb.cohort AS week_offset,
+        | count(DISTINCT t.user_id) AS users
+        |FROM t JOIN fb USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_token_balances" -> (demoCte +
       """,
         |d AS (
@@ -1589,6 +1702,33 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // 1.0 - 0.9 is spelled as the SUBTRACTION on both sides: the IEEE
+    // result (0.09999999999999998) differs from the literal 0.1 by an ulp
+    "q_bigram_logprob" ->
+      """WITH base AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |      FROM documents),
+        |tok AS (SELECT unnest(toks) AS term FROM base),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |uni AS (SELECT term, count(*) AS cu FROM tok GROUP BY 1),
+        |big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
+        |        (SELECT doc_id, toks,
+        |           unnest(generate_series(1, len(toks) - 1)) AS i
+        |         FROM base WHERE len(toks) >= 2) z),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |s AS (SELECT big.doc_id,
+        |       round(-ln(CAST(0.9 AS DOUBLE) * c12.c12 / c1.c1
+        |                 + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        |                   * uni.cu / CAST(tot.t AS DOUBLE)), 12)
+        |         AS term
+        |      FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |      JOIN uni ON uni.term = big.w2 CROSS JOIN tot)
+        |SELECT doc_id,
+        | round(CAST(SUM(CAST(term AS DECIMAL(28,14))) AS DOUBLE) / count(*), 12)
+        |   AS surprisal2,
+        | count(*) AS n_bigrams
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
@@ -1646,7 +1786,7 @@ object SparkEntry {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |s AS (SELECT tf.doc_id,
         |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
-        |              * (tf.tf * (1.2 + 1.0))
+        |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
         |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
         |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
         |          AS term_score

@@ -269,6 +269,85 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Perceptual image hash (dHash): decode → 9×8 nearest-neighbor luma
+    * grid → one bit per horizontal gradient (luma[x+1] > luma[x]) → a
+    * 64-bit fingerprint that survives re-encoding, mild noise, and
+    * resizing — the image analogue of the text SimHash (near-identical
+    * images differ in a few bits; unrelated ones in ~32). Undecodable
+    * payloads get a NULL hash + `real_decode = false` (the quarantine
+    * contract — a byte-derived hash would cluster by container framing,
+    * not content).
+    *
+    * Map-only, codec-per-partition like every decode stage; the hash is
+    * the only thing that leaves the stage (8 B/row — payloads never
+    * shuffle).
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true),
+      StructField("real_decode", BooleanType, nullable = false))))
+    media.where(col("modality") === "image").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        decodePpm(p) match {
+          case Some((w, h, rgb)) =>
+            val (gw, gh) = (9, 8)
+            val luma = Array.tabulate(gw * gh) { i =>
+              val (sx, sy) = ((i % gw) * w / gw, (i / gw) * h / gh)
+              val o = (sy * w + sx) * 3
+              0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
+                0.114 * (rgb(o + 2) & 0xff)
+            }
+            var hash = 0L
+            var y = 0
+            while (y < gh) {
+              var x = 0
+              while (x < gw - 1) {
+                if (luma(y * gw + x + 1) > luma(y * gw + x))
+                  hash |= 1L << (y * (gw - 1) + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getAs[Long]("media_id"), hash, true)
+          case None => Row(r.getAs[Long]("media_id"), null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate images: pairs of decodable images whose dHashes are
+    * within `maxHamming` bits — the multimodal leg of the dedup family
+    * (the corpus-curation story needs image dedup exactly like text
+    * dedup; CC-style pipelines dedup by perceptual hash before training).
+    *
+    * Scale shape is the SimHash pigeonhole ([[graft.operators.Dedup
+    * .simhashDedup]] precedent): 8 chunks of 8 bits — two hashes within
+    * hamming ≤ 7 agree on at least one full chunk — so candidates come
+    * from an equi-join on (chunk idx, chunk bits), never all pairs; the
+    * join shuffles (media_id, sig, chunk) longs only and exact hamming
+    * verifies via codegen'd bit_count(xor). Quarantined rows drop out
+    * (no hash, no pair).
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
+    val sigs = imageHashes(media)
+      .where(col("real_decode")).select(col("media_id"), col("dhash").as("sig"))
+    val chunks = sigs.select(col("media_id"), col("sig"),
+      explode(array((0 until 8).map { c =>
+        concat_ws(":", lit(c), shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL)))
+      }: _*)).as("chunk_key"))
+    chunks.as("a")
+      .join(chunks.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
   /** Video frame-sampling stage (STUB decode): emits every `stride`-th
     * fixed-size chunk of the payload as a "frame" (1→N explode shape — the
     * real sampler yields decoded frames at the same cardinality).

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream: ordered-step funnels and
+  * retention cohorts — the product-analytics queries an indexer's Postgres
+  * serves ad hoc once the events are in (the reference's per-day stats
+  * views, DbMigrations/0.0.64.sql:1253, are the degenerate one-step case;
+  * these add the cross-event sequencing).
+  */
+object Behavior {
+
+  /** Ordered-step funnel: for a step sequence (s1, …, sk), a user reaches
+    * depth i when the FIRST-OCCURRENCE CHAIN closes: t1 = min t of an s1
+    * event; t_{i+1} = min t of an s_{i+1} event with t >= t_i (and, for
+    * i >= 1, t <= t1 + horizon). Output: one row per step with the number
+    * of users reaching it and the fraction of step-1 users retained.
+    *
+    * Scale shape: ONE shuffle. Events are filtered to the k funnel types
+    * at the scan (pushdown-friendly isin), grouped per user into a sorted
+    * (t, step-idx) array, and the chain is computed by a codegen'd
+    * `aggregate` HOF fold — no per-user window sort, no k-join chain (the
+    * naive spelling is k−1 shuffled joins). The greedy fold over the
+    * sorted array computes exactly the chain-of-mins: ties sort (t, idx)
+    * with earlier steps first, so an s_{i+1} event at t == t_i is seen
+    * after the advance to depth i, matching the SQL `>=`. The per-step
+    * rollup explodes depth into step rows — partial-aggregable, no window.
+    * Per-user arrays are bounded by that user's funnel-event count; a bot
+    * user at 100 TB is bounded by pre-deduping (user, type, t) — dedup
+    * cannot change any min — before the collect.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             horizonMs: Long = 7L * 86400000L): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps)
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      when(col("event_type") === steps.head, 0L)) {
+      case (acc, (s, i)) => acc.when(col("event_type") === s, i.toLong)
+    }
+    val fe = events
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"),
+        StateOps.epochMs(col("ts")).as("t"),
+        stepIdx.as("idx"))
+      .distinct() // (user, t, idx) dedup: mins are unchanged, arrays bounded
+    val depth = fe.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("idx")))).as("evs"))
+      .select(col("user_id"), expr(
+        s"""aggregate(evs,
+           |  named_struct('d', 0L, 'cur', 0L, 'first', 0L),
+           |  (a, e) -> IF(e.idx = a.d AND a.d < ${k}L
+           |               AND (a.d = 0L OR (e.t >= a.cur
+           |                    AND e.t <= a.first + ${horizonMs}L)),
+           |    named_struct('d', a.d + 1L, 'cur', e.t,
+           |      'first', IF(a.d = 0L, e.t, a.first)),
+           |    a),
+           |  a -> a.d)""".stripMargin).as("depth"))
+      .where(col("depth") >= 1)
+    val perStep = depth
+      .select(explode(sequence(lit(1L), col("depth"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("users"))
+    val first = perStep.where(col("step") === 1)
+      .select(col("users").as("step1_users"))
+    val stepName = steps.zipWithIndex.tail.foldLeft(
+      when(col("step") === 1L, steps.head)) {
+      case (acc, (s, i)) => acc.when(col("step") === (i + 1).toLong, s)
+    }
+    perStep.crossJoin(first)
+      .select(col("step"),
+        stepName.as("step_name"),
+        col("users"),
+        round(col("users").cast("double") / col("step1_users").cast("double"),
+          12).as("pct_of_first"))
+      .orderBy("step")
+  }
+
+  /** Weekly retention cohorts: cohort = the fixed-width time bucket of a
+    * user's FIRST event, offset = how many buckets later they were active
+    * again; cell value = distinct active users. The classic retention
+    * triangle.
+    *
+    * Scale shape: the first-event frame is one partial-agg min per user;
+    * the join back to events is on user_id — the agg output is already
+    * hash-partitioned by user_id, so only the event side shuffles — and
+    * the cell rollup is a two-phase distinct count over (cohort, offset,
+    * user) triples. Bucket ids use integral `div` (exact past 2^53, the
+    * engine's floordiv doctrine for non-negative epochs).
+    */
+  def retentionCohorts(events: DataFrame,
+                       stepMs: Long = 7L * 86400000L): DataFrame = {
+    val t = events.select(col("user_id"),
+      StateOps.epochMs(col("ts")).as("t"))
+    val firstBucket = t.groupBy("user_id")
+      .agg(min(col("t")).as("t0"))
+      .select(col("user_id"), expr(s"t0 div ${stepMs}L").as("cohort"))
+    t.join(firstBucket, Seq("user_id"))
+      .select(col("cohort"),
+        (expr(s"t div ${stepMs}L") - col("cohort")).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort", "week_offset")
+  }
+}

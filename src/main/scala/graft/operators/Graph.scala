@@ -182,6 +182,67 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Link prediction over the undirected trust graph: for every
+    * non-adjacent pair with at least one common neighbor, the
+    * common-neighbor count and the Adamic–Adar score Σ_w 1/ln(deg w)
+    * (common contacts weighted by their selectivity — a 2-degree hub
+    * vouches harder than a 10k-degree one), then top-k suggestions per
+    * node. The "who should u trust next" feed a social-currency UI ranks.
+    *
+    * Scale shape: candidates come from the wedge join on the middle node
+    * — cost Σ_w deg(w)², never |V|². The quadratic term is governed by
+    * `middleCap`: middle nodes above the cap are dropped from wedge
+    * generation by the engine's standard partial-agg count + broadcast
+    * anti-join valve (the minhash hot-bucket precedent) — semantics:
+    * recommendations through mega-hubs are the least informative
+    * (1/ln(deg) → 0) and the first to be load-shed. All wedge shuffles
+    * carry id pairs; deg(w) rides the wedge row (no join back). Per-pair
+    * AA terms round to 12 dp and sum as decimal (the decimal-cast-sums
+    * parity rule); top-k per node is the row_number()-window spelling,
+    * which [[graft.plans.RowNumberToPickRule]] rewrites to the bounded-
+    * heap aggregate — k rows per (node, partition) in the final shuffle.
+    *
+    * Input `edges`: directed (src, dst); direction/multiplicity erased,
+    * self-loops dropped (as [[triangleStats]]).
+    */
+  def recommendEdges(edges: DataFrame, topK: Int = 5,
+                     middleCap: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds adjacency both ways + the anti-join
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("nbr").as("w")).agg(count(lit(1)).as("degw"))
+    val hot = deg.where(col("degw") > middleCap)
+    val mids = adj.select(col("nbr").as("w"), col("node"))
+      .join(broadcast(hot.select("w")), Seq("w"), "left_anti")
+      .join(deg, Seq("w"))
+    val wedges = mids.as("x")
+      .join(mids.as("y"),
+        col("x.w") === col("y.w") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("u"), col("y.node").as("v"),
+        round(lit(1.0d) / log(col("x.degw").cast("double")), 12)
+          .cast("decimal(28,14)").as("aa_term"))
+      .join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti") // already-adjacent pairs are not suggestions
+    val pairs = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("common_cnt"),
+        round(sum("aa_term").cast("double"), 12).as("aa_score"))
+    val both = pairs.select(col("u").as("node"), col("v").as("other"),
+        col("common_cnt"), col("aa_score"))
+      .unionAll(pairs.select(col("v").as("node"), col("u").as("other"),
+        col("common_cnt"), col("aa_score")))
+    val w = Window.partitionBy("node")
+      .orderBy(col("aa_score").desc, col("common_cnt").desc, col("other"))
+    both.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .orderBy("node", "rank")
+  }
+
   /** Directed degree census: out/in degree and the number of reciprocated
     * out-edges per node (mutual trust — on the Circles graph a
     * reciprocated edge means both parties accept each other's tokens).

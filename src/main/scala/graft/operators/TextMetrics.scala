@@ -463,6 +463,57 @@ object TextMetrics {
       .limit(topK)
   }
 
+  /** Interpolated bigram-LM surprisal — the sequence-aware upgrade of
+    * [[unigramLogProb]] (CCNet scores with a 5-gram KenLM; a bigram model
+    * with unigram backoff is the same signal family, trainable in-engine):
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·c(w2)/T
+    *
+    * with c(w1·) the count of w1 as a bigram LEFT context (so the
+    * conditional is self-consistent: Σ_w2 p = λ + (1−λ)·Σc(w2)/T), c(w2)
+    * the plain unigram count, T total tokens. Doc score = mean −ln p over
+    * its bigrams; scored on the training corpus, so backoff mass only
+    * smooths rare CONTINUATIONS (no OOV). Docs with < 2 tokens have no
+    * bigrams and drop out.
+    *
+    * Scale shape: the token-array frame is materialized ONCE and feeds
+    * token explode (unigram model, T) and adjacent-pair explode (bigram
+    * model + scoring) — one corpus read. c(w1·) partial-aggregates OFF
+    * the bigram counts (no third scan); model joins shuffle on term keys
+    * (AQE broadcasts a fitting vocab); the per-doc mean is a partial agg.
+    * Parity: per-bigram terms round to 12 dp (libm ln) and sum exactly as
+    * decimal — the engine's decimal-cast-sums rule.
+    */
+  def bigramLogProb(documents: DataFrame, lambda: Double = 0.9): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+      .localCheckpoint(true)
+    val tok = base.select(explode(col("toks")).as("term"))
+    val total = tok.count()
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("cu"))
+    val big = base
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(true) // feeds pair counts, left counts, and scoring
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+      lit(1.0d - lambda) * col("cu").cast("double") / lit(total.toDouble)
+    val term = round(negate(log(p)), 12).cast("decimal(28,14)")
+    big.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(uni.withColumnRenamed("term", "w2"), Seq("w2"))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(term).cast("double") / count(lit(1)), 12).as("surprisal2"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword/representation
     * stage (smooth idf: ln((N+1)/(df+1)) + 1). Scores are rounded to 12
     * decimals BEFORE ranking so the selected set is engine-portable (libm

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Behavior
+import java.sql.Timestamp
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, Long, String)*) = rows.map {
+    case (id, t, u, k) => (id, ts(t), u, k, 1.0, "{}")
+  }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private val steps = Seq("signup", "view", "purchase")
+
+  test("funnel: first-occurrence chain, ordering enforced, horizon enforced") {
+    val events = ev(
+      // u1 completes all three in order
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 11:00:00", 1L, "view"),
+      (2L, "2024-01-01 12:00:00", 1L, "purchase"),
+      // u2: purchase BEFORE view → depth stops at view
+      (3L, "2024-01-02 10:00:00", 2L, "signup"),
+      (4L, "2024-01-02 10:30:00", 2L, "purchase"),
+      (5L, "2024-01-02 11:00:00", 2L, "view"),
+      // u3: view only, never signed up → depth 0, not counted
+      (6L, "2024-01-03 10:00:00", 3L, "view"),
+      // u4: signup, then view OUTSIDE the horizon
+      (7L, "2024-01-04 10:00:00", 4L, "signup"),
+      (8L, "2024-01-20 10:00:00", 4L, "view"),
+      // noise types are ignored
+      (9L, "2024-01-01 10:30:00", 1L, "error"))
+    val r = Behavior.funnel(events, steps)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, "signup", 3L, 1.0),
+      (2L, "view", 2L, BigDecimal(2.0 / 3.0).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, "purchase", 1L, BigDecimal(1.0 / 3.0).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("funnel: same-timestamp step events count (>= chain semantics)") {
+    val events = ev(
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 10:00:00", 1L, "view"), // t == t1 → counts via >=
+      (2L, "2024-01-01 10:00:00", 2L, "view"), // view with no signup ever
+      (3L, "2024-01-01 11:00:00", 2L, "signup"))
+    val r = Behavior.funnel(events, Seq("signup", "view"))
+      .select("step", "users").as[(Long, Long)].collect().toMap
+    // u1 reaches view at the shared instant; u2's view precedes its signup
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("funnel matches the chain-of-mins brute force on hashed data") {
+    val rows = (0 until 400).map { i =>
+      val u = (i * 13) % 23
+      val t = ((i * 37) % 211) * 3600000L
+      val k = Seq("signup", "view", "purchase", "click", "error")((i * 7) % 5)
+      (u.toLong, t, k)
+    }
+    val events = rows.zipWithIndex.map { case ((u, t, k), id) =>
+      (id.toLong, new Timestamp(t), u, k, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val horizon = 100L * 3600000L
+    // brute force: per user, chain of mins with the horizon from step 1
+    val byUser = rows.filter(r => steps.contains(r._3)).groupBy(_._1)
+    val depths = byUser.toSeq.map { case (u, es) =>
+      val t1 = es.filter(_._3 == steps.head).map(_._2).sorted.headOption
+      var depth = if (t1.isDefined) 1 else 0
+      var cur = t1.getOrElse(0L)
+      for (s <- steps.tail) {
+        if (depth >= 1 && depth < steps.size) {
+          es.filter(e => e._3 == s && e._2 >= cur && e._2 <= t1.get + horizon)
+            .map(_._2).sorted.headOption match {
+            case Some(t) if depth == steps.indexOf(s) => depth += 1; cur = t
+            case _ =>
+          }
+        }
+      }
+      u -> depth
+    }.filter(_._2 >= 1)
+    val want = (1 to steps.size).map(i => i.toLong -> depths.count(_._2 >= i).toLong)
+      .filter(_._2 > 0).toMap
+    val got = Behavior.funnel(events, steps, horizon)
+      .select("step", "users").as[(Long, Long)].collect().toMap
+    assert(got == want && got(1L) > got(3L)) // non-trivial funnel
+  }
+
+  test("retention cohorts: hand-computed triangle, distinct users per cell") {
+    val events = ev(
+      // u1 first in week 0 (epoch day 0-6 is week 2819 for 2024-01-01; use
+      // relative assertions instead of absolute week ids)
+      (0L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-09 10:00:00", 1L, "view"), // +1 week
+      (2L, "2024-01-09 11:00:00", 1L, "click"), // same week: still 1 user
+      (3L, "2024-01-17 10:00:00", 1L, "view"), // +2 weeks
+      (4L, "2024-01-02 10:00:00", 2L, "view"), // same cohort as u1
+      (5L, "2024-01-10 10:00:00", 3L, "view")) // next cohort, offset 0 only
+    val r = Behavior.retentionCohorts(events)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cohorts = r.map(_._1).distinct.sorted
+    assert(cohorts.size == 2 && cohorts(1) == cohorts(0) + 1)
+    val c0 = r.filter(_._1 == cohorts(0)).map(t => (t._2, t._3)).toMap
+    val c1 = r.filter(_._1 == cohorts(1)).map(t => (t._2, t._3)).toMap
+    assert(c0 == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+    assert(c1 == Map(0L -> 1L))
+  }
+
+  test("retention cohorts: a user stays in its cohort as activity grows") {
+    val base = ev((0L, "2024-01-01 10:00:00", 1L, "view"))
+    val grown = ev(
+      (0L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-02-01 10:00:00", 1L, "view"))
+    val c0 = Behavior.retentionCohorts(base)
+      .as[(Long, Long, Long)].collect().map(_._1).min
+    val cg = Behavior.retentionCohorts(grown)
+      .as[(Long, Long, Long)].collect().map(_._1).min
+    assert(c0 == cg) // first-event cohort is growth-stable
+  }
+}

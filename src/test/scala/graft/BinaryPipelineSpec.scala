@@ -129,4 +129,65 @@ class BinaryPipelineSpec extends SparkSpec {
       assert(fs.forall(_.getAs[Array[Byte]]("frame").length == 16))
     }
   }
+
+  // grayscale 9×8 PPM from a per-(x,y) luma function: r=g=b=v → luma = v
+  private def gray98(v: (Int, Int) => Int): Array[Byte] =
+    "P6\n9 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](9 * 8 * 3) { i =>
+        val px = i / 3; v(px % 9, px / 9).toByte
+      }
+
+  test("dhash: gradient extremes, quarantine, noise invariance") {
+    val up = gray98((x, _) => x * 20)        // luma rises with x → all bits 1
+    val flat = gray98((_, _) => 7)           // no gradients → hash 0
+    val noisy = gray98((x, y) => x * 20 + ((x + y) % 2)) // ±1 on a 20-step ramp
+    val media = Seq((1L, up), (2L, flat), (3L, noisy),
+      (4L, "garbage".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("image"))
+    val h = BinaryPipeline.imageHashes(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(h(1L).getAs[Long]("dhash") == -1L) // 64 rising gradients
+    assert(h(2L).getAs[Long]("dhash") == 0L)
+    assert(h(3L).getAs[Long]("dhash") == -1L) // ±1 noise can't flip a 20-step ramp
+    assert(h(4L).isNullAt(h(4L).fieldIndex("dhash")) && !h(4L).getAs[Boolean]("real_decode"))
+  }
+
+  test("image near-dup: noisy copy pairs, opposite gradient doesn't, quarantined absent") {
+    val up = gray98((x, _) => x * 20)
+    val noisy = gray98((x, y) => x * 20 + ((x + y) % 2))
+    val oneFlip = gray98((x, y) => if (y == 0 && x == 1) 25 else x * 20) // 25>20, 25>40 fails → flips bits
+    val down = gray98((x, _) => (8 - x) * 20)
+    val media = Seq((1L, up), (2L, noisy), (3L, oneFlip), (4L, down),
+      (5L, "garbage".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("image"))
+    val pairs = BinaryPipeline.imageNearDupPairs(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0)
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 3L))) // few-bit flip
+    assert(pairs.forall(p => p._1 != 4L && p._2 != 4L)) // opposite: hamming 64
+    assert(pairs.forall(p => p._1 != 5L && p._2 != 5L)) // quarantined excluded
+  }
+
+  test("image near-dup pigeonhole matches brute-force hamming") {
+    // 12 strong-ramp bases, each with a ±1-noise variant → 12 planted pairs
+    val imgs = (0 until 12).flatMap { b =>
+      val base = gray98((x, y) => ((x * (20 + b) + y * 7 * b) % 13) * 19)
+      val variant = gray98((x, y) => ((x * (20 + b) + y * 7 * b) % 13) * 19 + ((x + y + b) % 2))
+      Seq((b * 2L, base), (b * 2L + 1, variant))
+    }
+    val media = imgs.toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("image"))
+    val sigs = BinaryPipeline.imageHashes(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys
+      if a < b && java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 6
+    } yield (a, b)).toSet
+    val got = BinaryPipeline.imageNearDupPairs(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

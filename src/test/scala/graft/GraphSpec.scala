@@ -153,4 +153,59 @@ class GraphSpec extends SparkSpec {
       ("c", 1L, 2L, 1L),
       ("d", 1L, 1L, 1L)))
   }
+
+  test("recommendEdges: hand-computed Adamic-Adar on a path + hub") {
+    // path 1-2-3 plus hub 0 adjacent to 1,2,3: deg(0)=3 deg(1)=2 deg(2)=3 deg(3)=2
+    // non-adjacent pairs: (1,3) via middles {0,2}
+    val edges = Seq((1L, 2L), (2L, 3L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.recommendEdges(edges, topK = 5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    def rnd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aa13 = rnd(Seq(3, 3).map(d => BigDecimal(rnd(1.0 / math.log(d)))).sum.toDouble)
+    assert(r == Seq((1L, 3L, 2L, aa13, 1), (3L, 1L, 2L, aa13, 1)))
+  }
+
+  test("recommendEdges: middleCap drops mega-hub wedges; topK cuts per node") {
+    // star: hub h adjacent to 0..9; all leaf pairs share only middle h
+    val star = (0L until 10L).map(i => (100L, i)).toDF("src", "dst")
+    val capped = Graph.recommendEdges(star, topK = 3, middleCap = 5)
+    assert(capped.count() == 0) // hub excluded as middle → no candidates
+    val uncapped = Graph.recommendEdges(star, topK = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    // every leaf gets exactly topK suggestions, ranked by tie-break id
+    assert(uncapped.count(_._1 == 0L) == 3)
+    assert(uncapped.filter(_._1 == 0L).map(_._2) == Seq(1L, 2L, 3L))
+    assert(uncapped.forall(_._5 <= 3))
+  }
+
+  test("recommendEdges matches brute force on a hashed graph") {
+    val edges = (0 until 60).map(i => (((i * 13) % 20).toLong, ((i * 7 + 3) % 20).toLong))
+      .toDF("src", "dst")
+    val got = Graph.recommendEdges(edges, topK = 4)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    val und = (0 until 60).map(i => ((i * 13) % 20).toLong -> ((i * 7 + 3) % 20).toLong)
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct
+    def adj(x: Long, y: Long) = und.contains((math.min(x, y), math.max(x, y)))
+    def deg(n: Long) = nodes.count(m => m != n && adj(n, m))
+    def rnd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cand = for {
+      u <- nodes; v <- nodes
+      if u < v && !adj(u, v)
+      mids = nodes.filter(w => w != u && w != v && adj(w, u) && adj(w, v))
+      if mids.nonEmpty
+    } yield (u, v, mids.size.toLong,
+      rnd(mids.map(w => BigDecimal(rnd(1.0 / math.log(deg(w).toDouble)))).sum.toDouble))
+    val want = cand.flatMap(c => Seq((c._1, c._2, c._3, c._4), (c._2, c._1, c._3, c._4)))
+      .groupBy(_._1).flatMap { case (n, rs) =>
+        rs.sortBy(r => (-r._4, -r._3, r._2)).take(4).zipWithIndex
+          .map { case (r, i) => (r._1, r._2, r._3, r._4, i + 1) }
+      }.toSeq.sortBy(r => (r._1, r._5))
+    assert(got == want && got.nonEmpty)
+    val r7 = Graph.recommendEdges(edges.repartition(7), topK = 4)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    assert(r7 == got)
+  }
 }

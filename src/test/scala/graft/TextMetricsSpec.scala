@@ -232,6 +232,25 @@ class TextMetricsSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L) == Seq((2L, "all", 1L, rnd(idf(3)))))
   }
 
+  test("bigram surprisal: hand-computed interpolated model; short docs drop") {
+    // T=8; uni a:3 b:3 c:1 x:1; c12 (a,b):3 (b,a):1 (b,c):1; c1 a:3 b:2
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val r = TextMetrics.bigramLogProb(docs).as[(Long, Double, Long)].collect().toSeq
+    def rnd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 1.0 - 0.9
+    def term(c12: Long, c1: Long, cu: Long) =
+      rnd(-math.log(0.9 * c12 / c1 + lam * cu / 8.0))
+    val ab = term(3, 3, 3); val ba = term(1, 2, 3); val bc = term(1, 2, 1)
+    def mean(ts: Seq[Double]) = rnd(ts.map(BigDecimal(_)).sum.toDouble / ts.size)
+    // doc 2 has no bigrams → absent; repeated bigrams count per occurrence
+    assert(r == Seq(
+      (0L, mean(Seq(ab, ba, ab)), 3L),
+      (1L, mean(Seq(ab, bc)), 2L)))
+    // unseen-continuation mass: p(c|b) backs off toward the unigram tail,
+    // so the doc holding the rare continuation scores strictly higher
+    assert(r(1)._2 > r(0)._2)
+  }
+
   test("bm25: hand-computed scores, ranking, unmatched docs absent") {
     // N=4, Σlen=12 → avgdl=3. df(cat)=df(fish)=2 → idf=ln 2 for both.
     val docs = Seq(
