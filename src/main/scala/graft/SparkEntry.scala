@@ -46,6 +46,32 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
     // group-size skew diagnostics over the orders-per-customer key
     "q_skew_report" -> ((s, d) => Analytics.skewReport(Tables.orders(s, d), "o_custkey")),
+    // z-order vs linear layout, measured: writes events both ways, then
+    // counts which files a 10%-slice predicate must read per axis (the
+    // footer min/max boxes a pruning reader consults) — rows-only (file
+    // split points are layout/engine-specific; bounds spec'd in LayoutSpec)
+    "q_zorder_stats" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      val b = ev.agg(org.apache.spark.sql.functions.max(col("event_id")),
+        org.apache.spark.sql.functions.max(col("user_id"))).head()
+      val (idHi, userHi) = (b.getLong(0), b.getLong(1))
+      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      Layout.zorderWrite(ev, "event_id", "user_id", s"$base/z", 16)
+      Layout.linearWrite(ev, "event_id", s"$base/l", 16)
+      def boxes(path: String, layout: String) = {
+        val (t, idBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+          0L, idHi / 10, 0L, userHi)
+        val (_, userBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+          0L, idHi, 0L, userHi / 10)
+        val (_, bothBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+          0L, idHi / 10, 0L, userHi / 10)
+        (layout, t, idBox, userBox, bothBox)
+      }
+      Seq(boxes(s"$base/z", "zorder"), boxes(s"$base/l", "linear"))
+        .toDF("layout", "files_total", "read_id_box", "read_user_box", "read_both")
+        .orderBy("layout")
+    }),
     // distinct users per event_type served from per-(type, day) HLL
     // sketches — rows-only (sketch estimates are engine-specific)
     "q_distinct_sketch" -> ((s, d) => {
@@ -230,6 +256,23 @@ object SparkEntry {
       CirclesViews.perDayCounts(
         ReceiptClassifier.extractHubTransfers(ReceiptClassifier.demoReceipts(ev)),
         ReceiptClassifier.demoBlocks(ev), "transfers")
+    }),
+    // robust median/MAD outlier flags over the per-day transfer series —
+    // the monitoring twin of the per-day views
+    "q_anomaly_days" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Behavior.robustAnomalies(
+        CirclesViews.perDayCounts(
+          ReceiptClassifier.extractHubTransfers(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoBlocks(ev), "transfers"),
+        "transfers").orderBy("day_ms")
+    }),
+    // first derivative of the trust view: edges created/revoked per day
+    "q_trust_churn" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.trustChurnPerDay(
+        ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev))
     }),
     "q_signups_per_day" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -424,6 +467,9 @@ object SparkEntry {
         .repartition(col("vec_id")).localCheckpoint(true))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
+    // exact frequent terms by the two-pass Misra-Gries protocol: pass 1
+    // sketches candidates (bounded shuffle), pass 2 recounts exactly
+    "q_heavy_terms" -> ((s, d) => HeavyHitters.frequentTerms(Tables.documents(s, d))),
     // real BPE: train merges on a 200-doc sample (one-time cost, like
     // q_ann_ivf_trained), count tokens corpus-wide with the trained table
     "q_bpe_tokens" -> ((s, d) => {
@@ -1370,6 +1416,34 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS signups
         |FROM events WHERE event_type = 'view'
         |GROUP BY day_ms ORDER BY day_ms""".stripMargin,
+    "q_anomaly_days" ->
+      """WITH per_day AS (
+        | SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS transfers
+        | FROM events WHERE event_type = 'click' GROUP BY day_ms),
+        |m1 AS (SELECT quantile_cont(CAST(transfers AS DOUBLE), 0.5) AS med FROM per_day),
+        |m2 AS (SELECT quantile_cont(abs(CAST(transfers AS DOUBLE) - med), 0.5) AS mad
+        |       FROM per_day, m1)
+        |SELECT day_ms, transfers, round(med, 4) AS med, round(mad, 4) AS mad,
+        | CASE WHEN mad = 0 THEN CAST(transfers AS DOUBLE) <> med
+        |      ELSE abs(CAST(transfers AS DOUBLE) - med) > 3.0 * mad END AS is_anomaly
+        |FROM per_day, m1, m2 ORDER BY day_ms""".stripMargin,
+    "q_trust_churn" ->
+      """WITH tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, ts, event_id AS num,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup'),
+        |lagd AS (
+        | SELECT ts, lim,
+        |  lag(lim) OVER (PARTITION BY u, c ORDER BY num, hash) AS prev
+        | FROM tr)
+        |SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+        | CAST(SUM(CASE WHEN lim > 0 AND coalesce(prev, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS edges_created,
+        | CAST(SUM(CASE WHEN lim = 0 AND coalesce(prev, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS edges_revoked
+        |FROM lagd GROUP BY day_ms ORDER BY day_ms""".stripMargin,
     // expected-vs-actual functional oracle: the demo receipt construction
     // makes each event_type's flag set deterministic (per-predicate edge
     // semantics are pinned separately by ReceiptClassifierSpec against the
@@ -1623,6 +1697,11 @@ object SparkEntry {
         | round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS median_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_heavy_terms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        |HAVING count(*) * 500 >= (SELECT count(*) FROM tok)
+        |ORDER BY cnt DESC, term""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.cutoffHex(200)}'

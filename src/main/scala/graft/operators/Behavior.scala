@@ -75,6 +75,35 @@ object Behavior {
       .orderBy("step")
   }
 
+  /** Robust outlier flagging over a per-bucket count series (median/MAD —
+    * the breakdown-resistant alternative to mean/stddev, which one real
+    * traffic spike corrupts): flags buckets where |x − median| > k·MAD.
+    * Emits EVERY bucket with its scores so downstream can re-threshold
+    * without recomputing.
+    *
+    * Scale shape: the input series is already the OUTPUT of a partial-agg
+    * rollup (e.g. [[CirclesViews.perDayCounts]]) — calendar-bounded (one
+    * row per day/hour), so the exact medians here run on a frame whose
+    * size is independent of corpus volume; the two 1-row stat frames ride
+    * back as broadcast-able cross joins. The 100 TB cost lives upstream
+    * in the count rollup, where it belongs. MAD = 0 (over half the
+    * buckets identical) degrades to flagging any deviation from the
+    * median — the standard convention, spec'd.
+    */
+  def robustAnomalies(series: DataFrame, valueCol: String,
+                      k: Double = 3.0): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val med1 = series.agg(percentile(x, lit(0.5)).as("med"))
+    val withMed = series.crossJoin(med1)
+    val mad1 = withMed.agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"))
+    withMed.crossJoin(mad1)
+      .withColumn("is_anomaly",
+        when(col("mad") === 0.0d, x =!= col("med"))
+          .otherwise(abs(x - col("med")) > lit(k) * col("mad")))
+      .withColumn("med", round(col("med"), 4))
+      .withColumn("mad", round(col("mad"), 4))
+  }
+
   /** Weekly retention cohorts: cohort = the fixed-width time bucket of a
     * user's FIRST event, offset = how many buckets later they were active
     * again; cell value = distinct active users. The classic retention

@@ -514,4 +514,33 @@ object CirclesViews {
     capacityGraph3(balances, trust, signups, orgs, blocks)
       .where(coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock ||
              coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock)
+
+  /** Trust-edge CHURN per day: how many edges were CREATED (limit went
+    * nothing/0 → positive) and REVOKED (positive → 0) each day — the
+    * first derivative of crc_current_trust, the network-health stat the
+    * per-day views (0.0.64.sql:1253) don't cover. A re-stated limit
+    * (50 → 80, or 0 → 0) is neither.
+    *
+    * Scale shape: trust details join blocks on the tx hash for (ts,
+    * number), then ONE window partitioned by the edge (user, can_send_to)
+    * ordered by (number, hash) — hash-partitioned by edge key, no global
+    * sort; per-edge history is human-scale (people re-trust occasionally,
+    * they don't spam limits), so no skew valve is needed. The final
+    * per-day rollup is a partial-agg count on calendar-bounded keys.
+    */
+  def trustChurnPerDay(trusts: DataFrame, blocks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user", "can_send_to").orderBy("number", "hash")
+    trusts.join(blocks.select("hash", "ts", "number"), "hash")
+      .withColumn("prev_limit", lag(col("limit"), 1).over(w))
+      .withColumn("created",
+        col("limit") > 0 && coalesce(col("prev_limit"), lit(0L)) === 0)
+      .withColumn("revoked",
+        col("limit") === 0 && coalesce(col("prev_limit"), lit(0L)) > 0)
+      .groupBy(StateOps.epochMs(date_trunc("day", col("ts"))).as("day_ms"))
+      .agg(
+        sum(when(col("created"), 1L).otherwise(0L)).as("edges_created"),
+        sum(when(col("revoked"), 1L).otherwise(0L)).as("edges_revoked"))
+      .orderBy("day_ms")
+  }
 }

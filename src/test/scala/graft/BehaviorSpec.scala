@@ -106,6 +106,27 @@ class BehaviorSpec extends SparkSpec {
     assert(c1 == Map(0L -> 1L))
   }
 
+  test("robustAnomalies: median/MAD flags the spike, not the mean-shifted mass") {
+    // 9 quiet days around 100 plus one 10x spike: mean/stddev would be
+    // dragged by the spike; median/MAD flags exactly the spike
+    val series = Seq(
+      (1L, 98L), (2L, 100L), (3L, 102L), (4L, 99L), (5L, 101L),
+      (6L, 100L), (7L, 97L), (8L, 103L), (9L, 100L), (10L, 1000L)
+    ).toDF("day_ms", "transfers")
+    val r = Behavior.robustAnomalies(series, "transfers")
+      .select("day_ms", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(r(10L))
+    assert((1L to 9L).forall(d => !r(d)))
+  }
+
+  test("robustAnomalies: MAD=0 degrades to any-deviation-from-median") {
+    val series = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L))
+      .toDF("day_ms", "transfers")
+    val r = Behavior.robustAnomalies(series, "transfers")
+      .select("day_ms", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
   test("retention cohorts: a user stays in its cohort as activity grows") {
     val base = ev((0L, "2024-01-01 10:00:00", 1L, "view"))
     val grown = ev(

@@ -327,6 +327,28 @@ class CirclesViewsSpec extends SparkSpec {
     assert(!alive.contains("u3") && !dead.contains("u3"))
   }
 
+  test("trustChurnPerDay: creations/revocations from limit transitions only") {
+    // edge (u1,c1): absent->50 (create, day1), 50->80 (re-state, day1),
+    //   80->0 (revoke, day2), 0->30 (re-create, day3)
+    // edge (u2,c2): absent->0 (never created: 0-limit first write, day1)
+    val tr = Seq(
+      ("0xb1", "u1", "c1", 50L), ("0xb2", "u1", "c1", 80L),
+      ("0xb3", "u1", "c1", 0L), ("0xb4", "u1", "c1", 30L),
+      ("0xb5", "u2", "c2", 0L)
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val blocks = Seq(
+      ("0xb1", ts("2024-01-01 10:00:00"), 1L), ("0xb2", ts("2024-01-01 12:00:00"), 2L),
+      ("0xb3", ts("2024-01-02 10:00:00"), 3L), ("0xb4", ts("2024-01-03 10:00:00"), 4L),
+      ("0xb5", ts("2024-01-01 11:00:00"), 5L)
+    ).toDF("hash", "ts", "number")
+    val r = CirclesViews.trustChurnPerDay(tr, blocks)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (ts("2024-01-01 00:00:00").getTime, 1L, 0L),
+      (ts("2024-01-02 00:00:00").getTime, 0L, 1L),
+      (ts("2024-01-03 00:00:00").getTime, 1L, 0L)))
+  }
+
   test("perDayCounts: date-truncated counts through the block join") {
     val blocks = Seq(
       ("0xh1", ts("2024-01-06 10:00:00")), ("0xh2", ts("2024-01-06 23:59:59"))

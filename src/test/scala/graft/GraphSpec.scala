@@ -180,11 +180,14 @@ class GraphSpec extends SparkSpec {
   }
 
   test("recommendEdges matches brute force on a hashed graph") {
-    val edges = (0 until 60).map(i => (((i * 13) % 20).toLong, ((i * 7 + 3) % 20).toLong))
-      .toDF("src", "dst")
+    // NOTE: an affine pair (13i, 7i+3) mod 20 degenerates to a perfect
+    // matching (src+dst ≡ 3) — zero wedges; a seeded random graph is dense
+    val rng = new scala.util.Random(5)
+    val pairs = Seq.fill(60)((rng.nextInt(16).toLong, rng.nextInt(16).toLong))
+    val edges = pairs.toDF("src", "dst")
     val got = Graph.recommendEdges(edges, topK = 4)
       .as[(Long, Long, Long, Double, Int)].collect().toSeq
-    val und = (0 until 60).map(i => ((i * 13) % 20).toLong -> ((i * 7 + 3) % 20).toLong)
+    val und = pairs
       .filter(p => p._1 != p._2)
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
     val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct
