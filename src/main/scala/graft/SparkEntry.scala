@@ -183,6 +183,16 @@ object SparkEntry {
         .withColumn("value", conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
       CirclesViews.balancesBySafeAndToken(transfers)
     }),
+    // the audit/time-travel variant of q_token_balances: ledger state as
+    // of block 7500 (block cut pushed into the block scan pre-join)
+    "q_balances_at_block" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val transfers = ReceiptClassifier.extractErc20Transfers(
+        ReceiptClassifier.demoReceipts(ev))
+        .withColumn("value", conv(regexp_replace(col("value_hex"), "^0x", ""), 16, 10).cast("long"))
+      CirclesViews.balancesAtBlock(transfers, ReceiptClassifier.demoBlocks(ev), 7500L)
+    }),
     "q_eth_transfers" -> ((s, d) =>
       ReceiptClassifier.extractEthTransfers(ReceiptClassifier.demoReceipts(Tables.events(s, d)))
         .orderBy("hash")),
@@ -1625,6 +1635,21 @@ object SparkEntry {
         | SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
         | UNION ALL
         | SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc)
+        |SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        | max(hash) AS last_change_at
+        |FROM d GROUP BY safe_address, token
+        |ORDER BY safe_address, token""".stripMargin),
+    "q_balances_at_block" -> (demoCte +
+      """,
+        |blk AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, event_id AS num
+        | FROM events),
+        |cut AS (
+        | SELECT erc.* FROM erc JOIN blk USING (hash) WHERE blk.num <= 7500),
+        |d AS (
+        | SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM cut
+        | UNION ALL
+        | SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM cut)
         |SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
         | max(hash) AS last_change_at
         |FROM d GROUP BY safe_address, token

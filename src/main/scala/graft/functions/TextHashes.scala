@@ -202,6 +202,45 @@ object TextHashImpl {
       Array[Any](n.toLong, distinct.size().toLong, maxRun, topBigram))
   }
 
+  /** Signed feature hashing (the hashing trick): token t adds ±1 to
+    * bucket pmod(xxhash64('tv:idx', t), dim), sign from an independent
+    * salt; result L2-normalized (zero vector for empty docs). Bit-for-bit
+    * the HOF formulation in `operators.TextVectors` (same salts — the
+    * multi-arg xxhash64 chains the salt hash into the token hash's seed;
+    * same float-add order; same double-accumulated norm), which evaluated
+    * a tokens×dim interpreted lambda tree per row and rebuilt the
+    * accumulator array per token — measured ~2 MINUTES per sf0.1 scan in
+    * the driver's bench (q_quality_clf 127s, q_semantic_dedup_docs 125s);
+    * this kernel is one pass, one allocation, whole-stage codegen.
+    */
+  def hashedVec(text: UTF8String, dim: Int): ArrayData = {
+    val saltIdx = hashWord(UTF8String.fromString("tv:idx"), Seed)
+    val saltSgn = hashWord(UTF8String.fromString("tv:sgn"), Seed)
+    val acc = new Array[Float](dim)
+    val words = split(text)
+    var i = 0
+    while (i < words.length) {
+      val t = words(i)
+      val b = java.lang.Math.floorMod(hashWord(t, saltIdx), dim.toLong).toInt
+      val s = if (java.lang.Math.floorMod(hashWord(t, saltSgn), 2L) == 0L) 1.0f else -1.0f
+      acc(b) += s
+      i += 1
+    }
+    var sumSq = 0.0d
+    var j = 0
+    // float multiply THEN widen, exactly like the HOF's (v*v).cast(double)
+    while (j < dim) { sumSq += (acc(j) * acc(j)).toDouble; j += 1 }
+    val nrm = math.sqrt(sumSq)
+    if (nrm > 0.0d) {
+      j = 0
+      while (j < dim) { acc(j) = (acc(j) / nrm).toFloat; j += 1 }
+    }
+    val out = new Array[Any](dim)
+    j = 0
+    while (j < dim) { out(j) = acc(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Bare `split(text, ' ')` semantics: empty tokens KEPT ("" → [""]). */
   private def splitKeepEmpty(text: UTF8String): Array[UTF8String] = {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
@@ -234,6 +273,18 @@ object TextHashImpl {
     }
     out.toArray
   }
+}
+
+case class HashedVecExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def prettyName: String = "graft_hashed_vec"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.hashedVec(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.hashedVec($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashedVecExpr =
+    copy(child = newChild)
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
@@ -306,4 +357,6 @@ object TextHashes {
     GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
   def repetitionStats(c: Column): Column =
     GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(c)))
+  def hashedVec(c: Column, dim: Int = 64): Column =
+    GraftBridge.column(HashedVecExpr(GraftBridge.expression(c), dim))
 }

@@ -515,6 +515,23 @@ object CirclesViews {
       .where(coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock ||
              coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock)
 
+  /** TIME-TRAVEL balances: [[balancesBySafeAndToken]] as of a block —
+    * what every reorg investigation and audit asks ("what did the ledger
+    * say at block N?"). The block cut is a predicate on the block side
+    * BEFORE the join, so it reaches the block scan as a pushed filter and
+    * the transfer side only shuffles rows that survive the hash join; in
+    * production the detail tables carry block_number directly (reference
+    * schema) and the same cut is a partition-pruned scan — no join at
+    * all. Everything downstream is the unchanged additive rollup.
+    */
+  def balancesAtBlock(transfers: DataFrame, blocks: DataFrame,
+                      atBlock: Long): DataFrame =
+    balancesBySafeAndToken(
+      transfers.join(
+        blocks.select(col("hash"), col("number"))
+          .where(col("number") <= atBlock),
+        "hash").drop("number"))
+
   /** Trust-edge CHURN per day: how many edges were CREATED (limit went
     * nothing/0 → positive) and REVOKED (positive → 0) each day — the
     * first derivative of crc_current_trust, the network-health stat the

@@ -30,8 +30,26 @@ object TextVectors {
   /** (doc_id → vec_id, embedding: array<float> of `dim`, L2-normalized;
     * empty/whitespace docs yield the zero vector, which every downstream
     * op already norm-filters).
+    *
+    * Computed by the native one-pass kernel
+    * ([[graft.functions.TextHashes.hashedVec]]): the original HOF fold
+    * (kept below as [[hashedVectorsHof]], the spec's cross-check
+    * reference) rebuilt the dim-array per token through interpreted
+    * lambdas — tokens×dim ArrayTransform evals per row, measured ~2 min
+    * per sf0.1 corpus scan in the driver's bench, the exact failure mode
+    * TextHashes' scaladoc documents for SimHash. Same output bit-for-bit
+    * (TextVectorsSpec).
     */
-  def hashedVectors(documents: DataFrame, dim: Int = 64): DataFrame = {
+  def hashedVectors(documents: DataFrame, dim: Int = 64): DataFrame =
+    documents.select(
+      col("doc_id").as("vec_id"),
+      graft.functions.TextHashes.hashedVec(col("text"), dim).as("embedding"))
+
+  /** The declarative HOF formulation — semantically the spec of
+    * [[hashedVectors]]; interpreted (CodegenFallback) and O(tokens·dim)
+    * array rebuilds per row, so tests only.
+    */
+  def hashedVectorsHof(documents: DataFrame, dim: Int = 64): DataFrame = {
     // empty tokens (leading/double/trailing spaces, empty docs) carry no
     // signal and would otherwise hash into a real bucket
     val toks = filter(split(col("text"), " "), t => length(t) > 0)

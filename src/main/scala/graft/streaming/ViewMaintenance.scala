@@ -337,6 +337,74 @@ object ViewMaintenance {
 
   val DefaultMaxGenerations = 8
 
+  /** Right-to-erasure over a stored state view: drop every row whose
+    * `bucketKey` is in `keys`, rewriting ONLY the buckets those keys hash
+    * to — O(deletion set), not O(view). The reference serves user data
+    * out of Postgres where DELETE is native; an immutable bucketed store
+    * needs this explicit rewrite path, and at 100 TB rewriting the whole
+    * view for a handful of subjects is not an option.
+    *
+    * Mechanics mirror a merge: the filtered buckets land in a fresh
+    * generation that stays invisible until the manifest names it, so a
+    * crash mid-rewrite leaves the old state served; a lost manifest race
+    * leaves the winner's state intact (the orphan generation is GC'd by
+    * the next successful commit). Untouched buckets keep their existing
+    * generation pointers — their files are never read or rewritten
+    * (spec-asserted). A bucket whose rows are ALL deleted leaves the
+    * mapping entirely. The batch header carries over, so replay detection
+    * of the next data batch is unaffected.
+    *
+    * Returns the number of rows deleted (the audit-trail number a GDPR
+    * workflow records).
+    */
+  def deleteKeys(spark: SparkSession, viewDir: String, bucketKey: String,
+                 keys: Seq[String], numBuckets: Int = DefaultNumBuckets,
+                 committer: ManifestCommitter = RenameCommitter): Long = {
+    import spark.implicits._
+    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
+    if (mapping.isEmpty || keys.isEmpty) return 0L
+    // bucket of each key via the SAME hash the merge path uses (a
+    // driver-side reimplementation could drift); keys are a bounded
+    // deletion request, so this collect is deletion-set-sized
+    val touched = keys.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(numBuckets.toLong)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSeq
+      .filter(mapping.contains)
+    if (touched.isEmpty) return 0L
+    val existing = touched
+      .map(b => (mapping(b), b))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .map { case (g, buckets) =>
+        spark.read.parquet(s"$viewDir/data/g=$g")
+          .where(col("bucket").isin(buckets.map(Int.box): _*))
+      }
+      .reduce(_.unionByName(_))
+      .persist() // three actions below (deleted count, survivors, write)
+    try {
+      val hit = col(bucketKey).isInCollection(keys)
+      val deleted = existing.where(hit).count()
+      if (deleted == 0L) return 0L
+      val remaining = existing.where(!hit)
+      // buckets with survivors get rewritten into g=v; fully-erased
+      // buckets leave the mapping (an empty parquet partition would
+      // otherwise make the generation unreadable)
+      val survivorBuckets =
+        remaining.select("bucket").distinct().as[Int].collect().toSeq
+      val v = curVer + 1
+      if (survivorBuckets.nonEmpty) {
+        remaining.repartition(col("bucket")) // one file per bucket
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$viewDir/data/g=$v")
+      }
+      val newMapping =
+        (mapping -- touched) ++ survivorBuckets.map(_ -> v)
+      if (!writeManifest(spark, viewDir, v, lastBatch, newMapping, committer))
+        return 0L // lost race: nothing published from this attempt
+      gc(spark, viewDir, v, newMapping)
+      deleted
+    } finally existing.unpersist()
+  }
+
   /** Fold every bucket into ONE fresh generation and commit a manifest
     * mapping all of them to it — an O(view) rewrite that resets
     * [[readView]]'s per-generation union to a single pruned scan.

@@ -327,6 +327,24 @@ class CirclesViewsSpec extends SparkSpec {
     assert(!alive.contains("u3") && !dead.contains("u3"))
   }
 
+  test("balancesAtBlock: ledger state rewinds to the block cut") {
+    val blocks = Seq(("0xa1", ts("2024-01-01 10:00:00"), 1L),
+      ("0xa2", ts("2024-01-02 10:00:00"), 2L), ("0xa3", ts("2024-01-03 10:00:00"), 3L)
+    ).toDF("hash", "ts", "number")
+    // after block 2: only 0xa1 (u1->u2 100 tokA) and 0xa2 (u2->u3 30 tokA)
+    val r = CirclesViews.balancesAtBlock(transfers, blocks, 2L)
+      .as[(String, String, Double, String)].collect().toSet
+    assert(r == Set(
+      ("u1", "tokA", -100.0, "0xa1"), ("u2", "tokA", 70.0, "0xa2"),
+      ("u3", "tokA", 30.0, "0xa2")))
+    // a cut past the frontier reproduces the full current view
+    val full = CirclesViews.balancesBySafeAndToken(transfers)
+      .as[(String, String, Double, String)].collect().toSet
+    val late = CirclesViews.balancesAtBlock(transfers, blocks, 99L)
+      .as[(String, String, Double, String)].collect().toSet
+    assert(late == full)
+  }
+
   test("trustChurnPerDay: creations/revocations from limit transitions only") {
     // edge (u1,c1): absent->50 (create, day1), 50->80 (re-state, day1),
     //   80->0 (revoke, day2), 0->30 (re-create, day3)

@@ -32,6 +32,20 @@ class TextVectorsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-5, s"L2-normalized, got $n")
   }
 
+  test("native kernel == HOF formulation bit-for-bit (incl. edge docs)") {
+    val tricky = docs.union(Seq(
+      (5L, "  leading and  double  spaces "), (6L, "one"),
+      (7L, Seq.fill(300)("rep").mkString(" "))).toDF("doc_id", "text"))
+    val kernel = TextVectors.hashedVectors(tricky).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val hof = TextVectors.hashedVectorsHof(tricky).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(kernel.keySet == hof.keySet)
+    kernel.foreach { case (id, v) =>
+      assert(v == hof(id), s"doc $id: kernel != HOF") // exact float equality
+    }
+  }
+
   test("hashed vectors are map-only (zero exchanges) and partition-invariant") {
     val plan = TextVectors.hashedVectors(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"text→vector must not shuffle:\n$plan")

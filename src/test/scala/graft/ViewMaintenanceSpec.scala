@@ -371,4 +371,69 @@ class ViewMaintenanceSpec extends SparkSpec {
         ((r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(3)))).toMap
     assert(again == direct)
   }
+
+  test("deleteKeys erases subjects, rewrites only their buckets, counts rows") {
+    val viewDir = Files.createTempDirectory("graft-erasure").toString + "/view"
+    val seed = (1 to 32).map(i => TrustEv(f"0xs$i%02d", s"u$i", "v", 10L))
+    mergeTrustBatch(spark, seed.toDF, viewDir, numBuckets = 16)
+    def fileState(): Map[String, Long] = {
+      val root = new java.io.File(viewDir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath.stripPrefix(viewDir) -> f.lastModified()).toMap
+    }
+    val before = fileState()
+    val deleted = ViewMaintenance.deleteKeys(spark, viewDir, "user",
+      Seq("u1", "u17"), numBuckets = 16)
+    assert(deleted == 2L)
+    val users = readView(spark, viewDir).select("user").as[String].collect().toSet
+    assert(!users.contains("u1") && !users.contains("u17") && users.size == 30)
+    // surviving generations are immutable: no pre-existing file rewritten
+    // in place (referenced ones keep their mtimes; the erased buckets'
+    // old files may be GC'd)
+    val after = fileState()
+    assert(before.forall { case (k, ts) => after.get(k).forall(_ == ts) },
+      "no existing file may be rewritten in place")
+    // erasure is idempotent and counts zero the second time
+    assert(ViewMaintenance.deleteKeys(spark, viewDir, "user",
+      Seq("u1", "u17"), numBuckets = 16) == 0L)
+  }
+
+  test("deleteKeys: full-bucket erasure unmaps the bucket; unknown key no-ops") {
+    val viewDir = Files.createTempDirectory("graft-erasure2").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "solo", "v", 10L)).toDF, viewDir,
+      numBuckets = 4)
+    assert(ViewMaintenance.deleteKeys(spark, viewDir, "user", Seq("ghost"),
+      numBuckets = 4) == 0L)
+    assert(viewState(viewDir) == Set(("solo", "v", 10L, 1L)))
+    assert(ViewMaintenance.deleteKeys(spark, viewDir, "user", Seq("solo"),
+      numBuckets = 4) == 1L)
+    assert(readView(spark, viewDir).count() == 0L)
+    assert(ViewMaintenance.readManifest(spark, viewDir)._3.isEmpty,
+      "a fully-erased bucket must leave the manifest mapping")
+    // the store keeps accepting merges after a total erasure
+    mergeTrustBatch(spark, Seq(TrustEv("0xa2", "u9", "v", 5L)).toDF, viewDir,
+      numBuckets = 4)
+    assert(viewState(viewDir) == Set(("u9", "v", 5L, 1L)))
+  }
+
+  test("deleteKeys: a lost manifest race publishes nothing") {
+    import graft.streaming.{ManifestCommitter, RenameCommitter}
+    val viewDir = Files.createTempDirectory("graft-erasure3").toString + "/view"
+    mergeTrustBatch(spark, Seq(TrustEv("0xa1", "u1", "v", 10L),
+      TrustEv("0xa2", "u2", "v", 20L)).toDF, viewDir, numBuckets = 4)
+    val before = viewState(viewDir)
+    object AlwaysLoses extends ManifestCommitter {
+      def commit(fs: org.apache.hadoop.fs.FileSystem, viewDir: String,
+                 version: Long, content: String): Boolean = false
+    }
+    assert(ViewMaintenance.deleteKeys(spark, viewDir, "user", Seq("u1"),
+      numBuckets = 4, committer = AlwaysLoses) == 0L)
+    assert(viewState(viewDir) == before, "lost race must leave the view intact")
+    // retry with a working committer succeeds
+    assert(ViewMaintenance.deleteKeys(spark, viewDir, "user", Seq("u1"),
+      numBuckets = 4, committer = RenameCommitter) == 1L)
+    assert(viewState(viewDir) == Set(("u2", "v", 20L, 1L)))
+  }
 }
