@@ -277,6 +277,20 @@ object SparkEntry {
           ReceiptClassifier.demoBlocks(ev), "transfers"),
         "transfers").orderBy("day_ms")
     }),
+    // SCD type-2 form of the trust history: validity intervals per edge
+    "q_trust_scd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.trustHistoryScd(
+        ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev))
+    }),
+    // trust islands: weakly connected components over the current graph
+    "q_trust_components" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.connectedComponents(
+        trust.select(col("user").as("src"), col("can_send_to").as("dst")))
+    }),
     // first derivative of the trust view: edges created/revoked per day
     "q_trust_churn" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1437,6 +1451,37 @@ object SparkEntry {
         | CASE WHEN mad = 0 THEN CAST(transfers AS DOUBLE) <> med
         |      ELSE abs(CAST(transfers AS DOUBLE) - med) > 3.0 * mad END AS is_anomaly
         |FROM per_day, m1, m2 ORDER BY day_ms""".stripMargin,
+    "q_trust_scd" ->
+      """WITH tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, event_id AS num,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup'),
+        |lagd AS (
+        | SELECT u, c, lim, num,
+        |  lag(lim) OVER (PARTITION BY u, c ORDER BY num, hash) AS prev
+        | FROM tr),
+        |ch AS (SELECT u, c, lim, num FROM lagd WHERE prev IS NULL OR prev <> lim)
+        |SELECT u AS "user", c AS can_send_to, lim AS "limit", num AS valid_from,
+        | lead(num) OVER (PARTITION BY u, c ORDER BY num) AS valid_to
+        |FROM ch ORDER BY "user", can_send_to, valid_from""".stripMargin,
+    "q_trust_components" ->
+      """WITH RECURSIVE tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup'),
+        |cur AS (SELECT u, c, arg_max(lim, hash) AS lim FROM tr GROUP BY u, c),
+        |e AS (SELECT u AS s, c AS d FROM cur WHERE lim > 0 AND u <> c),
+        |sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+        |reach(id, r) AS (
+        | SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+        | UNION
+        | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
+        |SELECT id AS node, min(r) AS component FROM reach
+        |GROUP BY id ORDER BY node""".stripMargin,
     "q_trust_churn" ->
       """WITH tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, ts, event_id AS num,

@@ -515,6 +515,34 @@ object CirclesViews {
       .where(coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock ||
              coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock)
 
+  /** SCD type-2 trust history: each (user, can_send_to) edge's limit as
+    * validity INTERVALS — (limit, valid_from, valid_to) with NULL
+    * valid_to on the open current row — the warehouse-native form of
+    * crc_trust_2 that answers "what was the limit at block N" with a
+    * range predicate instead of a per-query max_by scan ([[currentTrust]]
+    * is the valid_to-IS-NULL slice; [[balancesAtBlock]] is the measure-
+    * side twin of the same question).
+    *
+    * ONE window per edge key (lead over the per-edge history, hash-
+    * partitioned, human-scale edge histories); consecutive re-states of
+    * the SAME limit collapse into one interval (the SCD dedup rule) via
+    * a lag-filter BEFORE the lead, same single shuffle — both windows
+    * share the (user, can_send_to) partitioning.
+    */
+  def trustHistoryScd(trusts: DataFrame, blocks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user", "can_send_to").orderBy("number", "hash")
+    trusts.join(blocks.select("hash", "number"), "hash")
+      .withColumn("prev_limit", lag(col("limit"), 1).over(w))
+      // SCD collapse: a row that re-states the current limit opens no
+      // new interval (first row always opens: prev is null, limit ≥ 0)
+      .where(col("prev_limit").isNull || col("prev_limit") =!= col("limit"))
+      .withColumn("valid_to", lead(col("number"), 1).over(w))
+      .select(col("user"), col("can_send_to"), col("limit"),
+        col("number").as("valid_from"), col("valid_to"))
+      .orderBy("user", "can_send_to", "valid_from")
+  }
+
   /** TIME-TRAVEL balances: [[balancesBySafeAndToken]] as of a block —
     * what every reorg investigation and audit asks ("what did the ledger
     * say at block N?"). The block cut is a predicate on the block side

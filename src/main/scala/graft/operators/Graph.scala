@@ -269,4 +269,24 @@ object Graph {
         coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
       .orderBy("node")
   }
+
+  /** Weakly connected components over a directed edge list: (node,
+    * component) with component = the MIN node id of the component —
+    * the trust-island question ("which safes can reach each other at
+    * all"), and the graph-general form of the near-dup clustering the
+    * dedup family already proves out. Delegates to exactly that loop
+    * ([[Dedup.dupClusters]] — hash-to-min label propagation, per-round
+    * eager localCheckpoint against the 2^n-lineage trap, 1-row
+    * convergence probes, rounds bounded by component diameter); `least`/
+    * `min` are type-generic, so address-string nodes ride through
+    * unchanged. Direction and multiplicity are erased by the
+    * symmetrization inside; self-loops are dropped here. Isolated nodes
+    * never appear (no edge ⇒ no row), matching the SQL closure twin.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Dedup.dupClusters(edges
+      .where(col("src") =!= col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+      .orderBy("node")
 }

@@ -327,6 +327,31 @@ class CirclesViewsSpec extends SparkSpec {
     assert(!alive.contains("u3") && !dead.contains("u3"))
   }
 
+  test("trustHistoryScd: validity intervals, re-states collapse, open row") {
+    // edge history: 50 (blk1), 50 re-stated (blk2), 80 (blk3), 0 (blk5)
+    val tr = Seq(
+      ("0xc1", "u1", "v1", 50L), ("0xc2", "u1", "v1", 50L),
+      ("0xc3", "u1", "v1", 80L), ("0xc5", "u1", "v1", 0L),
+      ("0xc4", "u2", "v2", 30L)
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val blocks = Seq(("0xc1", 1L), ("0xc2", 2L), ("0xc3", 3L), ("0xc5", 5L),
+      ("0xc4", 4L)).toDF("hash", "number")
+    val r = CirclesViews.trustHistoryScd(tr, blocks)
+      .as[(String, String, Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq(
+      ("u1", "v1", 50L, 1L, Some(3L)), // blk2 re-state opened no interval
+      ("u1", "v1", 80L, 3L, Some(5L)),
+      ("u1", "v1", 0L, 5L, None),      // revocation is a real SCD row
+      ("u2", "v2", 30L, 4L, None)))
+    // the open (valid_to IS NULL) slice is exactly currentTrust's state
+    // (which keeps 0-limit rows — revocation is state, not absence)
+    val open = r.filter(_._5.isEmpty).map(t => (t._1, t._2, t._3)).toSet
+    val cur = CirclesViews.currentTrust(tr, orderCol = "hash")
+      .select("user", "can_send_to", "limit")
+      .as[(String, String, Long)].collect().toSet
+    assert(open == cur)
+  }
+
   test("balancesAtBlock: ledger state rewinds to the block cut") {
     val blocks = Seq(("0xa1", ts("2024-01-01 10:00:00"), 1L),
       ("0xa2", ts("2024-01-02 10:00:00"), 2L), ("0xa3", ts("2024-01-03 10:00:00"), 3L)

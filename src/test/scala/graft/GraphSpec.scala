@@ -179,6 +179,40 @@ class GraphSpec extends SparkSpec {
     assert(uncapped.forall(_._5 <= 3))
   }
 
+  test("connectedComponents: islands labeled by min node, direction erased") {
+    // two components: {a,b,c} (b->a, b->c: direction must not matter) and
+    // {x,y}; a self-loop on z alone contributes NO component row
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y"), ("z", "z"))
+      .toDF("src", "dst")
+    val r = Graph.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("connectedComponents matches brute-force reachability on a hashed graph") {
+    val rng = new scala.util.Random(13)
+    val pairs = Seq.fill(30)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Graph.connectedComponents(pairs.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // brute force: union-find over the undirected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    // min-label CC and min-root union-find agree: both name the min member
+    val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+      val members = m.keys.toSet; members.map(_ -> members.min)
+    }
+    assert(got == wantMin && got.nonEmpty)
+  }
+
   test("recommendEdges matches brute force on a hashed graph") {
     // NOTE: an affine pair (13i, 7i+3) mod 20 degenerates to a perfect
     // matching (src+dst ≡ 3) — zero wedges; a seeded random graph is dense
