@@ -55,21 +55,25 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
       val b = ev.agg(org.apache.spark.sql.functions.max(col("event_id")),
         org.apache.spark.sql.functions.max(col("user_id"))).head()
-      val (idHi, userHi) = (b.getLong(0), b.getLong(1))
-      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-      Layout.zorderWrite(ev, "event_id", "user_id", s"$base/z", 16)
-      Layout.linearWrite(ev, "event_id", s"$base/l", 16)
-      def boxes(path: String, layout: String) = {
-        val (t, idBox) = Layout.pruningStats(s, path, "event_id", "user_id",
-          0L, idHi / 10, 0L, userHi)
-        val (_, userBox) = Layout.pruningStats(s, path, "event_id", "user_id",
-          0L, idHi, 0L, userHi / 10)
-        val (_, bothBox) = Layout.pruningStats(s, path, "event_id", "user_id",
-          0L, idHi / 10, 0L, userHi / 10)
-        (layout, t, idBox, userBox, bothBox)
-      }
-      Seq(boxes(s"$base/z", "zorder"), boxes(s"$base/l", "linear"))
-        .toDF("layout", "files_total", "read_id_box", "read_user_box", "read_both")
+      val rows: Seq[(String, Long, Long, Long, Long)] =
+        if (b.isNullAt(0)) Seq.empty // empty input: nothing to lay out
+        else {
+          val (idHi, userHi) = (b.getLong(0), b.getLong(1))
+          val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+          Layout.zorderWrite(ev, "event_id", "user_id", s"$base/z", 16)
+          Layout.linearWrite(ev, "event_id", s"$base/l", 16)
+          def boxes(path: String, layout: String) = {
+            val (t, idBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+              0L, idHi / 10, 0L, userHi)
+            val (_, userBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+              0L, idHi, 0L, userHi / 10)
+            val (_, bothBox) = Layout.pruningStats(s, path, "event_id", "user_id",
+              0L, idHi / 10, 0L, userHi / 10)
+            (layout, t, idBox, userBox, bothBox)
+          }
+          Seq(boxes(s"$base/z", "zorder"), boxes(s"$base/l", "linear"))
+        }
+      rows.toDF("layout", "files_total", "read_id_box", "read_user_box", "read_both")
         .orderBy("layout")
     }),
     // distinct users per event_type served from per-(type, day) HLL
@@ -283,6 +287,15 @@ object SparkEntry {
       CirclesViews.trustHistoryScd(
         ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
         ReceiptClassifier.demoBlocks(ev))
+    }),
+    // SCD consumption: state at block N = range predicate, not max_by
+    "q_trust_at_block" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.trustAtBlock(
+        CirclesViews.trustHistoryScd(
+          ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoBlocks(ev)),
+        atBlock = 7500L)
     }),
     // trust islands: weakly connected components over the current graph
     "q_trust_components" -> ((s, d) => {
@@ -511,6 +524,10 @@ object SparkEntry {
       Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id",
         valPermille = 100, testPermille = 100)
         .select("doc_id", "source", "split").orderBy("doc_id")),
+    // exact-k twin of q_hash_sample: TakeOrderedAndProject, never a sort
+    "q_sample_topk" -> ((s, d) =>
+      Sampling.sampleExactK(Tables.documents(s, d), "doc_id", 100)
+        .select("doc_id", "source")),
     // pretraining sequence packing: concat-and-split layout offsets via the
     // two-phase distributed prefix sum (bucket totals -> literal bases ->
     // per-bucket windows)
@@ -1466,6 +1483,18 @@ object SparkEntry {
         |SELECT u AS "user", c AS can_send_to, lim AS "limit", num AS valid_from,
         | lead(num) OVER (PARTITION BY u, c ORDER BY num) AS valid_to
         |FROM ch ORDER BY "user", can_send_to, valid_from""".stripMargin,
+    // independent spelling: latest-limit-below-cut via arg_max — a
+    // genuinely different formulation validating the SCD range semantics
+    "q_trust_at_block" ->
+      """WITH tr AS (
+        | SELECT event_id AS num,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup')
+        |SELECT u AS "user", c AS can_send_to, arg_max(lim, num) AS "limit"
+        |FROM tr WHERE num <= 7500 GROUP BY u, c
+        |ORDER BY "user", can_send_to""".stripMargin,
     "q_trust_components" ->
       """WITH RECURSIVE tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
@@ -1767,6 +1796,10 @@ object SparkEntry {
         | round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS median_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_topk" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |LIMIT 100""".stripMargin,
     "q_heavy_terms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(*) AS cnt FROM tok GROUP BY term

@@ -543,6 +543,19 @@ object CirclesViews {
       .orderBy("user", "can_send_to", "valid_from")
   }
 
+  /** The SCD consumption path: trust state as of a block is a RANGE
+    * PREDICATE over [[trustHistoryScd]] — `valid_from <= N < valid_to`
+    * (open row = infinity) — not a per-query max_by over the full
+    * history. At scale the SCD table is the materialized view (stored
+    * once, block-range-partitioned so the predicate prunes files); this
+    * is why the type-2 form exists. Map-only over the SCD frame.
+    */
+  def trustAtBlock(scd: DataFrame, atBlock: Long): DataFrame =
+    scd.where(col("valid_from") <= atBlock &&
+        (col("valid_to").isNull || col("valid_to") > atBlock))
+      .select("user", "can_send_to", "limit")
+      .orderBy("user", "can_send_to")
+
   /** TIME-TRAVEL balances: [[balancesBySafeAndToken]] as of a block —
     * what every reorg investigation and audit asks ("what did the ledger
     * say at block N?"). The block cut is a predicate on the block side

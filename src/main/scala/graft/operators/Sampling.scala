@@ -73,4 +73,21 @@ object Sampling {
         .when(g < lit(cutoffHex(valPermille + testPermille)), "test")
         .otherwise("train"))
   }
+
+  /** EXACT-k deterministic sample: the k rows whose key hashes order
+    * first — the reservoir-sampling answer without reservoir state.
+    * [[hashSample]] gives a RATE (row count varies with corpus size);
+    * this gives a COUNT. Same reproducibility doctrine: rerun-,
+    * repartition- and growth-stable (a kept row is only ever displaced
+    * by a new row hashing earlier), and samples NEST — sampleExactK(k₁)
+    * ⊆ sampleExactK(k₂) for k₁ ≤ k₂, so growing a sample never
+    * re-draws it (spec'd).
+    *
+    * Plan shape: `orderBy(hash).limit(k)` = TakeOrderedAndProject —
+    * per-partition k-bounded heaps, driver merges partitions×k rows;
+    * no global sort, no full shuffle, at any corpus size.
+    */
+  def sampleExactK(df: DataFrame, keyCol: String, k: Int,
+                   salt: String = ""): DataFrame =
+    df.orderBy(gate(col(keyCol), salt), col(keyCol)).limit(k)
 }

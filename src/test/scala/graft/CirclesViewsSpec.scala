@@ -352,6 +352,24 @@ class CirclesViewsSpec extends SparkSpec {
     assert(open == cur)
   }
 
+  test("trustAtBlock: range predicate over SCD == max_by over the cut history") {
+    val tr = Seq(
+      ("0xc1", "u1", "v1", 50L), ("0xc2", "u1", "v1", 50L),
+      ("0xc3", "u1", "v1", 80L), ("0xc5", "u1", "v1", 0L),
+      ("0xc4", "u2", "v2", 30L)
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val blocks = Seq(("0xc1", 1L), ("0xc2", 2L), ("0xc3", 3L), ("0xc5", 5L),
+      ("0xc4", 4L)).toDF("hash", "number")
+    val scd = CirclesViews.trustHistoryScd(tr, blocks)
+    def at(n: Long) = CirclesViews.trustAtBlock(scd, n)
+      .as[(String, String, Long)].collect().toSet
+    assert(at(2L) == Set(("u1", "v1", 50L)))           // re-state interval
+    assert(at(3L) == Set(("u1", "v1", 80L)))           // boundary: new row wins
+    assert(at(4L) == Set(("u1", "v1", 80L), ("u2", "v2", 30L)))
+    assert(at(9L) == Set(("u1", "v1", 0L), ("u2", "v2", 30L))) // open rows
+    assert(at(0L) == Set.empty)                        // before history
+  }
+
   test("balancesAtBlock: ledger state rewinds to the block cut") {
     val blocks = Seq(("0xa1", ts("2024-01-01 10:00:00"), 1L),
       ("0xa2", ts("2024-01-02 10:00:00"), 2L), ("0xa3", ts("2024-01-03 10:00:00"), 3L)

@@ -57,4 +57,24 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSplit(df, "id", 800, 300)
     }
   }
+
+  test("sampleExactK: exact count, repartition-stable, samples nest") {
+    val df = (0L until 2000L).toDF("id")
+    val k100 = Sampling.sampleExactK(df, "id", 100).as[Long].collect().toSeq
+    assert(k100.size == 100)
+    val again = Sampling.sampleExactK(df.repartition(7), "id", 100)
+      .as[Long].collect().toSeq
+    assert(again == k100, "sample must not depend on partition layout")
+    // nesting: growing k extends the sample, never re-draws it
+    val k250 = Sampling.sampleExactK(df, "id", 250).as[Long].collect().toSeq
+    assert(k250.take(100) == k100)
+    // growth stability: new rows only displace from the tail
+    val grownTop = Sampling.sampleExactK((0L until 4000L).toDF("id"), "id", 100)
+      .as[Long].collect().toSet
+    assert(k100.toSet.intersect(grownTop).size >= 40, "hash order is stable")
+    // the plan is a bounded top-k, not a global sort
+    val plan = Sampling.sampleExactK(df, "id", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
