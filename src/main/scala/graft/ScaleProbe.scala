@@ -93,6 +93,37 @@ object ScaleProbe {
           "user_id", Seq("event_type", "day")),
         Seq("event_type")).count()
     }
+    // round-5c additions: two-pass heavy hitters, the native hashed-vector
+    // kernel (vs the interpreted HOF it replaced), generic CC on a bigger
+    // graph, SCD build, z-order write+stats
+    time("heavy_terms/two-pass-mg")(HeavyHitters.frequentTerms(bigDocs).count())
+    time("hashed_vec/native-kernel")(TextVectors.hashedVectors(bigDocs).count())
+    time("hashed_vec/hof-1pct-sample") { // full-corpus HOF would run ~minutes
+      TextVectors.hashedVectorsHof(bigDocs.where(col("doc_id") % 100 === 0)).count()
+    }
+    time("connected_components/50k-nodes") {
+      val edges = bigEvents.select((col("user_id") % 50000).as("src"),
+        ((col("user_id") * 7 + 13) % 50000).as("dst"))
+      Graph.connectedComponents(edges).count()
+    }
+    time("trust_scd/10x-history") {
+      val tr = bigEvents.where(col("event_type") === "signup")
+        .select(col("event_id").cast("string").as("hash"),
+          (col("user_id") % 5000).cast("string").as("user"),
+          ((col("user_id") * 7 + 13) % 5000).cast("string").as("can_send_to"),
+          (col("event_id") % 101).as("limit"))
+      val blocks = bigEvents.select(col("event_id").cast("string").as("hash"),
+        col("event_id").as("number"))
+      CirclesViews.trustHistoryScd(tr, blocks).count()
+    }
+    time("zorder/write+stats-10x") {
+      val base = java.nio.file.Files.createTempDirectory("graft-zprobe").toString
+      Layout.zorderWrite(bigEvents.select(col("event_id"), col("user_id")),
+        "event_id", "user_id", s"$base/z", 32)
+      val (t, r) = Layout.pruningStats(spark, s"$base/z", "event_id", "user_id",
+        0L, 100000L, 0L, 1000L)
+      t * 1000 + r // encode both in the printed row count
+    }
     spark.stop()
   }
 }

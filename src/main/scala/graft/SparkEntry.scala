@@ -362,6 +362,29 @@ object SparkEntry {
           col("balance").cast("double").as("balance"), col("last_change_at"))
         .orderBy("safe_address", "token")
     }),
+    // the maintained SCD store on the driver gate: same intervals as
+    // q_trust_scd, but built by replaying three hash-sliced micro-batches
+    // (block numbers interleave ACROSS slices — real out-of-order arrival)
+    // through the manifest-committed store and served collapsed from it
+    "q_trust_scd_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val events = ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev))
+        .join(ReceiptClassifier.demoBlocks(ev).select("hash", "number"), "hash")
+        .select("user", "can_send_to", "limit", "number", "hash")
+        .persist() // see q_trust_view_served: merges run 2 actions per slice
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-scd")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeTrustScdBatch(s,
+          events.where(pmod(xxhash64(col("hash")), lit(3)) === i),
+          viewDir, numBuckets = 8, version = i.toLong) // buckets sized to the demo view
+      }
+      events.unpersist()
+      graft.streaming.ViewMaintenance.readTrustScdView(s, viewDir)
+        .drop("hash")
+        .orderBy("user", "can_send_to", "valid_from")
+    }),
     "q_capacity_graph" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val r = ReceiptClassifier.demoReceipts(ev).persist()
@@ -1585,6 +1608,23 @@ object SparkEntry {
         | max(hash) AS last_change_at
         |FROM d GROUP BY safe_address, token
         |ORDER BY safe_address, token""".stripMargin),
+    // the served SCD store converges to the one-shot SCD — oracle identical
+    // to q_trust_scd by design
+    "q_trust_scd_served" ->
+      """WITH tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, event_id AS num,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup'),
+        |lagd AS (
+        | SELECT u, c, lim, num,
+        |  lag(lim) OVER (PARTITION BY u, c ORDER BY num, hash) AS prev
+        | FROM tr),
+        |ch AS (SELECT u, c, lim, num FROM lagd WHERE prev IS NULL OR prev <> lim)
+        |SELECT u AS "user", c AS can_send_to, lim AS "limit", num AS valid_from,
+        | lead(num) OVER (PARTITION BY u, c ORDER BY num) AS valid_to
+        |FROM ch ORDER BY "user", can_send_to, valid_from""".stripMargin,
     "q_trust_view" ->
       """WITH tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,

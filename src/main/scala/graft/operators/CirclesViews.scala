@@ -529,18 +529,52 @@ object CirclesViews {
     * a lag-filter BEFORE the lead, same single shuffle — both windows
     * share the (user, can_send_to) partitioning.
     */
-  def trustHistoryScd(trusts: DataFrame, blocks: DataFrame): DataFrame = {
+  def trustHistoryScd(trusts: DataFrame, blocks: DataFrame): DataFrame =
+    scdFromEvents(trusts.join(blocks.select("hash", "number"), "hash"))
+      .drop("hash")
+      .orderBy("user", "can_send_to", "valid_from")
+
+  /** SCD derivation core over raw change events (user, can_send_to,
+    * limit, number, hash) → COLLAPSED interval rows carrying the opening
+    * event's hash (the (number, hash) sort tiebreak). NOTE the collapse is
+    * NOT sliceable: once a re-state is discarded, an out-of-order event
+    * landing between it and its predecessor (50@1, 50@3 collapsed, then
+    * 80@2 arrives late) can never be re-opened. Incremental maintenance
+    * therefore stores the UNCOLLAPSED form ([[scdEventIntervals]]) — which
+    * preserves the full event set and IS losslessly replayable — and
+    * applies this collapse only at serve time
+    * (`streaming.ViewMaintenance.readTrustScdView`).
+    */
+  def scdFromEvents(events: DataFrame): DataFrame =
+    scdCore(events, collapse = true)
+
+  /** UNCOLLAPSED intervals: every event opens an interval, re-states of
+    * the same limit included. (limit, valid_from, hash) is exactly the
+    * original event, so deriving from (stored rows replayed as events ∪
+    * new events) equals deriving from the full history under ANY batch
+    * slicing, including out-of-order arrival — the property the stored
+    * form of the incremental SCD view needs (spec'd). Adjacent same-limit
+    * intervals are harmless to the as-of range consumption
+    * ([[trustAtBlock]] answers identically on either form).
+    */
+  def scdEventIntervals(events: DataFrame): DataFrame =
+    scdCore(events, collapse = false)
+
+  private def scdCore(events: DataFrame, collapse: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user", "can_send_to").orderBy("number", "hash")
-    trusts.join(blocks.select("hash", "number"), "hash")
-      .withColumn("prev_limit", lag(col("limit"), 1).over(w))
-      // SCD collapse: a row that re-states the current limit opens no
-      // new interval (first row always opens: prev is null, limit ≥ 0)
-      .where(col("prev_limit").isNull || col("prev_limit") =!= col("limit"))
+    val opens =
+      if (collapse)
+        events
+          .withColumn("prev_limit", lag(col("limit"), 1).over(w))
+          // SCD collapse: a row that re-states the current limit opens no
+          // new interval (first row always opens: prev is null, limit ≥ 0)
+          .where(col("prev_limit").isNull || col("prev_limit") =!= col("limit"))
+      else events
+    opens
       .withColumn("valid_to", lead(col("number"), 1).over(w))
       .select(col("user"), col("can_send_to"), col("limit"),
-        col("number").as("valid_from"), col("valid_to"))
-      .orderBy("user", "can_send_to", "valid_from")
+        col("number").as("valid_from"), col("valid_to"), col("hash"))
   }
 
   /** The SCD consumption path: trust state as of a block is a RANGE

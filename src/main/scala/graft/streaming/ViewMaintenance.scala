@@ -236,6 +236,63 @@ object ViewMaintenance {
       },
       numBuckets, version, maxGenerations, committer)
 
+  /** SCD-2 trust-history maintenance: the stored view is the UNCOLLAPSED
+    * interval table ([[graft.operators.CirclesViews.scdEventIntervals]] —
+    * every change event retained; (limit, valid_from, hash) IS the
+    * original event). A batch of change events (user, can_send_to, limit,
+    * number, hash) merges by replaying the touched buckets' stored rows
+    * as events, unioned with the delta, through the same window core.
+    * Because the stored form preserves the full event set, incremental ==
+    * one-shot under ANY batch slicing including out-of-order arrival
+    * (spec'd); the COLLAPSED presentation form would not survive this —
+    * a discarded re-state (50@1, 50@3) can't be re-split when 80@2
+    * arrives late — which is why collapse happens only at serve time
+    * ([[readTrustScdView]]). The as-of range consumption
+    * (`CirclesViews.trustAtBlock`) answers identically on the raw stored
+    * intervals, no collapse needed. Rewrite cost is O(touched edges'
+    * histories), not O(view).
+    */
+  def mergeTrustScdBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                         numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                         maxGenerations: Int = DefaultMaxGenerations,
+                         committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      graft.operators.CirclesViews.scdEventIntervals(
+        batch.select("user", "can_send_to", "limit", "number", "hash")), "user",
+      (existing, delta) => {
+        def asEvents(df: DataFrame): DataFrame = df
+          .select(col("user"), col("can_send_to"), col("limit"),
+            col("valid_from").as("number"), col("hash"))
+        graft.operators.CirclesViews.scdEventIntervals(
+          asEvents(existing).unionByName(asEvents(delta)))
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  /** Serve the maintained SCD store in the batch view's collapsed form:
+    * replay stored intervals as events through the presentation collapse.
+    * One window shuffle over the (bucket-pruned) read slice; consumers
+    * that only need as-of answers skip this and range-filter the raw
+    * store directly.
+    */
+  def readTrustScdView(spark: SparkSession, viewDir: String): DataFrame =
+    graft.operators.CirclesViews.scdFromEvents(
+      readView(spark, viewDir)
+        .select(col("user"), col("can_send_to"), col("limit"),
+          col("valid_from").as("number"), col("hash")))
+
+  /** Streaming twin: change events → maintained SCD store. */
+  def startTrustScdView(trustEvents: DataFrame, viewDir: String,
+                        checkpointDir: String,
+                        numBuckets: Int = DefaultNumBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    trustEvents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeTrustScdBatch(batch.sparkSession, batch, viewDir, numBuckets,
+          version = batchId)
+      }
+      .start()
+
   /** Balances-view maintenance (the cache_crc_balances_by_safe_and_token
     * family): per-(safe, token) RUNNING DECIMAL sums over the transfer
     * stream, (hash, token, from, to, value) per row. Addition is

@@ -372,6 +372,57 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(again == direct)
   }
 
+  test("SCD view: sliced out-of-order micro-batches converge to the batch SCD") {
+    val viewDir = Files.createTempDirectory("graft-scdview").toString + "/view"
+    val evs = Seq(
+      ("0xa1", "u1", "v1", 50L, 1L), ("0xa2", "u1", "v1", 50L, 2L),
+      ("0xa3", "u1", "v1", 80L, 3L), ("0xa5", "u1", "v1", 0L, 5L),
+      ("0xa4", "u2", "v2", 30L, 4L), ("0xa6", "u2", "v2", 30L, 6L),
+      ("0xa7", "u3", "v3", 10L, 7L)
+    ).toDF("hash", "user", "can_send_to", "limit", "number")
+    // slice by hash → block numbers interleave ACROSS batches (late data)
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeTrustScdBatch(spark,
+        evs.where(pmod(xxhash64(col("hash")), lit(3)) === i),
+        viewDir, numBuckets = 8, version = i)
+    }
+    def served = ViewMaintenance.readTrustScdView(spark, viewDir)
+      .select("user", "can_send_to", "limit", "valid_from", "valid_to")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    val batch = graft.operators.CirclesViews.trustHistoryScd(
+      evs.select("hash", "user", "can_send_to", "limit"),
+      evs.select("hash", "number"))
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(served == batch, "incremental SCD must equal the one-shot build")
+    assert(batch.contains(("u1", "v1", 80L, 3L, Some(5L)))) // non-trivial case
+    // replay of a committed batch stays a no-op
+    ViewMaintenance.mergeTrustScdBatch(spark,
+      evs.where(pmod(xxhash64(col("hash")), lit(3)) === 2),
+      viewDir, numBuckets = 8, version = 2L)
+    assert(served == batch)
+  }
+
+  test("SCD view: late event splitting a collapsed re-state run is exact") {
+    // THE case a collapsed store cannot recover: 50@1 and 50@3 merge first
+    // (one interval if collapsed), then 80@2 arrives late and must split
+    // them into 50@[1,2) / 80@[2,3) / 50@[3,∞). The uncollapsed store
+    // retains the 50@3 event, so the late merge re-derives it exactly.
+    val viewDir = Files.createTempDirectory("graft-scdlate").toString + "/view"
+    val early = Seq(("0xb1", "u1", "v1", 50L, 1L), ("0xb3", "u1", "v1", 50L, 3L))
+      .toDF("hash", "user", "can_send_to", "limit", "number")
+    val late = Seq(("0xb2", "u1", "v1", 80L, 2L))
+      .toDF("hash", "user", "can_send_to", "limit", "number")
+    ViewMaintenance.mergeTrustScdBatch(spark, early, viewDir, numBuckets = 8, version = 0L)
+    ViewMaintenance.mergeTrustScdBatch(spark, late, viewDir, numBuckets = 8, version = 1L)
+    val served = ViewMaintenance.readTrustScdView(spark, viewDir)
+      .select("user", "can_send_to", "limit", "valid_from", "valid_to")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(served == Set(
+      ("u1", "v1", 50L, 1L, Some(2L)),
+      ("u1", "v1", 80L, 2L, Some(3L)),
+      ("u1", "v1", 50L, 3L, None)))
+  }
+
   test("deleteKeys erases subjects, rewrites only their buckets, counts rows") {
     val viewDir = Files.createTempDirectory("graft-erasure").toString + "/view"
     val seed = (1 to 32).map(i => TrustEv(f"0xs$i%02d", s"u$i", "v", 10L))
