@@ -402,6 +402,33 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(served == batch)
   }
 
+  test("streaming SCD view: out-of-order stream == one-shot SCD build") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq( // (hash, user, can_send_to, limit, number)
+      ("0xc1", "u1", "v1", 50L, 1L), ("0xc3", "u1", "v1", 50L, 3L),
+      ("0xc2", "u1", "v1", 80L, 2L), // arrives in the SECOND micro-batch
+      ("0xc4", "u2", "v2", 30L, 4L))
+    val dir = Files.createTempDirectory("graft-scdstream").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-scdstream-ckpt").toString
+    val mem = MemoryStream[(String, String, String, Long, Long)]
+    val q = ViewMaintenance.startTrustScdView(
+      mem.toDF().toDF("hash", "user", "can_send_to", "limit", "number"),
+      dir, ckpt, numBuckets = 8)
+    mem.addData(evs(0), evs(1)); q.processAllAvailable()
+    mem.addData(evs(2), evs(3)); q.processAllAvailable()
+    q.stop()
+    val streamed = ViewMaintenance.readTrustScdView(spark, dir)
+      .select("user", "can_send_to", "limit", "valid_from", "valid_to")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    val batch = graft.operators.CirclesViews.trustHistoryScd(
+      evs.toDF("hash", "user", "can_send_to", "limit", "number")
+        .select("hash", "user", "can_send_to", "limit"),
+      evs.toDF("hash", "user", "can_send_to", "limit", "number")
+        .select("hash", "number"))
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(streamed == batch && batch.size == 4) // the late 80@2 split 50@1/50@3
+  }
+
   test("SCD view: late event splitting a collapsed re-state run is exact") {
     // THE case a collapsed store cannot recover: 50@1 and 50@3 merge first
     // (one interval if collapsed), then 80@2 arrives late and must split
