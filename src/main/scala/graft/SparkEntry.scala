@@ -547,6 +547,16 @@ object SparkEntry {
       Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id",
         valPermille = 100, testPermille = 100)
         .select("doc_id", "source", "split").orderBy("doc_id")),
+    // temperature mixture: per-source rates COMPUTED from observed counts
+    // (mass ∝ sqrt(count), expected total = half the corpus) — α=0.5 keeps
+    // the one floating step a correctly-rounded sqrt, so the DuckDB twin
+    // reproduces the exact permille map and the exact sample
+    "q_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.temperatureMix(docs, "source", "doc_id", alpha = 0.5,
+          targetRows = docs.count() / 2)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // exact-k twin of q_hash_sample: TakeOrderedAndProject, never a sort
     "q_sample_topk" -> ((s, d) =>
       Sampling.sampleExactK(Tables.documents(s, d), "doc_id", 100)
@@ -1858,6 +1868,27 @@ object SparkEntry {
         |  WHEN 'src3' THEN '${graft.operators.Sampling.cutoffHex(100)}'
         |  END > substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |ORDER BY doc_id""".stripMargin,
+    // temperature mix: DuckDB recomputes the integer permille protocol —
+    // 1e-6-grain floored sqrt weights, BigInt/HUGEINT floor division —
+    // then applies the same md5 gate; LEAST caps oversubscribed sources
+    "q_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) // 2 AS target FROM n),
+        |w AS (SELECT source, c,
+        |       CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+        |      FROM n),
+        |ww AS (SELECT CAST(sum(wt) AS HUGEINT) AS wsum FROM w),
+        |pm AS (SELECT source,
+        |        LEAST(1000, CAST((1000::HUGEINT * target * wt) // (wsum * c)
+        |                    AS BIGINT)) AS permille
+        |       FROM w, t, ww)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN pm ON d.source = pm.source
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN permille >= 1000 THEN 'g'
+        |       ELSE lower(lpad(to_hex(permille * 4294967), 8, '0')) END
+        |ORDER BY d.doc_id""".stripMargin,
     "q_stratified_split" ->
       s"""SELECT doc_id, source,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

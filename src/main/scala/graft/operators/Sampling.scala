@@ -90,4 +90,50 @@ object Sampling {
   def sampleExactK(df: DataFrame, keyCol: String, k: Int,
                    salt: String = ""): DataFrame =
     df.orderBy(gate(col(keyCol), salt), col(keyCol)).limit(k)
+
+  /** TEMPERATURE mixture permilles: source s gets sampling mass ∝ c_s^α
+    * (α=1 keeps natural proportions, α→0 flattens toward uniform — the
+    * standard multilingual/multi-source rebalancing), scaled so the
+    * EXPECTED total kept is `targetRows`, capped at keep-everything. All
+    * boundary arithmetic is integer (weights floor to 1e-6 grains, the
+    * permille is a BigInt floor-division), so the map is bit-reproducible
+    * across engines; α=0.5 additionally makes the one floating step a
+    * correctly-rounded IEEE sqrt, giving EXACT cross-engine parity (the
+    * oracle's contract — general pow is last-ulp platform-dependent).
+    * Oversubscribed sources (rate ≥ 1) cap at 1000 and the shortfall is
+    * NOT redistributed — deliberate: redistribution would make every
+    * source's rate depend on every other's saturation, breaking the
+    * "adding a source never changes another source's sample" stability
+    * that hash-gated selection exists to provide.
+    */
+  def temperatureMixPermille(counts: Map[String, Long], alpha: Double,
+                             targetRows: Long): Map[String, Int] = {
+    require(alpha >= 0.0, s"negative alpha: $alpha")
+    require(targetRows >= 0, s"negative target: $targetRows")
+    require(counts.values.forall(_ > 0), "empty sources must be absent")
+    val weights = counts.toSeq.sortBy(_._1).map { case (s, c) =>
+      val w = if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+      s -> BigInt(math.floor(w * 1e6).toLong)
+    }
+    val wsum = weights.map(_._2).sum
+    weights.map { case (s, wt) =>
+      val p = BigInt(1000) * BigInt(targetRows) * wt / (wsum * BigInt(counts(s)))
+      s -> p.min(BigInt(1000)).toInt
+    }.toMap
+  }
+
+  /** [[sourceMix]] with the mixture COMPUTED by [[temperatureMixPermille]]
+    * from the observed per-source counts: one partial-aggregated count
+    * pass (collect bounded by the number of sources — a mixture has
+    * dozens, not millions), then the same map-only when-chain gate. At
+    * 100 TB the counts pass is the only corpus touch besides the gate
+    * itself, and table statistics can substitute for it.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     alpha: Double, targetRows: Long, salt: String = ""): DataFrame = {
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sourceMix(df, sourceCol, keyCol,
+      temperatureMixPermille(counts, alpha, targetRows), salt)
+  }
 }

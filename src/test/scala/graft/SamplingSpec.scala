@@ -77,4 +77,41 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("temperatureMixPermille: α=1 natural, α=0 uniform-mass, cap, overflow-safe") {
+    val counts = Map("a" -> 9000L, "b" -> 900L, "c" -> 100L)
+    // α=1: every source keeps the same RATE target/total → proportions kept
+    val nat = Sampling.temperatureMixPermille(counts, 1.0, targetRows = 5000L)
+    assert(nat.values.toSet.size == 1 && nat("a") == 500)
+    // α=0: equal MASS per source → small sources asked for more than they
+    // have cap at 1000; the big source's rate shrinks accordingly
+    val flat = Sampling.temperatureMixPermille(counts, 0.0, targetRows = 3000L)
+    assert(flat("c") == 1000, s"oversubscribed source must cap: $flat")
+    assert(flat("a") == 111, s"1000*1000/9000 floored: $flat") // mass 1000 over 9000 rows
+    // α=0.5 lies between: sqrt weights favor small sources vs natural
+    val mid = Sampling.temperatureMixPermille(counts, 0.5, targetRows = 5000L)
+    assert(mid("c") > nat("c") && mid("a") < nat("a"))
+    // 100 TB-sized counts: BigInt path, no Long overflow
+    val big = Sampling.temperatureMixPermille(
+      Map("x" -> 90000000000L, "y" -> 10000000000L), 0.5, 50000000000L)
+    assert(big.values.forall(p => p >= 0 && p <= 1000))
+  }
+
+  test("temperatureMix: expected total hit, repartition-invariant, mixture flattened") {
+    val df = ((0L until 8000L).map(i => (i, "big")) ++
+      (8000L until 9000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(df, "source", "doc_id", 0.5, targetRows = 4500L)
+      .as[(Long, String)].collect()
+    // expected total within sampling noise of the target
+    assert(math.abs(kept.length - 4500) < 300, s"got ${kept.length}")
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // sqrt temperature: small source keeps a ~3x higher RATE than big
+    val rBig = bySource("big").toDouble / 8000
+    val rSmall = bySource("small").toDouble / 1000
+    assert(rSmall / rBig > 2.0 && rSmall / rBig < 4.0, s"rates: $rSmall vs $rBig")
+    val again = Sampling.temperatureMix(df.repartition(7), "source", "doc_id",
+      0.5, targetRows = 4500L).as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
 }
