@@ -368,6 +368,14 @@ class CirclesViewsSpec extends SparkSpec {
     assert(at(4L) == Set(("u1", "v1", 80L), ("u2", "v2", 30L)))
     assert(at(9L) == Set(("u1", "v1", 0L), ("u2", "v2", 30L))) // open rows
     assert(at(0L) == Set.empty)                        // before history
+    // the UNCOLLAPSED form (what the maintained store keeps) answers every
+    // cut identically: per key exactly one interval covers N in either
+    // form — adjacent same-limit intervals agree on the limit
+    val raw = CirclesViews.scdEventIntervals(
+      tr.join(blocks.select("hash", "number"), "hash"))
+    def atRaw(n: Long) = CirclesViews.trustAtBlock(raw, n)
+      .as[(String, String, Long)].collect().toSet
+    (0L to 9L).foreach(n => assert(atRaw(n) == at(n), s"cut at $n diverged"))
   }
 
   test("balancesAtBlock: ledger state rewinds to the block cut") {
