@@ -280,6 +280,43 @@ object ViewMaintenance {
         .select(col("user"), col("can_send_to"), col("limit"),
           col("valid_from").as("number"), col("hash")))
 
+  /** SCD-store compaction under BOUNDED LATENESS: the store keeps
+    * re-states so late events can split them ([[mergeTrustScdBatch]]) —
+    * but a re-state whose interval opens below `safeBelow` (the
+    * reorg-safe frontier; the reference re-checks only the last ~16-18
+    * blocks, and everything below the last-valid watermark is final) can
+    * never be split any more, so the collapse that is unsound in general
+    * is sound there. One full rewrite (O(view), like [[compact]]) drops
+    * exactly the finalized re-states; rows at or above the horizon stay
+    * uncollapsed, keeping later out-of-order merges exact. The SERVED
+    * view is invariant under this compaction (serve-side collapse would
+    * have dropped the same rows — spec'd); what shrinks is the store.
+    * A late event below the horizon is out of contract — the reorg path
+    * (delete + re-import) owns those, exactly as in the reference.
+    */
+  def compactTrustScdStore(spark: SparkSession, viewDir: String, safeBelow: Long,
+                           committer: ManifestCommitter = RenameCommitter): Unit = {
+    val (curVer, lastBatch, mapping) = readManifest(spark, viewDir)
+    if (mapping.isEmpty) return
+    val v = curVer + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user", "can_send_to").orderBy("number", "hash")
+    val kept = readView(spark, viewDir)
+      .select(col("user"), col("can_send_to"), col("limit"),
+        col("valid_from").as("number"), col("hash"), col("bucket"))
+      .withColumn("prev_limit", lag(col("limit"), 1).over(w))
+      .where(col("prev_limit").isNull || col("prev_limit") =!= col("limit") ||
+             col("number") >= safeBelow)
+      .withColumn("valid_to", lead(col("number"), 1).over(w))
+      .select(col("user"), col("can_send_to"), col("limit"),
+        col("number").as("valid_from"), col("valid_to"), col("hash"), col("bucket"))
+    kept.repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$viewDir/data/g=$v")
+    val newMapping = mapping.keys.map(_ -> v).toMap
+    if (writeManifest(spark, viewDir, v, lastBatch, newMapping, committer))
+      gc(spark, viewDir, v, newMapping)
+  }
+
   /** Streaming twin: change events → maintained SCD store. */
   def startTrustScdView(trustEvents: DataFrame, viewDir: String,
                         checkpointDir: String,

@@ -450,6 +450,36 @@ class ViewMaintenanceSpec extends SparkSpec {
       ("u1", "v1", 50L, 3L, None)))
   }
 
+  test("SCD compaction: finalized re-states drop, served view invariant, late merges stay exact") {
+    val viewDir = Files.createTempDirectory("graft-scdcompact").toString + "/view"
+    val evs = Seq( // u1: 50@1, 50@2 (re-state), 80@4, 80@6 (re-state)
+      ("0xd1", "u1", "v1", 50L, 1L), ("0xd2", "u1", "v1", 50L, 2L),
+      ("0xd4", "u1", "v1", 80L, 4L), ("0xd6", "u1", "v1", 80L, 6L))
+      .toDF("hash", "user", "can_send_to", "limit", "number")
+    ViewMaintenance.mergeTrustScdBatch(spark, evs, viewDir, numBuckets = 8, version = 0L)
+    def stored = readView(spark, viewDir).count()
+    def served = ViewMaintenance.readTrustScdView(spark, viewDir)
+      .select("user", "can_send_to", "limit", "valid_from", "valid_to")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(stored == 4) // uncollapsed: every event kept
+    val beforeCompact = served
+    // horizon 5: the 50@2 re-state is final and drops; 80@6 (>= 5) is kept
+    // even though it re-states, because a late event could still split it
+    ViewMaintenance.compactTrustScdStore(spark, viewDir, safeBelow = 5L)
+    assert(stored == 3, "exactly the finalized re-state must drop")
+    assert(served == beforeCompact, "compaction must not change the served view")
+    // a late event ABOVE the horizon still splits the kept re-state run
+    ViewMaintenance.mergeTrustScdBatch(spark,
+      Seq(("0xd5", "u1", "v1", 99L, 5L))
+        .toDF("hash", "user", "can_send_to", "limit", "number"),
+      viewDir, numBuckets = 8, version = 1L)
+    assert(served == Set(
+      ("u1", "v1", 50L, 1L, Some(4L)),
+      ("u1", "v1", 80L, 4L, Some(5L)),
+      ("u1", "v1", 99L, 5L, Some(6L)),
+      ("u1", "v1", 80L, 6L, None)))
+  }
+
   test("deleteKeys erases subjects, rewrites only their buckets, counts rows") {
     val viewDir = Files.createTempDirectory("graft-erasure").toString + "/view"
     val seed = (1 to 32).map(i => TrustEv(f"0xs$i%02d", s"u$i", "v", 10L))
