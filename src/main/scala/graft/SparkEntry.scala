@@ -46,6 +46,21 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
     // group-size skew diagnostics over the orders-per-customer key
     "q_skew_report" -> ((s, d) => Analytics.skewReport(Tables.orders(s, d), "o_custkey")),
+    // the explicit skew valve: salted fact⋈dim equi-join (dim replicated
+    // to 8 salts, fact salted by its primary key) — result provably equal
+    // to the plain join, here rolled up per priority
+    "q_skew_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val facts = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
+      val dims = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(facts, dims, Seq("okey"),
+          concat(col("okey"), lit("#"), col("l_linenumber")), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     // z-order vs linear layout, measured: writes events both ways, then
     // counts which files a 10%-slice predicate must read per axis (the
     // footer min/max boxes a pruning reader consults) — rows-only (file
@@ -93,6 +108,15 @@ object SparkEntry {
         Analytics.quantileSketchTable(Tables.documents(s, d), "doc_id", "n_chars",
           Seq("source", "lang")),
         Seq("source")).orderBy("source")),
+    // table profiling (the numeric "dataset card"): one scan, one row per
+    // profiled column
+    "q_profile" -> ((s, d) => Profiler.profile(Tables.lineitem(s, d),
+      Seq("l_extendedprice", "l_orderkey", "l_quantity"))),
+    // data-quality assertions over the order/lineitem parent-child contract
+    // (the import procedure's invariants as a queryable report)
+    "q_dq_report" -> ((s, d) => Profiler.dqReport(
+      Tables.lineitem(s, d), Tables.orders(s, d),
+      "l_orderkey", "o_orderkey", Seq("l_orderkey", "l_linenumber"))),
     "q_above_seg_avg" -> ((s, d) => SqlSurface.aboveSegmentAverage(Tables.customer(s, d))),
     "q_order_sequences" -> ((s, d) => SqlSurface.orderSequences(Tables.orders(s, d))),
     "q_set_ops" -> ((s, d) => SqlSurface.customerSetOps(Tables.orders(s, d))),
@@ -151,6 +175,18 @@ object SparkEntry {
         ReceiptClassifier.demoReceipts(Tables.events(s, d))))
       Graph.pageRank(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
+    }),
+    // trust relevance from a seed set's perspective (random walk with
+    // restart over the same edge list; seeds = every 17th user's safe)
+    "q_trust_ppr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(ev)))
+      val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
+        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+      Graph.personalizedPageRank(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), seeds, iters = 5)
     }),
     // undirected triangle census over a dense demo contact graph (the
     // demo trust functional graph u → 7u+13 mod 150 provably has no
@@ -296,6 +332,16 @@ object SparkEntry {
           ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
           ReceiptClassifier.demoBlocks(ev)),
         atBlock = 7500L)
+    }),
+    // CDC: the changelog a replica applies to move from block 5000's trust
+    // state to block 9000's (one pass over the same SCD frame)
+    "q_trust_delta" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.trustDelta(
+        CirclesViews.trustHistoryScd(
+          ReceiptClassifier.extractTrusts(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoBlocks(ev)),
+        fromBlock = 5000L, toBlock = 9000L)
     }),
     // trust islands: weakly connected components over the current graph
     "q_trust_components" -> ((s, d) => {
@@ -963,6 +1009,46 @@ object SparkEntry {
         | FROM sizes)
         |SELECT key, n, rank, n_keys, max_n, mean_n, p50_n, p99_n
         |FROM heavy CROSS JOIN stats ORDER BY rank""".stripMargin,
+    // the salted join must reproduce the PLAIN join exactly — the oracle
+    // runs the unsalted spelling
+    "q_skew_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // per-column profile legs spelled out (the Spark side unpivots one agg
+    // pass; arithmetic mirrored: decimal(28,8) sum → double / non-null n)
+    "q_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           | CASE WHEN count($c) > 0 THEN
+           |  round(CAST(SUM(CAST($c AS DECIMAL(28,8))) AS DOUBLE)
+           |        / (count(*) - count(CASE WHEN $c IS NULL THEN 1 END)), 12)
+           | END AS mean_v
+           |FROM lineitem""".stripMargin
+      Seq("l_extendedprice", "l_orderkey", "l_quantity").map(leg)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_dq_report" ->
+      """SELECT 'childless_parents' AS "check", CAST(count(*) AS BIGINT) AS n_violations
+        |FROM orders WHERE NOT EXISTS
+        | (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |UNION ALL
+        |SELECT 'duplicate_child_pk', CAST(count(*) AS BIGINT) FROM (
+        | SELECT l_orderkey, l_linenumber FROM lineitem
+        | GROUP BY 1, 2 HAVING count(*) > 1) d
+        |UNION ALL
+        |SELECT 'null_child_fk',
+        | CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orphan_children', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |ORDER BY "check"""".stripMargin,
     "q_above_seg_avg" ->
       """WITH seg AS (
         | SELECT c_mktsegment,
@@ -1528,6 +1614,26 @@ object SparkEntry {
         |SELECT u AS "user", c AS can_send_to, arg_max(lim, num) AS "limit"
         |FROM tr WHERE num <= 7500 GROUP BY u, c
         |ORDER BY "user", can_send_to""".stripMargin,
+    // independent spelling: two arg_max cuts + a FULL JOIN — validates the
+    // one-pass interval-cut diff against the naive two-state formulation
+    "q_trust_delta" ->
+      """WITH tr AS (
+        | SELECT event_id AS num,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS u,
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS c,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS lim
+        | FROM events WHERE event_type = 'signup'),
+        |a AS (SELECT u, c, arg_max(lim, num) AS lim FROM tr
+        |      WHERE num <= 5000 GROUP BY u, c),
+        |b AS (SELECT u, c, arg_max(lim, num) AS lim FROM tr
+        |      WHERE num <= 9000 GROUP BY u, c)
+        |SELECT coalesce(a.u, b.u) AS "user", coalesce(a.c, b.c) AS can_send_to,
+        | CASE WHEN a.u IS NULL THEN 'create'
+        |      WHEN b.u IS NULL THEN 'delete' ELSE 'update' END AS op,
+        | a.lim AS old_limit, b.lim AS new_limit
+        |FROM a FULL JOIN b ON a.u = b.u AND a.c = b.c
+        |WHERE a.lim IS DISTINCT FROM b.lim
+        |ORDER BY "user", can_send_to""".stripMargin,
     "q_trust_components" ->
       """WITH RECURSIVE tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
@@ -1652,6 +1758,7 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    "q_trust_ppr" -> trustPprSql,
     // degree-ordered triangle enumeration, mirrored CASE-for-CASE (row-
     // value comparisons spell the same (deg, id) total order)
     "q_trust_triangles" ->
@@ -2235,6 +2342,46 @@ object SparkEntry {
         |outdeg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
         |p0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 12) AS r
         |       FROM nodes),
+        |""".stripMargin + iterCtes + """
+        |SELECT node, r FROM p5 ORDER BY r DESC, node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank twin of
+    * [[graft.operators.Graph.personalizedPageRank]] (5 iterations, damping
+    * 0.85, seeds = every 17th user's safe ∩ graph nodes, dangling mass
+    * dropped, per-iteration round-to-12). The restart arm spells
+    * `(1.0 - 0.85) * (1.0 / |S|)` exactly like the Spark side (the IEEE
+    * subtraction yields 0.15000000000000002 on both engines — the
+    * bigram-LM spelling precedent).
+    */
+  private val trustPprSql: String = {
+    val restart =
+      """CASE WHEN sd.node IS NOT NULL
+        |       THEN 1.0 / (SELECT count(*) FROM seeds) ELSE 0.0 END""".stripMargin
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (
+        | SELECT nd.node,
+        |  round((1.0 - 0.85) * $restart
+        |        + 0.85 * coalesce(c.s, 0), 12) AS r
+        | FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node
+        | LEFT JOIN (
+        |  SELECT e.dst AS node, sum(p.r / o.deg) AS s
+        |  FROM e1 e JOIN p${i - 1} p ON p.node = e.src
+        |            JOIN outdeg o ON o.src = e.src
+        |  GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    trustE1Cte +
+      s""",
+        |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |outdeg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |seeds AS (
+        | SELECT DISTINCT s.node FROM (
+        |  SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS node
+        |  FROM events WHERE event_type = 'signup' AND user_id % 17 = 0) s
+        | JOIN nodes ON nodes.node = s.node),
+        |p0 AS (SELECT nd.node,
+        |        round($restart, 12) AS r
+        |       FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node),
         |""".stripMargin + iterCtes + """
         |SELECT node, r FROM p5 ORDER BY r DESC, node""".stripMargin
   }

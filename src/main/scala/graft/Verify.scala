@@ -17,7 +17,15 @@ object Verify {
     // custom SQL functions + optimizer rules active in the graded runs
     graft.plans.GraftExtensions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // builder-side iteration aid: GRAFT_VERIFY_ONLY=q_a,q_b dumps a subset
+    // (the driver never sets it, so graded runs always cover everything)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

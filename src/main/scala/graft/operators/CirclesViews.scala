@@ -590,6 +590,45 @@ object CirclesViews {
       .select("user", "can_send_to", "limit")
       .orderBy("user", "can_send_to")
 
+  /** CDC between two block cuts: the insert/update/delete row set a
+    * downstream consumer must apply to move a replica of the trust view
+    * from `fromBlock`'s state to `toBlock`'s — the generic changelog twin
+    * of `get_capacity_changes_since_block` (which filters a SPECIFIC view
+    * by provenance; this DIFFS any two as-of states of the SCD store).
+    *
+    * ONE pass over the SCD frame, not two cuts + a full-outer join: the
+    * pre-filter keeps only intervals alive after `fromBlock` and opened by
+    * `toBlock` (at scale it prunes block-range-partitioned history files —
+    * the vast majority of a years-deep store), then a single partial-agg
+    * shuffle on the edge key picks the interval valid at each cut (interval
+    * validity partitions time per edge, so each `max(when)` sees one row).
+    * Works identically on the collapsed and uncollapsed stored forms:
+    * adjacent same-limit intervals land on different cuts but equal limits
+    * and fall out of the change filter.
+    *
+    * `op`: 'create' (absent at from), 'update' (limit moved — revocation
+    * to 0 included), 'delete' (absent at to; unreachable for append-only
+    * trust history, kept for stores that compact edges away).
+    */
+  def trustDelta(scd: DataFrame, fromBlock: Long, toBlock: Long): DataFrame = {
+    require(fromBlock <= toBlock, s"trustDelta: $fromBlock > $toBlock")
+    def validAt(n: Long) =
+      col("valid_from") <= n && (col("valid_to").isNull || col("valid_to") > n)
+    scd
+      .where((col("valid_to").isNull || col("valid_to") > fromBlock) &&
+        col("valid_from") <= toBlock)
+      .groupBy("user", "can_send_to")
+      .agg(max(when(validAt(fromBlock), col("limit"))).as("old_limit"),
+        max(when(validAt(toBlock), col("limit"))).as("new_limit"))
+      .where(!(col("old_limit") <=> col("new_limit")))
+      .select(col("user"), col("can_send_to"),
+        when(col("old_limit").isNull, lit("create"))
+          .when(col("new_limit").isNull, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("old_limit"), col("new_limit"))
+      .orderBy("user", "can_send_to")
+  }
+
   /** TIME-TRAVEL balances: [[balancesBySafeAndToken]] as of a block —
     * what every reorg investigation and audit asks ("what did the ledger
     * say at block N?"). The block cut is a predicate on the block side

@@ -122,6 +122,68 @@ object Graph {
     ranks.orderBy(col("r").desc, col("node"))
   }
 
+  /** Personalized PageRank (random walk with restart): rank mass restarts
+    * at a SEED set instead of uniformly — "who does the network vouch for,
+    * as seen from these safes". The pathfinder-adjacent relevance ranking:
+    * a wallet UI ranks candidate counterparties by PPR from the user's own
+    * safe, and sybil clusters score near zero because the walk restarts
+    * outside them.
+    *
+    *   r_{t+1}(v) = (1−d)·[v ∈ S]/|S| + d·Σ_{u→v} r_t(u)/outdeg(u)
+    *
+    * Same determinism contract as [[pageRank]]: dangling mass dropped (the
+    * unrolled-SQL-expressible variant), ranks rounded to 12 decimals every
+    * iteration so cross-engine ulp drift cannot compound. Scale shape is
+    * identical — per iteration one edges⋈ranks join on pre-partitioned
+    * src, one partial-agg dst sum, one co-partitioned join back; the seed
+    * set rides as a broadcast flag join computed ONCE outside the loop
+    * ((node, is_seed) pairs), and |S| is one bounded driver count.
+    *
+    * Input `edges`: (src, dst, cap), normalized as [[pageRank]]; `seeds`:
+    * one `node` column (ids absent from the graph contribute restart mass
+    * nowhere — they are dropped, matching the SQL twin's semi-join).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .where(col("cap") > 0 && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedNodes = nodes.join(seeds.select("node").distinct(), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val nSeeds = seedNodes.count() // bounded driver aggregate: one long
+    if (nSeeds == 0) {
+      // an empty graph has no ranks (total on empty input); seeds missing
+      // from a NON-empty graph is caller error
+      require(nodes.isEmpty, "personalizedPageRank: no seed intersects the graph")
+      return nodes.select(col("node"), lit(0.0d).as("r"))
+    }
+    val flagged = nodes
+      .join(broadcast(seedNodes.withColumn("is_seed", lit(true))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val restart = when(col("is_seed"), lit(1.0d / nSeeds)).otherwise(lit(0.0d))
+    var ranks = flagged.select(col("node"), round(restart, 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = flagged.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          round(lit(1.0d - damping) * restart +
+            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select("node", "r").orderBy(col("r").desc, col("node"))
+  }
+
   /** Undirected triangle census + local clustering coefficient per node —
     * the cohesion stat of a social graph (a trust edge inside a triangle
     * is vouched for by a common contact; high clustering = tight

@@ -274,11 +274,25 @@ object ViewMaintenance {
     * that only need as-of answers skip this and range-filter the raw
     * store directly.
     */
-  def readTrustScdView(spark: SparkSession, viewDir: String): DataFrame =
-    graft.operators.CirclesViews.scdFromEvents(
-      readView(spark, viewDir)
-        .select(col("user"), col("can_send_to"), col("limit"),
-          col("valid_from").as("number"), col("hash")))
+  def readTrustScdView(spark: SparkSession, viewDir: String): DataFrame = {
+    val stored = readView(spark, viewDir)
+    val events =
+      if (stored.schema.isEmpty) {
+        // never-committed store (all merge batches were empty): readView
+        // degrades to a zero-column frame — rebuild the serve schema so
+        // downstream selects stay total (the readViewOr contract, without
+        // needing a caller-supplied prototype)
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("user", StringType), StructField("can_send_to", StringType),
+            StructField("limit", LongType), StructField("number", LongType),
+            StructField("hash", StringType))))
+      } else stored.select(col("user"), col("can_send_to"), col("limit"),
+        col("valid_from").as("number"), col("hash"))
+    graft.operators.CirclesViews.scdFromEvents(events)
+  }
 
   /** SCD-store compaction under BOUNDED LATENESS: the store keeps
     * re-states so late events can split them ([[mergeTrustScdBatch]]) —

@@ -378,6 +378,52 @@ class CirclesViewsSpec extends SparkSpec {
     (0L to 9L).foreach(n => assert(atRaw(n) == at(n), s"cut at $n diverged"))
   }
 
+  test("trustDelta: create/update/revocation arms; unchanged and flickering edges absent") {
+    val tr = Seq(
+      ("0xc1", "u1", "v1", 50L), // before A, then re-stated 80 between cuts
+      ("0xc3", "u1", "v1", 80L),
+      ("0xc4", "u2", "v2", 30L), // created between cuts
+      ("0xc2", "u3", "v3", 40L), // before A, untouched → absent
+      ("0xc5", "u4", "v4", 20L), // before A, revoked to 0 between cuts
+      ("0xc6", "u4", "v4", 0L),
+      ("0xc7", "u5", "v5", 10L), // created AND superseded between cuts:
+      ("0xc8", "u5", "v5", 60L)  //   only the final state shows as create
+    ).toDF("hash", "user", "can_send_to", "limit")
+    val blocks = Seq("0xc1" -> 1L, "0xc2" -> 2L, "0xc3" -> 4L, "0xc4" -> 5L,
+      "0xc5" -> 2L, "0xc6" -> 6L, "0xc7" -> 4L, "0xc8" -> 5L)
+      .toDF("hash", "number")
+    val scd = CirclesViews.trustHistoryScd(tr, blocks)
+    val d = CirclesViews.trustDelta(scd, fromBlock = 3L, toBlock = 7L)
+      .as[(String, String, String, Option[Long], Option[Long])].collect().toSeq
+    assert(d == Seq(
+      ("u1", "v1", "update", Some(50L), Some(80L)),
+      ("u2", "v2", "create", None, Some(30L)),
+      ("u4", "v4", "update", Some(20L), Some(0L)), // revocation is an update
+      ("u5", "v5", "create", None, Some(60L))))
+    // identical on the uncollapsed stored form (re-states land on different
+    // cut rows but equal limits fall out of the change filter)
+    val raw = CirclesViews.scdEventIntervals(
+      tr.join(blocks.select("hash", "number"), "hash"))
+    val dRaw = CirclesViews.trustDelta(raw, 3L, 7L)
+      .as[(String, String, String, Option[Long], Option[Long])].collect().toSeq
+    assert(dRaw == d)
+    // from == to → empty changelog; applying the delta to state(from)
+    // reproduces state(to) exactly
+    assert(CirclesViews.trustDelta(scd, 3L, 3L).isEmpty)
+    val before = CirclesViews.trustAtBlock(scd, 3L)
+      .as[(String, String, Long)].collect()
+      .map { case (u, c, l) => (u, c) -> l }.toMap
+    val after = CirclesViews.trustAtBlock(scd, 7L)
+      .as[(String, String, Long)].collect()
+      .map { case (u, c, l) => (u, c) -> l }.toMap
+    val applied = d.foldLeft(before) {
+      case (st, (u, c, "delete", _, _)) => st - ((u, c))
+      case (st, (u, c, _, _, Some(n))) => st + ((u, c) -> n)
+      case (st, _) => st
+    }
+    assert(applied == after)
+  }
+
   test("balancesAtBlock: ledger state rewinds to the block cut") {
     val blocks = Seq(("0xa1", ts("2024-01-01 10:00:00"), 1L),
       ("0xa2", ts("2024-01-02 10:00:00"), 2L), ("0xa3", ts("2024-01-03 10:00:00"), 3L)

@@ -32,7 +32,10 @@ class EmptyInputSpec extends SparkSpec {
       // input (q_last_valid's watermark, q_total_minted's / the TPC-H
       // ratio queries' null sums)
       val globalAggs = Set("q_last_valid", "q_total_minted",
-        "q14_promo_share", "q19_disjunctive_rev")
+        "q14_promo_share", "q19_disjunctive_rev",
+        // report frames: one row per profiled column / per DQ check even
+        // over an empty table (zero counts ARE the report)
+        "q_profile", "q_dq_report")
       if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }

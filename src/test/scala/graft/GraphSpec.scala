@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -93,6 +94,48 @@ class GraphSpec extends SparkSpec {
     val r2 = Graph.pageRank(edges.repartition(7), iters = 5)
       .as[(String, Double)].collect()
     assert(r.toSeq == r2.toSeq)
+  }
+
+  test("personalizedPageRank: restart mass stays near the seed; unreachable component scores 0") {
+    // two disjoint 2-cycles; seed in the first → the second gets exactly 0
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("x", "y", 1L), ("y", "x", 1L))
+      .toDF("src", "dst", "cap")
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r("x") == 0.0 && r("y") == 0.0)
+    // on the seed's cycle the walk alternates: after an ODD number of
+    // iterations the damped flow sits on b; both positive, total ≤ 1
+    assert(r("b") > r("a") && r("a") > 0.0)
+    assert(r.values.sum <= 1.0 + 1e-9)
+    // hand-check one iteration: p0 = (a:1, b:0);
+    // r(a) = 0.15·1 + 0.85·(0/1) = 0.15; r(b) = 0 + 0.85·(1/1) = 0.85
+    val one = Graph.personalizedPageRank(edges, seeds, iters = 1)
+      .as[(String, Double)].collect().toMap
+    // (1.0−0.85)·1 = 0.15000000000000002 pre-round; round-12 → 0.15
+    assert(one("a") == 0.15 && one("b") == 0.85)
+  }
+
+  test("personalizedPageRank: all-nodes seed ≈ global pageRank; repartition-deterministic") {
+    val edges = ((1 to 6).map(i => (s"leaf$i", "hub", 1L)) ++
+      Seq(("hub", "leaf1", 1L))).toDF("src", "dst", "cap")
+    val all = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val ppr = Graph.personalizedPageRank(edges, all, iters = 5)
+      .as[(String, Double)].collect().toMap
+    val pr = Graph.pageRank(edges, iters = 5).as[(String, Double)].collect().toMap
+    // (1−d)/n vs (1−d)·(1/n) differ by ulps pre-rounding; round-12 keeps
+    // them within one 1e-12 step
+    assert(pr.keySet == ppr.keySet)
+    pr.foreach { case (n, v) => assert(math.abs(v - ppr(n)) <= 1e-12) }
+    val again = Graph.personalizedPageRank(edges.repartition(7), all, iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(again == ppr)
+    // seeds outside the graph are dropped; an empty intersection throws
+    val alien = Seq("nope").toDF("node")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, alien, iters = 1)
+    }
   }
 
   test("triangleStats: K4 + pendant, direction/multiplicity/self-loops erased") {
