@@ -11,6 +11,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,19 +28,32 @@ object Bench {
       li.limit(100).write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A query that THROWS must never publish its time-to-throw as a runtime:
+    // round 5's BENCH.json carried 58 analysis-exception "timings" (~60ms
+    // each) that silently corrupted the total and every round-over-round
+    // comparison. Failed keys go to a separate `failed` map and are excluded
+    // from `queries`/`value`.
+    var failed = Map.empty[String, String]
     val samples: Seq[Map[String, Double]] = (1 to runs).map { r =>
-      names.map { case (name, fn) =>
+      names.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink evaluates EVERY column — count() would let Catalyst prune
         // expensive projections and under-measure (hid a 1000s winnow once)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            failed += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+            System.err.println(s"[bench] run$r $name FAILED: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] run$r $name%-28s $sec%8.2fs")
-        name -> sec
+        if (ok) {
+          System.err.println(f"[bench] run$r $name%-28s $sec%8.2fs")
+          Some(name -> sec)
+        } else None
       }.toMap
     }
-    val stats = names.map { case (name, _) =>
+    val stats = names.collect { case (name, _) if samples.forall(_.contains(name)) =>
       val xs = samples.map(_(name))
       val mean = xs.sum / xs.size
       val stdev =
@@ -52,14 +66,18 @@ object Bench {
       stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
     val total = stats.map(_._2).sum
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val failedObj = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"failed":$failedObj,"runs":$runs,"sf":"$sfDir"}"""
     // stdout gets the COMPACT line (total + 3-decimal means, no stdevs):
     // the driver captures only the stdout tail and rounds 3-4's full
     // mean+stdev line overflowed it ("parsed": null). Full precision +
     // stdevs live in BENCH.json below.
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(t => r3(t._2))},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(t => r3(t._2))},"failed_count":${failed.size},"runs":$runs,"sf":"$sfDir"}"""
     println(compact)
     // also write the JSON to a file: the driver captures only the TAIL of
     // stdout, and round 3's mean block was lost to that truncation — the

@@ -14,6 +14,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Queries that THREW during the dump (written by graft.Verify). A missing
+# parquet dir is not "no news" — round 5 lost 58 correctness rows to exactly
+# that silence.
+try:
+    threw = json.load(open(f"{out_dir}/_failed.json"))
+except FileNotFoundError:
+    threw = {}
 fails, passes, rows_only = [], [], []
 for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     name = qdir.split("/")[-1]
@@ -66,4 +73,9 @@ print(f"ROWS-ONLY ({len(rows_only)}):")
 for n, r in rows_only: print(f"  {n}: {r} rows")
 print(f"FAIL ({len(fails)}):")
 for n, m in fails: print(f"  {n}: {m}")
-sys.exit(1 if fails else 0)
+print(f"THREW ({len(threw)}):")
+for n, m in sorted(threw.items()): print(f"  {n}: {m[:200]}")
+# count integrity: every declared query must be accounted for as dumped|threw
+checked = len(passes) + len(rows_only) + len(fails)
+print(f"TOTAL: checked={checked} threw={len(threw)} (must sum to SparkEntry.queries.size)")
+sys.exit(1 if (fails or threw) else 0)
