@@ -464,6 +464,60 @@ object SparkEntry {
         signups.where(col("token").isNull).select(col("user").as("organisation")),
         ReceiptClassifier.demoBlocks(ev), sinceBlock = 5000L)
     }),
+    // ---- formatted_* presentation views (0.0.64.sql:1324-1395) + the
+    // crc_token_transfer_2 / get_capacity API surface ----
+    "q_fmt_hub_transfer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.formattedView(Demo.hubStr(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash")
+    }),
+    "q_fmt_erc20_transfer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.formattedView(Demo.erc20Str(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash", "from")
+    }),
+    "q_fmt_crc_minting" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.formattedView(
+        CirclesViews.crcMinting(Demo.erc20Str(ReceiptClassifier.demoReceipts(ev)),
+            ReceiptClassifier.demoSignups(ev))
+          .select("hash", "token", "from", "to", "value"),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash")
+    }),
+    "q_fmt_eth_transfer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.formattedView(
+        ReceiptClassifier.extractEthTransfers(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash")
+    }),
+    "q_fmt_safe_eth_transfer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.formattedView(
+        ReceiptClassifier.extractSafeEthTransfers(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash")
+    }),
+    "q_token_transfer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CirclesViews.crcTokenTransfer(Demo.erc20Str(ReceiptClassifier.demoReceipts(ev)),
+        ReceiptClassifier.demoSignups(ev),
+        ReceiptClassifier.demoBlocks(ev)).orderBy("hash", "from")
+    }),
+    // the per-edge debug probe the pathfinder calls on a capacity mismatch
+    "q_get_capacity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      val owners = ReceiptClassifier.demoSignups(ev)
+        .where(col("token").isNotNull)
+        .select(col("token"), col("user").as("token_owner"))
+      val bal = CirclesViews.balancesBySafeAndToken(Demo.erc20Num(r))
+        .join(broadcast(owners), Seq("token"))
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(r))
+      CirclesViews.getCapacity(bal, trust,
+        from = "0x" + "0" * 34 + "1e8481", // addr(2000001): holder of user 1's token
+        to = "0x" + "0" * 38 + "14",       // addr(20): user 1's trustee (7·1+13)
+        tokenOwner = "0x" + "0" * 39 + "1")
+    }),
     "q_all_signups" -> ((s, d) => {
       val ev = Tables.events(s, d)
       CirclesViews.allSignups(ReceiptClassifier.demoSignups(ev),
@@ -743,6 +797,15 @@ object SparkEntry {
       |       ELSE '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') END AS "to",
       |  CAST(event_id AS VARCHAR) AS value
       | FROM events WHERE event_type IN ('purchase', 'click'))""".stripMargin
+
+  /** Block-context CTE for the formatted_* view oracles: the demo block
+    * frame exactly as [[graft.operators.ReceiptClassifier.demoBlocks]]
+    * builds it, with the timestamp pre-rendered as epoch µs.
+    */
+  private val fmtBlkCte =
+    """,
+      |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+      |        epoch_us(ts) AS ts_us, event_id AS block_number FROM events)""".stripMargin
 
   /** ANSI SQL oracles (DuckDB) — byte-identical aliases to the Spark side.
     * Omitted keys (minhash/simhash/ngram/lsh/lang_id/fingerprint) are
@@ -1521,6 +1584,127 @@ object SparkEntry {
       s"""SELECT * FROM ($capacityGraph3Sql) t
         |WHERE from_balance_last_change >= 5000 OR trust_last_change >= 5000
         |ORDER BY "from", "to", token_owner""".stripMargin,
+    // formatted_* presentation views (0.0.64.sql:1324-1395): detail rows
+    // with block context, value as text
+    "q_fmt_hub_transfer" -> (demoCte + fmtBlkCte +
+      """,
+        |hub AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex((user_id * 11 + 7) % 150)), 40, '0') AS "to",
+        |  CAST(event_id AS VARCHAR) AS value
+        | FROM events WHERE event_type = 'click')
+        |SELECT h.hash, h."from", h."to", h.value, b.ts_us, b.block_number,
+        |       CAST(0 AS BIGINT) AS tx_index
+        |FROM hub h JOIN blk b ON h.hash = b.hash ORDER BY h.hash""".stripMargin),
+    "q_fmt_erc20_transfer" -> (demoCte + fmtBlkCte +
+      """
+        |SELECT e.hash, e.token, e."from", e."to", e.value, b.ts_us,
+        |       b.block_number, CAST(0 AS BIGINT) AS tx_index
+        |FROM erc e JOIN blk b ON e.hash = b.hash ORDER BY e.hash, e."from"""".stripMargin),
+    "q_fmt_crc_minting" -> (demoCte + fmtBlkCte +
+      """
+        |SELECT e.hash, e.token, e."from", e."to", e.value, b.ts_us,
+        |       b.block_number, CAST(0 AS BIGINT) AS tx_index
+        |FROM erc e JOIN reg r ON e.token = r.token
+        |            JOIN blk b ON e.hash = b.hash
+        |WHERE e."from" = '0x' || repeat('0', 40) ORDER BY e.hash""".stripMargin),
+    "q_fmt_eth_transfer" -> (demoCte + fmtBlkCte +
+      """,
+        |eth AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "to",
+        |  '1000000' AS value
+        | FROM events WHERE event_type = 'error' AND event_id % 2 = 1)
+        |SELECT e.hash, e."from", e."to", e.value, b.ts_us, b.block_number,
+        |       CAST(0 AS BIGINT) AS tx_index
+        |FROM eth e JOIN blk b ON e.hash = b.hash ORDER BY e.hash""".stripMargin),
+    "q_fmt_safe_eth_transfer" -> (demoCte + fmtBlkCte +
+      """,
+        |seth AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS initiator,
+        |  '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS "from",
+        |  '0x' || lpad(lower(to_hex((user_id * 13 + 29) % 150)), 40, '0') AS "to",
+        |  CAST(event_id AS VARCHAR) AS value
+        | FROM events WHERE event_type = 'error' AND event_id % 2 = 0)
+        |SELECT s.hash, s.initiator, s."from", s."to", s.value, b.ts_us,
+        |       b.block_number, CAST(0 AS BIGINT) AS tx_index
+        |FROM seth s JOIN blk b ON s.hash = b.hash ORDER BY s.hash""".stripMargin),
+    // crc_token_transfer_2 (0.0.64.sql:688): erc20 transfers of CRC tokens
+    "q_token_transfer" -> (demoCte + fmtBlkCte +
+      """
+        |SELECT e.hash, e.token, e."from", e."to", e.value, b.ts_us,
+        |       b.block_number, CAST(0 AS BIGINT) AS tx_index
+        |FROM erc e JOIN blk b ON e.hash = b.hash
+        |WHERE e.token IN (SELECT token FROM reg WHERE token IS NOT NULL)
+        |ORDER BY e.hash, e."from"""".stripMargin),
+    // get_capacity(from,to,token_owner) (0.0.64.sql:1674): the 9-row debug
+    // probe — args rows only when their lookup matched, calc rows always
+    "q_get_capacity" -> (demoCte +
+      """,
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup'),
+        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit"
+        |       FROM tr GROUP BY "user", can_send_to),
+        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
+        |bal AS (
+        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance FROM (
+        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta FROM erc
+        |  UNION ALL
+        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)) FROM erc) dd
+        | GROUP BY safe_address, token),
+        |balo AS (SELECT b.safe_address, o.token_owner, b.balance
+        |         FROM bal b JOIN own o USING (token)),
+        |p AS (SELECT '0x' || repeat('0', 34) || '1e8481' AS a_from,
+        |             '0x' || repeat('0', 38) || '14' AS a_to,
+        |             '0x' || repeat('0', 39) || '1' AS a_owner),
+        |args AS (
+        | SELECT 1 AS id, 'token_owner''s balance of token_owner''s own tokens' AS label,
+        |        balance AS value
+        | FROM balo, p WHERE safe_address = a_owner AND token_owner = a_owner
+        | UNION ALL
+        | SELECT 2, 'receiver''s balance of token_owner''s tokens', balance
+        | FROM balo, p WHERE safe_address = a_to AND token_owner = a_owner
+        | UNION ALL
+        | SELECT 3, 'senders''s balance of token_owner''s tokens', balance
+        | FROM balo, p WHERE safe_address = a_from AND token_owner = a_owner
+        | UNION ALL
+        | SELECT 4, 'receiver''s trust in token_owner''s token (%)',
+        |        CAST("limit" AS DOUBLE)
+        | FROM ct, p WHERE can_send_to = a_to AND "user" = a_owner
+        | UNION ALL
+        | SELECT 5, 'receiver''s balance of receiver''s own tokens', balance
+        | FROM balo, p WHERE safe_address = a_to AND token_owner = a_to),
+        |calc_1 AS (
+        | SELECT * FROM args
+        | UNION ALL
+        | SELECT 6, 'max',
+        |  (SELECT value FROM args WHERE id = 5) * (SELECT value FROM args WHERE id = 4) / 100
+        | UNION ALL
+        | SELECT 7, 'destBalanceScaled',
+        |  (SELECT value FROM args WHERE id = 2)
+        |    * (100 - (SELECT value FROM args WHERE id = 4)) / 100),
+        |calc_2 AS (
+        | SELECT * FROM calc_1
+        | UNION ALL
+        | SELECT 8, 'max < receiver''s balance of token_owner''s tokens',
+        |  CASE WHEN ((SELECT value FROM calc_1 WHERE id = 6)
+        |             < (SELECT value FROM args WHERE id = 2))
+        |       THEN 1.0 ELSE 0.0 END
+        | UNION ALL
+        | SELECT 9, 'sendLimit',
+        |  CASE WHEN ((SELECT value FROM calc_1 WHERE id = 6)
+        |             < (SELECT value FROM args WHERE id = 2))
+        |       THEN 0.0
+        |       ELSE (SELECT value FROM calc_1 WHERE id = 6)
+        |            - (SELECT value FROM calc_1 WHERE id = 7) END)
+        |SELECT id, label, value FROM calc_2 ORDER BY id""".stripMargin),
     "q_all_signups" ->
       """WITH reg AS (
         | SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,

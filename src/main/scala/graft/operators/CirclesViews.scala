@@ -674,4 +674,98 @@ object CirclesViews {
         sum(when(col("revoked"), 1L).otherwise(0L)).as("edges_revoked"))
       .orderBy("day_ms")
   }
+
+  /** The `formatted_*` presentation views (0.0.64.sql:1324-1395) — the
+    * API's most-served wire shape after the timeline: each detail row with
+    * its block context (timestamp, block number, tx index) attached and
+    * `value` rendered as text (`value::text` in the catalog). One generic
+    * projection serves all five reference views plus crc_token_transfer_2;
+    * callers pass the already-extracted detail frame.
+    *
+    * Naming: the reference's `timestamp`/`index` columns are emitted as
+    * `ts_us` (epoch µs BIGINT — tz-safe across engines) and `tx_index`
+    * (non-reserved both dialects). The demo chain carries one tx per
+    * block, so tx_index is the constant 0 the reference would produce.
+    *
+    * Scale shape: detail ⋈ block on tx hash is co-sized — NOT broadcast.
+    * In production the detail store carries (timestamp, block_number,
+    * index) denormalized exactly like the reference's detail tables
+    * (0.0.64.sql:70-140), so this join runs once at extraction time and
+    * the view is a map-only projection; here it models that derivation
+    * explicitly over the demo frames.
+    */
+  def formattedView(details: DataFrame, blocks: DataFrame): DataFrame =
+    details
+      .join(blocks.select(col("hash"), unix_micros(col("ts")).as("ts_us"),
+        col("number").as("block_number")), Seq("hash"))
+      .withColumn("tx_index", lit(0L))
+      .withColumn("value", col("value").cast("string"))
+
+  /** crc_token_transfer_2 (0.0.64.sql:688): erc20 transfers restricted to
+    * CRC tokens — a semi join against the signup registry's token column
+    * (registry-sized → broadcast), with block context like the formatted
+    * views it feeds.
+    */
+  def crcTokenTransfer(erc20Transfers: DataFrame, signups: DataFrame,
+                       blocks: DataFrame): DataFrame =
+    formattedView(
+      erc20Transfers.join(
+        broadcast(signups.where(col("token").isNotNull).select("token")),
+        Seq("token"), "left_semi"),
+      blocks)
+
+  /** get_capacity(from, to, token_owner) (0.0.64.sql:1674) — the
+    * pathfinder's per-edge debug probe: the five point lookups feeding one
+    * capacity edge plus the four derived calc rows, as (id, label, value).
+    * Rows 1-5 appear only when their lookup matched (the reference's args
+    * CTE arms contribute zero rows on a miss); rows 6-9 always appear,
+    * with NULL propagating through the arithmetic exactly as the Postgres
+    * scalar subqueries do.
+    *
+    * Scale shape: each lookup is an equality predicate pushed into the
+    * balance/trust store scan (partition-prunable when the store is
+    * bucketed by safe_address — sources.BucketedStore); the five 1-row
+    * aggregates cross-join into a single row before the fan-out to 9, so
+    * nothing bigger than one row ever moves after the scans.
+    */
+  def getCapacity(balances: DataFrame, trust: DataFrame,
+                  from: String, to: String, tokenOwner: String): DataFrame = {
+    def look(df: DataFrame, pred: Column, v: Column, i: Int): DataFrame =
+      df.where(pred).agg(first(v).as(s"v$i"), (count(lit(1)) > 0).as(s"p$i"))
+    val b = balances.select(col("safe_address"), col("token_owner"), col("balance"))
+    val a1 = look(b, col("safe_address") === tokenOwner &&
+      col("token_owner") === tokenOwner, col("balance"), 1)
+    val a2 = look(b, col("safe_address") === to &&
+      col("token_owner") === tokenOwner, col("balance"), 2)
+    val a3 = look(b, col("safe_address") === from &&
+      col("token_owner") === tokenOwner, col("balance"), 3)
+    val a4 = look(trust, col("can_send_to") === to &&
+      col("user") === tokenOwner, col("limit").cast("double"), 4)
+    val a5 = look(b, col("safe_address") === to &&
+      col("token_owner") === to, col("balance"), 5)
+    val one = a1.crossJoin(a2).crossJoin(a3).crossJoin(a4).crossJoin(a5)
+      .withColumn("v6", col("v5") * col("v4") / lit(100.0d))
+      .withColumn("v7", col("v2") * (lit(100.0d) - col("v4")) / lit(100.0d))
+      .withColumn("v8", when(col("v6") < col("v2"), lit(1.0d)).otherwise(lit(0.0d)))
+      .withColumn("v9", when(col("v6") < col("v2"), lit(0.0d))
+        .otherwise(col("v6") - col("v7")))
+    val labels = Seq(
+      1 -> "token_owner's balance of token_owner's own tokens",
+      2 -> "receiver's balance of token_owner's tokens",
+      3 -> "senders's balance of token_owner's tokens",
+      4 -> "receiver's trust in token_owner's token (%)",
+      5 -> "receiver's balance of receiver's own tokens",
+      6 -> "max",
+      7 -> "destBalanceScaled",
+      8 -> "max < receiver's balance of token_owner's tokens",
+      9 -> "sendLimit")
+    val rows = labels.map { case (i, lbl) =>
+      struct(lit(i).as("id"), lit(lbl).as("label"), col(s"v$i").as("value"),
+        (if (i <= 5) col(s"p$i") else lit(true)).as("present"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .where(col("r.present"))
+      .select(col("r.id").as("id"), col("r.label").as("label"),
+        col("r.value").as("value"))
+  }
 }

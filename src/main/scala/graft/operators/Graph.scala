@@ -39,22 +39,45 @@ object Graph {
     * same way the prefix index salts hot tokens; the hop bound (2–4 in
     * the pathfinder use) keeps the closure from densifying.
     *
+    * `frontierCap` is the DENSE-GRAPH VALVE (the bucketCap/middleCap
+    * precedent): 0 = exact closure; N > 0 keeps, after every round, only
+    * each source's N widest frontier rows (ties broken by dst, so the cut
+    * is deterministic) — a beam search. The capped result is an explicit,
+    * audited under-approximation: a SUBSET of the exact pairs, each with a
+    * capacity ≤ its exact value (spec'd), which is the safe direction for
+    * a pathfinder prune (it never overpromises routable capacity). The
+    * frontier carried into round k is ≤ N·|sources| rows no matter how
+    * the pair closure would densify — on a dense graph the exact frame
+    * tends toward |V|², the beam stays N·|V|.
+    *
     * Input `edges`: (src, dst, cap) — parallel edges reduce to max cap,
     * self-loops and non-positive capacities are dropped.
     */
-  def widestPaths(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+  def widestPaths(edges: DataFrame, maxHops: Int = 3, frontierCap: Int = 0): DataFrame = {
+    // per-source top-N by (cap desc, dst): the row_number spelling is
+    // rewritten to the bounded-heap TopK aggregate by RowNumberToPickRule
+    // when extensions are registered — no full per-source sort either way
+    def beam(df: DataFrame): DataFrame =
+      if (frontierCap <= 0) df
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("cap").desc, col("dst"))
+        df.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= frontierCap).drop("_rn")
+      }
     val e = edges
       .where(col("cap") > 0 && col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(max("cap").as("cap"))
       .localCheckpoint(true)
-    var best = e
+    var best = beam(e)
+    if (frontierCap > 0) best = best.localCheckpoint(true)
     for (_ <- 2 to maxHops) {
       val extended = best.as("b")
         .join(e.as("x"), col("b.dst") === col("x.src") && col("b.src") =!= col("x.dst"))
         .select(col("b.src").as("src"), col("x.dst").as("dst"),
           least(col("b.cap"), col("x.cap")).as("cap"))
-      best = best.unionByName(extended)
-        .groupBy("src", "dst").agg(max("cap").as("cap"))
+      best = beam(best.unionByName(extended)
+          .groupBy("src", "dst").agg(max("cap").as("cap")))
         .localCheckpoint(true)
     }
     best.orderBy("src", "dst")

@@ -472,4 +472,65 @@ class CirclesViewsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(r == Seq((ts("2024-01-06 00:00:00").getTime, 2L)))
   }
+
+  test("formattedView: block context attached, value rendered as text") {
+    val blocks = Seq(
+      ("0xa1", ts("2024-01-06 10:00:00"), 11L),
+      ("0xa2", ts("2024-01-06 11:00:00"), 12L),
+      ("0xa3", ts("2024-01-06 12:00:00"), 13L)
+    ).toDF("hash", "ts", "number")
+    val r = CirclesViews.formattedView(transfers, blocks)
+    assert(r.schema("value").dataType == org.apache.spark.sql.types.StringType)
+    val row = r.where(col("hash") === "0xa1")
+      .select("token", "from", "to", "value", "ts_us", "block_number", "tx_index")
+      .as[(String, String, String, String, Long, Long, Long)].collect().toSeq
+    assert(row == Seq(("tokA", "u1", "u2", "100",
+      ts("2024-01-06 10:00:00").getTime * 1000L, 11L, 0L)))
+    assert(r.count() == 3)
+  }
+
+  test("crcTokenTransfer: only CRC-token transfers survive the registry semi join") {
+    val blocks = Seq(
+      ("0xa1", ts("2024-01-06 10:00:00"), 11L),
+      ("0xa2", ts("2024-01-06 11:00:00"), 12L),
+      ("0xa3", ts("2024-01-06 12:00:00"), 13L)
+    ).toDF("hash", "ts", "number")
+    // signups register tokA and tokB; add a transfer of an unregistered token
+    val xfers = transfers.unionAll(
+      Seq(("0xa4", "tokX", "u1", "u2", 5L)).toDF("hash", "token", "from", "to", "value"))
+    val blocks4 = blocks.unionAll(Seq(("0xa4", ts("2024-01-06 13:00:00"), 14L))
+      .toDF("hash", "ts", "number"))
+    val r = CirclesViews.crcTokenTransfer(xfers, signups, blocks4)
+    assert(r.select("hash").as[String].collect().toSet == Set("0xa1", "0xa2", "0xa3"))
+  }
+
+  test("getCapacity: args rows only when matched; calc rows always, null-propagating") {
+    // owner o1 holds 100 of its own token; receiver r1 holds 40 of o1's
+    // token and 200 of its own; r1 trusts o1 at 50%
+    val bal = Seq(
+      ("o1", "o1", 100.0), ("r1", "o1", 40.0), ("r1", "r1", 200.0),
+      ("s1", "o1", 70.0)
+    ).toDF("safe_address", "token_owner", "balance")
+    val trust = Seq(("o1", "r1", 50L)).toDF("user", "can_send_to", "limit")
+    val r = CirclesViews.getCapacity(bal, trust, from = "s1", to = "r1", tokenOwner = "o1")
+      .as[(Int, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq(1, 2, 3, 4, 5, 6, 7, 8, 9))
+    val byId = r.map(t => t._1 -> t._3).toMap
+    assert(byId(1).contains(100.0) && byId(2).contains(40.0) &&
+      byId(3).contains(70.0) && byId(4).contains(50.0) && byId(5).contains(200.0))
+    assert(byId(6).contains(100.0))            // 200 * 50 / 100
+    assert(byId(7).contains(20.0))             // 40 * (100-50) / 100
+    assert(byId(8).contains(0.0))              // max >= held
+    assert(byId(9).contains(80.0))             // 100 - 20
+
+    // missing trust edge: arm 4 absent; 6/7 go null; 8 falls to else=0;
+    // 9 = null - null = null — the reference's scalar-subquery semantics
+    val r2 = CirclesViews.getCapacity(bal, trust.limit(0), from = "s1", to = "r1",
+        tokenOwner = "o1")
+      .as[(Int, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(r2.map(_._1) == Seq(1, 2, 3, 5, 6, 7, 8, 9))
+    val byId2 = r2.map(t => t._1 -> t._3).toMap
+    assert(byId2(6).isEmpty && byId2(7).isEmpty && byId2(9).isEmpty)
+    assert(byId2(8).contains(0.0))
+  }
 }

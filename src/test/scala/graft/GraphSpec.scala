@@ -57,6 +57,37 @@ class GraphSpec extends SparkSpec {
     assert(got == best.toMap)
   }
 
+  test("widestPaths frontierCap: beam is a sound under-approximation and exact when wide enough") {
+    val rnd = new scala.util.Random(11)
+    val n = 14
+    // dense-ish hub graph: node 0 connects everywhere (the densification case)
+    val edges = ((for {
+      s <- 0 until n; t <- 0 until n
+      if s != t && (s == 0 || t == 0 || rnd.nextInt(100) < 30)
+    } yield (s.toString, t.toString, (rnd.nextInt(20) + 1).toLong))).toSeq
+    val df = edges.toDF("src", "dst", "cap")
+    val exact = Graph.widestPaths(df, maxHops = 3)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val capped = Graph.widestPaths(df, maxHops = 3, frontierCap = 4)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // subset of exact pairs, never overpromising capacity (the safe
+    // direction for a pathfinder prune)
+    capped.foreach { case (pair, c) =>
+      assert(exact.contains(pair) && c <= exact(pair),
+        s"capped $pair=$c vs exact ${exact.get(pair)}")
+    }
+    // per-source frontier bound holds on the OUTPUT too
+    capped.keys.groupBy(_._1).foreach { case (_, ps) => assert(ps.size <= 4) }
+    // a beam at least as wide as the closure's max per-source fan-out is exact
+    val wide = Graph.widestPaths(df, maxHops = 3, frontierCap = n)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(wide == exact)
+    // deterministic under repartition (ties cut by dst)
+    val capped2 = Graph.widestPaths(df.repartition(7), maxHops = 3, frontierCap = 4)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(capped2 == capped)
+  }
+
   test("reachCounts aggregates the closure per source") {
     val edges = Seq(("a", "b", 4L), ("b", "c", 9L)).toDF("src", "dst", "cap")
     val r = Graph.reachCounts(edges, maxHops = 2).as[(String, Long, Long)]
