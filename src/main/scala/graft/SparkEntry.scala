@@ -100,6 +100,28 @@ object SparkEntry {
         Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
         Seq("event_type")).orderBy("event_type")
     }),
+    // same rollup served FROM the MAINTAINED sketch store: three hash-sliced
+    // micro-batches folded through the manifest-committed view, then read
+    // back — batch/streaming sketch convergence on the driver gate, not
+    // only in ApproxAggSpec (rows-only like its one-shot twin)
+    "q_distinct_sketch_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+        .persist() // merges run 2 actions per slice (probe + write)
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-sketch")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeSketchesBatch(s,
+          ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i),
+          viewDir, keyCol = "user_id", byCols = Seq("event_type", "day"),
+          numBuckets = 8, version = i.toLong) // buckets sized to the demo view
+      }
+      ev.unpersist()
+      Analytics.distinctFromSketches(
+        graft.streaming.ViewMaintenance.readView(s, viewDir),
+        Seq("event_type")).orderBy("event_type")
+    }),
     // per-source doc-length quantiles served FROM per-(source,lang) stored
     // quantile sketches — rows-only (sample-based estimates are
     // engine-specific; exactness/semilattice properties in QuantileSketchSpec)

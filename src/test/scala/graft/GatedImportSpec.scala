@@ -89,6 +89,45 @@ class GatedImportSpec extends SparkSpec {
     assert(staged == Seq(3L))
   }
 
+  test("ImportFeed: subscriber poll sees exactly the imported ids per batch, replay-safe") {
+    import graft.streaming.ImportFeed
+    val tableDir = Files.createTempDirectory("graft-feed-table").toString
+    val stagingDir = Files.createTempDirectory("graft-feed-staging").toString
+    val feedDir = Files.createTempDirectory("graft-feed-log").toString + "/feed"
+    val sub = ImportFeed.subscriber(spark, feedDir)
+
+    // batch 0: block 100 complete, block 101 partial → feed gets {1,2}
+    EventPipeline.importGatedBatch(Seq(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2)).toDF,
+      0L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared",
+      onImported = sub)
+    // replay of batch 0 (crash before checkpoint): gated import appends
+    // nothing, so the subscriber gets no ids — but even a feed-side torn
+    // write would dedup away because the partition key is the batch id
+    EventPipeline.importGatedBatch(Seq(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2)).toDF,
+      0L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared",
+      onImported = sub)
+    // batch 1 completes block 101 → feed gets {3,4}
+    EventPipeline.importGatedBatch(Seq(row(4, 101, 2)).toDF,
+      1L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared",
+      onImported = sub)
+
+    val feed = ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet
+    assert(feed == Set((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)),
+      "feed is exactly the per-batch imported sets")
+    // a torn chunk replayed under the same batch id dedups away
+    sub(1L, Iterator(3L, 4L))
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet == feed, "duplicate chunk is invisible")
+    // the since-cut serves the poll and prunes old batches
+    assert(ImportFeed.recentlyImported(spark, feedDir, sinceBatch = 1L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
+    // retention: pruned batches disappear; newer feed rows survive
+    ImportFeed.prune(spark, feedDir, beforeBatch = 1L)
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
+  }
+
   test("a torn staging snapshot (no _SUCCESS) is ignored; held rows survive") {
     val tableDir = Files.createTempDirectory("graft-gated3-table").toString
     val stagingDir = Files.createTempDirectory("graft-gated3-staging").toString
