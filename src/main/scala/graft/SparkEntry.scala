@@ -573,6 +573,10 @@ object SparkEntry {
       Integrity.lastValid(Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey")),
     "q_reorg_check" -> ((s, d) => Integrity.reorgFingerprints(Tables.events(s, d))),
     "q_complete_orders" -> ((s, d) => Integrity.completeGroups(Tables.lineitem(s, d))),
+    // first_incomplete_block (0.0.64.sql:1643): the delete_incomplete_blocks
+    // cut point — oldest group short of its declared child total
+    "q_first_incomplete" -> ((s, d) =>
+      Integrity.firstIncomplete(Tables.lineitem(s, d), "l_orderkey", "l_linenumber")),
     "q_incremental_import" -> ((s, d) => Integrity.incrementalImportQuery(Tables.events(s, d))),
     // ---- LLM-data pipeline (SURVEY §2 #24-33) ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -1333,6 +1337,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_orderkey
         |HAVING count(*) = max(l_linenumber)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_first_incomplete" ->
+      """SELECT min(l_orderkey) AS first_incomplete FROM (
+        | SELECT l_orderkey, count(*) AS n_rows, max(l_linenumber) AS declared
+        | FROM lineitem GROUP BY l_orderkey) t
+        |WHERE n_rows < declared""".stripMargin,
     "q_incremental_import" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM (
         | SELECT * FROM events WHERE event_id % 10 < 8

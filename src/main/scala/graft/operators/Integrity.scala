@@ -96,6 +96,21 @@ object Integrity {
       .select("o_orderkey", "n_items")
       .orderBy("o_orderkey")
 
+  /** first_incomplete_block (0.0.64.sql:1643): the OLDEST group whose child
+    * count hasn't reached its declared total — the cut point
+    * `delete_incomplete_blocks` truncates from. Same one-shuffle count+max
+    * shape as [[completeGroups]], reduced to a 1-row min; at scale the
+    * group frontier under inspection is the recent ingest window, so the
+    * scan partition-prunes to it.
+    */
+  def firstIncomplete(children: DataFrame, groupCol: String,
+                      declaredCol: String): DataFrame =
+    children
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), max(col(declaredCol)).as("declared"))
+      .where(col("n_rows") < col("declared"))
+      .agg(min(col(groupCol)).as("first_incomplete"))
+
   /** Staging → main incremental import: distinct(staging) ANTI-JOIN main
     * (StagingTables.cs allows duplicate staging rows; import_from_staging
     * inserts only rows not already present). The staging/main split is

@@ -287,16 +287,17 @@ object EventPipeline {
     * day-partitioned table this is a partition-scoped overwrite, not a table
     * rewrite.
     */
-  def reimportFrom(spark: SparkSession, tableDir: String, fromEventId: Long): Unit = {
+  def reimportFrom(spark: SparkSession, tableDir: String, fromEventId: Long,
+                   keyCol: String = "event_id"): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val current = spark.read.parquet(tableDir)
     // Partitions holding any reorged row. Collecting *days* is a bounded
     // driver-side list (≈ reorg depth), not data.
-    val affectedDays = current.where(col("event_id") >= fromEventId)
+    val affectedDays = current.where(col(keyCol) >= fromEventId)
       .select(col("day").cast("string")).distinct().collect().map(_.getString(0))
     if (affectedDays.isEmpty) return
     val survivors = current
-      .where(col("day").cast("string").isin(affectedDays.toSeq: _*) && col("event_id") < fromEventId)
+      .where(col("day").cast("string").isin(affectedDays.toSeq: _*) && col(keyCol) < fromEventId)
       .cache()
     val survivorDays = survivors.select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -310,5 +311,31 @@ object EventPipeline {
     }
     survivors.unpersist()
     ()
+  }
+
+  /** delete_incomplete_blocks (0.0.64.sql:1652): find the oldest group whose
+    * imported child count is short of its declared total
+    * ([[graft.operators.Integrity.firstIncomplete]]), then truncate every
+    * stored table from that key onward so re-ingest repopulates a clean
+    * prefix — the reference's cross-table DELETE cascade, expressed as one
+    * [[reimportFrom]] (partition-scoped overwrite, never a table rewrite)
+    * per store. Returns the cut, or None when every group is complete
+    * (no-op, like the procedure's null `first_corrupt_block`).
+    *
+    * Note the complete-block GATED import makes this cleanup largely
+    * preventive here (incomplete blocks never reach main); the procedure
+    * exists for stores populated by the ungated path, exactly as in the
+    * reference.
+    */
+  def deleteIncompleteBlocks(spark: SparkSession, tableDirs: Seq[String],
+      children: DataFrame, groupCol: String, declaredCol: String): Option[Long] = {
+    val cut = graft.operators.Integrity
+      .firstIncomplete(children, groupCol, declaredCol).collect()(0) // 1 row
+    if (cut.isNullAt(0)) None
+    else {
+      val c = cut.getLong(0)
+      tableDirs.foreach(reimportFrom(spark, _, c, keyCol = groupCol))
+      Some(c)
+    }
   }
 }

@@ -128,6 +128,38 @@ class GatedImportSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
   }
 
+  test("deleteIncompleteBlocks: truncates every store from the oldest incomplete group") {
+    import graft.operators.Integrity
+    import org.apache.spark.sql.functions.{col, to_date}
+    // blocks 100 (complete 2/2), 101 (INCOMPLETE 1/2), 102 (complete 1/1):
+    // the cut is 101 and must also take complete-but-later 102 with it
+    val rows = Seq(row(1, 100, 2), row(2, 100, 2), row(3, 101, 2), row(5, 102, 1))
+    val tableA = Files.createTempDirectory("graft-dib-a").toString + "/t"
+    val tableB = Files.createTempDirectory("graft-dib-b").toString + "/t"
+    rows.toDF.withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(tableA)
+    rows.toDF.withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(tableB)
+
+    val cut = EventPipeline.deleteIncompleteBlocks(spark, Seq(tableA, tableB),
+      spark.read.parquet(tableA), groupCol = "block", declaredCol = "declared")
+    assert(cut.contains(101L))
+    for (t <- Seq(tableA, tableB))
+      assert(spark.read.parquet(t).select("event_id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L), s"$t truncated from block 101 onward")
+
+    // all groups complete → no-op, stores untouched
+    val cut2 = EventPipeline.deleteIncompleteBlocks(spark, Seq(tableA, tableB),
+      spark.read.parquet(tableA), groupCol = "block", declaredCol = "declared")
+    assert(cut2.isEmpty)
+    assert(spark.read.parquet(tableA).count() == 2)
+
+    // the standalone view: 1-row min over the short groups
+    val fi = Integrity.firstIncomplete(rows.toDF, "block", "declared")
+      .as[Option[Long]].collect().toSeq
+    assert(fi == Seq(Some(101L)))
+  }
+
   test("a torn staging snapshot (no _SUCCESS) is ignored; held rows survive") {
     val tableDir = Files.createTempDirectory("graft-gated3-table").toString
     val stagingDir = Files.createTempDirectory("graft-gated3-staging").toString
