@@ -116,6 +116,17 @@ object ScaleProbe {
         col("event_id").as("number"))
       CirclesViews.trustHistoryScd(tr, blocks).count()
     }
+    // round-6: the widest-paths dense-graph valve — exact closure vs beam
+    // on a deliberately dense 2k-node graph (out-degree ~40, 3 hops →
+    // the pair frame densifies toward |V|²; the beam stays N·|V|)
+    def denseEdges = bigEvents.select(
+      (col("user_id") % 2000).as("src"),
+      ((col("user_id") * 7 + col("event_id") % 40) % 2000).as("dst"),
+      (col("event_id") % 100 + 1).as("cap"))
+    time("widest_paths/exact-2k-dense")(Graph.widestPaths(denseEdges, maxHops = 3).count())
+    time("widest_paths/beam16-2k-dense") {
+      Graph.widestPaths(denseEdges, maxHops = 3, frontierCap = 16).count()
+    }
     time("zorder/write+stats-10x") {
       val base = java.nio.file.Files.createTempDirectory("graft-zprobe").toString
       Layout.zorderWrite(bigEvents.select(col("event_id"), col("user_id")),

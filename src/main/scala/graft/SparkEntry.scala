@@ -687,6 +687,19 @@ object SparkEntry {
     "q_sample_topk" -> ((s, d) =>
       Sampling.sampleExactK(Tables.documents(s, d), "doc_id", 100)
         .select("doc_id", "source")),
+    // epoch/repetition budget: 4 sources share a 1×-corpus token budget at
+    // 400/150/50/10 permille — full passes capped at 3 epochs plus a
+    // deterministic hash-gated fractional last pass (integer plan protocol,
+    // re-derived exactly by the DuckDB twin)
+    "q_epoch_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val budget = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .collect()(0).getLong(0) // 1-row driver aggregate
+      Sampling.epochMix(docs, "source", "doc_id", "n_chars",
+          Map("src0" -> 400, "src1" -> 150, "src2" -> 50, "src3" -> 10),
+          budgetTokens = budget, maxEpochs = 3)
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    }),
     // pretraining sequence packing: concat-and-split layout offsets via the
     // two-phase distributed prefix sum (bucket totals -> literal bases ->
     // per-bucket windows)
@@ -2211,6 +2224,33 @@ object SparkEntry {
         |  CASE WHEN permille >= 1000 THEN 'g'
         |       ELSE lower(lpad(to_hex(permille * 4294967), 8, '0')) END
         |ORDER BY d.doc_id""".stripMargin,
+    // epoch budget: HUGEINT re-derivation of the integer plan (targets,
+    // capped full epochs, residual permille), then lateral unnest over the
+    // epoch range with the md5 gate on the fractional last pass
+    "q_epoch_mix" ->
+      """WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+        |           FROM documents GROUP BY source),
+        |b AS (SELECT CAST(sum(n_chars) AS BIGINT) AS budget FROM documents),
+        |w AS (SELECT * FROM (VALUES ('src0', 400), ('src1', 150),
+        |                            ('src2', 50), ('src3', 10)) AS t(source, wp)),
+        |tgt AS (SELECT n.source, n.c,
+        |         CAST(CAST(b.budget AS HUGEINT) * wp // 1000 AS BIGINT) AS target
+        |        FROM n JOIN w USING (source), b),
+        |plan AS (SELECT source, c,
+        |          LEAST(3, CAST(target // c AS BIGINT)) AS full_epochs,
+        |          CASE WHEN target // c >= 3 THEN 0
+        |               ELSE LEAST(1000, CAST((1000::HUGEINT * (target - (target // c) * c)) // c
+        |                          AS BIGINT)) END AS residual
+        |         FROM tgt)
+        |SELECT d.doc_id, d.source, CAST(u.epoch AS BIGINT) AS epoch
+        |FROM documents d
+        |JOIN plan p ON d.source = p.source,
+        |     unnest(generate_series(0, p.full_epochs)) AS u(epoch)
+        |WHERE u.epoch < p.full_epochs
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |      CASE WHEN p.residual >= 1000 THEN 'g'
+        |           ELSE lower(lpad(to_hex(p.residual * 4294967), 8, '0')) END
+        |ORDER BY d.doc_id, epoch""".stripMargin,
     "q_stratified_split" ->
       s"""SELECT doc_id, source,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

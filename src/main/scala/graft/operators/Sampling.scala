@@ -122,6 +122,83 @@ object Sampling {
     }.toMap
   }
 
+  /** EPOCH/REPETITION budget plan — the standard pretraining data schedule:
+    * each source s gets `weightPermille(s)`/1000 of `budgetTokens`, served
+    * by REPEATING the source (epochs) when its corpus is smaller than its
+    * share, capped at `maxEpochs` passes (beyond which repetition stops
+    * helping and the shortfall is deliberately NOT redistributed — the
+    * same "adding a source never changes another source's sample"
+    * stability doctrine as [[temperatureMixPermille]]). Returns per
+    * source: full passes over the corpus plus a hash-gated fractional
+    * last pass in permille.
+    *
+    * All arithmetic is integer (BigInt floor divisions), so the plan is
+    * bit-reproducible across engines — the DuckDB oracle re-derives the
+    * identical plan with HUGEINT division.
+    */
+  def epochPlanPermille(tokenCounts: Map[String, Long],
+                        weightPermille: Map[String, Int], budgetTokens: Long,
+                        maxEpochs: Int = 3): Map[String, (Int, Int)] = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs < 1: $maxEpochs")
+    require(tokenCounts.values.forall(_ > 0), "empty sources must be absent")
+    weightPermille.collect { case (s, w) if tokenCounts.contains(s) =>
+      val c = BigInt(tokenCounts(s))
+      val target = BigInt(budgetTokens) * w / 1000
+      val fullUncapped = target / c
+      if (fullUncapped >= maxEpochs) s -> ((maxEpochs, 0))
+      else {
+        val full = fullUncapped.toInt
+        val residual = (BigInt(1000) * (target - fullUncapped * c) / c)
+          .min(BigInt(1000)).toInt
+        s -> ((full, residual))
+      }
+    }
+  }
+
+  /** Materialize an epoch plan: every planned source row appears once per
+    * full epoch (epoch = 0..full−1) plus, in the fractional last epoch
+    * (epoch = full), iff its hash gate falls under the residual cutoff —
+    * so the realized token count tracks the plan's target and the
+    * fractional slice is the SAME deterministic subset on every rerun,
+    * engine, and partitioning. Unplanned sources drop (explicit mixture).
+    *
+    * Plan shape: when-chain literals + one `explode(sequence(...))` —
+    * map-only row amplification bounded by maxEpochs+1, no join, no
+    * shuffle; the epoch column is what a downstream shuffled-shard writer
+    * keys on so repeated copies don't co-locate.
+    */
+  def epochExpand(df: DataFrame, sourceCol: String, keyCol: String,
+                  plan: Map[String, (Int, Int)], salt: String = ""): DataFrame = {
+    val fullChain = plan.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (s, (f, _))) => when(col(sourceCol) === s, lit(f.toLong)).otherwise(acc)
+    }
+    val resChain = plan.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (s, (_, r))) => when(col(sourceCol) === s, lit(cutoffHex(r))).otherwise(acc)
+    }
+    df.withColumn("_full", fullChain)
+      .withColumn("_rescut", resChain)
+      .where(col("_full").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_full"))))
+      .where(col("epoch") < col("_full") || gate(col(keyCol), salt) < col("_rescut"))
+      .drop("_full", "_rescut")
+  }
+
+  /** [[epochExpand]] with the plan COMPUTED from observed per-source token
+    * sums — one partial-agg count pass (collect bounded by #sources), then
+    * the map-only expansion; at 100 TB table statistics substitute for the
+    * counts pass, exactly as in [[temperatureMix]].
+    */
+  def epochMix(df: DataFrame, sourceCol: String, keyCol: String,
+               tokenCol: String, weightPermille: Map[String, Int],
+               budgetTokens: Long, maxEpochs: Int = 3,
+               salt: String = ""): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(sum(col(tokenCol)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    epochExpand(df, sourceCol, keyCol,
+      epochPlanPermille(counts, weightPermille, budgetTokens, maxEpochs), salt)
+  }
+
   /** [[sourceMix]] with the mixture COMPUTED by [[temperatureMixPermille]]
     * from the observed per-source counts: one partial-aggregated count
     * pass (collect bounded by the number of sources — a mixture has

@@ -114,4 +114,55 @@ class SamplingSpec extends SparkSpec {
       0.5, targetRows = 4500L).as[(Long, String)].collect()
     assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
   }
+
+  test("epochPlanPermille: cap, full+residual, fractional-only, unknown source dropped") {
+    val plan = Sampling.epochPlanPermille(
+      Map("a" -> 1000L, "b" -> 1000L, "c" -> 1000L),
+      Map("a" -> 500, "b" -> 250, "c" -> 30, "ghost" -> 100),
+      budgetTokens = 10000L, maxEpochs = 3)
+    assert(plan("a") == ((3, 0)))       // target 5000 = 5 epochs → capped, no residual
+    assert(plan("b") == ((2, 500)))     // target 2500 → 2 full + half pass
+    assert(plan("c") == ((0, 300)))     // target 300 → fractional-only
+    assert(!plan.contains("ghost"))     // no tokens observed → dropped
+    // 100 TB-sized counts: BigInt path
+    val big = Sampling.epochPlanPermille(Map("x" -> 5000000000000L),
+      Map("x" -> 1000), budgetTokens = 9000000000000L, maxEpochs = 4)
+    assert(big("x") == ((1, 800)))
+  }
+
+  test("epochExpand: per-epoch copies + deterministic fractional pass, repartition-stable") {
+    val df = (0L until 1000L).map(i => (i, if (i < 800) "big" else "small"))
+      .toDF("doc_id", "source")
+    val plan = Map("big" -> ((2, 250)), "small" -> ((0, 500)))
+    val out = Sampling.epochExpand(df, "source", "doc_id", plan)
+      .as[(Long, String, Long)].collect()
+    val byEpoch = out.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    // full epochs are complete copies
+    assert(byEpoch(("big", 0L)) == 800 && byEpoch(("big", 1L)) == 800)
+    // fractional passes are hash-gated subsets near the planned rate
+    assert(math.abs(byEpoch(("big", 2L)) - 200) < 60, s"got ${byEpoch(("big", 2L))}")
+    assert(math.abs(byEpoch(("small", 0L)) - 100) < 40, s"got ${byEpoch(("small", 0L))}")
+    assert(!byEpoch.keySet.exists(_._2 > 2))
+    // the fractional subset equals the standalone hash gate (same salt):
+    // the residual pass IS hashSample at the residual rate
+    val gated = Sampling.hashSample(df.where($"source" === "big"), "doc_id", 250)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(out.filter(t => t._2 == "big" && t._3 == 2L).map(_._1).toSet == gated)
+    // deterministic under repartitioning
+    val again = Sampling.epochExpand(df.repartition(7), "source", "doc_id", plan)
+      .as[(Long, String, Long)].collect()
+    assert(again.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
+  test("epochMix: realized token mass tracks each source's budget share") {
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "small" else "big", 10L)).toDF("doc_id", "source", "n_tok")
+    // budget 40000: big share 30000 over 15000 tokens → 2 full epochs;
+    // small share 8000 over 5000 tokens → 1 full + 600‰ pass
+    val out = Sampling.epochMix(df, "source", "doc_id", "n_tok",
+        Map("big" -> 750, "small" -> 200), budgetTokens = 40000L, maxEpochs = 3)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("big") == 3000L)                      // exactly 2 epochs × 1500
+    assert(math.abs(out("small") - 800L) < 80L)      // 500 + ~300 gated
+  }
 }
