@@ -53,16 +53,24 @@ object Bench {
         } else None
       }.toMap
     }
+    // MEDIAN is the headline number: with runs=3 a single JIT/GC outlier run
+    // made map-only queries show as fake 3-6× "regressions" (stdev ≈ mean);
+    // the median of 3 discards exactly that one outlier. Mean and stdev are
+    // kept alongside so the dispersion is still visible in BENCH.json.
     val stats = names.collect { case (name, _) if samples.forall(_.contains(name)) =>
       val xs = samples.map(_(name))
       val mean = xs.sum / xs.size
+      val sorted = xs.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       val stdev =
         if (xs.size < 2) 0.0
         else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
-      System.err.println(f"[bench] mean $name%-28s $mean%8.2fs ±$stdev%.2f")
-      (name, mean, stdev)
+      System.err.println(f"[bench] med  $name%-28s $median%8.2fs (mean $mean%.2f ±$stdev%.2f)")
+      (name, median, stdev, mean)
     }
-    def obj(f: ((String, Double, Double)) => Double) =
+    def obj(f: ((String, Double, Double, Double)) => Double) =
       stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
     val total = stats.map(_._2).sum
@@ -71,7 +79,7 @@ object Bench {
     val failedObj = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"failed":$failedObj,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"mean":${obj(_._4)},"stat":"median","failed":$failedObj,"runs":$runs,"sf":"$sfDir"}"""
     // stdout gets the COMPACT line (total + 3-decimal means, no stdevs):
     // the driver captures only the stdout tail and rounds 3-4's full
     // mean+stdev line overflowed it ("parsed": null). Full precision +

@@ -119,7 +119,8 @@ object SparkEntry {
       }
       ev.unpersist()
       Analytics.distinctFromSketches(
-        graft.streaming.ViewMaintenance.readView(s, viewDir),
+        graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+          Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))),
         Seq("event_type")).orderBy("event_type")
     }),
     // per-source doc-length quantiles served FROM per-(source,lang) stored
@@ -486,6 +487,17 @@ object SparkEntry {
         signups.where(col("token").isNull).select(col("user").as("organisation")),
         ReceiptClassifier.demoBlocks(ev), sinceBlock = 5000L)
     }),
+    "q_capacity_changes_2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ReceiptClassifier.demoReceipts(ev).persist()
+      val signups = ReceiptClassifier.demoSignups(ev)
+      CirclesViews.capacityChangesSince2(
+        CirclesViews.balancesBySafeAndToken(Demo.erc20Num(r)),
+        CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(r)),
+        signups,
+        signups.where(col("token").isNull).select(col("user").as("organisation")),
+        ReceiptClassifier.demoBlocks(ev), sinceBlock = 5000L)
+    }),
     // ---- formatted_* presentation views (0.0.64.sql:1324-1395) + the
     // crc_token_transfer_2 / get_capacity API surface ----
     "q_fmt_hub_transfer" -> ((s, d) => {
@@ -693,8 +705,10 @@ object SparkEntry {
     // re-derived exactly by the DuckDB twin)
     "q_epoch_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val budget = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
-        .collect()(0).getLong(0) // 1-row driver aggregate
+      val budget = docs.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_chars"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0) // 1-row driver aggregate (0 when empty)
       Sampling.epochMix(docs, "source", "doc_id", "n_chars",
           Map("src0" -> 400, "src1" -> 150, "src2" -> 50, "src3" -> 10),
           budgetTokens = budget, maxEpochs = 3)
@@ -1628,6 +1642,69 @@ object SparkEntry {
       s"""SELECT * FROM ($capacityGraph3Sql) t
         |WHERE from_balance_last_change >= 5000 OR trust_last_change >= 5000
         |ORDER BY "from", "to", token_owner""".stripMargin,
+    // get_capacity_changes_since_block_2 (0.0.64.sql:1902): inline `_2`
+    // recompute — moved-edge filter at CTE c, then the full e→f→g→h arms
+    // with the −1 margin and limit>0 gate; declared return table
+    // (token_holder, token_owner, can_send_to, capacity)
+    "q_capacity_changes_2" -> (demoCte +
+      """,
+        |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |               event_id AS number FROM events),
+        |tr AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+        |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 101 AS "limit"
+        | FROM events WHERE event_type = 'signup'),
+        |ct AS (SELECT "user", can_send_to, arg_max("limit", hash) AS "limit",
+        |              max(hash) AS last_change
+        |       FROM tr GROUP BY "user", can_send_to),
+        |own AS (SELECT "user" AS token_owner, token FROM reg WHERE token IS NOT NULL),
+        |balr AS (
+        | SELECT safe_address, token, CAST(SUM(delta) AS DOUBLE) AS balance,
+        |        max(hash) AS last_change_at FROM (
+        |  SELECT token, "to" AS safe_address, CAST(value AS DECIMAL(18,4)) AS delta, hash FROM erc
+        |  UNION ALL
+        |  SELECT token, "from", -CAST(value AS DECIMAL(18,4)), hash FROM erc) dd
+        | GROUP BY safe_address, token),
+        |bal AS (SELECT b.safe_address, b.token, o.token_owner, b.balance, blk.number
+        |        FROM balr b JOIN own o ON o.token = b.token
+        |        LEFT JOIN blk ON blk.hash = b.last_change_at),
+        |orgs AS (SELECT "user" AS organisation FROM reg WHERE token IS NULL),
+        |a AS (SELECT o.token AS user_token, ct.can_send_to, ct."limit",
+        |             blk.number AS trust_last_change
+        |      FROM ct JOIN own o ON o.token_owner = ct."user"
+        |      LEFT JOIN blk ON blk.hash = ct.last_change),
+        |b2 AS (SELECT bal.safe_address AS "from", a.can_send_to AS "to", a."limit",
+        |              bal.token_owner, bal.balance AS from_balance
+        |       FROM a JOIN bal ON bal.token = a.user_token
+        |       WHERE bal.balance >= 0
+        |         AND (a.trust_last_change >= 5000 OR bal.number >= 5000)),
+        |c AS (SELECT b2.*, ownh.balance AS to_own_token_holdings
+        |      FROM b2 LEFT JOIN bal ownh
+        |        ON ownh.safe_address = b2."to" AND ownh.token_owner = b2."to"),
+        |d AS (SELECT c.*, coalesce(held.balance, 0.0) AS to_already_holds_balance,
+        |             os.organisation IS NOT NULL AS to_is_orga,
+        |             c."to" = c.token_owner AS is_to_own_token
+        |      FROM c LEFT JOIN bal held
+        |        ON held.safe_address = c."to" AND held.token_owner = c.token_owner
+        |        LEFT JOIN orgs os ON os.organisation = c."to"),
+        |e AS (SELECT d.*,
+        |       CASE WHEN is_to_own_token OR to_is_orga THEN from_balance
+        |            ELSE to_own_token_holdings * "limit" / 100.0 END AS mta0 FROM d),
+        |f AS (SELECT e.*, CASE WHEN "limit" > 0 THEN mta0 ELSE 0.0 END AS mta,
+        |       to_already_holds_balance * (100 - "limit") / 100.0 AS dest_scaled FROM e),
+        |g AS (SELECT f.*, CASE WHEN mta < to_already_holds_balance THEN 0.0
+        |       ELSE CASE WHEN "limit" > 0 THEN mta - dest_scaled ELSE 0.0 END END AS cap_g FROM f),
+        |h AS (SELECT "from" AS token_holder, token_owner, "to" AS can_send_to,
+        |       CASE WHEN to_is_orga OR is_to_own_token THEN mta
+        |            ELSE CASE WHEN cap_g < 0 THEN 0.0
+        |                 ELSE CASE WHEN from_balance < cap_g THEN from_balance - 1
+        |                      ELSE cap_g - 1 END END END AS capacity
+        |      FROM g WHERE "from" <> "to")
+        |SELECT token_holder, token_owner, can_send_to,
+        | CASE WHEN capacity < 0 THEN 0.0 ELSE capacity END AS capacity
+        |FROM h ORDER BY token_holder, can_send_to, token_owner""".stripMargin),
     // formatted_* presentation views (0.0.64.sql:1324-1395): detail rows
     // with block context, value as text
     "q_fmt_hub_transfer" -> (demoCte + fmtBlkCte +

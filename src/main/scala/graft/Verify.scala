@@ -56,6 +56,14 @@ object Verify {
     val failedJson = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // The selected-key manifest closes the last silent-hole mode: a query
+    // missing BOTH its parquet dir and a _failed.json entry (verify killed
+    // mid-dump, stale outDir). check_oracle exits non-zero unless
+    // checked + threw covers exactly this list.
+    val manifestJson = selected.keys.toSeq.sorted.map(q).mkString(
+      s"""{"selected": [""", ",",
+      s"""], "dumped": ${selected.size - failed.size}, "failed": ${failed.size}}""")
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"), manifestJson)
     val dumped = selected.size - failed.size
     System.err.println(
       s"[verify] dumped=$dumped failed=${failed.size} selected=${selected.size}")

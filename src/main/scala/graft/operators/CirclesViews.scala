@@ -515,6 +515,79 @@ object CirclesViews {
       .where(coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock ||
              coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock)
 
+  /** get_capacity_changes_since_block_2 (0.0.64.sql:1902) — the spelling
+    * the pathfinder is actually granted execute on (0.0.64.sql:2038): it
+    * recomputes capacity INLINE from the cached trust + balance views with
+    * the full `_2` arithmetic (−1 safety margin, limit>0 gating — the
+    * [[capacityGraph2]] arms), filtering to moved edges BEFORE the
+    * receiver-side joins (the reference's CTE `c` WHERE at
+    * 0.0.64.sql:1937), whereas [[capacityChangesSince]] filters the
+    * provenance columns `_3` carries. Same moved-edge set — the two are
+    * independent cross-checks of each other (spec'd in CirclesViewsSpec) —
+    * different capacity formula. Output is the declared return table:
+    * (token_holder, token_owner, can_send_to, capacity).
+    *
+    * Scale shape: identical to [[capacityGraph3]]'s — registry-sized trust
+    * edges broadcast onto the keyed balance fact legs — EXCEPT the
+    * since-filter lands on the sender leg before the two receiver-side
+    * balance joins, so at a quiet frontier the expensive legs join against
+    * the delta, not the universe.
+    */
+  def capacityChangesSince2(balances: DataFrame, trust: DataFrame, signups: DataFrame,
+                            orgs: DataFrame, blocks: DataFrame,
+                            sinceBlock: Long): DataFrame = {
+    val blockNos = broadcast(blocks.select(col("hash").as("last_change_at"),
+      col("number")))
+    val bal = ownedBalances(balances, signups)
+      .join(blockNos, Seq("last_change_at"), "left")
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token").as("user_token"), col("user"))
+    val edges = trust.join(broadcast(owners), Seq("user"))
+      .join(broadcast(blocks.select(col("hash").as("last_change"),
+        col("number").as("trust_last_change"))), Seq("last_change"), "left")
+      .select(col("user_token"), col("can_send_to"), col("limit"),
+        col("trust_last_change"))
+    // CTE b + the c-stage moved-edge filter: unknown provenance (left-join
+    // miss) compares NULL in the reference → excluded, hence the MinValue
+    // coalesce on our side
+    val b = bal.where(col("balance") >= 0)
+      .join(broadcast(edges), col("token") === col("user_token"))
+      .select(col("safe_address").as("from"), col("can_send_to").as("to"),
+        col("limit"), col("token_owner"), col("balance").as("from_balance"),
+        col("number").as("from_balance_last_change"), col("trust_last_change"))
+      .where(coalesce(col("trust_last_change"), lit(Long.MinValue)) >= sinceBlock ||
+             coalesce(col("from_balance_last_change"), lit(Long.MinValue)) >= sinceBlock)
+    val ownHold = bal.where(col("safe_address") === col("token_owner"))
+      .select(col("safe_address").as("to"), col("balance").as("to_own_token_holdings"))
+    val held = bal.select(col("safe_address").as("to"), col("token_owner"),
+      col("balance").as("held_balance"))
+    val orgFlags = orgs.select(col("organisation").as("to"), lit(true).as("org_flag"))
+    val d = b
+      .join(ownHold, Seq("to"), "left")
+      .join(held, Seq("to", "token_owner"), "left")
+      .join(broadcast(orgFlags), Seq("to"), "left")
+      .withColumn("to_already_holds_balance", coalesce(col("held_balance"), lit(0.0d)))
+      .withColumn("to_is_orga", coalesce(col("org_flag"), lit(false)))
+      .withColumn("is_to_own_token", col("to") === col("token_owner"))
+    // e→f→g→h arms — byte-identical to [[capacityGraph2]]'s
+    val mta0 = when(col("is_to_own_token") || col("to_is_orga"), col("from_balance"))
+      .otherwise(col("to_own_token_holdings") * col("limit") / lit(100.0d))
+    val mta = when(col("limit") > 0, mta0).otherwise(lit(0.0d))
+    val destScaled =
+      col("to_already_holds_balance") * (lit(100L) - col("limit")) / lit(100.0d)
+    val capG = when(mta < col("to_already_holds_balance"), lit(0.0d))
+      .otherwise(when(col("limit") > 0, mta - destScaled).otherwise(lit(0.0d)))
+    val capH = when(col("to_is_orga") || col("is_to_own_token"), mta)
+      .otherwise(when(capG < 0, lit(0.0d))
+        .otherwise(when(col("from_balance") < capG, col("from_balance") - lit(1))
+          .otherwise(capG - lit(1))))
+    d.where(col("from") =!= col("to"))
+      .select(col("from").as("token_holder"), col("token_owner"),
+        col("to").as("can_send_to"),
+        when(capH < 0, lit(0.0d)).otherwise(capH).as("capacity"))
+      .orderBy("token_holder", "can_send_to", "token_owner")
+  }
+
   /** SCD type-2 trust history: each (user, can_send_to) edge's limit as
     * validity INTERVALS — (limit, valid_from, valid_to) with NULL
     * valid_to on the open current row — the warehouse-native form of
@@ -722,28 +795,37 @@ object CirclesViews {
     * with NULL propagating through the arithmetic exactly as the Postgres
     * scalar subqueries do.
     *
-    * Scale shape: each lookup is an equality predicate pushed into the
-    * balance/trust store scan (partition-prunable when the store is
-    * bucketed by safe_address — sources.BucketedStore); the five 1-row
-    * aggregates cross-join into a single row before the fan-out to 9, so
-    * nothing bigger than one row ever moves after the scans.
+    * Scale shape: the four balance point-lookups are ONE conditional-agg
+    * pass over the balance store — a single scan with the union of the
+    * equality predicates pushed down (partition-prunable when the store is
+    * bucketed by safe_address — sources.BucketedStore) and `sum(when())`
+    * arms folding each lookup map-side — plus one trust-store lookup; the
+    * two 1-row aggregates cross-join into a single row before the fan-out
+    * to 9, so nothing bigger than one row ever moves after the scans.
+    * Determinism: each balance arm SUMs over its matches, so a
+    * token_owner that maps to multiple tokens yields the owner's total —
+    * one defined answer — where the reference's scalar subqueries would
+    * error on >1 row (and an arbitrary-pick would silently diverge).
     */
   def getCapacity(balances: DataFrame, trust: DataFrame,
                   from: String, to: String, tokenOwner: String): DataFrame = {
-    def look(df: DataFrame, pred: Column, v: Column, i: Int): DataFrame =
-      df.where(pred).agg(first(v).as(s"v$i"), (count(lit(1)) > 0).as(s"p$i"))
     val b = balances.select(col("safe_address"), col("token_owner"), col("balance"))
-    val a1 = look(b, col("safe_address") === tokenOwner &&
-      col("token_owner") === tokenOwner, col("balance"), 1)
-    val a2 = look(b, col("safe_address") === to &&
-      col("token_owner") === tokenOwner, col("balance"), 2)
-    val a3 = look(b, col("safe_address") === from &&
-      col("token_owner") === tokenOwner, col("balance"), 3)
-    val a4 = look(trust, col("can_send_to") === to &&
-      col("user") === tokenOwner, col("limit").cast("double"), 4)
-    val a5 = look(b, col("safe_address") === to &&
-      col("token_owner") === to, col("balance"), 5)
-    val one = a1.crossJoin(a2).crossJoin(a3).crossJoin(a4).crossJoin(a5)
+    def arm(i: Int, pred: Column): Seq[Column] = Seq(
+      sum(when(pred, col("balance"))).as(s"v$i"),
+      (count(when(pred, lit(1))) > 0).as(s"p$i"))
+    val balArms =
+      arm(1, col("safe_address") === tokenOwner && col("token_owner") === tokenOwner) ++
+      arm(2, col("safe_address") === to && col("token_owner") === tokenOwner) ++
+      arm(3, col("safe_address") === from && col("token_owner") === tokenOwner) ++
+      arm(5, col("safe_address") === to && col("token_owner") === to)
+    val balRow = b.where(
+        (col("token_owner") === tokenOwner &&
+          col("safe_address").isin(from, to, tokenOwner)) ||
+        (col("safe_address") === to && col("token_owner") === to))
+      .agg(balArms.head, balArms.tail: _*)
+    val a4 = trust.where(col("can_send_to") === to && col("user") === tokenOwner)
+      .agg(first(col("limit").cast("double")).as("v4"), (count(lit(1)) > 0).as("p4"))
+    val one = balRow.crossJoin(a4)
       .withColumn("v6", col("v5") * col("v4") / lit(100.0d))
       .withColumn("v7", col("v2") * (lit(100.0d) - col("v4")) / lit(100.0d))
       .withColumn("v8", when(col("v6") < col("v2"), lit(1.0d)).otherwise(lit(0.0d)))

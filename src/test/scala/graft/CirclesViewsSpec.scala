@@ -174,6 +174,35 @@ class CirclesViewsSpec extends SparkSpec {
     assert(delta(Long.MinValue).size == 8)
   }
 
+  test("capacityChangesSince2: _2 arithmetic + same moved-edge set as the _3 feed") {
+    val blocks = Seq(
+      ("0xt1", 1L), ("0xt2", 2L), ("0xt3", 3L), ("0xt4", 4L), ("0xt5", 5L),
+      ("0xt6", 6L), ("0xh1", 11L), ("0xh2", 12L), ("0xh3", 13L), ("0xh4", 14L)
+    ).toDF("hash", "number").withColumn("ts", lit(null).cast("timestamp"))
+    def d2(since: Long) = CirclesViews.capacityChangesSince2(
+      CirclesViews.balancesBySafeAndToken(capTransfers),
+      CirclesViews.currentTrust(capTrusts), capSignups, capOrgs, blocks, since)
+    def d3Keys(since: Long) = CirclesViews.capacityChangesSince(
+        CirclesViews.balancesBySafeAndToken(capTransfers),
+        CirclesViews.currentTrust(capTrusts), capSignups, capOrgs, blocks, since)
+      .select("from", "to", "token_owner")
+      .as[(String, String, String)].collect().toSet
+    // independent cross-check: the _2 inline-recompute filter and the _3
+    // provenance filter select the SAME moved-edge key set at every cut
+    for (since <- Seq(Long.MinValue, 6L, 7L, 11L, 12L, 15L))
+      assert(d2(since).select("token_holder", "can_send_to", "token_owner")
+        .as[(String, String, String)].collect().toSet == d3Keys(since),
+        s"moved-edge sets diverge at since=$since")
+    // but the VALUES are the _2 formula: 60 − 10 − 1 margin = 49 (the _3
+    // feed reports 50 for the same edge)
+    val m = d2(11L).as[(String, String, String, Option[Double])]
+      .collect().map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(m(("carol", "alice", "bob")) == Some(49.0))
+    // limit-0 edge: _2 gates to 0.0 (present, not dropped)
+    assert(d2(12L).as[(String, String, String, Option[Double])].collect()
+      .exists(r => r._1 == "alice" && r._3 == "carol" && r._4 == Some(0.0)))
+  }
+
   test("erc20BalancesBySafeAndToken: non-CRC only, registry legs, self collapse") {
     val all = CirclesViews.allSignups(capSignups, Seq(("0xo1", "org1")).toDF("hash", "organisation"))
     val tx = capTransfers.unionAll(Seq(
@@ -532,5 +561,17 @@ class CirclesViewsSpec extends SparkSpec {
     val byId2 = r2.map(t => t._1 -> t._3).toMap
     assert(byId2(6).isEmpty && byId2(7).isEmpty && byId2(9).isEmpty)
     assert(byId2(8).contains(0.0))
+
+    // determinism valve: an owner mapping to MULTIPLE balance rows for the
+    // same (safe_address, token_owner) key (multi-token owner after the
+    // owners join) SUMS instead of picking an arbitrary row — the
+    // reference's scalar subqueries would error; an arbitrary first() would
+    // silently diverge between runs
+    val balDup = bal.unionAll(Seq(("r1", "o1", 2.0))
+      .toDF("safe_address", "token_owner", "balance"))
+    val r3 = CirclesViews.getCapacity(balDup, trust, from = "s1", to = "r1",
+        tokenOwner = "o1")
+      .as[(Int, String, Option[Double])].collect().map(t => t._1 -> t._3).toMap
+    assert(r3(2).contains(42.0)) // 40 + 2, not whichever row came first
   }
 }

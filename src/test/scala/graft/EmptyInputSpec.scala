@@ -33,6 +33,10 @@ class EmptyInputSpec extends SparkSpec {
       // ratio queries' null sums)
       val globalAggs = Set("q_last_valid", "q_total_minted",
         "q14_promo_share", "q19_disjunctive_rev",
+        // 1-row global min (NULL on empty, like the oracle's SELECT min())
+        "q_first_incomplete",
+        // 1-row point probe: capacity row with zero/NULL components
+        "q_get_capacity",
         // report frames: one row per profiled column / per DQ check even
         // over an empty table (zero counts ARE the report)
         "q_profile", "q_dq_report")

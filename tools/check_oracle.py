@@ -75,7 +75,23 @@ print(f"FAIL ({len(fails)}):")
 for n, m in fails: print(f"  {n}: {m}")
 print(f"THREW ({len(threw)}):")
 for n, m in sorted(threw.items()): print(f"  {n}: {m[:200]}")
-# count integrity: every declared query must be accounted for as dumped|threw
+# count integrity: every SELECTED query must be accounted for as dumped|threw.
+# _manifest.json (written by graft.Verify) carries the selected-key list; a key
+# missing both its parquet dir and a _failed.json entry (verify killed mid-dump,
+# stale outDir) is the silent-hole mode this gate exists to close — ENFORCED,
+# not just printed.
 checked = len(passes) + len(rows_only) + len(fails)
+missing = []
+try:
+    manifest = json.load(open(f"{out_dir}/_manifest.json"))
+    accounted = {n for n, _ in passes} | {n for n, _ in rows_only} \
+        | {n for n, _ in fails} | set(threw)
+    missing = sorted(set(manifest["selected"]) - accounted)
+    extra = sorted(accounted - set(manifest["selected"]))
+    if missing: print(f"MISSING ({len(missing)}): {', '.join(missing)}")
+    if extra: print(f"EXTRA (stale outDir?) ({len(extra)}): {', '.join(extra)}")
+    missing += extra
+except FileNotFoundError:
+    print("WARNING: no _manifest.json — count integrity unverified (old dump?)")
 print(f"TOTAL: checked={checked} threw={len(threw)} (must sum to SparkEntry.queries.size)")
-sys.exit(1 if (fails or threw) else 0)
+sys.exit(1 if (fails or threw or missing) else 0)
