@@ -135,6 +135,60 @@ object ScaleProbe {
         0L, 100000L, 0L, 1000L)
       t * 1000 + r // encode both in the printed row count
     }
+    // round-7: the round-6/7 operators at 10× — formatted views' block
+    // join, the collapsed get_capacity probe, a deep-history ImportFeed
+    // poll, and epochExpand at its maximum amplification
+    def bigReceipts = ReceiptClassifier.demoReceipts(bigEvents)
+    time("fmt_hub_transfer/10x-block-join") {
+      CirclesViews.formattedView(SparkEntry.Demo.hubStr(bigReceipts),
+        ReceiptClassifier.demoBlocks(bigEvents)).count()
+    }
+    time("get_capacity/2-scans-10x") {
+      val owners = ReceiptClassifier.demoSignups(bigEvents)
+        .where(col("token").isNotNull)
+        .select(col("token"), col("user").as("token_owner"))
+      val bal = CirclesViews.balancesBySafeAndToken(SparkEntry.Demo.erc20Num(bigReceipts))
+        .join(broadcast(owners), Seq("token"))
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(bigReceipts))
+      CirclesViews.getCapacity(bal, trust,
+        from = "0x" + "0" * 34 + "1e8481", to = "0x" + "0" * 38 + "14",
+        tokenOwner = "0x" + "0" * 39 + "1").count()
+    }
+    time("capacity_changes_2/10x") {
+      val signups = ReceiptClassifier.demoSignups(bigEvents)
+      CirclesViews.capacityChangesSince2(
+        CirclesViews.balancesBySafeAndToken(SparkEntry.Demo.erc20Num(bigReceipts)),
+        CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(bigReceipts)),
+        signups,
+        signups.where(col("token").isNull).select(col("user").as("organisation")),
+        ReceiptClassifier.demoBlocks(bigEvents), sinceBlock = 5000L).count()
+    }
+    locally {
+      // a years-deep feed: 400 b= partitions of one chunk each; the polls
+      // that matter are the partition-pruned tail cut and the full sweep
+      val feedDir = "/tmp/graft_big/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        val sub = graft.streaming.ImportFeed.subscriber(spark, feedDir)
+        for (b <- 0L until 400L) sub(b, Iterator.range(b * 50, b * 50 + 50).map(_.toLong))
+      }
+      time("import_feed/poll-tail-of-400") {
+        graft.streaming.ImportFeed.recentlyImported(spark, feedDir, sinceBatch = 390L).count()
+      }
+      time("import_feed/poll-full-400")(
+        graft.streaming.ImportFeed.recentlyImported(spark, feedDir).count())
+      time("import_feed/compact-400") {
+        graft.streaming.ImportFeed.compact(spark, feedDir, beforeBatch = 400L); 0L
+      }
+      time("import_feed/poll-full-compacted")(
+        graft.streaming.ImportFeed.recentlyImported(spark, feedDir).count())
+    }
+    time("epoch_mix/maxEpochs3-10x") {
+      // effectively-infinite budget → every source caps at maxEpochs full
+      // passes: the worst-case (maxEpochs×) row expansion
+      Sampling.epochMix(bigDocs, "source", "doc_id", "n_chars",
+        Map("src0" -> 250, "src1" -> 250, "src2" -> 250, "src3" -> 250),
+        budgetTokens = Long.MaxValue / 4, maxEpochs = 3).count()
+    }
     spark.stop()
   }
 }

@@ -757,7 +757,7 @@ object SparkEntry {
     * decoded to the forms the catalog expects (::text strings on the
     * timeline/minting surface, numerics in the ledger).
     */
-  private object Demo {
+  private[graft] object Demo {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Column
     def valueOf(hexWord: Column): Column =

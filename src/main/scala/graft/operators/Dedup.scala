@@ -350,18 +350,22 @@ object Dedup {
     * DataFrame form keeps Catalyst/AQE in charge and the shuffle payload
     * minimal.)
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  checkpointDir: Option[String] = None,
+                  checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     // each round references the previous labels TWICE (neighbor-min join +
     // the self merge), so chaining plans would DOUBLE the tree per round —
-    // 2^iters nodes by convergence. localCheckpoint(eager) severs the
-    // lineage every round: the next plan starts flat from materialized
-    // blocks (at cluster scale, reliable checkpoint() adds fault tolerance
-    // on top of the same mechanics).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // 2^iters nodes by convergence. The per-round cut (eager
+    // localCheckpoint, or the reliable-checkpoint policy when
+    // checkpointDir is set — [[Checkpoints.cut]]) severs/bounds the
+    // lineage: the next plan starts flat from materialized blocks.
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), 0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -369,10 +373,10 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = cut(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")),
+        i + 1)
       val changed = updated.as("u")
         .join(labels.as("l"), col("u.id") === col("l.id"))
         .where(col("u.label") =!= col("l.label"))

@@ -53,7 +53,11 @@ object Graph {
     * Input `edges`: (src, dst, cap) — parallel edges reduce to max cap,
     * self-loops and non-positive capacities are dropped.
     */
-  def widestPaths(edges: DataFrame, maxHops: Int = 3, frontierCap: Int = 0): DataFrame = {
+  def widestPaths(edges: DataFrame, maxHops: Int = 3, frontierCap: Int = 0,
+                  checkpointDir: Option[String] = None,
+                  checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
     // per-source top-N by (cap desc, dst): the row_number spelling is
     // rewritten to the bounded-heap TopK aggregate by RowNumberToPickRule
     // when extensions are registered — no full per-source sort either way
@@ -65,20 +69,18 @@ object Graph {
         df.withColumn("_rn", row_number().over(w))
           .where(col("_rn") <= frontierCap).drop("_rn")
       }
-    val e = edges
+    val e = cut(edges
       .where(col("cap") > 0 && col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(max("cap").as("cap"))
-      .localCheckpoint(true)
+      .groupBy("src", "dst").agg(max("cap").as("cap")), 0)
     var best = beam(e)
-    if (frontierCap > 0) best = best.localCheckpoint(true)
-    for (_ <- 2 to maxHops) {
+    if (frontierCap > 0) best = cut(best, 0)
+    for (hop <- 2 to maxHops) {
       val extended = best.as("b")
         .join(e.as("x"), col("b.dst") === col("x.src") && col("b.src") =!= col("x.dst"))
         .select(col("b.src").as("src"), col("x.dst").as("dst"),
           least(col("b.cap"), col("x.cap")).as("cap"))
-      best = beam(best.unionByName(extended)
-          .groupBy("src", "dst").agg(max("cap").as("cap")))
-        .localCheckpoint(true)
+      best = cut(beam(best.unionByName(extended)
+          .groupBy("src", "dst").agg(max("cap").as("cap"))), hop - 1)
     }
     best.orderBy("src", "dst")
   }
@@ -118,29 +120,30 @@ object Graph {
     * Input `edges`: (src, dst, cap) — cap>0/self-loop normalization as
     * [[widestPaths]]; parallel edges collapse to one.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val e = edges
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               checkpointDir: Option[String] = None,
+               checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges
       .where(col("cap") > 0 && col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .repartition(col("src")), 0)
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), 0)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = nodes.count() // bounded driver aggregate: one long
     var ranks = nodes.select(col("node"), round(lit(1.0d / n), 12).as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = e
         .join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = cut(nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           round(lit((1.0d - damping) / n) +
-            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r"))
-        .localCheckpoint(true)
+            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r")), it)
     }
     ranks.orderBy(col("r").desc, col("node"))
   }
@@ -167,18 +170,20 @@ object Graph {
     * nowhere — they are dropped, matching the SQL twin's semi-join).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-                           iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val e = edges
+                           iters: Int = 5, damping: Double = 0.85,
+                           checkpointDir: Option[String] = None,
+                           checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges
       .where(col("cap") > 0 && col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .repartition(col("src")), 0)
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), 0)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val seedNodes = nodes.join(seeds.select("node").distinct(), Seq("node"), "left_semi")
-      .localCheckpoint(true)
+    val seedNodes = cut(nodes.join(seeds.select("node").distinct(),
+      Seq("node"), "left_semi"), 0)
     val nSeeds = seedNodes.count() // bounded driver aggregate: one long
     if (nSeeds == 0) {
       // an empty graph has no ranks (total on empty input); seeds missing
@@ -186,23 +191,21 @@ object Graph {
       require(nodes.isEmpty, "personalizedPageRank: no seed intersects the graph")
       return nodes.select(col("node"), lit(0.0d).as("r"))
     }
-    val flagged = nodes
+    val flagged = cut(nodes
       .join(broadcast(seedNodes.withColumn("is_seed", lit(true))), Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")), 0)
     val restart = when(col("is_seed"), lit(1.0d / nSeeds)).otherwise(lit(0.0d))
     var ranks = flagged.select(col("node"), round(restart, 12).as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = e
         .join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = flagged.join(contribs, Seq("node"), "left")
+      ranks = cut(flagged.join(contribs, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           round(lit(1.0d - damping) * restart +
-            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r"))
-        .localCheckpoint(true)
+            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r")), it)
     }
     ranks.select("node", "r").orderBy(col("r").desc, col("node"))
   }
@@ -368,10 +371,13 @@ object Graph {
     * symmetrization inside; self-loops are dropped here. Isolated nodes
     * never appear (no edge ⇒ no row), matching the SQL closure twin.
     */
-  def connectedComponents(edges: DataFrame): DataFrame =
+  def connectedComponents(edges: DataFrame,
+                          checkpointDir: Option[String] = None,
+                          checkpointEvery: Int = 5): DataFrame =
     Dedup.dupClusters(edges
       .where(col("src") =!= col("dst"))
-      .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b")),
+      checkpointDir = checkpointDir, checkpointEvery = checkpointEvery)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
       .orderBy("node")
 }

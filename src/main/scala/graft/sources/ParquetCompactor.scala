@@ -71,4 +71,53 @@ object ParquetCompactor {
     if (src != dir) fs.delete(new Path(src), true)
     out
   }
+
+  /** In-place compaction of one CLOSED partition directory of a
+    * partitioned append store (the `b=`/`day=` shape of the import feed
+    * and corpus sinks — a partition below the append frontier never
+    * receives new files, so it can be rewritten without racing the
+    * writer). Rewrites the partition's files into `tmpRoot/<name>`
+    * (underscore-prefixed roots are invisible to Spark's partition
+    * discovery), verifies the row count, then swaps delete-then-rename.
+    * A crash between the two steps leaves the verified copy in `tmpRoot`;
+    * [[recoverInPlace]] completes the swap — callers run it before
+    * reading or compacting (ImportFeed does both).
+    */
+  def compactPartitionInPlace(spark: SparkSession, partDir: String,
+                              tmpRoot: String): Unit = {
+    val part = new Path(partDir)
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tmpRoot, part.getName)
+    val df = spark.read.parquet(partDir)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val (inRows, outRows) =
+      (df.count(), spark.read.parquet(tmp.toString).count())
+    if (inRows != outRows) {
+      fs.delete(tmp, true)
+      sys.error(s"compaction row mismatch: $inRows != $outRows — $partDir kept")
+    }
+    fs.delete(part, true)
+    if (!fs.rename(tmp, part))
+      sys.error(s"compaction swap rename failed: $tmp -> $part")
+  }
+
+  /** Complete any swap [[compactPartitionInPlace]] crashed in the middle
+    * of: every child of `tmpRoot` whose target partition is MISSING is
+    * the verified compacted copy of a deleted partition — rename it into
+    * place; children whose target exists are stale rewrite leftovers —
+    * delete them. No-op when `tmpRoot` doesn't exist.
+    */
+  def recoverInPlace(spark: SparkSession, dir: String, tmpRoot: String): Unit = {
+    val root = new Path(tmpRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { s =>
+        val target = new Path(dir, s.getPath.getName)
+        if (!fs.exists(target)) { fs.rename(s.getPath, target); () }
+        else fs.delete(s.getPath, true)
+      }
+      fs.delete(root, true)
+      ()
+    }
+  }
 }

@@ -129,9 +129,13 @@ object EventPipeline {
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // feed BEFORE table: a crash between the two replays the batch and
+        // re-broadcasts the same ids (feed dedups on (batch_id, id)); the
+        // reverse order would lose the batch's ids when the replay finds
+        // the rows already appended (see ImportFeed's replay-safety doc)
+        broadcastIds(batch, batchId, "event_id", onImported)
         val withDay = batch.withColumn("day", to_date(col("ts")))
         withDay.write.mode("append").partitionBy("day").parquet(tableDir)
-        broadcastIds(batch, batchId, "event_id", onImported)
         ()
       }
       .start()
@@ -229,6 +233,13 @@ object EventPipeline {
         .dropDuplicates(key)
       mainKeys.fold(held)(mk => held.join(mk, Seq(key), "left_anti"))
         .write.mode("overwrite").parquet(spillHeld)
+      // feed BEFORE the table append: a crash anywhere after this line
+      // replays the batch, re-derives the same toImport set (or an empty
+      // one if the append landed) — either way the feed already holds the
+      // batch's ids, and a re-broadcast only adds dedupable duplicates.
+      // Broadcasting AFTER the append would open the loss window the feed
+      // contract forbids (append lands → crash → replay broadcasts nothing)
+      broadcastIds(stable, batchId, key, onImported)
       // append AFTER the staging spill is on disk: if we crash here, the
       // previous v= snapshot is still committed and a replay re-derives
       // everything (the main anti-join discards what the append landed)
@@ -242,7 +253,6 @@ object EventPipeline {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .filter(_.getPath.getName.stripPrefix("v=").toLong < batchId)
         .foreach(s => fs.delete(s.getPath, true))
-      broadcastIds(stable, batchId, key, onImported)
       fs.delete(new org.apache.hadoop.fs.Path(spillImport), true)
       ()
     } finally { combined.unpersist(); () }

@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   * batch (`b=<batchId>`); [[recentlyImported]] serves the poll with the
   * batch cut pushed down to partition pruning.
   *
-  * Replay safety: Structured Streaming re-runs a failed micro-batch under
-  * the SAME batchId, so a torn write leaves a partial `b=` partition that
-  * the replay completes — the read side dedups on (batch_id, event_id),
-  * making the feed exactly the imported set under at-least-once delivery.
-  * (The log is ids-only; a duplicate pair is the only possible anomaly.)
+  * Replay safety: the hook fires BEFORE the main-table append
+  * ([[EventPipeline.importGatedBatch]] / [[EventPipeline.startImport]]
+  * order it so), which closes BOTH anomaly directions. Duplicates: a torn
+  * feed write, or a crash after the feed write but before the append,
+  * replays the same ids under the SAME batchId (Structured Streaming
+  * re-runs a failed micro-batch with its original id) — the read side
+  * dedups on (batch_id, event_id). Loss: the only crash window that could
+  * LOSE ids is append-done-but-feed-not-written, and firing the hook
+  * first makes that window empty — after a table commit the feed rows are
+  * already on disk. (If the hook fired after the append, a replay's
+  * anti-join would discard the already-appended rows, broadcast nothing,
+  * and the feed would permanently miss that batch — the feed must always
+  * lead the table, never trail it.)
   *
   * Scale shape: each append is one chunk of ≤ [[EventPipeline.IdChunkSize]]
   * ids (the hook's bound) — an 8-byte column, trivially small; readers prune
@@ -49,26 +57,77 @@ object ImportFeed {
         .write.mode("append").partitionBy("b").parquet(dir)
     }
 
+  /** Directory name → feed batch id, None for anything that isn't a
+    * well-formed `b=<long>` partition (a stray editor file or foreign dir
+    * must be invisible to the feed, not a crash).
+    */
+  private def batchOf(name: String): Option[Long] =
+    if (name.startsWith("b=")) name.stripPrefix("b=").toLongOption else None
+
   /** The poll: ids imported in batches ≥ `sinceBatch` (exclusive cut via
     * `sinceBatch + 1`). The `b` predicate prunes partitions before any IO;
-    * dedup makes replayed/torn chunks invisible.
+    * dedup makes replayed/torn chunks invisible. An empty feed — the dir
+    * doesn't exist yet, or retention pruned every partition — returns a
+    * schema-stable empty (batch_id, event_id) frame instead of failing
+    * parquet schema inference on an empty root.
     */
   def recentlyImported(spark: SparkSession, dir: String,
-                       sinceBatch: Long = Long.MinValue): DataFrame =
-    spark.read.parquet(dir)
-      .where(col("b") >= sinceBatch)
-      .select(col("b").as("batch_id"), col("event_id"))
-      .dropDuplicates("batch_id", "event_id")
+                       sinceBatch: Long = Long.MinValue): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a compact() that crashed mid-swap leaves its verified copy in the
+    // tmp root — complete it before listing so a poll never misses a
+    // partition (one exists() RPC when nothing is pending)
+    graft.sources.ParquetCompactor.recoverInPlace(spark, dir, compactTmp(dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && batchOf(s.getPath.getName).nonEmpty)
+    if (!hasData)
+      spark.range(0).select(col("id").as("batch_id"), col("id").as("event_id"))
+    else
+      spark.read.parquet(dir)
+        .where(col("b") >= sinceBatch)
+        .select(col("b").cast("long").as("batch_id"), col("event_id"))
+        .dropDuplicates("batch_id", "event_id")
+  }
 
-  /** Retention: drop feed partitions with batchId < `beforeBatch`. */
+  private def compactTmp(dir: String): String = s"$dir/_compact"
+
+  /** Small-file maintenance — the [[graft.sources.ParquetCompactor]]
+    * composition the feed's design note promises: each append is one tiny
+    * chunk file, so a long-running import accretes a file per chunk per
+    * batch. Partitions BELOW the live append frontier (`beforeBatch`,
+    * normally the subscriber's current batch id) are closed — the batch id
+    * only grows — so each is rewritten in place
+    * ([[graft.sources.ParquetCompactor.compactPartitionInPlace]]: verify
+    * then delete-and-rename, crash recovery via the tmp-root sweep that
+    * both [[recentlyImported]] and this method run first). Partition
+    * layout is PRESERVED, so the poll's pruning and [[prune]]'s retention
+    * keep working; single-file partitions are skipped (nothing to fold).
+    */
+  def compact(spark: SparkSession, dir: String, beforeBatch: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.sources.ParquetCompactor.recoverInPlace(spark, dir, compactTmp(dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      val closed = s.isDirectory && batchOf(s.getPath.getName).exists(_ < beforeBatch)
+      if (closed && fs.listStatus(s.getPath)
+            .count(_.getPath.getName.startsWith("part-")) > 1)
+        graft.sources.ParquetCompactor.compactPartitionInPlace(
+          spark, s.getPath.toString, compactTmp(dir))
+    }
+  }
+
+  /** Retention: drop feed partitions with batchId < `beforeBatch`.
+    * Non-partition entries (names that aren't `b=<long>`) are ignored.
+    */
   def prune(spark: SparkSession, dir: String, beforeBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(root)) fs.listStatus(root).foreach { s =>
-      val name = s.getPath.getName
-      if (s.isDirectory && name.startsWith("b=") &&
-          name.stripPrefix("b=").toLong < beforeBatch)
+      if (s.isDirectory && batchOf(s.getPath.getName).exists(_ < beforeBatch))
         fs.delete(s.getPath, true)
     }
   }

@@ -573,5 +573,12 @@ class CirclesViewsSpec extends SparkSpec {
         tokenOwner = "o1")
       .as[(Int, String, Option[Double])].collect().map(t => t._1 -> t._3).toMap
     assert(r3(2).contains(42.0)) // 40 + 2, not whichever row came first
+
+    // plan shape: the four balance lookups are ONE conditional-agg scan —
+    // exactly two leaf scans total (balances + trust), not five
+    val plan = CirclesViews.getCapacity(bal, trust, from = "s1", to = "r1",
+      tokenOwner = "o1").queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).length == 2,
+      s"expected exactly 2 scans (balances + trust):\n$plan")
   }
 }

@@ -128,6 +128,94 @@ class GatedImportSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
   }
 
+  test("ImportFeed: feed leads the table — a crash in the subscriber loses no ids") {
+    import graft.streaming.ImportFeed
+    val tableDir = Files.createTempDirectory("graft-feedord-table").toString + "/t"
+    val stagingDir = Files.createTempDirectory("graft-feedord-staging").toString
+    val feedDir = Files.createTempDirectory("graft-feedord-log").toString + "/feed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // a subscriber that crashes BEFORE writing: because broadcastIds runs
+    // before the table append, the batch must abort with NOTHING appended —
+    // the old after-append ordering would have left the rows in the table
+    // and the replay would then broadcast nothing (permanent feed loss)
+    intercept[RuntimeException] {
+      EventPipeline.importGatedBatch(Seq(row(1, 100, 2), row(2, 100, 2)).toDF,
+        0L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared",
+        onImported = (_, _) => sys.error("subscriber crash"))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tableDir)),
+      "crash in the feed hook must abort before the table append")
+    // replay under the same batch id with a working subscriber: both the
+    // table and the feed see the batch — no loss, no duplicates
+    EventPipeline.importGatedBatch(Seq(row(1, 100, 2), row(2, 100, 2)).toDF,
+      0L, tableDir, stagingDir, groupCol = "block", declaredCol = "declared",
+      onImported = ImportFeed.subscriber(spark, feedDir))
+    assert(spark.read.parquet(tableDir).select("event_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet == Set((0L, 1L), (0L, 2L)))
+  }
+
+  test("ImportFeed: empty/pruned/foreign dirs are a schema-stable empty feed") {
+    import graft.streaming.ImportFeed
+    val feedDir = Files.createTempDirectory("graft-feedempty").toString + "/feed"
+    // nonexistent dir
+    assert(ImportFeed.recentlyImported(spark, feedDir).collect().isEmpty)
+    assert(ImportFeed.recentlyImported(spark, feedDir).columns.toSeq
+      == Seq("batch_id", "event_id"))
+    // a foreign/stray entry is ignored by both poll and prune
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$feedDir/b=notanumber"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$feedDir/stray"))
+    ImportFeed.prune(spark, feedDir, beforeBatch = Long.MaxValue) // must not throw
+    assert(ImportFeed.recentlyImported(spark, feedDir).collect().isEmpty)
+    // real data, then prune EVERYTHING: the poll degrades to empty, not to
+    // a schema-inference failure on a partitionless root
+    ImportFeed.subscriber(spark, feedDir)(0L, Iterator(1L, 2L))
+    assert(ImportFeed.recentlyImported(spark, feedDir).count() == 2)
+    ImportFeed.prune(spark, feedDir, beforeBatch = Long.MaxValue)
+    assert(ImportFeed.recentlyImported(spark, feedDir).collect().isEmpty)
+  }
+
+  test("ImportFeed + ParquetCompactor: compaction preserves the poll, GCs slivers") {
+    import graft.streaming.ImportFeed
+    val feedDir = Files.createTempDirectory("graft-feedcomp").toString + "/feed"
+    val sub = ImportFeed.subscriber(spark, feedDir)
+    // 3 batches × several chunk appends each → many sliver files
+    for (b <- 0L to 2L; c <- 0 until 3)
+      sub(b, Iterator(b * 10 + c * 2, b * 10 + c * 2 + 1))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def partFiles(b: Long) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$feedDir/b=$b"))
+        .count(_.getPath.getName.startsWith("part-"))
+    assert(partFiles(0L) == 3 && partFiles(1L) == 3)
+    val before = ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet
+    // compact everything below the live frontier (batch 2 still appending)
+    ImportFeed.compact(spark, feedDir, beforeBatch = 2L)
+    assert(partFiles(0L) == 1 && partFiles(1L) == 1, "slivers folded")
+    assert(partFiles(2L) == 3, "the live partition is untouched")
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet == before,
+      "poll identical across compaction")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$feedDir/_compact")),
+      "tmp generation GC'd")
+    // crash-mid-swap recovery: a verified copy in _compact whose partition
+    // is missing is renamed into place by the next poll
+    val p0 = new org.apache.hadoop.fs.Path(s"$feedDir/b=0")
+    val tmp = new org.apache.hadoop.fs.Path(s"$feedDir/_compact/b=0")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$feedDir/_compact"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, p0, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(p0, true) // the crash window: partition gone, copy pending
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().toSet == before,
+      "mid-swap crash recovered on poll")
+    assert(fs.exists(p0) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$feedDir/_compact")))
+  }
+
   test("deleteIncompleteBlocks: truncates every store from the oldest incomplete group") {
     import graft.operators.Integrity
     import org.apache.spark.sql.functions.{col, to_date}
