@@ -164,12 +164,14 @@ object ScaleProbe {
         ReceiptClassifier.demoBlocks(bigEvents), sinceBlock = 5000L).count()
     }
     locally {
-      // a years-deep feed: 400 b= partitions of one chunk each; the polls
-      // that matter are the partition-pruned tail cut and the full sweep
-      val feedDir = "/tmp/graft_big/feed"
+      // a years-deep feed: 400 b= partitions × 4 chunk files each (1600
+      // slivers); the polls that matter are the partition-pruned tail cut
+      // and the full sweep, and compaction folds each closed partition 4→1
+      val feedDir = "/tmp/graft_big/feed4"
       if (!new java.io.File(feedDir).exists()) {
         val sub = graft.streaming.ImportFeed.subscriber(spark, feedDir)
-        for (b <- 0L until 400L) sub(b, Iterator.range(b * 50, b * 50 + 50).map(_.toLong))
+        for (b <- 0L until 400L; c <- 0 until 4)
+          sub(b, Iterator.range(b * 50 + c * 12, b * 50 + (c + 1) * 12).map(_.toLong))
       }
       time("import_feed/poll-tail-of-400") {
         graft.streaming.ImportFeed.recentlyImported(spark, feedDir, sinceBatch = 390L).count()

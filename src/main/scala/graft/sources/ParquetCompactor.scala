@@ -113,7 +113,9 @@ object ParquetCompactor {
     if (fs.exists(root)) {
       fs.listStatus(root).foreach { s =>
         val target = new Path(dir, s.getPath.getName)
-        if (!fs.exists(target)) { fs.rename(s.getPath, target); () }
+        // only partition DIRS swap in; stray files (_SUCCESS markers from a
+        // crashed batched write) are never partition payloads — drop them
+        if (s.isDirectory && !fs.exists(target)) { fs.rename(s.getPath, target); () }
         else fs.delete(s.getPath, true)
       }
       fs.delete(root, true)

@@ -98,25 +98,63 @@ object ImportFeed {
     * chunk file, so a long-running import accretes a file per chunk per
     * batch. Partitions BELOW the live append frontier (`beforeBatch`,
     * normally the subscriber's current batch id) are closed — the batch id
-    * only grows — so each is rewritten in place
-    * ([[graft.sources.ParquetCompactor.compactPartitionInPlace]]: verify
-    * then delete-and-rename, crash recovery via the tmp-root sweep that
-    * both [[recentlyImported]] and this method run first). Partition
-    * layout is PRESERVED, so the poll's pruning and [[prune]]'s retention
-    * keep working; single-file partitions are skipped (nothing to fold).
+    * only grows — so they can be rewritten without racing the writer.
+    *
+    * BATCHED, not per-partition: ONE partitioned-write job folds every
+    * closed multi-file partition into a single file under the tmp root
+    * (`repartition(b)` → one task owns each batch id → one file per
+    * partition dir), ONE aggregation pass verifies per-partition row
+    * counts, then each partition dir is swapped in by rename — driver-side
+    * FS calls, no jobs. A per-partition compaction loop
+    * ([[graft.sources.ParquetCompactor.compactPartitionInPlace]], still
+    * the right tool for ONE closed partition of a corpus store) pays
+    * ~0.3 s of job overhead per partition — measured 108 s for a
+    * 400-partition feed where this shape takes ~3 s, and a year-deep feed
+    * has tens of thousands of partitions. Crash recovery is the same
+    * tmp-root sweep both [[recentlyImported]] and this method run first:
+    * a crash mid-write leaves tmp children whose targets still exist
+    * (stale → swept), a crash mid-swap leaves a VERIFIED child whose
+    * target is missing (→ renamed into place). Partition layout is
+    * preserved, so the poll's pruning and [[prune]]'s retention keep
+    * working; single-file partitions are skipped (nothing to fold).
     */
   def compact(spark: SparkSession, dir: String, beforeBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     graft.sources.ParquetCompactor.recoverInPlace(spark, dir, compactTmp(dir))
     val root = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
-      val closed = s.isDirectory && batchOf(s.getPath.getName).exists(_ < beforeBatch)
-      if (closed && fs.listStatus(s.getPath)
-            .count(_.getPath.getName.startsWith("part-")) > 1)
-        graft.sources.ParquetCompactor.compactPartitionInPlace(
-          spark, s.getPath.toString, compactTmp(dir))
+    if (!fs.exists(root)) return
+    val closed = fs.listStatus(root).toSeq.filter { s =>
+      s.isDirectory && batchOf(s.getPath.getName).exists(_ < beforeBatch) &&
+        fs.listStatus(s.getPath).count(_.getPath.getName.startsWith("part-")) > 1
+    }.map(_.getPath)
+    if (closed.isEmpty) return
+    val tmp = compactTmp(dir)
+    // one job: every closed partition rewritten, one file per b= dir
+    spark.read.option("basePath", dir).parquet(closed.map(_.toString): _*)
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(tmp)
+    // one verification pass per side; collect is bounded by the closed-
+    // partition count (a retention-pruned feed keeps this small)
+    def countsOf(df: DataFrame): Map[Long, Long] =
+      df.groupBy(col("b").cast("long")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = countsOf(spark.read.option("basePath", dir)
+      .parquet(closed.map(_.toString): _*))
+    val dst = countsOf(spark.read.parquet(tmp))
+    if (src != dst) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      sys.error(s"feed compaction count mismatch: $src != $dst — originals kept")
     }
+    // swap each verified partition in: delete-then-rename, recoverable at
+    // every point by the tmp sweep above
+    closed.foreach { p =>
+      val t = new org.apache.hadoop.fs.Path(tmp, p.getName)
+      fs.delete(p, true)
+      if (!fs.rename(t, p)) sys.error(s"feed compaction swap failed: $t -> $p")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
   }
 
   /** Retention: drop feed partitions with batchId < `beforeBatch`.

@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-shape regression guards for flagship queries: the properties that
+  * make these run at 100 TB (dimension broadcasts, partial aggregation,
+  * scan-level filter/column pushdown, no nested-loop fallbacks) asserted
+  * against the ACTUAL physical plan at sf0.001, so a refactor that silently
+  * trades a broadcast for a shuffle — or widens a scan to all columns —
+  * fails a test instead of a cluster budget. (Per-operator shape notes live
+  * in SURVEY §5; dedicated audits in PlanAudit.scala.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  /** The plan AFTER one execution — AQE only materializes its final plan
+    * (and the WholeStageCodegen spans) once the query has run.
+    */
+  private def finalPlanOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.collect() // finalize THIS QueryExecution's adaptive plan (sf0.001: tiny)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5 star join: dimensions broadcast, no nested-loop/cartesian fallback") {
+    val plan = planOf("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected the dimension legs to broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop fallback crept into the star join:\n$plan")
+  }
+
+  test("q1 pricing summary: map-side partial aggregation + codegen") {
+    val plan = finalPlanOf("q1_pricing_summary")
+    // partial + final HashAggregate pair: the map-side combine that makes
+    // a 100 TB groupBy shuffle group-cardinality, not row-cardinality
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"partial aggregation lost:\n$plan")
+    // whole-stage-codegen spans print as `*(n)` stage markers in the tree
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).nonEmpty, s"codegen lost:\n$plan")
+  }
+
+  test("q3: the dimension filter pushes into the parquet scan") {
+    val plan = planOf("q3_shipping_priority")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq
+    assert(pushed.exists(p => p.length > "PushedFilters: []".length),
+      s"no non-empty PushedFilters in any scan:\n$plan")
+  }
+
+  test("map-only text metrics prune the documents scan to the used columns") {
+    val plan = planOf("q_token_count")
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty)
+    // token counting needs doc_id + text; reading `source`/`lang`/`n_chars`
+    // would mean column pruning broke and every scan pays full row width
+    assert(readSchemas.forall(s => !s.contains("source") && !s.contains("lang")),
+      s"unused columns in the scan:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("exact dedup keeps the single-shuffle partial-agg shape") {
+    val plan = planOf("q_dedup_exact")
+    assert("Exchange".r.findAllIn(plan).length <= 2, // agg shuffle (+ sort for output order)
+      s"exact dedup grew extra shuffles:\n$plan")
+  }
+}
