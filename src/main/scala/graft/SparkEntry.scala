@@ -123,6 +123,29 @@ object SparkEntry {
           Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))),
         Seq("event_type")).orderBy("event_type")
     }),
+    // incremental cross-run dedup served FROM the maintained seen-hash
+    // store: two corpus slices folded in as separate batches, then the
+    // third slice gated against the store — "which docs are genuinely
+    // new". ORACLE-checked: set-union convergence means the served result
+    // equals a plain text-level anti-join (the hash↔text equivalence is
+    // q_dedup_exact_hash's proven trade)
+    "q_dedup_store_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).persist() // merges run 2 actions per slice
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-seen")
+        .toString + "/view"
+      (0 until 2).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeSeenHashesBatch(s,
+          docs.where(col("doc_id") % 3 === i).select(xxhash64(col("text")).as("h")),
+          viewDir, numBuckets = 8, version = i.toLong) // buckets sized to the demo view
+      }
+      val seen = graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+        docs.select(xxhash64(col("text")).as("h")))
+      val out = graft.streaming.ViewMaintenance.newDocsAgainstSeen(
+        docs.where(col("doc_id") % 3 === 2), seen)
+      docs.unpersist()
+      out.orderBy("doc_id")
+    }),
     // per-source doc-length quantiles served FROM per-(source,lang) stored
     // quantile sketches — rows-only (sample-based estimates are
     // engine-specific; exactness/semilattice properties in QuantileSketchSpec)
@@ -1433,6 +1456,15 @@ object SparkEntry {
     "q_dedup_exact_hash" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    // the maintained seen-hash store's serve: set-union convergence makes
+    // the stored-view gate equal a plain text-level anti-join of slice 2
+    // against slices 0+1 (hash↔text equivalence per q_dedup_exact_hash)
+    "q_dedup_store_served" ->
+      """WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),
+        |cand AS (SELECT min(doc_id) AS doc_id, text FROM documents
+        |         WHERE doc_id % 3 = 2 GROUP BY text)
+        |SELECT c.doc_id FROM cand c LEFT JOIN seen s ON s.text = c.text
+        |WHERE s.text IS NULL ORDER BY doc_id""".stripMargin,
     "q_safe_timeline" -> (demoCte +
       """,
         |hub AS (

@@ -600,6 +600,67 @@ object ViewMaintenance {
       }
       .start()
 
+  /** SEEN-HASH dedup store — incremental cross-run exact dedup, the shape
+    * a 100 TB crawl pipeline actually needs: every ingest batch must be
+    * deduped against ALL previously ingested content, not just a
+    * watermark window (which is the deliberate bound of
+    * [[CorpusPipeline.dedupKept]]'s `dropDuplicatesWithinWatermark`
+    * state). The store holds one 8-byte xxhash64 per distinct content
+    * hash ever seen — O(corpus) state, but ON DISK, hash-bucketed, and a
+    * merge touches only the buckets the batch's hashes fall in (the
+    * manifest-generation mechanics shared with every other view here:
+    * torn writes invisible, committed-version replays no-ops). Merge is
+    * SET UNION — associative, commutative, idempotent — so any
+    * micro-batch slicing converges to the batch build exactly.
+    *
+    * `batch` must carry `hashCol` (callers hash text with the same
+    * xxhash64 the gate uses — [[graft.operators.Dedup.exactByHash]]'s
+    * key; 64-bit collisions are the accepted trade of that twin, proven
+    * result-identical to text keys on real corpora by its oracle row).
+    */
+  def mergeSeenHashesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                           hashCol: String = "h",
+                           numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                           maxGenerations: Int = DefaultMaxGenerations,
+                           committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      batch.select(col(hashCol).as("h")).distinct(), "h",
+      (existing, delta) =>
+        existing.select("h").unionByName(delta.select("h")).distinct(),
+      numBuckets, version, maxGenerations, committer)
+
+  def startSeenHashView(hashes: DataFrame, viewDir: String, checkpointDir: String,
+                        hashCol: String = "h",
+                        numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSeenHashesBatch(batch.sparkSession, batch, viewDir, hashCol,
+          numBuckets, batchId)
+        ()
+      }
+      .start()
+
+  /** The serving gate over a [[mergeSeenHashesBatch]] store: rows of
+    * `docs` whose `textCol` hash is NOT in the store, one row per distinct
+    * new hash (min `idCol` — [[graft.operators.Dedup.exact]]'s keep rule),
+    * i.e. "which of these candidate documents are genuinely new".
+    *
+    * Scale shape: candidates partial-agg on the 8-byte hash (within-batch
+    * dedup collapses map-side), then ONE anti-join against the store —
+    * both sides keyed on the hash, and the store side prunes to the
+    * buckets the candidates touch when read through the bucket-pruned
+    * view ([[readView]]'s per-generation bucket filter). Text never
+    * shuffles — only (hash, id) pairs.
+    */
+  def newDocsAgainstSeen(docs: DataFrame, seen: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("_h"), col(idCol))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol))
+      .join(seen.select(col("h").as("_h")), Seq("_h"), "left_anti")
+      .select(idCol)
+
   /** Quantile twin of [[mergeSketchesBatch]]: per-group bottom-k value
     * sketches (functions.QuantileSketchOps) folded into the manifest store
     * by pairwise union. Bottom-k union is an EXACT semilattice — any

@@ -544,4 +544,50 @@ class ViewMaintenanceSpec extends SparkSpec {
       numBuckets = 4, committer = RenameCommitter) == 1L)
     assert(viewState(viewDir) == Set(("u2", "v", 20L, 1L)))
   }
+
+  test("seen-hash store: slicing-independent set union, replay no-op, gate == anti-join") {
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"),   // 3 duplicates 1
+      (4L, "gamma"), (5L, "delta"), (6L, "beta"),   // 6 duplicates 2
+      (7L, "epsilon"), (8L, "gamma"), (9L, "zeta"), // 8 duplicates 4
+      (10L, "epsilon"), (11L, "eta"), (12L, "eta")
+    ).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(col("text")).as("h"))
+    def seenSet(dir: String): Set[Long] =
+      readView(spark, dir).select("h").as[Long].collect().toSet
+
+    // two different slicings converge to the same stored set
+    val d1 = Files.createTempDirectory("graft-seen1").toString + "/view"
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeSeenHashesBatch(spark,
+        hashes(docs.where(col("doc_id") % 3 === i)), d1,
+        numBuckets = 4, version = i.toLong)
+    }
+    val d2 = Files.createTempDirectory("graft-seen2").toString + "/view"
+    ViewMaintenance.mergeSeenHashesBatch(spark, hashes(docs), d2, numBuckets = 4)
+    assert(seenSet(d1) == seenSet(d2), "slicing must not change the union")
+    assert(seenSet(d1) == hashes(docs).distinct().as[Long].collect().toSet)
+
+    // a committed-version replay is a no-op
+    val before = seenSet(d1)
+    ViewMaintenance.mergeSeenHashesBatch(spark,
+      hashes(docs.where(col("doc_id") % 3 === 1)), d1,
+      numBuckets = 4, version = 1L)
+    assert(seenSet(d1) == before)
+
+    // the gate: new docs of a candidate batch == text-level anti-join with
+    // exact-dedup's min-id keep rule
+    val store = Files.createTempDirectory("graft-seen3").toString + "/view"
+    ViewMaintenance.mergeSeenHashesBatch(spark,
+      hashes(docs.where(col("doc_id") <= 6)), store, numBuckets = 4)
+    val cand = docs.where(col("doc_id") > 6)
+    val served = ViewMaintenance.newDocsAgainstSeen(cand,
+        readView(spark, store))
+      .as[Long].collect().toSet
+    // seen texts: alpha beta gamma delta; candidates 7..12 →
+    // epsilon(7, dup 10 dropped), zeta(9), eta(11, dup 12 dropped);
+    // 8=gamma already seen
+    assert(served == Set(7L, 9L, 11L))
+  }
 }
