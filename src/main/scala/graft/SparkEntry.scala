@@ -742,6 +742,12 @@ object SparkEntry {
     // per-bucket windows)
     "q_seq_pack" -> ((s, d) => Packing.packLayout(Tables.documents(s, d))),
     "q_seq_fanin" -> ((s, d) => Packing.seqFanIn(Tables.documents(s, d))),
+    // deterministic shuffled-shard layout (the writer's assignment +
+    // within-shard order, fully engine-reproducible)
+    "q_shard_layout" -> ((s, d) =>
+      Packing.shardAssign(Tables.documents(s, d).select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_key"))
+        .orderBy("shard", "shuffle_key", "doc_id")),
     "q_repetition" -> ((s, d) => TextMetrics.repetition(Tables.documents(s, d))),
     "q_repetition_filter" -> ((s, d) => TextMetrics.repetitionFilter(Tables.documents(s, d))),
     // the testdata ships no PII, so the scrub demo decorates the corpus
@@ -2547,6 +2553,14 @@ object SparkEntry {
         | FROM o)
         |SELECT CAST(seq AS BIGINT) AS seq, count(*) AS n_docs
         |FROM sp GROUP BY seq ORDER BY seq""".stripMargin,
+    // shard = 56 bits of md5(key ∥ '|shard|') mod 8; within-shard order =
+    // the full hash — the writer's exact deterministic layout
+    "q_shard_layout" ->
+      """SELECT doc_id,
+        | CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|shard|'), 1, 14))::BIGINT
+        |      % 8 AS INT) AS shard,
+        | md5(CAST(doc_id AS VARCHAR) || '|shard|') AS shuffle_key
+        |FROM documents ORDER BY shard, shuffle_key, doc_id""".stripMargin,
     // the repetition twin derives the top-bigram count via per-doc
     // grouping where the Spark side uses a sorted-array fold — same number
     "q_repetition" ->

@@ -73,4 +73,47 @@ object Packing {
       .select(explode(sequence(col("start_seq"), col("end_seq"))).as("seq"))
       .groupBy("seq").agg(count(lit(1)).as("n_docs"))
       .orderBy("seq")
+
+  /** Shuffled-shard assignment — the LAST layout step of a pretraining
+    * pipeline: after curation/mixture/packing, the corpus must be written
+    * as N shard files whose concatenation is a DETERMINISTIC global
+    * shuffle of the rows (training reads shards sequentially, so any
+    * order correlation — by source, by crawl date, by duplicate cluster —
+    * becomes curriculum bias). Shard = 56 bits of md5(key ∥ salt) mod N,
+    * within-shard order = the full hash: reproducible on any cluster
+    * size, any partitioning, any engine (same md5 convention as
+    * [[Sampling]]'s gates — the DuckDB oracle re-derives the exact
+    * layout), unlike `repartition(N)`+`sample`-style shuffles whose
+    * output depends on task layout. `salt` yields independent reshuffles
+    * (a new training run's epoch order) without touching the data.
+    *
+    * For an [[Sampling.epochExpand]]'ed frame, pass a key that includes
+    * the epoch (e.g. `concat(doc_id, '#', epoch)` projected to a column)
+    * so a document's repeated copies scatter across shards instead of
+    * co-locating — the composition epochExpand's doc promises.
+    */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards < 1: $nShards")
+    df.withColumn("shuffle_key",
+        md5(concat(col(keyCol).cast("string"), lit("|shard|" + salt))))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 14), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Materialize [[shardAssign]]: one shuffle keyed on the shard id, rows
+    * sorted by shuffle_key within each shard (parquet preserves row
+    * order, so a sequential reader sees the deterministic shuffle), one
+    * file per `shard=` dir. Returns the output row count.
+    */
+  def writeShards(df: DataFrame, keyCol: String, dir: String, nShards: Int,
+                  salt: String = ""): Long = {
+    val assigned = shardAssign(df, keyCol, nShards, salt)
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    assigned.sparkSession.read.parquet(dir).count()
+  }
 }

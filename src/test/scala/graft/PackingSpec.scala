@@ -50,4 +50,63 @@ class PackingSpec extends SparkSpec {
     // seq 0: docs 0,1; seq 1: docs 2,3; seq 2: doc 3 (straddler)
     assert(f == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
   }
+
+  test("writeShards: one file per shard, deterministic order, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/s"
+    assert(Packing.writeShards(docs, "doc_id", dir, nShards = 4) == 500L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    assert(shardDirs.length == 4, "every shard dir exists")
+    shardDirs.foreach { s =>
+      assert(fs.listStatus(s.getPath).count(_.getPath.getName.startsWith("part-")) == 1,
+        s"one file per shard: ${s.getPath}")
+    }
+    // within-shard file order IS the hash order (parquet preserves rows)
+    def shardRows(n: Int): Seq[Long] =
+      spark.read.parquet(s"$dir/shard=$n").select("doc_id").as[Long].collect().toSeq
+    val expected = Packing.shardAssign(docs, "doc_id", 4)
+      .where(col("shard") === 1).orderBy("shuffle_key", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(shardRows(1) == expected, "file order == deterministic hash order")
+    // rewriting from a differently-partitioned input reproduces the bytes'
+    // row order exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/s"
+    Packing.writeShards(docs.repartition(13), "doc_id", dir2, nShards = 4)
+    (0 until 4).foreach { n =>
+      assert(shardRows(n) ==
+        spark.read.parquet(s"$dir2/shard=$n").select("doc_id").as[Long].collect().toSeq)
+    }
+    // a salt reshuffles: some shard's membership must differ
+    val salted = Packing.shardAssign(docs, "doc_id", 4, salt = "run2")
+      .where(col("shard") === 1).select("doc_id").as[Long].collect().toSet
+    assert(salted != shardRows(1).toSet)
+    // every row lands in exactly one shard, and the spread is rough-even
+    val sizes = (0 until 4).map(shardRows(_).size)
+    assert(sizes.sum == 500 && sizes.min > 60, s"skewed shards: $sizes")
+  }
+
+  test("shard key with epoch scatters a doc's repeated copies across shards") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "src0", 40L), (2L, "src0", 40L), (3L, "src0", 40L))
+      .toDF("doc_id", "source", "n_chars")
+    val expanded = graft.operators.Sampling.epochMix(docs, "source", "doc_id",
+      "n_chars", Map("src0" -> 1000), budgetTokens = 360L, maxEpochs = 3)
+    // epoch rides into the shard key → copies of one doc spread out
+    val keyed = expanded.withColumn("k",
+      concat(col("doc_id").cast("string"), lit("#"), col("epoch").cast("string")))
+    val byDoc = Packing.shardAssign(keyed, "k", 8)
+      .groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // 3 full epochs per doc; md5 scatter makes all-3-in-one-shard vanishingly
+    // unlikely for EVERY doc — assert at least one doc split shards
+    assert(byDoc.values.exists(_ > 1L), s"copies co-located: $byDoc")
+    // the naive doc_id key co-locates every copy (the failure mode)
+    val naive = Packing.shardAssign(expanded, "doc_id", 8)
+      .groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(naive.values.forall(_ == 1L))
+  }
 }

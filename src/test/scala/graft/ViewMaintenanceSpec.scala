@@ -590,4 +590,24 @@ class ViewMaintenanceSpec extends SparkSpec {
     // 8=gamma already seen
     assert(served == Set(7L, 9L, 11L))
   }
+
+  test("seen-hash store: streaming maintenance converges to the batch union") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewDir = Files.createTempDirectory("graft-seenstream").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-seenstream-ckpt").toString
+    val mem = MemoryStream[Long]
+    val q = ViewMaintenance.startSeenHashView(
+      mem.toDF().select(xxhash64(col("value").cast("string")).as("h")),
+      viewDir, ckpt, numBuckets = 4)
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    mem.addData(3L, 4L) // overlap folds away
+    q.processAllAvailable()
+    q.stop()
+    val stored = readView(spark, viewDir).select("h").as[Long].collect().toSet
+    val oneShot = Seq(1L, 2L, 3L, 4L).toDF("value")
+      .select(xxhash64(col("value").cast("string")).as("h"))
+      .as[Long].collect().toSet
+    assert(stored == oneShot)
+  }
 }
