@@ -39,6 +39,12 @@ object PlanAudit {
     audit("q13_order_dist", TpchShapes.orderCountDistribution(spark, sf))
     audit("q18_large_orders", TpchShapes.largeOrders(spark, sf))
     audit("q21_late_sole_supplier", TpchShapes.soleLateSupplier(spark, sf))
+    // round-7 additions: the seen-hash gate (hash partial-agg + one keyed
+    // anti-join), the shard layout (map-only + one shard-keyed shuffle at
+    // write time), and the inline _2 capacity delta
+    audit("seen_gate", graft.streaming.ViewMaintenance.newDocsAgainstSeen(
+      docs, docs.limit(10).select(xxhash64(col("text")).as("h"))))
+    audit("shard_assign", Packing.shardAssign(docs.select("doc_id"), "doc_id", 64))
     // print the interesting one in full
     println("==== tfidf formatted ====")
     TextMetrics.tfidfTopTerms(docs).explain("formatted")

@@ -191,6 +191,39 @@ object ScaleProbe {
         Map("src0" -> 250, "src1" -> 250, "src2" -> 250, "src3" -> 250),
         budgetTokens = Long.MaxValue / 4, maxEpochs = 3).count()
     }
+    // the reliable-checkpoint knob's cost model, measured: local (default)
+    // vs a reliable checkpoint every 2nd round to local disk — the upper
+    // bound of the knob's overhead at this scale (an object store adds
+    // its own write latency, amortized by `every`)
+    locally {
+      def prEdges = bigEvents.select((col("user_id") % 50000).as("src"),
+        ((col("user_id") * 7 + 13) % 50000).as("dst"), lit(1L).as("cap"))
+      time("pagerank/local-ckpt")(Graph.pageRank(prEdges, iters = 5).count())
+      time("pagerank/reliable-every2") {
+        Graph.pageRank(prEdges, iters = 5,
+          checkpointDir = Some("/tmp/graft_big/ck"), checkpointEvery = 2).count()
+      }
+    }
+    // seen-hash store at 10×: fold 9/10 of the corpus in as 3 batches,
+    // then gate the last tenth — the steady-state ingest shape
+    locally {
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-seen10x")
+        .toString + "/view"
+      time("seen_store/merge-3-batches") {
+        (0 until 3).foreach { i =>
+          graft.streaming.ViewMaintenance.mergeSeenHashesBatch(spark,
+            bigDocs.where(col("doc_id") % 10 < 9 && col("doc_id") % 3 === i)
+              .select(xxhash64(col("text")).as("h")),
+            viewDir, numBuckets = 64, version = i.toLong)
+        }
+        0L
+      }
+      time("seen_store/gate-last-tenth") {
+        graft.streaming.ViewMaintenance.newDocsAgainstSeen(
+          bigDocs.where(col("doc_id") % 10 === 9),
+          graft.streaming.ViewMaintenance.readView(spark, viewDir)).count()
+      }
+    }
     spark.stop()
   }
 }
