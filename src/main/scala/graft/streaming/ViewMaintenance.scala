@@ -648,10 +648,10 @@ object ViewMaintenance {
     *
     * Scale shape: candidates partial-agg on the 8-byte hash (within-batch
     * dedup collapses map-side), then ONE anti-join against the store —
-    * both sides keyed on the hash, and the store side prunes to the
-    * buckets the candidates touch when read through the bucket-pruned
-    * view ([[readView]]'s per-generation bucket filter). Text never
-    * shuffles — only (hash, id) pairs.
+    * both sides keyed on the hash. ([[readView]] prunes each generation
+    * read to its mapped buckets; candidate-driven bucket pruning would buy
+    * nothing here — uniform hashes touch every bucket for any non-tiny
+    * batch.) Text never shuffles — only (hash, id) pairs.
     */
   def newDocsAgainstSeen(docs: DataFrame, seen: DataFrame,
                          textCol: String = "text",
