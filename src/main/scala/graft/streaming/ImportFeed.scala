@@ -159,10 +159,15 @@ object ImportFeed {
 
   /** Retention: drop feed partitions with batchId < `beforeBatch`.
     * Non-partition entries (names that aren't `b=<long>`) are ignored.
+    * Runs the compaction-recovery sweep FIRST: a [[compact]] that crashed
+    * mid-swap leaves a pending copy of a (deleted) partition in the tmp
+    * root, and pruning without restoring it first would let the next
+    * poll's recovery RESURRECT a partition retention already dropped.
     */
   def prune(spark: SparkSession, dir: String, beforeBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    graft.sources.ParquetCompactor.recoverInPlace(spark, dir, compactTmp(dir))
     val root = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(root)) fs.listStatus(root).foreach { s =>
       if (s.isDirectory && batchOf(s.getPath.getName).exists(_ < beforeBatch))

@@ -214,6 +214,18 @@ class GatedImportSpec extends SparkSpec {
       "mid-swap crash recovered on poll")
     assert(fs.exists(p0) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$feedDir/_compact")))
+
+    // retention vs mid-swap crash: prune must complete the pending swap
+    // BEFORE deleting, or the next poll's recovery would resurrect a
+    // partition retention already dropped
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$feedDir/_compact"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, p0, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(p0, true) // crash window again: b=0 pending in _compact
+    ImportFeed.prune(spark, feedDir, beforeBatch = 1L) // retention takes b=0
+    assert(ImportFeed.recentlyImported(spark, feedDir)
+      .as[(Long, Long)].collect().forall(_._1 >= 1L),
+      "pruned partition must not resurrect from a pending compaction copy")
   }
 
   test("deleteIncompleteBlocks: truncates every store from the oldest incomplete group") {
