@@ -36,4 +36,23 @@ class ParquetCompactorSpec extends SparkSpec {
     // the live append dir itself is never deleted (a sink may still write)
     assert(new java.io.File(dir).exists())
   }
+
+  test("compactPartitionInPlace: folds one closed partition, content identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-inplace").toString
+    val part = s"$root/day=2024-01-01"
+    (0 until 3).foreach { i =>
+      Seq((i * 10L, s"row$i")).toDF("id", "v").repartition(1)
+        .write.mode("append").parquet(part)
+    }
+    def files = new java.io.File(part).listFiles().count(_.getName.startsWith("part-"))
+    assert(files == 3)
+    val want = spark.read.parquet(part).collect().map(_.toSeq).toSet
+    ParquetCompactor.compactPartitionInPlace(spark, part, s"$root/_tmp")
+    assert(files == 1, "slivers folded to one file")
+    assert(spark.read.parquet(part).collect().map(_.toSeq).toSet == want)
+    // idempotent second run (single file: rewrites to one file again)
+    ParquetCompactor.compactPartitionInPlace(spark, part, s"$root/_tmp")
+    assert(spark.read.parquet(part).collect().map(_.toSeq).toSet == want)
+  }
 }
