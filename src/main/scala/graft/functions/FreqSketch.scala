@@ -47,8 +47,9 @@ case class FreqSketch(
     val v = child.eval(input)
     if (v != null) {
       val term = v.asInstanceOf[UTF8String]
-      val cur = buf.get(term)
-      if (cur != null && cur > 0L) buf.put(term, cur + 1L)
+      // NOTE: buf.get on a java map with a scala.Long value type unboxes
+      // null to 0L — presence must be containsKey, never a null compare
+      if (buf.containsKey(term)) buf.put(term, buf.get(term) + 1L)
       else if (buf.size < m) buf.put(term.clone(), 1L)
       else decrementAll(buf) // the classic MG step: everyone pays 1
     }
@@ -72,8 +73,9 @@ case class FreqSketch(
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = buf.get(e.getKey)
-      if (cur != null) buf.put(e.getKey, cur + e.getValue)
+      // the null-compare spelling silently skipped this clone branch (get
+      // unboxes null to 0L), storing keys that alias the other buffer
+      if (buf.containsKey(e.getKey)) buf.put(e.getKey, buf.get(e.getKey) + e.getValue)
       else buf.put(e.getKey.clone(), e.getValue)
     }
     if (buf.size > m) {
