@@ -362,7 +362,7 @@ object Ann {
     val probes = probeLists(queries, centroids, nprobe)
     val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(s"$dir/lists")
-      .where(col("cid").isin(probedCids: _*))
+      .where(col("cid").isin(probedCids.toIndexedSeq: _*))
     scoreProbed(lists, probes, k)
   }
 

@@ -475,7 +475,7 @@ object Dedup {
                               numHashes: Int = graft.functions.BloomOps.DefaultNumHashes): Array[Byte] =
     evalDocs.select(graft.functions.BloomOps.bloomAgg(
         xxhash64(col("text")), numBits, numHashes).as("b"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
 
   /** Map-only contamination gate: flags rows whose exact text hash MIGHT
     * be in the eval set (no false negatives; false positives at the

@@ -55,7 +55,7 @@ object EventSource {
       .reduce(_ || _)
     df.withColumn("parsed", parsed)
       .withColumn("valid", col("parsed").isNotNull && anyField)
-      .select(col("*") +: schema.fieldNames.map(f =>
+      .select(col("*") +: schema.fieldNames.toIndexedSeq.map(f =>
         when(col("valid"), col("parsed").getField(f)).as(f)): _*)
       .drop("parsed")
   }
