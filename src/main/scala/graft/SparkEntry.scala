@@ -16,6 +16,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
+  /** Probe terms for the CMS frequency-sketch keys (three common corpus
+    * tokens + one deliberately absent → estimate 0).
+    */
+  private val FreqProbeTerms = Seq("scan", "filter", "window", "zyzzyva")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- general analytics (SURVEY §2 #19-23) ----
@@ -122,6 +127,42 @@ object SparkEntry {
         graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
           Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))),
         Seq("event_type")).orderBy("event_type")
+    }),
+    // Count-Min FREQUENCY sketch table: per-(source, lang) term-frequency
+    // sketches, rolled up to per-source and probed for a fixed term list
+    // (incl. one absent term → 0) — rows-only (estimates are
+    // engine-specific; never-underestimate + εN bound spec'd in CmsOpsSpec)
+    "q_freq_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.explode
+      val toks = Tables.documents(s, d)
+        .select(col("source"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      Analytics.freqFromSketches(
+        Analytics.freqSketchTable(toks, "term", Seq("source", "lang")),
+        Seq("source"), FreqProbeTerms).orderBy("source", "term")
+    }),
+    // same rollup served FROM the MAINTAINED CMS store: three hash-sliced
+    // micro-batches folded through the manifest-committed view — the
+    // commutative-monoid merge makes the served sketches BYTE-identical
+    // to the one-shot build, so this must equal q_freq_sketch exactly
+    "q_freq_sketch_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{explode, pmod, xxhash64}
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .persist() // merges run 2 actions per slice (probe + write)
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-cms")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeFreqSketchesBatch(s,
+          toks.where(pmod(xxhash64(col("doc_id")), org.apache.spark.sql.functions.lit(3)) === i),
+          viewDir, itemCol = "term", byCols = Seq("source", "lang"),
+          numBuckets = 8, version = i.toLong)
+      }
+      toks.unpersist()
+      Analytics.freqFromSketches(
+        graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+          Analytics.freqSketchTable(toks, "term", Seq("source", "lang"))),
+        Seq("source"), FreqProbeTerms).orderBy("source", "term")
     }),
     // incremental cross-run dedup served FROM the maintained seen-hash
     // store: two corpus slices folded in as separate batches, then the
@@ -652,6 +693,19 @@ object SparkEntry {
       Dedup.decontaminate(docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1))
     }),
+    // corpus snapshot diff demo: "old" = docs with doc_id%3>0, "new" = docs
+    // with doc_id%4>0 and every 7th doc's text revised — the deterministic
+    // decoration mixes added/removed/changed (same demo pattern as the
+    // receipts); unchanged rows dropped by the operator's default
+    "q_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, lit}
+      val docs = Tables.documents(s, d)
+      Dedup.snapshotDiff(
+        docs.where(col("doc_id") % 3 > 0),
+        docs.where(col("doc_id") % 4 > 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Ann.lshTopKMultiprobe(Tables.embeddings(s, d))),
@@ -666,6 +720,14 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => Pq.pqTopK(Tables.embeddings(s, d), iters = 3)),
     "q_ann_ivfpq" -> ((s, d) => Pq.ivfPqTopK(Tables.embeddings(s, d), iters = 3)),
     "q_ann_ivfpq_res" -> ((s, d) => Pq.ivfPqResidualTopK(Tables.embeddings(s, d), iters = 3)),
+    // 8-bit scalar-quantized exhaustive ANN — the SQ point of the
+    // compression family (rows-only like the PQ legs; recall spec'd)
+    "q_ann_sq8" -> ((s, d) => Pq.sq8TopK(Tables.embeddings(s, d))),
+    // exact kNN GRAPH over a capped node set: every node's top-5 among all
+    // others — brute force IS the semantics here (oracle-checked all-pairs);
+    // the LSH twin below is the full-corpus scale path (rows-only)
+    "q_knn_graph" -> ((s, d) => Ann.knnGraph(Tables.embeddings(s, d), k = 5, maxId = 300L)),
+    "q_knn_graph_lsh" -> ((s, d) => Ann.knnGraphLsh(Tables.embeddings(s, d))),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     // the cluster step over the embedding pair list (pairs → keep-one
     // groups) — same connected-components engine as q_dup_clusters
@@ -708,6 +770,14 @@ object SparkEntry {
       Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id",
         valPermille = 100, testPermille = 100)
         .select("doc_id", "source", "split").orderBy("doc_id")),
+    // per-source document cap (the "no domain dominates" valve): ≤ 20 docs
+    // per source, ranked by the shared md5 hash-order convention — the
+    // DuckDB twin is the row_number window the operator deliberately
+    // avoids (bounded heap + semi-join instead)
+    "q_source_cap" -> ((s, d) =>
+      Sampling.groupCap(Tables.documents(s, d), "source", "doc_id",
+        cap = 20, salt = "cap")
+        .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")),
     // temperature mixture: per-source rates COMPUTED from observed counts
     // (mass ∝ sqrt(count), expected total = half the corpus) — α=0.5 keeps
     // the one floating step a correctly-rounded sqrt, so the DuckDB twin
@@ -2246,6 +2316,53 @@ object SparkEntry {
         |SELECT qid, nid, cosine, rk FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored) t
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // exact kNN graph: the same decimal-dot + 12-dp convention as
+    // q_ann_cosine, all-pairs over the capped node set, qid <> nid
+    "q_knn_graph" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+        | FROM embeddings WHERE vec_id < 300
+        |), nz AS (SELECT * FROM n WHERE nrm > 0),
+        |scored AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
+        |   / (a.nrm * b.nrm), 12) AS cosine
+        | FROM nz a, nz b WHERE a.vec_id <> b.vec_id
+        |)
+        |SELECT qid, nid, cosine, rk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored) t
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // snapshot diff: same demo decoration (old = %3>0, new = %4>0 with
+    // every 7th text revised), md5 content compare, unchanged dropped
+    "q_corpus_diff" ->
+      """WITH o_snap AS (
+        | SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 3 > 0),
+        |n_snap AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+        | FROM documents WHERE doc_id % 4 > 0)
+        |SELECT doc_id, old_hash, new_hash,
+        | CASE WHEN old_hash IS NULL THEN 'added'
+        |      WHEN new_hash IS NULL THEN 'removed'
+        |      WHEN old_hash <> new_hash THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM o_snap FULL OUTER JOIN n_snap USING (doc_id)
+        |WHERE (CASE WHEN old_hash IS NULL THEN 'added'
+        |      WHEN new_hash IS NULL THEN 'removed'
+        |      WHEN old_hash <> new_hash THEN 'changed'
+        |      ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+    // the row_number window the bounded-heap operator deliberately avoids —
+    // an independent spelling of the same md5 hash-order cap
+    "q_source_cap" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        | SELECT d.*, row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rn
+        | FROM documents d) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     // brute-force twin of the prefix-indexed ppjoin: the index's pruning
     // is SOUND (never drops an at-threshold pair), so all-pairs scoring
     // over string shingles must reproduce it exactly

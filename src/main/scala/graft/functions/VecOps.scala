@@ -28,6 +28,23 @@ object DotImpl {
     }
     acc
   }
+
+  /** Float-array × int-array dot — the SQ8 ADC kernel: the int side holds
+    * quantization codes, the float side the query pre-scaled by the
+    * per-dimension quantization step (so dot(q, dequant(x)) folds to
+    * q·min + this kernel — see [[graft.operators.Pq.sq8TopK]]). Same
+    * left-to-right double accumulation discipline as [[dotFloat]].
+    */
+  def dotFloatInt(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getInt(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }
 
 case class DotFloatExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -41,6 +58,17 @@ case class DotFloatExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+case class DotFloatIntExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_float_int"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotImpl.dotFloatInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotImpl.dotFloatInt($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFloatIntExpr =
+    copy(left = l, right = r)
+}
+
 object VecOps {
   /** Codegen'd float-array dot product (double accumulation, left-to-right).
     * Both arrays are expected same-length (fixed embedding dim); extra
@@ -48,4 +76,8 @@ object VecOps {
     */
   def dotFloat(a: Column, b: Column): Column =
     GraftBridge.column(DotFloatExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd float-array × int-array dot (the SQ8 scoring kernel). */
+  def dotFloatInt(a: Column, b: Column): Column =
+    GraftBridge.column(DotFloatIntExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

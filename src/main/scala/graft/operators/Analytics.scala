@@ -230,6 +230,43 @@ object Analytics {
     united.select(byCols.map(col) ++ qCols :+ col("n_rows"): _*)
   }
 
+  /** Frequency twin of [[hllSketchTable]]: per-group ITEM FREQUENCIES
+    * pre-aggregated once at the finest grouping into fixed-size mergeable
+    * Count-Min sketches ([[graft.functions.CmsOps]]) — point-lookup count
+    * estimates for ARBITRARY probe keys, including keys far below any
+    * heavy-hitter threshold (the gap [[HeavyHitters]]' exact two-pass
+    * protocol leaves open). Element-wise-sum mergeability is exact, so
+    * rollups united from stored sketches are byte-identical to a one-pass
+    * build — micro-batch maintenance through the view store cannot drift
+    * the artifact (CmsOpsSpec).
+    */
+  def freqSketchTable(df: DataFrame, itemCol: String, byCols: Seq[String],
+                      depth: Int = graft.functions.CmsOps.DefaultDepth,
+                      width: Int = graft.functions.CmsOps.DefaultWidth): DataFrame =
+    df.groupBy(byCols.map(col): _*)
+      .agg(graft.functions.CmsOps.cmsAgg(col(itemCol), depth, width).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Frequency rollup served FROM the sketch table: union stored sketches
+    * to any coarser grouping and estimate each probe item's count — no
+    * raw-data rescan. Output one row per (group, probe); `est_count` never
+    * underestimates and overestimates by ≤ e/width · n_rows w.h.p.
+    */
+  def freqFromSketches(sketches: DataFrame, byCols: Seq[String],
+                       probes: Seq[String],
+                       depth: Int = graft.functions.CmsOps.DefaultDepth,
+                       width: Int = graft.functions.CmsOps.DefaultWidth): DataFrame = {
+    val united = sketches.groupBy(byCols.map(col): _*)
+      .agg(graft.functions.CmsOps.cmsUnionAgg(col("sketch"), depth, width).as("sk"),
+        sum("n_rows").as("n_rows"))
+    united
+      .select(byCols.map(col) ++ Seq(
+        explode(typedLit(probes.sorted)).as("term"), col("sk"), col("n_rows")): _*)
+      .select(byCols.map(col) ++ Seq(col("term"),
+        graft.functions.CmsOps.cmsEstimate(col("sk"), col("term")).as("est_count"),
+        col("n_rows")): _*)
+  }
+
   /** Key-skew report — the diagnostic every shuffle-heavy operator in this
     * engine sizes its salting/bucket-cap valves with: group-size
     * distribution (count, max, mean, exact p50/p99 — percentiles over the

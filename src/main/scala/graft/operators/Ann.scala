@@ -411,6 +411,26 @@ object Ann {
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
                             numTables: Int = 8, threshold: Double = 0.4,
                             bucketCap: Int = 10000): DataFrame = {
+    val candidates = lshCandidatePairs(embeddings, dim, bits, numTables, bucketCap)
+    val base = embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    candidates
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosFast(col("ea"), col("eb"), col("na"), col("nb")), 12).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Multi-table LSH candidate pairs — the shared candidate generator of
+    * [[embeddingNearDupPairs]] and [[knnGraphLsh]]: each of `numTables`
+    * independent sign-bit keys buckets the corpus; candidates are the
+    * union of within-bucket pairs across tables, deduplicated BEFORE any
+    * scoring. Shuffles (vec_id, bucket) longs only — 16 bytes/row
+    * regardless of embedding width or numTables.
+    */
+  private[operators] def lshCandidatePairs(embeddings: DataFrame, dim: Int, bits: Int,
+                                           numTables: Int, bucketCap: Int): DataFrame = {
     val keys = graft.functions.LshKeys.signKeys(col("embedding"), dim, bits, numTables)
     val allKeyed = embeddings.select(col("vec_id"), explode(keys).as("bucket"))
     // Hot-bucket cap, same valve as minhashLsh: a degenerate sign-bit
@@ -423,18 +443,62 @@ object Ann {
       .agg(count(lit(1)).as("n")).where(col("n") > bucketCap).select("bucket")
     val keyed = allKeyed.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
     // candidate pairs, deduped across tables before the expensive dot product
-    val candidates = keyed.as("a")
+    keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val base = embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    candidates
+  }
+
+  /** Exact k-nearest-neighbor GRAPH: every vector's top-k neighbors by
+    * cosine among all OTHER vectors — the corpus-curation artifact behind
+    * SemDeDup-style analyses, cluster quality checks, and
+    * label-propagation over representations. This is the brute-force
+    * baseline/oracle: all-pairs scoring is O(n²) BY DEFINITION (every
+    * pair's cosine is demanded), so it exists for exactness and for
+    * verifying [[knnGraphLsh]] — cap the node set via `maxId` when the
+    * corpus is larger than n²-affordable. Scoring reuses the decimal-exact
+    * dot + 12-dp rounding convention of [[bruteForceTopK]] (cross-engine
+    * deterministic, DuckDB-oracle-checkable); ranking is the bounded-heap
+    * [[rankTopK]], so the post-score shuffle carries k·n rows, not n².
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, maxId: Long = Long.MaxValue): DataFrame = {
+    val base = embeddings.where(col("vec_id") < maxId)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val q = base.select(col("nid").as("qid"), col("ne").as("qe"), col("nn").as("qn"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Approximate kNN graph — the 100 TB spelling of [[knnGraph]]:
+    * candidates come from the multi-table LSH buckets
+    * ([[lshCandidatePairs]] — Σ bucket² per table, never n²), each
+    * surviving pair is scored ONCE with the native double cosine, then
+    * symmetrized (a pair feeds both endpoints' neighbor lists) and ranked
+    * by the bounded-heap [[rankTopK]]. Zero-norm vectors score with
+    * nobody and are absent, as in [[knnGraph]]. Recall is the LSH
+    * compound 1−(1−p^bits)^numTables per true neighbor — AnnSpec measures
+    * it against the exact graph on planted clusters; output invariants
+    * (no self edges, ≤k per node, rank order) are exact.
+    */
+  def knnGraphLsh(embeddings: DataFrame, dim: Int = 64, bits: Int = 8,
+                  numTables: Int = 8, k: Int = 5,
+                  bucketCap: Int = 10000): DataFrame = {
+    val candidates = lshCandidatePairs(embeddings, dim, bits, numTables, bucketCap)
+    val base = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
+    val scored = candidates
       .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosFast(col("ea"), col("eb"), col("na"), col("nb")), 12).as("cosine"))
-      .where(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+    val sym = scored.select(col("vec_a").as("qid"), col("vec_b").as("nid"), col("cosine"))
+      .unionByName(scored.select(col("vec_b").as("qid"), col("vec_a").as("nid"), col("cosine")))
+    rankTopK(sym, k)
   }
 
   /** Multiprobe LSH top-k: the base is bucketed ONCE (exactly like

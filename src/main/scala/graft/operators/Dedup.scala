@@ -614,4 +614,34 @@ object Dedup {
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
+
+  /** CORPUS SNAPSHOT DIFF — dataset versioning's "what changed between
+    * releases": classify every key as added / removed / changed /
+    * unchanged between two corpus snapshots by comparing CONTENT HASHES
+    * (md5 — the engine's cross-engine hash convention, so the op is
+    * oracle-checked), never the text. The audit artifact behind
+    * reproducible dataset releases: a training run pinned to snapshot A
+    * can answer "what would moving to B actually change" from key-sized
+    * output.
+    *
+    * Scale shape: each side collapses to (key, 16-byte hash) at the scan
+    * — text never shuffles — then ONE full-outer hash join on the key.
+    * `unchanged` rows are dropped by default (at 100 TB they are ~all of
+    * the output and carry no information); pass keepUnchanged=true for
+    * the complete ledger.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String = "doc_id", contentCol: String = "text",
+                   keepUnchanged: Boolean = false): DataFrame = {
+    val o = oldSnap.select(col(keyCol), md5(col(contentCol)).as("old_hash"))
+    val n = newSnap.select(col(keyCol), md5(col(contentCol)).as("new_hash"))
+    val joined = o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    (if (keepUnchanged) joined else joined.where(col("status") =!= "unchanged"))
+      .orderBy(keyCol)
+  }
 }

@@ -379,4 +379,90 @@ object Pq {
         round((col("qc") + adcDot(m)) / (col("qn") * col("rn")), 12).as("cosine"))
     Ann.rankTopK(scored, k)
   }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Per-dimension (min, max) quantization stats for [[sq8TopK]] — ONE
+    * aggregate pass over the corpus producing 2·dim scalars (a single
+    * driver row, bounded by construction like the centroid collects).
+    */
+  def sq8Stats(embeddings: DataFrame, dim: Int): (Array[Float], Array[Float]) = {
+    val aggs = (0 until dim).flatMap(d => Seq(
+      min(get(col("embedding"), lit(d))).as(s"mn_$d"),
+      max(get(col("embedding"), lit(d))).as(s"mx_$d")))
+    val row = embeddings.agg(aggs.head, aggs.tail: _*).head()
+    if (row.isNullAt(0)) (Array.empty[Float], Array.empty[Float])
+    else (Array.tabulate(dim)(d => row.getAs[Float](s"mn_$d")),
+          Array.tabulate(dim)(d => row.getAs[Float](s"mx_$d")))
+  }
+
+  private def sq8Scales(mins: Array[Float], maxs: Array[Float]): Array[Float] =
+    mins.zip(maxs).map { case (mn, mx) => if (mx > mn) (mx - mn) / 255f else 1f }
+
+  /** Map-side SQ8 encoding: per dimension, code = round((x−min)/step)
+    * clamped to [0,255] — 8-bit uniform scalar quantization, the simplest
+    * compressed-vector layout (byte-per-dimension ≈ 4× smaller than
+    * float32; stored as an int array here, the kernel-friendly spelling of
+    * the same plumbing). `dnorm` (the dequantized vector's norm) is
+    * precomputed once at encode time so query scoring never reconstructs.
+    * Zero shuffles, like PQ's [[encode]].
+    */
+  def sq8Encode(embeddings: DataFrame, dim: Int,
+                mins: Array[Float], maxs: Array[Float]): DataFrame = {
+    if (mins.isEmpty)
+      return embeddings.select(col("vec_id"), typedlit(Array.empty[Int]).as("codes"),
+        lit(0.0d).as("dnorm")).where(lit(false))
+    val scales = sq8Scales(mins, maxs)
+    val minsL = typedlit(mins)
+    val scalesL = typedlit(scales)
+    val codes = zip_with(col("embedding"), sequence(lit(1), lit(dim)), (x, i) =>
+      least(greatest(
+        round((x.cast("double") - element_at(minsL, i).cast("double"))
+          / element_at(scalesL, i).cast("double")).cast("int"), lit(0)), lit(255)))
+    val dnormSq = aggregate(
+      zip_with(col("codes"), sequence(lit(1), lit(dim)), (c, i) =>
+        pow(element_at(minsL, i).cast("double")
+          + c.cast("double") * element_at(scalesL, i).cast("double"), 2)),
+      lit(0.0d), (acc, x) => acc + x)
+    embeddings.select(col("vec_id"), codes.as("codes"))
+      .withColumn("dnorm", sqrt(dnormSq))
+  }
+
+  /** SQ8 ANN: exhaustive scan over 8-bit scalar-quantized codes — the
+    * third compression point of the family (float32 brute force → SQ8 at
+    * 4× → PQ at d·4/m×; SQ8 trades less memory saving for near-exact
+    * recall and NO training/codebook artifact — two corpus passes: one
+    * stats agg, one encode). Scoring never dequantizes per pair:
+    * dot(q, dequant(x)) = q·min + (q∘step)·codes, so the query
+    * precomputes q·min (scalar) and q∘step (one array) ONCE and each
+    * candidate costs a single codegen'd
+    * [[graft.functions.VecOps.dotFloatInt]] kernel — the SQ analog of
+    * PQ's ADC lookup tables. Queries broadcast; the code table never
+    * shuffles; the only exchange is [[Ann.rankTopK]]'s bounded heap
+    * merge. Rows-only on the driver gate (quantized scores are
+    * engine-specific); AnnSpec measures recall vs the exact graph.
+    */
+  def sq8TopK(embeddings: DataFrame, dim: Int = 64,
+              numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val (mins, maxs) = sq8Stats(embeddings, dim)
+    if (mins.isEmpty) return emptyTopK(embeddings)
+    val scales = sq8Scales(mins, maxs)
+    val minsL = typedlit(mins)
+    val scalesL = typedlit(scales)
+    val base = sq8Encode(embeddings.where(col("vec_id") >= numQueries), dim, mins, maxs)
+      .select(col("vec_id").as("nid"), col("codes"), col("dnorm"))
+      .where(col("dnorm") > 0)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        Ann.norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .select(col("qid"), col("qn"),
+        graft.functions.VecOps.dotFloat(col("qe"), minsL).as("qmin"),
+        zip_with(col("qe"), scalesL, (x, s) => (x * s).cast("float")).as("qscaled"))
+    val scored = base.crossJoin(broadcast(q))
+      .select(col("qid"), col("nid"),
+        round((graft.functions.VecOps.dotFloatInt(col("qscaled"), col("codes")) + col("qmin"))
+          / (col("qn") * col("dnorm")), 12).as("cosine"))
+    Ann.rankTopK(scored, k)
+  }
 }

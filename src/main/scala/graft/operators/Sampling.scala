@@ -91,6 +91,37 @@ object Sampling {
                    salt: String = ""): DataFrame =
     df.orderBy(gate(col(keyCol), salt), col(keyCol)).limit(k)
 
+  /** Per-GROUP document cap: keep at most `cap` rows per group (the
+    * standard "no domain may dominate the corpus" curation valve — cap
+    * docs per domain/source before mixing). Selection is deterministic:
+    * within a group, rows rank by md5(key∥":"∥salt) then key — the
+    * engine's cross-engine hash-order convention (shared with
+    * [[Packing.shardAssign]], DuckDB-reproducible, so the op is
+    * oracle-checked), rerun- and partition-stable, and changing `salt`
+    * redraws the survivors without touching group membership.
+    *
+    * Plan shape (the 100 TB property): NOT a row_number window — that
+    * shuffles and sorts the whole corpus by group and serializes each hot
+    * group through one reducer. Instead the per-group bounded heap
+    * ([[graft.functions.TopKAgg]]) partial-aggs map-side, so the shuffle
+    * carries ≤ cap·groups·partitions (rank, key) pairs — never text —
+    * and the kept-key set joins back as a LEFT SEMI on the key (hot
+    * groups cost cap keys, not |group| window rows).
+    */
+  def groupCap(df: DataFrame, groupCol: String, keyCol: String, cap: Int,
+               salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val rank = md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt)))
+    val kept = df
+      .select(col(groupCol), col(keyCol))
+      .groupBy(groupCol)
+      .agg(graft.functions.TopKAgg.topK(
+        struct(rank.as("r"), col(keyCol).as("k")), cap).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.k").as(keyCol))
+    df.join(kept, Seq(keyCol), "left_semi")
+  }
+
   /** TEMPERATURE mixture permilles: source s gets sampling mass ∝ c_s^α
     * (α=1 keeps natural proportions, α→0 flattens toward uniform — the
     * standard multilingual/multi-source rebalancing), scaled so the

@@ -600,6 +600,52 @@ object ViewMaintenance {
       }
       .start()
 
+  /** Incremental maintenance of the Count-Min frequency sketch table
+    * ([[graft.operators.Analytics.freqSketchTable]]): each micro-batch's
+    * per-group sketches fold into the stored view by element-wise sum
+    * ([[graft.functions.CmsOps.cmsUnion2]]) — an EXACT commutative monoid,
+    * so unlike HLL's approximate convergence, any micro-batch slicing
+    * yields a byte-identical artifact (CmsOpsSpec pins it). Buckets key on
+    * the FIRST groupBy column, like the HLL store.
+    */
+  def mergeFreqSketchesBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                             itemCol: String, byCols: Seq[String],
+                             depth: Int = graft.functions.CmsOps.DefaultDepth,
+                             width: Int = graft.functions.CmsOps.DefaultWidth,
+                             numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                             maxGenerations: Int = DefaultMaxGenerations,
+                             committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir,
+      graft.operators.Analytics.freqSketchTable(batch, itemCol, byCols, depth, width),
+      byCols.head,
+      (existing, delta) => {
+        val e = existing.select(byCols.map(col) :+ col("sketch").as("sk_a")
+          :+ col("n_rows").as("nr_a"): _*)
+        val d = delta.select(byCols.map(col) :+ col("sketch").as("sk_b")
+          :+ col("n_rows").as("nr_b"): _*)
+        e.join(d, byCols, "full_outer")
+          .select(byCols.map(col) :+
+            (when(col("sk_a").isNull, col("sk_b"))
+              .when(col("sk_b").isNull, col("sk_a"))
+              .otherwise(graft.functions.CmsOps.cmsUnion2(col("sk_a"), col("sk_b")))).as("sketch") :+
+            (coalesce(col("nr_a"), lit(0L)) + coalesce(col("nr_b"), lit(0L))).as("n_rows"): _*)
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  def startFreqSketchView(items: DataFrame, viewDir: String, checkpointDir: String,
+                          itemCol: String, byCols: Seq[String],
+                          depth: Int = graft.functions.CmsOps.DefaultDepth,
+                          width: Int = graft.functions.CmsOps.DefaultWidth,
+                          numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeFreqSketchesBatch(batch.sparkSession, batch, viewDir, itemCol, byCols,
+          depth, width, numBuckets, batchId)
+        ()
+      }
+      .start()
+
   /** SEEN-HASH dedup store — incremental cross-run exact dedup, the shape
     * a 100 TB crawl pipeline actually needs: every ingest batch must be
     * deduped against ALL previously ingested content, not just a

@@ -349,4 +349,80 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(uncapped.count(_._3) == 1, "without the cap the mass collapses to one representative")
   }
+
+  test("knnGraph: every node's exact top-k, no self edges, matches per-query brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where($"vec_id" < 40)
+    val g = Ann.knnGraph(emb, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    val nodes = emb.count()
+    assert(g.length == nodes * 3)
+    assert(g.forall { case (q, n, _, _) => q != n }, "no self edges")
+    // per node: rank order is cosine desc, ranks are 1..k
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(-_._3).toSeq == sorted.map(-_._3).sorted.toSeq, s"rank order broken for $q")
+    }
+    // spot-check node 7 against an independent driver-side brute force
+    val vecs = emb.as[(Long, Array[Float], Int)].collect().map { case (id, e, _) => id -> e }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val expected = vecs.filter(_._1 != 7L)
+      .map { case (id, e) => (BigDecimal(cos(vecs(7L), e)).setScale(12, BigDecimal.RoundingMode.HALF_UP), id) }
+      .toSeq.sortBy { case (c, id) => (-c, id) }.take(3).map(_._2)
+    assert(g.filter(_._1 == 7L).sortBy(_._4).map(_._2).toSeq == expected)
+  }
+
+  test("knnGraph maxId caps the node set on BOTH sides") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Ann.knnGraph(emb, k = 2, maxId = 20L)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(g.forall { case (q, n) => q < 20L && n < 20L })
+  }
+
+  test("knnGraphLsh: high recall on clustered data, exact output invariants") {
+    // 6 tight clusters — true neighbors share sign buckets with high
+    // probability across 8 tables, so the approximate graph should
+    // recover nearly all exact edges
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    def axis(a: Int) = Array.tabulate(dim)(d => if (d == a % dim) 1f else 0f)
+    def jit(v: Array[Float]) = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val emb = (0 until 60).map(i => (i.toLong, jit(axis(i % 6)))).toDF("vec_id", "embedding")
+    val exact = Ann.knnGraph(emb, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.knnGraphLsh(emb, dim = dim, bits = 6, numTables = 8, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum / exact.size
+    info(f"kNN-graph recall@3 on planted clusters: $recall%.2f")
+    assert(recall >= 0.9, f"clustered neighbors should be recovered, got $recall%.2f")
+    // invariants are exact regardless of recall
+    val rows = Ann.knnGraphLsh(emb, dim = dim, bits = 6, numTables = 8, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.sortBy(_._4).map(_._4).toSeq == (1L to g.length).toSeq)
+    }
+    // every scored pair feeds BOTH endpoints' candidate lists (symmetry of
+    // candidate generation, not of the final top-k)
+    val pairs = rows.map { case (q, n, _, _) => (q, n) }.toSet
+    assert(pairs.nonEmpty)
+  }
+
+  test("knnGraphLsh is deterministic under repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.knnGraphLsh(df, dim = 64, bits = 8, numTables = 4, k = 3)
+        .collect().map(_.toSeq).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
 }

@@ -231,4 +231,19 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.substringDedup(substrDocs.repartition(7), k = 3).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("snapshotDiff: classifies added/removed/changed, drops unchanged by default") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val diff = Dedup.snapshotDiff(oldSnap, newSnap)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val full = Dedup.snapshotDiff(oldSnap, newSnap, keepUnchanged = true)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(full(2L) == "unchanged" && full.size == 4)
+    // hashes ride the output for audit: changed rows show both sides
+    val changed = Dedup.snapshotDiff(oldSnap, newSnap)
+      .where($"status" === "changed").collect().head
+    assert(changed.getAs[String]("old_hash") != changed.getAs[String]("new_hash"))
+  }
 }

@@ -198,4 +198,47 @@ class PqSpec extends SparkSpec {
       numQueries = 5, k = 5).collect()
     assert(r.length == 25)
   }
+
+  test("sq8: codes in [0,255], dequantization error bounded by half a step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (mins, maxs) = Pq.sq8Stats(emb, 64)
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    val enc = Pq.sq8Encode(emb, 64, mins, maxs)
+      .select("vec_id", "codes").as[(Long, Array[Int])].collect()
+    assert(enc.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    val raw = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val steps = mins.zip(maxs).map { case (mn, mx) => if (mx > mn) (mx - mn) / 255f else 1f }
+    enc.foreach { case (id, codes) =>
+      codes.zipWithIndex.foreach { case (c, d) =>
+        val deq = mins(d) + c.toDouble * steps(d)
+        assert(math.abs(deq - raw(id)(d)) <= steps(d) / 2 + 1e-6,
+          s"vec $id dim $d: |$deq - ${raw(id)(d)}| > step/2")
+      }
+    }
+  }
+
+  test("sq8TopK: near-exact recall vs brute force at 8 bits") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = graft.operators.Ann.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = Pq.sq8TopK(emb, dim = 64, numQueries = 5, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.map { case (q, b) =>
+      sq.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size }.sum / brute.size
+    info(f"SQ8 recall@5 vs brute force: $recall%.2f")
+    assert(recall >= 0.8, f"8-bit scalar quantization should be near-exact, got $recall%.2f")
+    assert(sq.values.forall(_.size == 5))
+  }
+
+  test("sq8TopK is deterministic under repartitioning; empty input is total") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pq.sq8TopK(df, dim = 64, numQueries = 5, k = 5).collect().map(_.toSeq).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+    val empty = emb.where(org.apache.spark.sql.functions.lit(false))
+    assert(Pq.sq8TopK(empty, dim = 64).collect().isEmpty)
+  }
 }

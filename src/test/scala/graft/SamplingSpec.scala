@@ -165,4 +165,30 @@ class SamplingSpec extends SparkSpec {
     assert(out("big") == 3000L)                      // exactly 2 epochs × 1500
     assert(math.abs(out("small") - 800L) < 80L)      // 500 + ~300 gated
   }
+
+  test("groupCap: at most cap per group, equals the window spelling, salt redraws") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (0L until 900L).map(i => (i, s"g${i % 3}", s"payload_$i"))
+      .toDF("id", "grp", "payload")
+    val capped = Sampling.groupCap(df, "grp", "id", cap = 50, salt = "s1")
+    val sizes = capped.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 50L), s"every group holds 300 > cap: $sizes")
+    // the bounded-heap result must equal the row_number window spelling
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(
+          md5(concat(col("id").cast("string"), lit(":s1"))), col("id"))))
+      .where(col("rn") <= 50).drop("rn")
+      .as[(Long, String, String)].collect().toSet
+    assert(capped.as[(Long, String, String)].collect().toSet == viaWindow)
+    // partition-invariant; salt redraws without changing group sizes
+    val again = Sampling.groupCap(df.repartition(13), "grp", "id", cap = 50, salt = "s1")
+    assert(again.as[(Long, String, String)].collect().toSet == viaWindow)
+    val redrawn = Sampling.groupCap(df, "grp", "id", cap = 50, salt = "s2")
+      .as[(Long, String, String)].collect().toSet
+    assert(redrawn != viaWindow && redrawn.size == 150)
+    // a group smaller than the cap passes through whole
+    val small = df.where(col("id") < 10)
+    assert(Sampling.groupCap(small, "grp", "id", cap = 50).count() == 10L)
+  }
 }
