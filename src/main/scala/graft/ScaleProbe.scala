@@ -224,6 +224,35 @@ object ScaleProbe {
           graft.streaming.ViewMaintenance.readView(spark, viewDir)).count()
       }
     }
+    // round-7b: CMS freq sketches, kNN graph (exact baseline at its cap +
+    // the LSH twin over the full 20k replicated corpus — every vector now
+    // has 10 exact copies, the adversarial hot-bucket shape), SQ8, the
+    // per-source cap, and the snapshot diff
+    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val en = emb.count()
+      (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * en)))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
+    def bigEmb = spark.read.parquet(s"$big/embeddings.parquet")
+    time("knn_graph/exact-300-cap")(Ann.knnGraph(bigEmb, k = 5, maxId = 300L).count())
+    time("knn_graph_lsh/20k-dup-mass")(Ann.knnGraphLsh(bigEmb).count())
+    time("ann_sq8/20k-exhaustive")(Pq.sq8TopK(bigEmb).count())
+    time("source_cap/50k-docs") {
+      Sampling.groupCap(bigDocs, "source", "doc_id", cap = 20, salt = "cap").count()
+    }
+    time("corpus_diff/50k") {
+      Dedup.snapshotDiff(bigDocs.where(col("doc_id") % 3 > 0),
+        bigDocs.where(col("doc_id") % 4 > 0)).count()
+    }
+    time("freq_sketch/build+serve-10x") {
+      val toks = bigDocs.select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      Analytics.freqFromSketches(
+        Analytics.freqSketchTable(toks, "term", Seq("source", "lang")),
+        Seq("source"), Seq("scan", "filter", "window", "zyzzyva")).count()
+    }
     spark.stop()
   }
 }

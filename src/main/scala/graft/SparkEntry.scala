@@ -128,6 +128,26 @@ object SparkEntry {
           Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))),
         Seq("event_type")).orderBy("event_type")
     }),
+    // NEAR-dup twin of the seen-hash store: two corpus slices' LSH band
+    // hashes folded in as batches, then the third slice gated — "which
+    // docs are near-new vs the corpus's entire history". Rows-only
+    // (minhash banding is engine-specific; collision behavior spec'd)
+    "q_neardup_store_served" -> ((s, d) => {
+      val docs = Tables.documents(s, d).persist() // merges run 2 actions per slice
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-band")
+        .toString + "/view"
+      (0 until 2).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeBandHashesBatch(s,
+          docs.where(col("doc_id") % 3 === i), viewDir,
+          numBuckets = 8, version = i.toLong)
+      }
+      val seen = graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+        graft.operators.Dedup.bandHashKeys(docs).select("h"))
+      val out = graft.streaming.ViewMaintenance.nearDupAgainstSeen(
+        docs.where(col("doc_id") % 3 === 2), seen)
+      docs.unpersist()
+      out.orderBy("doc_id")
+    }),
     // Count-Min FREQUENCY sketch table: per-(source, lang) term-frequency
     // sketches, rolled up to per-source and probed for a fixed term list
     // (incl. one absent term → 0) — rows-only (estimates are

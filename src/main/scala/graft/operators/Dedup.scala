@@ -615,6 +615,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-doc LSH BAND-KEY hashes — the near-dup analog of the 8-byte
+    * content hash: one xxhash64 per (band, minhash slice) of the doc's
+    * signature, exactly [[minhashLsh]]'s band construction folded to a
+    * long. Two docs share a band hash iff their signatures agree on that
+    * band's `rowsPerBand` minhashes — identical docs share ALL bands,
+    * near-identical docs share most (the standard LSH collision curve).
+    * This is the storable fingerprint the incremental near-dup store
+    * ([[graft.streaming.ViewMaintenance.mergeBandHashesBatch]]) keeps:
+    * numBands longs per doc, never text or shingles.
+    */
+  def bandHashKeys(documents: DataFrame, numHashes: Int = 32,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    documents
+      .select(col("doc_id"), minhashSignature(col("text"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map { b =>
+          concat_ws(":", lit(b) +:
+            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as("band_key"))
+      .select(col("doc_id"), xxhash64(col("band_key")).as("h"))
+  }
+
   /** CORPUS SNAPSHOT DIFF — dataset versioning's "what changed between
     * releases": classify every key as added / removed / changed /
     * unchanged between two corpus snapshots by comparing CONTENT HASHES

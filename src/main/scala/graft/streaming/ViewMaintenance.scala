@@ -707,6 +707,51 @@ object ViewMaintenance {
       .join(seen.select(col("h").as("_h")), Seq("_h"), "left_anti")
       .select(idCol)
 
+  /** NEAR-dup twin of the seen-hash store: the stored set holds LSH BAND
+    * hashes ([[graft.operators.Dedup.bandHashKeys]] — numBands longs per
+    * doc ever ingested) instead of content hashes, so the gate can answer
+    * "is this doc a NEAR duplicate of anything in the corpus's entire
+    * history" — the state neither the watermark-bounded streaming dedup
+    * nor the exact seen-hash store holds. Identical docs collide on every
+    * band (the exact-dup case is subsumed); near-identical docs collide
+    * on most bands (the LSH curve: P[≥1 collision] = 1−(1−s^r)^b for
+    * signature similarity s). Same store mechanics as
+    * [[mergeSeenHashesBatch]] (it IS that store — set union of longs,
+    * bucketed, manifest-committed), so slicing-invariance and replay
+    * no-ops are inherited.
+    */
+  def mergeBandHashesBatch(spark: SparkSession, batchDocs: DataFrame, viewDir: String,
+                           numHashes: Int = 32, rowsPerBand: Int = 2,
+                           numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                           maxGenerations: Int = DefaultMaxGenerations,
+                           committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeSeenHashesBatch(spark,
+      graft.operators.Dedup.bandHashKeys(batchDocs, numHashes, rowsPerBand).select("h"),
+      viewDir, "h", numBuckets, version, maxGenerations, committer)
+
+  /** The serving gate over a [[mergeBandHashesBatch]] store: every doc in
+    * `docs` verdicted (doc_id, maybe_near_dup) — flagged iff ANY of its
+    * band hashes is already in the store. A probabilistic gate by design
+    * (like [[graft.functions.BloomOps]]' contamination gate): no false
+    * negatives for exact duplicates of folded content (all bands match),
+    * near-dups caught at the LSH collision rate, rare false positives
+    * from band-hash collisions — the standard crawl-ingest trade where
+    * flagged docs go to a verification queue, not straight to /dev/null.
+    *
+    * Scale shape: docs expand to numBands (doc_id, hash) longs map-side,
+    * ONE semi-join against the store, partial-agg distinct back to doc
+    * ids; text never shuffles.
+    */
+  def nearDupAgainstSeen(docs: DataFrame, seen: DataFrame,
+                         numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val flagged = graft.operators.Dedup.bandHashKeys(docs, numHashes, rowsPerBand)
+      .join(seen.select(col("h")), Seq("h"), "left_semi")
+      .select("doc_id").distinct().withColumn("_hit", lit(true))
+    docs.select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("maybe_near_dup"))
+  }
+
   /** Quantile twin of [[mergeSketchesBatch]]: per-group bottom-k value
     * sketches (functions.QuantileSketchOps) folded into the manifest store
     * by pairwise union. Bottom-k union is an EXACT semilattice — any

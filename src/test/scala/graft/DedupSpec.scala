@@ -232,6 +232,62 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("band-hash store: exact dups always flagged, near-dups caught, disjoint docs pass") {
+    import org.apache.spark.sql.functions._
+    val longText = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearText = ((1 to 59).map(i => s"token$i") :+ "tokenX").mkString(" ")
+    val otherText = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val history = Seq((1L, longText), (2L, otherText)).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, longText),   // exact dup of folded content → all bands collide
+      (11L, nearText),   // near-dup → most bands collide
+      (12L, (1 to 60).map(i => s"qqq$i").mkString(" "))) // disjoint vocab
+      .toDF("doc_id", "text")
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-band-store").toString + "/view"
+    graft.streaming.ViewMaintenance.mergeBandHashesBatch(spark, history, viewDir,
+      numBuckets = 4, version = 0L)
+    val seen = graft.streaming.ViewMaintenance.readView(spark, viewDir)
+    val verdicts = graft.streaming.ViewMaintenance.nearDupAgainstSeen(probe, seen)
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts(10L), "exact duplicate must be flagged (all bands collide)")
+    assert(verdicts(11L), "59/60-token near-dup must be flagged")
+    assert(!verdicts(12L), "disjoint-vocabulary doc must pass the gate")
+    assert(verdicts.size == 3, "every probe doc gets a verdict")
+  }
+
+  test("band-hash store: slicing-invariant and replay no-op (inherited from the seen store)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def gateAfter(slices: Seq[org.apache.spark.sql.DataFrame]): Map[Long, Boolean] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-band-slice").toString + "/view"
+      slices.zipWithIndex.foreach { case (s, i) =>
+        graft.streaming.ViewMaintenance.mergeBandHashesBatch(spark, s, dir,
+          numBuckets = 4, version = i.toLong)
+      }
+      graft.streaming.ViewMaintenance.nearDupAgainstSeen(
+          docs.where(col("doc_id") % 3 === 2),
+          graft.streaming.ViewMaintenance.readView(spark, dir))
+        .as[(Long, Boolean)].collect().toMap
+    }
+    val history = docs.where(col("doc_id") % 3 < 2)
+    val bySplit = gateAfter(Seq(docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1)))
+    val oneShot = gateAfter(Seq(history))
+    // replaying a committed version is a no-op
+    val replayDir = java.nio.file.Files.createTempDirectory("graft-band-replay").toString + "/view"
+    graft.streaming.ViewMaintenance.mergeBandHashesBatch(spark, history, replayDir,
+      numBuckets = 4, version = 0L)
+    graft.streaming.ViewMaintenance.mergeBandHashesBatch(spark, history, replayDir,
+      numBuckets = 4, version = 0L)
+    val replayed = graft.streaming.ViewMaintenance.nearDupAgainstSeen(
+        docs.where(col("doc_id") % 3 === 2),
+        graft.streaming.ViewMaintenance.readView(spark, replayDir))
+      .as[(Long, Boolean)].collect().toMap
+    assert(bySplit == oneShot, "band store must be slicing-invariant")
+    assert(replayed == oneShot)
+    assert(bySplit.nonEmpty)
+  }
+
   test("snapshotDiff: classifies added/removed/changed, drops unchanged by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")

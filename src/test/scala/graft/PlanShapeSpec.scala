@@ -65,4 +65,45 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 2, // agg shuffle (+ sort for output order)
       s"exact dedup grew extra shuffles:\n$plan")
   }
+
+  test("groupCap: bounded heap + semi join, never a row_number window") {
+    val plan = planOf("q_source_cap")
+    assert(!plan.contains("Window"),
+      s"the cap must not serialize hot groups through a window:\n$plan")
+    assert(plan.contains("LeftSemi"), s"kept keys must join back as LEFT SEMI:\n$plan")
+    // the heap partial-aggs map-side like every bounded aggregate
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findFirstIn(plan).nonEmpty,
+      s"bounded-heap aggregate missing:\n$plan")
+  }
+
+  test("snapshotDiff: the diff join carries hashes, never document text") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // AQE wraps executedPlan in AdaptiveSparkPlanExec — a LEAF to collect()
+    // over the tree — so node-level asserts run with AQE off (the AnnSpec
+    // doctrine)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val joins = try {
+      SparkEntry.queries("q_corpus_diff")(spark, sf).queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j.left.output ++ j.right.output
+        case j: ShuffledHashJoinExec => j.left.output ++ j.right.output
+        case j: BroadcastHashJoinExec => j.left.output ++ j.right.output
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(joins.nonEmpty, "expected a hash join in the diff plan")
+    joins.foreach { out =>
+      assert(!out.map(_.name).contains("text"),
+        s"raw text crossed the diff join: ${out.map(_.name)}")
+    }
+  }
+
+  test("freq sketch table: partial-agg sketches, scan pruned to used columns") {
+    val plan = finalPlanOf("q_freq_sketch")
+    // TypedImperativeAggregate partials combine map-side via ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"CMS partial aggregation lost:\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("doc_id") && !s.contains("n_chars")),
+      s"unused columns in the documents scan:\n${readSchemas.mkString("\n")}")
+  }
 }
