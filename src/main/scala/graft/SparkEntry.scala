@@ -21,6 +21,29 @@ object SparkEntry {
     */
   private val FreqProbeTerms = Seq("scan", "filter", "window", "zyzzyva")
 
+  /** Shared BM25 oracle — `q_bm25` (one-shot) and `q_bm25_index` (served
+    * from the posting-list store) must both reproduce it exactly.
+    */
+  private val Bm25OracleSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
+      |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+      |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT tf.doc_id,
+      |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+      |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
+      |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+      |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
+      |          AS term_score
+      |      FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id,
+      |  round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12) AS score,
+      |  count(*) AS matched_terms
+      |FROM s GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- general analytics (SURVEY §2 #19-23) ----
@@ -853,6 +876,14 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) =>
       TextMetrics.bm25TopK(Tables.documents(s, d), Seq("dup", "spark", "merge"))),
+    // the same retrieval served FROM the write-once inverted index:
+    // build + query in one call (the build is the labeled one-time cost,
+    // like q_ann_ivf_trained) — must reproduce q_bm25's oracle exactly
+    "q_bm25_index" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      TextIndex.buildTextIndex(Tables.documents(s, d), dir)
+      TextIndex.bm25FromIndex(s, dir, Seq("dup", "spark", "merge"))
+    }),
     // trainable corpus gate: seed labels probe a token's presence; the
     // classifier learns the corresponding hash-space direction (iterative
     // sigmoid training → engine-specific → rows-only, spec'd instead)
@@ -2644,25 +2675,10 @@ object SparkEntry {
     // (b·dl)/avgdl association kept) so the doubles agree bit-for-bit up to
     // the ln last-ulp, which the 12-dp round absorbs; per-term scores sum
     // exactly as decimal per the parity rulebook
-    "q_bm25" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
-        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
-        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
-        |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (SELECT tf.doc_id,
-        |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
-        |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
-        |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
-        |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
-        |          AS term_score
-        |      FROM tf JOIN df USING (term) CROSS JOIN n)
-        |SELECT doc_id,
-        |  round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12) AS score,
-        |  count(*) AS matched_terms
-        |FROM s GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_bm25" -> Bm25OracleSql,
+    // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
+    // construction) — the one oracle covers both spellings independently
+    "q_bm25_index" -> Bm25OracleSql,
     "q_seq_pack" ->
       """WITH t AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-once INVERTED INDEX for lexical retrieval — the text twin of the
+  * IVF vector index ([[Ann.buildIvfIndex]]): tokenize/count ONCE, store
+  * posting lists partitioned by a term-hash bucket, and serve every later
+  * BM25 query from the partition-pruned store instead of re-exploding the
+  * corpus (TextMetrics.bm25TopK's one-shot shape re-reads and re-tokenizes
+  * every document per query — right for ad-hoc, wrong for a serving path).
+  *
+  * Layout under `dir`:
+  *  - `postings/tb=<bucket>/` — (term, doc_id, tf, dl) rows, partitioned
+  *    by `tb = pmod(xxhash64(term), numBuckets)`: a query's terms map to
+  *    a handful of buckets, so the scan prunes to |Q| partitions of
+  *    term-sized posting lists (plan-asserted in TextIndexSpec). `dl` is
+  *    denormalized onto each posting at build time — no corpus-wide
+  *    lengths join at query time (the one-shot operator's same trade,
+  *    made durable).
+  *  - `stats/` — one row (n_docs, total_len): the corpus constants BM25
+  *    needs; reading it is a 1-row scan, not an aggregate over anything.
+  *
+  * Query-time parity: [[bm25FromIndex]] recomputes df from the pruned
+  * postings exactly as the one-shot operator derives it from its tf frame
+  * (df of a term = its posting count — identical by construction), then
+  * applies the same Robertson k1/b scoring with the same 12-dp rounding
+  * and decimal-sum discipline, so index-served results are IDENTICAL to
+  * [[TextMetrics.bm25TopK]] on the same corpus (spec-asserted, and the
+  * driver gate runs the same DuckDB oracle against both).
+  *
+  * Scale: the build is the corpus pass (one explode + one partial-agg
+  * shuffle on (term, doc_id) — the same cost ONE ad-hoc query pays); a
+  * query touches |Q| partitions, broadcasts a ≤|Q|-row df frame, and
+  * top-k is TakeOrderedAndProject. Incremental growth would follow the
+  * IVF index's `b=<batchId>` append discipline; rebuild-on-compact is the
+  * posting store's compaction story (ParquetCompactor mechanics).
+  */
+object TextIndex {
+
+  val DefaultNumBuckets = 64
+
+  /** One corpus pass → posting lists + corpus stats. Tokenization is the
+    * engine's whitespace convention (identical to bm25TopK).
+    */
+  def buildTextIndex(documents: DataFrame, dir: String,
+                     numBuckets: Int = DefaultNumBuckets): Unit = {
+    val words = split(col("text"), " ")
+    val stats = documents
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(words).cast("long")), lit(0L)).as("total_len"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    documents
+      .select(col("doc_id"), size(words).cast("long").as("dl"),
+        explode(words).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+  }
+
+  /** BM25 top-k served FROM the index: |Q| pruned partitions in, the same
+    * scores [[TextMetrics.bm25TopK]] computes, out.
+    */
+  def bm25FromIndex(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                    topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                    numBuckets: Int = DefaultNumBuckets): DataFrame = {
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val (n, totLen) = (statsRow.getAs[Long]("n_docs"), statsRow.getAs[Long]("total_len"))
+    // an empty build wrote no posting files — schema-stable empty result
+    // (total op, the engine's empty-input doctrine)
+    if (n == 0L)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0.0d).as("score"), lit(0L).as("matched_terms"))
+    val avgdl = totLen.toDouble / n
+    // bucket set computed from the same hash the build used (a |Q|-row
+    // local-relation job — no table scan) — the partition filter then
+    // prunes the postings scan before any IO
+    import spark.implicits._
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
+      .as[Long].collect().distinct.toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("tb").isInCollection(buckets) && col("term").isInCollection(queryTerms))
+      .select("term", "doc_id", "tf", "dl")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d))
+    val termScore = round(
+      idf * (col("tf") * (k1 + 1.0d)) /
+        (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / avgdl)), 12)
+    tf.join(broadcast(dfreq), "term")
+      .groupBy("doc_id")
+      .agg(
+        round(sum(termScore.cast("decimal(28,14)")).cast("double"), 12).as("score"),
+        count(lit(1)).as("matched_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

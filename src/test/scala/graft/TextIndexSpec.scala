@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextIndex, TextMetrics}
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def freshIndex(numBuckets: Int = 16): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+    TextIndex.buildTextIndex(docs, dir, numBuckets)
+    dir
+  }
+
+  test("index-served BM25 is identical to the one-shot operator") {
+    val dir = freshIndex()
+    val terms = Seq("dup", "spark", "merge")
+    val oneShot = TextMetrics.bm25TopK(docs, terms)
+      .as[(Long, Double, Long)].collect().toSeq
+    val served = TextIndex.bm25FromIndex(spark, dir, terms, numBuckets = 16)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(served == oneShot)
+    assert(served.nonEmpty, "testdata must exercise the query")
+  }
+
+  test("query scan prunes to the query terms' tb partitions") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val dir = freshIndex()
+      val q = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "spark"), numBuckets = 16)
+      val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      val postingScans = scans.filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      assert(postingScans.nonEmpty, "expected a postings scan")
+      assert(postingScans.forall(_.partitionFilters.nonEmpty),
+        "tb partition pruning must reach the postings scan")
+      // and the term filter pushes into the scan
+      assert(postingScans.forall(_.dataFilters.nonEmpty),
+        "term filter must reach the postings scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("absent terms contribute nothing; all-absent query returns empty") {
+    val dir = freshIndex()
+    val some = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "zzzznotaword"), numBuckets = 16)
+      .as[(Long, Double, Long)].collect()
+    val base = TextIndex.bm25FromIndex(spark, dir, Seq("dup"), numBuckets = 16)
+      .as[(Long, Double, Long)].collect()
+    assert(some.toSeq == base.toSeq, "an absent term must not perturb scores")
+    assert(TextIndex.bm25FromIndex(spark, dir, Seq("zzzznotaword"), numBuckets = 16).collect().isEmpty)
+  }
+
+  test("stats survive the store: n and avgdl come from the build corpus") {
+    val dir = freshIndex()
+    val stats = spark.read.parquet(s"$dir/stats").as[(Long, Long)].head()
+    assert(stats._1 == docs.count())
+    val totLen = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    assert(stats._2 == totLen)
+  }
+
+  test("empty corpus builds an empty but queryable index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-index-empty").toString
+    TextIndex.buildTextIndex(docs.where(lit(false)), dir, 8)
+    assert(TextIndex.bm25FromIndex(spark, dir, Seq("dup"), numBuckets = 8).collect().isEmpty)
+  }
+}
