@@ -884,6 +884,14 @@ object SparkEntry {
       TextIndex.buildTextIndex(Tables.documents(s, d), dir)
       TextIndex.bm25FromIndex(s, dir, Seq("dup", "spark", "merge"))
     }),
+    // exact-phrase retrieval from the positional index (the token-level
+    // occurrence count, overlaps included) — oracle = DuckDB's lateral
+    // positional scan over the same tokenization
+    "q_phrase_search" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      TextIndex.buildTextIndex(Tables.documents(s, d), dir)
+      TextIndex.phraseDocsFromIndex(s, dir, Seq("scan", "filter"))
+    }),
     // trainable corpus gate: seed labels probe a token's presence; the
     // classifier learns the corresponding hash-space direction (iterative
     // sigmoid training → engine-specific → rows-only, spec'd instead)
@@ -2679,6 +2687,14 @@ object SparkEntry {
     // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
     // construction) — the one oracle covers both spellings independently
     "q_bm25_index" -> Bm25OracleSql,
+    // positional-intersection phrase match == a lateral scan over adjacent
+    // token pairs (token-level counts, overlaps included)
+    "q_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS p) g
+        |WHERE toks[p] = 'scan' AND toks[p + 1] = 'filter'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -40,8 +40,12 @@ object TextIndex {
 
   val DefaultNumBuckets = 64
 
-  /** One corpus pass → posting lists + corpus stats. Tokenization is the
-    * engine's whitespace convention (identical to bm25TopK).
+  /** One corpus pass → POSITIONAL posting lists + corpus stats.
+    * Tokenization is the engine's whitespace convention (identical to
+    * bm25TopK). Each posting carries the term's sorted token positions —
+    * what [[phraseDocsFromIndex]] intersects; BM25 ignores them (the
+    * standard Lucene trade: positions roughly double the posting bytes
+    * and buy phrase/proximity queries).
     */
   def buildTextIndex(documents: DataFrame, dir: String,
                      numBuckets: Int = DefaultNumBuckets): Unit = {
@@ -52,9 +56,10 @@ object TextIndex {
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     documents
       .select(col("doc_id"), size(words).cast("long").as("dl"),
-        explode(words).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        posexplode(words))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
@@ -96,5 +101,45 @@ object TextIndex {
         count(lit(1)).as("matched_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** PHRASE search served from the positional index: documents containing
+    * the exact consecutive token sequence, with the token-level occurrence
+    * count. The classic positional-intersection algorithm — start from the
+    * first term's position list, then for term i intersect with that
+    * term's positions shifted back by i — expressed as a chain of
+    * |phrase|−1 doc_id-keyed joins over PRUNED postings with map-side
+    * `array_intersect`/`transform` (each join's both sides are
+    * query-term-sized posting lists, never the corpus, and the candidate
+    * set only shrinks). Repeated terms in the phrase work naturally (the
+    * same position list joins twice with different shifts). Overlapping
+    * occurrences are counted — positions, not string re-scan semantics.
+    */
+  def phraseDocsFromIndex(spark: SparkSession, dir: String, phrase: Seq[String],
+                          numBuckets: Int = DefaultNumBuckets): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    if (statsRow.getAs[Long]("n_docs") == 0L)
+      return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_occurrences"))
+    import spark.implicits._
+    val distinctTerms = phrase.distinct
+    val buckets = distinctTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
+      .as[Long].collect().distinct.toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .where(col("tb").isInCollection(buckets) && col("term").isInCollection(distinctTerms))
+      .select("term", "doc_id", "positions")
+    def termPositions(w: String) = posts.where(col("term") === w)
+    val init = termPositions(phrase.head)
+      .select(col("doc_id"), col("positions").as("cand"))
+    val folded = phrase.zipWithIndex.drop(1).foldLeft(init) { case (acc, (w, i)) =>
+      acc.join(termPositions(w).select(col("doc_id"), col("positions").as("p")), "doc_id")
+        .select(col("doc_id"),
+          array_intersect(col("cand"), transform(col("p"), x => x - i)).as("cand"))
+        .where(size(col("cand")) > 0)
+    }
+    folded
+      .select(col("doc_id"), size(col("cand")).cast("long").as("n_occurrences"))
+      .orderBy("doc_id")
   }
 }

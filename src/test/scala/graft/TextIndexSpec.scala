@@ -66,5 +66,45 @@ class TextIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-index-empty").toString
     TextIndex.buildTextIndex(docs.where(lit(false)), dir, 8)
     assert(TextIndex.bm25FromIndex(spark, dir, Seq("dup"), numBuckets = 8).collect().isEmpty)
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"), numBuckets = 8)
+      .collect().isEmpty)
+  }
+
+  test("phrase search: positional intersection on a hand corpus, overlaps counted") {
+    val hand = Seq(
+      (1L, "a b c a b"),     // "a b" at 0 and 3 → 2 occurrences
+      (2L, "b a b a"),       // "a b" at 1 → 1
+      (3L, "a c b"),         // terms present, never adjacent → absent
+      (4L, "x x x"),         // repeated-term phrase territory
+      (5L, "b b a")          // "a b" absent ("b" precedes)
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    TextIndex.buildTextIndex(hand, dir, 8)
+    val ab = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"), numBuckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(ab == Map(1L -> 2L, 2L -> 1L))
+    // repeated-term phrase: "x x" in "x x x" occurs at 0 and 1 (overlapping)
+    val xx = TextIndex.phraseDocsFromIndex(spark, dir, Seq("x", "x"), numBuckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(xx == Map(4L -> 2L))
+    // three-term phrase crosses two join steps
+    val abc = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b", "c"), numBuckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(abc == Map(1L -> 1L))
+    // absent phrase → empty
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("c", "a", "q"), numBuckets = 8)
+      .collect().isEmpty)
+  }
+
+  test("phrase search on testdata matches a brute-force token scan") {
+    val dir = freshIndex()
+    val served = TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"), numBuckets = 16)
+      .as[(Long, Long)].collect().toMap
+    val brute = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) => id -> t.sliding(2).count(_ == Seq("scan", "filter")) }
+      .filter(_._2 > 0).toMap
+    assert(served == brute.map { case (k, v) => k -> v.toLong })
+    assert(served.nonEmpty, "testdata must exercise the phrase")
   }
 }
