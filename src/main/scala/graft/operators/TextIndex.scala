@@ -47,13 +47,8 @@ object TextIndex {
     * standard Lucene trade: positions roughly double the posting bytes
     * and buy phrase/proximity queries).
     */
-  def buildTextIndex(documents: DataFrame, dir: String,
-                     numBuckets: Int = DefaultNumBuckets): Unit = {
+  private def batchPostings(documents: DataFrame, numBuckets: Int): DataFrame = {
     val words = split(col("text"), " ")
-    val stats = documents
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(words).cast("long")), lit(0L)).as("total_len"))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     documents
       .select(col("doc_id"), size(words).cast("long").as("dl"),
         posexplode(words))
@@ -61,8 +56,76 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(numBuckets)))
+  }
+
+  private def batchStats(documents: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    documents.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(words).cast("long")), lit(0L)).as("total_len"))
+  }
+
+  def buildTextIndex(documents: DataFrame, dir: String,
+                     numBuckets: Int = DefaultNumBuckets): Unit = {
+    batchStats(documents).withColumn("b", lit(0L))
+      .coalesce(1).write.mode("overwrite").partitionBy("b").parquet(s"$dir/stats")
+    // `b` (ingest batch) is a nested partition under tb from birth so
+    // [[appendTextBatch]] can land later batches in the same store —
+    // partition discovery needs one consistent depth; tb stays the
+    // top-level pruning key either way (the IVF lists discipline)
+    batchPostings(documents, numBuckets).withColumn("b", lit(0L))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("tb", "b").parquet(s"$dir/postings")
+  }
+
+  /** Incremental index growth — the IVF `b=<batchId>` discipline applied
+    * to posting lists: a batch of NEW documents (the contract: a doc_id
+    * appears in exactly one batch, so per-(term, doc) postings stay
+    * disjoint and df/tf remain exact) is tokenized alone and landed under
+    * `b=<batchId>` leaf partitions; dynamic partition overwrite makes a
+    * replayed batch overwrite ITSELF, so at-least-once foreachBatch
+    * delivery yields exactly-once postings. The stats table accretes one
+    * row per batch — readers SUM it (n and avgdl drift with each append,
+    * exactly like a Lucene segment merge updating collection stats).
+    */
+  def appendTextBatch(newDocuments: DataFrame, dir: String, batchId: Long,
+                      numBuckets: Int = DefaultNumBuckets): Unit = {
+    val spark = newDocuments.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      batchStats(newDocuments).withColumn("b", lit(batchId))
+        .coalesce(1).write.mode("overwrite").partitionBy("b").parquet(s"$dir/stats")
+      batchPostings(newDocuments, numBuckets).withColumn("b", lit(batchId))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb", "b").parquet(s"$dir/postings")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Streaming index maintenance — each micro-batch of new docs appended
+    * idempotently (batchId 0 would collide with the build generation;
+    * offset by 1).
+    */
+  def startTextIndexMaintenance(documents: DataFrame, dir: String, checkpointDir: String,
+                                numBuckets: Int = DefaultNumBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTextBatch(batch, dir, batchId + 1, numBuckets)
+        ()
+      }
+      .start()
+
+  /** Collection stats SUMMED over the build + every appended batch (one
+    * tiny row per batch — reading them is a batches-sized scan).
+    */
+  private def readStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val row = spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("total_len"), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
   }
 
   /** BM25 top-k served FROM the index: |Q| pruned partitions in, the same
@@ -71,8 +134,7 @@ object TextIndex {
   def bm25FromIndex(spark: SparkSession, dir: String, queryTerms: Seq[String],
                     topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                     numBuckets: Int = DefaultNumBuckets): DataFrame = {
-    val statsRow = spark.read.parquet(s"$dir/stats").head()
-    val (n, totLen) = (statsRow.getAs[Long]("n_docs"), statsRow.getAs[Long]("total_len"))
+    val (n, totLen) = readStats(spark, dir)
     // an empty build wrote no posting files — schema-stable empty result
     // (total op, the engine's empty-input doctrine)
     if (n == 0L)
@@ -118,8 +180,7 @@ object TextIndex {
   def phraseDocsFromIndex(spark: SparkSession, dir: String, phrase: Seq[String],
                           numBuckets: Int = DefaultNumBuckets): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val statsRow = spark.read.parquet(s"$dir/stats").head()
-    if (statsRow.getAs[Long]("n_docs") == 0L)
+    if (readStats(spark, dir)._1 == 0L)
       return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_occurrences"))
     import spark.implicits._
     val distinctTerms = phrase.distinct

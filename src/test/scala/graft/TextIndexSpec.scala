@@ -55,11 +55,36 @@ class TextIndexSpec extends SparkSpec {
 
   test("stats survive the store: n and avgdl come from the build corpus") {
     val dir = freshIndex()
-    val stats = spark.read.parquet(s"$dir/stats").as[(Long, Long)].head()
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "total_len").as[(Long, Long)].head()
     assert(stats._1 == docs.count())
     val totLen = docs.select(sum(size(split(col("text"), " ")).cast("long")))
       .as[Long].head()
     assert(stats._2 == totLen)
+  }
+
+  test("incremental append: build+appends == one-shot over the union, replays are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-append").toString
+    TextIndex.buildTextIndex(docs.where($"doc_id" % 3 === 0), dir, 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L, numBuckets = 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L, numBuckets = 16)
+    // a replayed batch overwrites itself (dynamic partition overwrite)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L, numBuckets = 16)
+    val oneShot = freshIndex()
+    val terms = Seq("dup", "spark", "merge")
+    assert(TextIndex.bm25FromIndex(spark, dir, terms, numBuckets = 16)
+        .as[(Long, Double, Long)].collect().toSeq ==
+      TextIndex.bm25FromIndex(spark, oneShot, terms, numBuckets = 16)
+        .as[(Long, Double, Long)].collect().toSeq)
+    // phrase search sees docs from every batch
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"), numBuckets = 16)
+        .as[(Long, Long)].collect().toMap ==
+      TextIndex.phraseDocsFromIndex(spark, oneShot, Seq("scan", "filter"), numBuckets = 16)
+        .as[(Long, Long)].collect().toMap)
+    // summed stats equal the one-shot build's
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .agg(sum("n_docs"), sum("total_len")).as[(Long, Long)].head()
+    assert(stats(dir) == stats(oneShot))
   }
 
   test("empty corpus builds an empty but queryable index") {
