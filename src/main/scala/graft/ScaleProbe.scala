@@ -253,6 +253,22 @@ object ScaleProbe {
         Analytics.freqSketchTable(toks, "term", Seq("source", "lang")),
         Seq("source"), Seq("scan", "filter", "window", "zyzzyva")).count()
     }
+    // the inverted index's amortization claim, measured: the build pays
+    // ~one ad-hoc query's corpus pass; every served query after that
+    // reads |Q| pruned posting partitions instead of re-tokenizing 50k docs
+    locally {
+      val tDir = "/tmp/graft_big/textindex"
+      time("text_index/build-50k") { TextIndex.buildTextIndex(bigDocs, tDir); 0L }
+      time("text_index/bm25-oneshot") {
+        TextMetrics.bm25TopK(bigDocs, Seq("dup", "spark", "merge")).count()
+      }
+      time("text_index/bm25-served") {
+        TextIndex.bm25FromIndex(spark, tDir, Seq("dup", "spark", "merge")).count()
+      }
+      time("text_index/phrase-served") {
+        TextIndex.phraseDocsFromIndex(spark, tDir, Seq("scan", "filter")).count()
+      }
+    }
     spark.stop()
   }
 }

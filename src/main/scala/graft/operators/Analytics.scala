@@ -244,7 +244,11 @@ object Analytics {
                       depth: Int = graft.functions.CmsOps.DefaultDepth,
                       width: Int = graft.functions.CmsOps.DefaultWidth): DataFrame =
     df.groupBy(byCols.map(col): _*)
-      .agg(graft.functions.CmsOps.cmsAgg(col(itemCol), depth, width).as("sketch"),
+      // items hash via their CANONICAL STRING form so the string probes of
+      // [[freqFromSketches]] hash identically for any item column type —
+      // xxhash64(42L) != xxhash64("42") would otherwise return collision
+      // noise presented as a frequency, silently
+      .agg(graft.functions.CmsOps.cmsAgg(col(itemCol).cast("string"), depth, width).as("sketch"),
         count(lit(1)).as("n_rows"))
 
   /** Frequency rollup served FROM the sketch table: union stored sketches

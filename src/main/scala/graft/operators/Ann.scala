@@ -324,15 +324,13 @@ object Ann {
     val base = newEmbeddings
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
       .where(col("nn") > 0)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try assignToCentroids(base, cents).withColumn("b", lit(batchId))
-      .write.mode("overwrite").partitionBy("cid", "b").parquet(s"$dir/lists")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // writer-scoped dynamic overwrite: a session-conf toggle would race
+    // any concurrent write on the same SparkSession (two maintenance
+    // streams), and the per-writer option needs no restore dance
+    assignToCentroids(base, cents).withColumn("b", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid", "b").parquet(s"$dir/lists")
   }
 
   /** Streaming IVF maintenance over an embeddings stream — each

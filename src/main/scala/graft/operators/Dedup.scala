@@ -94,12 +94,8 @@ object Dedup {
         graft.functions.TextHashes.shingleHashes(col("text")).as("sh"),
         minhashSignature(col("text"), numHashes).as("sig"))
 
-    val bands = withSig.select(
-      col("doc_id"),
-      explode(array((0 until numBands).map { b =>
-        concat_ws(":", lit(b) +: (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as("band_key")
-    )
+    val bands = withSig.select(col("doc_id"),
+      explode(bandKeysArray(col("sig"), numBands, rowsPerBand)).as("band_key"))
     // Cap degenerate buckets (skew guard): a bucket with >cap docs is
     // boilerplate-like and would quadratically explode one reducer. Partial
     // count + broadcast anti-join — NOT a count-over-window, which would
@@ -615,6 +611,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The band-key array of a minhash signature — ONE construction shared
+    * by the ad-hoc [[minhashLsh]] and the persistent band-hash store
+    * ([[bandHashKeys]]): the stored fingerprints must keep corresponding
+    * to the live candidate keys across releases, so the spelling
+    * (separator, band index prefix, 1-based element_at) lives in exactly
+    * one place.
+    */
+  private def bandKeysArray(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      concat_ws(":", lit(b) +:
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
   /** Per-doc LSH BAND-KEY hashes — the near-dup analog of the 8-byte
     * content hash: one xxhash64 per (band, minhash slice) of the doc's
     * signature, exactly [[minhashLsh]]'s band construction folded to a
@@ -631,10 +640,7 @@ object Dedup {
     documents
       .select(col("doc_id"), minhashSignature(col("text"), numHashes).as("sig"))
       .select(col("doc_id"),
-        explode(array((0 until numBands).map { b =>
-          concat_ws(":", lit(b) +:
-            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-        }: _*)).as("band_key"))
+        explode(bandKeysArray(col("sig"), numBands, rowsPerBand)).as("band_key"))
       .select(col("doc_id"), xxhash64(col("band_key")).as("h"))
   }
 
@@ -656,13 +662,18 @@ object Dedup {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCol: String = "doc_id", contentCol: String = "text",
                    keepUnchanged: Boolean = false): DataFrame = {
-    val o = oldSnap.select(col(keyCol), md5(col(contentCol)).as("old_hash"))
-    val n = newSnap.select(col(keyCol), md5(col(contentCol)).as("new_hash"))
+    // explicit presence flags: md5(NULL content) is NULL, so hash nullness
+    // cannot double as row-absence — a null-text row present on one side
+    // would otherwise misreport as added/removed instead of changed
+    val o = oldSnap.select(col(keyCol), md5(col(contentCol)).as("old_hash"),
+      lit(true).as("_in_old"))
+    val n = newSnap.select(col(keyCol), md5(col(contentCol)).as("new_hash"),
+      lit(true).as("_in_new"))
     val joined = o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol), col("old_hash"), col("new_hash"),
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("old_hash") <=> col("new_hash")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
     (if (keepUnchanged) joined else joined.where(col("status") =!= "unchanged"))
       .orderBy(keyCol)

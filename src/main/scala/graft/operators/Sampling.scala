@@ -112,14 +112,19 @@ object Sampling {
                salt: String = ""): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val rank = md5(concat(col(keyCol).cast("string"), lit(":"), lit(salt)))
+    // the keep-set carries (group, key) PAIRS and the join-back matches
+    // both: a key kept in one group must not resurrect same-key rows of
+    // OTHER groups (keys are not required to be globally unique —
+    // e.g. content hashes recurring across domains)
     val kept = df
       .select(col(groupCol), col(keyCol))
       .groupBy(groupCol)
       .agg(graft.functions.TopKAgg.topK(
         struct(rank.as("r"), col(keyCol).as("k")), cap).as("top"))
-      .select(explode(col("top")).as("t"))
-      .select(col("t.k").as(keyCol))
-    df.join(kept, Seq(keyCol), "left_semi")
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col(groupCol), col("t.k").as(keyCol))
+    df.join(kept, Seq(groupCol, keyCol), "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*) // join-key reorder undone
   }
 
   /** TEMPERATURE mixture permilles: source s gets sampling mass ∝ c_s^α

@@ -66,7 +66,13 @@ object TextIndex {
 
   def buildTextIndex(documents: DataFrame, dir: String,
                      numBuckets: Int = DefaultNumBuckets): Unit = {
+    // numBuckets is part of the store's layout — persisted WITH the store
+    // (the IVF index stores its centroids for the same reason): a query or
+    // append run with a different bucket count would prune to the WRONG
+    // partitions and silently drop documents, so readers take the stored
+    // value and callers never re-supply it
     batchStats(documents).withColumn("b", lit(0L))
+      .withColumn("num_buckets", lit(numBuckets))
       .coalesce(1).write.mode("overwrite").partitionBy("b").parquet(s"$dir/stats")
     // `b` (ingest batch) is a nested partition under tb from birth so
     // [[appendTextBatch]] can land later batches in the same store —
@@ -87,54 +93,54 @@ object TextIndex {
     * row per batch — readers SUM it (n and avgdl drift with each append,
     * exactly like a Lucene segment merge updating collection stats).
     */
-  def appendTextBatch(newDocuments: DataFrame, dir: String, batchId: Long,
-                      numBuckets: Int = DefaultNumBuckets): Unit = {
+  def appendTextBatch(newDocuments: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = newDocuments.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      batchStats(newDocuments).withColumn("b", lit(batchId))
-        .coalesce(1).write.mode("overwrite").partitionBy("b").parquet(s"$dir/stats")
-      batchPostings(newDocuments, numBuckets).withColumn("b", lit(batchId))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb", "b").parquet(s"$dir/postings")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val numBuckets = readStatsRow(spark, dir)._3
+    // writer-scoped dynamic overwrite: the session conf would race any
+    // concurrent write on the same SparkSession (two maintenance streams)
+    batchStats(newDocuments).withColumn("b", lit(batchId))
+      .withColumn("num_buckets", lit(numBuckets))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(s"$dir/stats")
+    batchPostings(newDocuments, numBuckets).withColumn("b", lit(batchId))
+      .repartition(col("tb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "b").parquet(s"$dir/postings")
   }
 
   /** Streaming index maintenance — each micro-batch of new docs appended
     * idempotently (batchId 0 would collide with the build generation;
     * offset by 1).
     */
-  def startTextIndexMaintenance(documents: DataFrame, dir: String, checkpointDir: String,
-                                numBuckets: Int = DefaultNumBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+  def startTextIndexMaintenance(documents: DataFrame, dir: String,
+                                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     documents.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendTextBatch(batch, dir, batchId + 1, numBuckets)
+        appendTextBatch(batch, dir, batchId + 1)
         ()
       }
       .start()
 
   /** Collection stats SUMMED over the build + every appended batch (one
-    * tiny row per batch — reading them is a batches-sized scan).
+    * tiny row per batch — reading them is a batches-sized scan), plus the
+    * store's persisted bucket count.
     */
-  private def readStats(spark: SparkSession, dir: String): (Long, Long) = {
+  private def readStatsRow(spark: SparkSession, dir: String): (Long, Long, Int) = {
     val row = spark.read.parquet(s"$dir/stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("total_len"), lit(0L))).head()
-    (row.getLong(0), row.getLong(1))
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("total_len"), lit(0L)),
+        max("num_buckets")).head()
+    (row.getLong(0), row.getLong(1), row.getInt(2))
   }
 
   /** BM25 top-k served FROM the index: |Q| pruned partitions in, the same
     * scores [[TextMetrics.bm25TopK]] computes, out.
     */
   def bm25FromIndex(spark: SparkSession, dir: String, queryTerms: Seq[String],
-                    topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-                    numBuckets: Int = DefaultNumBuckets): DataFrame = {
-    val (n, totLen) = readStats(spark, dir)
+                    topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (n, totLen, numBuckets) = readStatsRow(spark, dir)
     // an empty build wrote no posting files — schema-stable empty result
     // (total op, the engine's empty-input doctrine)
     if (n == 0L)
@@ -177,10 +183,11 @@ object TextIndex {
     * same position list joins twice with different shifts). Overlapping
     * occurrences are counted — positions, not string re-scan semantics.
     */
-  def phraseDocsFromIndex(spark: SparkSession, dir: String, phrase: Seq[String],
-                          numBuckets: Int = DefaultNumBuckets): DataFrame = {
+  def phraseDocsFromIndex(spark: SparkSession, dir: String,
+                          phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    if (readStats(spark, dir)._1 == 0L)
+    val (n, _, numBuckets) = readStatsRow(spark, dir)
+    if (n == 0L)
       return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_occurrences"))
     import spark.implicits._
     val distinctTerms = phrase.distinct

@@ -302,4 +302,18 @@ class DedupSpec extends SparkSpec {
       .where($"status" === "changed").collect().head
     assert(changed.getAs[String]("old_hash") != changed.getAs[String]("new_hash"))
   }
+
+  test("snapshotDiff: null content is a value, not row absence") {
+    val oldSnap = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (4L, Option("y")))
+      .toDF("doc_id", "text")
+    val full = Dedup.snapshotDiff(oldSnap, newSnap, keepUnchanged = true)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(full == Map(
+      1L -> "changed",   // x → null is a content change, NOT a removal
+      2L -> "unchanged", // null == null (null-safe compare)
+      3L -> "removed",   // genuinely absent from new
+      4L -> "added"))
+  }
 }

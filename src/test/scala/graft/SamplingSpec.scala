@@ -191,4 +191,26 @@ class SamplingSpec extends SparkSpec {
     val small = df.where(col("id") < 10)
     assert(Sampling.groupCap(small, "grp", "id", cap = 50).count() == 10L)
   }
+
+  test("groupCap: a key recurring across groups cannot resurrect capped-out rows") {
+    // key k1 lives in BOTH groups; in g1 it survives the cap, in g2 it is
+    // ranked out — the g2 row must stay dropped (the keep-set must match
+    // on (group, key), not key alone)
+    val df = Seq(("g1", "k1"), ("g2", "k1"), ("g2", "k2"), ("g2", "k3"))
+      .toDF("grp", "key")
+    // find a salt where g2's heap of size 2 evicts k1 (rank order varies
+    // by salt; try a few deterministically)
+    val salt = (0 until 50).map(i => s"s$i").find { s =>
+      val kept = Sampling.groupCap(df.where(org.apache.spark.sql.functions.col("grp") === "g2"),
+          "grp", "key", cap = 2, salt = s)
+        .select("key").as[String].collect().toSet
+      !kept.contains("k1")
+    }
+    assert(salt.nonEmpty, "some salt must rank k1 out of g2's top-2")
+    val out = Sampling.groupCap(df, "grp", "key", cap = 2, salt = salt.get)
+      .as[(String, String)].collect().toSet
+    assert(out.contains(("g1", "k1")), "g1 keeps its only row")
+    assert(!out.contains(("g2", "k1")), "g1's keep of k1 must not resurrect g2's k1 row")
+    assert(out.count(_._1 == "g2") == 2, "g2 holds exactly cap rows")
+  }
 }

@@ -20,7 +20,7 @@ class TextIndexSpec extends SparkSpec {
     val terms = Seq("dup", "spark", "merge")
     val oneShot = TextMetrics.bm25TopK(docs, terms)
       .as[(Long, Double, Long)].collect().toSeq
-    val served = TextIndex.bm25FromIndex(spark, dir, terms, numBuckets = 16)
+    val served = TextIndex.bm25FromIndex(spark, dir, terms)
       .as[(Long, Double, Long)].collect().toSeq
     assert(served == oneShot)
     assert(served.nonEmpty, "testdata must exercise the query")
@@ -31,7 +31,7 @@ class TextIndexSpec extends SparkSpec {
     try {
       import org.apache.spark.sql.execution.FileSourceScanExec
       val dir = freshIndex()
-      val q = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "spark"), numBuckets = 16)
+      val q = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "spark"))
       val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
       val postingScans = scans.filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
       assert(postingScans.nonEmpty, "expected a postings scan")
@@ -45,12 +45,12 @@ class TextIndexSpec extends SparkSpec {
 
   test("absent terms contribute nothing; all-absent query returns empty") {
     val dir = freshIndex()
-    val some = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "zzzznotaword"), numBuckets = 16)
+    val some = TextIndex.bm25FromIndex(spark, dir, Seq("dup", "zzzznotaword"))
       .as[(Long, Double, Long)].collect()
-    val base = TextIndex.bm25FromIndex(spark, dir, Seq("dup"), numBuckets = 16)
+    val base = TextIndex.bm25FromIndex(spark, dir, Seq("dup"))
       .as[(Long, Double, Long)].collect()
     assert(some.toSeq == base.toSeq, "an absent term must not perturb scores")
-    assert(TextIndex.bm25FromIndex(spark, dir, Seq("zzzznotaword"), numBuckets = 16).collect().isEmpty)
+    assert(TextIndex.bm25FromIndex(spark, dir, Seq("zzzznotaword")).collect().isEmpty)
   }
 
   test("stats survive the store: n and avgdl come from the build corpus") {
@@ -66,20 +66,20 @@ class TextIndexSpec extends SparkSpec {
   test("incremental append: build+appends == one-shot over the union, replays are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-append").toString
     TextIndex.buildTextIndex(docs.where($"doc_id" % 3 === 0), dir, 16)
-    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L, numBuckets = 16)
-    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L, numBuckets = 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L)
     // a replayed batch overwrites itself (dynamic partition overwrite)
-    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L, numBuckets = 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L)
     val oneShot = freshIndex()
     val terms = Seq("dup", "spark", "merge")
-    assert(TextIndex.bm25FromIndex(spark, dir, terms, numBuckets = 16)
+    assert(TextIndex.bm25FromIndex(spark, dir, terms)
         .as[(Long, Double, Long)].collect().toSeq ==
-      TextIndex.bm25FromIndex(spark, oneShot, terms, numBuckets = 16)
+      TextIndex.bm25FromIndex(spark, oneShot, terms)
         .as[(Long, Double, Long)].collect().toSeq)
     // phrase search sees docs from every batch
-    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"), numBuckets = 16)
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"))
         .as[(Long, Long)].collect().toMap ==
-      TextIndex.phraseDocsFromIndex(spark, oneShot, Seq("scan", "filter"), numBuckets = 16)
+      TextIndex.phraseDocsFromIndex(spark, oneShot, Seq("scan", "filter"))
         .as[(Long, Long)].collect().toMap)
     // summed stats equal the one-shot build's
     def stats(d: String) = spark.read.parquet(s"$d/stats")
@@ -90,8 +90,8 @@ class TextIndexSpec extends SparkSpec {
   test("empty corpus builds an empty but queryable index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-index-empty").toString
     TextIndex.buildTextIndex(docs.where(lit(false)), dir, 8)
-    assert(TextIndex.bm25FromIndex(spark, dir, Seq("dup"), numBuckets = 8).collect().isEmpty)
-    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"), numBuckets = 8)
+    assert(TextIndex.bm25FromIndex(spark, dir, Seq("dup")).collect().isEmpty)
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"))
       .collect().isEmpty)
   }
 
@@ -105,25 +105,25 @@ class TextIndexSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
     TextIndex.buildTextIndex(hand, dir, 8)
-    val ab = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"), numBuckets = 8)
+    val ab = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b"))
       .as[(Long, Long)].collect().toMap
     assert(ab == Map(1L -> 2L, 2L -> 1L))
     // repeated-term phrase: "x x" in "x x x" occurs at 0 and 1 (overlapping)
-    val xx = TextIndex.phraseDocsFromIndex(spark, dir, Seq("x", "x"), numBuckets = 8)
+    val xx = TextIndex.phraseDocsFromIndex(spark, dir, Seq("x", "x"))
       .as[(Long, Long)].collect().toMap
     assert(xx == Map(4L -> 2L))
     // three-term phrase crosses two join steps
-    val abc = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b", "c"), numBuckets = 8)
+    val abc = TextIndex.phraseDocsFromIndex(spark, dir, Seq("a", "b", "c"))
       .as[(Long, Long)].collect().toMap
     assert(abc == Map(1L -> 1L))
     // absent phrase → empty
-    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("c", "a", "q"), numBuckets = 8)
+    assert(TextIndex.phraseDocsFromIndex(spark, dir, Seq("c", "a", "q"))
       .collect().isEmpty)
   }
 
   test("phrase search on testdata matches a brute-force token scan") {
     val dir = freshIndex()
-    val served = TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"), numBuckets = 16)
+    val served = TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"))
       .as[(Long, Long)].collect().toMap
     val brute = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .as[(Long, Seq[String])].collect()
