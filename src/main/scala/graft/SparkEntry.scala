@@ -238,6 +238,28 @@ object SparkEntry {
         Analytics.quantileSketchTable(Tables.documents(s, d), "doc_id", "n_chars",
           Seq("source", "lang")),
         Seq("source")).orderBy("source")),
+    // same rollup served FROM the MAINTAINED quantile-sketch store: three
+    // hash-sliced merges through the manifest view — bottom-k union is an
+    // EXACT semilattice, so the served artifact is byte-identical to the
+    // one-shot build and this must equal q_quantile_sketch exactly (the
+    // HLL/CMS twins' driver-gate pattern, completing the sketch-store trio)
+    "q_quantile_sketch_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+      val docs = Tables.documents(s, d).persist() // merges run 2 actions per slice
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-quant")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeQuantileSketchesBatch(s,
+          docs.where(pmod(xxhash64(col("doc_id")), flit(3)) === i),
+          viewDir, keyCol = "doc_id", valueCol = "n_chars",
+          byCols = Seq("source", "lang"), numBuckets = 8, version = i.toLong)
+      }
+      docs.unpersist()
+      Analytics.quantilesFromSketches(
+        graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+          Analytics.quantileSketchTable(docs, "doc_id", "n_chars", Seq("source", "lang"))),
+        Seq("source")).orderBy("source")
+    }),
     // table profiling (the numeric "dataset card"): one scan, one row per
     // profiled column
     "q_profile" -> ((s, d) => Profiler.profile(Tables.lineitem(s, d),
