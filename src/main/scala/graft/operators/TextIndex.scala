@@ -107,8 +107,29 @@ object TextIndex {
       .repartition(col("tb"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("tb", "b").parquet(s"$dir/postings")
+      .partitionBy("tb", "b")
+      .parquet(graft.sources.ParquetCompactor.currentDir(spark, s"$dir/postings"))
   }
+
+  /** Postings resolve through the compactor's generation pointer — readers
+    * see the pre- or post-compaction store, never a half-written one.
+    */
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetCompactor.read(spark, s"$dir/postings")
+
+  /** COMPACTION round for a grown index: every `b=<batchId>` ingest
+    * generation folds into one (`b=0`), shedding the accumulated
+    * sliver files and partition dirs while keeping the (tb, b) layout —
+    * the [[graft.sources.ParquetCompactor]] generation swap, so readers
+    * flip atomically and a crash keeps the old store. Per-(term, doc)
+    * postings are disjoint across batches (the append contract), so the
+    * fold is a pure relabel — row-count-verified. Run in a quiet window
+    * of the maintenance stream, like every compactor in the engine.
+    */
+  def compactIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ParquetCompactor.compact(spark, s"$dir/postings",
+      partitionCols = Seq("tb", "b"),
+      rewrite = df => df.withColumn("b", lit(0L)).repartition(col("tb")))
 
   /** Streaming index maintenance — each micro-batch of new docs appended
     * idempotently (batchId 0 would collide with the build generation;
@@ -154,7 +175,7 @@ object TextIndex {
     val buckets = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
       .as[Long].collect().distinct.toSeq
-    val tf = spark.read.parquet(s"$dir/postings")
+    val tf = readPostings(spark, dir)
       .where(col("tb").isInCollection(buckets) && col("term").isInCollection(queryTerms))
       .select("term", "doc_id", "tf", "dl")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -194,7 +215,7 @@ object TextIndex {
     val buckets = distinctTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
       .as[Long].collect().distinct.toSeq
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = readPostings(spark, dir)
       .where(col("tb").isInCollection(buckets) && col("term").isInCollection(distinctTerms))
       .select("term", "doc_id", "positions")
     def termPositions(w: String) = posts.where(col("term") === w)

@@ -38,9 +38,18 @@ object ParquetCompactor {
   /** One compaction round: returns the new generation path. `targetBytes`
     * sizes output files from the INPUT's total byte size — an estimate
     * (recompression changes it), which is all file sizing needs.
+    *
+    * `partitionCols` + `rewrite` extend the same generation-swap to
+    * PARTITIONED stores (the text index's postings): the rewrite hook
+    * reshapes the frame (e.g. folds `b=` ingest generations to one) and
+    * the output keeps the store's partition layout; row-count verify and
+    * the pointer flip are unchanged. Rewrites must be row-count-preserving
+    * — the verify enforces it.
     */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): String = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil,
+              rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): String = {
     val src = currentDir(spark, dir)
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.listStatus(new Path(src)).toSeq
@@ -51,8 +60,11 @@ object ParquetCompactor {
     val gen = if (src == dir) 1L
       else src.substring(src.lastIndexOf("-g") + 2).toLong + 1L
     val out = s"$dir-g$gen"
-    val df = spark.read.parquet(src)
-    df.coalesce(nFiles).write.mode("overwrite").parquet(out)
+    val df = rewrite(spark.read.parquet(src))
+    if (partitionCols.isEmpty)
+      df.coalesce(nFiles).write.mode("overwrite").parquet(out)
+    else
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(out)
     // verify before publishing: a lost row means we keep the old generation
     val (inRows, outRows) = (df.count(), spark.read.parquet(out).count())
     if (inRows != outRows) {

@@ -729,6 +729,18 @@ object ViewMaintenance {
       graft.operators.Dedup.bandHashKeys(batchDocs, numHashes, rowsPerBand).select("h"),
       viewDir, "h", numBuckets, version, maxGenerations, committer)
 
+  def startBandHashView(docs: DataFrame, viewDir: String, checkpointDir: String,
+                        numHashes: Int = 32, rowsPerBand: Int = 2,
+                        numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBandHashesBatch(batch.sparkSession, batch, viewDir, numHashes, rowsPerBand,
+          numBuckets, batchId)
+        ()
+      }
+      .start()
+
   /** The serving gate over a [[mergeBandHashesBatch]] store: every doc in
     * `docs` verdicted (doc_id, maybe_near_dup) — flagged iff ANY of its
     * band hashes is already in the store. A probabilistic gate by design

@@ -168,6 +168,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CMS laws on random streams: never-underestimate, exact merge, exact total") {
+    import graft.functions.CmsImpl
+    val rng = new scala.util.Random(13)
+    (1 to 40).foreach { _ =>
+      // zipf-ish stream over a small id space (forces counter collisions
+      // at width 64 — the interesting regime)
+      val stream = List.fill(200 + rng.nextInt(400))(
+        rng.nextInt(1 + rng.nextInt(80)).toLong)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val one = CmsImpl.empty(4, 64)
+      stream.foreach(h => CmsImpl.add(one, h, 1L))
+      val oneBytes = CmsImpl.serialize(one)
+      // (a) never an underestimate, for seen AND unseen items
+      (truth.keys ++ Seq(-1L, 999L)).foreach { h =>
+        assert(CmsImpl.estimate(oneBytes, h) >= truth.getOrElse(h, 0L))
+      }
+      // (b) any slicing merges byte-identically to the one-pass build
+      val k = 1 + rng.nextInt(4)
+      val parts = stream.zipWithIndex.groupBy(_._2 % k).values.map { slice =>
+        val b = CmsImpl.empty(4, 64)
+        slice.foreach { case (h, _) => CmsImpl.add(b, h, 1L) }
+        b
+      }
+      val merged = CmsImpl.empty(4, 64)
+      parts.foreach(p => CmsImpl.mergeInto(merged, p))
+      assert(java.util.Arrays.equals(CmsImpl.serialize(merged), oneBytes))
+      // (c) the header total is the exact stream length
+      assert(CmsImpl.total(oneBytes) == stream.length.toLong)
+    }
+  }
+
+  test("dotFloatInt == reference fold on random arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(29)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(80)
+      val fs = Array.fill(n)(rng.nextFloat() * 4f - 2f)
+      val is = Array.fill(n)(rng.nextInt(256))
+      val expected = {
+        var acc = 0.0d; var i = 0
+        while (i < n) { acc += fs(i).toDouble * is(i).toDouble; i += 1 }
+        acc
+      }
+      val got = graft.functions.DotImpl.dotFloatInt(
+        new GenericArrayData(fs), new GenericArrayData(is))
+      assert(got == expected)
+    }
+  }
+
   test("winnowing: shared long runs share fingerprints; disjoint texts don't") {
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")
     val docs = Seq(

@@ -87,6 +87,33 @@ class TextIndexSpec extends SparkSpec {
     assert(stats(dir) == stats(oneShot))
   }
 
+  test("compaction folds ingest generations, queries unchanged, appends continue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-compact").toString
+    TextIndex.buildTextIndex(docs.where($"doc_id" % 3 === 0), dir, 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L)
+    val terms = Seq("dup", "spark", "merge")
+    val before = TextIndex.bm25FromIndex(spark, dir, terms)
+      .as[(Long, Double, Long)].collect().toSeq
+    val gen = TextIndex.compactIndex(spark, dir)
+    // queries resolve the pointer to the new generation, results unchanged
+    assert(TextIndex.bm25FromIndex(spark, dir, terms)
+      .as[(Long, Double, Long)].collect().toSeq == before)
+    // every b= ingest generation folded to one
+    val bVals = spark.read.parquet(gen).select("b").distinct().as[Long].collect().toSeq
+    assert(bVals == Seq(0L), s"expected one folded generation, got $bVals")
+    // appends after compaction land in the live generation and are served
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L)
+    val full = freshIndex()
+    assert(TextIndex.bm25FromIndex(spark, dir, terms)
+        .as[(Long, Double, Long)].collect().toSeq ==
+      TextIndex.bm25FromIndex(spark, full, terms)
+        .as[(Long, Double, Long)].collect().toSeq)
+    // a second round GCs the previous generation dir
+    val gen2 = TextIndex.compactIndex(spark, dir)
+    assert(!new java.io.File(gen).exists(), "previous generation must be GC'd")
+    assert(new java.io.File(gen2).exists())
+  }
+
   test("empty corpus builds an empty but queryable index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-index-empty").toString
     TextIndex.buildTextIndex(docs.where(lit(false)), dir, 8)
