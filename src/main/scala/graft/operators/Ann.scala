@@ -330,8 +330,22 @@ object Ann {
     assignToCentroids(base, cents).withColumn("b", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cid", "b").parquet(s"$dir/lists")
+      .partitionBy("cid", "b")
+      .parquet(graft.sources.ParquetCompactor.currentDir(spark, s"$dir/lists"))
   }
+
+  /** COMPACTION round for a grown IVF index — the text index's story
+    * applied to inverted lists: every `b=<batchId>` ingest generation
+    * folds into one, shedding sliver files/partition dirs while keeping
+    * the (cid, b) layout and cid-pruning; generation-swap semantics via
+    * [[graft.sources.ParquetCompactor]] (readers flip atomically, a crash
+    * keeps the old store, row-count verified). Run in a quiet window of
+    * [[startIvfMaintenance]].
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.sources.ParquetCompactor.compact(spark, s"$dir/lists",
+      partitionCols = Seq("cid", "b"),
+      rewrite = df => df.withColumn("b", lit(0L)).repartition(col("cid")))
 
   /** Streaming IVF maintenance over an embeddings stream — each
     * micro-batch is encoded map-side and appended idempotently.
@@ -359,7 +373,9 @@ object Ann {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val probes = probeLists(queries, centroids, nprobe)
     val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted
-    val lists = spark.read.parquet(s"$dir/lists")
+    // lists resolve through the compactor's generation pointer (a never-
+    // compacted store resolves to the original dir)
+    val lists = graft.sources.ParquetCompactor.read(spark, s"$dir/lists")
       .where(col("cid").isin(probedCids.toIndexedSeq: _*))
     scoreProbed(lists, probes, k)
   }
