@@ -262,6 +262,13 @@ object SparkEntry {
     }),
     // table profiling (the numeric "dataset card"): one scan, one row per
     // profiled column
+    // the dataset card's distribution + dependence pages: integer-exact
+    // equal-width histogram and decimal-exact Pearson matrix
+    "q_histogram" -> ((s, d) =>
+      Profiler.histogram(Tables.documents(s, d), "n_chars", bins = 20)),
+    "q_correlation" -> ((s, d) =>
+      Profiler.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))),
     "q_profile" -> ((s, d) => Profiler.profile(Tables.lineitem(s, d),
       Seq("l_extendedprice", "l_orderkey", "l_quantity"))),
     // data-quality assertions over the order/lineitem parent-child contract
@@ -502,6 +509,18 @@ object SparkEntry {
       Graph.connectedComponents(
         trust.select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // k-core of the trust graph (the dense kernel after fringe peeling) —
+    // rows-only: iterative peel has no SQL spelling; GraphSpec proves
+    // parity against a driver-side brute-force peel
+    "q_trust_kcore" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.kCore(
+        trust.select(col("user").as("src"), col("can_send_to").as("dst")), k = 2)
+    }),
+    // first-order Markov transition matrix over per-user event sequences
+    "q_transition_matrix" -> ((s, d) =>
+      Behavior.transitionMatrix(Tables.events(s, d))),
     // first derivative of the trust view: edges created/revoked per day
     "q_trust_churn" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1313,6 +1332,73 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // per-column profile legs spelled out (the Spark side unpivots one agg
+    // integer-exact equal-width histogram: width = ceil(span/bins) of
+    // BIGINTs, bin = integer division — both engines' `//`/DIV agree
+    "q_histogram" ->
+      """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |w AS (SELECT mn, CAST(((mx - mn + 1) + 19) // 20 AS BIGINT) AS width FROM s)
+        |SELECT (d.n_chars - w.mn) // w.width AS bin,
+        | CAST(w.mn + ((d.n_chars - w.mn) // w.width) * w.width AS BIGINT) AS lo,
+        | CAST(w.mn + ((d.n_chars - w.mn) // w.width + 1) * w.width - 1 AS BIGINT) AS hi,
+        | count(*) AS n_rows
+        |FROM documents d CROSS JOIN w
+        |WHERE d.n_chars IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin,
+    // Pearson from EXACT decimal(18,4)-quantized moment sums, combined in
+    // one fixed-order double expression — built-in corr() would differ in
+    // its streaming-update low bits across engines
+    "q_correlation" -> {
+      val pairs = Seq(("l_discount", "l_extendedprice"),
+        ("l_discount", "l_quantity"), ("l_extendedprice", "l_quantity"))
+      // quantize at (18,4) like the Spark side; product FACTORS widen to
+      // (19,4) — value-identical, but DuckDB then computes the product in
+      // INT128 instead of overflowing its (18)×(18) int64 fast path
+      def q(c: String) =
+        s"CAST(CAST(CAST($c AS DOUBLE) AS DECIMAL(18,4)) AS DECIMAL(19,4))"
+      def leg(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           | CASE WHEN count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) > 1
+           |  AND (sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
+           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(a)} END) AS DOUBLE)
+           |         - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
+           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE))
+           |     * sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
+           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} * ${q(b)} END) AS DOUBLE)
+           |         - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE)
+           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))) <> 0
+           | THEN round(
+           |  (CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(b)} END) AS DOUBLE)
+           |   - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
+           |    * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))
+           |  / (sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
+           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(a)} END) AS DOUBLE)
+           |        - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
+           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE))
+           |     * sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
+           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} * ${q(b)} END) AS DOUBLE)
+           |        - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE)
+           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))), 12)
+           | END AS r,
+           | count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS n_pairs
+           |FROM lineitem""".stripMargin
+      pairs.map { case (a, b) => leg(a, b) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+    // lead() over the same (ts, event_id)-ordered per-user sequence
+    "q_transition_matrix" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n_transitions) AS total_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_transitions,
+        | round(CAST(c.n_transitions AS DOUBLE) / CAST(t.total_from AS DOUBLE), 12) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // pass; arithmetic mirrored: decimal(28,8) sum → double / non-null n)
     "q_profile" -> {
       def leg(c: String) =

@@ -131,4 +131,34 @@ object Behavior {
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy("cohort", "week_offset")
   }
+
+  /** Event-type TRANSITION matrix — the first-order Markov view of user
+    * behavior (which event follows which): per-user consecutive event
+    * pairs counted into (from_type, to_type, n, p) where p is the row's
+    * share of its from_type (the empirical transition probability).
+    *
+    * Scale shape: one user-keyed shuffle for the lead window (the
+    * sessionizer's shape — per-user sort, bounded by a user's event
+    * count), then a partial-agg count over ≤ |types|² keys and a tiny
+    * from-type rollup joined back broadcast-size. Ordering ties on ts
+    * break by event_id, so the pairing is deterministic cross-engine and
+    * the op is oracle-checked. p = n/total as one IEEE division of exact
+    * longs, rounded 12 dp.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n_transitions").as("total_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("total_from"), 12).as("p"))
+      .orderBy("from_type", "to_type")
+  }
 }

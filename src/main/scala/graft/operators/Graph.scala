@@ -380,4 +380,47 @@ object Graph {
       checkpointDir = checkpointDir, checkpointEvery = checkpointEvery)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
       .orderBy("node")
+
+  /** k-CORE decomposition membership: the maximal subgraph where every
+    * node keeps degree ≥ k — the standard "prune the fringe" view of a
+    * trust/social graph (a 2-core strips leaf chains, higher cores find
+    * the dense kernel communities sit in). Direction and multiplicity
+    * erased, self-loops dropped, like [[connectedComponents]].
+    *
+    * The classic iterative peel: drop all nodes with degree < k, recount,
+    * repeat to fixpoint. Per round: one partial-agg degree count over
+    * (endpoint) keys + two anti-joins keyed on each endpoint — (node)
+    * pairs only in every shuffle, never adjacency lists; rounds are
+    * bounded by the peel DEPTH (how many fringe layers exist — shallow
+    * for social graphs), each cut by the engine's checkpoint policy
+    * (eager localCheckpoint, or reliable `checkpoint()` every N rounds
+    * via the knob); the convergence probe is a 1-row count. Output:
+    * surviving (node, degree-within-core), ordered.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 100,
+            checkpointDir: Option[String] = None,
+            checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, s"k < 1: $k")
+    def cutRound(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = cutRound(edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct(), 0)
+    var round = 0
+    var done = false
+    while (!done && round < maxIters) {
+      round += 1
+      val weak = degrees(e).where(col("deg") < k).select("node")
+      if (weak.isEmpty) done = true
+      else e = cutRound(
+        e.join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+          .select("a", "b"), round)
+    }
+    degrees(e).orderBy("node")
+  }
 }

@@ -85,4 +85,80 @@ object Profiler {
     orphans.unionByName(childless).unionByName(dups).unionByName(nullFk)
       .orderBy("check")
   }
+
+  /** Equal-width INTEGER histogram — the dataset card's distribution page
+    * ([[profile]] gives range+mean; this gives shape). All arithmetic is
+    * integer (width = ceil(span/bins) of longs, bin = integer division),
+    * so bin edges are EXACT cross-engine — no float-boundary flicker, and
+    * the op is oracle-checked. Two passes: one bounded min/max agg, one
+    * map-side bin + partial-agg count (empty bins absent, like any
+    * groupBy). Nulls are excluded (they're [[profile]]'s n_null column).
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins < 1: $bins")
+    val v = col(valueCol).cast("long")
+    val r = df.where(v.isNotNull).agg(min(v), max(v)).head()
+    if (r.isNullAt(0))
+      return df.sparkSession.range(0).select(col("id").as("bin"),
+        col("id").as("lo"), col("id").as("hi"), col("id").as("n_rows"))
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    val width = (span + bins - 1) / bins.toLong // integer ceil, ≥ 1
+    df.where(v.isNotNull)
+      // integral DIV, not a double divide-and-truncate: bins stay exact
+      // past 2^53 (the engine's integral-div doctrine, as in RangeJoin)
+      .select(expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) DIV ${width}L").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), (lit(lo) + col("bin") * width).as("lo"),
+        (lit(lo) + (col("bin") + 1) * width - 1).as("hi"), col("n_rows"))
+      .orderBy("bin")
+  }
+
+  /** Pairwise Pearson CORRELATION matrix over numeric columns — ONE scan:
+    * all Σx, Σx², Σx·y moments accumulate as EXACT decimal sums in a
+    * single `agg` (k columns + k(k−1)/2 products, never k² scans), then
+    * each pair's r combines the exact sums in one fixed-order double
+    * expression rounded to 12 dp — the engine's decimal-cast-sums parity
+    * rule, so the op is oracle-checked (built-in `corr` would differ from
+    * any other engine in the low-order bits of its streaming-update
+    * order). Null handling: rows where EITHER column is null drop from
+    * that pair's n (pairwise deletion), counted per pair in the same
+    * pass.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    // inputs quantize to decimal(18,4) — products are then decimal(37,8),
+    // WITHIN the 38-digit cap, so neither engine's precision-loss rules
+    // fire and the moment sums are bit-exact cross-engine (wider input
+    // casts would make (38,8)×(38,8) round differently in Spark vs DuckDB)
+    def d(c: String) = col(c).cast("double").cast("decimal(18,4)")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        count(when(both, lit(1))).as(s"n_$p"),
+        sum(when(both, d(a))).as(s"sx_$p"),
+        sum(when(both, d(b))).as(s"sy_$p"),
+        sum(when(both, d(a) * d(b))).as(s"sxy_$p"),
+        sum(when(both, d(a) * d(a))).as(s"sxx_$p"),
+        sum(when(both, d(b) * d(b))).as(s"syy_$p"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n = col(s"n_$p").cast("double")
+      val sx = col(s"sx_$p").cast("double"); val sy = col(s"sy_$p").cast("double")
+      val sxy = col(s"sxy_$p").cast("double")
+      val sxx = col(s"sxx_$p").cast("double"); val syy = col(s"syy_$p").cast("double")
+      val num = n * sxy - sx * sy
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(col(s"n_$p") > 1 && den =!= 0.0d, round(num / den, 12)).as("r"),
+        col(s"n_$p").as("n_pairs"))
+    }
+    one.select(explode(array(rows: _*)).as("c"))
+      .select(col("c.col_a").as("col_a"), col("c.col_b").as("col_b"),
+        col("c.r").as("r"), col("c.n_pairs").as("n_pairs"))
+      .orderBy("col_a", "col_b")
+  }
 }

@@ -138,4 +138,29 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).min
     assert(c0 == cg) // first-event cohort is growth-stable
   }
+
+  test("transitionMatrix: per-user consecutive pairs, deterministic tie order, probabilities") {
+    def t(ms: Long) = new Timestamp(ms)
+    // user 1: a→b→a ; user 2: a→b ; user 3 has one event (no transition);
+    // user 4 has two events at the SAME ts — event_id breaks the tie
+    val ev = Seq(
+      (1L, 1L, t(1000), "a"), (2L, 1L, t(2000), "b"), (3L, 1L, t(3000), "a"),
+      (4L, 2L, t(1000), "a"), (5L, 2L, t(2000), "b"),
+      (6L, 3L, t(1000), "c"),
+      (7L, 4L, t(5000), "x"), (8L, 4L, t(5000), "y")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val m = Behavior.transitionMatrix(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, to, n, p) => (f, to) -> ((n, p)) }.toMap
+    assert(m(("a", "b")) == ((2L, 1.0)))     // both a's transition to b
+    assert(m(("b", "a")) == ((1L, 1.0)))     // b's only outgoing transition
+    assert(m(("x", "y")) == ((1L, 1.0)))     // same-ts tie ordered by event_id
+    assert(!m.keySet.exists(_._1 == "c"), "a single-event user yields no transition")
+    assert(m.size == 3, s"got $m")
+    // repartition invariance
+    val m7 = Behavior.transitionMatrix(ev.repartition(7))
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, to, n, p) => (f, to) -> ((n, p)) }.toMap
+    assert(m7 == m)
+  }
 }

@@ -319,4 +319,50 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Int)].collect().toSeq
     assert(r7 == got)
   }
+
+  test("kCore: triangle survives a 2-core, tails peel layer by layer, K4 survives 3-core") {
+    // triangle (1,2,3) with a chain 3-4-5 hanging off, plus a self-loop
+    // and a duplicate/reversed edge that must not inflate degrees
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 5L), (2L, 1L)).toDF("src", "dst")
+    val core2 = graft.operators.Graph.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core2")
+    // the triangle's members only have degree 2 → an empty 3-core
+    assert(graft.operators.Graph.kCore(edges, k = 3).collect().isEmpty)
+    // K4 IS a 3-core
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("src", "dst")
+    val core3 = graft.operators.Graph.kCore(k4, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kCore: brute-force peel parity on a hashed random graph, knob-independent") {
+    val rng = new scala.util.Random(21)
+    val raw = List.fill(160)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val edges = raw.toDF("src", "dst")
+    // driver-side reference peel over the simple undirected graph
+    var adj = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val k = 3
+    var changed = true
+    while (changed) {
+      val deg = adj.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val weak = deg.filter(_._2 < k).keySet
+      changed = weak.nonEmpty
+      if (changed) adj = adj.filter { case (a, b) => !weak(a) && !weak(b) }
+    }
+    val expected = adj.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Graph.kCore(edges, k).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // reliable-checkpoint knob must not change the answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore-ck").toString
+    val withKnob = graft.operators.Graph.kCore(edges, k,
+      checkpointDir = Some(dir), checkpointEvery = 2).as[(Long, Long)].collect().toMap
+    assert(withKnob == expected)
+    // empty input is total
+    assert(graft.operators.Graph.kCore(
+      edges.where(org.apache.spark.sql.functions.lit(false)), k).collect().isEmpty)
+  }
 }

@@ -54,4 +54,48 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(r.values.forall(_ == 0L) && r.size == 4)
   }
+
+  test("histogram: integer-exact bins, nulls excluded, degenerate and empty inputs") {
+    import org.apache.spark.sql.functions._
+    // values 0..9 in 4 bins: span 10, width ceil(10/4)=3 → bins 0..3
+    val df = (0L to 9L).map(Option(_)).:+(Option.empty[Long]).toDF("v")
+    val h = Profiler.histogram(df, "v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(h == Seq((0L, 0L, 2L, 3L), (1L, 3L, 5L, 3L), (2L, 6L, 8L, 3L), (3L, 9L, 11L, 1L)))
+    assert(h.map(_._4).sum == 10L, "the null row must not be counted")
+    // single distinct value → width 1, one bin
+    val one = Seq(7L, 7L, 7L).toDF("v")
+    assert(Profiler.histogram(one, "v", bins = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq == Seq((0L, 7L, 7L, 3L)))
+    // empty input → empty frame, not a throw
+    assert(Profiler.histogram(df.where(lit(false)), "v", bins = 4).collect().isEmpty)
+  }
+
+  test("correlationMatrix: exact ±1 on linear columns, null r on constants, hand value") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0)).toDF("x", "y2", "neg", "const")
+    val r = Profiler.correlationMatrix(df, Seq("x", "y2", "neg", "const"))
+      .as[(String, String, Option[Double], Long)].collect()
+      .map { case (a, b, v, n) => (a, b) -> ((v, n)) }.toMap
+    assert(r(("x", "y2"))._1.contains(1.0))
+    assert(r.get(("neg", "x")).orElse(r.get(("x", "neg"))).exists(_._1.contains(-1.0)))
+    // a constant column has zero variance → r undefined → null
+    assert(r.filter(_._1.productIterator.contains("const")).forall(_._2._1.isEmpty))
+    assert(r.values.forall(_._2 == 4L))
+    // hand-computed r for a non-degenerate pair
+    val hand = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0)).toDF("a", "b")
+    val rv = Profiler.correlationMatrix(hand, Seq("a", "b"))
+      .as[(String, String, Option[Double], Long)].collect().head._3.get
+    // n=4 Σa=10 Σb=11 Σab=33 Σa²=30 Σb²=39: r=(132-110)/(sqrt(20)*sqrt(35))
+    val expected = BigDecimal(22.0 / (math.sqrt(20.0) * math.sqrt(35.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rv == expected)
+    // pairwise null deletion: a null in either column drops the row
+    val withNull = Seq((Some(1.0), Some(1.0)), (None, Some(9.0)), (Some(2.0), Some(2.0)),
+      (Some(3.0), None)).toDF("a", "b")
+    val rn = Profiler.correlationMatrix(withNull, Seq("a", "b"))
+      .as[(String, String, Option[Double], Long)].collect().head
+    assert(rn._4 == 2L && rn._3.contains(1.0))
+  }
 }
