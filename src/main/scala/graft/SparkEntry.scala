@@ -933,6 +933,17 @@ object SparkEntry {
       TextIndex.buildTextIndex(Tables.documents(s, d), dir)
       TextIndex.phraseDocsFromIndex(s, dir, Seq("scan", "filter"))
     }),
+    // unordered NEAR query (slop window 5) from the same positional index
+    "q_proximity_search" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      TextIndex.buildTextIndex(Tables.documents(s, d), dir)
+      TextIndex.proximityDocsFromIndex(s, dir, "scan", "filter", window = 5)
+    }),
+    // order-independent corpus fingerprint (the release checksum a data
+    // contract pins); 1-row global aggregate
+    "q_dataset_checksum" -> ((s, d) =>
+      Integrity.datasetChecksum(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // trainable corpus gate: seed labels probe a token's presence; the
     // classifier learns the corresponding hash-space direction (iterative
     // sigmoid training → engine-specific → rows-only, spec'd instead)
@@ -1399,6 +1410,28 @@ object SparkEntry {
         | round(CAST(c.n_transitions AS DOUBLE) / CAST(t.total_from AS DOUBLE), 12) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // positional NEAR: |p−q| ≤ window pair count over the same tokenization
+    "q_proximity_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pa AS (SELECT doc_id, p FROM d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) g
+        |       WHERE toks[p] = 'scan'),
+        |pb AS (SELECT doc_id, p AS q FROM d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) g
+        |       WHERE toks[p] = 'filter')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pa JOIN pb USING (doc_id)
+        |WHERE abs(pa.p - q) <= 5
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // order-independent checksum: same md5-14-hex-long per row, summed in
+    // HUGEINT and folded mod 2^64 — emitted as VARCHAR on both sides
+    "q_dataset_checksum" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(('0x' || substring(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|'
+        |    || source || '|' || CAST(n_chars AS VARCHAR)), 1, 14))::BIGINT AS HUGEINT))
+        |   % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS checksum
+        |FROM documents""".stripMargin,
     // pass; arithmetic mirrored: decimal(28,8) sum → double / non-null n)
     "q_profile" -> {
       def leg(c: String) =

@@ -134,4 +134,32 @@ object Integrity {
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
   }
+
+  /** ORDER-INDEPENDENT dataset checksum — the reproducibility fingerprint
+    * a data contract pins ("this exact release"): per-row 56-bit
+    * md5-prefix hashes (the engine's cross-engine hash convention, as in
+    * the shard writer) summed as exact decimals and folded mod 2^64, plus
+    * the row count. Any permutation/partitioning of the same rows gives
+    * the same checksum (sum is commutative); any changed/added/dropped
+    * row changes it (up to the 2^-64 collision trade every hash twin in
+    * the engine accepts). One map-side hash + one bounded agg — no
+    * shuffle wider than the partial sums. Checksum is emitted as a STRING
+    * so the DuckDB twin (HUGEINT arithmetic) compares exactly.
+    *
+    * Null discipline: concat_ws skips nulls, so (NULL,"x") == ("x",NULL)
+    * per column-joint encoding — callers hash ALL identifying columns and
+    * the separator makes field boundaries explicit; a column set with
+    * legitimate null-vs-empty ambiguity should be pre-coalesced.
+    */
+  def datasetChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum: no columns")
+    val rowHash = conv(substring(
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 14), 16, 10)
+      .cast("long")
+    df.select(rowHash.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(coalesce(sum(col("h").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
+          lit("18446744073709551616").cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
+  }
 }

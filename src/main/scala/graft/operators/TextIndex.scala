@@ -231,4 +231,40 @@ object TextIndex {
       .select(col("doc_id"), size(col("cand")).cast("long").as("n_occurrences"))
       .orderBy("doc_id")
   }
+
+  /** PROXIMITY (NEAR) search from the positional index: documents where
+    * `termA` and `termB` occur within `window` tokens of each other, with
+    * the matching position-pair count. One doc_id-keyed join of the two
+    * terms' pruned posting lists, then a map-side nested-HOF pair count —
+    * the slop-query member of the retrieval stack (phrase = window 1 with
+    * order; this is unordered distance). Oracle-checked: the pair count
+    * equals DuckDB's |p−q| ≤ window join over the same tokenization.
+    */
+  def proximityDocsFromIndex(spark: SparkSession, dir: String,
+                             termA: String, termB: String,
+                             window: Int): DataFrame = {
+    require(window >= 1, s"window < 1: $window")
+    require(termA != termB, "use phrase/self-counts for a single term")
+    val (n, _, numBuckets) = readStatsRow(spark, dir)
+    if (n == 0L)
+      return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_pairs"))
+    import spark.implicits._
+    val buckets = Seq(termA, termB).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
+      .as[Long].collect().distinct.toSeq
+    val posts = readPostings(spark, dir)
+      .where(col("tb").isInCollection(buckets) && col("term").isin(termA, termB))
+      .select("term", "doc_id", "positions")
+    posts.where(col("term") === termA)
+      .select(col("doc_id"), col("positions").as("pa"))
+      .join(posts.where(col("term") === termB)
+        .select(col("doc_id"), col("positions").as("pb")), "doc_id")
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("pa"), p =>
+            size(filter(col("pb"), q => abs(p - q) <= window))),
+          lit(0), (acc, x) => acc + x).cast("long").as("n_pairs"))
+      .where(col("n_pairs") > 0)
+      .orderBy("doc_id")
+  }
 }

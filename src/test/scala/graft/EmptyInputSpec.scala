@@ -39,7 +39,9 @@ class EmptyInputSpec extends SparkSpec {
         "q_get_capacity",
         // report frames: one row per profiled column / per DQ check even
         // over an empty table (zero counts ARE the report)
-        "q_profile", "q_dq_report")
+        "q_profile", "q_dq_report",
+        // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
+        "q_dataset_checksum")
       if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }

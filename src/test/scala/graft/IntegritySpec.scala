@@ -47,4 +47,23 @@ class IntegritySpec extends SparkSpec {
     val r = Integrity.completeGroups(li).select("o_orderkey").as[Long].collect().toSeq
     assert(r == Seq(10L))
   }
+
+  test("datasetChecksum: permutation/partition-invariant, change-sensitive, total on empty") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "t")
+    def sum(d: org.apache.spark.sql.DataFrame) =
+      Integrity.datasetChecksum(d, Seq("id", "t")).as[(Long, String)].head()
+    val base = sum(df)
+    assert(base._1 == 3L)
+    // row order and partitioning are irrelevant
+    assert(sum(df.orderBy($"id".desc)) == base)
+    assert(sum(df.repartition(7)) == base)
+    // any changed, added, or removed row changes the fingerprint
+    assert(sum(Seq((1L, "alpha"), (2L, "BETA"), (3L, "gamma")).toDF("id", "t")) != base)
+    assert(sum(df.where($"id" =!= 2L))._2 != base._2)
+    assert(sum(df.unionAll(Seq((4L, "delta")).toDF("id", "t")))._2 != base._2)
+    // a duplicated row changes it too (multiset, not set, semantics)
+    assert(sum(df.unionAll(df.where($"id" === 1L)))._2 != base._2)
+    // empty input: (0, "0"), not a throw
+    assert(sum(df.where($"id" < 0L)) == ((0L, "0")))
+  }
 }

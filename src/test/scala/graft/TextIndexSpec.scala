@@ -148,6 +148,24 @@ class TextIndexSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("proximity search: |p-q| <= window pair counts, window edges exact") {
+    val hand = Seq(
+      (1L, "a x x x b"),        // distance 4
+      (2L, "a b"),              // distance 1
+      (3L, "b x x x x x a"),    // distance 6 (order-free)
+      (4L, "a x b x a"),        // pairs: (0,2)=2, (4,2)=2 → 2 pairs at w=2
+      (5L, "a a a")             // termB absent
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-prox").toString
+    TextIndex.buildTextIndex(hand, dir, 8)
+    def near(w: Int) = TextIndex.proximityDocsFromIndex(spark, dir, "a", "b", w)
+      .as[(Long, Long)].collect().toMap
+    assert(near(4) == Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+    assert(near(6) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(near(3) == Map(2L -> 1L, 4L -> 2L))
+    assert(near(1) == Map(2L -> 1L, 4L -> 0L).filter(_._2 > 0))
+  }
+
   test("phrase search on testdata matches a brute-force token scan") {
     val dir = freshIndex()
     val served = TextIndex.phraseDocsFromIndex(spark, dir, Seq("scan", "filter"))
