@@ -63,6 +63,10 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => TpchShapes.supplierCountByPart(s, d)),
     "q18_large_orders" -> ((s, d) => TpchShapes.largeOrders(s, d)),
     "q19_disjunctive_rev" -> ((s, d) => TpchShapes.disjunctiveRevenue(s, d)),
+    "q4_priority_check" -> ((s, d) => TpchShapes.priorityCheck(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => TpchShapes.forecastRevenue(s, d)),
+    "q15_top_supplier" -> ((s, d) => TpchShapes.topSupplier(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => TpchShapes.smallQuantityRevenue(s, d)),
     "q20_qualified_suppliers" -> ((s, d) => TpchShapes.qualifiedSuppliers(s, d)),
     "q21_late_sole_supplier" -> ((s, d) => TpchShapes.soleLateSupplier(s, d)),
     "q22_idle_customers" -> ((s, d) => TpchShapes.idleRichCustomers(s, d)),
@@ -1267,6 +1271,45 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        | SELECT l.* FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'),
+        |a AS (
+        | SELECT l_partkey AS ap_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+        | FROM li GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 12) AS avg_yearly
+        |FROM li JOIN a ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q20_qualified_suppliers" ->
       """SELECT s_suppkey, s_name, total_qty FROM (
         | SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty

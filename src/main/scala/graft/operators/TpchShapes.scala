@@ -304,4 +304,74 @@ object TpchShapes {
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).cast("double").as("totacctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Q4 shape (adapted: "late" = shipped > 60 days after order date, the
+    * pack's standing no-commit-date proxy): order counts per priority for
+    * orders with at least one late line — an EXISTS expressed as LEFT SEMI
+    * (one orderkey shuffle, the semi side collapses before the count).
+    */
+  def priorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    orders
+      .join(Tables.lineitem(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6 shape: the pure scan-aggregate — one-row forecast revenue from a
+    * discount band. Every predicate is a literal on a scanned column, so
+    * the WHOLE query is a pushed-filter single pass with a map-side
+    * partial sum (the plan every columnar engine should reduce this to).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05d, 0.07d) &&
+             col("l_quantity") < 24.0d)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).cast("double").as("revenue"))
+
+  /** Q15 shape: top supplier by quarterly revenue — the view + scalar-max
+    * subquery: one suppkey partial-agg over the quarter, the 1-row max
+    * broadcast back as an equality filter (ties all surface, per the
+    * original's semantics), supplier joined last.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(vol).cast("double").as("total_revenue"))
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mxr"))),
+        col("total_revenue") === col("mxr"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 shape: small-quantity-order revenue — the correlated per-part
+    * average DECORRELATED into one partial-agg frame joined back (the
+    * standard rewrite; a correlated subquery would re-scan lineitem per
+    * part). Parts prune by brand BEFORE either lineitem pass touches the
+    * wire; avg is the engine's exact decimal-sum / count spelling.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+                           brand: String = "Brand#13"): DataFrame = {
+    val parts = Tables.part(spark, dir).where(col("p_brand") === brand)
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy("l_partkey")
+      .agg((dsum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+      .select(col("l_partkey").as("ap_partkey"), col("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .where(col("l_quantity") < lit(0.2d) * col("avg_qty"))
+      .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0d, 12).as("avg_yearly"))
+  }
 }

@@ -33,13 +33,15 @@ class EmptyInputSpec extends SparkSpec {
       // ratio queries' null sums)
       val globalAggs = Set("q_last_valid", "q_total_minted",
         "q14_promo_share", "q19_disjunctive_rev",
+        "q6_forecast_revenue", "q17_small_qty_revenue",
         // 1-row global min (NULL on empty, like the oracle's SELECT min())
         "q_first_incomplete",
         // 1-row point probe: capacity row with zero/NULL components
         "q_get_capacity",
-        // report frames: one row per profiled column / per DQ check even
-        // over an empty table (zero counts ARE the report)
-        "q_profile", "q_dq_report",
+        // report frames: one row per profiled column / per DQ check / per
+        // correlation pair even over an empty table (zero counts ARE the
+        // report; r is null)
+        "q_profile", "q_dq_report", "q_correlation",
         // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
         "q_dataset_checksum")
       if (!globalAggs.contains(name))

@@ -100,5 +100,13 @@ class TpchShapesSpec extends SparkSpec {
     assert(TpchShapes.disjunctiveRevenue(spark, dir).head().getAs[Double]("revenue") > 0.0)
     assert(TpchShapes.qualifiedSuppliers(spark, dir, minQty = 10.0).count() > 0)
     assert(TpchShapes.idleRichCustomers(spark, dir).count() > 0)
+    assert(TpchShapes.priorityCheck(spark, dir).count() > 0)
+    assert(TpchShapes.forecastRevenue(spark, dir).head().getAs[Double]("revenue") > 0.0)
+    // Q15: every surfaced supplier ties at the global max revenue
+    val q15 = TpchShapes.topSupplier(spark, dir).collect()
+    assert(q15.nonEmpty &&
+      q15.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+    val q17 = TpchShapes.smallQuantityRevenue(spark, dir, brand = "Brand#9").head()
+    assert(!q17.isNullAt(0) && q17.getAs[Double]("avg_yearly") >= 0.0)
   }
 }
