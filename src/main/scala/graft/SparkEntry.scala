@@ -1407,36 +1407,35 @@ object SparkEntry {
         ("l_discount", "l_quantity"), ("l_extendedprice", "l_quantity"))
       // quantize at (18,4) like the Spark side; product FACTORS widen to
       // (19,4) — value-identical, but DuckDB then computes the product in
-      // INT128 instead of overflowing its (18)×(18) int64 fast path
+      // INT128 instead of overflowing its (18)x(18) int64 fast path.
+      // greatest-clamped radicands + the [-1,1] clamp mirror the Spark
+      // spelling exactly (cancellation noise must resolve identically)
       def q(c: String) =
         s"CAST(CAST(CAST($c AS DOUBLE) AS DECIMAL(18,4)) AS DECIMAL(19,4))"
-      def leg(a: String, b: String) =
-        s"""SELECT '$a' AS col_a, '$b' AS col_b,
-           | CASE WHEN count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) > 1
-           |  AND (sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
-           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(a)} END) AS DOUBLE)
-           |         - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
-           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE))
-           |     * sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
-           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} * ${q(b)} END) AS DOUBLE)
-           |         - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE)
-           |         * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))) <> 0
-           | THEN round(
-           |  (CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
-           |    * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(b)} END) AS DOUBLE)
-           |   - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
-           |    * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))
-           |  / (sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
-           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} * ${q(a)} END) AS DOUBLE)
-           |        - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE)
-           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(a)} END) AS DOUBLE))
-           |     * sqrt(CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE)
-           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} * ${q(b)} END) AS DOUBLE)
-           |        - CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE)
-           |        * CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN ${q(b)} END) AS DOUBLE))), 12)
-           | END AS r,
-           | count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS n_pairs
-           |FROM lineitem""".stripMargin
+      def leg(a: String, b: String) = {
+        def w(e: String) = s"CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $e END"
+        s"""SELECT col_a, col_b,
+           | CASE WHEN n_pairs > 1 AND nda > 1 AND ndb > 1 AND den > 0
+           |      THEN round(least(greatest(num / den, -1.0), 1.0), 12) END AS r,
+           | n_pairs
+           |FROM (
+           | SELECT col_a, col_b, n_pairs, nda, ndb,
+           |  n * sxy - sx * sy AS num,
+           |  sqrt(greatest(n * sxx - sx * sx, 0.0))
+           |   * sqrt(greatest(n * syy - sy * sy, 0.0)) AS den
+           | FROM (
+           |  SELECT '$a' AS col_a, '$b' AS col_b,
+           |   count(${w("1")}) AS n_pairs,
+           |   count(DISTINCT ${w(a)}) AS nda,
+           |   count(DISTINCT ${w(b)}) AS ndb,
+           |   CAST(count(${w("1")}) AS DOUBLE) AS n,
+           |   CAST(SUM(${w(q(a))}) AS DOUBLE) AS sx,
+           |   CAST(SUM(${w(q(b))}) AS DOUBLE) AS sy,
+           |   CAST(SUM(${w(s"${q(a)} * ${q(b)}")}) AS DOUBLE) AS sxy,
+           |   CAST(SUM(${w(s"${q(a)} * ${q(a)}")}) AS DOUBLE) AS sxx,
+           |   CAST(SUM(${w(s"${q(b)} * ${q(b)}")}) AS DOUBLE) AS syy
+           |  FROM lineitem) m) s""".stripMargin
+      }
       pairs.map { case (a, b) => leg(a, b) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
@@ -1467,12 +1466,17 @@ object SparkEntry {
         |WHERE abs(pa.p - q) <= 5
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // order-independent checksum: same md5-14-hex-long per row, summed in
-    // HUGEINT and folded mod 2^64 — emitted as VARCHAR on both sides
+    // HUGEINT and folded mod 2^64 — emitted as VARCHAR on both sides.
+    // Per-column COALESCE('') mirrors the Spark side's null discipline
+    // (NULL ≡ ""), and the SUM coalesces so the empty corpus is "0" on
+    // both sides
     "q_dataset_checksum" ->
       """SELECT count(*) AS n_rows,
-        | CAST(SUM(CAST(('0x' || substring(md5(
-        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|'
-        |    || source || '|' || CAST(n_chars AS VARCHAR)), 1, 14))::BIGINT AS HUGEINT))
+        | CAST(COALESCE(SUM(CAST(('0x' || substring(md5(
+        |    COALESCE(CAST(doc_id AS VARCHAR), '') || '|' || COALESCE(text, '') || '|'
+        |    || COALESCE(lang, '') || '|' || COALESCE(source, '') || '|'
+        |    || COALESCE(CAST(n_chars AS VARCHAR), '')), 1, 14))::BIGINT AS HUGEINT)),
+        |   CAST(0 AS HUGEINT))
         |   % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
     // pass; arithmetic mirrored: decimal(28,8) sum → double / non-null n)

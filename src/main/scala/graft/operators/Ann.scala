@@ -296,6 +296,10 @@ object Ann {
       if (kmeansIters > 0) kmeansCentroids(base, numCentroids, kmeansIters)
       else base.orderBy("nid").limit(numCentroids)
         .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    // rebuild over a previously-compacted dir: reset the generation
+    // pointer + fold watermark or the fresh raw-path write is invisible
+    graft.sources.ParquetCompactor.resetPointer(spark, s"$dir/lists")
+    graft.sources.ParquetCompactor.deleteMarker(spark, ivfFoldMarker(dir))
     cents.toSeq.toDF("cid", "ce", "cn")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // `b` (ingest batch) is a nested partition under cid from birth so
@@ -318,8 +322,15 @@ object Ann {
     * keeps): additions never reshape clusters mid-flight, drift is
     * measured (assignment scores) and answered by retrain + rebuild.
     */
+  private def ivfFoldMarker(dir: String): String = s"$dir/lists-folded-through"
+
   def appendIvfBatch(newEmbeddings: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = newEmbeddings.sparkSession
+    // replay-after-compaction guard (the text index's contract): a batch
+    // below the fold watermark is already in b=0 — re-landing it would
+    // duplicate list rows
+    if (graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(dir))
+        .exists(batchId < _)) return
     val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
     val base = newEmbeddings
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
@@ -336,16 +347,26 @@ object Ann {
 
   /** COMPACTION round for a grown IVF index — the text index's story
     * applied to inverted lists: every `b=<batchId>` ingest generation
-    * folds into one, shedding sliver files/partition dirs while keeping
-    * the (cid, b) layout and cid-pruning; generation-swap semantics via
-    * [[graft.sources.ParquetCompactor]] (readers flip atomically, a crash
-    * keeps the old store, row-count verified). Run in a quiet window of
-    * [[startIvfMaintenance]].
+    * BELOW `beforeBatch` folds into `b=0`, shedding sliver files and
+    * partition dirs while keeping the (cid, b) layout and cid-pruning;
+    * generation-swap semantics via [[graft.sources.ParquetCompactor]]
+    * (readers flip atomically, a crash keeps the old store, row-count
+    * verified). The fold advances a watermark; replays of folded batches
+    * no-op in [[appendIvfBatch]]. Pass the maintenance stream's committed
+    * frontier — only CLOSED batches fold.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    graft.sources.ParquetCompactor.compact(spark, s"$dir/lists",
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      beforeBatch: Long): String = {
+    val out = graft.sources.ParquetCompactor.compact(spark, s"$dir/lists",
       partitionCols = Seq("cid", "b"),
-      rewrite = df => df.withColumn("b", lit(0L)).repartition(col("cid")))
+      rewrite = df => df
+        .withColumn("b", when(col("b") < beforeBatch, lit(0L)).otherwise(col("b")))
+        .repartition(col("cid")))
+    val prev = graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(dir)).getOrElse(0L)
+    graft.sources.ParquetCompactor.writeMarker(spark, ivfFoldMarker(dir),
+      math.max(prev, beforeBatch))
+    out
+  }
 
   /** Streaming IVF maintenance over an embeddings stream — each
     * micro-batch is encoded map-side and appended idempotently.

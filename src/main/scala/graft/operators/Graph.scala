@@ -412,15 +412,29 @@ object Graph {
       .distinct(), 0)
     var round = 0
     var done = false
+    // the weak set is probed (count) AND consumed by two anti-joins —
+    // persist it so each round pays ONE degree aggregation, not three;
+    // the previous round's cache releases once the probe has materialized
+    // the new chain
+    var release: Option[DataFrame] = None
     while (!done && round < maxIters) {
       round += 1
-      val weak = degrees(e).where(col("deg") < k).select("node")
-      if (weak.isEmpty) done = true
+      val weak = degrees(e).where(col("deg") < k).select("node").persist()
+      val nWeak = weak.count() // 1-row convergence probe; materializes the cache
+      release.foreach(_.unpersist()); release = Some(weak)
+      if (nWeak == 0) done = true
       else e = cutRound(
         e.join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
           .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
           .select("a", "b"), round)
     }
-    degrees(e).orderBy("node")
+    // an exhausted iteration budget means the output would still hold
+    // sub-k nodes — a silently wrong core; fail loud (peel depth can be
+    // O(n) on path-like graphs: raise maxIters, don't trust a partial peel)
+    if (!done) sys.error(
+      s"kCore(k=$k) did not converge within maxIters=$maxIters rounds")
+    val out = Checkpoints.cut(degrees(e).orderBy("node"), 0, checkpointDir, 1)
+    release.foreach(_.unpersist())
+    out
   }
 }

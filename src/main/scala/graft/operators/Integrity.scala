@@ -146,16 +146,16 @@ object Integrity {
     * shuffle wider than the partial sums. Checksum is emitted as a STRING
     * so the DuckDB twin (HUGEINT arithmetic) compares exactly.
     *
-    * Null discipline: concat_ws skips nulls, so (NULL,"x") == ("x",NULL)
-    * per column-joint encoding — callers hash ALL identifying columns and
-    * the separator makes field boundaries explicit; a column set with
-    * legitimate null-vs-empty ambiguity should be pre-coalesced.
+    * Null discipline: every column coalesces to "" BEFORE the join (bare
+    * concat_ws would SKIP a null including its separator, silently making
+    * (NULL,"x") ≡ ("x",NULL) and diverging from any ||-based twin), so
+    * NULL ≡ empty string is the one documented ambiguity; pre-encode a
+    * sentinel if a column legitimately distinguishes the two.
     */
   def datasetChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum: no columns")
-    val rowHash = conv(substring(
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 14), 16, 10)
-      .cast("long")
+    val rowHash = graft.functions.HashConv.md5Long56(concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
     df.select(rowHash.as("h"))
       .agg(count(lit(1)).as("n_rows"),
         pmod(coalesce(sum(col("h").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),

@@ -98,7 +98,7 @@ object Packing {
     df.withColumn("shuffle_key",
         md5(concat(col(keyCol).cast("string"), lit("|shard|" + salt))))
       .withColumn("shard",
-        pmod(conv(substring(col("shuffle_key"), 1, 14), 16, 10).cast("long"),
+        pmod(graft.functions.HashConv.hexPrefixLong(col("shuffle_key")),
           lit(nShards.toLong)).cast("int"))
   }
 

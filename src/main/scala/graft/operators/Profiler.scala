@@ -138,6 +138,12 @@ object Profiler {
       val both = col(a).isNotNull && col(b).isNotNull
       Seq(
         count(when(both, lit(1))).as(s"n_$p"),
+        // EXACT zero-variance detection: a constant column must yield the
+        // documented NULL r, and the double cancellation test alone can't
+        // see it for values that aren't double-exact (0.1: n·Σx²−(Σx)²
+        // evaluates to ±3e-18, not 0) — distinct≤1 is exact for every case
+        countDistinct(when(both, col(a))).as(s"nda_$p"),
+        countDistinct(when(both, col(b))).as(s"ndb_$p"),
         sum(when(both, d(a))).as(s"sx_$p"),
         sum(when(both, d(b))).as(s"sy_$p"),
         sum(when(both, d(a) * d(b))).as(s"sxy_$p"),
@@ -151,9 +157,18 @@ object Profiler {
       val sxy = col(s"sxy_$p").cast("double")
       val sxx = col(s"sxx_$p").cast("double"); val syy = col(s"syy_$p").cast("double")
       val num = n * sxy - sx * sy
-      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      // radicands CLAMP at 0: n·Σx²−(Σx)² is ≥ 0 mathematically but its
+      // double evaluation can cancel to −ε for (near-)constant columns —
+      // unclamped that is sqrt(NaN) here and an error in DuckDB. A clamped
+      // zero radicand makes den 0 → the > 0 guard yields the documented
+      // NULL; r additionally clamps to [−1, 1] so residual cancellation
+      // noise can never leave the legal range (both spellings mirrored in
+      // the oracle, so the twins stay value-identical).
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0d))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0d)))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        when(col(s"n_$p") > 1 && den =!= 0.0d, round(num / den, 12)).as("r"),
+        when(col(s"n_$p") > 1 && col(s"nda_$p") > 1 && col(s"ndb_$p") > 1 && den > 0.0d,
+          round(least(greatest(num / den, lit(-1.0d)), lit(1.0d)), 12)).as("r"),
         col(s"n_$p").as("n_pairs"))
     }
     one.select(explode(array(rows: _*)).as("c"))

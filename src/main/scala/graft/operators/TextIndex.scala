@@ -66,6 +66,11 @@ object TextIndex {
 
   def buildTextIndex(documents: DataFrame, dir: String,
                      numBuckets: Int = DefaultNumBuckets): Unit = {
+    // a REBUILD over a previously-compacted dir must reset the generation
+    // pointer (and the fold watermark) first — the fresh raw-path write
+    // would otherwise be invisible behind the stale pointer
+    graft.sources.ParquetCompactor.resetPointer(documents.sparkSession, s"$dir/postings")
+    graft.sources.ParquetCompactor.deleteMarker(documents.sparkSession, foldMarker(dir))
     // numBuckets is part of the store's layout — persisted WITH the store
     // (the IVF index stores its centroids for the same reason): a query or
     // append run with a different bucket count would prune to the WRONG
@@ -93,8 +98,17 @@ object TextIndex {
     * row per batch — readers SUM it (n and avgdl drift with each append,
     * exactly like a Lucene segment merge updating collection stats).
     */
+  private def foldMarker(dir: String): String = s"$dir/postings-folded-through"
+
   def appendTextBatch(newDocuments: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = newDocuments.sparkSession
+    // replay-after-compaction guard: a batch below the fold watermark was
+    // already folded into b=0 — re-landing it under its b= partition would
+    // DUPLICATE postings (dynamic overwrite can only replace, not dedup,
+    // once the original partition is gone). The no-op keeps at-least-once
+    // delivery exactly-once across compactions.
+    if (graft.sources.ParquetCompactor.readMarker(spark, foldMarker(dir))
+        .exists(batchId < _)) return
     val numBuckets = readStatsRow(spark, dir)._3
     // writer-scoped dynamic overwrite: the session conf would race any
     // concurrent write on the same SparkSession (two maintenance streams)
@@ -118,18 +132,30 @@ object TextIndex {
     graft.sources.ParquetCompactor.read(spark, s"$dir/postings")
 
   /** COMPACTION round for a grown index: every `b=<batchId>` ingest
-    * generation folds into one (`b=0`), shedding the accumulated
-    * sliver files and partition dirs while keeping the (tb, b) layout —
-    * the [[graft.sources.ParquetCompactor]] generation swap, so readers
-    * flip atomically and a crash keeps the old store. Per-(term, doc)
-    * postings are disjoint across batches (the append contract), so the
-    * fold is a pure relabel — row-count-verified. Run in a quiet window
-    * of the maintenance stream, like every compactor in the engine.
+    * generation BELOW `beforeBatch` folds into `b=0`, shedding the
+    * accumulated sliver files and partition dirs while keeping the
+    * (tb, b) layout — the [[graft.sources.ParquetCompactor]] generation
+    * swap, so readers flip atomically and a crash keeps the old store.
+    * Per-(term, doc) postings are disjoint across batches (the append
+    * contract), so the fold is a pure relabel — row-count-verified.
+    *
+    * Replay safety: the fold ADVANCES a watermark marker; a later replay
+    * of any folded batch no-ops in [[appendTextBatch]] (its content is
+    * already in b=0 — re-landing it would duplicate). Pass the
+    * maintenance stream's committed frontier as `beforeBatch` so only
+    * CLOSED batches fold — the ImportFeed.compact discipline.
     */
-  def compactIndex(spark: SparkSession, dir: String): String =
-    graft.sources.ParquetCompactor.compact(spark, s"$dir/postings",
+  def compactIndex(spark: SparkSession, dir: String, beforeBatch: Long): String = {
+    val out = graft.sources.ParquetCompactor.compact(spark, s"$dir/postings",
       partitionCols = Seq("tb", "b"),
-      rewrite = df => df.withColumn("b", lit(0L)).repartition(col("tb")))
+      rewrite = df => df
+        .withColumn("b", when(col("b") < beforeBatch, lit(0L)).otherwise(col("b")))
+        .repartition(col("tb")))
+    val prev = graft.sources.ParquetCompactor.readMarker(spark, foldMarker(dir)).getOrElse(0L)
+    graft.sources.ParquetCompactor.writeMarker(spark, foldMarker(dir),
+      math.max(prev, beforeBatch))
+    out
+  }
 
   /** Streaming index maintenance — each micro-batch of new docs appended
     * idempotently (batchId 0 would collide with the build generation;

@@ -35,6 +35,66 @@ object ParquetCompactor {
   def read(spark: SparkSession, dir: String) =
     spark.read.parquet(currentDir(spark, dir))
 
+  /** Reset a store to its raw dir: delete the generation pointer and GC
+    * every `-gN` generation — what a REBUILD over a previously-compacted
+    * dir must do first, or its fresh write to the raw path would be
+    * invisible behind the stale pointer (readers resolve the pointer).
+    */
+  def resetPointer(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir-current"), false)
+    val parent = new Path(dir).getParent
+    val prefix = new Path(dir).getName + "-g"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
+    ()
+  }
+
+  /** Tiny long-valued marker file (the fold watermark the index stores
+    * keep): written via tmp + rename like the generation pointer.
+    */
+  def writeMarker(spark: SparkSession, path: String, value: Long): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(value.toString.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, new Path(path))) {
+      fs.delete(new Path(path), false)
+      fs.rename(tmp, new Path(path))
+    }
+    ()
+  }
+
+  def readMarker(spark: SparkSession, path: String): Option[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) None
+    else {
+      val in = fs.open(new Path(path))
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  def deleteMarker(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), false)
+    ()
+  }
+
+  /** True iff the store's current generation holds at least one data file
+    * (a zero-row partitioned write leaves no part files — reading it
+    * would fail schema inference, so compaction must no-op).
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) return true
+    }
+    false
+  }
+
   /** One compaction round: returns the new generation path. `targetBytes`
     * sizes output files from the INPUT's total byte size — an estimate
     * (recompression changes it), which is all file sizing needs.
@@ -52,6 +112,7 @@ object ParquetCompactor {
               rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): String = {
     val src = currentDir(spark, dir)
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasDataFiles(fs, new Path(src))) return src // empty store: no-op
     val totalBytes = fs.listStatus(new Path(src)).toSeq
       .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -307,17 +307,17 @@ class AnnSpec extends SparkSpec {
     assert(c == b, "at-least-once delivery must stay exactly-once content")
     val n = spark.read.parquet(s"$dirB/lists").count()
     assert(n == spark.read.parquet(s"$dirA/lists").count(), "no duplicate rows after replay")
-    // compaction folds the b= generations; queries flip to the new
-    // generation and answer identically, and later appends continue
-    val gen = Ann.compactIvfIndex(spark, dirB)
+    // compaction folds the closed b= generations; queries flip to the new
+    // generation and answer identically
+    val gen = Ann.compactIvfIndex(spark, dirB, beforeBatch = 3L)
     assert(Ann.ivfTopKFromIndex(queries, dirB).collect().map(_.toSeq).toSeq == b)
     assert(spark.read.parquet(gen).select("b").distinct().as[Long].collect().toSeq == Seq(0L))
-    Ann.appendIvfBatch(emb.where($"vec_id" >= 350), dirB, batchId = 3L)
-    // the re-appended slice duplicates rows already folded into b=0 —
-    // the contract stays "appends are NEW vectors"; here we only assert
-    // the append landed in the live generation
-    assert(graft.sources.ParquetCompactor.read(spark, s"$dirB/lists")
-      .select("b").distinct().count() == 2L)
+    // a replay of a FOLDED batch no-ops (its rows are already in b=0)
+    Ann.appendIvfBatch(emb.where($"vec_id" >= 350), dirB, batchId = 2L)
+    assert(Ann.ivfTopKFromIndex(queries, dirB).collect().map(_.toSeq).toSeq == b)
+    assert(graft.sources.ParquetCompactor.read(spark, s"$dirB/lists").count() ==
+      spark.read.parquet(s"$dirA/lists").count(),
+      "replayed folded batch must not duplicate list rows")
   }
 
   private def semDocs = Seq(

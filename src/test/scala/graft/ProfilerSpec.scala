@@ -82,6 +82,11 @@ class ProfilerSpec extends SparkSpec {
     assert(r.get(("neg", "x")).orElse(r.get(("x", "neg"))).exists(_._1.contains(-1.0)))
     // a constant column has zero variance → r undefined → null
     assert(r.filter(_._1.productIterator.contains("const")).forall(_._2._1.isEmpty))
+    // ...including constants that are NOT double-exact (0.1: the double
+    // cancellation test sees ±3e-18, the exact distinct guard sees 1)
+    val tenth = Seq((1.0, 0.1), (2.0, 0.1), (3.0, 0.1)).toDF("x", "c")
+    assert(Profiler.correlationMatrix(tenth, Seq("x", "c"))
+      .as[(String, String, Option[Double], Long)].collect().head._3.isEmpty)
     assert(r.values.forall(_._2 == 4L))
     // hand-computed r for a non-degenerate pair
     val hand = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0)).toDF("a", "b")

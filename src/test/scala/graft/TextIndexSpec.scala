@@ -87,21 +87,27 @@ class TextIndexSpec extends SparkSpec {
     assert(stats(dir) == stats(oneShot))
   }
 
-  test("compaction folds ingest generations, queries unchanged, appends continue") {
+  test("compaction folds closed generations, replays no-op, appends continue, rebuild resets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text-compact").toString
     TextIndex.buildTextIndex(docs.where($"doc_id" % 3 === 0), dir, 16)
     TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L)
     val terms = Seq("dup", "spark", "merge")
     val before = TextIndex.bm25FromIndex(spark, dir, terms)
       .as[(Long, Double, Long)].collect().toSeq
-    val gen = TextIndex.compactIndex(spark, dir)
+    val gen = TextIndex.compactIndex(spark, dir, beforeBatch = 2L)
     // queries resolve the pointer to the new generation, results unchanged
     assert(TextIndex.bm25FromIndex(spark, dir, terms)
       .as[(Long, Double, Long)].collect().toSeq == before)
-    // every b= ingest generation folded to one
+    // every closed b= ingest generation folded to one
     val bVals = spark.read.parquet(gen).select("b").distinct().as[Long].collect().toSeq
     assert(bVals == Seq(0L), s"expected one folded generation, got $bVals")
-    // appends after compaction land in the live generation and are served
+    // a REPLAY of a folded batch must no-op (its content is already in
+    // b=0 — re-landing would duplicate postings and double tf/df)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L)
+    assert(TextIndex.bm25FromIndex(spark, dir, terms)
+      .as[(Long, Double, Long)].collect().toSeq == before,
+      "replayed folded batch must not change the index")
+    // appends at/above the watermark land and are served
     TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 2), dir, batchId = 2L)
     val full = freshIndex()
     assert(TextIndex.bm25FromIndex(spark, dir, terms)
@@ -109,9 +115,16 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25FromIndex(spark, full, terms)
         .as[(Long, Double, Long)].collect().toSeq)
     // a second round GCs the previous generation dir
-    val gen2 = TextIndex.compactIndex(spark, dir)
+    val gen2 = TextIndex.compactIndex(spark, dir, beforeBatch = 3L)
     assert(!new java.io.File(gen).exists(), "previous generation must be GC'd")
     assert(new java.io.File(gen2).exists())
+    // a REBUILD over the compacted dir resets the pointer + watermark:
+    // queries must see the fresh build, and batch 1 appends again
+    TextIndex.buildTextIndex(docs.where($"doc_id" % 3 === 0), dir, 16)
+    TextIndex.appendTextBatch(docs.where($"doc_id" % 3 === 1), dir, batchId = 1L)
+    assert(TextIndex.bm25FromIndex(spark, dir, terms)
+      .as[(Long, Double, Long)].collect().toSeq == before,
+      "rebuild must serve the fresh store, not the stale compacted generation")
   }
 
   test("empty corpus builds an empty but queryable index") {
