@@ -70,6 +70,11 @@ object SparkEntry {
     "q20_qualified_suppliers" -> ((s, d) => TpchShapes.qualifiedSuppliers(s, d)),
     "q21_late_sole_supplier" -> ((s, d) => TpchShapes.soleLateSupplier(s, d)),
     "q22_idle_customers" -> ((s, d) => TpchShapes.idleRichCustomers(s, d)),
+    "q2_min_cost_supp" -> ((s, d) => TpchShapes.minCostSupplier(s, d)),
+    "q11_important_stock" -> ((s, d) => TpchShapes.importantStock(s, d)),
+    // distribution-window family (ntile / percent_rank / cume_dist) + CUBE
+    "q_balance_distribution" -> ((s, d) => SqlSurface.balanceDistribution(Tables.customer(s, d))),
+    "q_orders_cube" -> ((s, d) => SqlSurface.ordersCube(Tables.orders(s, d))),
     "q_customers_without_orders" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(Tables.events(s, d))),
@@ -331,6 +336,19 @@ object SparkEntry {
         ReceiptClassifier.demoReceipts(Tables.events(s, d))))
       Graph.reachCounts(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), maxHops = 3)
+    }),
+    // multi-source BFS hop distance from the every-17th-user signup cohort
+    // over the same edge list (level-synchronous frontier BFS; oracle =
+    // hop-bounded recursive CTE with UNION dedup)
+    "q_trust_hops" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, hex, lit, lower, lpad}
+      val ev = Tables.events(s, d)
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(ev)))
+      val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
+        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+      Graph.bfsHops(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst")), seeds, maxHops = 4)
     }),
     // trust-endorsement centrality over the same edge list
     "q_trust_rank" -> ((s, d) => {
@@ -816,6 +834,19 @@ object SparkEntry {
     // the LSH twin below is the full-corpus scale path (rows-only)
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(Tables.embeddings(s, d), k = 5, maxId = 300L)),
     "q_knn_graph_lsh" -> ((s, d) => Ann.knnGraphLsh(Tables.embeddings(s, d))),
+    // JL random projection feeding the exact scorer: project 64 -> 16 dims
+    // map-side (seeded ±1/√m sign matrix as plan literals), then brute-force
+    // top-k over the SHORT vectors — the project-once-then-search bridge.
+    // rows-only (float matrix products are engine-specific); distortion and
+    // determinism spec'd in AnnSpec
+    "q_rp_ann" -> ((s, d) =>
+      Ann.bruteForceTopK(Ann.randomProject(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("rp").as("embedding")))),
+    // greedy k-center diversity sample over the embedding corpus — the
+    // coverage complement of dedup; rows-only (cosine argmin sequences are
+    // engine-specific; cluster coverage + monotonicity spec'd in AnnSpec)
+    "q_kcenter_sample" -> ((s, d) =>
+      Ann.kCenterSample(Tables.embeddings(s, d), k = 16)),
     "q_dedup_embedding" -> ((s, d) => Ann.embeddingNearDupPairs(Tables.embeddings(s, d))),
     // the cluster step over the embedding pair list (pairs → keep-one
     // groups) — same connected-components engine as q_dup_clusters
@@ -1343,6 +1374,54 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-08-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH ps AS (
+        | SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) /
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS supply_cost
+        | FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        | SELECT s_suppkey, s_acctbal, s_name, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE'),
+        |rp AS (SELECT ps.* FROM ps JOIN rs ON ps_suppkey = s_suppkey),
+        |mc AS (SELECT ps_partkey AS mc_partkey, min(supply_cost) AS min_cost
+        |       FROM rp GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+        |FROM rp JOIN mc ON ps_partkey = mc_partkey AND supply_cost = min_cost
+        | JOIN part ON ps_partkey = p_partkey
+        | JOIN rs ON ps_suppkey = s_suppkey
+        |WHERE p_type = 'STANDARD' AND p_size = 15
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pp AS (
+        | SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_19'
+        | GROUP BY 1)
+        |SELECT l_partkey, part_value FROM pp
+        |WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) * 0.0015
+        |                    FROM pp)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_balance_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+        | round(percent_rank() OVER w, 12) AS bal_pct_rank,
+        | round(cume_dist() OVER w, 12) AS bal_cume_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_orders_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
     "q_topk_per_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
         | SELECT p_brand, p_partkey, p_retailprice,
@@ -2418,6 +2497,21 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    // hop-bounded recursive closure with UNION dedup: each (node, dist)
+    // pair surfaces once, so rows ≤ |V|·(maxHops+1) even on cyclic graphs;
+    // min(dist) collapses the per-level copies to BFS distance
+    "q_trust_hops" -> ("WITH RECURSIVE " + trustE1Cte.stripPrefix("WITH ") +
+      """,
+        |seeds AS (
+        | SELECT DISTINCT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS node
+        | FROM events WHERE event_type = 'signup' AND user_id % 17 = 0),
+        |walk(node, dist) AS (
+        | SELECT node, CAST(0 AS BIGINT) FROM seeds
+        | UNION
+        | SELECT e.dst, w.dist + 1 FROM walk w
+        |  JOIN e1 e ON w.node = e.src WHERE w.dist < 4)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin),
     "q_trust_ppr" -> trustPprSql,
     // degree-ordered triangle enumeration, mirrored CASE-for-CASE (row-
     // value comparisons spell the same (deg, id) total order)

@@ -662,4 +662,106 @@ object Ann {
         (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
       .orderBy("vec_id")
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions — the
+    * dimensionality-reduction bridge in front of the ANN stack (project
+    * once, then brute-force/LSH/IVF the short vectors at outDim/dim the
+    * scan cost). The matrix is the Achlioptas ±1/√m sign matrix (which
+    * satisfies the JL distortion guarantee like Gaussian entries, without
+    * float-precision variance in generation), drawn DETERMINISTICALLY from
+    * `seed` via java.util.Random's spec-fixed LCG — same seed, same matrix,
+    * on any JVM, so projected corpora are reproducible artifacts.
+    *
+    * Scale shape: the outDim×dim matrix rides the plan as typed literals
+    * (the centroids-as-literals discipline of [[assignToCentroids]] — an
+    * implicit broadcast), each output component is one codegen'd
+    * [[graft.functions.VecOps.dotFloat]] kernel, and the whole operator is
+    * MAP-ONLY: zero shuffles, zero driver round-trips beyond the plan
+    * itself. Distortion: ‖proj(x)−proj(y)‖ ≈ ‖x−y‖·(1±ε) w.h.p. for
+    * outDim = O(log n / ε²) — AnnSpec measures it on planted data.
+    */
+  def randomProject(embeddings: DataFrame, dim: Int = 64, outDim: Int = 16,
+                    seed: Long = 42L, vecCol: String = "embedding",
+                    outCol: String = "rp"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"bad dims: $dim -> $outDim")
+    val rnd = new java.util.Random(seed)
+    val scale = (1.0 / math.sqrt(outDim.toDouble)).toFloat
+    val rows: IndexedSeq[Array[Float]] =
+      IndexedSeq.fill(outDim)(Array.fill(dim)(if (rnd.nextBoolean()) scale else -scale))
+    embeddings.withColumn(outCol,
+      array(rows.map(r =>
+        graft.functions.VecOps.dotFloat(col(vecCol), typedlit(r)).cast("float")): _*))
+  }
+
+  /** Greedy k-CENTER (farthest-point) diversity sample: pick the corpus
+    * vector set that COVERS the embedding space — the curation complement
+    * of dedup (dedup removes the redundant; this keeps the spread). The
+    * classic 2-approximation: start from the min-id vector, then k−1 times
+    * pick the vector farthest (min max-cosine) from everything chosen so
+    * far, ties to the smallest vec_id.
+    *
+    * Each round is ONE map pass: the running `best` column (max cosine to
+    * any chosen center) updates against only the round's NEW center — a
+    * single codegen'd [[cosFast]] kernel against a plan-literal vector —
+    * so total work is O(k·n) kernels, not O(k²·n); the argmin is a 1-row
+    * orderBy-limit probe; lineage is cut per round ([[Checkpoints.cut]]).
+    * At 100 TB you run this over a [[Sampling.hashSample]] slice (k passes
+    * over the full corpus is the textbook cost of exact greedy k-center;
+    * the sample-then-cover composition is the standard answer) — the
+    * operator itself stays shuffle-free either way.
+    *
+    * Output: (rank, vec_id, gap_cosine) in pick order — gap_cosine is the
+    * picked vector's max cosine to the PREVIOUSLY chosen set (null for the
+    * seed pick); the sequence is non-decreasing (coverage tightens), and
+    * cutting it at a cosine threshold reads off the k needed for a target
+    * radius.
+    */
+  def kCenterSample(embeddings: DataFrame, k: Int,
+                    checkpointDir: Option[String] = None,
+                    checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, s"k < 1: $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val first = base.select(col("nid"), col("ne"), col("nn"))
+      .orderBy("nid").limit(1)
+      .as[(Long, Array[Float], Double)].collect().headOption
+    first match {
+      case None =>
+        Seq.empty[(Long, Long, Option[Double])].toDF("rank", "vec_id", "gap_cosine")
+      case Some((id0, e0, n0)) =>
+        var chosen = Vector[(Long, Option[Double])]((id0, None))
+        var cur = Checkpoints.cut(
+          base.withColumn("best",
+            round(cosFast(col("ne"), typedlit(e0), col("nn"), lit(n0)), 12)), 0,
+          checkpointDir, checkpointEvery).persist()
+        var caches = List(cur)
+        var iter = 0
+        var exhausted = false
+        while (chosen.size < k && !exhausted) {
+          iter += 1
+          val pick = cur.where(!col("nid").isin(chosen.map(_._1): _*))
+            .orderBy(col("best").asc, col("nid").asc).limit(1)
+            .as[(Long, Array[Float], Double, Double)].collect().headOption
+          pick match {
+            case None => exhausted = true // fewer distinct vectors than k
+            case Some((nid, ne, nn, gap)) =>
+              chosen = chosen :+ ((nid, Some(gap)))
+              if (chosen.size < k) {
+                cur = Checkpoints.cut(
+                  cur.withColumn("best", greatest(col("best"),
+                    round(cosFast(col("ne"), typedlit(ne), col("nn"), lit(nn)), 12))),
+                  iter, checkpointDir, checkpointEvery).persist()
+                caches = cur :: caches
+              }
+          }
+        }
+        caches.foreach(_.unpersist())
+        chosen.zipWithIndex
+          .map { case ((id, gap), i) => ((i + 1).toLong, id, gap) }
+          .toDF("rank", "vec_id", "gap_cosine")
+    }
+  }
 }

@@ -437,4 +437,64 @@ object Graph {
     release.foreach(_.unpersist())
     out
   }
+
+  /** Multi-source BFS: hop distance from a SOURCE SET along directed edges,
+    * bounded by `maxHops` — "how far is every safe from the signup cohort",
+    * the reachability-depth twin of [[reachCounts]] (which counts, where
+    * this labels). Output: (node, dist) for every node reachable in ≤
+    * maxHops hops, dist = the MINIMUM hop count (sources themselves at 0).
+    *
+    * Frontier-style level-synchronous BFS: round k joins only the rows
+    * DISCOVERED in round k−1 against the edge list and anti-joins the
+    * visited set, so each round's shuffle carries (node) keys — the
+    * frontier, not the closure, and never adjacency lists. Work is
+    * O(Σ frontier-adjacent edges) = O(E) total across all rounds — the
+    * textbook distributed BFS bound; a naive "expand everything each
+    * round" spelling re-scans the full reach set per round (quadratic on
+    * deep graphs). The visited set is a union of per-round persisted
+    * frontiers (each segment cached — the union never recomputes);
+    * convergence probes are 1-row counts; lineage is cut per round by the
+    * engine's checkpoint policy ([[Checkpoints.cut]]). At 100 TB: hub
+    * destinations skew the dst groupBy — the distinct() combines map-side
+    * so a hub dedupes before the wire; sources are typically ≪ |V| so
+    * round-1 joins broadcast.
+    *
+    * Input `edges`: (src, dst); `sources`: (node). Self-loops dropped,
+    * parallel edges deduped, sources outside the graph surface at dist 0
+    * (matching the recursive-CTE oracle's base arm).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 6,
+              checkpointDir: Option[String] = None,
+              checkpointEvery: Int = 5): DataFrame = {
+    require(maxHops >= 0, s"maxHops < 0: $maxHops")
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = edges.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    var frontier = cut(sources.select("node").distinct(), 0).persist()
+    var segments = List(frontier.withColumn("dist", lit(0L)))
+    var caches = List(frontier)
+    var round = 0
+    var done = frontier.count() == 0
+    while (!done && round < maxHops) {
+      round += 1
+      val visited = segments.map(_.select("node")).reduce(_ unionByName _)
+      val next = cut(
+        frontier.select(col("node").as("src")).join(e, Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti"), round).persist()
+      if (next.count() == 0) done = true
+      else {
+        segments = segments :+ next.withColumn("dist", lit(round.toLong))
+        frontier = next
+      }
+      caches = next :: caches
+    }
+    // materialize through one final eager cut, then release the per-round
+    // caches (the kCore pattern — the returned frame must not depend on
+    // blocks this method unpersists)
+    val out = Checkpoints.cut(
+      segments.reduce(_ unionByName _).orderBy("node"), 0, checkpointDir, 1)
+    caches.foreach(_.unpersist())
+    out
+  }
 }

@@ -87,4 +87,36 @@ object SqlSurface {
       regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
       lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded")
     ).orderBy("c_custkey")
+
+  /** Distribution-window family — the second window shape class (the first,
+    * [[orderSequences]], covers lag/lead/rank/running count): NTILE buckets,
+    * percent_rank and cume_dist per segment. The ORDER BY key
+    * (c_acctbal, c_custkey) is a total order, so every rank function is
+    * deterministic and the peer groups cume_dist counts are single rows —
+    * identical semantics in Spark and DuckDB. One shuffle on the segment
+    * key; rank evaluation is a per-partition sort, no second exchange.
+    */
+  def balanceDistribution(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    customer.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(4).over(w).cast("long").as("bal_quartile"),
+      round(percent_rank().over(w), 12).as("bal_pct_rank"),
+      round(cume_dist().over(w), 12).as("bal_cume_dist"))
+  }
+
+  /** CUBE rollup — all four grouping combinations of (priority, status) in
+    * one pass. Spark plans this as a single Expand + hash aggregate (each
+    * input row fans to the 4 grouping sets map-side, partials combine before
+    * the one shuffle) — the same plan shape GROUPING SETS and ROLLUP
+    * ([[Analytics.rollupOrders]]) lower to. grouping() flags disambiguate
+    * real NULLs from subtotal rows, rendered as longs for the oracle hash.
+    */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("sum_price"),
+           grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+           grouping(col("o_orderstatus")).cast("long").as("g_status"))
+      .orderBy(col("g_priority"), col("g_status"), col("o_orderpriority"), col("o_orderstatus"))
 }

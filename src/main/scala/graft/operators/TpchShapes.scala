@@ -374,4 +374,83 @@ object TpchShapes {
       .where(col("l_quantity") < lit(0.2d) * col("avg_qty"))
       .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0d, 12).as("avg_yearly"))
   }
+
+  /** The derived part-supplier relation with a supply cost (partsupp doesn't
+    * exist in the testdata, so Q2/Q11 derive it from lineitem exactly as Q16
+    * derives its distinct pairs): supply_cost(p, s) = the pair's average unit
+    * price, decimal-exact sums then ONE double division, rounded for
+    * cross-engine hash stability. One partial-agg shuffle on the narrow
+    * (partkey, suppkey) pair — at 100 TB this is the relation you'd
+    * materialize once and bucket by partkey.
+    */
+  private def derivedPartsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(round(dsum(col("l_extendedprice")).cast("double") /
+                 dsum(col("l_quantity")).cast("double"), 6).as("supply_cost"))
+
+  /** Q2 shape (adapted: partsupp derived per [[derivedPartsupp]]): the
+    * min-cost supplier per part within a region. The original's correlated
+    * `= (SELECT min(ps_supplycost) ... WHERE region)` is DECORRELATED into a
+    * per-part min over the region-filtered pair relation, joined back on
+    * (partkey, cost) — the standard rewrite that turns a per-part rescan
+    * into one extra partial agg. Region/nation pin broadcast; the survivor
+    * set is tiny so AQE broadcasts the supplier/part joins. Ties on min cost
+    * all surface (the original's semantics); the ORDER BY key
+    * (s_acctbal desc, n_name, s_name, p_partkey) is a total order because
+    * (s_name, p_partkey) is unique per row, so LIMIT is deterministic.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String,
+                      regionName: String = "EUROPE", partType: String = "STANDARD",
+                      size: Int = 15): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+    val regionPairs = derivedPartsupp(spark, dir)
+      .join(regionSupp.select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"))
+      .drop("s_suppkey")
+    val minCost = regionPairs.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    regionPairs
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+                     col("supply_cost") === col("min_cost"))
+      .join(Tables.part(spark, dir).where(col("p_type") === partType &&
+                                          col("p_size") === size),
+            col("ps_partkey") === col("p_partkey"))
+      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+              col("p_brand"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 shape (adapted: stock value per part = the discounted revenue its
+    * suppliers from one nation moved, standing in for supplycost*availqty):
+    * parts whose value exceeds a FRACTION of the national total — the
+    * scalar-subquery-in-HAVING shape. The 1-row total is computed from the
+    * same per-part frame (decimal-exact, so both sides of the `>` are
+    * engine-deterministic) and broadcast back as a cross-joined filter; the
+    * per-part rollup shuffles once on partkey with map-side partials.
+    */
+  def importantStock(spark: SparkSession, dir: String,
+                     nationName: String = "NATION_19",
+                     fraction: Double = 0.0015d): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).where(col("n_name") === nationName)),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(dsum(vol).cast("double").as("part_value"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(
+        (dsum(col("part_value")) * lit(fraction)).cast("double").as("thr"))))
+      .where(col("part_value") > col("thr"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
 }

@@ -436,4 +436,94 @@ class AnnSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(run(emb) == run(emb.repartition(7)))
   }
+
+  test("randomProject: deterministic, map-only, JL distortion within tolerance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where($"vec_id" < 200)
+    def run() = Ann.randomProject(emb, dim = 64, outDim = 32, seed = 7L)
+      .select($"vec_id", $"rp").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq) // same seed, same matrix
+    val c = Ann.randomProject(emb, dim = 64, outDim = 32, seed = 8L)
+      .select($"vec_id", $"rp").as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(a.map(_._2.toSeq).toSeq != c.map(_._2.toSeq).toSeq) // different seed differs
+    // map-only: no exchange in the plan
+    val plan = Ann.randomProject(emb, dim = 64, outDim = 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    // JL distortion: squared distances preserved within a loose factor on
+    // average (m=32 is small; the spec checks the estimator is unbiased-ish,
+    // not a tight per-pair bound)
+    def d2(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (u, v) => (u - v).toDouble * (u - v) }.sum
+    val orig = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where($"vec_id" < 200).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ratios = (0 until 50).flatMap { i =>
+      val (x, px) = (orig(i)._2, a(i)._2)
+      val (y, py) = (orig(i + 50)._2, a(i + 50)._2)
+      // skip near-identical pairs (planted near-dups): a ~0/~0 ratio is
+      // numerically meaningless, not a distortion signal
+      if (d2(x, y) < 0.01) None else Some(d2(px, py) / d2(x, y))
+    }
+    assert(ratios.size >= 20, "too few well-separated probe pairs")
+    val mean = ratios.sum / ratios.size
+    info(f"JL mean distance ratio at m=32: $mean%.3f")
+    assert(mean > 0.7 && mean < 1.3, f"distance estimator biased: $mean%.3f")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), "catastrophic per-pair distortion")
+  }
+
+  test("randomProject feeds the ANN stack: projected top-k recalls planted clusters") {
+    val rng = new scala.util.Random(3)
+    val dim = 64
+    def axis(a: Int) = Array.tabulate(dim)(d => if (d == a % 8) 1f else 0f)
+    def jit(v: Array[Float]) = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val emb = (0 until 80).map(i => (i.toLong, jit(axis(i % 8)))).toDF("vec_id", "embedding")
+    // within a cluster all ~10 mates tie at cos≈1, so EXACT top-3 identity
+    // is not preserved by any projection (nor meaningful) — what JL must
+    // preserve is cluster MEMBERSHIP of the neighbors
+    val proj = Ann.randomProject(emb, dim = dim, outDim = 16)
+      .select($"vec_id", $"rp".as("embedding"))
+    val got = Ann.bruteForceTopK(proj, numQueries = 8, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val sameCluster = got.count { case (q, n) => q % 8 == n % 8 }.toDouble / got.length
+    info(f"projected same-cluster neighbor share@3: $sameCluster%.2f")
+    assert(got.length == 8 * 3)
+    assert(sameCluster >= 0.9,
+      f"projection should keep neighbors within their cluster: $sameCluster%.2f")
+  }
+
+  test("kCenterSample: one pick per planted cluster before any duplication") {
+    // 4 tight clusters of 5 vectors each: the first 4 picks must cover all
+    // 4 clusters (greedy farthest-point picks the farthest cluster first)
+    val rng = new scala.util.Random(5)
+    val dim = 16
+    def axis(a: Int) = Array.tabulate(dim)(d => if (d == a) 1f else 0f)
+    def jit(v: Array[Float]) = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    val emb = (0 until 20).map(i => (i.toLong, jit(axis(i % 4)))).toDF("vec_id", "embedding")
+    val picks = Ann.kCenterSample(emb, k = 4)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(picks.length == 4)
+    assert(picks.map(_._2 % 4).toSet.size == 4, s"picks ${picks.toSeq} miss a cluster")
+    // gap sequence is non-decreasing (coverage tightens) once picks start
+    val gaps = Ann.kCenterSample(emb, k = 8)
+      .select("gap_cosine").as[Option[Double]].collect().flatten
+    assert(gaps.toSeq == gaps.sorted.toSeq, s"gap sequence not monotone: ${gaps.toSeq}")
+  }
+
+  test("kCenterSample: deterministic, knob-independent, total on edge cases") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where($"vec_id" < 100)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.kCenterSample(df, k = 6).collect().map(_.toSeq).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcenter-ck").toString
+    assert(Ann.kCenterSample(emb, k = 6, checkpointDir = Some(dir), checkpointEvery = 2)
+      .collect().map(_.toSeq).toSeq == run(emb))
+    // k larger than the corpus: returns everything, then stops
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Ann.kCenterSample(tiny, k = 10).count() == 2)
+    // empty corpus is total
+    assert(Ann.kCenterSample(tiny.where(lit(false)), k = 3).count() == 0)
+  }
 }

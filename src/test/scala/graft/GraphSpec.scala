@@ -365,4 +365,68 @@ class GraphSpec extends SparkSpec {
     assert(graft.operators.Graph.kCore(
       edges.where(org.apache.spark.sql.functions.lit(false)), k).collect().isEmpty)
   }
+
+  test("bfsHops: hand-checked levels, direction respected, hop bound cuts") {
+    // a->b->c->d chain plus shortcut a->c; x->a makes x depth-only-upstream
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "a"))
+      .toDF("src", "dst")
+    val sources = Seq("a").toDF("node")
+    val r = Graph.bfsHops(edges, sources, maxHops = 6)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L)) // x unreachable
+    // hop bound truncates the deepest level
+    val r1 = Graph.bfsHops(edges, sources, maxHops = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("bfsHops: multi-source min distance, cycles converge, off-graph seeds at 0") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("z", "c"))
+      .toDF("src", "dst")
+    val sources = Seq("a", "z", "ghost").toDF("node")
+    val r = Graph.bfsHops(edges, sources, maxHops = 10)
+      .as[(String, Long)].collect().toMap
+    // c: min(a->b->c = 2, z->c = 1) = 1; the a<->b cycle terminates
+    assert(r == Map("a" -> 0L, "z" -> 0L, "ghost" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("bfsHops matches brute-force Floyd-style hop closure on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 14
+    val edges = (0 until 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sources = Seq(0L, 5L)
+    val maxHops = 4
+    // brute force BFS per source on the driver
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def bfs(s: Long): Map[Long, Long] = {
+      var dist = Map(s -> 0L)
+      var frontier = Set(s)
+      for (k <- 1 to maxHops if frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> k.toLong)
+        frontier = next
+      }
+      dist
+    }
+    val expected = sources.map(bfs).reduce { (m1, m2) =>
+      (m1.keySet ++ m2.keySet).map(k =>
+        k -> math.min(m1.getOrElse(k, Long.MaxValue), m2.getOrElse(k, Long.MaxValue))).toMap
+    }
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), sources.toDF("node"), maxHops)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // reliable-checkpoint knob must not change the answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs-ck").toString
+    val withKnob = Graph.bfsHops(edges.toDF("src", "dst"), sources.toDF("node"),
+      maxHops, checkpointDir = Some(dir), checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(withKnob == expected)
+    // empty sources and empty edges are total
+    assert(Graph.bfsHops(edges.toDF("src", "dst"),
+      Seq.empty[String].toDF("node"), maxHops).collect().isEmpty)
+    assert(Graph.bfsHops(Seq.empty[(String, String)].toDF("src", "dst"),
+      Seq("a").toDF("node"), maxHops).as[(String, Long)].collect().toMap == Map("a" -> 0L))
+  }
 }

@@ -108,5 +108,18 @@ class TpchShapesSpec extends SparkSpec {
       q15.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
     val q17 = TpchShapes.smallQuantityRevenue(spark, dir, brand = "Brand#9").head()
     assert(!q17.isNullAt(0) && q17.getAs[Double]("avg_yearly") >= 0.0)
+    // Q2 (the default size-15 filter has survivors at sf0.001 and sf0.01)
+    val q2 = TpchShapes.minCostSupplier(spark, dir)
+    val q2rows = q2.collect()
+    assert(q2rows.nonEmpty)
+    val perPartCosts = q2rows.groupBy(_.getAs[Long]("p_partkey"))
+    assert(perPartCosts.forall { case (_, rs) =>
+      rs.map(_.getAs[Double]("supply_cost")).distinct.length == 1
+    }) // min-cost ties all share the one min value per part
+    // Q11: every surfaced part's value exceeds the fraction threshold, and
+    // a fraction of 1.0 (more than the whole) surfaces nothing
+    val q11 = TpchShapes.importantStock(spark, dir, fraction = 0.001)
+    assert(q11.count() > 0)
+    assert(TpchShapes.importantStock(spark, dir, fraction = 1.0).count() == 0)
   }
 }
