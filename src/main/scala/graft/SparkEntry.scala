@@ -543,6 +543,38 @@ object SparkEntry {
     // first-order Markov transition matrix over per-user event sequences
     "q_transition_matrix" -> ((s, d) =>
       Behavior.transitionMatrix(Tables.events(s, d))),
+    // trailing-window trending detection over the per-day event counts
+    "q_trending_events" -> ((s, d) =>
+      Behavior.trendingEvents(Tables.events(s, d))
+        .select(col("event_type"),
+          StateOps.epochMs(col("day").cast("timestamp")).as("day_ms"),
+          col("n"), col("baseline"), col("lift"), col("trending"))
+        .orderBy("event_type", "day_ms")),
+    // wealth concentration: Gini coefficient over per-customer lifetime
+    // spend (the inequality metric a UBI deployment watches over its
+    // balance cache) — the two-phase distributed rank, never a bare
+    // unpartitioned window
+    "q_wealth_gini" -> ((s, d) =>
+      Economics.gini(Tables.orders(s, d).groupBy("o_custkey")
+          .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
+        "wealth", "o_custkey")),
+    // Lorenz curve deciles over the same wealth frame: "the bottom half
+    // holds cum_share of the spend"
+    "q_lorenz" -> ((s, d) =>
+      Economics.lorenz(Tables.orders(s, d).groupBy("o_custkey")
+          .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
+        "wealth", "o_custkey")),
+    // velocity of money per day over the demo ERC-20 ledger: peer volume
+    // over cumulative issuance, registered tokens only
+    "q_money_velocity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val erc = Demo.erc20Num(ReceiptClassifier.demoReceipts(ev))
+        .join(ReceiptClassifier.demoBlocks(ev).select("hash", "ts"), "hash")
+      Economics.moneyVelocity(erc, ReceiptClassifier.demoSignups(ev))
+        .select(StateOps.epochMs(col("day").cast("timestamp")).as("day_ms"),
+          col("volume"), col("minted"), col("supply"), col("velocity"))
+        .orderBy("day_ms")
+    }),
     // first derivative of the trust view: edges created/revoked per day
     "q_trust_churn" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -925,6 +957,20 @@ object SparkEntry {
           Map("src0" -> 400, "src1" -> 150, "src2" -> 50, "src3" -> 10),
           budgetTokens = budget, maxEpochs = 3)
         .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    }),
+    // quality-ranked token-budget selection: keep the best-score prefix
+    // that fits half the corpus's whitespace tokens (budget from a 1-row
+    // driver aggregate; the running total is the two-phase distributed
+    // scan, never an unpartitioned window)
+    "q_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val budget = docs.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(col("text"), " ")).cast("long")),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0) / 2
+      Sampling.budgetSelect(docs, budget)
     }),
     // pretraining sequence packing: concat-and-split layout offsets via the
     // two-phase distributed prefix sum (bucket totals -> literal bases ->
@@ -1531,6 +1577,55 @@ object SparkEntry {
         | round(CAST(c.n_transitions AS DOUBLE) / CAST(t.total_from AS DOUBLE), 12) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // trailing-3-observed-days mean per type; lift divides by the already-
+    // rounded baseline (same IEEE op order as the Spark side)
+    "q_trending_events" ->
+      """WITH pd AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |       count(*) OVER win AS base_n,
+        |       CAST(SUM(n) OVER win AS BIGINT) AS base_sum
+        |      FROM pd
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+        |b AS (SELECT *, CASE WHEN base_n = 3
+        |        THEN round(CAST(base_sum AS DOUBLE) / base_n, 12) END AS baseline
+        |      FROM w),
+        |c AS (SELECT *, CASE WHEN baseline > 0
+        |        THEN round(CAST(n AS DOUBLE) / baseline, 12) END AS lift FROM b)
+        |SELECT event_type, epoch_ms(day) AS day_ms, n, baseline, lift,
+        | COALESCE(lift >= 1.5, FALSE) AS trending
+        |FROM c ORDER BY event_type, day_ms""".stripMargin,
+    // Gini via the ascending-rank formula; Σ rank·x accumulates as
+    // DECIMAL(38,6) on both engines (exact past 2^53), ratios divide as
+    // DOUBLE in the same operation order
+    "q_wealth_gini" ->
+      """WITH w AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS wealth
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT wealth, CAST(wealth AS DECIMAL(18,4)) AS wd,
+        |       row_number() OVER (ORDER BY wealth, o_custkey) AS rnk FROM w)
+        |SELECT count(*) AS n, CAST(SUM(wd) AS DOUBLE) AS total,
+        | round(2.0 * CAST(SUM(CAST(rnk * wd AS DECIMAL(38,6))) AS DOUBLE)
+        |     / (CAST(count(*) AS DOUBLE) * CAST(SUM(wd) AS DOUBLE))
+        |   - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 12) AS gini
+        |FROM r""".stripMargin,
+    // Lorenz deciles: bin by the exact integer rank formula (no NTILE
+    // remainder convention), cumulative share from the running decimal sum
+    "q_lorenz" ->
+      """WITH w AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS wealth
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, wealth, CAST(wealth AS DECIMAL(18,4)) AS wd,
+        |       row_number() OVER (ORDER BY wealth, o_custkey) AS rnk FROM w),
+        |t AS (SELECT count(*) AS n, SUM(wd) AS tot FROM r),
+        |c AS (SELECT ((rnk - 1) * 10) // n AS bin, wd, tot,
+        |       SUM(wd) OVER (ORDER BY rnk) AS cum FROM r, t)
+        |SELECT bin, count(*) AS n_rows, CAST(SUM(wd) AS DOUBLE) AS wealth,
+        | round(CAST(SUM(wd) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE), 12) AS share,
+        | round(CAST(max(cum) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE), 12)
+        |   AS cum_share
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
     // positional NEAR: |p−q| ≤ window pair count over the same tokenization
     "q_proximity_search" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1980,6 +2075,27 @@ object SparkEntry {
         |SELECT CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_crc_amount
         |FROM erc e JOIN reg r ON e.token = r.token
         |WHERE e."from" = '0x' || repeat('0', 40)""".stripMargin),
+    // peer volume / cumulative issuance per day; mints = transfers from the
+    // zero address, registered tokens only (the crc_* discipline)
+    "q_money_velocity" -> (demoCte +
+      """,
+        |crct AS (SELECT e.* FROM erc e
+        |         WHERE e.token IN (SELECT token FROM reg WHERE token IS NOT NULL)),
+        |pd AS (SELECT date_trunc('day', ts) AS day,
+        |        COALESCE(SUM(CASE WHEN "from" = '0x' || repeat('0', 40)
+        |          THEN CAST(value AS DECIMAL(18,4)) END),
+        |          CAST(0 AS DECIMAL(18,4))) AS minted_d,
+        |        COALESCE(SUM(CASE WHEN "from" <> '0x' || repeat('0', 40)
+        |          THEN CAST(value AS DECIMAL(18,4)) END),
+        |          CAST(0 AS DECIMAL(18,4))) AS vol_d
+        |       FROM crct GROUP BY 1),
+        |c AS (SELECT *, SUM(minted_d) OVER (ORDER BY day) AS supply_d FROM pd)
+        |SELECT epoch_ms(day) AS day_ms, CAST(vol_d AS DOUBLE) AS volume,
+        | CAST(minted_d AS DOUBLE) AS minted, CAST(supply_d AS DOUBLE) AS supply,
+        | CASE WHEN supply_d > 0
+        |   THEN round(CAST(vol_d AS DOUBLE) / CAST(supply_d AS DOUBLE), 12)
+        | END AS velocity
+        |FROM c ORDER BY day_ms""".stripMargin),
     "q_alive_accounts" -> (demoCte +
       """,
         |crct AS (SELECT e.* FROM erc e
@@ -2800,6 +2916,24 @@ object SparkEntry {
     // epoch budget: HUGEINT re-derivation of the integer plan (targets,
     // capped full epochs, residual permille), then lateral unnest over the
     // epoch range with the md5 gate on the fractional last pass
+    // quality-ranked budget cut: rank by round12(stopword − punct), keep
+    // while the running ws-token total fits half the corpus; SUM casts pin
+    // DuckDB's HUGEINT back to BIGINT so dtypes match the Spark side
+    "q_budget_select" ->
+      """WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |   round(CAST(len(list_filter(string_split(text, ' '),
+        |           w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE), 12) AS score
+        |  FROM documents),
+        |b AS (SELECT CAST(COALESCE(SUM(n_tok), 0) // 2 AS BIGINT) AS budget FROM m),
+        |r AS (SELECT doc_id, n_tok, score,
+        |       CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM m)
+        |SELECT doc_id, n_tok, score, cum AS cum_tokens, cum <= b.budget AS keep
+        |FROM r, b ORDER BY doc_id""".stripMargin,
     "q_epoch_mix" ->
       """WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
         |           FROM documents GROUP BY source),

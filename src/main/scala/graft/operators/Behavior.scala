@@ -161,4 +161,41 @@ object Behavior {
         round(col("n_transitions").cast("double") / col("total_from"), 12).as("p"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Trending detection per event type: each (type, day)'s count against
+    * the mean of the `lookback` PRECEDING observed days — the
+    * day-over-baseline lift an ops dashboard alerts on ("error events
+    * are 2× their trailing week"). Days with fewer than `lookback`
+    * predecessors emit a null baseline/lift (no partial-window
+    * guessing); `trending` is lift ≥ `minLift`, false when unknowable.
+    *
+    * Scale shape: the raw stream collapses to ≤ |types|·|days| rows in
+    * ONE partial-agg shuffle; the trailing window then runs PARTITIONED
+    * by event_type over that tiny frame (never over raw events — the
+    * [[robustAnomalies]] discipline). ROWS framing (observed days, not
+    * calendar days) keeps the window frame exact on sparse types; the
+    * baseline divides exact longs once and rounds 12 dp, the lift
+    * divides by the already-rounded baseline (oracle-identical IEEE).
+    */
+  def trendingEvents(events: DataFrame, lookback: Int = 3,
+                     minLift: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-lookback, -1)
+    perDay
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("baseline",
+        when(col("base_n") === lookback,
+          round(sum("n").over(w).cast("double") / col("base_n"), 12)))
+      .withColumn("lift",
+        when(col("baseline") > 0,
+          round(col("n").cast("double") / col("baseline"), 12)))
+      .select(col("event_type"), col("day"), col("n"), col("baseline"),
+        col("lift"),
+        coalesce(col("lift") >= minLift, lit(false)).as("trending"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -381,6 +381,106 @@ object Graph {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
       .orderBy("node")
 
+  /** STRONGLY connected components of the DIRECTED trust graph — the
+    * mutual-trust communities [[connectedComponents]]'s direction-erased
+    * view cannot see (u trusting v says nothing about v trusting u; an
+    * SCC is a set where value can circulate back to its source, the
+    * natural "currency community" of a trust-based money).
+    *
+    * Forward–backward peeling with min-label propagation:
+    *
+    *  1. fwd(u) = min node reachable FROM u; bwd(u) = min node that
+    *     REACHES u — each a delta-propagating label loop (messages flow
+    *     only out of nodes whose label changed last iteration, so late
+    *     iterations shuffle frontier-sized (node, label) frames, never
+    *     the full node set; iterations ≤ graph diameter);
+    *  2. fwd(u) = bwd(u) = m certifies u and m mutually reachable, so
+    *     {u : fwd = bwd = m} IS exactly SCC(m) — those rows are emitted
+    *     and peeled, and the loop repeats on the residual subgraph.
+    *
+    * Each round classifies at least the SCC of the residual's global
+    * minimum (for u ∈ SCC(min): no smaller node exists to shadow either
+    * label), so rounds ≤ #SCCs — small on social graphs (a few giant
+    * SCCs + fringe), O(n) on a directed path, hence the loud `maxRounds`
+    * valve (the [[kCore]] doctrine: a partial answer is a silently wrong
+    * one). All shuffles carry (node, label) pairs; every round and
+    * every propagation iteration is cut by the [[Checkpoints]] policy;
+    * convergence probes are 1-row counts.
+    *
+    * Node-type generic like [[connectedComponents]] (`least`/`min`
+    * order address strings lexicographically = numerically at fixed
+    * width). Self-loops dropped, multiplicity erased; isolated nodes
+    * absent (no edge ⇒ no row), matching the SQL closure twin.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 50,
+                                  maxIters: Int = 100,
+                                  checkpointDir: Option[String] = None,
+                                  checkpointEvery: Int = 5): DataFrame = {
+    var cutRound = 0
+    def cut(df: DataFrame): DataFrame = {
+      cutRound += 1
+      Checkpoints.cut(df, cutRound, checkpointDir, checkpointEvery)
+    }
+    // min label reachable along `e` from each node (delta propagation)
+    def minReach(nodes: DataFrame, e: DataFrame): DataFrame = {
+      var lab = cut(nodes.withColumn("lab", col("node")))
+      var delta = lab
+      var it = 0
+      var changed = -1L // unknown until the first probe
+      while (changed != 0 && it < maxIters) {
+        it += 1
+        val msgs = e
+          .join(delta.select(col("node").as("dst"), col("lab").as("ml")), "dst")
+          .groupBy(col("src").as("node")).agg(min("ml").as("ml"))
+        val joined = lab.join(msgs, Seq("node"), "left")
+        val nextDelta = cut(joined.where(col("ml") < col("lab"))
+          .select(col("node"), col("ml").as("lab")))
+        changed = nextDelta.count() // 1-row convergence probe
+        if (changed != 0) {
+          lab = cut(joined.select(col("node"),
+            least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab")))
+          delta = nextDelta
+        }
+      }
+      if (changed != 0) sys.error(
+        s"stronglyConnectedComponents: label propagation did not converge " +
+          s"within maxIters=$maxIters (diameter exceeds the budget)")
+      lab
+    }
+    val e0 = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct())
+    var active = cut(e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct())
+    var e = e0
+    var result: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      if (active.isEmpty) done = true
+      else {
+        val fwd = minReach(active, e)
+        val bwd = minReach(active,
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        val labs = cut(fwd.select(col("node"), col("lab").as("f"))
+          .join(bwd.select(col("node"), col("lab").as("b")), "node"))
+        val classified = cut(labs.where(col("f") === col("b"))
+          .select(col("node"), col("f").as("scc_id")))
+        result = Some(result.map(_.unionByName(classified)).getOrElse(classified))
+        active = cut(labs.where(col("f") =!= col("b")).select("node"))
+        e = cut(e
+          .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      }
+    }
+    if (!done) sys.error(
+      s"stronglyConnectedComponents did not peel all SCCs within " +
+        s"maxRounds=$maxRounds rounds (pathological SCC chain: raise the budget)")
+    result.map(_.orderBy("node")).getOrElse(
+      e0.select(col("src").as("node"), col("src").as("scc_id")).where(lit(false)))
+  }
+
   /** k-CORE decomposition membership: the maximal subgraph where every
     * node keeps degree ≥ k — the standard "prune the fringe" view of a
     * trust/social graph (a 2-core strips leaf chains, higher cores find

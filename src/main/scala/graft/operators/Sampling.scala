@@ -249,4 +249,36 @@ object Sampling {
     sourceMix(df, sourceCol, keyCol,
       temperatureMixPermille(counts, alpha, targetRows), salt)
   }
+
+  /** Quality-ranked TOKEN-BUDGET selection — the "best N tokens" cut a
+    * compute-bound training run makes: rank documents by a quality score
+    * (descending, doc_id tiebreak) and keep the prefix whose running
+    * token total fits `budgetTokens`. Emits EVERY doc with its rank-order
+    * running total and a `keep` verdict (the caller filters — the
+    * rejected tail is the audit trail).
+    *
+    * Score = round(stopword_ratio − punct_ratio, 12) from
+    * [[TextMetrics.withQuality]] — natural-prose likelihood minus symbol
+    * noise, both ratios already oracle-parity-proven bit-identical, so
+    * the ORDER (the only thing the cut depends on) is cross-engine exact.
+    *
+    * The global running total is [[graft.operators.Economics.orderedScan]]'s
+    * two-phase distributed scan (never a bare unpartitioned window);
+    * ranking ascends by −score, so the best docs rank first. Token
+    * counts are whitespace tokens (swap a trained [[graft.functions.BpeOps]]
+    * count in via the same column).
+    */
+  def budgetSelect(documents: DataFrame, budgetTokens: Long,
+                   numBuckets: Int = 64): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val m = TextMetrics.withQuality(documents)
+      .select(col("doc_id"), col("n_words").as("n_tok"),
+        round(col("stopword_ratio") - col("punct_ratio"), 12).as("score"))
+      .withColumn("neg_score", -col("score"))
+    Economics.orderedScan(m, "neg_score", "doc_id", "n_tok", numBuckets)
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        col("cum_w").cast("long").as("cum_tokens"),
+        (col("cum_w") <= budgetTokens).as("keep"))
+      .orderBy("doc_id")
+  }
 }
