@@ -531,6 +531,15 @@ object SparkEntry {
       Graph.connectedComponents(
         trust.select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // STRONGLY connected mutual-trust communities over the DIRECTED trust
+    // graph (positive-limit edges) — where value can circulate back
+    "q_trust_scc" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.stronglyConnectedComponents(
+        trust.where(col("limit") > 0)
+          .select(col("user").as("src"), col("can_send_to").as("dst")))
+    }),
     // k-core of the trust graph (the dense kernel after fringe peeling) —
     // rows-only: iterative peel has no SQL spelling; GraphSpec proves
     // parity against a driver-side brute-force peel
@@ -2505,6 +2514,19 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS node, min(r) AS component FROM reach
         |GROUP BY id ORDER BY node""".stripMargin,
+    // mutual-reachability closure: scc_id(u) = min over {u} ∪ {v: u↔v}
+    "q_trust_scc" -> ("WITH RECURSIVE " + trustE1Cte.stripPrefix("WITH ") +
+      """,
+        |reach(s, d) AS (
+        | SELECT src, dst FROM e1
+        | UNION
+        | SELECT r.s, e1.dst FROM reach r JOIN e1 ON e1.src = r.d),
+        |n AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |mut AS (SELECT r1.s AS u, r1.d AS v FROM reach r1
+        |        JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s)
+        |SELECT n.node, least(n.node, coalesce(min(mut.v), n.node)) AS scc_id
+        |FROM n LEFT JOIN mut ON mut.u = n.node
+        |GROUP BY n.node ORDER BY node""".stripMargin),
     "q_trust_churn" ->
       """WITH tr AS (
         | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash, ts, event_id AS num,

@@ -429,4 +429,80 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsHops(Seq.empty[(String, String)].toDF("src", "dst"),
       Seq("a").toDF("node"), maxHops).as[(String, Long)].collect().toMap == Map("a" -> 0L))
   }
+
+  // ---- stronglyConnectedComponents --------------------------------------
+
+  /** Driver-side brute force: scc_id(u) = min of u and every mutually
+    * reachable v, via per-node BFS closures (self-loops dropped like the
+    * operator).
+    */
+  private def bruteScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val r = nodes.map(n => n -> reach(n)).toMap
+    nodes.map(u => u ->
+      (r(u).filter(v => r(v).contains(u)) + u).min).toMap
+  }
+
+  test("scc: cycles collapse, DAG nodes stay singletons, direction matters") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),  // 3-cycle -> scc 1
+      (5L, 6L), (6L, 5L),            // 2-cycle -> scc 5
+      (3L, 5L),                      // bridge A->B only: no merge
+      (7L, 1L),                      // tree node into the cycle
+      (4L, 9L),                      // plain DAG edge: two singletons
+      (8L, 8L))                      // self-loop only: dropped entirely
+    val got = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 4L -> 4L, 9L -> 9L))
+    // one-directional edge alone never forms a component
+    val oneWay = Graph.stronglyConnectedComponents(
+      Seq((1L, 2L)).toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(oneWay == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("scc: multi-round peeling and knob-independence") {
+    // round 1 can only certify {1} (node 1 shadows the cycle's bwd label);
+    // the {2,3} cycle needs the second peel
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    val expected = Map(1L -> 1L, 2L -> 2L, 3L -> 2L)
+    val got = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc-ck").toString
+    val withKnob = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"),
+      checkpointDir = Some(dir), checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(withKnob == expected)
+  }
+
+  test("scc: brute-force parity on a pseudo-random functional-ish graph") {
+    // two out-edges per node from affine maps: cycles + merging trees
+    val edges = (0L until 60L).flatMap(u =>
+      Seq((u, (u * 7 + 13) % 60), (u, (u * 11 + 5) % 60)))
+    val got = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"),
+      maxRounds = 100).as[(Long, Long)].collect().toMap
+    assert(got == bruteScc(edges))
+  }
+
+  test("scc: string node ids and empty input are total") {
+    val edges = Seq(("0xaa", "0xbb"), ("0xbb", "0xaa"), ("0xbb", "0xcc"))
+    val got = Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("0xaa" -> "0xaa", "0xbb" -> "0xaa", "0xcc" -> "0xcc"))
+    val empty = Graph.stronglyConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("node", "scc_id"))
+  }
 }
