@@ -1005,6 +1005,12 @@ object SparkEntry {
       UrlOps.domainFilter(Demo.urlDocs(Tables.documents(s, d)), Seq("ads.badsite.net"))),
     "q_token_count" -> ((s, d) => TextMetrics.tokenCounts(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextMetrics.tfidfTopTerms(Tables.documents(s, d))),
+    // trigram novelty: the share of each doc's distinct 3-grams appearing
+    // in no other document (fresh-content score; 56-bit md5 gram keys)
+    "q_novelty" -> ((s, d) => TextMetrics.noveltyScore(Tables.documents(s, d))),
+    // cross-source 3-gram overlap matrix (contamination/provenance view)
+    "q_source_overlap" -> ((s, d) =>
+      TextMetrics.sourceNgramOverlap(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) =>
       TextMetrics.bm25TopK(Tables.documents(s, d), Seq("dup", "spark", "merge"))),
     // the same retrieval served FROM the write-once inverted index:
@@ -3099,6 +3105,36 @@ object SparkEntry {
         | count(*) AS n_tokens
         |FROM tok JOIN freq USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 56-bit md5 gram keys (the dataset-checksum hash convention), DISTINCT
+    // per doc on the HASHED value so a collision collapses identically
+    "q_novelty" ->
+      """WITH base AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |       ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))::BIGINT AS g
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM base WHERE len(toks) >= 3) z),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+        |s AS (SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM g JOIN df USING (g) GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(s.n_shingles, 0) AS n_shingles,
+        | COALESCE(s.n_novel, 0) AS n_novel,
+        | CASE WHEN s.n_shingles > 0
+        |   THEN round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 12) END AS novelty
+        |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH base AS (SELECT source,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |       FROM documents),
+        |sg AS (SELECT DISTINCT source,
+        |       ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))::BIGINT AS g
+        |      FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM base WHERE len(toks) >= 3) z)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // scores rounded to 12 decimals BEFORE ranking on both sides: libm ln
     // may differ in the last ulp, and an unrounded rank could then select a
     // different boundary row (see TextMetrics.tfidfTopTerms)

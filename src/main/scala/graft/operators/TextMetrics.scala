@@ -548,4 +548,67 @@ object TextMetrics {
         col("t.tf").as("tf"), col("t.score").as("score"))
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
+
+  /** Distinct word-n-gram keys per doc, hashed to the 56-bit md5-prefix
+    * long — the engine's CROSS-ENGINE hash convention (the oracle
+    * re-derives the exact keys, unlike the xxhash64 shingles the minhash
+    * family uses), so everything downstream shuffles 8-byte longs, never
+    * gram text. Dedup runs on the HASHED value (so an in-doc 56-bit
+    * collision collapses identically on both engines). Docs under n
+    * tokens contribute nothing.
+    */
+  private def docGramKeys(documents: DataFrame, n: Int): DataFrame = {
+    val toks = filter(wsWords(col("text")), w => length(w) > 0)
+    documents
+      .select(col("doc_id"), col("source"),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashConv.md5Long56(col("gram")).as("g"))
+      .distinct()
+  }
+
+  /** N-gram NOVELTY per document: the share of a doc's distinct n-grams
+    * that appear in NO other document — the "how much genuinely new text
+    * does this doc add" curation signal (near-1 = fresh content, near-0 =
+    * recombined boilerplate; the scoring complement of the dedup family's
+    * binary keep/drop). One long-keyed partial-agg for document frequency
+    * + one long-keyed joinback + a per-doc rollup; docs with no n-gram
+    * (under n tokens) emit 0/0 with null novelty.
+    */
+  def noveltyScore(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docGramKeys(documents, n).localCheckpoint(true) // df + joinback
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles"), 12))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-SOURCE n-gram overlap matrix: for every source pair, how many
+    * distinct n-grams they share — the corpus-level contamination /
+    * provenance-leak view ("how much of source A's text also flows in
+    * through source B"). Grams collapse to distinct (source, hash) pairs
+    * FIRST (map-side-combining partial agg), so the pair join fans out at
+    * most C(|sources|, 2) rows per gram and shuffles only longs.
+    */
+  def sourceNgramOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sg = docGramKeys(documents, n).select("source", "g").distinct()
+      .localCheckpoint(true) // both sides of the pair join
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -345,4 +345,46 @@ class TextMetricsSpec extends SparkSpec {
     assert(red(1L) == "no pii here at all")
     assert(red(2L) == "two mails <EMAIL> <EMAIL> and ip <IP>")
   }
+
+  test("noveltyScore: df-1 share per doc, short docs null, repartition-stable") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),     // grams: "a b c", "b c d"
+      (2L, "a b c e", "s2"),     // shares "a b c" with doc 1; "b c e" novel
+      (3L, "x y", "s3"),         // under 3 tokens: no grams
+      (4L, "p q r p q r", "s1")  // 4 gram positions, 3 DISTINCT (repeat dedups)
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextMetrics.noveltyScore(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1.0 else x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)))  // "b c d" novel, "a b c" shared
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((0L, 0L, -1.0)))
+    assert(r(4L) == ((3L, 3L, 1.0)))
+    val shuffled = graft.operators.TextMetrics.noveltyScore(docs.repartition(5))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(shuffled == r.map { case (k, v) => (k, v._1, v._2) }.toSet)
+  }
+
+  test("sourceNgramOverlap: distinct shared grams per pair, ordered pairs") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c x", "s2"),   // shares "a b c" with s1
+      (3L, "b c d y", "s2"),   // shares "b c d" with s1
+      (4L, "a b c d", "s3"),   // shares both grams with s1, "a b c" w/ s2...
+      (5L, "a b c z", "s2")    // duplicate share within s2 counts once
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextMetrics.sourceNgramOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("s1", "s2") -> 2L,   // "a b c", "b c d" (each once)
+      ("s1", "s3") -> 2L,
+      ("s2", "s3") -> 2L))  // s3 has "a b c" and "b c d"
+    // no cross-source grams -> empty matrix; empty corpus total
+    val disjoint = Seq((1L, "a b c", "s1"), (2L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(graft.operators.TextMetrics.sourceNgramOverlap(disjoint).count() == 0)
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(graft.operators.TextMetrics.noveltyScore(empty).count() == 0)
+    assert(graft.operators.TextMetrics.sourceNgramOverlap(empty).count() == 0)
+  }
 }
