@@ -559,6 +559,29 @@ object SparkEntry {
           StateOps.epochMs(col("day").cast("timestamp")).as("day_ms"),
           col("n"), col("baseline"), col("lift"), col("trending"))
         .orderBy("event_type", "day_ms")),
+    // the SAME trending rollup served FROM the MAINTAINED per-day count
+    // store: three hash-sliced micro-batches folded through the
+    // manifest-committed view (exact long addition — any slicing
+    // converges bit-for-bit), then windowed without touching raw events
+    "q_trending_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      val ev = Tables.events(s, d).persist() // merges run 2 actions per slice
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-days")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeDayCountsBatch(s,
+          ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i),
+          viewDir, numBuckets = 8, version = i.toLong)
+      }
+      val counts = graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+        graft.streaming.ViewMaintenance.dayCountsDelta(ev))
+      ev.unpersist()
+      Behavior.trendingFromCounts(counts)
+        .select(col("event_type"),
+          StateOps.epochMs(col("day").cast("timestamp")).as("day_ms"),
+          col("n"), col("baseline"), col("lift"), col("trending"))
+        .orderBy("event_type", "day_ms")
+    }),
     // wealth concentration: Gini coefficient over per-customer lifetime
     // spend (the inequality metric a UBI deployment watches over its
     // balance cache) — the two-phase distributed rank, never a bare
@@ -1593,24 +1616,11 @@ object SparkEntry {
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     // trailing-3-observed-days mean per type; lift divides by the already-
-    // rounded baseline (same IEEE op order as the Spark side)
-    "q_trending_events" ->
-      """WITH pd AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
-        |            FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, day, n,
-        |       count(*) OVER win AS base_n,
-        |       CAST(SUM(n) OVER win AS BIGINT) AS base_sum
-        |      FROM pd
-        |      WINDOW win AS (PARTITION BY event_type ORDER BY day
-        |                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
-        |b AS (SELECT *, CASE WHEN base_n = 3
-        |        THEN round(CAST(base_sum AS DOUBLE) / base_n, 12) END AS baseline
-        |      FROM w),
-        |c AS (SELECT *, CASE WHEN baseline > 0
-        |        THEN round(CAST(n AS DOUBLE) / baseline, 12) END AS lift FROM b)
-        |SELECT event_type, epoch_ms(day) AS day_ms, n, baseline, lift,
-        | COALESCE(lift >= 1.5, FALSE) AS trending
-        |FROM c ORDER BY event_type, day_ms""".stripMargin,
+    // rounded baseline (same IEEE op order as the Spark side). The served
+    // twin shares the oracle verbatim: slicing through the additive count
+    // store must be invisible
+    "q_trending_events" -> trendingSql,
+    "q_trending_served" -> trendingSql,
     // Gini via the ascending-rank formula; Σ rank·x accumulates as
     // DECIMAL(38,6) on both engines (exact past 2^53), ratios divide as
     // DOUBLE in the same operation order
@@ -3310,6 +3320,24 @@ object SparkEntry {
   /** Shared demo trust edge list (tr + e1) — prefix of [[trustEdgesCte]]
     * and [[trustRankSql]].
     */
+  private val trendingSql =
+    """WITH pd AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |            FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n,
+      |       count(*) OVER win AS base_n,
+      |       CAST(SUM(n) OVER win AS BIGINT) AS base_sum
+      |      FROM pd
+      |      WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+      |b AS (SELECT *, CASE WHEN base_n = 3
+      |        THEN round(CAST(base_sum AS DOUBLE) / base_n, 12) END AS baseline
+      |      FROM w),
+      |c AS (SELECT *, CASE WHEN baseline > 0
+      |        THEN round(CAST(n AS DOUBLE) / baseline, 12) END AS lift FROM b)
+      |SELECT event_type, epoch_ms(day) AS day_ms, n, baseline, lift,
+      | COALESCE(lift >= 1.5, FALSE) AS trending
+      |FROM c ORDER BY event_type, day_ms""".stripMargin
+
   private val trustE1Cte =
     """WITH tr AS (
       | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,

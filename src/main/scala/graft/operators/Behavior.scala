@@ -178,11 +178,20 @@ object Behavior {
     * divides by the already-rounded baseline (oracle-identical IEEE).
     */
   def trendingEvents(events: DataFrame, lookback: Int = 3,
-                     minLift: Double = 1.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDay = events
+                     minLift: Double = 1.5): DataFrame =
+    trendingFromCounts(events
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), lookback, minLift)
+
+  /** [[trendingEvents]] served from an ALREADY-AGGREGATED per-(type, day)
+    * count frame — the entry point for counts maintained incrementally
+    * through the view store ([[graft.streaming.ViewMaintenance
+    * .mergeDayCountsBatch]]): the trailing window never touches raw
+    * events, only the ≤ |types|·|days| stored rows.
+    */
+  def trendingFromCounts(perDay: DataFrame, lookback: Int = 3,
+                         minLift: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-lookback, -1)
     perDay

@@ -646,6 +646,44 @@ object ViewMaintenance {
       }
       .start()
 
+  /** Per-(event_type, day) COUNT store — the simplest additive instance of
+    * the manifest-merge family, maintaining the frame the trending/
+    * per-day dashboards window over ([[graft.operators.Behavior
+    * .trendingFromCounts]]) so serving never rescans raw events. Merge is
+    * exact long addition per (type, day) key — commutative/associative,
+    * so any micro-batch slicing converges to the one-shot aggregate
+    * bit-for-bit. Bucket key = event_type (the window's partition key:
+    * a served read feeds the window without re-shuffling when bucket
+    * pruning applies).
+    */
+  def dayCountsDelta(batch: DataFrame): DataFrame =
+    batch.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  def mergeDayCountsBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                          numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                          maxGenerations: Int = DefaultMaxGenerations,
+                          committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir, dayCountsDelta(batch), "event_type",
+      (existing, d) => {
+        val e = existing.select(col("event_type"), col("day"), col("n").as("n_a"))
+        val dd = d.select(col("event_type"), col("day"), col("n").as("n_b"))
+        e.join(dd, Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"))
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  def startDayCountsView(events: DataFrame, viewDir: String, checkpointDir: String,
+                         numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeDayCountsBatch(batch.sparkSession, batch, viewDir, numBuckets, batchId)
+        ()
+      }
+      .start()
+
   /** SEEN-HASH dedup store — incremental cross-run exact dedup, the shape
     * a 100 TB crawl pipeline actually needs: every ingest batch must be
     * deduped against ALL previously ingested content, not just a

@@ -610,4 +610,68 @@ class ViewMaintenanceSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(stored == oneShot)
   }
+
+  private def dayEvents(rows: (Long, String, String)*) = {
+    import java.sql.Timestamp
+    rows.map { case (id, day, t) =>
+      (id, Timestamp.valueOf(s"$day 10:00:00"), id % 10, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("day-count store: sliced merges converge to the one-shot aggregate; replay no-op") {
+    val viewDir = Files.createTempDirectory("graft-daycounts").toString + "/view"
+    val ev = dayEvents(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "a"), (3L, "2024-01-02", "a"),
+      (4L, "2024-01-01", "b"), (5L, "2024-01-02", "b"), (6L, "2024-01-02", "b"))
+    // three overlapping-day slices by event id
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeDayCountsBatch(spark,
+        ev.where(col("event_id") % 3 === i), viewDir,
+        numBuckets = 4, version = i.toLong)
+    }
+    def served = readView(spark, viewDir)
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val oneShot = ViewMaintenance.dayCountsDelta(ev)
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(served == oneShot)
+    // replay of a committed version is a detected no-op (counts would double)
+    ViewMaintenance.mergeDayCountsBatch(spark,
+      ev.where(col("event_id") % 3 === 1), viewDir, numBuckets = 4, version = 1L)
+    assert(served == oneShot)
+    // trending served from the store == trending over raw events
+    val fromStore = graft.operators.Behavior.trendingFromCounts(
+        readView(spark, viewDir))
+      .select(col("event_type"), col("day").cast("string"), col("n"),
+        col("baseline"), col("lift"), col("trending"))
+      .collect().map(_.toString).toSeq
+    val fromRaw = graft.operators.Behavior.trendingEvents(ev)
+      .select(col("event_type"), col("day").cast("string"), col("n"),
+        col("baseline"), col("lift"), col("trending"))
+      .collect().map(_.toString).toSeq
+    assert(fromStore == fromRaw)
+  }
+
+  test("day-count store: streaming maintenance converges to the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewDir = Files.createTempDirectory("graft-daystream").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-daystream-ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val toEv = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("_1").as("event_id"),
+        to_timestamp(concat(col("_2"), lit(" 10:00:00"))).as("ts"),
+        col("_3").as("event_type"))
+    val q = ViewMaintenance.startDayCountsView(
+      toEv(mem.toDF()), viewDir, ckpt, numBuckets = 4)
+    mem.addData((1L, "2024-01-01", "a"), (2L, "2024-01-01", "a"))
+    q.processAllAvailable()
+    mem.addData((3L, "2024-01-01", "a"), (4L, "2024-01-02", "b"))
+    q.processAllAvailable()
+    q.stop()
+    val stored = readView(spark, viewDir)
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(stored == Set(("a", "2024-01-01", 3L), ("b", "2024-01-02", 1L)))
+  }
 }
