@@ -531,6 +531,15 @@ object SparkEntry {
       Graph.connectedComponents(
         trust.select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // degree-mixing pattern of the trust graph: one Pearson scalar over
+    // per-edge (out-degree, in-degree), exact-moment machinery
+    "q_trust_assortativity" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.degreeAssortativity(
+        trust.where(col("limit") > 0)
+          .select(col("user").as("src"), col("can_send_to").as("dst")))
+    }),
     // STRONGLY connected mutual-trust communities over the DIRECTED trust
     // graph (positive-limit edges) — where value can circulate back
     "q_trust_scc" -> ((s, d) => {
@@ -2530,6 +2539,39 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS node, min(r) AS component FROM reach
         |GROUP BY id ORDER BY node""".stripMargin,
+    // same exact-decimal-moment spelling as q_correlation, over the
+    // per-edge degree relation derived from e1
+    "q_trust_assortativity" -> (trustE1Cte + {
+      def q(c: String) =
+        s"CAST(CAST(CAST($c AS DOUBLE) AS DECIMAL(18,4)) AS DECIMAL(19,4))"
+      def w(e: String) =
+        s"CASE WHEN out_deg IS NOT NULL AND in_deg IS NOT NULL THEN $e END"
+      s""",
+         |od AS (SELECT src, count(*) AS out_deg FROM e1 GROUP BY 1),
+         |idg AS (SELECT dst, count(*) AS in_deg FROM e1 GROUP BY 1),
+         |ed AS (SELECT od.out_deg, idg.in_deg
+         |       FROM e1 JOIN od USING (src) JOIN idg USING (dst))
+         |SELECT CASE WHEN n_pairs > 1 AND nda > 1 AND ndb > 1 AND den > 0
+         |            THEN round(least(greatest(num / den, -1.0), 1.0), 12)
+         |       END AS assortativity,
+         | n_pairs AS n_edges
+         |FROM (
+         | SELECT n_pairs, nda, ndb,
+         |  n * sxy - sx * sy AS num,
+         |  sqrt(greatest(n * sxx - sx * sx, 0.0))
+         |   * sqrt(greatest(n * syy - sy * sy, 0.0)) AS den
+         | FROM (
+         |  SELECT count(${w("1")}) AS n_pairs,
+         |   count(DISTINCT ${w("out_deg")}) AS nda,
+         |   count(DISTINCT ${w("in_deg")}) AS ndb,
+         |   CAST(count(${w("1")}) AS DOUBLE) AS n,
+         |   CAST(SUM(${w(q("out_deg"))}) AS DOUBLE) AS sx,
+         |   CAST(SUM(${w(q("in_deg"))}) AS DOUBLE) AS sy,
+         |   CAST(SUM(${w(s"${q("out_deg")} * ${q("in_deg")}")}) AS DOUBLE) AS sxy,
+         |   CAST(SUM(${w(s"${q("out_deg")} * ${q("out_deg")}")}) AS DOUBLE) AS sxx,
+         |   CAST(SUM(${w(s"${q("in_deg")} * ${q("in_deg")}")}) AS DOUBLE) AS syy
+         |  FROM ed) m) s""".stripMargin
+    }),
     // mutual-reachability closure: scc_id(u) = min over {u} ∪ {v: u↔v}
     "q_trust_scc" -> ("WITH RECURSIVE " + trustE1Cte.stripPrefix("WITH ") +
       """,

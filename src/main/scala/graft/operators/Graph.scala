@@ -481,6 +481,30 @@ object Graph {
       e0.select(col("src").as("node"), col("src").as("scc_id")).where(lit(false)))
   }
 
+  /** Degree ASSORTATIVITY of the directed trust graph: Pearson r between
+    * out-degree(src) and in-degree(dst) over the distinct edge list — "do
+    * prolific trusters endorse widely-trusted safes (r>0) or spray trust
+    * at the fringe (r<0)", the one-scalar mixing-pattern summary next to
+    * [[triangleStats]]'s local clustering. Two partial-agg degree counts
+    * + two (node)-keyed joinbacks build the per-edge (out_deg, in_deg)
+    * frame; the correlation itself delegates to
+    * [[Profiler.correlationMatrix]]'s exact-decimal-moment machinery
+    * (single agg pass, fixed-order double combine, 12-dp round), so the
+    * scalar is oracle-checkable — built-in `corr`'s streaming-update
+    * order would differ cross-engine in the low bits.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true) // feeds both degree counts and the joinback
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    val perEdge = e.join(outDeg, "src").join(inDeg, "dst")
+      .select(col("out_deg"), col("in_deg"))
+    Profiler.correlationMatrix(perEdge, Seq("out_deg", "in_deg"))
+      .select(col("r").as("assortativity"), col("n_pairs").as("n_edges"))
+  }
+
   /** k-CORE decomposition membership: the maximal subgraph where every
     * node keeps degree ≥ k — the standard "prune the fringe" view of a
     * trust/social graph (a 2-core strips leaf chains, higher cores find

@@ -430,6 +430,31 @@ class GraphSpec extends SparkSpec {
       Seq("a").toDF("node"), maxHops).as[(String, Long)].collect().toMap == Map("a" -> 0L))
   }
 
+  // ---- degreeAssortativity ----------------------------------------------
+
+  test("degreeAssortativity: hand Pearson value, constants null, empty total") {
+    // per-edge (out_deg, in_deg): (2,2), (2,1), (1,2) -> r = -0.5
+    val edges = Seq(("a", "b"), ("a", "c"), ("d", "b"))
+    val r = Graph.degreeAssortativity(edges.toDF("src", "dst"))
+      .select("assortativity", "n_edges").as[(Double, Long)].head()
+    assert(r == ((-0.5, 3L)))
+    // self-loops and duplicate edges are erased before degrees
+    val noisy = edges ++ Seq(("a", "a"), ("a", "b"))
+    val r2 = Graph.degreeAssortativity(noisy.toDF("src", "dst"))
+      .select("assortativity", "n_edges").as[(Double, Long)].head()
+    assert(r2 == ((-0.5, 3L)))
+    // constant degree column -> documented null r
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    val rs = Graph.degreeAssortativity(star).select("assortativity")
+      .collect().head
+    assert(rs.isNullAt(0))
+    // empty edge list: one row, null r, zero edges (agg over empty)
+    val empty = Graph.degreeAssortativity(
+      Seq.empty[(String, String)].toDF("src", "dst"))
+      .select("assortativity", "n_edges").collect().head
+    assert(empty.isNullAt(0) && empty.getLong(1) == 0L)
+  }
+
   // ---- stronglyConnectedComponents --------------------------------------
 
   /** Driver-side brute force: scc_id(u) = min of u and every mutually
