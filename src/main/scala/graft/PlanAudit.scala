@@ -45,6 +45,20 @@ object PlanAudit {
     audit("seen_gate", graft.streaming.ViewMaintenance.newDocsAgainstSeen(
       docs, docs.limit(10).select(xxhash64(col("text")).as("h"))))
     audit("shard_assign", Packing.shardAssign(docs.select("doc_id"), "doc_id", 64))
+    // round-7d additions: the ordered-scan family (expect 2 exchanges: the
+    // bucket-totals partial agg + the per-bucket window shuffle), the gram
+    // family (long-keyed df agg + joinback), trending (one partial agg +
+    // one type-keyed window), assortativity (degree aggs + joinbacks into
+    // ONE moment pass)
+    val wealth = ev.groupBy(col("user_id").as("id"))
+      .agg(StateOps.dsum(col("value")).cast("double").as("wealth"))
+    audit("gini", Economics.gini(wealth, "wealth", "id"))
+    audit("budget_select", Sampling.budgetSelect(docs, 1000L))
+    audit("novelty", TextMetrics.noveltyScore(docs))
+    audit("source_overlap", TextMetrics.sourceNgramOverlap(docs))
+    audit("trending", Behavior.trendingEvents(Tables.events(spark, sf)))
+    audit("assortativity", Graph.degreeAssortativity(
+      ev.select(col("user_id").as("src"), ((col("user_id") * 7 + 13) % 150).as("dst"))))
     // print the interesting one in full
     println("==== tfidf formatted ====")
     TextMetrics.tfidfTopTerms(docs).explain("formatted")

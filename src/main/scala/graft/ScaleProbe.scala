@@ -36,11 +36,15 @@ object ScaleProbe {
     def bigEvents = spark.read.parquet(s"$big/events.parquet")
     def bigDocs = spark.read.parquet(s"$big/documents.parquet")
     def bigPart = spark.read.parquet(s"$big/part.parquet")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
-    }
+    // optional substring filters: `runMain graft.ScaleProbe scc trending`
+    // runs only probes whose name contains an argument (f is by-name, so
+    // skipped probes cost nothing)
+    def time(name: String)(f: => Long): Unit =
+      if (args.isEmpty || args.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      }
     // warmup
     bigEvents.groupBy("event_type").count().count()
     time("latest_event/max_by")(StateOps.latestPerKey(bigEvents).count())
@@ -268,6 +272,58 @@ object ScaleProbe {
       time("text_index/phrase-served") {
         TextIndex.phraseDocsFromIndex(spark, tDir, Seq("scan", "filter")).count()
       }
+    }
+    // round-7c additions: the iterative graph family over a 10x functional
+    // graph (10150 nodes, 2 out-edges each -> cycles + merging trees), the
+    // windowed/moment analytics over 10x events
+    locally {
+      def bigTrust = bigEvents.select(col("user_id").as("src"),
+          ((col("user_id") * 7 + 13) % 10150).as("dst"))
+        .unionAll(bigEvents.select(col("user_id").as("src"),
+          ((col("user_id") * 11 + 5) % 10150).as("dst")))
+        .distinct()
+      time("bfs_hops/10x-4hops") {
+        Graph.bfsHops(bigTrust,
+          bigEvents.select(col("user_id").as("node")).distinct().limit(600),
+          maxHops = 4).count()
+      }
+      time("k_core/10x-k3")(Graph.kCore(bigTrust, k = 3).count())
+      time("scc/10x-functional")(
+        Graph.stronglyConnectedComponents(bigTrust, maxRounds = 100).count())
+      time("assortativity/10x")(Graph.degreeAssortativity(bigTrust).count())
+      time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
+      time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())
+      time("corr_matrix/10x-events") {
+        Profiler.correlationMatrix(
+          bigEvents.select(col("value"), col("user_id"), col("event_id")),
+          Seq("value", "user_id", "event_id")).count()
+      }
+      time("dataset_checksum/10x-docs")(Integrity.datasetChecksum(bigDocs,
+        Seq("doc_id", "text", "lang", "source", "n_chars")).count())
+    }
+    // round-7d additions: the two-phase ordered-scan family, the gram
+    // operators (the heaviest: a full trigram explode), the served trend
+    locally {
+      def bigWealth = bigEvents.groupBy(col("user_id").as("id"))
+        .agg(StateOps.dsum(col("value")).cast("double").as("wealth"))
+      time("gini/10x-two-phase")(
+        Economics.gini(bigWealth, "wealth", "id").count())
+      time("lorenz/10x-deciles")(
+        Economics.lorenz(bigWealth, "wealth", "id").count())
+      time("budget_select/10x-500k-docs")(
+        Sampling.budgetSelect(bigDocs, 30000000L).count())
+      time("money_velocity/10x") {
+        val erc = SparkEntry.Demo.erc20Num(
+            ReceiptClassifier.demoReceipts(bigEvents))
+          .join(ReceiptClassifier.demoBlocks(bigEvents).select("hash", "ts"), "hash")
+        Economics.moneyVelocity(erc,
+          ReceiptClassifier.demoSignups(bigEvents)).count()
+      }
+      time("trending/10x-raw")(Behavior.trendingEvents(bigEvents).count())
+      time("novelty/10x-trigram-df")(
+        TextMetrics.noveltyScore(bigDocs).count())
+      time("source_overlap/10x")(
+        TextMetrics.sourceNgramOverlap(bigDocs).count())
     }
     spark.stop()
   }
