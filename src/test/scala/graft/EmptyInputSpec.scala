@@ -42,6 +42,13 @@ class EmptyInputSpec extends SparkSpec {
         // correlation pair even over an empty table (zero counts ARE the
         // report; r is null)
         "q_profile", "q_dq_report", "q_correlation",
+        // same convention as q_correlation: the 1-row correlation report
+        // with null r and n_edges=0 IS the empty graph's answer (agg over
+        // empty, like the oracle's single-row SELECT; GraphSpec pins it)
+        "q_trust_assortativity",
+        // 1-row global Gini report (n=0, null total/gini) — the oracle's
+        // single-row aggregate SELECT returns the same shape on empty
+        "q_wealth_gini",
         // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
         "q_dataset_checksum")
       if (!globalAggs.contains(name))
