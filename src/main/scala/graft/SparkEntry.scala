@@ -1040,6 +1040,8 @@ object SparkEntry {
     // trigram novelty: the share of each doc's distinct 3-grams appearing
     // in no other document (fresh-content score; 56-bit md5 gram keys)
     "q_novelty" -> ((s, d) => TextMetrics.noveltyScore(Tables.documents(s, d))),
+    // per-doc Shannon entropy (word + char) — the degenerate-text signal
+    "q_entropy" -> ((s, d) => TextMetrics.entropy(Tables.documents(s, d))),
     // cross-source 3-gram overlap matrix (contamination/provenance view)
     "q_source_overlap" -> ((s, d) =>
       TextMetrics.sourceNgramOverlap(Tables.documents(s, d))),
@@ -3176,6 +3178,32 @@ object SparkEntry {
         | CASE WHEN s.n_shingles > 0
         |   THEN round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 12) END AS novelty
         |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // entropy: counts recomputed via GROUP BY (independent of the kernel's
+    // sorted-run walk); per-term 12-dp rounds + decimal sums make the score
+    // a function of the count MULTISET, so the two derivations must agree
+    "q_entropy" ->
+      """WITH wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |wcnt AS (SELECT doc_id, count(*) AS c FROM wtok GROUP BY doc_id, w),
+        |wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(CAST(round(c * ln(c), 12) AS DECIMAL(28,12))) AS DOUBLE) AS st
+        |        FROM wcnt GROUP BY 1),
+        |cch AS (SELECT doc_id, substring(text, i, 1) AS ch
+        |        FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, length(text))) AS i FROM documents)),
+        |ccnt AS (SELECT doc_id, count(*) AS c FROM cch GROUP BY doc_id, ch),
+        |cagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(CAST(round(c * ln(c), 12) AS DECIMAL(28,12))) AS DOUBLE) AS st
+        |        FROM ccnt GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(w.n, 0) AS n_words,
+        | CASE WHEN w.n > 0 THEN round(round(ln(w.n), 12) - w.st / w.n, 12) END
+        |   AS word_entropy,
+        | COALESCE(c.n, 0) AS n_chars,
+        | CASE WHEN c.n > 0 THEN round(round(ln(c.n), 12) - c.st / c.n, 12) END
+        |   AS char_entropy
+        |FROM documents d LEFT JOIN wagg w USING (doc_id)
+        | LEFT JOIN cagg c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       """WITH base AS (SELECT source,
         |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -202,6 +202,47 @@ object TextHashImpl {
       Array[Any](n.toLong, distinct.size().toLong, maxRun, topBigram))
   }
 
+  /** Sorted run lengths = the multiset of per-distinct-value counts of the
+    * whitespace word sequence (`byChar = false`; empty tokens KEPT, the
+    * quality/repetition family's `split(text, ' ')` convention) or of the
+    * character sequence (`byChar = true`; UTF-16 units — identical to
+    * codepoints on the BMP text the corpus carries). One imperative
+    * sort+walk per row, whole-stage codegen via the static call — the
+    * input to entropy and any other frequency-profile statistic, emitted
+    * as counts so downstream arithmetic (a ≤|distinct|-sized fold) never
+    * re-touches the text. Count order is unspecified (it is a multiset;
+    * every consumer aggregates order-independently).
+    */
+  def sortedRunLengths(text: UTF8String, byChar: Boolean): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (byChar) {
+      val cs = text.toString.toCharArray
+      java.util.Arrays.sort(cs)
+      var i = 0
+      var run = 0L
+      while (i < cs.length) {
+        if (i > 0 && cs(i) != cs(i - 1)) { out += run; run = 0L }
+        run += 1L
+        i += 1
+      }
+      if (run > 0L) out += run
+    } else {
+      val words = splitKeepEmpty(text)
+      java.util.Arrays.sort(words, new java.util.Comparator[UTF8String] {
+        override def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+      })
+      var i = 0
+      var run = 0L
+      while (i < words.length) {
+        if (i > 0 && words(i) != words(i - 1)) { out += run; run = 0L }
+        run += 1L
+        i += 1
+      }
+      if (run > 0L) out += run
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Signed feature hashing (the hashing trick): token t adds ±1 to
     * bucket pmod(xxhash64('tv:idx', t), dim), sign from an independent
     * salt; result L2-normalized (zero vector for empty docs). Bit-for-bit
@@ -335,6 +376,17 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SortedRunLengthsExpr(child: Expression, byChar: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_run_lengths"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.sortedRunLengths(input.asInstanceOf[UTF8String], byChar)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.sortedRunLengths($c, $byChar)")
+  override protected def withNewChildInternal(newChild: Expression): SortedRunLengthsExpr =
+    copy(child = newChild)
+}
+
 case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -357,6 +409,8 @@ object TextHashes {
     GraftBridge.column(WinnowExpr(GraftBridge.expression(c), k, w))
   def repetitionStats(c: Column): Column =
     GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(c)))
+  def sortedRunLengths(c: Column, byChar: Boolean): Column =
+    GraftBridge.column(SortedRunLengthsExpr(GraftBridge.expression(c), byChar))
   def hashedVec(c: Column, dim: Int = 64): Column =
     GraftBridge.column(HashedVecExpr(GraftBridge.expression(c), dim))
 }

@@ -611,4 +611,46 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Per-document Shannon ENTROPY (nats) at word and character
+    * granularity — the degenerate-text signal the ratio metrics miss:
+    * keyboard mash scores high char-entropy, single-token spam scores
+    * ~0 word-entropy, natural prose sits in a stable band (the CCNet/
+    * Gopher-style filters cut both tails). MAP-ONLY: the
+    * [[graft.functions.TextHashes.sortedRunLengths]] kernel folds each
+    * doc to its ≤|distinct| per-value counts in one codegen'd pass, and
+    * the entropy arithmetic runs over that tiny array — the text is
+    * touched once, nothing shuffles, column pruning reaches the scan.
+    *
+    * Cross-engine determinism (the oracle recomputes counts via GROUP
+    * BY): H = round(round(ln n, 12) − st/n, 12) with
+    * st = Σ round(c·ln c, 12) summed as DECIMAL — per-term 12-dp
+    * rounding absorbs libm's last-ulp ln drift (the tfidf discipline)
+    * and the decimal sum makes the total order-independent, so the
+    * count-multiset (not its order) determines the score. Empty text:
+    * word side is the [""] singleton (entropy 0, matching
+    * string_split); char side has n=0 → NULL.
+    */
+  def entropy(documents: DataFrame): DataFrame = {
+    def h(runs: Column): Column = {
+      val n = aggregate(runs, lit(0L), (acc, c) => acc + c)
+      val st = aggregate(runs, lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+        (acc, c) => (acc +
+          round(c.cast("double") * log(c.cast("double")), 12).cast("decimal(28,12)"))
+          .cast("decimal(28,12)")) // decimal + widens (28,12)→(29,12); pin the accumulator type
+      when(n > 0,
+        round(round(log(n.cast("double")), 12) - st.cast("double") / n.cast("double"), 12))
+    }
+    import graft.functions.TextHashes.sortedRunLengths
+    documents
+      .select(col("doc_id"),
+        sortedRunLengths(col("text"), byChar = false).as("wr"),
+        sortedRunLengths(col("text"), byChar = true).as("cr"))
+      .select(col("doc_id"),
+        aggregate(col("wr"), lit(0L), (acc, c) => acc + c).as("n_words"),
+        h(col("wr")).as("word_entropy"),
+        aggregate(col("cr"), lit(0L), (acc, c) => acc + c).as("n_chars"),
+        h(col("cr")).as("char_entropy"))
+      .orderBy("doc_id")
+  }
 }

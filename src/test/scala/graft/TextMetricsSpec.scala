@@ -387,4 +387,35 @@ class TextMetricsSpec extends SparkSpec {
     assert(graft.operators.TextMetrics.noveltyScore(empty).count() == 0)
     assert(graft.operators.TextMetrics.sourceNgramOverlap(empty).count() == 0)
   }
+
+  test("entropy: hand cases, uniform = ln k, degenerate = 0, empty-text conventions") {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (0L, "a a b b"),   // word counts {a:2, b:2} -> H = ln 2
+      (1L, "a b c d"),   // uniform over 4 -> H = ln 4
+      (2L, "x x x"),     // single token -> H = 0
+      (3L, "")           // [""] word singleton; zero chars
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextMetrics.entropy(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // H = round(round(ln n,12) - (Σ round(c ln c,12))/n, 12), mirrored here
+    assert(out(0L).getLong(1) == 4L)
+    assert(out(0L).getDouble(2) == r12(r12(math.log(4)) - 2 * r12(2 * math.log(2)) / 4))
+    assert(out(1L).getDouble(2) == r12(math.log(4))) // all counts 1 -> st = 0
+    assert(out(2L).getDouble(2) == 0.0)
+    // chars of doc 0: {a:2, b:2, ' ':3}, n = 7
+    assert(out(0L).getLong(3) == 7L)
+    assert(out(0L).getDouble(4) ==
+      r12(r12(math.log(7)) - (2 * r12(2 * math.log(2)) + r12(3 * math.log(3))) / 7))
+    // empty text: word side is the [""] singleton (entropy 0); char side null
+    assert(out(3L).getLong(1) == 1L && out(3L).getDouble(2) == 0.0)
+    assert(out(3L).getLong(3) == 0L && out(3L).isNullAt(4))
+    // map-only determinism under repartitioning
+    val rep = graft.operators.TextMetrics.entropy(docs.repartition(7)).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert((0L to 3L).forall(i => rep(i) == out(i).getDouble(2)))
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextMetrics.entropy(none).count() == 0)
+  }
 }
