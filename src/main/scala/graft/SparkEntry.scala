@@ -83,6 +83,10 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
     // group-size skew diagnostics over the orders-per-customer key
     "q_skew_report" -> ((s, d) => Analytics.skewReport(Tables.orders(s, d), "o_custkey")),
+    // market-basket pair affinity over order line items (parts co-bought;
+    // the Circles reading is token co-holding over the balance cache)
+    "q_basket_affinity" -> ((s, d) =>
+      Analytics.basketAffinity(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
     // the explicit skew valve: salted fact⋈dim equi-join (dim replicated
     // to 8 salts, fact salted by its primary key) — result provably equal
     // to the plain join, here rolled up per priority
@@ -1538,6 +1542,28 @@ object SparkEntry {
         | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
         | count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // basket-affinity oracle runs the self-join spelling the operator
+    // avoids (an independent derivation of the same pair counts); double
+    // casts mirror the operator's multiply-then-divide association
+    "q_basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |           FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (SELECT item, count(*) AS n_i FROM b GROUP BY 1),
+        |pc AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS n_ab
+        |       FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        | round(CAST(n_ab AS DOUBLE) / n_baskets, 12) AS support,
+        | round(CAST(n_ab AS DOUBLE) / ia.n_i, 12) AS confidence,
+        | round(CAST(n_ab AS DOUBLE) * n_baskets /
+        |       (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 12) AS lift
+        |FROM pc
+        |JOIN ic ia ON pc.item_a = ia.item
+        |JOIN ic ib ON pc.item_b = ib.item
+        |CROSS JOIN n
+        |ORDER BY n_ab DESC, item_a, item_b""".stripMargin,
     "q_skew_report" ->
       """WITH sizes AS (
         | SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),

@@ -295,6 +295,65 @@ object Analytics {
     heavy.crossJoin(stats).orderBy("rank")
   }
 
+  /** Market-BASKET affinity: for every item pair co-occurring in a basket,
+    * the co-count plus the association measures (support, confidence a→b,
+    * lift) — "bought together" over orders, "co-held tokens" over the
+    * balance cache (which Circles tokens sit in the same safes — the
+    * holdings-community view the trust graph only approximates).
+    *
+    * Scale shape: ONE shuffle keyed on the basket id collapses each basket
+    * to its sorted distinct item array (partial-agg `collect_set`), then
+    * the pair expansion is MAP-ONLY and bounded by basket size — never a
+    * basket-side self-join (which would re-shuffle the fact table and
+    * rebuild each basket per probe). Real baskets are human-scale
+    * (a cart, a safe's token list); `basketCap` is the loud valve for
+    * adversarial mega-baskets — above it the operator THROWS rather than
+    * silently densifying toward |basket|² (raise the cap or pre-filter;
+    * the kCore no-partial-answer doctrine; the oracle runs uncapped, so
+    * the cap must be vacuous on the gate). Item counts partial-agg off the
+    * same basket frame; the two count joinbacks are AQE-broadcastable
+    * (|items| ≪ |pairs|). Association arithmetic on exact longs with one
+    * double division each, rounded 12 dp (the cross-engine rule); pairs
+    * below `minPairCount` drop (at 100 TB the singleton-pair tail is
+    * ~all pairs and carries no signal — the same honesty rule as
+    * snapshotDiff's unchanged class).
+    */
+  def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
+                     minPairCount: Long = 2L, basketCap: Int = 1000): DataFrame = {
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .where(col("bk").isNotNull && col("item").isNotNull)
+    val baskets = b.groupBy("bk")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(true) // feeds N, item counts AND the pair explosion
+    val over = baskets.where(size(col("items")) > basketCap).limit(1).count()
+    if (over > 0) sys.error(
+      s"basketAffinity: basket over basketCap=$basketCap items — " +
+        "a silent |basket|^2 pair explosion; raise the cap or pre-filter")
+    val nBaskets = baskets.count() // 1-row probe, reused as a literal
+    val items = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_i"))
+    val pairs = baskets.select(explode(flatten(transform(col("items"),
+        (x, i) => transform(
+          slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(items.select(col("item").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(items.select(col("item").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / lit(nBaskets).cast("double"), 12)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 12)
+          .as("confidence"),
+        // doubles before the multiply: n_ab·N as longs overflows past ~3e9
+        // baskets; the double product is the oracle's spelling too
+        round(col("n_ab").cast("double") * lit(nBaskets).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 12).as("lift"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+  }
+
   /** JSON payload decode (log `data`/`topics` parsing in the classifier):
     * get_json_object is codegen'd; the projection prunes to (event_id,
     * props) at the scan.

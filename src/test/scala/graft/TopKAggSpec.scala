@@ -47,4 +47,32 @@ class TopKAggSpec extends SparkSpec {
     assert(h.getAs[Double]("p50_n") == 2.0)  // sizes (1,1,3,5) interpolated
     assert(h.getAs[Double]("p99_n") == 4.94) // 1 + 0.97*... → round(4.94,4)
   }
+
+  test("basketAffinity: hand pair counts, dup items collapse, cap throws, empty") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{c} → pairs (a,b)=3, (a,c)=1, (b,c)=1
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (2L, "b"), // duplicate item in a basket counts once
+      (3L, "a"), (3L, "b"), (4L, "c")).toDF("bk", "item")
+    val r = Analytics.basketAffinity(df, "bk", "item").collect()
+    assert(r.length == 1) // only (a,b) reaches minPairCount=2
+    val ab = r.head
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L && ab.getLong(4) == 3L)
+    assert(ab.getAs[Double]("support") == 0.75)      // 3/4 baskets
+    assert(ab.getAs[Double]("confidence") == 1.0)    // 3/3
+    assert(ab.getAs[Double]("lift") == 1.333333333333) // round(4/3, 12)
+    // minPairCount=1 surfaces the singleton pairs too
+    assert(Analytics.basketAffinity(df, "bk", "item", minPairCount = 1L)
+      .count() == 3)
+    // the mega-basket valve is loud, not a silent quadratic explosion
+    val mega = (1 to 40).map(i => (9L, s"i$i")).toDF("bk", "item")
+    assertThrows[RuntimeException] {
+      Analytics.basketAffinity(mega, "bk", "item", basketCap = 10).collect()
+    }
+    // pair counts invariant under repartitioning
+    val rep = Analytics.basketAffinity(df.repartition(7), "bk", "item").collect()
+    assert(rep.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+    val empty = Seq.empty[(Long, String)].toDF("bk", "item")
+    assert(Analytics.basketAffinity(empty, "bk", "item").count() == 0)
+  }
 }
