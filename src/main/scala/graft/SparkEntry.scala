@@ -826,6 +826,8 @@ object SparkEntry {
     "q_running_balance" -> ((s, d) => StateOps.runningBalance(Tables.events(s, d))),
     "q_windowed_counts" -> ((s, d) => StateOps.windowedCounts(Tables.events(s, d))),
     "q_sessions" -> ((s, d) => StateOps.sessionize(Tables.events(s, d))),
+    // time-weighted average balance over the trailing week at the frontier
+    "q_twab" -> ((s, d) => StateOps.timeWeightedBalance(Tables.events(s, d))),
     "q_resample_locf" -> ((s, d) => StateOps.resampleLocf(Tables.events(s, d))),
     "q_gaps" -> ((s, d) => Integrity.gaps(Tables.lineitem(s, d), "l_orderkey")),
     "q_last_valid" -> ((s, d) =>
@@ -1897,6 +1899,37 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    // TWAB: decimal balances × ms durations summed as decimal end-to-end;
+    // only the final ratio is a double (rounded 6 — balance-sized magnitude
+    // leaves ~10 significant digits, inside cross-engine double agreement)
+    "q_twab" ->
+      """WITH e AS (SELECT user_id,
+        |        CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS tms, event_id,
+        |        CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                  WHEN event_type = 'click' THEN -value
+        |             END AS DECIMAL(18,4)) AS d
+        |      FROM events WHERE event_type IN ('purchase', 'click')),
+        |b AS (SELECT max(tms) AS t1, max(tms) - 7 * 86400000 AS t0 FROM e),
+        |op AS (SELECT user_id, t0 AS tms, CAST(-1 AS BIGINT) AS event_id,
+        |        CAST(sum(d) AS DECIMAL(18,4)) AS d, t0, t1
+        |       FROM e, b WHERE tms < t0 GROUP BY user_id, t0, t1),
+        |iw AS (SELECT user_id, tms, event_id, d, t0, t1
+        |       FROM e, b WHERE tms >= t0 AND tms <= t1),
+        |u AS (SELECT * FROM op UNION ALL SELECT * FROM iw),
+        |s AS (SELECT user_id, t0, t1,
+        |       CAST(sum(d) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |            AS DECIMAL(20,4)) AS bal,
+        |       CAST(COALESCE(lead(tms) OVER (PARTITION BY user_id
+        |              ORDER BY tms, event_id), t1) - tms
+        |            AS DECIMAL(12,0)) AS seg_ms
+        |      FROM u),
+        |a AS (SELECT user_id, t0, t1,
+        |       CAST(sum(CAST(bal * seg_ms AS DECIMAL(38,4))) AS DECIMAL(38,4))
+        |         AS wsum
+        |      FROM s GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(wsum AS DOUBLE) AS balance_ms,
+        | round(CAST(wsum AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6) AS twab
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_sessions" ->
       """WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,

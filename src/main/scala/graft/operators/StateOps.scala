@@ -96,6 +96,63 @@ object StateOps {
       .orderBy("event_id")
   }
 
+  /** TIME-WEIGHTED average balance over the trailing `windowDays` ending
+    * at the data frontier (max ts — the aliveAccounts anchor; an event AT
+    * the frontier contributes zero duration). The fair "how much did you
+    * hold, for how long" measure an airdrop / demurrage / governance
+    * snapshot needs — a point-in-time balance rewards last-second
+    * deposits; the integral ∫ balance dt over the window does not.
+    *
+    * Shape: one partial-agg shuffle folds each user's PRE-window history
+    * to a single opening-balance row (a years-deep ledger contributes one
+    * row per user, and the ts < t0 predicate pushes to the scan), then
+    * the opening rows UNION the in-window events and ONE per-user window
+    * (the as-of union trick — [[resampleLocf]]'s discipline; per-user
+    * in-window histories are human-scale) computes the running balance
+    * and each segment's duration to the next change. Exactness: balances
+    * are decimal sums; balance×duration products and their total stay
+    * decimal end-to-end; only the final ratio is a double, rounded 6 dp.
+    * Users with pre-window history but no in-window events get their flat
+    * opening balance; users first active inside the window integrate an
+    * implicit zero opening segment (no opening row needed — the cumsum
+    * starts at their first event).
+    */
+  def timeWeightedBalance(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val delta = when(col("event_type") === "purchase", col("value"))
+      .when(col("event_type") === "click", -col("value"))
+    val e = events.where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), epochMs(col("ts")).as("tms"), col("event_id"),
+        delta.cast("decimal(18,4)").as("d"))
+    val bounds = e.agg(max(col("tms")).as("t1"))
+      .select(col("t1"), (col("t1") - lit(windowDays) * lit(86400000L)).as("t0"))
+    val eb = e.crossJoin(broadcast(bounds)) // 1-row window anchors ride the plan
+    val opening = eb.where(col("tms") < col("t0"))
+      .groupBy("user_id", "t0", "t1")
+      .agg(sum(col("d")).cast("decimal(18,4)").as("d"))
+      .select(col("user_id"), col("t0").as("tms"), lit(-1L).as("event_id"),
+        col("d"), col("t0"), col("t1"))
+    val inWin = eb.where(col("tms") >= col("t0") && col("tms") <= col("t1"))
+      .select(col("user_id"), col("tms"), col("event_id"), col("d"),
+        col("t0"), col("t1"))
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val seg = opening.unionByName(inWin)
+      .withColumn("bal", sum(col("d")).over(w).cast("decimal(20,4)"))
+      .withColumn("seg_ms",
+        (coalesce(lead(col("tms"), 1).over(w), col("t1")) - col("tms"))
+          .cast("decimal(12,0)"))
+    seg.groupBy("user_id", "t0", "t1")
+      .agg(sum((col("bal") * col("seg_ms")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("wsum"))
+      .select(col("user_id"),
+        col("wsum").cast("double").as("balance_ms"),
+        // 6 dp, not 12: twab's magnitude is balance-sized (1e2-1e3), so
+        // 12 dp would demand ~15 significant digits — past the precision
+        // where both engines' double round agrees on the last digit
+        round(col("wsum").cast("double") /
+          (col("t1") - col("t0")).cast("double"), 6).as("twab"))
+      .orderBy("user_id")
+  }
+
   /** Tumbling-window throughput stats (reference `Statistics.cs` tracks
     * blocks/tx per interval; the streaming twin lives in
     * streaming/EventPipeline). Batch form: date_trunc — partial-aggregated,

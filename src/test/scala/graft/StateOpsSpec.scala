@@ -92,4 +92,40 @@ class StateOpsSpec extends SparkSpec {
       (2L, 10L, 5.0),
       (4L, 10L, 9.0), (4L, 20L, 9.0), (4L, 30L, 3.0)))
   }
+
+  test("timeWeightedBalance: opening carry, segment weights, frontier zero-duration") {
+    // frontier t1 = 2024-01-03 00:00 (u2's last event), window = 1 day
+    val ev = Seq(
+      // u1: pre-window opening 100, then +100 at t1-12h → (100·12h+200·12h)/24h = 150
+      (0L, ts("2024-01-01 00:00:00"), 1L, "purchase", 100.0, "{}"),
+      (1L, ts("2024-01-02 12:00:00"), 1L, "purchase", 100.0, "{}"),
+      // u2: +10 exactly at t0, +40 exactly at the frontier (zero duration) → 10
+      (2L, ts("2024-01-02 00:00:00"), 2L, "purchase", 10.0, "{}"),
+      (3L, ts("2024-01-03 00:00:00"), 2L, "purchase", 40.0, "{}"),
+      // u3: pre-window only → flat opening 7 across the whole window
+      (4L, ts("2023-12-31 00:00:00"), 3L, "purchase", 7.0, "{}"),
+      // u4: first active inside the window (implicit zero opening) → 60·6h/24h = 15
+      (5L, ts("2024-01-02 18:00:00"), 4L, "purchase", 60.0, "{}"),
+      // non-ledger event types are invisible
+      (6L, ts("2024-01-02 23:00:00"), 1L, "signup", 999.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StateOps.timeWeightedBalance(ev, windowDays = 1)
+      .select("user_id", "twab").as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 150.0, 2L -> 10.0, 3L -> 7.0, 4L -> 15.0))
+    // clicks debit: u5 holds 100 for half the window then 40 for the rest
+    val ev2 = Seq(
+      (0L, ts("2024-01-02 00:00:00"), 5L, "purchase", 100.0, "{}"),
+      (1L, ts("2024-01-02 12:00:00"), 5L, "click", 60.0, "{}"),
+      (2L, ts("2024-01-03 00:00:00"), 5L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = StateOps.timeWeightedBalance(ev2, windowDays = 1)
+      .select("user_id", "twab").as[(Long, Double)].collect().toMap
+    assert(r2 == Map(5L -> 70.0))
+    // deterministic under repartitioning; total on empty input
+    val rep = StateOps.timeWeightedBalance(ev.repartition(7), windowDays = 1)
+      .select("user_id", "twab").as[(Long, Double)].collect().toMap
+    assert(rep == r)
+    val none = ev.limit(0)
+    assert(StateOps.timeWeightedBalance(none).count() == 0)
+  }
 }
