@@ -1053,6 +1053,12 @@ object SparkEntry {
       TextMetrics.sourceNgramOverlap(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) =>
       TextMetrics.bm25TopK(Tables.documents(s, d), Seq("dup", "spark", "merge"))),
+    // hybrid retrieval: BM25 leg ⊕ exact-cosine dense leg fused by
+    // reciprocal-rank fusion — both legs rank on 12-dp-rounded scores, so
+    // the fused ordering is oracle-checkable end-to-end
+    "q_hybrid_search" -> ((s, d) =>
+      Retrieval.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("dup", "spark", "merge"), queryVecId = 0L, legK = 20)),
     // the same retrieval served FROM the write-once inverted index:
     // build + query in one call (the build is the labeled one-time cost,
     // like q_ann_ivf_trained) — must reproduce q_bm25's oracle exactly
@@ -3297,6 +3303,50 @@ object SparkEntry {
     // the ln last-ulp, which the 12-dp round absorbs; per-term scores sum
     // exactly as decimal per the parity rulebook
     "q_bm25" -> Bm25OracleSql,
+    // hybrid RRF: both leg spellings are the existing independent oracles
+    // (BM25 CTE chain, decimal-dot cosine), fused by the same
+    // 1/(60+rank) decimal protocol as the operator
+    "q_hybrid_search" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+        |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+        |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
+        |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+        |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
+        |          AS term_score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |bm AS (SELECT doc_id,
+        |        round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12)
+        |          AS score
+        |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk_a FROM bm),
+        |nv AS (SELECT vec_id, embedding,
+        |        sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+        |                  AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+        |       FROM embeddings),
+        |q AS (SELECT * FROM nv WHERE vec_id = 0 AND nrm > 0),
+        |base AS (SELECT * FROM nv WHERE vec_id <> 0 AND nrm > 0),
+        |sc AS (SELECT b.vec_id AS doc_id,
+        |        round(CAST(list_sum(list_transform(list_zip(q.embedding, b.embedding),
+        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+        |                  AS DECIMAL(28,18)))) AS DOUBLE)
+        |          / (q.nrm * b.nrm), 12) AS cosine
+        |       FROM base b, q),
+        |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk_b
+        |       FROM sc QUALIFY rk_b <= 20)
+        |SELECT doc_id, rk_a, rk_b,
+        | CAST(COALESCE(CAST(round(1.0/(60 + rk_a), 12) AS DECIMAL(16,12)), 0)
+        |    + COALESCE(CAST(round(1.0/(60 + rk_b), 12) AS DECIMAL(16,12)), 0)
+        |   AS DOUBLE) AS rrf
+        |FROM bmr FULL OUTER JOIN dr USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
     // construction) — the one oracle covers both spellings independently
     "q_bm25_index" -> Bm25OracleSql,

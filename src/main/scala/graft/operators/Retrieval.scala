@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** HYBRID retrieval: fuse the engine's lexical leg (BM25,
+  * [[TextMetrics.bm25TopK]] / the served index twin) with its dense leg
+  * (embedding cosine, [[Ann]]'s exact scorer) by Reciprocal Rank Fusion —
+  * the standard score-free combiner (Cormack et al. 2009):
+  * rrf(d) = Σ_legs 1/(k + rank_leg(d)). Rank-based fusion needs no score
+  * calibration between BM25's unbounded sums and cosine's [−1, 1], which
+  * is exactly why RRF is the production default for hybrid search.
+  *
+  * Scale shape: each leg already ends in a bounded top-`legK` artifact
+  * (BM25's TakeOrderedAndProject, the ANN family's bounded-heap rankings)
+  * — fusion runs on two ≤legK-row frames, so the full-outer join and the
+  * final ordering are driver-trivial no matter the corpus size; the heavy
+  * lifting stays inside the legs, which keep their own 100 TB shapes
+  * (pruned index reads, bucketed ANN). Determinism: both legs rank on
+  * 12-dp-rounded scores with doc-id tie-breaks (their standing contract),
+  * and the RRF terms 1/(k+rank) are rounded to 12 dp and summed as
+  * decimal, so the fused ordering is a pure function of the two rank
+  * lists — fully oracle-checkable even though one leg is
+  * floating-point-dense.
+  */
+object Retrieval {
+
+  /** Fuse two 1-based rankings `(doc_id, rk)` by RRF. A doc absent from a
+    * leg contributes nothing for that leg (the standard convention);
+    * emitted ranks ride along for audit. Ties on the fused score break by
+    * doc_id ascending.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    def term(rk: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1.0d) / (lit(kConst.toDouble) + rk.cast("double")), 12), lit(0.0d))
+        .cast("decimal(16,12)")
+    val fa = a.select(col("doc_id"), col("rk").as("rk_a"))
+    val fb = b.select(col("doc_id"), col("rk").as("rk_b"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rk_a"), col("rk_b"),
+        (term(col("rk_a")) + term(col("rk_b"))).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** BM25 leg as a ranked `(doc_id, rk)` frame: [[TextMetrics.bm25TopK]]'s
+    * deterministic (score desc, doc_id) order made explicit. The window is
+    * unpartitioned BY CONSTRUCTION LEGAL: it runs over the already-limited
+    * ≤legK-row leg artifact, never the corpus (the robustAnomalies
+    * discipline).
+    */
+  def bm25Leg(documents: DataFrame, queryTerms: Seq[String], legK: Int): DataFrame =
+    TextMetrics.bm25TopK(documents, queryTerms, topK = legK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rk"))
+
+  /** Dense leg: exact cosine of `queryVecId`'s embedding against every
+    * other vector (id-capped like the knn-graph oracle baseline), ranked
+    * by the bounded-heap top-k on the 12-dp-rounded score. The query row
+    * broadcasts; the corpus never shuffles. At scale this leg swaps in
+    * any of the ANN family (IVF/PQ/LSH) unchanged — fusion only sees
+    * (doc_id, rk).
+    */
+  def denseLeg(embeddings: DataFrame, queryVecId: Long, legK: Int,
+               maxId: Long = Long.MaxValue): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), Ann.norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+    val base = embeddings
+      .where(col("vec_id") =!= queryVecId && col("vec_id") < maxId)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        Ann.norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val scored = base.crossJoin(broadcast(q))
+      .select(lit(queryVecId).as("qid"), col("nid"),
+        round(Ann.dotDecimal(col("qe"), col("ne")).cast("double") /
+          (col("qn") * col("nn")), 12).as("cosine"))
+    Ann.rankTopK(scored, legK)
+      .select(col("nid").as("doc_id"), col("rk"))
+  }
+
+  /** The composed hybrid query: BM25(terms) ⊕ cosine(query vector), RRF'd.
+    * doc_id and vec_id share the corpus id space (the embeddings table IS
+    * the documents' dense representation).
+    */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+                   queryTerms: Seq[String], queryVecId: Long,
+                   legK: Int = 20, kConst: Int = 60, topK: Int = 10,
+                   maxId: Long = Long.MaxValue): DataFrame =
+    rrfFuse(bm25Leg(documents, queryTerms, legK),
+      denseLeg(embeddings, queryVecId, legK, maxId), kConst, topK)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: hand-computed fusion, one-leg docs, tie-break by doc_id") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rk")
+    val b = Seq((20L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rk")
+    val r = Retrieval.rrfFuse(a, b).collect()
+      .map(x => (x.getLong(0), x.getAs[Double]("rrf")))
+    // d20: 1/62 + 1/61 tops; d30: 1/63 + 1/62; d10: 1/61; d40: 1/63
+    assert(r.map(_._1).toSeq == Seq(20L, 30L, 10L, 40L))
+    assert(r(0)._2 == r12(r12(1.0 / 62) + r12(1.0 / 61)))
+    assert(r(2)._2 == r12(1.0 / 61)) // single-leg doc keeps its one term
+    // equal single-leg ranks tie → doc_id ascending
+    val t = Retrieval.rrfFuse(
+      Seq((5L, 1L)).toDF("doc_id", "rk"), Seq((3L, 1L)).toDF("doc_id", "rk"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(3L, 5L))
+    // topK cut
+    assert(Retrieval.rrfFuse(a, b, topK = 2).count() == 2)
+  }
+
+  test("hybridSearch: fused output == manual fusion of the two legs; both-legs doc wins") {
+    // corpus: doc 1 is the lexical hit, doc 2 the dense hit, doc 3 BOTH
+    val docs = Seq(
+      (1L, "spark merge dup spark"), // strong lexical
+      (2L, "unrelated words only here"),
+      (3L, "spark dup appears here"), // lexical AND dense
+      (4L, "other text entirely now")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), // the query vector
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.8f, 0.2f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val fused = Retrieval.hybridSearch(docs, emb, Seq("spark", "dup"), 0L, legK = 2)
+    val manual = Retrieval.rrfFuse(
+      Retrieval.bm25Leg(docs, Seq("spark", "dup"), 2),
+      Retrieval.denseLeg(emb, 0L, 2))
+    assert(fused.collect().map(_.toSeq).toSeq ==
+      manual.collect().map(_.toSeq).toSeq)
+    // legK=2 keeps the zero-cosine docs out of the dense leg, so doc 3 is
+    // the only doc present in BOTH legs (rank 2 each: 2/62 beats any 1/61)
+    val top = fused.collect().head
+    assert(top.getLong(0) == 3L) // present in both legs → fused winner
+    assert(!top.isNullAt(1) && !top.isNullAt(2))
+    // empty corpus: total, zero rows
+    assert(Retrieval.hybridSearch(docs.limit(0), emb.limit(0),
+      Seq("spark"), 0L).count() == 0)
+  }
+}
