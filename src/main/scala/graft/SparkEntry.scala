@@ -1046,6 +1046,9 @@ object SparkEntry {
     // trigram novelty: the share of each doc's distinct 3-grams appearing
     // in no other document (fresh-content score; 56-bit md5 gram keys)
     "q_novelty" -> ((s, d) => TextMetrics.noveltyScore(Tables.documents(s, d))),
+    // asymmetric n-gram containment pairs (partial copies / quotes the
+    // symmetric Jaccard family misses)
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     // per-doc Shannon entropy (word + char) — the degenerate-text signal
     "q_entropy" -> ((s, d) => TextMetrics.entropy(Tables.documents(s, d))),
     // cross-source 3-gram overlap matrix (contamination/provenance view)
@@ -3243,6 +3246,28 @@ object SparkEntry {
         | CASE WHEN s.n_shingles > 0
         |   THEN round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 12) END AS novelty
         |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // containment: the oracle runs the UNCAPPED inverted-gram brute force
+    // over the same 56-bit md5 gram keys (the operator's dfCap must be
+    // vacuous on the gate — demo max df is single-digit)
+    "q_containment" ->
+      """WITH base AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |       ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))::BIGINT AS g
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM base WHERE len(toks) >= 3) z),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |       FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+        | round(CAST(shared AS DOUBLE) / sa.sz, 12) AS containment_a,
+        | round(CAST(shared AS DOUBLE) / sb.sz, 12) AS containment_b
+        |FROM pc JOIN sz sa ON pc.doc_a = sa.doc_id
+        | JOIN sz sb ON pc.doc_b = sb.doc_id
+        |WHERE containment_a >= 0.5 OR containment_b >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // entropy: counts recomputed via GROUP BY (independent of the kernel's
     // sorted-run walk); per-term 12-dp rounds + decimal sums make the score
     // a function of the count MULTISET, so the two derivations must agree

@@ -678,4 +678,52 @@ object Dedup {
     (if (keepUnchanged) joined else joined.where(col("status") =!= "unchanged"))
       .orderBy(keyCol)
   }
+
+  /** ASYMMETRIC n-gram CONTAINMENT pairs: flag (a, b) when most of one
+    * doc's distinct n-grams appear in the other — containment(a⊂b) =
+    * |S_a ∩ S_b| / |S_a|. The signal the symmetric Jaccard family
+    * structurally misses: a tweet quoted inside an article scores
+    * Jaccard ≈ |tweet|/|article| ≈ 0 but containment ≈ 1 — partial
+    * copies, quote farms, and boilerplate-wrapped extractions dedup on
+    * THIS measure (the ExactSubstr pass catches verbatim runs; this
+    * catches shuffled/partial reuse).
+    *
+    * Shape: grams use the cross-engine 56-bit md5 convention
+    * ([[TextMetrics.gramKeys]] — the oracle re-derives exact keys), so
+    * every shuffle carries (doc_id, long) pairs, never text. Candidates
+    * come from the inverted gram join (Σ df² pairs per gram); grams
+    * above `dfCap` document frequency are dropped by the standard
+    * partial-agg-count + broadcast anti-join valve BEFORE the join —
+    * SOUND for this operator's direction: capping only removes shared
+    * grams, so containment is under-estimated and a flagged pair is
+    * always genuinely shared (boilerplate grams shared by thousands of
+    * docs are the least informative and the quadratic hazard; the
+    * oracle runs uncapped, so the cap must be vacuous on the gate).
+    * Sizes |S_a| are counted on the UNCAPPED frame (the denominator is
+    * the doc's real vocabulary, not the valve's view of it).
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3, tau: Double = 0.5,
+                       dfCap: Int = 1000): DataFrame = {
+    val grams = TextMetrics.gramKeys(documents, n, Seq("doc_id"))
+      .localCheckpoint(true) // feeds df count, sizes AND both join sides
+    val over = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select("g")
+    val kept = grams.join(broadcast(over), Seq("g"), "left_anti")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .withColumn("containment_a",
+        round(col("shared").cast("double") / col("size_a"), 12))
+      .withColumn("containment_b",
+        round(col("shared").cast("double") / col("size_b"), 12))
+      .where(col("containment_a") >= tau || col("containment_b") >= tau)
+      .select("doc_a", "doc_b", "shared", "size_a", "size_b",
+        "containment_a", "containment_b")
+      .orderBy("doc_a", "doc_b")
+  }
 }

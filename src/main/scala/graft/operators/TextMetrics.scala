@@ -557,18 +557,27 @@ object TextMetrics {
     * collision collapses identically on both engines). Docs under n
     * tokens contribute nothing.
     */
-  private def docGramKeys(documents: DataFrame, n: Int): DataFrame = {
+  /** Distinct 56-bit md5 n-gram keys per carried column set — the
+    * CROSS-ENGINE gram convention (the oracle re-derives exact keys,
+    * unlike the minhash family's xxhash64 shingles). Shared by novelty,
+    * source overlap, and [[Dedup.containmentPairs]].
+    */
+  private[operators] def gramKeys(documents: DataFrame, n: Int,
+                                  carry: Seq[String]): DataFrame = {
     val toks = filter(wsWords(col("text")), w => length(w) > 0)
     documents
-      .select(col("doc_id"), col("source"),
+      .select(carry.map(col) :+
         explode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"), col("source"),
-        graft.functions.HashConv.md5Long56(col("gram")).as("g"))
+          .otherwise(array().cast("array<string>"))).as("gram"): _*)
+      .select(carry.map(col) :+
+        graft.functions.HashConv.md5Long56(col("gram")).as("g"): _*)
       .distinct()
   }
+
+  private def docGramKeys(documents: DataFrame, n: Int): DataFrame =
+    gramKeys(documents, n, Seq("doc_id", "source"))
 
   /** N-gram NOVELTY per document: the share of a doc's distinct n-grams
     * that appear in NO other document — the "how much genuinely new text

@@ -316,4 +316,40 @@ class DedupSpec extends SparkSpec {
       3L -> "removed",   // genuinely absent from new
       4L -> "added"))
   }
+
+  test("containmentPairs: snippet-in-article asymmetry, exact dup, cap soundness") {
+    import org.apache.spark.sql.functions.col
+    // doc 2 = doc 1 verbatim + a long unrelated tail: Jaccard is low but
+    // containment(1 ⊂ 2) = 1.0 — the case the symmetric family misses
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val tail = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, snippet),
+      (2L, s"$snippet $tail"),
+      (3L, snippet),          // exact dup of 1 → containment 1.0 both ways
+      (4L, "totally different words here now"),
+      (5L, "ab")              // under n tokens → no grams, inert
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.containmentPairs(docs, tau = 0.8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getAs[Double]("containment_a"), x.getAs[Double]("containment_b"))).toMap
+    assert(r.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r((1L, 2L))._1 == 1.0 && r((1L, 2L))._2 < 0.2) // asymmetric
+    assert(r((1L, 3L)) == ((1.0, 1.0)))                   // exact dup
+    // jaccard of (1,2) is small: 4 shared grams / 34 union — the pair the
+    // containment measure exists for
+    val shared = graft.operators.Dedup.containmentPairs(docs, tau = 0.8)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("shared", "size_b").as[(Long, Long)].head()
+    assert(shared._1.toDouble / (shared._2 + 4 - shared._1) < 0.15)
+    // dfCap drops the shared grams (snippet grams have df 3 here) →
+    // containment under-estimates → pairs vanish, never appear falsely
+    assert(graft.operators.Dedup.containmentPairs(docs, tau = 0.8, dfCap = 2)
+      .count() == 0)
+    // repartition invariance; empty totality
+    val rep = graft.operators.Dedup.containmentPairs(docs.repartition(7), tau = 0.8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rep.length == 3)
+    assert(graft.operators.Dedup.containmentPairs(docs.limit(0)).count() == 0)
+  }
 }
