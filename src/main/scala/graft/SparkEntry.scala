@@ -361,6 +361,14 @@ object SparkEntry {
       Graph.pageRank(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
     }),
+    // HITS hubs/authorities over the same edge list (the endorser/endorsed
+    // split PageRank's single score conflates)
+    "q_trust_hits" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.hits(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
+    }),
     // trust relevance from a seed set's perspective (random walk with
     // restart over the same edge list; seeds = every 17th user's safe)
     "q_trust_ppr" -> ((s, d) => {
@@ -2763,6 +2771,7 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    "q_trust_hits" -> trustHitsSql,
     // hop-bounded recursive closure with UNION dedup: each (node, dist)
     // pair surfaces once, so rows ≤ |V|·(maxHops+1) even on cyclic graphs;
     // min(dist) collapses the per-level copies to BFS distance
@@ -3597,6 +3606,49 @@ object SparkEntry {
         |       FROM nodes),
         |""".stripMargin + iterCtes + """
         |SELECT node, r FROM p5 ORDER BY r DESC, node""".stripMargin
+  }
+
+  /** Unrolled HITS twin of [[graft.operators.Graph.hits]] (5 sequential
+    * iterations: auth from current hub, hub from the NEW auth;
+    * L1-normalized). Per-edge contributions cast to DECIMAL(28,14) and
+    * summed exactly (the bm25 sum rule); every half-iteration's scores
+    * round to 12 dp, so the fixpoint is bit-identical cross-engine.
+    */
+  private val trustHitsSql: String = {
+    // each CTE references its predecessor exactly ONCE (the L1 total is a
+    // sum() OVER () on the same scan, never a second scalar-subquery ref):
+    // two refs per level would inline to 2^10 re-scans of the events
+    // parquet in DuckDB and exhaust file handles
+    val iterCtes = (1 to 5).map { i =>
+      s"""ra$i AS (SELECT nd.node, coalesce(c.s, 0) AS s
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node, sum(CAST(h.h AS DECIMAL(28,14))) AS s
+        |  FROM e1 e JOIN hn${i - 1} h ON h.node = e.src GROUP BY e.dst) c
+        | ON c.node = nd.node),
+        |an$i AS (SELECT node,
+        |  CASE WHEN sum(s) OVER () > 0
+        |    THEN round(CAST(s AS DOUBLE) / CAST(sum(s) OVER () AS DOUBLE), 12)
+        |    ELSE 0.0 END AS a FROM ra$i),
+        |rh$i AS (SELECT nd.node, coalesce(c.s, 0) AS s
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.src AS node, sum(CAST(a.a AS DECIMAL(28,14))) AS s
+        |  FROM e1 e JOIN an$i a ON a.node = e.dst GROUP BY e.src) c
+        | ON c.node = nd.node),
+        |hn$i AS (SELECT node,
+        |  CASE WHEN sum(s) OVER () > 0
+        |    THEN round(CAST(s AS DOUBLE) / CAST(sum(s) OVER () AS DOUBLE), 12)
+        |    ELSE 0.0 END AS h FROM rh$i)""".stripMargin
+    }.mkString(",\n")
+    trustE1Cte +
+      """,
+        |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |hn0 AS (SELECT node,
+        |        round(1.0 / (SELECT count(*) FROM nodes), 12) AS h FROM nodes),
+        |""".stripMargin + iterCtes + """
+        |SELECT nd.node, hn.h AS hub, an.a AS auth
+        |FROM nodes nd JOIN hn5 hn ON hn.node = nd.node
+        | JOIN an5 an ON an.node = nd.node
+        |ORDER BY auth DESC, nd.node""".stripMargin
   }
 
   /** Unrolled personalized-PageRank twin of

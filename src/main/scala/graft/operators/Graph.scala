@@ -210,6 +210,71 @@ object Graph {
     ranks.select("node", "r").orderBy(col("r").desc, col("node"))
   }
 
+  /** HITS hubs & authorities over the directed trust graph — the
+    * centrality pair PageRank's single score conflates: an AUTHORITY is a
+    * safe many good endorsers trust (auth(v) = Σ_{u→v} hub(u)), a HUB is
+    * an endorser whose trust points at good authorities (hub(u) =
+    * Σ_{u→v} auth(v)). On a trust currency the distinction is real:
+    * widely-trusted merchants are authorities; well-connected curators
+    * are hubs — PageRank ranks only the former kind of mass.
+    *
+    * Classic sequential power iteration (auth from current hub, then hub
+    * from the NEW auth), L1-normalized — the norm is a decimal SUM, so
+    * cross-engine-exact, unlike the L2 convention whose
+    * sum-of-squares-then-sqrt would reintroduce double-order drift; L1
+    * only rescales, rankings are the eigenvector's either way.
+    * Determinism contract as [[pageRank]]: per-edge contributions cast to
+    * decimal(28,14) (the bm25 sum rule) and summed exactly, scores round
+    * to 12 dp every half-iteration, so the unrolled SQL twin reproduces
+    * the fixpoint bit-for-bit.
+    *
+    * Scale shape, per half-iteration: one edges⋈scores join on the edge
+    * key (edges pre-partitioned by src once), one partial-agg decimal sum
+    * on the other endpoint (hub skew collapses map-side), one
+    * co-partitioned left join back to the node set, and a 1-row total
+    * riding back as a broadcast cross join; payloads are (node, double).
+    * Eager checkpoint per round via the standard knob.
+    */
+  def hits(edges: DataFrame, iters: Int = 5,
+           checkpointDir: Option[String] = None,
+           checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges
+      .where(col("cap") > 0 && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .repartition(col("src")), 0)
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), 0)
+    val n = nodes.count() // bounded driver aggregate: one long
+    if (n == 0)
+      return nodes.select(col("node"), lit(0.0d).as("hub"), lit(0.0d).as("auth"))
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("s")).as("t")) // 1-row decimal total
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("t").isNotNull && col("t") > 0,
+            round(col("s").cast("double") / col("t").cast("double"), 12))
+            .otherwise(lit(0.0d)).as(out))
+    }
+    def gather(scores: DataFrame, in: String, from: String, to: String): DataFrame =
+      nodes.join(
+        e.join(scores.withColumnRenamed("node", from), from)
+          .groupBy(col(to).as("node"))
+          .agg(sum(col(in).cast("decimal(28,14)")).as("s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,14)")).as("s"))
+    var hub = nodes.select(col("node"), round(lit(1.0d / n), 12).as("h"))
+    var auth = hub.select(col("node"), col("h").as("a"))
+    for (it <- 1 to iters) {
+      auth = cut(normalized(gather(hub, "h", "src", "dst"), "a"), it)
+      hub = cut(normalized(gather(auth, "a", "dst", "src"), "h"), it)
+    }
+    nodes.join(hub, "node").join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy(col("auth").desc, col("node"))
+  }
+
   /** Undirected triangle census + local clustering coefficient per node —
     * the cohesion stat of a social graph (a trust edge inside a triangle
     * is vouched for by a common contact; high clustering = tight

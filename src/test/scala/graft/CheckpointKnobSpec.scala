@@ -31,6 +31,13 @@ class CheckpointKnobSpec extends SparkSpec {
         checkpointEvery = every).collect().toSeq == base, s"every=$every")
   }
 
+  test("hits: knob-independent at every-1 and every-3 cadence") {
+    val base = Graph.hits(edges, iters = 5).collect().toSeq
+    for (every <- Seq(1, 3))
+      assert(Graph.hits(edges, iters = 5, checkpointDir = ckDir(),
+        checkpointEvery = every).collect().toSeq == base, s"every=$every")
+  }
+
   test("personalizedPageRank: knob-independent") {
     val seeds = Seq(1L, 7L).toDF("node")
     val base = Graph.personalizedPageRank(edges, seeds, iters = 6).collect().toSeq

@@ -530,4 +530,84 @@ class GraphSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("node", "scc_id"))
   }
+
+  // ---- hits --------------------------------------------------------------
+
+  test("hits: single-edge and star fixpoints, hub/authority split") {
+    // a→b: a is the pure hub, b the pure authority, from iteration 1 on
+    val r1 = Graph.hits(Seq(("a", "b", 1L)).toDF("src", "dst", "cap"))
+      .select("node", "hub", "auth").as[(String, Double, Double)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r1 == Map("a" -> ((1.0, 0.0)), "b" -> ((0.0, 1.0))))
+    // two endorsers of one authority: c collects all authority, a/b split
+    // the hub mass (L1: 0.5 each)
+    val r2 = Graph.hits(Seq(("a", "c", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "cap"))
+      .select("node", "hub", "auth").as[(String, Double, Double)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r2 == Map("a" -> ((0.5, 0.0)), "b" -> ((0.5, 0.0)),
+      "c" -> ((0.0, 1.0))))
+    // chain a→c, b→c, c→d: the co-endorsed c dominates authority, the
+    // endorsers a/b dominate hub (c hubs only the weak authority d)
+    val r3 = Graph.hits(Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "cap"))
+      .select("node", "hub", "auth").as[(String, Double, Double)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r3("c")._2 > r3("d")._2 && r3("d")._2 > 0 && r3("a")._2 == 0)
+    assert(r3("a")._1 == r3("b")._1 && r3("a")._1 > r3("c")._1 && r3("c")._1 > 0)
+    assert(r3("d")._1 == 0)
+  }
+
+  test("hits: driver-side protocol parity on a pseudo-random graph; normalization & edge erasure") {
+    // exact mirror of the operator's decimal protocol, driver-side
+    def ref(edges: Seq[(String, String)], iters: Int)
+    : Map[String, (Double, Double)] = {
+      val e = edges.distinct.filter(p => p._1 != p._2)
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+      def r12(x: Double) =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def d14(x: Double) =
+        BigDecimal(x).setScale(14, BigDecimal.RoundingMode.HALF_UP)
+      var hub = nodes.map(_ -> r12(1.0 / nodes.size)).toMap
+      var auth = hub
+      def half(in: Map[String, Double], from: ((String, String)) => String,
+               to: ((String, String)) => String): Map[String, Double] = {
+        val raw = nodes.map(nd =>
+          nd -> e.filter(p => to(p) == nd).map(p => d14(in(from(p)))).sum).toMap
+        val t = raw.values.sum
+        nodes.map(nd => nd -> (if (t > 0)
+          r12(raw(nd).toDouble / t.toDouble) else 0.0)).toMap
+      }
+      (1 to iters).foreach { _ =>
+        auth = half(hub, _._1, _._2)
+        hub = half(auth, _._2, _._1)
+      }
+      nodes.map(nd => nd -> ((hub(nd), auth(nd)))).toMap
+    }
+    val edges = (0 until 60).map { i =>
+      (s"n${(i * 7 + 3) % 17}", s"n${(i * 11 + 5) % 17}")
+    }.filter(p => p._1 != p._2)
+    val df = edges.map(p => (p._1, p._2, 1L)).toDF("src", "dst", "cap")
+    val got = Graph.hits(df).select("node", "hub", "auth")
+      .as[(String, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(got == ref(edges, 5))
+    // L1 norms ≈ 1 (12-dp rounding slack only)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    // deterministic under repartition; parallel edges / self-loops / zero
+    // caps erased; empty graph total
+    val got2 = Graph.hits(df.repartition(7)).select("node", "hub", "auth")
+      .as[(String, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(got2 == got)
+    val noisy = df.union(df.limit(10))
+      .union(Seq(("n1", "n1", 5L), ("n2", "n3", 0L)).toDF("src", "dst", "cap"))
+    val got3 = Graph.hits(noisy).select("node", "hub", "auth")
+      .as[(String, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // n2→n3 may add nodes only if absent; with cap 0 it is dropped entirely
+    assert(got3 == got)
+    assert(Graph.hits(df.limit(0)).count() == 0)
+  }
 }
