@@ -408,6 +408,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d), Seq("signup", "view", "purchase"),
         horizonMs = 2L * 86400000L)),
+    // per-day DAU / new / returning split (distinct people, not events)
+    "q_active_users" -> ((s, d) => Behavior.activeUsers(Tables.events(s, d))),
     "q_retention" -> ((s, d) => Behavior.retentionCohorts(Tables.events(s, d))),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2881,6 +2883,16 @@ object SparkEntry {
         | round(CAST(users AS DOUBLE)
         |       / (SELECT count(*) FROM s1), 12) AS pct_of_first
         |FROM c WHERE users > 0 ORDER BY step""".stripMargin,
+    "q_active_users" ->
+      """WITH t AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM t GROUP BY 1)
+        |SELECT day, count(*) AS dau,
+        | CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS new_users,
+        | count(*) - CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS "returning"
+        |FROM t JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
         |fb AS (SELECT user_id, min(t) // 604800000 AS cohort

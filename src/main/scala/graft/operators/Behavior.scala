@@ -132,6 +132,35 @@ object Behavior {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Per-day ACTIVE-user split: DAU, NEW users (first-ever-seen that day)
+    * and RETURNING users — the growth dashboard's headline series, and
+    * the daily-grain companion of [[retentionCohorts]] (cohorts bucket by
+    * first week; this splits each single day's actives by whether today
+    * IS their first day). The reference's per-day views count events;
+    * this counts distinct people.
+    *
+    * Shape: the event stream collapses to distinct (user, day) pairs in
+    * one partial-agg shuffle (a user's thousandth event that day dies
+    * map-side); first-seen day is a min over each user's ≤|days| distinct
+    * rows; the joinback is user-keyed and the final rollup partial-aggs
+    * to ≤|days| rows. Day keys are epoch-ms integral `div` buckets (the
+    * retention discipline — exact past 2^53, no calendar nulls).
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val t = events.select(col("user_id"), StateOps.epochMs(col("ts")).as("t"))
+      .select(col("user_id"), expr("t div 86400000L").as("day"))
+    val days = t.distinct().localCheckpoint(true) // feeds first-seen AND rollup
+    val first = days.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    days.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning"))
+      .orderBy("day")
+  }
+
   /** Event-type TRANSITION matrix — the first-order Markov view of user
     * behavior (which event follows which): per-user consecutive event
     * pairs counted into (from_type, to_type, n, p) where p is the row's

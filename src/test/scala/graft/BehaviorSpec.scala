@@ -163,4 +163,30 @@ class BehaviorSpec extends SparkSpec {
       .map { case (f, to, n, p) => (f, to) -> ((n, p)) }.toMap
     assert(m7 == m)
   }
+
+  test("activeUsers: per-day DAU with new/returning split; same-day dedup") {
+    val e = ev(
+      // day 1: u1 (×3 events — counts once) and u2, both new
+      (0L, "2024-01-01 08:00:00", 1L, "view"),
+      (1L, "2024-01-01 09:00:00", 1L, "view"),
+      (2L, "2024-01-01 23:59:59", 1L, "purchase"),
+      (3L, "2024-01-01 10:00:00", 2L, "view"),
+      // day 2: u1 returns, u3 is new
+      (4L, "2024-01-02 11:00:00", 1L, "view"),
+      (5L, "2024-01-02 12:00:00", 3L, "view"),
+      // day 4 (gap day 3): u2 and u3 return
+      (6L, "2024-01-04 01:00:00", 2L, "view"),
+      (7L, "2024-01-04 02:00:00", 3L, "view"))
+    val r = Behavior.activeUsers(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, dau, nw, ret) => d -> ((dau, nw, ret)) }
+    val days = r.map(_._1)
+    assert(days.length == 3 && days(1) == days(0) + 1 && days(2) == days(0) + 3)
+    assert(r.map(_._2).toSeq == Seq((2L, 2L, 0L), (2L, 1L, 1L), (2L, 0L, 2L)))
+    // repartition invariance + empty totality
+    assert(Behavior.activeUsers(e.repartition(7))
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      r.map { case (d, (a, b, c)) => (d, a, b, c) }.toSeq)
+    assert(Behavior.activeUsers(e.limit(0)).count() == 0)
+  }
 }
