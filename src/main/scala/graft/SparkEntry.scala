@@ -410,6 +410,9 @@ object SparkEntry {
         horizonMs = 2L * 86400000L)),
     // per-day DAU / new / returning split (distinct people, not events)
     "q_active_users" -> ((s, d) => Behavior.activeUsers(Tables.events(s, d))),
+    // CUSUM level-shift detection per event type (sustained small drifts
+    // the single-day anomaly/trending detectors can't see)
+    "q_changepoints" -> ((s, d) => Behavior.cusumChangepoints(Tables.events(s, d))),
     "q_retention" -> ((s, d) => Behavior.retentionCohorts(Tables.events(s, d))),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2883,6 +2886,38 @@ object SparkEntry {
         | round(CAST(users AS DOUBLE)
         |       / (SELECT count(*) FROM s1), 12) AS pct_of_first
         |FROM c WHERE users > 0 ORDER BY step""".stripMargin,
+    // CUSUM: the per-type recursion replayed by a linear-depth RECURSIVE
+    // CTE; μ/σ/z and every cusum step round to 12 dp in the same order
+    "q_changepoints" ->
+      """WITH RECURSIVE pd AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |        round(CAST(sum(n) AS DOUBLE) / count(*), 12) AS mu,
+        |        round(sqrt(greatest(0.0,
+        |          (CAST(sum(n*n) AS DOUBLE)
+        |           - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*))
+        |          / count(*))), 12) AS sigma
+        |       FROM pd GROUP BY 1),
+        |z AS (SELECT pd.event_type, day, n,
+        |       CASE WHEN sigma > 0
+        |            THEN round((CAST(n AS DOUBLE) - mu) / sigma, 12)
+        |            ELSE 0.0 END AS z,
+        |       row_number() OVER (PARTITION BY pd.event_type ORDER BY day) AS rn
+        |      FROM pd JOIN st USING (event_type)),
+        |c AS (
+        | SELECT event_type, day, n, z, rn,
+        |  round(greatest(0.0, z - 0.5), 12) AS sp,
+        |  round(greatest(0.0, -z - 0.5), 12) AS sn
+        | FROM z WHERE rn = 1
+        | UNION ALL
+        | SELECT z.event_type, z.day, z.n, z.z, z.rn,
+        |  round(greatest(0.0, c.sp + z.z - 0.5), 12),
+        |  round(greatest(0.0, c.sn - z.z - 0.5), 12)
+        | FROM c JOIN z ON z.event_type = c.event_type AND z.rn = c.rn + 1)
+        |SELECT event_type, day, n, z, sp, sn,
+        | (sp > 4.0 OR sn > 4.0) AS changepoint
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "q_active_users" ->
       """WITH t AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
         |           FROM events),

@@ -104,6 +104,75 @@ object Behavior {
       .withColumn("mad", round(col("mad"), 4))
   }
 
+  /** CUSUM CHANGEPOINT detection per event type — the sequential
+    * level-shift detector that completes the monitoring trio:
+    * [[robustAnomalies]] flags single outlier days, [[trendingEvents]]
+    * flags day-over-trailing-baseline lifts, CUSUM accumulates SMALL
+    * sustained deviations until a regime change is undeniable (a 20%
+    * volume drop no single day makes anomalous trips the cumulative sum
+    * within days — the Page 1954 chart every ops pipeline runs).
+    *
+    *   S⁺_i = max(0, S⁺_{i−1} + z_i − drift),  flag when S⁺ > threshold
+    *   S⁻_i = max(0, S⁻_{i−1} − z_i − drift)   (two-sided)
+    *
+    * Shape: the raw stream collapses to ≤ |types|·|days| rows in ONE
+    * partial-agg shuffle; per-type standardization stats are exact
+    * integer moment sums; the inherently-sequential recursion then runs
+    * as a per-type sorted-array fold (HOF) over the calendar-bounded
+    * series — never a window or a loop over raw events (the
+    * robustAnomalies discipline; a year is 365 elements).
+    * Determinism: μ, σ, every z and every cusum step round to 12 dp in
+    * the same order on both engines (the recursion is replayed by a
+    * linear-depth RECURSIVE CTE in the oracle); σ=0 series emit z=0
+    * (constant series have no changepoints); the variance is clamped at
+    * 0 before the sqrt (FP cancellation on near-constant series would
+    * otherwise NaN).
+    */
+  def cusumChangepoints(events: DataFrame, drift: Double = 0.5,
+                        threshold: Double = 4.0): DataFrame = {
+    val perDay = events
+      .select(col("event_type"), StateOps.epochMs(col("ts")).as("t"))
+      .select(col("event_type"), expr("t div 86400000L").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val stats = perDay.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .select(col("event_type"),
+        round(col("sx").cast("double") / col("nd").cast("double"), 12).as("mu"),
+        round(sqrt(greatest(lit(0.0d),
+          (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("nd").cast("double")) /
+            col("nd").cast("double"))), 12).as("sigma"))
+    val z = perDay.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("sigma") > 0.0d,
+          round((col("n").cast("double") - col("mu")) / col("sigma"), 12))
+          .otherwise(lit(0.0d)).as("z"))
+    val sp = s"round(greatest(0.0d, acc.sp + x.z - $drift), 12)"
+    val sn = s"round(greatest(0.0d, acc.sn - x.z - $drift), 12)"
+    val step = s"""named_struct(
+      | 'arr', concat(acc.arr, array(named_struct(
+      |   'day', x.day, 'n', x.n, 'z', x.z, 'sp', $sp, 'sn', $sn))),
+      | 'sp', $sp,
+      | 'sn', $sn)""".stripMargin
+    z.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"), col("z"))))
+        .as("series"))
+      .select(col("event_type"),
+        explode(expr(
+          s"""aggregate(series,
+            | named_struct('arr',
+            |   cast(array() as array<struct<day:bigint,n:bigint,z:double,
+            |                               sp:double,sn:double>>),
+            |   'sp', 0.0d, 'sn', 0.0d),
+            | (acc, x) -> $step,
+            | acc -> acc.arr)""".stripMargin)).as("c"))
+      .select(col("event_type"), col("c.day"), col("c.n"), col("c.z"),
+        col("c.sp"), col("c.sn"),
+        (col("c.sp") > threshold || col("c.sn") > threshold).as("changepoint"))
+      .orderBy("event_type", "day")
+  }
+
   /** Weekly retention cohorts: cohort = the fixed-width time bucket of a
     * user's FIRST event, offset = how many buckets later they were active
     * again; cell value = distinct active users. The classic retention

@@ -164,6 +164,38 @@ class BehaviorSpec extends SparkSpec {
     assert(m7 == m)
   }
 
+  test("cusumChangepoints: planted level shift trips both sides at the hand-computed days") {
+    // 2 events/day for 10 days then 8/day for 10 days: μ=5, σ=3 exactly,
+    // so z=∓1. S⁻ grows 0.5/day through the low regime (>4 at day index
+    // 8), drains at 1.5/day after the shift; S⁺ grows 0.5/day from day 10
+    // (>4 at day index 18).
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 2 else 8
+      (0 until n).map(j =>
+        (d * 10L + j, f"2024-01-${d + 1}%02d 0$j:00:00", 1L, "view"))
+    }
+    val r = Behavior.cusumChangepoints(ev(rows: _*))
+      .select("day", "z", "sp", "sn", "changepoint")
+      .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    val d0 = r.head._1
+    assert(r.map(_._2).toSeq == Seq.fill(10)(-1.0) ++ Seq.fill(10)(1.0))
+    assert(r.filter(_._5).map(x => x._1 - d0).toSeq == Seq(8L, 9L, 18L, 19L))
+    assert(r.find(x => x._1 - d0 == 9).get._4 == 5.0)  // S⁻ peak
+    assert(r.find(x => x._1 - d0 == 19).get._3 == 5.0) // S⁺ peak
+    assert(r.find(x => x._1 - d0 == 13).get._4 == 0.0) // S⁻ drained post-shift
+    // constant series: σ=0 → z=0, no changepoints; repartition invariance
+    val const = (0 until 5).flatMap(d =>
+      (0 until 3).map(j => (d * 10L + j, f"2024-02-${d + 1}%02d 0$j:00:00", 1L, "buy")))
+    val c = Behavior.cusumChangepoints(ev(const: _*)).collect()
+    assert(c.length == 5 && c.forall(x => !x.getAs[Boolean]("changepoint")
+      && x.getAs[Double]("z") == 0.0))
+    val rep = Behavior.cusumChangepoints(ev(rows: _*).repartition(7))
+      .select("day", "z", "sp", "sn", "changepoint")
+      .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(rep.toSeq == r.toSeq)
+    assert(Behavior.cusumChangepoints(ev(rows: _*).limit(0)).count() == 0)
+  }
+
   test("activeUsers: per-day DAU with new/returning split; same-day dedup") {
     val e = ev(
       // day 1: u1 (×3 events — counts once) and u2, both new
