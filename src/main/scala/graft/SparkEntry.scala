@@ -925,6 +925,12 @@ object SparkEntry {
     // others — brute force IS the semantics here (oracle-checked all-pairs);
     // the LSH twin below is the full-corpus scale path (rows-only)
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(Tables.embeddings(s, d), k = 5, maxId = 300L)),
+    // contrastive mining: per-anchor positives (cosine ≥ τ) + hardest
+    // negatives (top-k below τ) — (anchor, pos, neg) triplet feed; τ=0.4
+    // sits inside the demo corpus's cosine range so BOTH roles populate
+    // (max pair cosine at sf0.01 is ~0.46)
+    "q_contrastive_pairs" -> ((s, d) =>
+      Ann.contrastivePairs(Tables.embeddings(s, d), k = 5, tau = 0.4, maxId = 300L)),
     "q_knn_graph_lsh" -> ((s, d) => Ann.knnGraphLsh(Tables.embeddings(s, d))),
     // JL random projection feeding the exact scorer: project 64 -> 16 dims
     // map-side (seeded ±1/√m sign matrix as plan literals), then brute-force
@@ -2998,6 +3004,33 @@ object SparkEntry {
         |SELECT qid, nid, cosine, rk FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored) t
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // contrastive mining: the knn-graph decimal-dot scored frame split by
+    // the τ band, each role ranked per anchor (an independent window
+    // spelling of the operator's bounded-heap top-k)
+    "q_contrastive_pairs" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+        | FROM embeddings WHERE vec_id < 300
+        |), nz AS (SELECT * FROM n WHERE nrm > 0),
+        |scored AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
+        |   / (a.nrm * b.nrm), 12) AS cosine
+        | FROM nz a, nz b WHERE a.vec_id <> b.vec_id
+        |),
+        |pos AS (SELECT qid, nid, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        |        FROM scored WHERE cosine >= 0.4 QUALIFY rk <= 5),
+        |neg AS (SELECT qid, nid, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        |        FROM scored WHERE cosine < 0.4 QUALIFY rk <= 5)
+        |SELECT qid, nid, cosine, rk, 'pos' AS role FROM pos
+        |UNION ALL
+        |SELECT qid, nid, cosine, rk, 'neg' AS role FROM neg
+        |ORDER BY qid, role, rk""".stripMargin,
     // snapshot diff: same demo decoration (old = %3>0, new = %4>0 with
     // every 7th text revised), md5 content compare, unchanged dropped
     "q_corpus_diff" ->

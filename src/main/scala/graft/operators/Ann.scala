@@ -496,22 +496,57 @@ object Ann {
     * deterministic, DuckDB-oracle-checkable); ranking is the bounded-heap
     * [[rankTopK]], so the post-score shuffle carries k·n rows, not n².
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5, maxId: Long = Long.MaxValue): DataFrame = {
-    // the capped node frame is tiny (often one input split), but the pair
-    // frame it drives is n² — spread the probe side across the cluster so
-    // the all-pairs scoring parallelizes instead of riding the source
-    // file's partitioning (measured 5.2s → ~1s at n=300 on local[32])
+  def knnGraph(embeddings: DataFrame, k: Int = 5, maxId: Long = Long.MaxValue): DataFrame =
+    rankTopK(allPairsScored(embeddings, maxId), k)
+
+  /** Exact all-pairs (qid, nid, cosine) over the id-capped node set —
+    * the shared O(n²)-by-definition baseline behind [[knnGraph]] and
+    * [[contrastivePairs]]. The capped node frame is tiny (often one input
+    * split), but the pair frame it drives is n² — the probe side spreads
+    * across the cluster so the all-pairs scoring parallelizes instead of
+    * riding the source file's partitioning (measured 5.2s → ~1s at n=300
+    * on local[32]).
+    */
+  private def allPairsScored(embeddings: DataFrame, maxId: Long): DataFrame = {
     val spread = embeddings.where(col("vec_id") < maxId)
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val base = spread
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
       .where(col("nn") > 0)
     val q = base.select(col("nid").as("qid"), col("ne").as("qe"), col("nn").as("qn"))
-    val scored = base.crossJoin(broadcast(q))
+    base.crossJoin(broadcast(q))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine"))
-    rankTopK(scored, k)
+  }
+
+  /** CONTRASTIVE-pair mining: per anchor, its POSITIVES (cosine ≥ `tau` —
+    * the near-dup band, semantically same content) and its HARD NEGATIVES
+    * (the top-k highest-cosine vectors BELOW `tau` — close enough to
+    * confuse the model, which is what makes them worth training on;
+    * random negatives are trivially separable). The training-data op that
+    * turns the corpus's own geometry into (anchor, pos, neg) triplets for
+    * embedding-model finetuning — the mining step of every
+    * contrastive/triplet pipeline.
+    *
+    * This exact form scores the id-capped all-pairs baseline (the
+    * [[knnGraph]] oracle shape); the 100 TB path swaps in the LSH
+    * candidate generator unchanged — hard negatives are by definition
+    * HIGH-cosine pairs, exactly the band LSH bucketing recalls (a
+    * low-cosine pair lost by bucketing was never a hard negative). Both
+    * roles rank through the bounded-heap [[rankTopK]], so the output is
+    * ≤ 2k rows per anchor and the final shuffle carries answers, not
+    * candidates.
+    */
+  def contrastivePairs(embeddings: DataFrame, k: Int = 5, tau: Double = 0.9,
+                       maxId: Long = Long.MaxValue): DataFrame = {
+    val scored = allPairsScored(embeddings, maxId)
+      .localCheckpoint(true) // feeds both role splits
+    val pos = rankTopK(scored.where(col("cosine") >= tau), k)
+      .withColumn("role", lit("pos"))
+    val neg = rankTopK(scored.where(col("cosine") < tau), k)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg).orderBy("qid", "role", "rk")
   }
 
   /** Approximate kNN graph — the 100 TB spelling of [[knnGraph]]:

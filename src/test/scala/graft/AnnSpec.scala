@@ -389,6 +389,41 @@ class AnnSpec extends SparkSpec {
     assert(g.filter(_._1 == 7L).sortBy(_._4).map(_._2).toSeq == expected)
   }
 
+  test("contrastivePairs: planted clusters split into same-cluster positives and cross-cluster hard negatives") {
+    // two tight clusters on orthogonal axes with a small jitter dim: same-
+    // cluster cosine ≈ 1 (positives), cross-cluster ≈ 0+ε (the negatives —
+    // and top-k picks the LEAST orthogonal ones, i.e. the hard ones)
+    def v(axis: Int, j: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a(3) = j; a
+    }
+    val emb = (
+      (0 until 4).map(i => (i.toLong, v(0, 0.01f * i))) ++
+      (4 until 8).map(i => (i.toLong, v(1, 0.01f * i)))
+    ).toDF("vec_id", "embedding")
+    val r = Ann.contrastivePairs(emb, k = 3, tau = 0.9)
+      .as[(Long, Long, Double, Long, String)].collect()
+    val byRole = r.groupBy(_._5)
+    // every anchor's positives are exactly its 3 same-cluster peers
+    byRole("pos").groupBy(_._1).foreach { case (q, rows) =>
+      val cluster = if (q < 4) (0L until 4L) else (4L until 8L)
+      assert(rows.map(_._2).toSet == (cluster.toSet - q), s"pos of $q")
+      assert(rows.forall(_._3 >= 0.9))
+    }
+    // negatives are cross-cluster only, below the band, k-capped
+    byRole("neg").groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(rows.forall(x => (x._2 < 4) != (q < 4)), s"neg of $q crosses clusters")
+      assert(rows.forall(_._3 < 0.9))
+    }
+    // roles never overlap; deterministic under repartition; empty total
+    val keys = r.map(x => (x._1, x._2, x._5))
+    assert(keys.distinct.length == keys.length)
+    val rep = Ann.contrastivePairs(emb.repartition(5), k = 3, tau = 0.9)
+      .as[(Long, Long, Double, Long, String)].collect()
+    assert(rep.toSeq == r.toSeq)
+    assert(Ann.contrastivePairs(emb.limit(0)).count() == 0)
+  }
+
   test("knnGraph maxId caps the node set on BOTH sides") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val g = Ann.knnGraph(emb, k = 2, maxId = 20L)
