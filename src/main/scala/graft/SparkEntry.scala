@@ -141,6 +141,17 @@ object SparkEntry {
         Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
         Seq("event_type")).orderBy("event_type")
     }),
+    // sketch set-algebra from the same stored table: pairwise distinct-user
+    // overlap between event types by inclusion-exclusion over hll_union —
+    // rows-only (HLL estimates are engine-specific; accuracy spec'd vs the
+    // exact intersection in ApproxAggSpec)
+    "q_distinct_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+      Analytics.distinctOverlapFromSketches(
+        Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day")),
+        "event_type")
+    }),
     // same rollup served FROM the MAINTAINED sketch store: three hash-sliced
     // micro-batches folded through the manifest-committed view, then read
     // back — batch/streaming sketch convergence on the driver gate, not

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -201,6 +201,38 @@ object Analytics {
     sketches.groupBy(byCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
         sum("n_rows").as("n_rows"))
+
+  /** Sketch SET-ALGEBRA served from the stored sketch table: estimated
+    * DISTINCT OVERLAP between every pair of groups by inclusion-exclusion
+    * — |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union estimated from
+    * `hll_union` of the STORED sketches (exact for HLL: union is the
+    * sketch's native operation; only the intersection arithmetic inherits
+    * the additive error of its three terms). The audience-overlap /
+    * shared-users question ("how many distinct users do purchase and
+    * click share") answered without ever rescanning raw data — the same
+    * serve-from-the-store contract as [[distinctFromSketches]], extended
+    * from rollups to pairwise algebra.
+    *
+    * Shape: one union-agg collapses the stored table to one sketch per
+    * group (fixed-size binaries), the pair join is |groups|² over
+    * KB-sized rows (broadcast both sides at any corpus size), estimates
+    * are the sketch's integer estimates, and the intersection clamps at 0
+    * (inclusion-exclusion can go slightly negative at HLL error scale).
+    */
+  def distinctOverlapFromSketches(sketches: DataFrame, byCol: String): DataFrame = {
+    val per = sketches.groupBy(col(byCol))
+      .agg(hll_union_agg(col("sketch")).as("sk"))
+      .localCheckpoint(true) // both sides of the pair join
+    val est: Column => Column = s => hll_sketch_estimate(s) // long estimate
+    per.as("a").join(per.as("b"), col(s"a.$byCol") < col(s"b.$byCol"))
+      .select(col(s"a.$byCol").as("group_a"), col(s"b.$byCol").as("group_b"),
+        est(col("a.sk")).as("distinct_a"), est(col("b.sk")).as("distinct_b"),
+        est(hll_union(col("a.sk"), col("b.sk"))).as("distinct_union"))
+      .withColumn("overlap_est",
+        greatest(lit(0L),
+          col("distinct_a") + col("distinct_b") - col("distinct_union")))
+      .orderBy("group_a", "group_b")
+  }
 
   /** Quantile twin of [[hllSketchTable]]: per-group value DISTRIBUTIONS
     * pre-aggregated once at the finest grouping into fixed-size mergeable

@@ -89,4 +89,35 @@ class ApproxAggSpec extends SparkSpec {
       assert(math.abs(got(k) - n).toDouble / math.max(n, 1) < 0.02)
     }
   }
+
+  test("sketch set-algebra: pairwise overlap from stored sketches tracks exact intersections") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("day", col("ts").cast("date"))
+    val daily = graft.operators.Analytics.hllSketchTable(ev, "user_id", Seq("event_type", "day"))
+    val got = graft.operators.Analytics.distinctOverlapFromSketches(daily, "event_type")
+      .select("group_a", "group_b", "overlap_est")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = ev.select("event_type").distinct().as[String].collect().sorted
+    assert(got.keySet == types.combinations(2).map(p => (p(0), p(1))).toSet)
+    // exact intersection per pair (users active in BOTH types)
+    val sets = types.map(t => t -> ev.where($"event_type" === t)
+      .select("user_id").distinct().as[Long].collect().toSet).toMap
+    got.foreach { case ((a, b), est) =>
+      val exact = (sets(a) & sets(b)).size
+      // overlap inherits the additive error of three HLL terms — allow 10%
+      // of the UNION size (the error scale), not of the tiny intersection
+      val tol = math.max(0.10 * (sets(a) | sets(b)).size, 3.0)
+      assert(math.abs(est - exact) <= tol, s"($a,$b): est $est vs exact $exact")
+    }
+    // disjoint synthetic groups clamp at 0-ish: two id ranges never overlap
+    val syn = (0L until 500L).map(i => (i, if (i < 250) "g1" else "g2"))
+      .toDF("user_id", "event_type").withColumn("day", lit("2024-01-01"))
+    val d = graft.operators.Analytics.distinctOverlapFromSketches(
+      graft.operators.Analytics.hllSketchTable(syn, "user_id", Seq("event_type", "day")),
+      "event_type").collect().head
+    assert(d.getAs[Long]("overlap_est") <= 15) // ≈0 at HLL error scale, never negative
+    assert(d.getAs[Long]("overlap_est") >= 0)
+  }
 }
