@@ -59,6 +59,23 @@ object PlanAudit {
     audit("trending", Behavior.trendingEvents(Tables.events(spark, sf)))
     audit("assortativity", Graph.degreeAssortativity(
       ev.select(col("user_id").as("src"), ((col("user_id") * 7 + 13) % 150).as("dst"))))
+    // round-7e additions: entropy must be map-only up to its orderBy
+    // (expect 1 exchange: the range partition for the sort), containment
+    // = gram df agg + pair join + size joinbacks, basket = ONE basket
+    // shuffle + map-only pair explode + item joinbacks, TWAB = opening
+    // partial agg + one per-user window, CUSUM = per-day partial agg +
+    // per-type fold, active users = distinct + min + joinback + rollup,
+    // HITS = per-half-iteration join/agg/joinback chain
+    audit("entropy", TextMetrics.entropy(docs))
+    audit("containment", Dedup.containmentPairs(docs))
+    audit("basket_affinity", Analytics.basketAffinity(
+      ev.select((col("event_id") % 1000L).as("bk"),
+        (col("user_id") % 50L).as("item")), "bk", "item"))
+    audit("twab", StateOps.timeWeightedBalance(Tables.events(spark, sf)))
+    audit("cusum", Behavior.cusumChangepoints(Tables.events(spark, sf)))
+    audit("active_users", Behavior.activeUsers(Tables.events(spark, sf)))
+    audit("hits", Graph.hits(ev.select(col("user_id").as("src"),
+      ((col("user_id") * 7 + 13) % 150).as("dst"), lit(1L).as("cap")), iters = 2))
     // print the interesting one in full
     println("==== tfidf formatted ====")
     TextMetrics.tfidfTopTerms(docs).explain("formatted")

@@ -325,6 +325,33 @@ object ScaleProbe {
       time("source_overlap/10x")(
         TextMetrics.sourceNgramOverlap(bigDocs).count())
     }
+    // round-7e additions: the entropy kernel (map-only corpus scan), the
+    // containment inverted-gram join, basket pair expansion, TWAB's
+    // opening-fold + one window, CUSUM's per-day collapse, active users,
+    // HITS (10 decimal-sum half-iterations), hybrid fusion legs
+    locally {
+      time("entropy/10x-kernel")(TextMetrics.entropy(bigDocs).count())
+      time("containment/10x-grams")(Dedup.containmentPairs(bigDocs).count())
+      time("basket_affinity/10x") {
+        // synthetic baskets off events: ~8 items per basket
+        Analytics.basketAffinity(
+          bigEvents.select((col("event_id") % 1000000L).as("bk"),
+            (col("user_id") % 5000L).as("item")), "bk", "item").count()
+      }
+      time("twab/10x")(StateOps.timeWeightedBalance(bigEvents).count())
+      time("cusum/10x-events")(Behavior.cusumChangepoints(bigEvents).count())
+      time("active_users/10x")(Behavior.activeUsers(bigEvents).count())
+      time("hits/10x-50k-nodes") {
+        val edges = bigEvents.select((col("user_id") % 50000).as("src"),
+          ((col("user_id") * 7 + 13) % 50000).as("dst"), lit(1L).as("cap"))
+        Graph.hits(edges, iters = 5).count()
+      }
+      time("hybrid_search/10x-docs") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        Retrieval.hybridSearch(bigDocs, emb,
+          Seq("dup", "spark", "merge"), 0L, legK = 20).count()
+      }
+    }
     spark.stop()
   }
 }
