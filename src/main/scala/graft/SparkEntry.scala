@@ -424,6 +424,25 @@ object SparkEntry {
     // CUSUM level-shift detection per event type (sustained small drifts
     // the single-day anomaly/trending detectors can't see)
     "q_changepoints" -> ((s, d) => Behavior.cusumChangepoints(Tables.events(s, d))),
+    // the SAME detector served from the maintained day-counts store (the
+    // additive view that also serves trending): 3 hash-sliced merges, then
+    // the whole recursion runs over stored counts, never raw events
+    "q_changepoints_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      val ev = Tables.events(s, d).persist()
+      val viewDir = java.nio.file.Files.createTempDirectory("graft-served-cusum")
+        .toString + "/view"
+      (0 until 3).foreach { i =>
+        graft.streaming.ViewMaintenance.mergeDayCountsBatch(s,
+          ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i),
+          viewDir, numBuckets = 8, version = i.toLong)
+      }
+      val counts = graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+        graft.streaming.ViewMaintenance.dayCountsDelta(ev))
+      ev.unpersist()
+      Behavior.cusumFromCounts(counts.select(col("event_type"),
+        StateOps.epochMs(col("day").cast("timestamp")).as("day"), col("n")))
+    }),
     "q_retention" -> ((s, d) => Behavior.retentionCohorts(Tables.events(s, d))),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2908,6 +2927,39 @@ object SparkEntry {
     "q_changepoints" ->
       """WITH RECURSIVE pd AS (
         | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |        round(CAST(sum(n) AS DOUBLE) / count(*), 12) AS mu,
+        |        round(sqrt(greatest(0.0,
+        |          (CAST(sum(n*n) AS DOUBLE)
+        |           - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*))
+        |          / count(*))), 12) AS sigma
+        |       FROM pd GROUP BY 1),
+        |z AS (SELECT pd.event_type, day, n,
+        |       CASE WHEN sigma > 0
+        |            THEN round((CAST(n AS DOUBLE) - mu) / sigma, 12)
+        |            ELSE 0.0 END AS z,
+        |       row_number() OVER (PARTITION BY pd.event_type ORDER BY day) AS rn
+        |      FROM pd JOIN st USING (event_type)),
+        |c AS (
+        | SELECT event_type, day, n, z, rn,
+        |  round(greatest(0.0, z - 0.5), 12) AS sp,
+        |  round(greatest(0.0, -z - 0.5), 12) AS sn
+        | FROM z WHERE rn = 1
+        | UNION ALL
+        | SELECT z.event_type, z.day, z.n, z.z, z.rn,
+        |  round(greatest(0.0, c.sp + z.z - 0.5), 12),
+        |  round(greatest(0.0, c.sn - z.z - 0.5), 12)
+        | FROM c JOIN z ON z.event_type = c.event_type AND z.rn = c.rn + 1)
+        |SELECT event_type, day, n, z, sp, sn,
+        | (sp > 4.0 OR sn > 4.0) AS changepoint
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // served twin: identical recursion over the store's DATE-keyed counts
+    // (day emitted as epoch-ms) — slicing through the additive store must
+    // be invisible on the gate
+    "q_changepoints_served" ->
+      """WITH RECURSIVE pd AS (
+        | SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day, count(*) AS n
         | FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type,
         |        round(CAST(sum(n) AS DOUBLE) / count(*), 12) AS mu,

@@ -129,11 +129,24 @@ object Behavior {
     * otherwise NaN).
     */
   def cusumChangepoints(events: DataFrame, drift: Double = 0.5,
-                        threshold: Double = 4.0): DataFrame = {
-    val perDay = events
+                        threshold: Double = 4.0): DataFrame =
+    cusumFromCounts(events
       .select(col("event_type"), StateOps.epochMs(col("ts")).as("t"))
       .select(col("event_type"), expr("t div 86400000L").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")),
+      drift, threshold)
+
+  /** [[cusumChangepoints]] served from an ALREADY-AGGREGATED per-(type,
+    * day) count frame — the entry point for counts maintained through the
+    * view store ([[graft.streaming.ViewMaintenance.mergeDayCountsBatch]],
+    * the same additive store that serves trending): the whole detector
+    * runs over the ≤ |types|·|days| stored rows, never raw events. `day`
+    * must be a LONG (epoch-ms or day index — any orderable integer
+    * timeline; the fold's accumulator type is pinned to bigint).
+    */
+  def cusumFromCounts(perDayCounts: DataFrame, drift: Double = 0.5,
+                      threshold: Double = 4.0): DataFrame = {
+    val perDay = perDayCounts.select(col("event_type"), col("day"), col("n"))
     val stats = perDay.groupBy("event_type")
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
         sum(col("n") * col("n")).as("sxx"))

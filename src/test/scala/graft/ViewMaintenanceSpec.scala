@@ -651,6 +651,19 @@ class ViewMaintenanceSpec extends SparkSpec {
         col("baseline"), col("lift"), col("trending"))
       .collect().map(_.toString).toSeq
     assert(fromStore == fromRaw)
+    // CUSUM served from the same store == CUSUM over raw events (day keys
+    // converted to the detector's epoch-ms timeline on both paths)
+    val cusumStore = graft.operators.Behavior.cusumFromCounts(
+        readView(spark, viewDir).select(col("event_type"),
+          graft.operators.StateOps.epochMs(col("day").cast("timestamp")).as("day"),
+          col("n")))
+      .collect().map(_.toString).toSeq
+    val cusumRaw = graft.operators.Behavior.cusumFromCounts(
+        ev.groupBy(col("event_type"),
+          graft.operators.StateOps.epochMs(col("ts").cast("date").cast("timestamp")).as("day"))
+          .agg(count(lit(1)).as("n")))
+      .collect().map(_.toString).toSeq
+    assert(cusumStore == cusumRaw && cusumStore.nonEmpty)
   }
 
   test("day-count store: streaming maintenance converges to the batch rollup") {
