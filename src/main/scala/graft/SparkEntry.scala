@@ -646,6 +646,12 @@ object SparkEntry {
       Economics.gini(Tables.orders(s, d).groupBy("o_custkey")
           .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
         "wealth", "o_custkey")),
+    // concentration report over the same wealth frame: Nakamoto
+    // coefficient (min holders forming a strict majority) + top-10 share
+    "q_concentration" -> ((s, d) =>
+      Economics.concentration(Tables.orders(s, d).groupBy("o_custkey")
+          .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
+        "wealth", "o_custkey")),
     // Lorenz curve deciles over the same wealth frame: "the bottom half
     // holds cum_share of the spend"
     "q_lorenz" -> ((s, d) =>
@@ -1732,6 +1738,27 @@ object SparkEntry {
         |     / (CAST(count(*) AS DOUBLE) * CAST(SUM(wd) AS DOUBLE))
         |   - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 12) AS gini
         |FROM r""".stripMargin,
+    // concentration: the majority test is exact decimal algebra
+    // (cum <= t − cum) on both engines; only shares are doubles
+    "q_concentration" ->
+      """WITH w AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS wealth
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, wealth, CAST(wealth AS DECIMAL(18,4)) AS wd,
+        |       row_number() OVER (ORDER BY wealth DESC, o_custkey) AS rnk FROM w),
+        |c AS (SELECT rnk, wd,
+        |       CAST(SUM(wd) OVER (ORDER BY rnk) AS DECIMAL(38,6)) AS cum FROM r),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_holders,
+        |       CAST(SUM(wd) AS DECIMAL(38,6)) AS t FROM r)
+        |SELECT n_holders, CAST(t AS DOUBLE) AS total,
+        | CASE WHEN t > 0 THEN
+        |   CAST(SUM(CASE WHEN cum <= t - cum THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        | END AS nakamoto,
+        | CASE WHEN t > 0 THEN
+        |   round(CAST(max(CASE WHEN rnk <= 10 THEN cum END) AS DOUBLE)
+        |         / CAST(t AS DOUBLE), 12)
+        | END AS topk_share
+        |FROM c, t GROUP BY n_holders, t""".stripMargin,
     // Lorenz deciles: bin by the exact integer rank formula (no NTILE
     // remainder convention), cumulative share from the running decimal sum
     "q_lorenz" ->

@@ -145,6 +145,44 @@ object Economics {
       .orderBy("bin")
   }
 
+  /** CONCENTRATION report: the NAKAMOTO COEFFICIENT (minimum number of
+    * top holders whose combined balance is a strict majority — the
+    * standard decentralization-health scalar of a token economy) plus
+    * the top-`topK` holders' wealth share. The decision-relevant
+    * complement of [[gini]]: Gini says "how unequal", Nakamoto says "how
+    * few actors could capture it".
+    *
+    * Same two-phase [[orderedScan]] machinery, descending (rank on the
+    * negated value; ties by `tieCol`). The majority test is EXACT decimal
+    * algebra — `cum ≤ total − cum` (⟺ 2·cum ≤ total) never touches a
+    * double, so the boundary holder cannot flip cross-engine; only the
+    * emitted shares are doubles, rounded 12 dp. Zero/negative totals
+    * yield null coefficients (no majority exists to capture).
+    */
+  def concentration(df: DataFrame, valueCol: String, tieCol: String,
+                    topK: Int = 10, numBuckets: Int = 64): DataFrame = {
+    val ranked = orderedScan(
+      df.withColumn("gr_neg", negate(col(valueCol)))
+        .withColumn("gr_w", col(valueCol).cast("decimal(18,4)")),
+      "gr_neg", tieCol, "gr_w", numBuckets)
+      .localCheckpoint(true) // feeds the 1-row total AND the report agg
+    val tot = ranked.agg(count(lit(1)).as("n_holders"),
+      sum("gr_w").cast("decimal(38,6)").as("t"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n_holders", "t")
+      .agg(
+        // count of prefixes still at-or-below half, +1 = first strict
+        // majority rank (cum is non-decreasing, so the count IS the rank−1)
+        (sum(when(col("cum_w") <= col("t") - col("cum_w"), 1L).otherwise(0L))
+          + 1L).as("nk"),
+        max(when(col("rank") <= topK, col("cum_w"))).as("topk_cum"))
+      .select(col("n_holders"), col("t").cast("double").as("total"),
+        when(col("t") > 0, col("nk")).as("nakamoto"),
+        when(col("t") > 0,
+          round(col("topk_cum").cast("double") / col("t").cast("double"), 12))
+          .as("topk_share"))
+  }
+
   /** Velocity of money per day over the indexed ERC-20 ledger: peer
     * transfer volume ÷ circulating supply (cumulative UBI issuance) —
     * "how hard does each minted unit work". `erc20Transfers` carries

@@ -98,6 +98,40 @@ class EconomicsSpec extends SparkSpec {
 
   // ---- moneyVelocity -----------------------------------------------------
 
+  test("concentration: hand-computed Nakamoto, top-k share, degenerate totals") {
+    // wealth 5,3,1,1 (total 10): cum desc = 5,8,9,10 → first strict
+    // majority (cum > 5) at rank 2
+    val r = Economics.concentration(
+      wealthDf((1L, 5.0), (2L, 3.0), (3L, 1.0), (4L, 1.0)), "wealth", "id")
+      .collect().head
+    assert(r.getAs[Long]("n_holders") == 4L && r.getAs[Double]("total") == 10.0)
+    assert(r.getAs[Long]("nakamoto") == 2L)
+    assert(r.getAs[Double]("topk_share") == 1.0) // n < topK → everyone
+    val top2 = Economics.concentration(
+      wealthDf((1L, 5.0), (2L, 3.0), (3L, 1.0), (4L, 1.0)), "wealth", "id",
+      topK = 2).collect().head
+    assert(top2.getAs[Double]("topk_share") == 0.8)
+    // perfect equality over 4: majority needs 3 holders
+    val eq = Economics.concentration(
+      wealthDf((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0)), "wealth", "id")
+      .collect().head
+    assert(eq.getAs[Long]("nakamoto") == 3L)
+    // non-positive total → null coefficient/share (no majority to capture)
+    val neg = Economics.concentration(wealthDf((1L, -5.0)), "wealth", "id")
+      .collect().head
+    assert(neg.isNullAt(neg.fieldIndex("nakamoto"))
+      && neg.isNullAt(neg.fieldIndex("topk_share")))
+    // bucket/partitioning invariance; empty totality
+    val base = Economics.concentration(
+      wealthDf((1L to 40L).map(i => (i, (i * 7 % 13).toDouble)): _*),
+      "wealth", "id").collect().head
+    val rep = Economics.concentration(
+      wealthDf((1L to 40L).map(i => (i, (i * 7 % 13).toDouble)): _*)
+        .repartition(7), "wealth", "id", numBuckets = 5).collect().head
+    assert(rep.toSeq == base.toSeq)
+    assert(Economics.concentration(wealthDf(), "wealth", "id").count() == 0)
+  }
+
   private val zero = "0x" + "0" * 40
 
   private def xfer(rows: (String, String, String, Long, String)*) = rows.map {
