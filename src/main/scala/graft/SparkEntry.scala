@@ -1104,6 +1104,10 @@ object SparkEntry {
     // asymmetric n-gram containment pairs (partial copies / quotes the
     // symmetric Jaccard family misses)
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    // entity-resolution near-dup part names: brand-blocked candidates,
+    // exact levenshtein verification
+    "q_entity_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name", "p_brand")),
     // per-doc Shannon entropy (word + char) — the degenerate-text signal
     "q_entropy" -> ((s, d) => TextMetrics.entropy(Tables.documents(s, d))),
     // cross-source 3-gram overlap matrix (contamination/provenance view)
@@ -3425,6 +3429,16 @@ object SparkEntry {
         | CASE WHEN s.n_shingles > 0
         |   THEN round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 12) END AS novelty
         |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // entity pairs: DuckDB's independent levenshtein implementation must
+    // agree with Spark's on every verified pair (same unit-cost DP spec)
+    "q_entity_pairs" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        | a.p_name AS text_a, b.p_name AS text_b,
+        | levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     // containment: the oracle runs the UNCAPPED inverted-gram brute force
     // over the same 56-bit md5 gram keys (the operator's dfCap must be
     // vacuous on the gate — demo max df is single-digit)

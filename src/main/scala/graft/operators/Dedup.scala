@@ -679,6 +679,43 @@ object Dedup {
       .orderBy(keyCol)
   }
 
+  /** ENTITY-RESOLUTION near-duplicate pairs by EDIT DISTANCE under a
+    * blocking key — the record-linkage primitive for short strings
+    * (product names, user handles, token symbols) where the shingle
+    * family is meaningless ("red widget"/"red widgets" shares almost no
+    * 3-token grams but is edit distance 1). The classic two-phase ER
+    * shape: candidates = pairs sharing the BLOCKING key (one equi-join —
+    * never all-pairs), verification = exact codegen'd `levenshtein`
+    * ≤ maxDist. Levenshtein's unit-cost DP is engine-independent, so the
+    * pair set is oracle-checkable.
+    *
+    * Scale: the block join fans Σ|block|² — the blocking key is the
+    * knob (brand, prefix, phonetic code), and `blockCap` is the loud
+    * valve (throws rather than silently quadratic — pick a finer key;
+    * multi-pass blocking with different keys is the standard recall
+    * answer and composes as a union of calls + distinct).
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, textCol: String,
+                        blockCol: String, maxDist: Int = 2,
+                        blockCap: Int = 10000): DataFrame = {
+    val b = df.select(col(keyCol).as("k"), col(textCol).as("txt"),
+        col(blockCol).as("blk"))
+      .where(col("k").isNotNull && col("txt").isNotNull && col("blk").isNotNull)
+      .localCheckpoint(true) // valve probe + both join sides
+    val over = b.groupBy("blk").agg(count(lit(1)).as("n"))
+      .where(col("n") > blockCap).limit(1).count()
+    if (over > 0) sys.error(
+      s"editDistancePairs: block over blockCap=$blockCap rows — " +
+        "a silent |block|^2 pair explosion; use a finer blocking key")
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.txt").as("text_a"), col("b.txt").as("text_b"),
+        levenshtein(col("a.txt"), col("b.txt")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("key_a", "key_b")
+  }
+
   /** ASYMMETRIC n-gram CONTAINMENT pairs: flag (a, b) when most of one
     * doc's distinct n-grams appear in the other — containment(a⊂b) =
     * |S_a ∩ S_b| / |S_a|. The signal the symmetric Jaccard family

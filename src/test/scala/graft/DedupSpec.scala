@@ -317,6 +317,38 @@ class DedupSpec extends SparkSpec {
       4L -> "added"))
   }
 
+  test("editDistancePairs: blocked candidates, exact distances, cap throws") {
+    val df = Seq(
+      (1L, "red widget", "b1"),
+      (2L, "red widgets", "b1"),  // dist 1 within block
+      (3L, "red widget", "b2"),   // identical text, DIFFERENT block → no pair
+      (4L, "blue bolt", "b1"),    // dist > 2 from the widgets
+      (5L, "red widget", "b1")    // exact dup of 1 within block
+    ).toDF("id", "name", "brand")
+    val r = graft.operators.Dedup.editDistancePairs(df, "id", "name", "brand")
+      .select("key_a", "key_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L, 1L), (1L, 5L, 0L), (2L, 5L, 1L)))
+    // kitten/sitting = the textbook distance 3 (caught at maxDist = 3)
+    val kd = graft.operators.Dedup.editDistancePairs(
+      Seq((1L, "kitten", "x"), (2L, "sitting", "x")).toDF("id", "name", "brand"),
+      "id", "name", "brand", maxDist = 3)
+      .select("dist").as[Long].collect().toSeq
+    assert(kd == Seq(3L))
+    // block cap is loud
+    val mega = (1 to 30).map(i => (i.toLong, s"n$i", "hot")).toDF("id", "name", "brand")
+    assertThrows[RuntimeException] {
+      graft.operators.Dedup.editDistancePairs(mega, "id", "name", "brand",
+        blockCap = 10).collect()
+    }
+    // repartition invariance; empty totality
+    val rep = graft.operators.Dedup.editDistancePairs(df.repartition(7),
+      "id", "name", "brand").select("key_a", "key_b", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == r)
+    assert(graft.operators.Dedup.editDistancePairs(df.limit(0),
+      "id", "name", "brand").count() == 0)
+  }
+
   test("containmentPairs: snippet-in-article asymmetry, exact dup, cap soundness") {
     import org.apache.spark.sql.functions.col
     // doc 2 = doc 1 verbatim + a long unrelated tail: Jaccard is low but
