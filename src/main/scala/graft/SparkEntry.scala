@@ -372,6 +372,13 @@ object SparkEntry {
       Graph.pageRank(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
     }),
+    // capacity-weighted PageRank: rank flows proportional to trust limits
+    "q_trust_rank_weighted" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.pageRankWeighted(trust.select(col("user").as("src"),
+        col("can_send_to").as("dst"), col("limit").as("cap")), iters = 5)
+    }),
     // HITS hubs/authorities over the same edge list (the endorser/endorsed
     // split PageRank's single score conflates)
     "q_trust_hits" -> ((s, d) => {
@@ -2843,6 +2850,7 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    "q_trust_rank_weighted" -> trustRankWeightedSql,
     "q_trust_hits" -> trustHitsSql,
     // hop-bounded recursive closure with UNION dedup: each (node, dist)
     // pair surfaces once, so rows ≤ |V|·(maxHops+1) even on cyclic graphs;
@@ -3786,6 +3794,37 @@ object SparkEntry {
       """,
         |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
         |outdeg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |p0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 12) AS r
+        |       FROM nodes),
+        |""".stripMargin + iterCtes + """
+        |SELECT node, r FROM p5 ORDER BY r DESC, node""".stripMargin
+  }
+
+  /** Unrolled weighted-PageRank twin of
+    * [[graft.operators.Graph.pageRankWeighted]] (5 iterations, damping
+    * 0.85, dangling mass dropped): contributions r·w/W(u) round to 12 dp
+    * and sum as DECIMAL(28,14) (the bm25/HITS sum rule), ranks round to
+    * 12 dp per iteration.
+    */
+  private val trustRankWeightedSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (
+        | SELECT nd.node,
+        |  round(0.15 / (SELECT count(*) FROM nodes)
+        |        + 0.85 * coalesce(c.s, 0), 12) AS r
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum(CAST(round(p.r * e.cap / o.wout, 12) AS DECIMAL(28,14)))
+        |        AS DOUBLE) AS s
+        |  FROM e1 e JOIN p${i - 1} p ON p.node = e.src
+        |            JOIN outw o ON o.src = e.src
+        |  GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    trustE1Cte +
+      """,
+        |nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+        |outw AS (SELECT src, CAST(sum(cap) AS BIGINT) AS wout
+        |         FROM e1 GROUP BY src),
         |p0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 12) AS r
         |       FROM nodes),
         |""".stripMargin + iterCtes + """

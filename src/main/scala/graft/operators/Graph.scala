@@ -148,6 +148,52 @@ object Graph {
     ranks.orderBy(col("r").desc, col("node"))
   }
 
+  /** WEIGHTED PageRank: rank flows proportional to edge WEIGHT instead of
+    * uniformly over out-edges — on the trust graph the weight is the
+    * trust LIMIT (capacity), so an account vouched for with 100%-limit
+    * edges outranks one collecting many 1%-limit edges the unweighted
+    * variant treats identically. The capacity-aware reading of 4j, over
+    * exactly the edge frame the capacity views produce.
+    *
+    *   r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)·w(u,v)/W(u),  W(u) = Σ_v w(u,v)
+    *
+    * Determinism contract as [[pageRank]] plus the HITS sum rule: each
+    * edge's contribution rounds to 12 dp and sums as decimal(28,14)
+    * (cross-engine exact), ranks round to 12 dp per iteration. Scale
+    * shape identical to [[pageRank]] — the weight rides the edge row;
+    * parallel edges collapse to max weight (the capacity-graph
+    * convention).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+                       checkpointDir: Option[String] = None,
+                       checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges
+      .where(col("cap") > 0 && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max(col("cap")).as("w"))
+      .repartition(col("src")), 0)
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), 0)
+    val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val n = nodes.count() // bounded driver aggregate: one long
+    var ranks = nodes.select(col("node"), round(lit(1.0d / n), 12).as("r"))
+    for (it <- 1 to iters) {
+      val contribs = e
+        .join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("r") * col("w") / col("wout"), 12)
+            .cast("decimal(28,14)").as("c"))
+        .groupBy("node").agg(sum("c").cast("double").as("s"))
+      ranks = cut(nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0d - damping) / n) +
+            lit(damping) * coalesce(col("s"), lit(0.0d)), 12).as("r")), it)
+    }
+    ranks.orderBy(col("r").desc, col("node"))
+  }
+
   /** Personalized PageRank (random walk with restart): rank mass restarts
     * at a SEED set instead of uniformly — "who does the network vouch for,
     * as seen from these safes". The pathfinder-adjacent relevance ranking:

@@ -31,6 +31,12 @@ class CheckpointKnobSpec extends SparkSpec {
         checkpointEvery = every).collect().toSeq == base, s"every=$every")
   }
 
+  test("pageRankWeighted: knob-independent") {
+    val base = Graph.pageRankWeighted(edges, iters = 5).collect().toSeq
+    assert(Graph.pageRankWeighted(edges, iters = 5, checkpointDir = ckDir(),
+      checkpointEvery = 2).collect().toSeq == base)
+  }
+
   test("hits: knob-independent at every-1 and every-3 cadence") {
     val base = Graph.hits(edges, iters = 5).collect().toSeq
     for (every <- Seq(1, 3))

@@ -531,6 +531,32 @@ class GraphSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("node", "scc_id"))
   }
 
+  // ---- pageRankWeighted ---------------------------------------------------
+
+  test("pageRankWeighted: weight-proportional flow, hand values, uniform ≈ plain") {
+    // one endorser splitting 90/10: after 1 iter a gets 9× b's flow
+    val e = Seq(("u", "a", 90L), ("u", "b", 10L)).toDF("src", "dst", "cap")
+    val r1 = Graph.pageRankWeighted(e, iters = 1)
+      .as[(String, Double)].collect().toMap
+    // r0 = round(1/3,12); c(a) = round(r0·90/100,12) = 0.3;
+    // c(b) = 0.033333333333; r = round(0.05 + 0.85·c, 12)
+    assert(r1("a") == 0.305 && r1("b") == 0.078333333333 && r1("u") == 0.05)
+    // uniform weights reproduce plain pageRank within the per-term
+    // rounding slack (plain sums unrounded doubles; weighted rounds each
+    // term to 12 dp first)
+    val g = (0 until 40).map(i => (s"n${(i * 7 + 3) % 11}", s"n${(i * 5 + 2) % 11}", 7L))
+      .filter(p => p._1 != p._2).toDF("src", "dst", "cap")
+    val plain = Graph.pageRank(g, iters = 5).as[(String, Double)].collect().toMap
+    val unif = Graph.pageRankWeighted(g, iters = 5).as[(String, Double)].collect().toMap
+    assert(plain.keySet == unif.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(unif(k) - v) < 1e-10, k) }
+    // deterministic under repartition; empty totality
+    val rep = Graph.pageRankWeighted(g.repartition(7), iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(rep == unif)
+    assert(Graph.pageRankWeighted(g.limit(0)).count() == 0)
+  }
+
   // ---- hits --------------------------------------------------------------
 
   test("hits: single-edge and star fixpoints, hub/authority split") {
