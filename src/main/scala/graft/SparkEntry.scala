@@ -1049,6 +1049,11 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
     // exact-k twin of q_hash_sample: TakeOrderedAndProject, never a sort
+    // weighted sample without replacement (Efraimidis–Spirakis priorities
+    // from the md5-56 uniform; longer docs proportionally likelier)
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d)
+          .select("doc_id", "n_chars"), "doc_id", "n_chars", k = 50)),
     "q_sample_topk" -> ((s, d) =>
       Sampling.sampleExactK(Tables.documents(s, d), "doc_id", 100)
         .select("doc_id", "source")),
@@ -3437,6 +3442,14 @@ object SparkEntry {
         | CASE WHEN s.n_shingles > 0
         |   THEN round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 12) END AS novelty
         |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // weighted sample: same md5-56 uniform, same pow/round-12 protocol
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        | round(pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |            + 1.0) / 72057594037927936.0,
+        |           1.0 / n_chars), 12) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
     // entity pairs: DuckDB's independent levenshtein implementation must
     // agree with Spark's on every verified pair (same unit-cost DP spec)
     "q_entity_pairs" ->

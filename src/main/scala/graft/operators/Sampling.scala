@@ -91,6 +91,38 @@ object Sampling {
                    salt: String = ""): DataFrame =
     df.orderBy(gate(col(keyCol), salt), col(keyCol)).limit(k)
 
+  /** WEIGHTED sample without replacement (Efraimidis–Spirakis A-Res,
+    * 2006): keep the k rows with the largest priority u^(1/w), where u is
+    * a DETERMINISTIC uniform drawn from the md5-56 hash convention —
+    * P(row in sample) follows the weights exactly as the randomized
+    * algorithm, but the draw is a pure function of (key, salt): rerun-,
+    * partition- and engine-stable, like every sampler in this family
+    * (reservoir sampling's answer without reservoir state or RNG
+    * nondeterminism). The quality-weighted corpus cut: w = a quality
+    * score or token count, and high-weight docs are proportionally more
+    * likely to survive — where [[hashSample]] is uniform and
+    * [[budgetSelect]] is a deterministic greedy prefix, this is the
+    * principled middle.
+    *
+    * Plan: one map pass computes priorities (u = (h+1)/2^56 ∈ (0,1];
+    * priority rounds to 12 dp before ranking — libm `pow` may differ in
+    * the last ulp and an unrounded rank could select a different
+    * boundary row, the tfidf rule), then `orderBy().limit(k)` →
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Non-positive weights are excluded (they have no sampling mass).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    val h = graft.functions.HashConv.md5Long56(
+      concat(col(keyCol).cast("string"), lit(salt)))
+    val u = (h.cast("double") + lit(1.0d)) / lit(72057594037927936.0d)
+    df.where(col(weightCol) > 0)
+      .withColumn("priority",
+        round(pow(u, lit(1.0d) / col(weightCol).cast("double")), 12))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Per-GROUP document cap: keep at most `cap` rows per group (the
     * standard "no domain may dominate the corpus" curation valve — cap
     * docs per domain/source before mixing). Selection is deterministic:

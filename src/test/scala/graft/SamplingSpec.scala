@@ -213,4 +213,37 @@ class SamplingSpec extends SparkSpec {
     assert(!out.contains(("g2", "k1")), "g1's keep of k1 must not resurrect g2's k1 row")
     assert(out.count(_._1 == "g2") == 2, "g2 holds exactly cap rows")
   }
+
+  test("weightedSample: weight-proportional, deterministic, nesting, top-k plan") {
+    import graft.operators.Sampling
+    // 500 light (w=1) vs 500 heavy (w=100) rows: the k=100 sample must be
+    // dominated by heavy rows (each heavy row is ~100× likelier)
+    val df = ((0L until 500L).map((_, 1L)) ++ (500L until 1000L).map((_, 100L)))
+      .toDF("id", "w")
+    val s = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(s.size == 100)
+    assert(s.count(_ >= 500L) > 85, s"heavy rows: ${s.count(_ >= 500L)}")
+    // deterministic under repartition; samples NEST (fixed priorities →
+    // top-k prefix property); salt redraws
+    val rep = Sampling.weightedSample(df.repartition(7), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(rep == s)
+    val s40 = Sampling.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(s40.subsetOf(s))
+    val salted = Sampling.weightedSample(df, "id", "w", k = 100, salt = "v2")
+      .select("id").as[Long].collect().toSet
+    assert(salted != s)
+    // non-positive weights carry no mass; zero-weight-only input is empty
+    val z = Sampling.weightedSample(
+      Seq((1L, 0L), (2L, -5L), (3L, 2L)).toDF("id", "w"), "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(z == Seq(3L))
+    // per-partition heaps, never a global sort
+    val plan = Sampling.weightedSample(df, "id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(Sampling.weightedSample(df.limit(0), "id", "w", k = 10).count() == 0)
+  }
 }
