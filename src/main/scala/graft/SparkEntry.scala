@@ -428,6 +428,9 @@ object SparkEntry {
         horizonMs = 2L * 86400000L)),
     // per-day DAU / new / returning split (distinct people, not events)
     "q_active_users" -> ((s, d) => Behavior.activeUsers(Tables.events(s, d))),
+    // top length-3 event paths (sequence mining; the transition matrix's
+    // n-step generalization)
+    "q_top_paths" -> ((s, d) => Behavior.topPaths(Tables.events(s, d))),
     // CUSUM level-shift detection per event type (sustained small drifts
     // the single-day anomaly/trending detectors can't see)
     "q_changepoints" -> ((s, d) => Behavior.cusumChangepoints(Tables.events(s, d))),
@@ -2998,6 +3001,16 @@ object SparkEntry {
         |SELECT event_type, day, n, z, sp, sn,
         | (sp > 4.0 OR sn > 4.0) AS changepoint
         |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |        lead(event_type, 1) OVER win AS s1,
+        |        lead(event_type, 2) OVER win AS s2
+        |       FROM events
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || s1 || '>' || s2 AS path,
+        | count(*) AS n_paths
+        |FROM e WHERE s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     // served twin: identical recursion over the store's DATE-keyed counts
     // (day emitted as epoch-ms) — slicing through the additive store must
     // be invisible on the gate

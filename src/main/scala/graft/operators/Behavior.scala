@@ -273,6 +273,34 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** TOP event PATHS: the most common length-`n` consecutive event-type
+    * sequences across users — the n-step generalization of
+    * [[transitionMatrix]] (n=2) and the "what do people actually do"
+    * view funnels presuppose (a funnel TESTS a hypothesized path; this
+    * MINES the real ones to hypothesize from).
+    *
+    * Shape: one user-keyed shuffle for the lead windows (the
+    * sessionizer's ordering, ties broken by event_id — deterministic
+    * cross-engine), n−1 lead columns over the same window (one sort),
+    * then a partial-agg count over ≤ |types|^n keys and a bounded top-k
+    * (TakeOrderedAndProject). Paths render as '>'-joined type names.
+    */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"path length < 2: $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = (1 until n).foldLeft(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).withColumn("s0", col("event_type"))) {
+      case (df, i) => df.withColumn(s"s$i", lead(col("event_type"), i).over(w))
+    }
+    steps.where(col(s"s${n - 1}").isNotNull)
+      .groupBy(concat_ws(">", (0 until n).map(i => col(s"s$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   /** Trending detection per event type: each (type, day)'s count against
     * the mean of the `lookback` PRECEDING observed days — the
     * day-over-baseline lift an ops dashboard alerts on ("error events

@@ -164,6 +164,28 @@ class BehaviorSpec extends SparkSpec {
     assert(m7 == m)
   }
 
+  test("topPaths: hand-counted sequences, cross-user isolation, tie order, top-k") {
+    val e = ev(
+      // u1: a b c a b c → paths a>b>c ×2, b>c>a ×1, c>a>b ×1
+      (0L, "2024-01-01 10:00:00", 1L, "a"), (1L, "2024-01-01 10:01:00", 1L, "b"),
+      (2L, "2024-01-01 10:02:00", 1L, "c"), (3L, "2024-01-01 10:03:00", 1L, "a"),
+      (4L, "2024-01-01 10:04:00", 1L, "b"), (5L, "2024-01-01 10:05:00", 1L, "c"),
+      // u2: a b then c for u3 — sequences never cross users
+      (6L, "2024-01-01 10:00:00", 2L, "a"), (7L, "2024-01-01 10:01:00", 2L, "b"),
+      (8L, "2024-01-01 10:02:00", 3L, "c"))
+    val r = Behavior.topPaths(e).as[(String, Long)].collect()
+    assert(r.toMap == Map("a>b>c" -> 2L, "b>c>a" -> 1L, "c>a>b" -> 1L))
+    assert(r.head == ("a>b>c", 2L)) // count desc, then path asc
+    assert(r(1) == ("b>c>a", 1L))
+    // same-ts ties order by event_id; k cut; n=2 equals transition pairs
+    assert(Behavior.topPaths(e, k = 1).count() == 1)
+    val p2 = Behavior.topPaths(e, n = 2).as[(String, Long)].collect().toMap
+    assert(p2("a>b") == 3L) // u1 ×2 + u2 ×1
+    val rep = Behavior.topPaths(e.repartition(7)).as[(String, Long)].collect()
+    assert(rep.toSeq == r.toSeq)
+    assert(Behavior.topPaths(e.limit(0)).count() == 0)
+  }
+
   test("cusumChangepoints: planted level shift trips both sides at the hand-computed days") {
     // 2 events/day for 10 days then 8/day for 10 days: μ=5, σ=3 exactly,
     // so z=∓1. S⁻ grows 0.5/day through the low regime (>4 at day index
