@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, batched decode/feature-extract over partitions.
   *
   * The Spark-side contract is real and tested — schema, partition-batched
-  * execution, deterministic output. The IMAGE path has a REAL decoder for
+  * execution, deterministic output. The IMAGE path has REAL decoders for
   * the PPM P6 container ([[decodePpm]] — dependency-free: ASCII header +
-  * raw RGB) and the AUDIO path a REAL decoder for RIFF/WAVE PCM
-  * ([[decodeWav]] — chunk walk + sample normalization), both exercised
-  * end-to-end over genuine payloads; other formats (jpeg, mp3, video —
+  * raw RGB) and uncompressed 24-bpp BMP ([[decodeBmp]] — LE header walk,
+  * row padding, both row orders), and the AUDIO path a REAL decoder for
+  * RIFF/WAVE PCM ([[decodeWav]] — chunk walk + sample normalization), all
+  * exercised end-to-end over genuine payloads; other formats (jpeg, mp3,
+  * video —
   * this environment ships no codec libraries) fall back to a deterministic
   * STUB (`fakeDecode`) with a visible `real_decode = false` quarantine
   * flag. Swapping in a full codec (e.g. javacpp-ffmpeg) changes no
@@ -94,9 +96,60 @@ object BinaryPipeline {
     }
   }
 
-  /** Image decode stage: REAL per-channel means for PPM payloads, stub
-    * features + `real_decode = false` for everything else (quarantine
-    * semantics: nothing throws, undecodable rows are visibly flagged).
+  /** REAL decoder for uncompressed 24-bpp BMP (BITMAPINFOHEADER, BI_RGB)
+    * — the second raster container that needs no codec library. Handles
+    * bottom-up (positive height) and top-down (negative height) row
+    * order and the 4-byte row padding; emits row-major top-down RGB,
+    * exactly [[decodePpm]]'s convention, so every consumer (channel
+    * means, resize, dHash) works on either container unchanged.
+    * Palette/compressed/≠24-bpp variants → None (quarantine — the same
+    * honesty contract as the other codecs).
+    */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    if (payload.length < 54 || payload(0) != 'B'.toByte || payload(1) != 'M'.toByte)
+      return None
+    val dataOff = i32(10)
+    if (i32(14) < 40) return None // pre-BITMAPINFOHEADER variants
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (u16(26) != 1 || u16(28) != 24 || i32(30) != 0) return None
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > payload.length)
+      return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val d = (y * w + x) * 3
+        out(d) = payload(s + 2)     // BMP stores BGR
+        out(d + 1) = payload(s + 1)
+        out(d + 2) = payload(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** The raster front door: PPM first (cheap magic check), then BMP —
+    * one decode entry for every consumer, quarantine on both misses.
+    */
+  def decodeRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpm(payload).orElse(decodeBmp(payload))
+
+  /** Image decode stage: REAL per-channel means for PPM/BMP payloads,
+    * stub features + `real_decode = false` for everything else
+    * (quarantine semantics: nothing throws, undecodable rows are visibly
+    * flagged).
     */
   def decodeImages(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
@@ -108,7 +161,7 @@ object BinaryPipeline {
     media.where(col("modality") === "image").mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        decodePpm(p) match {
+        decodeRaster(p) match {
           case Some((w, h, rgb)) =>
             val sums = new Array[Double](3)
             var i = 0
@@ -249,7 +302,7 @@ object BinaryPipeline {
     media.where(col("modality") === "image").mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        val px = decodePpm(p) match {
+        val px = decodeRaster(p) match {
           case Some((w, h, rgb)) =>
             Array.tabulate(outW * outH) { i =>
               val (ox, oy) = (i % outW, i / outW)
@@ -290,7 +343,7 @@ object BinaryPipeline {
     media.where(col("modality") === "image").mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        decodePpm(p) match {
+        decodeRaster(p) match {
           case Some((w, h, rgb)) =>
             val (gw, gh) = (9, 8)
             val luma = Array.tabulate(gw * gh) { i =>

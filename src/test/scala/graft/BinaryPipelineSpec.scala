@@ -190,4 +190,50 @@ class BinaryPipelineSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  private def bmpBytes(w: Int, h: Int, rgb: Array[Byte],
+                       topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- 0 until h) {
+      val srcY = if (topDown) y else h - 1 - y
+      for (x <- 0 until w) {
+        val o = (srcY * w + x) * 3
+        buf.put(rgb(o + 2)).put(rgb(o + 1)).put(rgb(o)) // file stores BGR
+      }
+      (w * 3 until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("decodeBmp: both row orders, row padding, quarantine, PPM parity") {
+    // 3×2 pattern — width 3 forces a 9→12-byte padded row
+    val rgb = Array[Int](
+      255, 0, 0,   0, 255, 0,   0, 0, 255,
+      10, 20, 30,  40, 50, 60,  70, 80, 90).map(_.toByte)
+    val up = BinaryPipeline.decodeBmp(bmpBytes(3, 2, rgb))
+    val down = BinaryPipeline.decodeBmp(bmpBytes(3, 2, rgb, topDown = true))
+    assert(up.exists { case (w, h, px) => w == 3 && h == 2 && px.toSeq == rgb.toSeq })
+    assert(down.exists { case (w, h, px) => w == 3 && h == 2 && px.toSeq == rgb.toSeq })
+    // non-24-bpp / compressed / truncated → quarantine
+    val bad8 = bmpBytes(3, 2, rgb); bad8(28) = 8
+    assert(BinaryPipeline.decodeBmp(bad8).isEmpty)
+    assert(BinaryPipeline.decodeBmp(bmpBytes(3, 2, rgb).dropRight(5)).isEmpty)
+    assert(BinaryPipeline.decodeBmp("BMnot a real bmp".getBytes).isEmpty)
+    // the same pixels through PPM and BMP decode identically via the
+    // shared raster front door → identical downstream features/hashes
+    val ppm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(BinaryPipeline.decodeRaster(ppm).map(_._3.toSeq) ==
+      BinaryPipeline.decodeRaster(bmpBytes(3, 2, rgb)).map(_._3.toSeq))
+    // end-to-end: a BMP row real-decodes in the image stage
+    val media = Seq((1L, "image", bmpBytes(3, 2, rgb))).toDF("media_id", "modality", "payload")
+    val r = BinaryPipeline.decodeImages(media).collect().head
+    assert(r.getAs[Boolean]("real_decode") && r.getAs[Int]("width") == 3)
+  }
 }
