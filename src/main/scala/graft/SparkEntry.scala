@@ -428,6 +428,10 @@ object SparkEntry {
         horizonMs = 2L * 86400000L)),
     // per-day DAU / new / returning split (distinct people, not events)
     "q_active_users" -> ((s, d) => Behavior.activeUsers(Tables.events(s, d))),
+    // day-of-week-adjusted anomaly flags (weekly periodicity removed
+    // before standardizing — the seasonal member of the monitoring family)
+    "q_seasonal_anomalies" -> ((s, d) =>
+      Behavior.seasonalAnomalies(Tables.events(s, d))),
     // top length-3 event paths (sequence mining; the transition matrix's
     // n-step generalization)
     "q_top_paths" -> ((s, d) => Behavior.topPaths(Tables.events(s, d))),
@@ -3001,6 +3005,25 @@ object SparkEntry {
         |SELECT event_type, day, n, z, sp, sn,
         | (sp > 4.0 OR sn > 4.0) AS changepoint
         |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_seasonal_anomalies" ->
+      """WITH pd AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |pdd AS (SELECT *, (day + 4) % 7 AS dow FROM pd),
+        |st AS (SELECT event_type, dow,
+        |        round(CAST(sum(n) AS DOUBLE) / count(*), 12) AS mu,
+        |        round(sqrt(greatest(0.0,
+        |          (CAST(sum(n*n) AS DOUBLE)
+        |           - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*))
+        |          / count(*))), 12) AS sigma
+        |       FROM pdd GROUP BY 1, 2)
+        |SELECT event_type, day, dow, n, mu, sigma,
+        | CASE WHEN sigma > 0 THEN round((CAST(n AS DOUBLE) - mu) / sigma, 12)
+        |      ELSE 0.0 END AS z,
+        | abs(CASE WHEN sigma > 0 THEN round((CAST(n AS DOUBLE) - mu) / sigma, 12)
+        |      ELSE 0.0 END) > 3.0 AS is_anomaly
+        |FROM pdd JOIN st USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin,
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |        lead(event_type, 1) OVER win AS s1,

@@ -273,6 +273,45 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** SEASONAL anomaly flags per event type — each (type, day)'s count
+    * against that type's DAY-OF-WEEK baseline: weekly periodicity is the
+    * dominant cycle in human activity, and a whole-series detector
+    * ([[robustAnomalies]], [[cusumChangepoints]]) reads every quiet
+    * Sunday as an anomaly and every busy Monday as a spike. Standardizing
+    * within (type, dow) removes exactly that cycle; what remains flagging
+    * |z| > k is genuinely off-pattern.
+    *
+    * Shape: the same ≤ |types|·|days| partial-agg collapse; dow = the
+    * pure integer `(day + 4) mod 7` over the epoch-day index (1970-01-01
+    * was a Thursday) — no calendar function to disagree on across
+    * engines; per-(type, dow) stats are exact integer moment sums (the
+    * cusum spelling: clamped variance, 12-dp rounds, σ=0 → z=0).
+    */
+  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val perDay = events
+      .select(col("event_type"), StateOps.epochMs(col("ts")).as("t"))
+      .select(col("event_type"), expr("t div 86400000L").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("pmod(day + 4, 7)"))
+    val stats = perDay.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .select(col("event_type"), col("dow"),
+        round(col("sx").cast("double") / col("nd").cast("double"), 12).as("mu"),
+        round(sqrt(greatest(lit(0.0d),
+          (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("nd").cast("double")) /
+            col("nd").cast("double"))), 12).as("sigma"))
+    perDay.join(broadcast(stats), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("mu"), col("sigma"),
+        when(col("sigma") > 0.0d,
+          round((col("n").cast("double") - col("mu")) / col("sigma"), 12))
+          .otherwise(lit(0.0d)).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > k)
+      .orderBy("event_type", "day")
+  }
+
   /** TOP event PATHS: the most common length-`n` consecutive event-type
     * sequences across users — the n-step generalization of
     * [[transitionMatrix]] (n=2) and the "what do people actually do"

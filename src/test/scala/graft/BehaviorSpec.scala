@@ -164,6 +164,34 @@ class BehaviorSpec extends SparkSpec {
     assert(m7 == m)
   }
 
+  test("seasonalAnomalies: dow baseline isolates the off-pattern Sunday") {
+    // Sundays (Jan 7/14/21/28 2024) run n=2 except one n=20 outlier;
+    // Mondays run a constant n=10. Within-dow stats: Monday σ=0 → z=0;
+    // Sunday μ=6.5, σ=round(sqrt(60.75),12) → z(20)=1.732… — only the odd
+    // Sunday crosses k=1.5 (a whole-series z would read EVERY Sunday as
+    // low and every Monday as high)
+    val days = Seq(("2024-01-07", 2), ("2024-01-14", 2), ("2024-01-21", 20),
+      ("2024-01-28", 2), ("2024-01-08", 10), ("2024-01-15", 10),
+      ("2024-01-22", 10), ("2024-01-29", 10))
+    val rows = days.zipWithIndex.flatMap { case ((d, n), di) =>
+      (0 until n).map(j => (di * 100L + j, f"$d 0${j % 10}:0${j / 10}:00", 1L, "a"))
+    }
+    val r = Behavior.seasonalAnomalies(ev(rows: _*), k = 1.5)
+      .select("day", "dow", "n", "z", "is_anomaly")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r.length == 8)
+    // 2024-01-07 is a Sunday: epoch-day 19729, (19729+4)%7 == 0 + all
+    // Sundays share a dow; Mondays share another
+    val sundays = r.filter(_._3 != 10L)
+    assert(sundays.map(_._2).distinct.length == 1)
+    assert(r.filter(_._3 == 10L).forall(x => x._4 == 0.0 && !x._5)) // σ=0 weekdays
+    val flagged = r.filter(_._5)
+    assert(flagged.length == 1 && flagged.head._3 == 20L)
+    assert(flagged.head._4 == 1.732050807569)
+    assert(sundays.filter(_._3 == 2L).forall(x => !x._5 && x._4 < 0))
+    assert(Behavior.seasonalAnomalies(ev(rows: _*).limit(0)).count() == 0)
+  }
+
   test("topPaths: hand-counted sequences, cross-user isolation, tie order, top-k") {
     val e = ev(
       // u1: a b c a b c → paths a>b>c ×2, b>c>a ×1, c>a>b ×1
