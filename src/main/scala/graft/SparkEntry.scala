@@ -83,6 +83,12 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => Analytics.segmentPercentilesApprox(Tables.customer(s, d))),
     // group-size skew diagnostics over the orders-per-customer key
     "q_skew_report" -> ((s, d) => Analytics.skewReport(Tables.orders(s, d), "o_custkey")),
+    // global percentile-rank normalization of account balances (two-phase
+    // scan — never an unpartitioned percent_rank window)
+    "q_percentile_norm" -> ((s, d) =>
+      Analytics.percentileNormalize(
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        "c_acctbal", "c_custkey")),
     // market-basket pair affinity over order line items (parts co-bought;
     // the Circles reading is token co-holding over the balance cache)
     "q_basket_affinity" -> ((s, d) =>
@@ -1631,6 +1637,16 @@ object SparkEntry {
         | round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
         | count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_percentile_norm" ->
+      """WITH r AS (SELECT c_custkey, c_acctbal,
+        |        row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk,
+        |        count(*) OVER () AS n
+        |       FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        | CASE WHEN n > 1
+        |      THEN round(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 12)
+        |      ELSE 0.0 END AS pct
+        |FROM r ORDER BY c_custkey""".stripMargin,
     // basket-affinity oracle runs the self-join spelling the operator
     // avoids (an independent derivation of the same pair counts); double
     // casts mirror the operator's multiply-then-divide association

@@ -327,6 +327,37 @@ object Analytics {
     heavy.crossJoin(stats).orderBy("rank")
   }
 
+  /** GLOBAL percentile-rank normalization — the rank-based feature
+    * transform (quantile scaling) ML preprocessing applies before
+    * training: each row's value mapped to its corpus-wide percent rank
+    * (rank−1)/(n−1) ∈ [0, 1]. Rank transforms are the robust answer to
+    * arbitrary feature distributions (outliers land at 1.0 instead of
+    * stretching the scale).
+    *
+    * The 100 TB point: a bare `percent_rank() OVER (ORDER BY x)` collapses
+    * the table into ONE task (row 39b's distribution windows are
+    * per-SEGMENT — partitioned — so they dodge this); the global version
+    * here rides [[Economics.orderedScan]]'s two-phase distributed scan
+    * (range-bucket → ≤numBuckets totals → per-bucket windows + literal
+    * bases). Ties break by `tieCol` so equal values get distinct
+    * neighboring ranks — rerun-deterministic, and the oracle's
+    * row_number spelling matches exactly; n=1 maps to 0 (the
+    * percent_rank convention).
+    */
+  def percentileNormalize(df: DataFrame, valueCol: String, tieCol: String,
+                          numBuckets: Int = 64): DataFrame = {
+    val scanned = graft.operators.Economics.orderedScan(
+        df.withColumn("gr_w", lit(0L)), valueCol, tieCol, "gr_w", numBuckets)
+      .drop("gr_w", "cum_w")
+    val n1 = df.agg(count(lit(1)).as("n"))
+    scanned.crossJoin(broadcast(n1))
+      .select(col(tieCol), col(valueCol),
+        when(col("n") > 1,
+          round((col("rank") - 1).cast("double") / (col("n") - 1).cast("double"), 12))
+          .otherwise(lit(0.0d)).as("pct"))
+      .orderBy(tieCol)
+  }
+
   /** Market-BASKET affinity: for every item pair co-occurring in a basket,
     * the co-count plus the association measures (support, confidence a→b,
     * lift) — "bought together" over orders, "co-held tokens" over the

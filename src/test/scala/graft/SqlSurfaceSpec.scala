@@ -48,4 +48,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cls(0, 1).map(_.getAs[Double]("sum_price")).sum == 150.0)
     assert(cls(1, 0).map(_.getAs[Double]("sum_price")).sum == 150.0)
   }
+
+  test("percentileNormalize: hand ranks, tie determinism, scan invariance, n=1") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq((1L, 50.0), (2L, 10.0), (3L, 30.0), (4L, 10.0), (5L, 99.0))
+      .toDF("id", "x")
+    val r = Analytics.percentileNormalize(df, "x", "id")
+      .as[(Long, Double, Double)].collect().map(x => x._1 -> x._3).toMap
+    // order: (10,id2) (10,id4) (30) (50) (99) → ranks 1..5, pct (r−1)/4
+    assert(r == Map(2L -> 0.0, 4L -> 0.25, 3L -> 0.5, 1L -> 0.75, 5L -> 1.0))
+    val rep = Analytics.percentileNormalize(df.repartition(7), "x", "id",
+      numBuckets = 3).as[(Long, Double, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(rep == r)
+    val one = Analytics.percentileNormalize(Seq((9L, 42.0)).toDF("id", "x"), "x", "id")
+      .as[(Long, Double, Double)].collect()
+    assert(one.toSeq == Seq((9L, 42.0, 0.0)))
+    assert(Analytics.percentileNormalize(df.limit(0), "x", "id").count() == 0)
+  }
 }
