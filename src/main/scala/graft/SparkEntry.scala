@@ -897,6 +897,9 @@ object SparkEntry {
     "q_sessions" -> ((s, d) => StateOps.sessionize(Tables.events(s, d))),
     // time-weighted average balance over the trailing week at the frontier
     "q_twab" -> ((s, d) => StateOps.timeWeightedBalance(Tables.events(s, d))),
+    // nearest purchase around each click (both-directions attribution)
+    "q_nearest_event" -> ((s, d) =>
+      StateOps.nearestEvent(Tables.events(s, d), "click", "purchase")),
     "q_resample_locf" -> ((s, d) => StateOps.resampleLocf(Tables.events(s, d))),
     "q_gaps" -> ((s, d) => Integrity.gaps(Tables.lineitem(s, d), "l_orderkey")),
     "q_last_valid" -> ((s, d) =>
@@ -2023,6 +2026,35 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    // nearest-event: same IGNORE-NULLS window frames, same tie preference
+    "q_nearest_event" ->
+      """WITH f AS (SELECT user_id,
+        |        CAST(floor(epoch_us(ts) / 1000.0) AS BIGINT) AS tms,
+        |        event_id, event_type
+        |       FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN tms END
+        |         IGNORE NULLS) OVER pre AS prev_ts,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |         IGNORE NULLS) OVER pre AS prev_id,
+        |       first_value(CASE WHEN event_type = 'purchase' THEN tms END
+        |         IGNORE NULLS) OVER post AS next_ts,
+        |       first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |         IGNORE NULLS) OVER post AS next_id
+        |      FROM f
+        |      WINDOW pre AS (PARTITION BY user_id ORDER BY tms, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             post AS (PARTITION BY user_id ORDER BY tms, event_id
+        |                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id AS anchor_event_id, tms AS anchor_ms,
+        | CASE WHEN next_ts IS NULL
+        |        OR (prev_ts IS NOT NULL AND tms - prev_ts <= next_ts - tms)
+        |      THEN prev_id ELSE next_id END AS target_event_id,
+        | CASE WHEN next_ts IS NULL
+        |        OR (prev_ts IS NOT NULL AND tms - prev_ts <= next_ts - tms)
+        |      THEN prev_ts - tms ELSE next_ts - tms END AS delta_ms
+        |FROM w WHERE event_type = 'click'
+        |ORDER BY anchor_event_id""".stripMargin,
     // TWAB: decimal balances × ms durations summed as decimal end-to-end;
     // only the final ratio is a double (rounded 6 — balance-sized magnitude
     // leaves ~10 significant digits, inside cross-engine double agreement)

@@ -153,6 +153,49 @@ object StateOps {
       .orderBy("user_id")
   }
 
+  /** NEAREST-event join: for every anchor-type event, the nearest
+    * target-type event of the same user by absolute time distance,
+    * looking BOTH directions — the attribution question as-of joins
+    * answer only half of ([[AsOf]] finds the latest target BEFORE the
+    * anchor; "which purchase belongs to this click" often sits just
+    * after). Equal distances prefer the earlier target (deterministic,
+    * and the convention the oracle mirrors).
+    *
+    * Shape: ONE user-keyed window sort over the two filtered event types
+    * (pushdown-friendly isin at the scan) — the LOCF union discipline:
+    * the previous/next target ride as IGNORE-NULLS last/first over
+    * frames excluding the current row, so no range join and no second
+    * shuffle; anchors with no target on either side keep a null match
+    * (left semantics).
+    */
+  def nearestEvent(events: DataFrame, anchorType: String,
+                   targetType: String): DataFrame = {
+    val f = events.where(col("event_type").isin(anchorType, targetType))
+      .select(col("user_id"), epochMs(col("ts")).as("tms"), col("event_id"),
+        col("event_type"))
+    val ord = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val tTs = when(col("event_type") === targetType, col("tms"))
+    val tId = when(col("event_type") === targetType, col("event_id"))
+    val withNbrs = f
+      .withColumn("prev_ts", last(tTs, ignoreNulls = true).over(before))
+      .withColumn("prev_id", last(tId, ignoreNulls = true).over(before))
+      .withColumn("next_ts", first(tTs, ignoreNulls = true).over(after))
+      .withColumn("next_id", first(tId, ignoreNulls = true).over(after))
+      .where(col("event_type") === anchorType)
+    val preferPrev = col("next_ts").isNull ||
+      (col("prev_ts").isNotNull &&
+        (col("tms") - col("prev_ts")) <= (col("next_ts") - col("tms")))
+    withNbrs.select(col("user_id"), col("event_id").as("anchor_event_id"),
+        col("tms").as("anchor_ms"),
+        when(preferPrev, col("prev_id")).otherwise(col("next_id"))
+          .as("target_event_id"),
+        when(preferPrev, col("prev_ts") - col("tms"))
+          .otherwise(col("next_ts") - col("tms")).as("delta_ms"))
+      .orderBy("anchor_event_id")
+  }
+
   /** Tumbling-window throughput stats (reference `Statistics.cs` tracks
     * blocks/tx per interval; the streaming twin lives in
     * streaming/EventPipeline). Batch form: date_trunc — partial-aggregated,

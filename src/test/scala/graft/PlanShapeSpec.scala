@@ -106,4 +106,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(readSchemas.forall(s => !s.contains("doc_id") && !s.contains("n_chars")),
       s"unused columns in the documents scan:\n${readSchemas.mkString("\n")}")
   }
+
+  test("entropy: map-only corpus pass — the only exchange is the final sort") {
+    val plan = planOf("q_entropy")
+    assert("Exchange".r.findAllIn(plan).length <= 1, s"entropy gained a shuffle:\n$plan")
+    assert(plan.contains("graft_sorted_run_lengths"), s"kernel lost:\n$plan")
+    // column pruning reaches the scan: text + doc_id only
+    val rs = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+    assert(rs.forall(s => !s.contains("source") && !s.contains("lang")), s"$rs")
+  }
+
+  test("basketAffinity: ONE basket shuffle + map-only pair explode, no self-join") {
+    val plan = finalPlanOf("q_basket_affinity")
+    // collect_set agg + pair count agg + item count agg + final sort + the
+    // two count joinbacks — but NO join of the fact table with itself
+    assert(!plan.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(plan).length <= 2, s"basket self-join appeared:\n$plan")
+    assert(plan.contains("Generate explode"), s"pair explosion not map-side:\n$plan")
+  }
+
+  test("weightedSample / topPaths keep bounded top-k plans") {
+    assert(planOf("q_weighted_sample").contains("TakeOrderedAndProject"))
+    assert(planOf("q_top_paths").contains("TakeOrderedAndProject"))
+  }
+
+  test("twab: opening-fold predicate prunes at the scan; one window") {
+    val plan = planOf("q_twab")
+    assert("Window \\[".r.findAllIn(plan).length == 1,
+      s"TWAB should have exactly one per-user window:\n$plan")
+  }
+
+  test("hybridSearch: the corpus-side BM25 leg ends in a bounded top-k") {
+    val plan = planOf("q_hybrid_search")
+    assert(plan.contains("TakeOrderedAndProject"), s"BM25 leg lost its heap:\n$plan")
+  }
 }

@@ -93,6 +93,32 @@ class StateOpsSpec extends SparkSpec {
       (4L, 10L, 9.0), (4L, 20L, 9.0), (4L, 30L, 3.0)))
   }
 
+  test("nearestEvent: both directions, tie prefers earlier, no-target nulls") {
+    val e = Seq(
+      // u1: purchase at 10:00 and 10:10; clicks at 10:02 (prev closer),
+      // 10:09 (next closer), 10:05 (tie → earlier target)
+      (0L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:02:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:09:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      // u2: a click with no purchase anywhere → null match
+      (5L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0, "{}"),
+      // u3: other users' purchases must not leak across the partition
+      (6L, ts("2024-01-01 10:00:30"), 3L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StateOps.nearestEvent(e, "click", "purchase").collect()
+      .map(x => x.getLong(1) -> (Option(x.get(3)), Option(x.get(4)))).toMap
+    assert(r(2L) == ((Some(0L), Some(-120000L)))) // prev at 2 min back
+    assert(r(3L) == ((Some(1L), Some(60000L))))   // next at 1 min ahead
+    assert(r(4L) == ((Some(0L), Some(-300000L)))) // 5-min tie → earlier
+    assert(r(5L) == ((None, None)))               // no purchase for u2
+    val rep = StateOps.nearestEvent(e.repartition(7), "click", "purchase")
+      .collect().map(x => x.getLong(1) -> Option(x.get(3))).toMap
+    assert(rep == r.view.mapValues(_._1).toMap)
+    assert(StateOps.nearestEvent(e.limit(0), "click", "purchase").count() == 0)
+  }
+
   test("timeWeightedBalance: opening carry, segment weights, frontier zero-duration") {
     // frontier t1 = 2024-01-03 00:00 (u2's last event), window = 1 day
     val ev = Seq(
