@@ -1138,6 +1138,10 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name", "p_brand")),
     // per-doc Shannon entropy (word + char) — the degenerate-text signal
     "q_entropy" -> ((s, d) => TextMetrics.entropy(Tables.documents(s, d))),
+    // canonicalization pass (case/control/whitespace) ahead of exact dedup
+    "q_text_normalize" -> ((s, d) =>
+      TextMetrics.normalizeText(Tables.documents(s, d))
+        .select("doc_id", "norm_text", "changed").orderBy("doc_id")),
     // cross-source 3-gram overlap matrix (contamination/provenance view)
     "q_source_overlap" -> ((s, d) =>
       TextMetrics.sourceNgramOverlap(Tables.documents(s, d))),
@@ -3544,6 +3548,15 @@ object SparkEntry {
         | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+    // normalization: full normalized TEXT compared byte-for-byte (the
+    // pii_redact precedent); same portable regexes, 'g' for global
+    "q_text_normalize" ->
+      ("""SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        | trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""").stripMargin,
     // containment: the oracle runs the UNCAPPED inverted-gram brute force
     // over the same 56-bit md5 gram keys (the operator's dfCap must be
     // vacuous on the gate — demo max df is single-digit)

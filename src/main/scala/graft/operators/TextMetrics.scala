@@ -621,6 +621,25 @@ object TextMetrics {
       .orderBy("source_a", "source_b")
   }
 
+  /** Text NORMALIZATION — the canonicalization pass run before exact
+    * dedup so trivially-variant copies (case, whitespace runs, control
+    * chars) collapse to one key: lowercase → control characters become
+    * spaces (deleting them would weld "a\tb" into "ab") → collapse
+    * whitespace runs to single spaces → trim. Map-only, in the
+    * portable regex subset (Java and RE2/DuckDB agree byte-for-byte —
+    * the PII discipline); `changed` flags rows the pass altered (the
+    * audit column curation stages carry). Composes in front of
+    * [[Dedup.exact]]/[[Dedup.exactByHash]] by keying on `norm_text` —
+    * a raw-text dedup calls "Hello  World" and "hello world" distinct.
+    */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[\\x00-\\x1f\\x7f]", " "),
+          " +", " ")))
+      .withColumn("changed", col("norm_text") =!= col("text"))
+
   /** Per-document Shannon ENTROPY (nats) at word and character
     * granularity — the degenerate-text signal the ratio metrics miss:
     * keyboard mash scores high char-entropy, single-token spam scores

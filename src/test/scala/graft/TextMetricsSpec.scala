@@ -388,6 +388,33 @@ class TextMetricsSpec extends SparkSpec {
     assert(graft.operators.TextMetrics.sourceNgramOverlap(empty).count() == 0)
   }
 
+  test("normalizeText: case/control/whitespace arms; normalized dedup collapses variants") {
+    val docs = Seq(
+      (1L, "Hello  World"),           // case + double space
+      (2L, "hello world"),            // the canonical form, unchanged
+      (3L, "hello\tworld\n"),         // control chars strip then trim
+      (4L, "  hello   world  "),      // runs + ends
+      (5L, "distinct doc")
+    ).toDF("doc_id", "text")
+    val n = graft.operators.TextMetrics.normalizeText(docs)
+      .select("doc_id", "norm_text", "changed")
+      .as[(Long, String, Boolean)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert((1L to 4L).forall(i => n(i)._1 == "hello world"))
+    assert(!n(2L)._2 && n(1L)._2 && n(3L)._2 && n(4L)._2)
+    assert(n(5L) == (("distinct doc", false)))
+    // keying exact dedup on norm_text collapses all four variants to the
+    // min-id representative — a raw-text dedup keeps them all distinct
+    import org.apache.spark.sql.functions.col
+    val dedup = graft.operators.Dedup.exact(
+        graft.operators.TextMetrics.normalizeText(docs)
+          .select(col("doc_id"), col("norm_text").as("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(dedup == Map(1L -> 4L, 5L -> 1L))
+    assert(graft.operators.Dedup.exact(docs).collect()
+      .forall(_.getLong(1) == 1L))
+    assert(graft.operators.TextMetrics.normalizeText(docs.limit(0)).count() == 0)
+  }
+
   test("entropy: hand cases, uniform = ln k, degenerate = 0, empty-text conventions") {
     def r12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
