@@ -261,6 +261,51 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** WINDOWED audio features over the real WAV decode: per fixed-length
+    * window of the FIRST channel, RMS energy, zero-crossing rate (the
+    * crossings/sample proxy for dominant frequency — a 440 Hz tone at
+    * 8 kHz crosses ~0.11/sample; silence crosses 0) and peak — the
+    * signal-level triage a speech/music curation stage runs (silence
+    * trimming, clipping detection, activity segmentation) before any
+    * model touches the audio. 1→N rows per clip, short tail window kept
+    * (`n_samples` carries its true length); undecodable payloads yield
+    * NO rows here — [[decodeAudio]] is the quarantine surface.
+    */
+  def audioWindowFeatures(media: DataFrame, windowMs: Int = 250): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zcr", DoubleType, nullable = false),
+      StructField("peak", DoubleType, nullable = false))))
+    media.where(col("modality") === "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]]("payload")) match {
+          case Some((rate, _, chans)) if chans.nonEmpty =>
+            val s = chans(0)
+            val win = math.max(1, rate * windowMs / 1000)
+            (0 until s.length by win).iterator.zipWithIndex.map { case (o, wi) =>
+              val end = math.min(o + win, s.length)
+              var acc = 0.0; var peak = 0.0; var zc = 0
+              var i = o
+              while (i < end) {
+                val x = s(i)
+                acc += x * x
+                if (math.abs(x) > peak) peak = math.abs(x)
+                if (i > o && (x >= 0.0) != (s(i - 1) >= 0.0)) zc += 1
+                i += 1
+              }
+              val n = end - o
+              Row(r.getAs[Long]("media_id"), wi, n,
+                math.sqrt(acc / n), zc.toDouble / n, peak)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   private def checksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0

@@ -191,6 +191,41 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("audioWindowFeatures: silence/tone/tail windows, quarantine emits nothing") {
+    def wav(samples: Seq[Short], rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate)
+        .putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 1 kHz rate, 250 ms windows → 250 samples/window: silence window,
+    // ±8192 square-wave window, constant-16384 tail of 100 samples
+    val samples = Seq.fill[Short](250)(0) ++
+      (0 until 250).map(i => (if (i % 2 == 0) 8192 else -8192).toShort) ++
+      Seq.fill[Short](100)(16384)
+    val media = Seq(
+      (1L, "audio", wav(samples, 1000)),
+      (2L, "audio", "not audio at all".getBytes) // quarantine → no rows
+    ).toDF("media_id", "modality", "payload")
+    val r = BinaryPipeline.audioWindowFeatures(media)
+      .orderBy("media_id", "win_idx").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    assert(r.length == 3 && r.forall(_._1 == 1L))
+    val Seq(w0, w1, w2) = r.toSeq
+    assert(w0 == ((1L, 0, 250, 0.0, 0.0, 0.0)))                  // silence
+    assert(w1._3 == 250 && w1._4 == 8192.0 / 32768 &&            // square rms = amp
+      w1._5 == 249.0 / 250 && w1._6 == 8192.0 / 32768)           // crossing each step
+    assert(w2._3 == 100 && w2._4 == 0.5 && w2._5 == 0.0 && w2._6 == 0.5)
+    assert(BinaryPipeline.audioWindowFeatures(media.limit(0)).count() == 0)
+  }
+
   private def bmpBytes(w: Int, h: Int, rgb: Array[Byte],
                        topDown: Boolean = false): Array[Byte] = {
     val rowBytes = ((w * 3 + 3) / 4) * 4
