@@ -351,6 +351,31 @@ object ScaleProbe {
         Retrieval.hybridSearch(bigDocs, emb,
           Seq("dup", "spark", "merge"), 0L, legK = 20).count()
       }
+      time("weighted_pagerank/10x-50k") {
+        val edges = bigEvents.select((col("user_id") % 50000).as("src"),
+          ((col("user_id") * 7 + 13) % 50000).as("dst"),
+          (col("user_id") % 101).as("cap"))
+        Graph.pageRankWeighted(edges, iters = 5).count()
+      }
+      time("top_paths/10x")(Behavior.topPaths(bigEvents).count())
+      time("seasonal_anomalies/10x")(
+        Behavior.seasonalAnomalies(bigEvents).count())
+      time("nearest_event/10x")(
+        StateOps.nearestEvent(bigEvents, "click", "purchase").count())
+      time("percentile_norm/10x") {
+        Analytics.percentileNormalize(
+          bigEvents.select(col("event_id"), col("value")), "value", "event_id")
+          .count()
+      }
+      time("text_normalize/10x")(
+        TextMetrics.normalizeText(bigDocs).select("doc_id", "changed").count())
+      time("weighted_sample/10x")(
+        Sampling.weightedSample(bigDocs.select(col("doc_id"),
+          length(col("text")).as("w")), "doc_id", "w", k = 1000).count())
+      time("entity_pairs/10x-part") {
+        Dedup.editDistancePairs(bigPart, "p_partkey", "p_name", "p_brand")
+          .count()
+      }
     }
     spark.stop()
   }
