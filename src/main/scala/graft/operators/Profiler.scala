@@ -141,9 +141,15 @@ object Profiler {
         // EXACT zero-variance detection: a constant column must yield the
         // documented NULL r, and the double cancellation test alone can't
         // see it for values that aren't double-exact (0.1: n·Σx²−(Σx)²
-        // evaluates to ±3e-18, not 0) — distinct≤1 is exact for every case
-        countDistinct(when(both, col(a))).as(s"nda_$p"),
-        countDistinct(when(both, col(b))).as(s"ndb_$p"),
+        // evaluates to ±3e-18, not 0). min < max ⟺ ≥2 distinct non-null
+        // values — exact like countDistinct, but PLAIN aggregates: k
+        // countDistincts in one agg made Catalyst plan an Expand
+        // (pairs×7 copies of every input row — measured 11s → ~1.5s on
+        // the sf0.1 lineitem for this exact query)
+        min(when(both, col(a))).as(s"mina_$p"),
+        max(when(both, col(a))).as(s"maxa_$p"),
+        min(when(both, col(b))).as(s"minb_$p"),
+        max(when(both, col(b))).as(s"maxb_$p"),
         sum(when(both, d(a))).as(s"sx_$p"),
         sum(when(both, d(b))).as(s"sy_$p"),
         sum(when(both, d(a) * d(b))).as(s"sxy_$p"),
@@ -167,7 +173,9 @@ object Profiler {
       val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0d))) *
         sqrt(greatest(n * syy - sy * sy, lit(0.0d)))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        when(col(s"n_$p") > 1 && col(s"nda_$p") > 1 && col(s"ndb_$p") > 1 && den > 0.0d,
+        when(col(s"n_$p") > 1 &&
+            col(s"mina_$p") < col(s"maxa_$p") &&
+            col(s"minb_$p") < col(s"maxb_$p") && den > 0.0d,
           round(least(greatest(num / den, lit(-1.0d)), lit(1.0d)), 12)).as("r"),
         col(s"n_$p").as("n_pairs"))
     }
