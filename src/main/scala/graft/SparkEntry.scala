@@ -1138,6 +1138,10 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name", "p_brand")),
     // per-doc Shannon entropy (word + char) — the degenerate-text signal
     "q_entropy" -> ((s, d) => TextMetrics.entropy(Tables.documents(s, d))),
+    // deflate-ratio redundancy signal — rows-only (zlib byte counts are
+    // library-specific; the band semantics are spec'd on shaped docs)
+    "q_compression_ratio" -> ((s, d) =>
+      TextMetrics.compressionRatio(Tables.documents(s, d))),
     // canonicalization pass (case/control/whitespace) ahead of exact dedup
     "q_text_normalize" -> ((s, d) =>
       TextMetrics.normalizeText(Tables.documents(s, d))

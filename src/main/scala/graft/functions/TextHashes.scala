@@ -243,6 +243,30 @@ object TextHashImpl {
     new GenericArrayData(out.toArray)
   }
 
+  /** DEFLATE-compressed size of the UTF-8 text (zlib level 6, the
+    * java.util.zip default). Compressed-size / raw-size is the
+    * model-free redundancy signal production curation stacks filter on
+    * (RefinedWeb/MassiveText-style): boilerplate and template spam
+    * compress far below prose, random gibberish barely compresses at
+    * all — one number that catches both tails. Deterministic for a
+    * given zlib version+level, but NOT a cross-engine protocol (DuckDB
+    * ships no deflate) — the query key is rows-only by design. One
+    * Deflater per call (small docs; the object is cheap relative to the
+    * compression itself), whole-stage codegen via the static call.
+    */
+  def deflateSize(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Signed feature hashing (the hashing trick): token t adds ±1 to
     * bucket pmod(xxhash64('tv:idx', t), dim), sign from an independent
     * salt; result L2-normalized (zero vector for empty docs). Bit-for-bit
@@ -376,6 +400,17 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class DeflateSizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_size"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.deflateSize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.deflateSize($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateSizeExpr =
+    copy(child = newChild)
+}
+
 case class SortedRunLengthsExpr(child: Expression, byChar: Boolean) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_sorted_run_lengths"
@@ -411,6 +446,8 @@ object TextHashes {
     GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(c)))
   def sortedRunLengths(c: Column, byChar: Boolean): Column =
     GraftBridge.column(SortedRunLengthsExpr(GraftBridge.expression(c), byChar))
+  def deflateSize(c: Column): Column =
+    GraftBridge.column(DeflateSizeExpr(GraftBridge.expression(c)))
   def hashedVec(c: Column, dim: Int = 64): Column =
     GraftBridge.column(HashedVecExpr(GraftBridge.expression(c), dim))
 }

@@ -621,6 +621,26 @@ object TextMetrics {
       .orderBy("source_a", "source_b")
   }
 
+  /** COMPRESSION-ratio quality signal: deflate(text) / bytes(text) — the
+    * model-free redundancy score production curation runs
+    * (RefinedWeb/MassiveText-style gzip filters): template spam and
+    * boilerplate compress far below prose (<0.3), random gibberish
+    * barely compresses (≈1.0), natural text sits in a stable band — one
+    * number catching BOTH tails, complementing [[entropy]] (which sees
+    * symbol distribution but not LZ-style long-range structure).
+    * MAP-ONLY via the codegen'd deflate kernel. Rows-only on the gate:
+    * the byte count is zlib-version-specific, not a cross-engine
+    * protocol — the SIGNAL is portable, the exact integer is not.
+    */
+  def compressionRatio(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("raw_bytes"),
+        graft.functions.TextHashes.deflateSize(col("text")).as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("raw_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6)))
+      .orderBy("doc_id")
+
   /** Text NORMALIZATION — the canonicalization pass run before exact
     * dedup so trivially-variant copies (case, whitespace runs, control
     * chars) collapse to one key: lowercase → control characters become

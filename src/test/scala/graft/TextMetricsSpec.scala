@@ -388,6 +388,29 @@ class TextMetricsSpec extends SparkSpec {
     assert(graft.operators.TextMetrics.sourceNgramOverlap(empty).count() == 0)
   }
 
+  test("compressionRatio: repetitive text compresses far below prose, gibberish barely") {
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, Seq.fill(200)("the same boilerplate block again and").mkString(" ")),
+      (2L, "The quick brown fox jumps over the lazy dog near the quiet river " +
+        "bank while evening light settles across the valley and distant hills."),
+      (3L, (1 to 1400).map(_ => rng.nextPrintableChar()).mkString), // gibberish
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextMetrics.compressionRatio(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) Double.NaN else x.getDouble(3))).toMap
+    assert(r(1L)._3 < 0.05, s"boilerplate should crush: ${r(1L)}")
+    assert(r(2L)._3 > 0.5 && r(2L)._3 < 1.0, s"prose mid-band: ${r(2L)}")
+    assert(r(3L)._3 > 0.8, s"gibberish near-incompressible: ${r(3L)}")
+    assert(r(4L)._1 == 0L && r(4L)._3.isNaN) // empty text → null ratio
+    // deterministic under repartition (same zlib, same input)
+    val rep = graft.operators.TextMetrics.compressionRatio(docs.repartition(5))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(rep == r.view.mapValues(_._2).toMap)
+    assert(graft.operators.TextMetrics.compressionRatio(docs.limit(0)).count() == 0)
+  }
+
   test("normalizeText: case/control/whitespace arms; normalized dedup collapses variants") {
     val docs = Seq(
       (1L, "Hello  World"),           // case + double space
