@@ -162,4 +162,39 @@ object Integrity {
           lit("18446744073709551616").cast("decimal(38,0)"))
           .cast("string").as("checksum"))
   }
+
+  /** SCHEMA DIFF between two dataset versions — the evolution guard a
+    * data contract enforces before a new snapshot replaces an old one
+    * ([[datasetChecksum]] fingerprints VALUES; this fingerprints SHAPE):
+    * each column classified added / removed / type_changed /
+    * nullability_changed / unchanged. Pure metadata — the frames' data
+    * is never touched (schemas live on the driver), so it costs nothing
+    * at any scale; emitted as a DataFrame so contract checks compose
+    * with the rest of the report machinery. Column order is not part of
+    * the contract (parquet reads are by-name); `keepUnchanged=false`
+    * drops the no-news rows like [[Dedup.snapshotDiff]].
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame,
+                 keepUnchanged: Boolean = false): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f).toMap
+    val n = newDf.schema.map(f => f.name -> f).toMap
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      (o.get(c), n.get(c)) match {
+        case (None, Some(f)) =>
+          (c, "added", null: String, f.dataType.sql)
+        case (Some(f), None) =>
+          (c, "removed", f.dataType.sql, null: String)
+        case (Some(a), Some(b)) if a.dataType != b.dataType =>
+          (c, "type_changed", a.dataType.sql, b.dataType.sql)
+        case (Some(a), Some(b)) if a.nullable != b.nullable =>
+          (c, "nullability_changed", a.dataType.sql, b.dataType.sql)
+        case (Some(a), Some(b)) =>
+          (c, "unchanged", a.dataType.sql, b.dataType.sql)
+      }
+    }
+    val out = rows.toDF("column", "status", "old_type", "new_type")
+    if (keepUnchanged) out else out.where(col("status") =!= "unchanged")
+  }
 }

@@ -349,6 +349,28 @@ class DedupSpec extends SparkSpec {
       "id", "name", "brand").count() == 0)
   }
 
+  test("editDistancePairs: multi-pass blocking composes as union+distinct for recall") {
+    import org.apache.spark.sql.functions.{col, split}
+    // 1 and 2 are near-dups in DIFFERENT brands: brand blocking misses
+    // them; a second pass blocked on the first name token catches them
+    val df = Seq(
+      (1L, "red widget", "b1"),
+      (2L, "red widgets", "b2"),
+      (3L, "red widget", "b1"),  // same-brand exact dup (pass 1 finds it)
+      (4L, "blue bolt", "b2")
+    ).toDF("id", "name", "brand")
+    val pass1 = graft.operators.Dedup.editDistancePairs(df, "id", "name", "brand")
+      .select("key_a", "key_b")
+    val byTok = df.withColumn("tok1", split(col("name"), " ")(0))
+    val pass2 = graft.operators.Dedup.editDistancePairs(byTok, "id", "name", "tok1")
+      .select("key_a", "key_b")
+    import spark.implicits._
+    assert(pass1.as[(Long, Long)].collect().toSet == Set((1L, 3L)))
+    val both = pass1.unionByName(pass2).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 3L), (1L, 2L), (2L, 3L)))
+  }
+
   test("containmentPairs: snippet-in-article asymmetry, exact dup, cap soundness") {
     import org.apache.spark.sql.functions.col
     // doc 2 = doc 1 verbatim + a long unrelated tail: Jaccard is low but

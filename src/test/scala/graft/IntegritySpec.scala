@@ -66,4 +66,26 @@ class IntegritySpec extends SparkSpec {
     // empty input: (0, "0"), not a throw
     assert(sum(df.where($"id" < 0L)) == ((0L, "0")))
   }
+
+  test("schemaDiff: added/removed/type-changed classes; identical schemas clean") {
+    import graft.operators.Integrity
+    import org.apache.spark.sql.functions.col
+    val oldDf = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val newDf = Seq((1L, 1, true)).toDF("id", "name", "active")
+      .select(col("id"), col("name"), col("active")) // name: string → int
+    val d = Integrity.schemaDiff(oldDf, newDf)
+      .as[(String, String, String, String)].collect()
+      .map(x => x._1 -> ((x._2, Option(x._3), Option(x._4)))).toMap
+    assert(d("score") == (("removed", Some("DOUBLE"), None)))
+    assert(d("active") == (("added", None, Some("BOOLEAN"))))
+    assert(d("name")._1 == "type_changed" &&
+      d("name")._2 == Some("STRING") && d("name")._3 == Some("INT"))
+    assert(!d.contains("id")) // unchanged dropped by default
+    val full = Integrity.schemaDiff(oldDf, newDf, keepUnchanged = true)
+      .where(col("status") === "unchanged").as[(String, String, String, String)]
+      .collect()
+    assert(full.map(_._1).toSeq == Seq("id"))
+    // identical schemas → empty diff
+    assert(Integrity.schemaDiff(oldDf, oldDf).count() == 0)
+  }
 }
