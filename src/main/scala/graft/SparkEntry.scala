@@ -984,6 +984,16 @@ object SparkEntry {
     // others — brute force IS the semantics here (oracle-checked all-pairs);
     // the LSH twin below is the full-corpus scale path (rows-only)
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(Tables.embeddings(s, d), k = 5, maxId = 300L)),
+    // label propagation over the kNN graph: every 25th vector's planted
+    // label seeds the rest — rows-only (float knn graph is
+    // engine-specific; cluster recovery accuracy spec'd in AnnSpec)
+    "q_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.labelPropagation(emb,
+        emb.where(col("vec_id") % 25 === 0)
+          .select(col("vec_id"), col("label").cast("string").as("label")),
+        k = 5, iters = 5, maxId = 300L)
+    }),
     // contrastive mining: per-anchor positives (cosine ≥ τ) + hardest
     // negatives (top-k below τ) — (anchor, pos, neg) triplet feed; τ=0.4
     // sits inside the demo corpus's cosine range so BOTH roles populate

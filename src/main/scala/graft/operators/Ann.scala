@@ -77,6 +77,58 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** LABEL PROPAGATION over the kNN graph — semi-supervised labeling in
+    * representation space: a handful of seed labels (language tags,
+    * quality judgments, topic labels) spread to every vector whose
+    * neighborhood agrees, turning an expensive human/model labeling pass
+    * into a cheap geometric one (the standard trick for bootstrapping
+    * corpus labels from a small audited sample). Majority vote by
+    * NEIGHBOR COUNT per iteration — not cosine-weighted sums, so each
+    * round is exact integer arithmetic with a deterministic tie-break
+    * (smallest label) and the fixpoint is partition-independent; seeds
+    * are CLAMPED (an audited label never flips).
+    *
+    * Shape, per iteration: edges⋈labels on the neighbor key, a
+    * partial-agg (node, label) count, a bounded min_by winner pick, one
+    * co-partitioned join back — (id, label) pairs in every shuffle,
+    * lineage cut by the standard checkpoint knob. The exact kNN build is
+    * the demo baseline; at scale the LSH graph ([[knnGraphLsh]]) swaps
+    * in unchanged.
+    */
+  def labelPropagation(embeddings: DataFrame, seeds: DataFrame, k: Int = 5,
+                       iters: Int = 5, maxId: Long = Long.MaxValue,
+                       checkpointDir: Option[String] = None,
+                       checkpointEvery: Int = 5): DataFrame = {
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val edges = cut(knnGraph(embeddings, k, maxId)
+      .select(col("qid"), col("nid")), 0)
+    val nodes = edges.select(col("qid").as("vec_id")).distinct()
+    val seed = seeds.select(col("vec_id"), col("label").as("seed_label"))
+      .groupBy("vec_id").agg(min("seed_label").as("seed_label")) // dedup, deterministic
+    var labels = cut(nodes.join(seed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("seed_label"),
+        col("seed_label").as("label")), 0)
+    for (it <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("nbr")),
+          "nid")
+        .where(col("nbr").isNotNull)
+        .groupBy(col("qid"), col("nbr"))
+        .agg(count(lit(1)).as("nv"))
+      val winner = votes.groupBy(col("qid").as("vec_id"))
+        .agg(min_by(col("nbr"),
+          struct((-col("nv")).as("neg"), col("nbr"))).as("win"))
+      labels = cut(labels.join(winner, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("seed_label"),
+          coalesce(col("seed_label"), col("win"), col("label")).as("label")),
+        it)
+    }
+    labels.select(col("vec_id"), col("label"),
+        col("seed_label").isNotNull.as("is_seed"))
+      .orderBy("vec_id")
+  }
+
   /** Cheap double cosine for bucketing decisions (not oracle-checked).
     * Runs on the native codegen'd [[graft.functions.VecOps.dotFloat]] —
     * bit-identical to the readable HOF fold [[cosFastHof]] (left-to-right

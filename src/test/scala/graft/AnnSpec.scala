@@ -389,6 +389,43 @@ class AnnSpec extends SparkSpec {
     assert(g.filter(_._1 == 7L).sortBy(_._4).map(_._2).toSeq == expected)
   }
 
+  test("labelPropagation: one seed per planted cluster labels the whole cluster; seeds clamp") {
+    // two tight clusters; one seed each — with k smaller than cluster
+    // size, every node's neighbors are same-cluster, so the seed's label
+    // floods exactly its own cluster
+    def v(axis: Int, j: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a(3) = j; a
+    }
+    val emb = (
+      (0 until 6).map(i => (i.toLong, v(0, 0.01f * i))) ++
+      (6 until 12).map(i => (i.toLong, v(1, 0.01f * i)))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq((0L, "en"), (6L, "de")).toDF("vec_id", "label")
+    val r = Ann.labelPropagation(emb, seeds, k = 3, iters = 4)
+      .as[(Long, String, Boolean)].collect()
+    assert(r.length == 12)
+    r.foreach { case (id, label, isSeed) =>
+      assert(label == (if (id < 6) "en" else "de"), s"vec $id")
+      assert(isSeed == (id == 0L || id == 6L))
+    }
+    // a seed surrounded by the other cluster's flood never flips
+    val flipped = Ann.labelPropagation(emb,
+      Seq((0L, "en"), (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+        (5L, "de")).toDF("vec_id", "label"), k = 3, iters = 4)
+      .as[(Long, String, Boolean)].collect().map(x => x._1 -> x._2).toMap
+    assert(flipped(5L) == "de") // clamped despite 5 "en" neighbors
+    // deterministic under repartition; knob-independent; empty totality
+    val rep = Ann.labelPropagation(emb.repartition(5), seeds, k = 3, iters = 4)
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(rep == r.toSeq)
+    val ck = java.nio.file.Files.createTempDirectory("graft-lp-ck").toString
+    val knob = Ann.labelPropagation(emb, seeds, k = 3, iters = 4,
+      checkpointDir = Some(ck), checkpointEvery = 2)
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(knob == r.toSeq)
+    assert(Ann.labelPropagation(emb.limit(0), seeds).count() == 0)
+  }
+
   test("contrastivePairs: planted clusters split into same-cluster positives and cross-cluster hard negatives") {
     // two tight clusters on orthogonal axes with a small jitter dim: same-
     // cluster cosine ≈ 1 (positives), cross-cluster ≈ 0+ε (the negatives —
