@@ -288,8 +288,39 @@ object ScaleProbe {
           maxHops = 4).count()
       }
       time("k_core/10x-k3")(Graph.kCore(bigTrust, k = 3).count())
-      time("scc/10x-functional")(
-        Graph.stronglyConnectedComponents(bigTrust, maxRounds = 100).count())
+      // every 8th node gets a long-range chord: the pure 2-affine-map
+      // functional graph has cycle circumference ~400 (simulated: min-label
+      // propagation needs 421 hops — the fail-loud maxIters valve fires, by
+      // design), which no social/trust graph has; chords give the
+      // small-world diameter real graphs have (simulated: 34 hops)
+      def bigTrustSw = bigTrust.unionAll(
+        bigEvents.where(col("user_id") % 8 === 0)
+          .select(col("user_id").as("src"),
+            ((col("user_id") * 4973 + 29) % 10150).as("dst"))).distinct()
+      time("scc/10x-small-world")(
+        Graph.stronglyConnectedComponents(bigTrustSw, maxRounds = 100).count())
+      // r8: the FW–BW-Trim acid test — a 40-layer DAG fringe (10k nodes)
+      // feeding a 10k-node giant SCC. Pre-r8 the fringe cost a full FW–BW
+      // round (2 propagation loops × diameter jobs) PER certified layer;
+      // with trim it peels in 40 degree-filter iterations and the whole
+      // run is 2 peel rounds (one FW–BW pass for the giant SCC, one empty
+      // confirm): rounds ≈ trim-depth + #non-trivial SCCs, not |V|
+      time("scc/dag40-fringe+giant-10k") {
+        val n = 10000L
+        val width = 250L
+        val layers = 40L
+        import spark.implicits._
+        val dagE = spark.range(0, width * (layers - 1)).select(
+          (lit(n) + $"id").as("src"),
+          (lit(n) + $"id" - $"id" % width + width + ($"id" * 13 + 7) % width).as("dst"))
+        val bridge = spark.range(0, width).select(
+          (lit(n + (layers - 1) * width) + $"id").as("src"),
+          ($"id" * 31 % n).as("dst"))
+        val sccE = spark.range(0, n).select($"id".as("src"), (($"id" + 1) % n).as("dst"))
+          .unionAll(spark.range(0, n).select($"id".as("src"), ($"id" * 7 % n).as("dst")))
+        Graph.stronglyConnectedComponents(
+          dagE.unionAll(bridge).unionAll(sccE), maxRounds = 10, maxIters = 200).count()
+      }
       time("assortativity/10x")(Graph.degreeAssortativity(bigTrust).count())
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
       time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())

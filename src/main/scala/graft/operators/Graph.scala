@@ -498,25 +498,42 @@ object Graph {
     * SCC is a set where value can circulate back to its source, the
     * natural "currency community" of a trust-based money).
     *
-    * Forward–backward peeling with min-label propagation:
+    * Trim + forward–backward peeling (the FW–BW-Trim shape of Slota,
+    * Rajamanickam & Madduri, IPDPS'14, re-expressed as DataFrame loops):
     *
-    *  1. fwd(u) = min node reachable FROM u; bwd(u) = min node that
-    *     REACHES u — each a delta-propagating label loop (messages flow
-    *     only out of nodes whose label changed last iteration, so late
-    *     iterations shuffle frontier-sized (node, label) frames, never
-    *     the full node set; iterations ≤ graph diameter);
-    *  2. fwd(u) = bwd(u) = m certifies u and m mutually reachable, so
+    *  1. TRIM: a node missing either an in-edge or an out-edge in the
+    *     residual graph cannot lie on a cycle, so it is a singleton SCC.
+    *     One union + partial-agg degree-flag pass per layer certifies and
+    *     strips the whole layer at degree-filter cost — no label
+    *     propagation — and iterates because removing a layer exposes the
+    *     next (a pure DAG trims away completely in longest-path cheap
+    *     iterations; pre-r8 this fringe cost a full FW–BW round per
+    *     layer, 2 propagation loops × diameter jobs each).
+    *  2. FW–BW: fwd(u) = min node reachable FROM u; bwd(u) = min node
+    *     that REACHES u — two delta-propagating label loops (messages
+    *     flow only out of nodes whose label changed last iteration, so
+    *     late iterations shuffle frontier-sized frames) launched
+    *     CONCURRENTLY on two driver threads: the jobs are independent,
+    *     Spark schedules both DAGs at once, wall-clock ≈ max, not sum.
+    *     fwd(u) = bwd(u) = m certifies u and m mutually reachable, so
     *     {u : fwd = bwd = m} IS exactly SCC(m) — those rows are emitted
-    *     and peeled, and the loop repeats on the residual subgraph.
+    *     and peeled, and the loop returns to (1).
     *
-    * Each round classifies at least the SCC of the residual's global
-    * minimum (for u ∈ SCC(min): no smaller node exists to shadow either
-    * label), so rounds ≤ #SCCs — small on social graphs (a few giant
-    * SCCs + fringe), O(n) on a directed path, hence the loud `maxRounds`
-    * valve (the [[kCore]] doctrine: a partial answer is a silently wrong
-    * one). All shuffles carry (node, label) pairs; every round and
-    * every propagation iteration is cut by the [[Checkpoints]] policy;
-    * convergence probes are 1-row counts.
+    * After a trim fixpoint every residual node has in- AND out-degree
+    * ≥ 1, so the residual contains a cycle and each FW–BW round certifies
+    * at least the SCC of the residual's global minimum (no smaller node
+    * exists to shadow either label): FW–BW rounds ≤ #non-trivial SCCs —
+    * small on real graphs (a few giant SCCs; the DAG condensation fringe
+    * that made the old bound O(#SCCs) is exactly what trim eats). Both
+    * budgets fail loud when exceeded (the [[kCore]] doctrine: a partial
+    * answer is a silently wrong one).
+    *
+    * Probe discipline: the propagation loops' convergence probes ride a
+    * `LongAccumulator` ticked by the merge projection itself, so the one
+    * checkpoint materialization per iteration IS the probe (no separate
+    * per-iteration `count()` job); trim probes are 1-row counts over the
+    * already-materialized flag frame. All shuffles carry (node, label)
+    * pairs; every iteration is cut by the [[Checkpoints]] policy.
     *
     * Node-type generic like [[connectedComponents]] (`least`/`min`
     * order address strings lexicographically = numerically at fixed
@@ -527,12 +544,21 @@ object Graph {
                                   maxIters: Int = 100,
                                   checkpointDir: Option[String] = None,
                                   checkpointEvery: Int = 5): DataFrame = {
-    var cutRound = 0
-    def cut(df: DataFrame): DataFrame = {
-      cutRound += 1
-      Checkpoints.cut(df, cutRound, checkpointDir, checkpointEvery)
+    val sc = edges.sparkSession.sparkContext
+    val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
+    def cut(df: DataFrame): DataFrame =
+      Checkpoints.cut(df, cutRound.incrementAndGet(), checkpointDir, checkpointEvery)
+    // like cut, but guaranteed to have MATERIALIZED every row on return
+    // (the accumulator probe reads right after): the reliable-dir policy's
+    // persist() arm is lazy, so force it with a cache-filling count
+    def cutEager(df: DataFrame): DataFrame = {
+      val r = cutRound.incrementAndGet()
+      val out = Checkpoints.cut(df, r, checkpointDir, checkpointEvery)
+      if (checkpointDir.isDefined && r % checkpointEvery != 0) out.count()
+      out
     }
-    // min label reachable along `e` from each node (delta propagation)
+    // min label reachable along `e` from each node (delta propagation);
+    // thread-safe — called concurrently for the fwd and bwd directions
     def minReach(nodes: DataFrame, e: DataFrame): DataFrame = {
       var lab = cut(nodes.withColumn("lab", col("node")))
       var delta = lab
@@ -540,55 +566,95 @@ object Graph {
       var changed = -1L // unknown until the first probe
       while (changed != 0 && it < maxIters) {
         it += 1
+        val acc = sc.longAccumulator("graft-scc-delta")
+        val tick = udf { () => { acc.add(1L); true } }.asNondeterministic()
         val msgs = e
           .join(delta.select(col("node").as("dst"), col("lab").as("ml")), "dst")
           .groupBy(col("src").as("node")).agg(min("ml").as("ml"))
         val joined = lab.join(msgs, Seq("node"), "left")
-        val nextDelta = cut(joined.where(col("ml") < col("lab"))
-          .select(col("node"), col("ml").as("lab")))
-        changed = nextDelta.count() // 1-row convergence probe
+        // ONE materialization carries the merged labels, the delta flag,
+        // and the convergence probe: tick() fires exactly once per
+        // improved row during the checkpoint job, so reading the
+        // accumulator replaces the old separate count() job (a task
+        // retry can only over-tick, which costs one extra — then truly
+        // empty — iteration, never a missed one)
+        val merged = cutEager(joined.select(col("node"),
+          least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"),
+          when(coalesce(col("ml") < col("lab"), lit(false)), tick())
+            .otherwise(lit(false)).as("ch")))
+        changed = acc.value
         if (changed != 0) {
-          lab = cut(joined.select(col("node"),
-            least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab")))
-          delta = nextDelta
+          lab = merged.select("node", "lab")
+          delta = merged.where(col("ch")).select("node", "lab")
         }
       }
       if (changed != 0) sys.error(
         s"stronglyConnectedComponents: label propagation did not converge " +
           s"within maxIters=$maxIters (diameter exceeds the budget)")
-      lab
+      lab.select("node", "lab")
     }
     val e0 = cut(edges.where(col("src") =!= col("dst"))
       .select("src", "dst").distinct())
     var active = cut(e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct())
     var e = e0
-    var result: Option[DataFrame] = None
+    var parts = List.empty[DataFrame]
     var round = 0
     var done = false
-    while (!done && round < maxRounds) {
-      round += 1
-      if (active.isEmpty) done = true
-      else {
-        val fwd = minReach(active, e)
-        val bwd = minReach(active,
-          e.select(col("dst").as("src"), col("src").as("dst")))
-        val labs = cut(fwd.select(col("node"), col("lab").as("f"))
-          .join(bwd.select(col("node"), col("lab").as("b")), "node"))
-        val classified = cut(labs.where(col("f") === col("b"))
-          .select(col("node"), col("f").as("scc_id")))
-        result = Some(result.map(_.unionByName(classified)).getOrElse(classified))
-        active = cut(labs.where(col("f") =!= col("b")).select("node"))
-        e = cut(e
-          .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
-          .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .select("src", "dst"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      while (!done && round < maxRounds) {
+        round += 1
+        // ---- trim to fixpoint: peel in-degree-0 / out-degree-0 layers ----
+        var trimming = true
+        var tIt = 0
+        while (trimming && tIt < maxIters) {
+          tIt += 1
+          val deg = e.select(col("src").as("node"), lit(1).as("o"), lit(0).as("i"))
+            .unionByName(e.select(col("dst").as("node"), lit(0).as("o"), lit(1).as("i")))
+            .groupBy("node").agg(max("o").as("o"), max("i").as("i"))
+          val both = cut(deg.where(col("o") === 1 && col("i") === 1).select("node"))
+          val trivial = cut(active.join(both, Seq("node"), "left_anti"))
+          if (trivial.count() == 0) trimming = false
+          else {
+            parts ::= trivial.select(col("node"), col("node").as("scc_id"))
+            active = both
+            e = cut(e
+              .join(both.select(col("node").as("src")), Seq("src"), "left_semi")
+              .join(both.select(col("node").as("dst")), Seq("dst"), "left_semi")
+              .select("src", "dst"))
+          }
+        }
+        if (trimming) sys.error(
+          s"stronglyConnectedComponents: trim did not reach fixpoint within " +
+            s"maxIters=$maxIters layers (DAG fringe deeper than the budget)")
+        if (active.isEmpty) done = true
+        else {
+          // fwd and bwd are independent propagation loops — overlap them
+          val fwdF = scala.concurrent.Future(minReach(active, e))(ec)
+          val bwdF = scala.concurrent.Future(minReach(active,
+            e.select(col("dst").as("src"), col("src").as("dst"))))(ec)
+          val fwd = scala.concurrent.Await.result(fwdF,
+            scala.concurrent.duration.Duration.Inf)
+          val bwd = scala.concurrent.Await.result(bwdF,
+            scala.concurrent.duration.Duration.Inf)
+          val labs = cut(fwd.select(col("node"), col("lab").as("f"))
+            .join(bwd.select(col("node"), col("lab").as("b")), "node"))
+          parts ::= labs.where(col("f") === col("b"))
+            .select(col("node"), col("f").as("scc_id"))
+          active = cut(labs.where(col("f") =!= col("b")).select("node"))
+          e = cut(e
+            .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst"))
+        }
       }
-    }
+    } finally { ec.shutdown() }
     if (!done) sys.error(
       s"stronglyConnectedComponents did not peel all SCCs within " +
         s"maxRounds=$maxRounds rounds (pathological SCC chain: raise the budget)")
-    result.map(_.orderBy("node")).getOrElse(
+    parts.reduceOption(_ unionByName _).map(_.orderBy("node")).getOrElse(
       e0.select(col("src").as("node"), col("src").as("scc_id")).where(lit(false)))
   }
 
