@@ -57,18 +57,62 @@ object Bench {
     // made map-only queries show as fake 3-6× "regressions" (stdev ≈ mean);
     // the median of 3 discards exactly that one outlier. Mean and stdev are
     // kept alongside so the dispersion is still visible in BENCH.json.
-    val stats = names.collect { case (name, _) if samples.forall(_.contains(name)) =>
-      val xs = samples.map(_(name))
-      val mean = xs.sum / xs.size
-      val sorted = xs.sorted
-      val median =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      val stdev =
-        if (xs.size < 2) 0.0
-        else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
-      System.err.println(f"[bench] med  $name%-28s $median%8.2fs (mean $mean%.2f ±$stdev%.2f)")
-      (name, median, stdev, mean)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def stdev(xs: Seq[Double]): Double = {
+      if (xs.size < 2) 0.0
+      else {
+        val m = xs.sum / xs.size
+        math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+      }
+    }
+    var samplesByKey: Map[String, Seq[Double]] =
+      names.collect { case (name, _) if samples.forall(_.contains(name)) =>
+        name -> samples.map(_(name))
+      }.toMap
+    // Sanity gate (round-7 lesson: a loaded MACHINE defeats medians too —
+    // the final r7 sweep published 14.7s±22.3 for a 4.7s query): any key
+    // whose stdev exceeds its median is re-swept with `runs` fresh timings
+    // (replacing the noisy samples) up to 2 passes before publishing; the
+    // rerun counts land in the JSON so the artifact is honest about which
+    // keys needed it, and anything STILL violating is listed as unstable
+    // rather than published as if it were a clean measurement.
+    val fnByName = names.toMap
+    var reruns = Map.empty[String, Int]
+    for (pass <- 1 to 2) {
+      val violators = samplesByKey.collect {
+        case (k, xs) if stdev(xs) > median(xs) => k
+      }.toSeq.sorted
+      if (violators.nonEmpty) {
+        System.err.println(s"[bench] resweep pass $pass: ${violators.size} keys " +
+          s"with stdev > median: ${violators.mkString(", ")}")
+        violators.foreach { name =>
+          val xs = (1 to runs).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fnByName(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          }
+          if (xs.size == runs) {
+            samplesByKey += name -> xs
+            reruns += name -> (reruns.getOrElse(name, 0) + runs)
+          }
+        }
+      }
+    }
+    val unstable = samplesByKey.collect {
+      case (k, xs) if stdev(xs) > median(xs) => k
+    }.toSeq.sorted
+    if (unstable.nonEmpty) System.err.println(
+      s"[bench] UNSTABLE after resweeps (stdev > median): ${unstable.mkString(", ")}")
+    val stats = names.collect { case (name, _) if samplesByKey.contains(name) =>
+      val xs = samplesByKey(name)
+      System.err.println(
+        f"[bench] med  $name%-28s ${median(xs)}%8.2fs (mean ${xs.sum / xs.size}%.2f ±${stdev(xs)}%.2f)")
+      (name, median(xs), stdev(xs), xs.sum / xs.size)
     }
     def obj(f: ((String, Double, Double, Double)) => Double) =
       stats.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
@@ -78,8 +122,11 @@ object Bench {
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val failedObj = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val rerunsObj = reruns.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val unstableArr = unstable.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"mean":${obj(_._4)},"stat":"median","failed":$failedObj,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"mean":${obj(_._4)},"stat":"median","failed":$failedObj,"reruns":$rerunsObj,"unstable":$unstableArr,"runs":$runs,"sf":"$sfDir"}"""
     // stdout gets the COMPACT line (total + 3-decimal means, no stdevs):
     // the driver captures only the stdout tail and rounds 3-4's full
     // mean+stdev line overflowed it ("parsed": null). Full precision +

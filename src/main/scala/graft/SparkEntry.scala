@@ -616,9 +616,10 @@ object SparkEntry {
         trust.where(col("limit") > 0)
           .select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
-    // k-core of the trust graph (the dense kernel after fringe peeling) —
-    // rows-only: iterative peel has no SQL spelling; GraphSpec proves
-    // parity against a driver-side brute-force peel
+    // k-core of the trust graph (the dense kernel after fringe peeling);
+    // oracle: round-unrolled peel CTEs (the pageRank/HITS precedent — each
+    // round one degree agg + two NOT-IN prunes; fixpoint rounds are no-ops
+    // so the fixed unroll is exact), plus GraphSpec's brute-force parity
     "q_trust_kcore" -> ((s, d) => {
       val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
         ReceiptClassifier.demoReceipts(Tables.events(s, d))))
@@ -2928,6 +2929,7 @@ object SparkEntry {
       """SELECT src, count(*) AS n_reachable, max(cap) AS best_cap
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
+    "q_trust_kcore" -> trustKcoreSql,
     "q_trust_rank_weighted" -> trustRankWeightedSql,
     "q_trust_hits" -> trustHitsSql,
     // hop-bounded recursive closure with UNION dedup: each (node, dist)
@@ -3896,6 +3898,47 @@ object SparkEntry {
       |  FROM h2 b JOIN e1 x ON b.dst = x.src AND b.src <> x.dst
       | ) u GROUP BY src, dst)
       |""".stripMargin
+
+  /** Unrolled k-core (k=2) twin of [[graft.operators.Graph.kCore]]: each
+    * round = one degree aggregation over the previous round's undirected
+    * edge set + two NOT-IN prunes of the sub-k nodes — exactly the
+    * operator's peel, spelled per-round. The peel reaches fixpoint within
+    * 1 round on the demo graph at every sf (measured: depth 1/0/1 at
+    * sf0.001/0.01/0.1); 6 rounds are unrolled for margin, which is exact
+    * because a fixpoint round is a no-op (same idempotence argument as
+    * the hop-unrolled capacity CTEs). No `limit` filter: the operator
+    * consumes ALL current-trust pairs, and since it erases multiplicity,
+    * latest-per-pair collapses to plain DISTINCT.
+    */
+  private val trustKcoreSql: String = {
+    val rounds = 6
+    val iterCtes = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (
+         | SELECT node FROM (
+         |  SELECT node, count(*) AS deg FROM (
+         |   SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |  GROUP BY node) d WHERE deg < 2),
+         |e$i AS MATERIALIZED (
+         | SELECT a, b FROM e${i - 1}
+         | WHERE a NOT IN (SELECT node FROM w$i)
+         |   AND b NOT IN (SELECT node FROM w$i))""".stripMargin
+    }.mkString(",\n")
+    // AS MATERIALIZED: each round reads the previous one ~5×; DuckDB's
+    // default CTE inlining would re-expand the chain into 5^rounds scans
+    // of `events` (observed: fd exhaustion at 6 rounds)
+    """WITH tr AS (
+      | SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "user",
+      |  '0x' || lpad(lower(to_hex((user_id * 7 + 13) % 150)), 40, '0') AS can_send_to
+      | FROM events WHERE event_type = 'signup'),
+      |e0 AS MATERIALIZED (
+      | SELECT DISTINCT least("user", can_send_to) AS a,
+      |        greatest("user", can_send_to) AS b
+      | FROM tr WHERE "user" <> can_send_to),
+      |""".stripMargin + iterCtes + s"""
+      |SELECT node, count(*) AS deg FROM (
+      | SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) u
+      |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   /** Unrolled PageRank twin of [[graft.operators.Graph.pageRank]] (5
     * iterations, damping 0.85, dangling mass dropped, per-iteration
