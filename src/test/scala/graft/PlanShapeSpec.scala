@@ -140,4 +140,38 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf("q_hybrid_search")
     assert(plan.contains("TakeOrderedAndProject"), s"BM25 leg lost its heap:\n$plan")
   }
+
+  test("bench top-10: pinned exchange/sort budgets, no Expand (r8 guard)") {
+    // The 10 most expensive bench keys, pinned at their r8 plan shapes so a
+    // future edit that reintroduces an Expand (the r7 q_correlation
+    // regression: six countDistincts → a pairs×7 Expand over every lineitem
+    // row) or an extra shuffle fails HERE, not in a bench read two rounds
+    // later. Counts include BroadcastExchange (cheap but shape-relevant);
+    // for the iterative keys (scc, clusters, the k-means trainers) the
+    // loops materialize per-iteration, so the budget pins the final
+    // assembly plan — their in-loop shapes are guarded by their own specs.
+    // A count DROPPING below budget is an improvement, not a failure.
+    val budgets = Seq(
+      ("q_trust_scc", 1, 1),
+      ("q_correlation", 1, 1), // one 2-phase HashAggregate, NO Expand
+      ("q_semantic_dedup_docs", 3, 3),
+      ("q_quality_clf", 1, 1),
+      ("q_containment", 11, 1),
+      ("q_dedup_embedding_clusters", 1, 1),
+      ("q_crc_ledger", 7, 1),
+      ("q_semantic_dedup", 2, 1),
+      ("q_source_overlap", 3, 1),
+      ("q_novelty", 5, 1))
+    budgets.foreach { case (key, maxExchanges, maxSorts) =>
+      val plan = planOf(key)
+      val ex = "Exchange".r.findAllIn(plan).length
+      val so = "Sort \\[".r.findAllIn(plan).length
+      assert(ex <= maxExchanges,
+        s"$key: $ex exchanges (budget $maxExchanges) — a shuffle crept in:\n$plan")
+      assert(so <= maxSorts,
+        s"$key: $so sorts (budget $maxSorts) — a sort crept in:\n$plan")
+      assert(!plan.contains("Expand"),
+        s"$key: an Expand reappeared (the r7 countDistinct lesson):\n$plan")
+    }
+  }
 }
