@@ -11,15 +11,16 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real and tested — schema, partition-batched
   * execution, deterministic output. The IMAGE path has REAL decoders for
   * the PPM P6 container ([[decodePpm]] — dependency-free: ASCII header +
-  * raw RGB) and uncompressed 24-bpp BMP ([[decodeBmp]] — LE header walk,
-  * row padding, both row orders), and the AUDIO path a REAL decoder for
-  * RIFF/WAVE PCM ([[decodeWav]] — chunk walk + sample normalization), all
-  * exercised end-to-end over genuine payloads; other formats (jpeg, mp3,
-  * video —
-  * this environment ships no codec libraries) fall back to a deterministic
-  * STUB (`fakeDecode`) with a visible `real_decode = false` quarantine
-  * flag. Swapping in a full codec (e.g. javacpp-ffmpeg) changes no
-  * plumbing.
+  * raw RGB), uncompressed 24-bpp BMP ([[decodeBmp]] — LE header walk,
+  * row padding, both row orders), and BASELINE JPEG ([[decodeJpeg]] —
+  * dependency-free T.81 sequential-DCT pipeline, see [[Jpeg]]); the AUDIO
+  * path a REAL decoder for RIFF/WAVE PCM ([[decodeWav]] — chunk walk +
+  * sample normalization), all exercised end-to-end over genuine payloads
+  * (the JPEG path cross-checked against `javax.imageio` in the spec);
+  * remaining formats (progressive jpeg, mp3, video — this environment
+  * ships no codec libraries) fall back to a deterministic STUB
+  * (`fakeDecode`) with a visible `real_decode = false` quarantine flag.
+  * Swapping in a full codec (e.g. javacpp-ffmpeg) changes no plumbing.
   *
   * Scale notes: decode runs via `mapPartitions` (the Scala analogue of
   * `mapInPandas` batch UDFs) so per-partition setup (codec init) amortizes;
@@ -140,11 +141,37 @@ object BinaryPipeline {
     Some((w, h, out))
   }
 
-  /** The raster front door: PPM first (cheap magic check), then BMP —
-    * one decode entry for every consumer, quarantine on both misses.
+  /** REAL decoder for BASELINE JPEG/JFIF (ITU-T T.81 sequential DCT,
+    * Huffman, 8-bit) — what actual image corpora are made of, and the one
+    * raster format here that needs a genuine entropy-coded pipeline:
+    * marker walk → DQT/DHT table builds → per-MCU Huffman decode
+    * (DC diff + AC run-length) → dequantize → inverse zigzag → 8×8 IDCT →
+    * level shift → chroma upsample (replicate) → YCbCr→RGB. Emits
+    * row-major top-down RGB, exactly [[decodePpm]]'s convention, so every
+    * consumer (channel means, resize, dHash, near-dup pairs) composes
+    * unchanged.
+    *
+    * Supported: SOF0 baseline, 1 or 3 components, sampling factors 1–2
+    * (4:4:4 / 4:2:2 / 4:2:0 and grayscale), restart intervals, byte
+    * stuffing, 16-bit DQT entries. Quarantined (None, the honesty
+    * contract): progressive (SOF2) and every other SOF flavor
+    * (extended/arithmetic/lossless/hierarchical), 4-component CMYK,
+    * non-interleaved multi-scan streams, truncated or malformed payloads.
+    */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 4 ||
+      (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    // malformed streams surface as index/arithmetic errors mid-decode —
+    // quarantine is a None, never a throw (the decodePpm contract)
+    try Jpeg.decode(payload) catch { case _: Exception => None }
+  }
+
+  /** The raster front door: PPM first (cheap magic check), then BMP, then
+    * baseline JPEG — one decode entry for every consumer, quarantine when
+    * all three miss.
     */
   def decodeRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodePpm(payload).orElse(decodeBmp(payload))
+    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeJpeg(payload))
 
   /** Image decode stage: REAL per-channel means for PPM/BMP payloads,
     * stub features + `real_decode = false` for everything else

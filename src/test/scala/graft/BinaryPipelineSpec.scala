@@ -271,4 +271,136 @@ class BinaryPipelineSpec extends SparkSpec {
     val r = BinaryPipeline.decodeImages(media).collect().head
     assert(r.getAs[Boolean]("real_decode") && r.getAs[Int]("width") == 3)
   }
+
+  // ---- baseline JPEG ------------------------------------------------------
+
+  /** Encode via the JDK's own (IJG-derived) writer — the independent
+    * reference implementation the kernel is checked against.
+    */
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float,
+                        progressive: Boolean = false): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("decodeJpeg: known-pixel parity with javax.imageio (gray + flat-chroma color)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // grayscale: single-component scan (non-interleaved MCU = one block);
+    // raw raster samples compared (getRGB on gray applies a nonlinear
+    // colorspace transform — not the decoded values)
+    val gray = new BufferedImage(32, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 32)
+      gray.getRaster.setSample(x, y, 0, (x * 8 + y) % 256)
+    val gBytes = jpegBytes(gray, 0.85f)
+    val gRef = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    val Some((gw, gh, gPx)) = BinaryPipeline.decodeJpeg(gBytes)
+    assert(gw == 32 && gh == 24)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val o = (y * 32 + x) * 3
+      assert(math.abs(gRef.getRaster.getSample(x, y, 0) - (gPx(o) & 0xff)) <= 2,
+        s"gray pixel ($x,$y)")
+      assert(gPx(o) == gPx(o + 1) && gPx(o) == gPx(o + 2), "gray must replicate to RGB")
+    }
+    // color with CONSTANT chroma (R=G=B): the 4:2:0 chroma planes are flat,
+    // so replicate-vs-interpolated upsampling cannot differ — this pins the
+    // full 3-component path (interleaved MCUs, dequant, IDCT, YCbCr) to
+    // the reference decoder within IDCT rounding
+    val flat = new BufferedImage(17, 13, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 13; x <- 0 until 17) {
+      val v = (x * 13 + y * 5) % 256
+      flat.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val fBytes = jpegBytes(flat, 0.85f)
+    val fRef = ImageIO.read(new java.io.ByteArrayInputStream(fBytes))
+    val Some((fw, fh, fPx)) = BinaryPipeline.decodeJpeg(fBytes)
+    assert(fw == 17 && fh == 13) // odd dims: partial edge MCUs crop right
+    for (y <- 0 until 13; x <- 0 until 17; c <- 0 until 3) {
+      val ref = (fRef.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      assert(math.abs(ref - (fPx((y * 17 + x) * 3 + c) & 0xff)) <= 2,
+        s"flat-chroma pixel ($x,$y,$c)")
+    }
+  }
+
+  test("decodeJpeg: full-color gradient round-trips close to the source pixels") {
+    import java.awt.image.BufferedImage
+    val w = 64; val h = 48
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) |
+        ((x + y) * 255 / (w + h - 2)))
+    val Some((dw, dh, px)) = BinaryPipeline.decodeJpeg(jpegBytes(img, 0.9f))
+    assert(dw == w && dh == h)
+    var sum = 0L; var maxD = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ref = (img.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      val d = math.abs(ref - (px((y * w + x) * 3 + c) & 0xff))
+      sum += d; if (d > maxD) maxD = d
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    // lossy + replicate chroma upsampling: tight enough that a channel
+    // swap, transpose, shift, or dequant bug all fail loudly
+    assert(mean <= 3.0, s"mean abs error $mean")
+    assert(maxD <= 40, s"max abs error $maxD")
+  }
+
+  test("decodeJpeg: progressive / truncated / garbage quarantine; stage flags") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, (x * 4 << 16) | (y * 5 << 8) | 99)
+    val base = jpegBytes(img, 0.85f)
+    assert(BinaryPipeline.decodeJpeg(base).isDefined)
+    // progressive (SOF2) is out of scope: quarantine, never a wrong raster
+    assert(BinaryPipeline.decodeJpeg(jpegBytes(img, 0.85f, progressive = true)).isEmpty)
+    // entropy-data truncation: the padding valve must reject the garbage
+    assert(BinaryPipeline.decodeJpeg(base.dropRight(base.length / 3)).isEmpty)
+    // header truncation + non-JPEG bytes
+    assert(BinaryPipeline.decodeJpeg(base.take(20)).isEmpty)
+    assert(BinaryPipeline.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2)).isEmpty)
+    // end-to-end: a JPEG row real-decodes through the image stage, the
+    // progressive twin rides the quarantine flag
+    val media = Seq((1L, "image", base),
+      (2L, "image", jpegBytes(img, 0.85f, progressive = true)))
+      .toDF("media_id", "modality", "payload")
+    val rows = BinaryPipeline.decodeImages(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Boolean]("real_decode")).toMap
+    assert(rows(1L) && !rows(2L))
+  }
+
+  test("dhash survives a JPEG re-encode: PPM original pairs with its JPEG twin") {
+    import java.awt.image.BufferedImage
+    // textured-but-smooth pattern: dHash gradients have real margins, so
+    // the lossy re-encode flips at most a few of the 64 bits
+    val w = 64; val h = 48
+    def lum(x: Int, y: Int): Int =
+      (128 + 90 * math.sin(x / 6.0) * math.cos(y / 5.0)).toInt.max(0).min(255)
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](w * h * 3)(i => lum((i / 3) % w, i / 3 / w).toByte)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val media = Seq((1L, "image", ppm), (2L, "image", jpegBytes(img, 0.85f)))
+      .toDF("media_id", "modality", "payload")
+    val hashes = BinaryPipeline.imageHashes(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    val hamming = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(hamming <= 4, s"dhash drifted $hamming bits across the JPEG re-encode")
+    // and the near-dup pairing finds exactly that pair
+    val pairs = BinaryPipeline.imageNearDupPairs(media).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getAs[Long]("media_a") == 1L && pairs.head.getAs[Long]("media_b") == 2L)
+  }
 }
