@@ -973,6 +973,8 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(Tables.documents(s, d),
         threshold = 0.5, blockBySource = false))),
     "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
+    // per-stage yield accounting over the full curation chain
+    "q_curation_funnel" -> ((s, d) => TextMetrics.curationFunnel(Tables.documents(s, d))),
     // decontamination demo split: even doc_ids are the "training" corpus,
     // odd the held-out eval set
     "q_decontaminate" -> ((s, d) => {
@@ -3493,6 +3495,119 @@ object SparkEntry {
         | FROM m)
         |SELECT doc_id, r IS NULL AS keep, coalesce(r, 'ok') AS reason
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the funnel reuses the q_quality_filter / q_repetition_filter /
+    // q_lang_id oracle spellings verbatim as its stage predicates, then
+    // rolls up a first-failing-stage census with exact-dedup among the
+    // scalar-stage survivors (keeper = min doc_id)
+    "q_curation_funnel" ->
+      """WITH qm AS (
+        | SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+        | FROM documents),
+        |qual AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_chars < 100 THEN 'too_short'
+        |       WHEN n_words < 20 THEN 'too_few_words'
+        |       WHEN avg_word_len > 4.95 THEN 'gibberish_words'
+        |       WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+        |       WHEN stopword_ratio < 0.0 THEN 'low_stopword' END AS r
+        | FROM qm),
+        |words AS (
+        | SELECT doc_id, ws[pos] AS w, pos
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |      LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS pos) g),
+        |runs AS (
+        | SELECT doc_id, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+        | FROM words),
+        |run_lens AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+        | FROM runs GROUP BY doc_id, w, grp),
+        |bigrams AS (
+        | SELECT doc_id, bg FROM (
+        |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM words) x WHERE bg IS NOT NULL),
+        |bg_counts AS (
+        | SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        | FROM bigrams GROUP BY doc_id, bg),
+        |rm AS (
+        | SELECT a.doc_id,
+        |  round(1.0 - CAST(a.n_distinct AS DOUBLE)/a.n_words, 6) AS dup_word_frac,
+        |  (SELECT max(run_len) FROM run_lens r WHERE r.doc_id=a.doc_id) AS max_word_run,
+        |  round(CAST((SELECT max(c) FROM bg_counts b WHERE b.doc_id=a.doc_id) AS DOUBLE)
+        |        / nullif(a.n_words - 1, 0), 6) AS top_bigram_frac
+        | FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+        |       FROM words GROUP BY doc_id) a),
+        |rep AS (
+        | SELECT doc_id,
+        |  CASE WHEN dup_word_frac > 0.6 THEN 'dup_words'
+        |       WHEN top_bigram_frac > 0.08 THEN 'top_bigram'
+        |       WHEN max_word_run > 2 THEN 'word_run' END AS r
+        | FROM rm),
+        |ls AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','and','of','to','is','in','that','it'))) AS en,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('el','la','de','que','y','en','los','es'))) AS es,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+        | FROM documents),
+        |lang AS (
+        | SELECT doc_id,
+        |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |       WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+        |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        | FROM ls),
+        |perdoc AS (
+        | SELECT d.doc_id, d.text,
+        |  CASE WHEN qu.r IS NOT NULL THEN '1_quality'
+        |       WHEN re.r IS NOT NULL THEN '2_repetition'
+        |       WHEN la.pred_lang <> 'en' THEN '3_language' END AS stage
+        | FROM documents d
+        |  JOIN qual qu USING (doc_id)
+        |  JOIN rep re USING (doc_id)
+        |  JOIN lang la USING (doc_id)),
+        |keep AS (
+        | SELECT text, min(doc_id) AS kid
+        | FROM perdoc WHERE stage IS NULL GROUP BY text),
+        |staged AS (
+        | SELECT p.doc_id,
+        |  coalesce(p.stage,
+        |    CASE WHEN p.doc_id <> k.kid THEN '4_exact_dup' END) AS stage
+        | FROM perdoc p LEFT JOIN keep k ON p.text = k.text),
+        |counts AS (
+        | SELECT stage, CAST(count(*) AS BIGINT) AS n
+        | FROM staged WHERE stage IS NOT NULL GROUP BY stage),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM staged),
+        |stages AS (
+        | SELECT unnest(['1_quality','2_repetition','3_language','4_exact_dup']) AS stage),
+        |j AS (
+        | SELECT s.stage, coalesce(c.n, 0) AS dropped
+        | FROM stages s LEFT JOIN counts c USING (stage)),
+        |r AS (
+        | SELECT stage, dropped,
+        |  total - CAST(coalesce(sum(dropped) OVER (
+        |    ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS entering
+        | FROM j, tot)
+        |SELECT stage, entering, dropped,
+        | entering - dropped AS surviving,
+        | CASE WHEN entering > 0
+        |      THEN round(CAST(dropped AS DOUBLE) / CAST(entering AS DOUBLE), 6)
+        | END AS drop_rate
+        |FROM r ORDER BY stage""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split(text, ' ')) AS n_words,

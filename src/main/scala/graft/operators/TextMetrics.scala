@@ -256,6 +256,74 @@ object TextMetrics {
       .when(col("top_bigram_frac") > maxTopBigramFrac, "top_bigram")
       .when(col("max_word_run") > maxWordRun, "word_run")
 
+  /** CURATION FUNNEL — per-stage yield accounting for the standard
+    * curation chain (quality → repetition → language → exact-dedup): for
+    * each stage, how many docs entered, how many it dropped, how many
+    * survived, and the stage drop rate. The ops dashboard a corpus
+    * curation run is judged by, and the audit trail for "where did my
+    * tokens go" (the reference keeps the analogous per-stage throughput
+    * counters in its pipeline stats, Statistics.cs:1).
+    *
+    * Each document is charged to the FIRST stage that rejects it — the
+    * short-circuit order a real pipeline applies the filters in. The
+    * exact-dedup stage dedups only among docs that survived the scalar
+    * stages (a copy of a quality-rejected doc is charged to dedup only if
+    * that copy itself passed the scalar stages); keeper = min doc_id, the
+    * [[graft.operators.Dedup.exact]] convention.
+    *
+    * Scale shape: ONE scoring pass (the quality + repetition kernels and
+    * the language argmax are all map-only) feeds ONE (stage, xxhash64)
+    * partial agg — text never rides an exchange (the Dedup hash-twin
+    * discipline), and the corpus is touched exactly once: a survivor
+    * text-group of n copies drops n−1 to dedup whichever copy is kept, so
+    * the census never needs the keeper join-back. The grouped frame
+    * (≈ #distinct survivor texts) collapses to a 1-row census, and the
+    * 4-row report is projected from it. All four stages always appear
+    * (zero-drop stages report dropped=0).
+    */
+  def curationFunnel(documents: DataFrame, minChars: Int = 100,
+                     minWords: Int = 20, maxAvgWordLen: Double = 4.95,
+                     maxPunctRatio: Double = 0.3, minStopwordRatio: Double = 0.0,
+                     maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.08,
+                     maxWordRun: Long = 2L,
+                     keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val scored = withRepetition(withQuality(documents))
+    val scalarStage =
+      when(qualityReason(minChars, minWords, maxAvgWordLen, maxPunctRatio,
+        minStopwordRatio).isNotNull, "1_quality")
+        .when(repetitionReason(maxDupWordFrac, maxTopBigramFrac, maxWordRun)
+          .isNotNull, "2_repetition")
+        .when(!langPred(col("text")).isin(keepLangs: _*), "3_language")
+    val grouped = scored
+      .select(scalarStage.as("stage"), xxhash64(col("text")).as("h"))
+      .groupBy("stage", "h").agg(count(lit(1)).as("n"))
+    def dropsAt(stage: String) =
+      coalesce(sum(when(col("stage") === stage, col("n"))), lit(0L))
+    val census = grouped.agg(
+      dropsAt("1_quality").as("d1"), dropsAt("2_repetition").as("d2"),
+      dropsAt("3_language").as("d3"),
+      coalesce(sum(when(col("stage").isNull, col("n") - 1L)), lit(0L)).as("d4"),
+      coalesce(sum("n"), lit(0L)).as("total"))
+    def stageRow(stage: String, entering: Column, dropped: Column) =
+      struct(lit(stage).as("stage"), entering.as("entering"),
+        dropped.as("dropped"))
+    census
+      .select(explode(array(
+        stageRow("1_quality", col("total"), col("d1")),
+        stageRow("2_repetition", col("total") - col("d1"), col("d2")),
+        stageRow("3_language", col("total") - col("d1") - col("d2"), col("d3")),
+        stageRow("4_exact_dup",
+          col("total") - col("d1") - col("d2") - col("d3"), col("d4"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.entering").as("entering"),
+        col("r.dropped").as("dropped"),
+        (col("r.entering") - col("r.dropped")).as("surviving"),
+        when(col("r.entering") > 0,
+          round(col("r.dropped").cast("double") / col("r.entering").cast("double"), 6))
+          .as("drop_rate"))
+      .orderBy("stage")
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer (letter
     * runs / single digits / single punctuation — the classic pre-tokenizer
     * shape). The regex is kept in the portable subset (character classes,
@@ -279,18 +347,22 @@ object TextMetrics {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu")
   )
 
-  def langId(documents: DataFrame): DataFrame = {
-    val words = wsWords(lower(col("text")))
+  def langId(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), langPred(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** The [[langId]] prediction as a composable Column — shared by the
+    * standalone view and [[curationFunnel]]'s language stage.
+    */
+  private[operators] def langPred(text: Column): Column = {
+    val words = wsWords(lower(text))
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       val cnt = size(filter(words, w => ms.map(m => w === m).reduce(_ || _)))
       struct(cnt.as("score"), lit(lang).as("lang"))
     }
     // argmax via array_max on (score, lang) structs; all-zero → "und"
     val best = array_max(array(scores: _*))
-    documents.select(
-      col("doc_id"),
-      when(best.getField("score") > 0, best.getField("lang")).otherwise("und").as("pred_lang")
-    ).orderBy("doc_id")
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme): hash

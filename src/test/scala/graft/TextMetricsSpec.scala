@@ -468,4 +468,48 @@ class TextMetricsSpec extends SparkSpec {
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.TextMetrics.entropy(none).count() == 0)
   }
+
+  test("curation funnel charges each doc to its first failing stage") {
+    // passes every scalar stage: 26 distinct lowercase words, 123 chars,
+    // avg_word_len 98/26, 8 en markers, no other language's markers
+    val enGood = "the quick brown fox and dogs of farm to barn is fast in " +
+      "mist that runs it well with long tail over damp grass near pond"
+    val enGood2 = enGood.replace("pond", "lake") // second distinct keeper
+    // 25 distinct German words (112 chars, avg 88/25), 7 de markers
+    val deGood = "der hund lief und das kind sang ist frei nicht nah ein " +
+      "baum zu gross vom berg kam wind mit alte lied im tal raum"
+    // 129 chars / 26 words pass quality; dup_word_frac = 1 - 2/26 > 0.6
+    val tickTock = Seq.fill(13)("tick tock").mkString(" ")
+    val docs = Seq(
+      (0L, enGood), // kept (keeper of its text group)
+      (1L, "tiny doc"), // 1_quality: too_short
+      (2L, tickTock), // 2_repetition: dup_words (lang 'und' never reached)
+      (3L, deGood), // 3_language
+      (4L, enGood), // 4_exact_dup of doc 0
+      (5L, enGood2) // kept
+    ).toDF("doc_id", "text")
+    val rows = TextMetrics.curationFunnel(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_quality", "2_repetition", "3_language", "4_exact_dup"))
+    def row(stage: String) = rows.find(_.getString(0) == stage).get
+    assert(row("1_quality").getLong(1) == 6L && row("1_quality").getLong(2) == 1L)
+    assert(row("2_repetition").getLong(1) == 5L && row("2_repetition").getLong(2) == 1L)
+    assert(row("3_language").getLong(1) == 4L && row("3_language").getLong(2) == 1L)
+    assert(row("4_exact_dup").getLong(1) == 3L && row("4_exact_dup").getLong(2) == 1L)
+    assert(rows.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    assert(row("1_quality").getDouble(4) == 0.166667) // round(1/6, 6)
+    assert(row("4_exact_dup").getDouble(4) == 0.333333)
+    // zero-drop stages still appear, with dropped = 0
+    val clean = Seq((0L, enGood), (1L, enGood2)).toDF("doc_id", "text")
+    val cleanRows = TextMetrics.curationFunnel(clean).collect()
+    assert(cleanRows.length == 4)
+    assert(cleanRows.forall(r => r.getLong(2) == 0L && r.getLong(1) == 2L &&
+      r.getLong(3) == 2L && r.getDouble(4) == 0.0))
+    // empty corpus: all stages report 0/0 with null drop_rate
+    val empty = TextMetrics.curationFunnel(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+    assert(empty.length == 4)
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.isNullAt(4)))
+  }
 }
