@@ -407,6 +407,39 @@ object ScaleProbe {
         Dedup.editDistancePairs(bigPart, "p_partkey", "p_name", "p_brand")
           .count()
       }
+      // one corpus pass + a (stage, hash) partial agg: should track the
+      // slower of quality-score and repetition-kernel scans, not their sum
+      time("curation_funnel/10x-500k-docs")(
+        TextMetrics.curationFunnel(bigDocs).count())
+    }
+    // JPEG decode throughput through the raster front door (pure-JVM
+    // Huffman + IDCT kernel): 2048 distinct 256×256 baseline JPEGs, the
+    // x^y checker content keeping the entropy decode honest. Encoding
+    // (javax.imageio) is excluded from the timing by the persist.
+    if (args.isEmpty || args.exists("jpeg_decode".contains)) {
+      import spark.implicits._
+      val media = spark.range(2048).as[Long].map { id =>
+        val img = new java.awt.image.BufferedImage(256, 256,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 256) {
+          var x = 0
+          while (x < 256) {
+            val r = (x + id) & 0xff
+            val g = (y * 2 + id * 7) & 0xff
+            val b = ((x ^ y) + id * 13) & 0xff
+            img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        (id, "image", DevJpeg.encode(img, 0.85f, progressive = false))
+      }.toDF("media_id", "modality", "payload").persist()
+      val mb = media.agg(sum(length(col("payload")))).head().getLong(0) / 1e6
+      time(f"jpeg_decode/2048x-256sq-$mb%.0fMB")(
+        graft.multimodal.BinaryPipeline.decodeImages(media)
+          .where(col("real_decode")).count())
+      media.unpersist()
     }
     spark.stop()
   }
