@@ -161,7 +161,10 @@ class PlanShapeSpec extends SparkSpec {
       ("q_crc_ledger", 7, 1),
       ("q_semantic_dedup", 2, 1),
       ("q_source_overlap", 3, 1),
-      ("q_novelty", 5, 1))
+      ("q_novelty", 5, 1),
+      // r8: the funnel census must stay join-free — one (stage, hash)
+      // partial agg + the 1-row census collapse, no keeper join-back
+      ("q_curation_funnel", 2, 1))
     budgets.foreach { case (key, maxExchanges, maxSorts) =>
       val plan = planOf(key)
       val ex = "Exchange".r.findAllIn(plan).length
