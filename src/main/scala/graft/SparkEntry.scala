@@ -1089,6 +1089,10 @@ object SparkEntry {
       Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id",
         valPermille = 100, testPermille = 100)
         .select("doc_id", "source", "split").orderBy("doc_id")),
+    // split hygiene: exact-text leakage from train demotes the eval copy
+    "q_leakfree_split" -> ((s, d) =>
+      Sampling.leakFreeSplit(Tables.documents(s, d), "doc_id",
+        testPermille = 200)),
     // per-source document cap (the "no domain dominates" valve): ≤ 20 docs
     // per source, ranked by the shared md5 hash-order convention — the
     // DuckDB twin is the row_number window the operator deliberately
@@ -3451,6 +3455,21 @@ object SparkEntry {
         |        < '${graft.operators.Sampling.cutoffHex(200)}' THEN 'test'
         |      ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_leakfree_split" ->
+      s"""WITH s AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < '${graft.operators.Sampling.cutoffHex(200)}' THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM documents),
+        |g AS (
+        | SELECT text, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+        | FROM s GROUP BY text)
+        |SELECT s.doc_id,
+        | CASE WHEN s.split = 'test' AND g.has_train = 1 THEN 'test_leaked'
+        |      ELSE s.split END AS split
+        |FROM s JOIN g ON s.text = g.text
+        |ORDER BY s.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words

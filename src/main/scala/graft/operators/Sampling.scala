@@ -74,6 +74,33 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** LEAK-FREE train/eval split: [[stratifiedSplit]]'s hash gate assigns
+    * train/test, then any TEST doc whose exact text also appears in a
+    * TRAIN doc is re-labeled `test_leaked` — content the model will see
+    * in training must not score it at eval (the held-out-set hygiene
+    * [[graft.operators.Dedup.decontaminate]] applies to near-matches,
+    * here at exact-text strength with a DuckDB-checkable census). A
+    * test-internal duplicate (no train copy) stays `test`: eval-side
+    * dedup is a separate policy.
+    *
+    * Scale shape: the split gate is map-only; the leak check is ONE
+    * shuffle on xxhash64(text) — an unordered window marks every
+    * text-group containing a train member, so no join, no second corpus
+    * pass, and text never rides the exchange beyond its 8-byte hash.
+    */
+  def leakFreeSplit(documents: DataFrame, keyCol: String = "doc_id",
+                    testPermille: Int = 200, salt: String = ""): DataFrame = {
+    val s = stratifiedSplit(documents, keyCol, 0, testPermille, salt)
+      .select(col(keyCol), xxhash64(col("text")).as("h"), col("split"))
+    val hasTrain = max(when(col("split") === "train", 1).otherwise(0))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("h"))
+    s.withColumn("has_train", hasTrain)
+      .select(col(keyCol),
+        when(col("split") === "test" && col("has_train") === 1, "test_leaked")
+          .otherwise(col("split")).as("split"))
+      .orderBy(keyCol)
+  }
+
   /** EXACT-k deterministic sample: the k rows whose key hashes order
     * first — the reservoir-sampling answer without reservoir state.
     * [[hashSample]] gives a RATE (row count varies with corpus size);

@@ -246,4 +246,35 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
     assert(Sampling.weightedSample(df.limit(0), "id", "w", k = 10).count() == 0)
   }
+
+  test("leakFreeSplit: train text in eval demotes the eval copy only") {
+    // 200 docs over 20 shared texts: every text group spans both splits
+    // with near-certainty, so leakage is exercised heavily
+    val docs = (0L until 200L).map(i => (i, s"shared text number ${i % 20}"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakFreeSplit(docs, "doc_id", testPermille = 200)
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 200)
+    assert(out.values.toSet.subsetOf(Set("train", "test", "test_leaked")))
+    // brute-force expectation from the published gate
+    val base = Sampling.stratifiedSplit(docs, "doc_id", 0, 200)
+      .select("doc_id", "text", "split").as[(Long, String, String)].collect()
+    val trainTexts = base.filter(_._3 == "train").map(_._2).toSet
+    base.foreach { case (id, text, split) =>
+      val expected =
+        if (split == "test" && trainTexts(text)) "test_leaked" else split
+      assert(out(id) == expected, s"doc $id: ${out(id)} != $expected")
+    }
+    // train labels are never rewritten, and a test-only duplicate stays test
+    val testOnly = Seq((1000L, "eval only dup"), (1001L, "eval only dup"))
+    val withPair = docs.unionByName(testOnly.toDF("doc_id", "text"))
+    val r2 = Sampling.leakFreeSplit(withPair, "doc_id", testPermille = 1000)
+      .as[(Long, String)].collect().toMap // everything lands in test
+    assert(r2(1000L) == "test" && r2(1001L) == "test")
+    // repartition determinism
+    val rep = Sampling.leakFreeSplit(docs.repartition(7), "doc_id", 200)
+      .as[(Long, String)].collect().toMap
+    assert(rep == out)
+    assert(Sampling.leakFreeSplit(docs.limit(0), "doc_id", 200).count() == 0)
+  }
 }
