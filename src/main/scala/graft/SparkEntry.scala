@@ -1245,6 +1245,15 @@ object SparkEntry {
       QualityClassifier.classifyDocuments(docs, labels)
     }),
     "q_unigram_logprob" -> ((s, d) => TextMetrics.unigramLogProb(Tables.documents(s, d))),
+    // DSIR demo split: odd doc_ids are the target-domain sample, even
+    // doc_ids are the raw corpus being scored (the decontaminate split)
+    "q_dsir_weights" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextMetrics.importanceWeights(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
@@ -3693,6 +3702,32 @@ object SparkEntry {
         |  / count(*), 12) AS surprisal,
         | count(*) AS n_tokens
         |FROM tok JOIN freq USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH rtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents WHERE doc_id % 2 = 0),
+        |ttok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |         FROM documents WHERE doc_id % 2 = 1),
+        |rcnt AS (SELECT term, CAST(count(*) AS BIGINT) AS rc FROM rtok GROUP BY 1),
+        |tcnt AS (SELECT term, CAST(count(*) AS BIGINT) AS tc FROM ttok GROUP BY 1),
+        |vocab AS (
+        | SELECT coalesce(r.term, t.term) AS term,
+        |  coalesce(r.rc, 0) AS rc, coalesce(t.tc, 0) AS tc
+        | FROM rcnt r FULL OUTER JOIN tcnt t ON r.term = t.term),
+        |tot AS (
+        | SELECT CAST(sum(rc) AS BIGINT) AS tr, CAST(sum(tc) AS BIGINT) AS tt,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM vocab),
+        |w AS (
+        | SELECT term,
+        |  CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+        |     - ln(CAST(rc + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)), 12)
+        |   AS DECIMAL(28,14)) AS lw
+        | FROM vocab CROSS JOIN tot)
+        |SELECT doc_id,
+        | round(CAST(sum(lw) AS DOUBLE) / count(*), 12) AS imp_weight,
+        | count(*) AS n_tokens
+        |FROM rtok JOIN w USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 56-bit md5 gram keys (the dataset-checksum hash convention), DISTINCT
     // per doc on the HASHED value so a collision collapses identically

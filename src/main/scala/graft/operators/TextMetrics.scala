@@ -486,6 +486,51 @@ object TextMetrics {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS for domain-targeted data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS'23 — the hashed-n-gram variant of classic
+    * importance sampling): weight(doc) = mean over tokens of
+    * ln p_target(w) − ln p_raw(w), with both LMs add-one-smoothed
+    * unigram models over the UNION vocabulary (every raw token scores —
+    * no OOV holes; a token the target corpus favors pulls the weight up,
+    * a raw-corpus-typical token pulls it down). Downstream, sampling ∝
+    * exp(weight) — or just thresholding the weight — reshapes the raw
+    * corpus toward the target domain; compose with [[graft.operators
+    * .Sampling.weightedSample]] for the draw.
+    *
+    * Scale shape: the raw token frame is localCheckpointed (feeds the
+    * count model and the scoring join — one corpus read, the
+    * [[unigramLogProb]] barrier); the target corpus is touched once for
+    * its counts; the per-term weight table is vocab-sized (full-outer
+    * count join; AQE broadcasts it back when it fits) and its totals
+    * come from ONE tiny agg over that table, not a corpus re-count.
+    * Parity: per-term weights rounded to 12 dp and summed exactly as
+    * decimal (the engine's decimal-cast-sums rule), mean rounded to 12.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val rtok = raw
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint(true)
+    val vocab = rtok.groupBy("term").agg(count(lit(1)).as("rc"))
+      .join(target.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tc")), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(true) // feeds the totals agg AND the scoring join
+    val totals = vocab.agg(coalesce(sum("rc"), lit(0L)),
+      coalesce(sum("tc"), lit(0L)), count(lit(1))).first()
+    val (tr, tt, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val lw = round(
+      log((col("tc") + 1L).cast("double") / lit((tt + v).toDouble)) -
+        log((col("rc") + 1L).cast("double") / lit((tr + v).toDouble)), 12)
+      .cast("decimal(28,14)")
+    rtok.join(vocab.select(col("term"), lw.as("lw")), "term")
+      .groupBy("doc_id")
+      .agg(round(sum("lw").cast("double") / count(lit(1)), 12).as("imp_weight"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 retrieval — top-k documents for a bag-of-terms query (Robertson
     * k1/b form, Lucene's idf = ln(1 + (N−df+0.5)/(df+0.5))). The lexical
     * search leg of the retrieval stack (the embedding stack covers the

@@ -469,6 +469,35 @@ class TextMetricsSpec extends SparkSpec {
     assert(graft.operators.TextMetrics.entropy(none).count() == 0)
   }
 
+  test("dsir importance weights: add-one LMs over the union vocab, hand-checked") {
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = Seq((0L, "a b"), (2L, "c c")).toDF("doc_id", "text")
+    val target = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // rc: a=1 b=1 c=2 (tr=4); tc: a=3 (tt=3); union vocab v=3
+    val lwA = r12(math.log(4.0 / 6.0) - math.log(2.0 / 7.0))
+    val lwB = r12(math.log(1.0 / 6.0) - math.log(2.0 / 7.0))
+    val lwC = r12(math.log(1.0 / 6.0) - math.log(3.0 / 7.0))
+    val out = TextMetrics.importanceWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 2L))
+    assert(out(0L)._2 == 2L && out(2L)._2 == 2L)
+    // decimal-exact sum of the 12-dp terms, then one double division
+    val exp0 = r12(((BigDecimal(lwA) + BigDecimal(lwB)) / 2).toDouble)
+    assert(out(0L)._1 == exp0, s"${out(0L)._1} != $exp0")
+    assert(out(2L)._1 == r12(lwC))
+    // the target-favored token pulls up, the raw-typical token pulls down
+    assert(lwA > 0 && lwC < 0)
+    assert(out(0L)._1 > out(2L)._1)
+    // repartition determinism
+    val rep = TextMetrics.importanceWeights(raw.repartition(5), target.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(0L) == out(0L)._1 && rep(2L) == out(2L)._1)
+    // empty target: weights are pure raw-LM penalties, still total
+    val noTgt = TextMetrics.importanceWeights(raw,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(noTgt.count() == 2)
+  }
+
   test("curation funnel charges each doc to its first failing stage") {
     // passes every scalar stage: 26 distinct lowercase words, 123 chars,
     // avg_word_len 98/26, 8 en markers, no other language's markers
