@@ -288,6 +288,10 @@ object ScaleProbe {
           maxHops = 4).count()
       }
       time("k_core/10x-k3")(Graph.kCore(bigTrust, k = 3).count())
+      // fixed 5 rounds regardless of graph size: cost = 5 × (join +
+      // two partial aggs) over the edge frame, no convergence probes
+      time("label_prop_communities/10x-5rounds")(
+        Graph.labelPropagation(bigTrust, iters = 5).count())
       // every 8th node gets a long-range chord: the pure 2-affine-map
       // functional graph has cycle circumference ~400 (simulated: min-label
       // propagation needs 421 hops — the fail-loud maxIters valve fires, by
@@ -411,6 +415,19 @@ object ScaleProbe {
       // slower of quality-score and repetition-kernel scans, not their sum
       time("curation_funnel/10x-500k-docs")(
         TextMetrics.curationFunnel(bigDocs).count())
+      time("leakfree_split/10x-500k-docs")(
+        Sampling.leakFreeSplit(bigDocs).count())
+      time("dsir_weights/10x-500k-docs")(
+        TextMetrics.importanceWeights(
+          bigDocs.where(col("doc_id") % 2 === 0),
+          bigDocs.where(col("doc_id") % 2 === 1)).count())
+      // two column-pruned scans + a grid-sized tail: should track the
+      // (source, n_chars) scan cost, not the corpus width
+      time("psi_drift/10x-500k-docs")(
+        Profiler.psiDrift(
+          bigDocs.where(col("doc_id") % 2 === 0),
+          bigDocs.where(col("doc_id") % 2 === 1),
+          valueCol = "n_chars", groupCol = "source").count())
     }
     // JPEG decode throughput through the raster front door (pure-JVM
     // Huffman + IDCT kernel): 2048 distinct 256×256 baseline JPEGs, the

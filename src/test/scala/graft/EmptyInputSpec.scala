@@ -50,7 +50,9 @@ class EmptyInputSpec extends SparkSpec {
         // single-row aggregate SELECT returns the same shape on empty
         "q_wealth_gini",
         // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
-        "q_dataset_checksum")
+        "q_dataset_checksum",
+        // 4-row stage census: all stages at 0/0 IS the empty-corpus funnel
+        "q_curation_funnel")
       if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }
