@@ -798,4 +798,73 @@ object Graph {
     caches.foreach(_.unpersist())
     out
   }
+
+  /** COMMUNITY detection by synchronous label propagation (Raghavan et al.
+    * 2007, made deterministic): each node repeatedly adopts the label held
+    * by the MOST of its neighbors, ties broken by the lexicographically
+    * smallest label — after a fixed number of rounds, nodes sharing a
+    * label form a community. The mesoscale complement of the rest of this
+    * file: [[connectedComponents]]/[[stronglyConnectedComponents]] answer
+    * "which nodes touch at all", [[kCore]] "where is the dense kernel";
+    * this answers "which clusters of safes vouch mostly for EACH OTHER" —
+    * the community boundaries a sybil-detection or local-economy view of
+    * a trust graph starts from.
+    *
+    * Determinism contract (what makes an unrolled SQL twin possible where
+    * classic LPA — random node order, random tie-breaks — has none):
+    * SYNCHRONOUS updates (round t+1 reads only round-t labels), the
+    * neighbor-mode tie broken by MIN label, fixed `iters` (sync LPA on a
+    * bipartite-ish region can 2-cycle rather than converge, so a fixed
+    * budget is the honest spelling — and any fixpoint is preserved:
+    * argmax of neighbor labels is unchanged when labels are unchanged).
+    * Direction and multiplicity erased, self-loops dropped (an endorsement
+    * either way makes the pair community-relevant), matching [[kCore]].
+    *
+    * Scale shape, per round: one join und⋈labels keyed on the neighbor
+    * endpoint (und pre-partitioned on that key ONCE, outside the loop),
+    * one (node, label) partial-agg count, then the per-node argmax as a
+    * second partial agg — `min(struct(-cnt, label))` realizes (cnt DESC,
+    * label ASC) without a window, so no per-node sort and no row_number
+    * exchange; every shuffle carries (node, label, count) triples, never
+    * adjacency lists. Hub nodes partial-aggregate map-side in both aggs.
+    * Rounds are a fixed knob; lineage cut per round ([[Checkpoints.cut]]).
+    *
+    * Input `edges`: (src, dst). Output: (node, community) — community =
+    * the surviving label (a node id), ordered by (community, node).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       checkpointDir: Option[String] = None,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters < 1: $iters")
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val dir = edges.where(col("src") =!= col("dst")).select("src", "dst")
+    // both orientations of every undirected pair, keyed (a = the node
+    // being relabeled, b = the neighbor whose label flows in); partitioned
+    // on the loop's join key once so 5 rounds reuse one layout
+    val und = cut(dir.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(dir.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .repartition(col("b")), 0).persist()
+    var labels = cut(und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")), 0)
+    for (it <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = cut(counts
+        .groupBy("a")
+        // min(struct(-cnt, label)) == the (cnt DESC, label ASC) argmax,
+        // as a partial agg — no window, no per-node sort
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("top"))
+        .select(col("a").as("node"), col("top.l").as("label")), it)
+    }
+    val out = Checkpoints.cut(
+      labels.select(col("node"), col("label").as("community"))
+        .orderBy("community", "node"), 0, checkpointDir, 1)
+    und.unpersist()
+    out
+  }
 }

@@ -636,4 +636,84 @@ class GraphSpec extends SparkSpec {
     assert(got3 == got)
     assert(Graph.hits(df.limit(0)).count() == 0)
   }
+
+  // ---- labelPropagation (community detection) ----
+
+  /** Driver-side reference of the operator's exact contract: synchronous
+    * rounds, neighbor-mode labels, min-label ties, direction/multiplicity
+    * erased, self-loops dropped. */
+  private def bruteLpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val und = edges.filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[String, String] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = nbrs.map { case (n, ns) =>
+        val cnts = ns.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        n -> cnts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two triangles stay separate communities; a bridge doesn't merge them") {
+    // triangles {a,b,c} and {x,y,z} joined by one bridge edge c-x: the
+    // mode rule keeps each triangle on its own min label (each bridge
+    // endpoint has 2 in-triangle neighbors vs 1 across)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 5)
+      .as[(String, String)].collect().toMap
+    assert(got == bruteLpa(Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")), 5))
+    // each triangle is internally uniform, and the two stay DISTINCT; the
+    // right triangle converges to "c" (the bridge endpoint's label leaks
+    // across in round 1 and wins the mode there), not to its own min "x" —
+    // community MEMBERSHIP is the contract, the label is just a name
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(got("x") == "c" && got("y") == "c" && got("z") == "c")
+  }
+
+  test("labelPropagation: brute-force parity on a hashed random graph; noise and knob invariance") {
+    val rng = new scala.util.Random(8)
+    val raw = List.fill(140)((s"n${rng.nextInt(30)}", s"n${rng.nextInt(30)}"))
+    val edges = raw.toDF("src", "dst")
+    val expected = bruteLpa(raw, 5)
+    val got = Graph.labelPropagation(edges, iters = 5)
+      .as[(String, String)].collect().toMap
+    assert(got == expected)
+    // deterministic under repartition
+    val got2 = Graph.labelPropagation(edges.repartition(7), iters = 5)
+      .as[(String, String)].collect().toMap
+    assert(got2 == expected)
+    // self-loops and duplicate/reversed edges are erased before counting
+    val noisy = edges.union(edges.limit(20))
+      .union(raw.take(15).map(_.swap).toDF("src", "dst"))
+      .union(Seq(("n1", "n1")).toDF("src", "dst"))
+    val got3 = Graph.labelPropagation(noisy, iters = 5)
+      .as[(String, String)].collect().toMap
+    assert(got3 == expected)
+    // reliable-checkpoint knob must not change the answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-ck").toString
+    val got4 = Graph.labelPropagation(edges, iters = 5,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+      .as[(String, String)].collect().toMap
+    assert(got4 == expected)
+    // empty graph total
+    assert(Graph.labelPropagation(edges.limit(0), iters = 5).count() == 0)
+  }
+
+  test("labelPropagation: star ties break to the lexicographic min") {
+    // hub h with leaves p,q,r: round 1 every leaf adopts "h", h adopts the
+    // min leaf label "p"; round 2 h sees {h,h,h} -> "h", leaves see "p";
+    // round 3 re-oscillates -- brute parity is the contract, plus the
+    // round-1 tie direction pinned explicitly via a 1-round run
+    val edges = Seq(("h", "p"), ("h", "q"), ("h", "r")).toDF("src", "dst")
+    val one = Graph.labelPropagation(edges, iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(one("h") == "p" && one("p") == "h" && one("q") == "h" && one("r") == "h")
+    val five = Graph.labelPropagation(edges, iters = 5)
+      .as[(String, String)].collect().toMap
+    assert(five == bruteLpa(Seq(("h", "p"), ("h", "q"), ("h", "r")), 5))
+  }
 }
