@@ -653,6 +653,16 @@ object SparkEntry {
       Graph.kCore(
         trust.select(col("user").as("src"), col("can_send_to").as("dst")), k = 2)
     }),
+    // community structure of the trust graph: deterministic synchronous
+    // label propagation (neighbor-mode labels, min-label ties, 5 rounds);
+    // oracle: round-unrolled CTEs with the row_number spelling of the
+    // argmax the operator computes as a min(struct) partial agg
+    "q_trust_communities" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.labelPropagation(trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst")), iters = 5)
+    }),
     // first-order Markov transition matrix over per-user event sequences
     "q_transition_matrix" -> ((s, d) =>
       Behavior.transitionMatrix(Tables.events(s, d))),
@@ -1253,6 +1263,16 @@ object SparkEntry {
       TextMetrics.importanceWeights(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1))
+    }),
+    // snapshot drift: same parity split as q_dsir_weights — per-source PSI
+    // over the n_chars length profile between the two halves
+    "q_corpus_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Profiler.psiDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        valueCol = "n_chars", groupCol = "source")
     }),
     "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
@@ -2978,6 +2998,7 @@ object SparkEntry {
         |FROM h3 GROUP BY src ORDER BY src""".stripMargin),
     "q_trust_rank" -> trustRankSql,
     "q_trust_kcore" -> trustKcoreSql,
+    "q_trust_communities" -> trustCommunitiesSql,
     "q_trust_rank_weighted" -> trustRankWeightedSql,
     "q_trust_hits" -> trustHitsSql,
     // hop-bounded recursive closure with UNION dedup: each (node, dist)
@@ -3729,6 +3750,41 @@ object SparkEntry {
         | count(*) AS n_tokens
         |FROM rtok JOIN w USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Laplace-smoothed PSI over the FULL grp×bucket grid (absent buckets
+    // still carry a term); integral // bucketing, per-term round-12,
+    // DECIMAL(28,14) term sums — the psiDrift parity contract
+    "q_corpus_drift" ->
+      """WITH o AS (SELECT source AS grp,
+        |            least(greatest(n_chars // 200, 0), 9) AS bucket
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT source AS grp,
+        |       least(greatest(n_chars // 200, 0), 9) AS bucket
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |oc AS (SELECT grp, bucket, count(*) AS c_old FROM o GROUP BY 1, 2),
+        |nc AS (SELECT grp, bucket, count(*) AS c_new FROM n GROUP BY 1, 2),
+        |grps AS (SELECT grp FROM oc UNION SELECT grp FROM nc),
+        |grid AS (SELECT g.grp, r.range AS bucket
+        |         FROM grps g CROSS JOIN range(10) r),
+        |cell AS (SELECT g.grp, g.bucket,
+        |          coalesce(oc.c_old, 0) AS c_old,
+        |          coalesce(nc.c_new, 0) AS c_new
+        |         FROM grid g
+        |         LEFT JOIN oc ON oc.grp = g.grp AND oc.bucket = g.bucket
+        |         LEFT JOIN nc ON nc.grp = g.grp AND nc.bucket = g.bucket),
+        |tots AS (SELECT grp, CAST(sum(c_old) AS BIGINT) AS tot_old,
+        |          CAST(sum(c_new) AS BIGINT) AS tot_new
+        |         FROM cell GROUP BY 1)
+        |SELECT c.grp AS source,
+        | round(CAST(sum(CAST(round(
+        |   (CAST(c.c_old + 1 AS DOUBLE) / CAST(t.tot_old + 10 AS DOUBLE)
+        |    - CAST(c.c_new + 1 AS DOUBLE) / CAST(t.tot_new + 10 AS DOUBLE))
+        |   * ln((CAST(c.c_old + 1 AS DOUBLE) / CAST(t.tot_old + 10 AS DOUBLE))
+        |      / (CAST(c.c_new + 1 AS DOUBLE) / CAST(t.tot_new + 10 AS DOUBLE))),
+        |   12) AS DECIMAL(28,14))) AS DOUBLE), 12) AS psi,
+        | t.tot_old AS n_old, t.tot_new AS n_new
+        |FROM cell c JOIN tots t ON t.grp = c.grp
+        |GROUP BY c.grp, t.tot_old, t.tot_new
+        |ORDER BY source""".stripMargin,
     // 56-bit md5 gram keys (the dataset-checksum hash convention), DISTINCT
     // per doc on the HASHED value so a collision collapses identically
     "q_novelty" ->
@@ -4140,6 +4196,35 @@ object SparkEntry {
       |SELECT node, count(*) AS deg FROM (
       | SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) u
       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled sync-LPA twin of [[graft.operators.Graph.labelPropagation]]
+    * (5 rounds, neighbor-mode labels, min-label tie-break): each round is
+    * one neighbor-label count + a row_number() argmax — the WINDOW
+    * spelling of the (cnt DESC, label ASC) top-1 the operator computes as
+    * a `min(struct(-cnt, label))` partial agg; an independent spelling of
+    * the identical integer/string-deterministic semantics. MATERIALIZED
+    * per the kCore lesson (each round reads its predecessor once, but the
+    * chain would otherwise re-expand into exponential `events` scans).
+    */
+  private val trustCommunitiesSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""l$i AS MATERIALIZED (
+         | SELECT node, label FROM (
+         |  SELECT u.a AS node, p.label, count(*) AS cnt,
+         |   row_number() OVER (PARTITION BY u.a
+         |                      ORDER BY count(*) DESC, p.label) AS rn
+         |  FROM und u JOIN l${i - 1} p ON p.node = u.b
+         |  GROUP BY u.a, p.label) t
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    trustE1Cte +
+      """,
+        |und AS MATERIALIZED (
+        | SELECT src AS a, dst AS b FROM e1 UNION SELECT dst, src FROM e1),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+        |""".stripMargin + iterCtes + """
+        |SELECT node, label AS community FROM l5 ORDER BY community, node""".stripMargin
   }
 
   /** Unrolled PageRank twin of [[graft.operators.Graph.pageRank]] (5

@@ -184,4 +184,63 @@ object Profiler {
         col("c.r").as("r"), col("c.n_pairs").as("n_pairs"))
       .orderBy("col_a", "col_b")
   }
+
+  /** Population Stability Index per group between two corpus SNAPSHOTS —
+    * the distributional drift monitor next to [[graft.operators.Dedup]]'s
+    * exact-membership snapshot diff (24c): "did source X's length profile
+    * shift between last month's crawl and this one", the alarm a
+    * training-data pipeline checks before mixing a refreshed source in.
+    * PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) over a FIXED bucketing of
+    * `valueCol` (integral-DIV widths, clamped to `nBuckets` — the
+    * [[histogram]] exactness doctrine), Laplace-smoothed with one
+    * pseudo-count per bucket over the FULL grid (absent buckets still
+    * carry a term when totals differ — dropping them would silently
+    * understate drift; conventional read: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 shifted). Cross-engine parity: shares are IEEE double
+    * divisions of exact longs, each bucket term rounds to 12 dp, terms
+    * sum as DECIMAL(28,14) (the unigram-surprisal ln rule).
+    *
+    * Scale shape: each snapshot is ONE scan projecting (group, value) —
+    * column-pruned at parquet — into a (group, bucket) partial-agg count;
+    * everything after is |groups|·nBuckets rows (broadcast-sized joins,
+    * AQE picks them). No window, no driver loop; the two scans are
+    * independent jobs.
+    */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+               groupCol: String, bucketWidth: Long = 200L,
+               nBuckets: Int = 10): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth < 1: $bucketWidth")
+    require(nBuckets >= 2, s"nBuckets < 2: $nBuckets")
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col(groupCol).as("grp"),
+        least(greatest(
+          expr(s"CAST($valueCol AS BIGINT) DIV ${bucketWidth}L"), lit(0L)),
+          lit(nBuckets - 1).cast("long")).as("bucket"))
+    val oc = buckets(oldDf).groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("c_old"))
+    val nc = buckets(newDf).groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("c_new"))
+    val groups = oc.select("grp").unionByName(nc.select("grp")).distinct()
+    val grid = groups.crossJoin(
+      oldDf.sparkSession.range(nBuckets).select(col("id").as("bucket")))
+    val cell = grid.join(oc, Seq("grp", "bucket"), "left")
+      .join(nc, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val tots = cell.groupBy("grp")
+      .agg(sum("c_old").as("tot_old"), sum("c_new").as("tot_new"))
+    val b = lit(nBuckets.toLong)
+    val p = (col("c_old") + 1).cast("double") / (col("tot_old") + b).cast("double")
+    val q = (col("c_new") + 1).cast("double") / (col("tot_new") + b).cast("double")
+    cell.join(tots, "grp")
+      .select(col("grp"), col("tot_old"), col("tot_new"),
+        round((p - q) * log(p / q), 12).as("term"))
+      .groupBy("grp", "tot_old", "tot_new")
+      .agg(round(sum(col("term").cast("decimal(28,14)")).cast("double"), 12)
+        .as("psi"))
+      .select(col("grp").as(groupCol), col("psi"),
+        col("tot_old").as("n_old"), col("tot_new").as("n_new"))
+      .orderBy(groupCol)
+  }
 }

@@ -103,4 +103,69 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, String, Option[Double], Long)].collect().head
     assert(rn._4 == 2L && rn._3.contains(1.0))
   }
+
+  // ---- psiDrift ----
+
+  /** Driver-side reference of psiDrift's exact contract: clamped integral
+    * bucketing, full-grid Laplace smoothing, per-term round-12, exact
+    * decimal term sums. */
+  private def brutePsi(oldRows: Seq[(String, Long)], newRows: Seq[(String, Long)],
+                       width: Long = 200L, b: Int = 10): Map[String, (Double, Long, Long)] = {
+    def bucket(v: Long) = math.min(math.max(v / width, 0L), (b - 1).toLong)
+    val grps = (oldRows.map(_._1) ++ newRows.map(_._1)).distinct
+    grps.map { g =>
+      val oc = oldRows.filter(_._1 == g).groupBy(r => bucket(r._2)).view.mapValues(_.size.toLong).toMap
+      val nc = newRows.filter(_._1 == g).groupBy(r => bucket(r._2)).view.mapValues(_.size.toLong).toMap
+      val totO = oc.values.sum; val totN = nc.values.sum
+      val terms = (0 until b).map { i =>
+        val p = (oc.getOrElse(i.toLong, 0L) + 1).toDouble / (totO + b)
+        val q = (nc.getOrElse(i.toLong, 0L) + 1).toDouble / (totN + b)
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val psi = terms.sum.setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      g -> ((psi, totO, totN))
+    }.toMap
+  }
+
+  test("psiDrift: identical distributions score 0; a shifted group is flagged") {
+    val oldDf = Seq(("s1", 10L), ("s1", 210L), ("s1", 410L),
+      ("s2", 50L), ("s2", 60L), ("s2", 70L)).toDF("source", "n_chars")
+    // s1 unchanged (same bucket counts), s2 jumps two buckets up
+    val newDf = Seq(("s1", 20L), ("s1", 220L), ("s1", 420L),
+      ("s2", 450L), ("s2", 460L), ("s2", 470L)).toDF("source", "n_chars")
+    val got = Profiler.psiDrift(oldDf, newDf, "n_chars", "source")
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1")._1 == 0.0, s"identical dist must be PSI 0, got ${got("s1")}")
+    assert(got("s2")._1 > 0.25, s"two-bucket shift must flag, got ${got("s2")}")
+    val expected = brutePsi(
+      Seq(("s1", 10L), ("s1", 210L), ("s1", 410L), ("s2", 50L), ("s2", 60L), ("s2", 70L)),
+      Seq(("s1", 20L), ("s1", 220L), ("s1", 420L), ("s2", 450L), ("s2", 460L), ("s2", 470L)))
+    assert(got == expected)
+  }
+
+  test("psiDrift: hashed-data brute parity, one-sided groups, clamps, repartition invariance") {
+    val rng = new scala.util.Random(5)
+    val oldRows = List.fill(300)((s"s${rng.nextInt(5)}", rng.nextInt(2500).toLong))
+    // s9 exists only in the new snapshot; oversized values clamp to the top
+    // bucket; a negative value clamps to bucket 0
+    val newRows = List.fill(300)((s"s${rng.nextInt(5)}", rng.nextInt(2500).toLong)) ++
+      List(("s9", 100L), ("s9", 999999L), ("s9", -3L))
+    val expected = brutePsi(oldRows, newRows)
+    val got = Profiler.psiDrift(oldRows.toDF("source", "n_chars"),
+      newRows.toDF("source", "n_chars"), "n_chars", "source")
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    assert(got("s9")._2 == 0L && got("s9")._3 == 3L)
+    val got2 = Profiler.psiDrift(oldRows.toDF("source", "n_chars").repartition(7),
+      newRows.toDF("source", "n_chars").repartition(5), "n_chars", "source")
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 == expected)
+    // both snapshots empty -> no groups, empty report
+    assert(Profiler.psiDrift(oldRows.toDF("source", "n_chars").limit(0),
+      newRows.toDF("source", "n_chars").limit(0), "n_chars", "source").count() == 0)
+  }
 }
