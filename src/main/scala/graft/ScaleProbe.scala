@@ -423,6 +423,9 @@ object ScaleProbe {
           bigDocs.where(col("doc_id") % 2 === 1)).count())
       // two column-pruned scans + a grid-sized tail: should track the
       // (source, n_chars) scan cost, not the corpus width
+      // chunk explode + fused vote: only (doc_id, lang) pairs shuffle
+      time("language_mix/10x-50k-docs")(
+        TextMetrics.languageMix(bigDocs).count())
       time("psi_drift/10x-500k-docs")(
         Profiler.psiDrift(
           bigDocs.where(col("doc_id") % 2 === 0),

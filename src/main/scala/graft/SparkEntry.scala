@@ -1277,6 +1277,9 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
+    // code-switching detector: 32-token windows voted per chunk, per-doc
+    // mode + mix rollup
+    "q_language_mix" -> ((s, d) => TextMetrics.languageMix(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextMetrics.fingerprint(Tables.documents(s, d))),
     "q_winnow" -> ((s, d) => TextMetrics.winnowExploded(Tables.documents(s, d)))
   )
@@ -2940,6 +2943,49 @@ object SparkEntry {
         |      WHEN en = greatest(de, en, es, fr) THEN 'en'
         |      ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the q_chunk window spelling at 32/0 + the q_lang_id vote per window
+    // + a mode rollup (identified langs outrank 'und', ties to lex MIN)
+    "q_language_mix" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+        |c AS (SELECT doc_id, ws,
+        |       unnest(generate_series(0,
+        |         greatest(CAST(ceil(nw / 32.0) AS BIGINT), 1) - 1)) AS i
+        |      FROM n),
+        |ch AS (SELECT doc_id, i,
+        |        string_split(
+        |          lower(array_to_string(ws[(i*32+1):(i*32+32)], ' ')), ' ') AS cw
+        |       FROM c),
+        |s AS (SELECT doc_id, i,
+        |  len(list_filter(cw, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+        |  len(list_filter(cw, w -> w IN ('the','and','of','to','is','in','that','it'))) AS en,
+        |  len(list_filter(cw, w -> w IN ('el','la','de','que','y','en','los','es'))) AS es,
+        |  len(list_filter(cw, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+        | FROM ch),
+        |pred AS (SELECT doc_id,
+        |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |       WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+        |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |       ELSE 'de' END AS lang
+        | FROM s),
+        |cnts AS (SELECT doc_id, lang, count(*) AS cnt FROM pred GROUP BY 1, 2),
+        |roll AS (SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN lang <> 'und' THEN cnt ELSE 0 END) AS BIGINT) AS n_lang_chunks,
+        |  CAST(count(CASE WHEN lang <> 'und' THEN 1 END) AS BIGINT) AS n_langs
+        | FROM cnts GROUP BY 1),
+        |prim AS (SELECT doc_id, lang AS primary_lang, cnt AS pc FROM (
+        |  SELECT doc_id, lang, cnt,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY (lang = 'und'), cnt DESC, lang) AS rn
+        |  FROM cnts) t WHERE rn = 1)
+        |SELECT r.doc_id, r.n_chunks, r.n_langs, p.primary_lang,
+        | CASE WHEN r.n_lang_chunks > 0
+        |      THEN round(1 - CAST(p.pc AS DOUBLE) / r.n_lang_chunks, 12)
+        | END AS mix_ratio
+        |FROM roll r JOIN prim p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the SERVED twins converge to the same state as the direct views —
     // the oracle is identical by design
     "q_trust_view_served" ->

@@ -439,7 +439,16 @@ object TextMetrics {
     * the final chunk may run short rather than re-padding. Map-only
     * explode — no shuffle at any scale, 1→N like the frame sampler.
     */
-  def chunk(documents: DataFrame, chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+  def chunk(documents: DataFrame, chunkTokens: Int = 64, overlap: Int = 8): DataFrame =
+    chunkUnsorted(documents, chunkTokens, overlap).orderBy("doc_id", "chunk_idx")
+
+  /** [[chunk]] minus the presentation sort — the map-only core for
+    * consumers that aggregate right after ([[languageMix]]): keeps the
+    * chunk text on the map side instead of pushing it through a range
+    * exchange it doesn't need.
+    */
+  private def chunkUnsorted(documents: DataFrame, chunkTokens: Int,
+                            overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
     val words = wsWords(col("text"))
@@ -451,7 +460,48 @@ object TextMetrics {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", col("cw")).as("chunk_text"),
         size(col("cw")).cast("long").as("n_tokens"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-document LANGUAGE MIX — the code-switching / mixed-language
+    * detector a monolingual-corpus curation stage needs beyond [[langId]]'s
+    * single whole-doc vote (a half-English half-German page votes "en" or
+    * "de" there and silently pollutes either corpus): the doc is cut into
+    * non-overlapping `chunkTokens`-token windows ([[chunk]] with overlap 0),
+    * each window gets the [[langPred]] vote, and the rollup reports
+    * n_chunks, n_langs (distinct identified languages), primary_lang (the
+    * chunk-mode language — identified languages outrank "und", ties to the
+    * lexicographic min) and mix_ratio = 1 − primary-chunks / identified
+    * chunks (0 = monolingual, → 1 = thoroughly mixed; null when nothing
+    * identified). All counting is integer and the ratio one IEEE division
+    * rounded 12 dp — fully oracle-checkable.
+    *
+    * Scale shape: ONE corpus scan → map-only 1→N chunk explode with the
+    * language vote fused into the same projection (the chunk TEXT never
+    * leaves the map side — only (doc_id, lang) pairs reach the exchange)
+    * → one (doc_id, lang) partial-agg count → one per-doc partial agg
+    * whose argmax is the `min(struct(und, -cnt, lang))` trick (no window,
+    * no sort), ≤ |langs|+1 rows per doc entering it.
+    */
+  def languageMix(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens < 1: $chunkTokens")
+    val chunkLang = chunkUnsorted(documents, chunkTokens, overlap = 0)
+      .select(col("doc_id"), langPred(col("chunk_text")).as("lang"))
+    val cnts = chunkLang.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("cnt"))
+    cnts.groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_chunks"),
+        sum(when(col("lang") =!= "und", col("cnt")).otherwise(0L))
+          .as("n_lang_chunks"),
+        count(when(col("lang") =!= "und", lit(1))).as("n_langs"),
+        min(struct((col("lang") === "und").cast("int").as("u"),
+          (-col("cnt")).as("nc"), col("lang").as("l"))).as("top"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("top.l").as("primary_lang"),
+        when(col("n_lang_chunks") > 0,
+          round(lit(1.0) - (-col("top.nc")).cast("double") / col("n_lang_chunks"),
+            12)).as("mix_ratio"))
+      .orderBy("doc_id")
   }
 
   /** Unigram-LM surprisal per document — the CCNet-style quality signal:

@@ -541,4 +541,42 @@ class TextMetricsSpec extends SparkSpec {
     assert(empty.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
       r.isNullAt(4)))
   }
+
+  // ---- languageMix ----
+
+  test("languageMix: hand-built mono, mixed, and unidentifiable docs") {
+    val en = ("the and of to is in that it " * 8).trim          // 64 en tokens
+    val de = ("der die und das ist nicht ein zu " * 4).trim     // 32 de tokens
+    val noise = ("lorem ipsum dolor sit amet foo bar baz " * 4).trim // 32 und
+    val docs = Seq(
+      (1L, en),                           // 2 chunks, both en
+      (2L, de + " " + en),                // 3 chunks: de, en, en
+      (3L, noise),                        // 1 chunk, und
+      (4L, de + " " + noise)              // 2 chunks: de, und
+    ).toDF("doc_id", "text")
+    val r = TextMetrics.languageMix(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    assert(r(1L) == ((2L, 1L, "en", Some(0.0))))
+    assert(r(2L) == ((3L, 2L, "en", Some(1.0 - 2.0 / 3.0 match {
+      case v => BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }))))
+    assert(r(3L) == ((1L, 0L, "und", None)))
+    // identified lang outranks the equally-frequent 'und' chunk
+    assert(r(4L) == ((2L, 1L, "de", Some(0.0))))
+  }
+
+  test("languageMix: equal-count language tie breaks to the lexicographic min; repartition/empty total") {
+    val en = ("the and of to is in that it " * 4).trim   // 32 en tokens
+    val de = ("der die und das ist nicht ein zu " * 4).trim
+    val docs = Seq((7L, de + " " + en)).toDF("doc_id", "text")
+    val r = TextMetrics.languageMix(docs).collect().head
+    assert(r.getString(3) == "de" && r.getLong(2) == 2L)
+    assert(r.getDouble(4) == 0.5)
+    val docs2 = Seq((7L, de + " " + en), (8L, en)).toDF("doc_id", "text")
+    val a = TextMetrics.languageMix(docs2).collect().toSeq.map(_.toString)
+    val b = TextMetrics.languageMix(docs2.repartition(5)).collect().toSeq.map(_.toString)
+    assert(a == b)
+    assert(TextMetrics.languageMix(docs2.limit(0)).count() == 0)
+  }
 }
