@@ -243,6 +243,9 @@ object ScaleProbe {
     time("knn_graph/exact-300-cap")(Ann.knnGraph(bigEmb, k = 5, maxId = 300L).count())
     time("knn_graph_lsh/20k-dup-mass")(Ann.knnGraphLsh(bigEmb).count())
     time("ann_sq8/20k-exhaustive")(Pq.sq8TopK(bigEmb).count())
+    // two scans off one checkpoint + a dim-row collect: should track the
+    // embedding scan, not the corpus size beyond it
+    time("embedding_outliers/20k")(Ann.outlierScores(bigEmb).count())
     time("source_cap/50k-docs") {
       Sampling.groupCap(bigDocs, "source", "doc_id", cap = 20, salt = "cap").count()
     }

@@ -1007,6 +1007,9 @@ object SparkEntry {
             concat(col("text"), lit(" v2"))).otherwise(col("text"))))
     }),
     "q_ann_cosine" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    // representation-space triage: centroid-distance z-scores (rows-only —
+    // float artifact; AnnSpec gates planted-outlier recall + determinism)
+    "q_embedding_outliers" -> ((s, d) => Ann.outlierScores(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Ann.lshTopKMultiprobe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),

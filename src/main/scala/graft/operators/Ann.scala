@@ -851,4 +851,71 @@ object Ann {
           .toDF("rank", "vec_id", "gap_cosine")
     }
   }
+
+  /** EMBEDDING-SPACE OUTLIER scores — the representation-space triage a
+    * curation pipeline runs before clustering or dedup trusts the
+    * embeddings at all: vectors far from the corpus centroid are the
+    * corrupt decodes, wrong-modality rows, and genuinely anomalous
+    * documents ([[kCenterSample]] SEEKS the extremes for coverage; this
+    * FLAGS them for audit — same geometry, opposite use). Per vector:
+    * cosine distance to the global centroid (per-dimension DECIMAL mean,
+    * order-independent → bit-deterministic, the [[kmeansCentroids]] sum
+    * rule) and its z-score against the corpus distance distribution
+    * (exact decimal moment sums, the [[graft.operators.Profiler]]
+    * doctrine); `z > zThreshold` flags. Distances and z round to 12 dp —
+    * repartition/rerun-stable, though cross-engine float parity is not
+    * claimed (rows-only key, like the rest of the ANN family).
+    *
+    * Scale shape: the base frame is read twice off one localCheckpoint
+    * (centroid agg + scoring scan); the centroid agg shuffles ≤ dim
+    * partial-sum rows and collects ≤ dim rows; the centroid rides the
+    * task closure as a plan literal (the [[assignToCentroids]] pattern,
+    * no join); the moment agg is 3 driver doubles; scoring is map-only.
+    * Zero-norm vectors are excluded (the NaN doctrine); zero distance
+    * spread (all vectors identical) emits z = null, flags nothing.
+    */
+  def outlierScores(embeddings: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+      .localCheckpoint(true) // feeds the centroid agg AND the scoring scan
+    val sums = base.select(posexplode(col("ne")))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("decimal(28,18)")).as("s"), count(lit(1)).as("n"))
+      .collect() // bounded: ≤ dim rows
+    if (sums.isEmpty)
+      return Seq.empty[(Long, Double, Option[Double], Boolean)]
+        .toDF("vec_id", "dist", "z", "is_outlier")
+    val cent = new Array[Float](sums.map(_.getInt(0)).max + 1)
+    sums.foreach { r =>
+      cent(r.getInt(0)) = (r.getDecimal(1).doubleValue() / r.getLong(2)).toFloat
+    }
+    val cn = math.sqrt(cent.map(v => v.toDouble * v).sum)
+    if (cn == 0.0) // degenerate: centroid at the origin, no cosine defined
+      return base.select(col("nid").as("vec_id"), lit(null).cast("double").as("dist"),
+        lit(null).cast("double").as("z"), lit(false).as("is_outlier"))
+        .orderBy("vec_id")
+    val scored = base.select(col("nid"),
+        round(lit(1.0) - cosFast(col("ne"), typedlit(cent), col("nn"), lit(cn)), 12)
+          .as("dist"))
+      .localCheckpoint(true) // feeds the moment agg AND the final projection
+    val m = scored.agg(
+      sum(col("dist").cast("decimal(28,14)")).as("s1"),
+      sum((col("dist") * col("dist")).cast("decimal(28,16)")).as("s2"),
+      count(lit(1)).as("n")).head()
+    val n = m.getLong(2)
+    val mean = m.getDecimal(0).doubleValue() / n
+    val variance = math.max(0.0, m.getDecimal(1).doubleValue() / n - mean * mean)
+    val std = math.sqrt(variance)
+    val z =
+      if (std == 0.0) lit(null).cast("double")
+      else round((col("dist") - lit(mean)) / lit(std), 12)
+    scored.withColumn("z", z)
+      .select(col("nid").as("vec_id"), col("dist"), col("z"),
+        coalesce(col("z") > zThreshold, lit(false)).as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -598,4 +598,42 @@ class AnnSpec extends SparkSpec {
     // empty corpus is total
     assert(Ann.kCenterSample(tiny.where(lit(false)), k = 3).count() == 0)
   }
+
+  // ---- outlierScores ----
+
+  test("outlierScores: a planted anti-cluster vector is flagged; det under repartition; totality") {
+    // 40 vectors tightly around +e1 (tiny deterministic jitter), one at -e1:
+    // the centroid sits near +e1, so the planted vector's distance ~2 while
+    // the cluster sits near 0 -> z far above 3
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 1.0f
+      v(1 + (i % (dim - 1)).toInt) = 0.01f * ((i % 5) + 1)
+      (i, v)
+    } :+ (99L, { val v = Array.fill(dim)(0.0f); v(0) = -1.0f; v })
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Ann.outlierScores(df).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)), x.getBoolean(3)))).toMap
+    assert(r.size == 41)
+    assert(r(99L)._3, s"planted outlier not flagged: ${r(99L)}")
+    assert(r.filter(_._1 != 99L).values.forall(!_._3),
+      "cluster members must not be flagged")
+    // z-scores are centered: the flagged vector's z dominates
+    assert(r(99L)._2.get > 3.0 && r(99L)._1 > 1.5)
+    val r2 = Ann.outlierScores(df.repartition(7)).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)), x.getBoolean(3)))).toMap
+    assert(r2 == r)
+    // zero-norm vectors are excluded; all-identical corpus -> std 0 -> z
+    // null, nothing flagged; empty corpus is total
+    val withZero = rows :+ (500L, Array.fill(dim)(0.0f))
+    assert(!Ann.outlierScores(withZero.toDF("vec_id", "embedding"))
+      .collect().map(_.getLong(0)).contains(500L))
+    val same = (0L until 5L).map(i => (i, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val rs = Ann.outlierScores(same).collect()
+    assert(rs.length == 5 && rs.forall(x => x.isNullAt(2) && !x.getBoolean(3)))
+    assert(Ann.outlierScores(df.limit(0)).count() == 0)
+  }
 }
