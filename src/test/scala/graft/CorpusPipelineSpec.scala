@@ -81,4 +81,56 @@ class CorpusPipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("src0", 2L, 1L, 25L), ("src1", 1L, 1L, 25L)))
   }
+
+  case class DriftDoc(doc_id: Long, source: String, n_chars: Long, ingest_ts: Timestamp)
+
+  test("driftStats: each window's PSI equals the batch psiDrift row exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference profile: s0 short docs, s1 long docs
+    val reference = Seq(
+      ("s0", 50L), ("s0", 60L), ("s0", 250L), ("s0", 70L),
+      ("s1", 900L), ("s1", 950L), ("s1", 1100L)
+    ).toDF("source", "n_chars")
+    val mem = MemoryStream[DriftDoc]
+    val q = CorpusPipeline.driftStats(mem.toDF(), reference)
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    // window 1: s0 tracks its reference shape; window 2: s0 shifts long;
+    // s9 never existed in the reference
+    val w1 = Seq(
+      DriftDoc(1L, "s0", 55L, ts("2024-01-01 10:00:00")),
+      DriftDoc(2L, "s0", 65L, ts("2024-01-01 10:10:00")),
+      DriftDoc(3L, "s0", 260L, ts("2024-01-01 10:20:00")),
+      DriftDoc(4L, "s0", 75L, ts("2024-01-01 10:30:00")))
+    val w2 = Seq(
+      DriftDoc(5L, "s0", 950L, ts("2024-01-01 11:00:00")),
+      DriftDoc(6L, "s0", 990L, ts("2024-01-01 11:10:00")),
+      DriftDoc(7L, "s9", 10L, ts("2024-01-01 11:20:00")))
+    mem.addData(w1: _*)
+    q.processAllAvailable()
+    mem.addData(w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift")
+      .select("source", "window_start", "psi", "n_new", "n_ref")
+      .as[(String, Timestamp, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size == 3)
+    // batch twin per window: psiDrift(reference, windowDocs)
+    def batchPsi(windowDocs: Seq[DriftDoc]): Map[String, Double] =
+      graft.operators.Profiler.psiDrift(reference,
+        windowDocs.map(d => (d.source, d.n_chars)).toDF("source", "n_chars"),
+        "n_chars", "source")
+        .as[(String, Double, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val b1 = batchPsi(w1); val b2 = batchPsi(w2)
+    assert(got(("s0", ts("2024-01-01 10:00:00")))._1 == b1("s0"))
+    assert(got(("s0", ts("2024-01-01 11:00:00")))._1 == b2("s0"))
+    assert(got(("s9", ts("2024-01-01 11:00:00")))._1 == b2("s9"))
+    // the tracking window is quiet, the shifted one alarms
+    assert(got(("s0", ts("2024-01-01 10:00:00")))._1 < 0.1)
+    assert(got(("s0", ts("2024-01-01 11:00:00")))._1 > 0.25)
+    // totals: n_new counts the window, n_ref the static profile (0 for s9)
+    assert(got(("s0", ts("2024-01-01 10:00:00")))._2 == 4L)
+    assert(got(("s0", ts("2024-01-01 10:00:00")))._3 == 4L)
+    assert(got(("s9", ts("2024-01-01 11:00:00")))._3 == 0L)
+  }
 }
