@@ -663,6 +663,8 @@ object SparkEntry {
       Graph.labelPropagation(trust.where(col("limit") > 0)
         .select(col("user").as("src"), col("can_send_to").as("dst")), iters = 5)
     }),
+    // per-user inter-event gap profile + burstiness (bot/sybil triage)
+    "q_burstiness" -> ((s, d) => Behavior.interEventStats(Tables.events(s, d))),
     // first-order Markov transition matrix over per-user event sequences
     "q_transition_matrix" -> ((s, d) =>
       Behavior.transitionMatrix(Tables.events(s, d))),
@@ -1841,6 +1843,33 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
     // lead() over the same (ts, event_id)-ordered per-user sequence
+    // exact decimal moments over integer ms gaps; mean = integral µs DIV,
+    // σ via the exact integer discriminant D = n·Σg²−(Σg)² (one double
+    // cast + IEEE sqrt + floor — no large-magnitude round()); burstiness
+    // is the O(1) value (√D−Σg)/(√D+Σg), the only round-12
+    "q_burstiness" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |g AS (SELECT user_id,
+        |       CAST(floor((ts_us - prev_us) / 1000) AS BIGINT) AS gap_ms
+        |      FROM e WHERE prev_us IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |       sum(CAST(gap_ms AS DECIMAL(19,0))) AS s1,
+        |       sum(CAST(gap_ms AS DECIMAL(19,0)) * CAST(gap_ms AS DECIMAL(19,0))) AS s2
+        |      FROM g GROUP BY 1),
+        |b AS (SELECT user_id, n_gaps, s1,
+        |       CAST(CAST(n_gaps * s2 - s1 * s1 AS DECIMAL(38,0)) AS DOUBLE) AS dd
+        |      FROM a)
+        |SELECT user_id, n_gaps,
+        | (CAST(s1 AS BIGINT) * 1000) // n_gaps AS mean_gap_us,
+        | CAST(floor(sqrt(dd) * 1000.0 / n_gaps) AS BIGINT) AS std_gap_us,
+        | CASE WHEN sqrt(dd) + CAST(s1 AS DOUBLE) > 0
+        |      THEN round((sqrt(dd) - CAST(s1 AS DOUBLE))
+        |                 / (sqrt(dd) + CAST(s1 AS DOUBLE)), 12)
+        | END AS burstiness
+        |FROM b ORDER BY user_id""".stripMargin,
     "q_transition_matrix" ->
       """WITH p AS (
         | SELECT event_type AS from_type,

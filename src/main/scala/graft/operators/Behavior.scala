@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream: ordered-step funnels and
@@ -384,5 +384,67 @@ object Behavior {
         col("lift"),
         coalesce(col("lift") >= minLift, lit(false)).as("trending"))
       .orderBy("event_type", "day")
+  }
+
+  /** Per-user INTER-EVENT timing profile + BURSTINESS (Goh & Barabási
+    * 2008): B = (σ−μ)/(σ+μ) over the user's inter-event gaps — B → −1 is
+    * a metronome (bot-like regularity), B ≈ 0 Poisson-random, B → +1
+    * heavy-tailed human burst-and-silence. The timing-signature complement
+    * of [[graft.operators.StateOps.sessionize]] (which cuts on one gap
+    * threshold; this summarizes the whole gap distribution) — the cheap
+    * bot/sybil triage signal on an event stream.
+    *
+    * Parity contract — the large-magnitude round() trap, learned here:
+    * `round(x, 12)` of a ≥1e4-magnitude double asks for more significant
+    * digits than a double HAS, and the engines' round implementations
+    * legitimately disagree in that no-man's-land (observed:
+    * …730158**73** vs …730158**74** at sf0.01) — round-12 is only safe on
+    * O(1)-normalized values (where every existing use of it lives). So
+    * nothing here rounds a large double: gaps are exact integer ms (the
+    * epoch-µs floor-div convention), moments accumulate as exact DECIMAL
+    * sums (gap² multiplied as decimal(19,0)² — a long square of a
+    * multi-day gap would overflow), the mean is an INTEGRAL µs division
+    * `(Σgap·1000) DIV n`, σ comes from the exact integer discriminant
+    * D = n·Σgap² − (Σgap)² via one double cast + IEEE sqrt + one fixed
+    * `floor(·1000/n)` (identical inputs → identical doubles → identical
+    * floor; no round() involved), and burstiness — the one O(1) value —
+    * is (√D − Σgap)/(√D + Σgap), algebraically (σ−μ)/(σ+μ), rounded 12.
+    * Users with a single event have no gaps and no row (the sessionize
+    * convention); all-zero gaps → √D + Σgap = 0 → burstiness null.
+    *
+    * Scale shape: one user-keyed window sort (the lag) whose hash
+    * partitioning the following groupBy REUSES (no second exchange), then
+    * a partial decimal agg; (user, long) pairs only past the scan.
+    */
+  def interEventStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        floor((col("ts_us") - col("prev_us")) / lit(1000.0d)).cast("long")
+          .as("gap_ms"))
+    val agg = gaps.groupBy("user_id").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(d19(col("gap_ms"))).as("s1"),
+      sum(d19(col("gap_ms")) * d19(col("gap_ms"))).as("s2"))
+    // D = n·Σg² − (Σg)² ≥ 0, exact in decimal(38,0); one cast to double
+    val dd = (col("n_gaps") * col("s2") - col("s1") * col("s1"))
+      .cast("decimal(38,0)").cast("double")
+    val sq = sqrt(dd)
+    val s1d = col("s1").cast("double")
+    agg
+      .withColumn("mean_gap_us",
+        expr("CAST(CAST(s1 AS BIGINT) * 1000L AS BIGINT) DIV n_gaps"))
+      .withColumn("std_gap_us",
+        floor(sq * lit(1000.0d) / col("n_gaps")).cast("long"))
+      .withColumn("burstiness",
+        when(sq + s1d > 0, round((sq - s1d) / (sq + s1d), 12)))
+      .select("user_id", "n_gaps", "mean_gap_us", "std_gap_us", "burstiness")
+      .orderBy("user_id")
   }
 }

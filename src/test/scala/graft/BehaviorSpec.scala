@@ -271,4 +271,54 @@ class BehaviorSpec extends SparkSpec {
       r.map { case (d, (a, b, c)) => (d, a, b, c) }.toSeq)
     assert(Behavior.activeUsers(e.limit(0)).count() == 0)
   }
+
+  // ---- interEventStats ----
+
+  test("interEventStats: metronome, burst, single-event and same-instant users") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1: metronome, gaps exactly 60s -> sigma 0, B = -1
+      (1L, 1L, "a", t("2024-01-01 10:00:00")),
+      (2L, 1L, "a", t("2024-01-01 10:01:00")),
+      (3L, 1L, "a", t("2024-01-01 10:02:00")),
+      (4L, 1L, "a", t("2024-01-01 10:03:00")),
+      // u2: burst then silence, gaps 1s,1s,3598s
+      (5L, 2L, "a", t("2024-01-01 10:00:00")),
+      (6L, 2L, "a", t("2024-01-01 10:00:01")),
+      (7L, 2L, "a", t("2024-01-01 10:00:02")),
+      (8L, 2L, "a", t("2024-01-01 11:00:00")),
+      // u3: a single event -> no gaps, no row
+      (9L, 3L, "a", t("2024-01-01 10:00:00")),
+      // u4: two events at the SAME instant -> one zero gap -> B null
+      (10L, 4L, "a", t("2024-01-01 10:00:00")),
+      (11L, 4L, "a", t("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.operators.Behavior.interEventStats(events).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    assert(r.keySet == Set(1L, 2L, 4L))
+    // u1: D = 3·3·60000² − 180000² = 0 → σ 0, B = (0−s1)/(0+s1) = −1
+    assert(r(1L) == ((3L, 60000000L, 0L, Some(-1.0))))
+    // u2 exact protocol: gaps ms = 1000, 1000, 3598000
+    val g = Seq(1000L, 1000L, 3598000L)
+    val s1 = g.sum
+    val d = 3L * g.map(x => x * x).sum - s1 * s1
+    val sq = math.sqrt(d.toDouble)
+    val meanUs = s1 * 1000L / 3L
+    val stdUs = math.floor(sq * 1000.0 / 3).toLong
+    val b = BigDecimal((sq - s1) / (sq + s1))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(2L) == ((3L, meanUs, stdUs, Some(b))))
+    // n=3 gaps bounds B by (√2−1)/(√2+1) ≈ 0.1716 (population σ); this
+    // burst profile should sit essentially at that ceiling
+    assert(b > 0.15, s"burst-and-silence must skew positive, got $b")
+    // u4: one zero gap → s1 = 0, D = 0 → burstiness null
+    assert(r(4L) == ((1L, 0L, 0L, None)))
+    // deterministic under repartition; empty totality
+    val r2 = graft.operators.Behavior.interEventStats(events.repartition(5)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    assert(r2 == r)
+    assert(graft.operators.Behavior.interEventStats(events.limit(0)).count() == 0)
+  }
 }
