@@ -1281,6 +1281,8 @@ object SparkEntry {
     }),
     "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextMetrics.chunk(Tables.documents(s, d))),
+    // rank-frequency shape per source: OLS slope over the top-100 terms
+    "q_zipf_slope" -> ((s, d) => TextMetrics.zipfSlope(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextMetrics.langId(Tables.documents(s, d))),
     // code-switching detector: 32-token windows voted per chunk, per-doc
     // mode + mix rollup
@@ -2975,6 +2977,34 @@ object SparkEntry {
         |      WHEN en = greatest(de, en, es, fr) THEN 'en'
         |      ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    // ln values round-12 then recover exactly as decimal(16,12); all
+    // cross-products multiply and sum in exact decimal; only the O(1)
+    // slope rounds a combined double
+    "q_zipf_slope" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, cnt,
+        |       row_number() OVER (PARTITION BY source
+        |                          ORDER BY cnt DESC, term) AS rank
+        |      FROM c QUALIFY rank <= 100),
+        |p AS (SELECT source,
+        |       CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(16,12)) AS x,
+        |       CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(16,12)) AS y
+        |      FROM r),
+        |a AS (SELECT source, count(*) AS n_terms,
+        |       sum(x) AS sx, sum(y) AS sy,
+        |       sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM p GROUP BY 1)
+        |SELECT source, n_terms,
+        | CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      THEN round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                 / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+        | END AS zipf_slope
+        |FROM a ORDER BY source""".stripMargin,
     // the q_chunk window spelling at 32/0 + the q_lang_id vote per window
     // + a mode rollup (identified langs outrank 'und', ties to lex MIN)
     "q_language_mix" ->

@@ -128,6 +128,54 @@ object TextMetrics {
       )
       .orderBy("source")
 
+  /** ZIPF rank-frequency SLOPE per source — the dataset-card shape signal
+    * next to [[corpusStats]]'s volumes: natural text follows freq ∝
+    * rank^s with s ≈ −1; a source whose slope drifts toward 0 is
+    * boilerplate/template-heavy (flat head), one far below −1 is
+    * degenerate repetition — the one-scalar "does this source read like
+    * language" check. OLS of y = ln(freq) on x = ln(rank) over the top-N
+    * terms per source: s = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    *
+    * Parity: ln values round to 12 dp (O(10) magnitude — safe per the
+    * large-magnitude round doctrine, [[graft.operators.Behavior
+    * .interEventStats]]) and recover EXACTLY as decimal(16,12); all
+    * cross-products multiply in DECIMAL (exact (33,24)s — never a rounded
+    * large double) and sum exactly; the final combine is a fixed-order
+    * double expression over identical inputs, rounded 12 (O(1) slope).
+    * Sources with one term have zero x-variance → null slope.
+    *
+    * Scale shape: one (source, term) partial-agg count; the top-N cut is
+    * the `row_number() <= N` spelling, which Spark's WindowGroupLimit
+    * pushdown bounds MAP-SIDE (verified in the plan: a partial
+    * WindowGroupLimit sits below the exchange, so ≤ N rows per source per
+    * partition shuffle — never the vocabulary); the OLS rollup sees ≤ N
+    * rows per source.
+    */
+  def zipfSlope(documents: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, s"topN < 2: $topN")
+    val cnts = documents
+      .select(col("source"), explode(wsWords(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("term").asc)
+    val ranked = cnts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+    val xd = round(log(col("rank").cast("double")), 12).cast("decimal(16,12)")
+    val yd = round(log(col("cnt").cast("double")), 12).cast("decimal(16,12)")
+    val agg = ranked.select(col("source"), xd.as("x"), yd.as("y"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n_terms").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = nd * d("sxx") - d("sx") * d("sx")
+    agg.select(col("source"), col("n_terms"),
+        when(den > 0,
+          round((nd * d("sxy") - d("sx") * d("sy")) / den, 12)).as("zipf_slope"))
+      .orderBy("source")
+  }
+
   /** C4/Gopher-style keep/drop decision composed from [[quality]] — the
     * FILTER stage a training-data pipeline runs after scoring: map-only,
     * `keep` plus the FIRST failing rule as the drop reason (the audit

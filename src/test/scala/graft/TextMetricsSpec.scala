@@ -579,4 +579,36 @@ class TextMetricsSpec extends SparkSpec {
     assert(a == b)
     assert(TextMetrics.languageMix(docs2.limit(0)).count() == 0)
   }
+
+  // ---- zipfSlope ----
+
+  test("zipfSlope: protocol-exact hand OLS, power-law slope ~ -1, degenerate and empty cases") {
+    // src A: freqs 8/4/2/1 for terms a/b/c/d; src B: one term only
+    val aText = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq(("A", aText), ("B", "solo solo solo")).toDF("source", "text")
+    val got = TextMetrics.zipfSlope(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // driver-side twin of the exact protocol (round-12 lns recovered as
+    // scaled BigDecimals, exact cross-product sums, fixed-order combine)
+    def r12(v: Double) = BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (rk, c) => (r12(math.log(rk.toDouble)), r12(math.log(c.toDouble))) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("A") == ((4L, Some(slope))))
+    assert(slope < -0.9 && slope > -1.8, s"power-law-ish slope expected, got $slope")
+    // a single distinct term has zero x-variance
+    assert(got("B") == ((1L, None)))
+    // deterministic under repartition; empty totality
+    val got2 = TextMetrics.zipfSlope(docs.repartition(5)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got2 == got)
+    assert(TextMetrics.zipfSlope(docs.limit(0)).count() == 0)
+  }
 }
