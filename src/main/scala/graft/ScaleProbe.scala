@@ -429,6 +429,13 @@ object ScaleProbe {
       // chunk explode + fused vote: only (doc_id, lang) pairs shuffle
       time("language_mix/10x-50k-docs")(
         TextMetrics.languageMix(bigDocs).count())
+      // WindowGroupLimit bounds the top-100 cut map-side: the shuffle
+      // after the (source,term) count carries <=100/source/partition
+      time("zipf_slope/10x-50k-docs")(
+        TextMetrics.zipfSlope(bigDocs).count())
+      // one user-keyed window whose partitioning the groupBy reuses
+      time("burstiness/10x-events")(
+        Behavior.interEventStats(bigEvents).count())
       time("psi_drift/10x-500k-docs")(
         Profiler.psiDrift(
           bigDocs.where(col("doc_id") % 2 === 0),
