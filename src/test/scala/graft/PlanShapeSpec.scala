@@ -177,4 +177,38 @@ class PlanShapeSpec extends SparkSpec {
         s"$key: an Expand reappeared (the r7 countDistinct lesson):\n$plan")
     }
   }
+
+  test("r8 additions: drift/zipf/mix/burstiness keep their bounded shapes") {
+    // psiDrift: the two snapshot scans prune to (source, n_chars) only
+    val drift = planOf("q_corpus_drift")
+    val driftSchemas = "ReadSchema: [^\\n]+".r.findAllIn(drift).toSeq
+    assert(driftSchemas.nonEmpty &&
+      driftSchemas.forall(x => !x.contains("text") && !x.contains("lang")),
+      s"psiDrift must never read document text:\n${driftSchemas.mkString("\n")}")
+    // zipfSlope: the top-100 cut is bounded MAP-SIDE (a WindowGroupLimit
+    // below the exchange), so the vocabulary never rides the window shuffle
+    val zipf = finalPlanOf("q_zipf_slope")
+    assert(zipf.contains("WindowGroupLimit"),
+      s"zipf top-N lost its group-limit pushdown:\n$zipf")
+    // languageMix: chunk text stays map-side — no shuffle's input carries
+    // chunk_text (only (doc_id, lang) pairs aggregate). Node-level check
+    // with AQE off (the snapshotDiff doctrine: AdaptiveSparkPlanExec is a
+    // leaf to collect()).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = SparkEntry.queries("q_language_mix")(spark, sf)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected shuffles in the language-mix plan")
+      exchanges.foreach(e =>
+        assert(e.child.output.forall(a => !a.name.contains("chunk_text")),
+          s"chunk_text leaked into an exchange: ${e.child.output.map(_.name)}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // burstiness: the moment groupBy REUSES the lag window's hash
+    // partitioning — exactly 2 exchanges total (user hash + output sort)
+    val burst = planOf("q_burstiness")
+    assert("Exchange".r.findAllIn(burst).length <= 2,
+      s"burstiness grew an extra shuffle:\n$burst")
+  }
+
 }
