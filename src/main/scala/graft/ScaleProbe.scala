@@ -471,6 +471,45 @@ object ScaleProbe {
           .where(col("real_decode")).count())
       media.unpersist()
     }
+    // MJPEG AVI frame decode: 256 videos × 8 frames of 128² through the
+    // container walk + the same JPEG kernel; map-only, frames sampled 1:2
+    if (args.isEmpty || args.exists("video_frames".contains)) {
+      import spark.implicits._
+      val media = spark.range(256).as[Long].map { id =>
+        def cc(x: String) = x.getBytes("US-ASCII")
+        def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val movi = new java.io.ByteArrayOutputStream()
+        movi.write(cc("movi"))
+        (0 until 8).foreach { k =>
+          val img = new java.awt.image.BufferedImage(128, 128,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 128) {
+            var x = 0
+            while (x < 128) {
+              val v = ((x ^ y) + id * 13 + k * 31) & 0xff
+              img.setRGB(x, y, ((v << 16) | (v << 8) | v).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val f = DevJpeg.encode(img, 0.85f, progressive = false)
+          movi.write(cc("00dc")); movi.write(u32(f.length)); movi.write(f)
+          if (f.length % 2 == 1) movi.write(0)
+        }
+        val body = new java.io.ByteArrayOutputStream()
+        body.write(cc("AVI "))
+        body.write(cc("LIST")); body.write(u32(movi.size())); body.write(movi.toByteArray)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(cc("RIFF")); out.write(u32(body.size())); out.write(body.toByteArray)
+        (id, "video", out.toByteArray)
+      }.toDF("media_id", "modality", "payload").persist()
+      media.count() // exclude encoding from the timing
+      time("video_frames/256avi-8f-sample2")(
+        graft.multimodal.BinaryPipeline.videoFrames(media, every = 2).count())
+      media.unpersist()
+    }
     spark.stop()
   }
 }

@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   * row padding, both row orders), and BASELINE JPEG ([[decodeJpeg]] —
   * dependency-free T.81 sequential-DCT pipeline, see [[Jpeg]]); the AUDIO
   * path a REAL decoder for RIFF/WAVE PCM ([[decodeWav]] — chunk walk +
-  * sample normalization), all exercised end-to-end over genuine payloads
-  * (the JPEG path cross-checked against `javax.imageio` in the spec);
-  * remaining formats (progressive jpeg, mp3, video — this environment
-  * ships no codec libraries) fall back to a deterministic STUB
-  * (`fakeDecode`) with a visible `real_decode = false` quarantine flag.
-  * Swapping in a full codec (e.g. javacpp-ffmpeg) changes no plumbing.
+  * sample normalization); the VIDEO path a REAL RIFF/AVI container parser
+  * ([[decodeAviFrames]]) whose MJPEG frames decode through the engine's
+  * own JPEG kernel ([[videoFrames]]/[[decodeVideos]]) — all exercised
+  * end-to-end over genuine payloads (the JPEG path cross-checked against
+  * `javax.imageio` in the spec, the AVI path over spec-built MJPEG
+  * containers); remaining formats (progressive jpeg, mp3, non-AVI /
+  * non-MJPEG video — this environment ships no codec libraries) fall back
+  * to a deterministic STUB (`fakeDecode`) with a visible
+  * `real_decode = false` quarantine flag. Swapping in a full codec (e.g.
+  * javacpp-ffmpeg) changes no plumbing.
   *
   * Scale notes: decode runs via `mapPartitions` (the Scala analogue of
   * `mapInPandas` batch UDFs) so per-partition setup (codec init) amortizes;
@@ -417,29 +421,37 @@ object BinaryPipeline {
         val p = r.getAs[Array[Byte]]("payload")
         decodeRaster(p) match {
           case Some((w, h, rgb)) =>
-            val (gw, gh) = (9, 8)
-            val luma = Array.tabulate(gw * gh) { i =>
-              val (sx, sy) = ((i % gw) * w / gw, (i / gw) * h / gh)
-              val o = (sy * w + sx) * 3
-              0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
-                0.114 * (rgb(o + 2) & 0xff)
-            }
-            var hash = 0L
-            var y = 0
-            while (y < gh) {
-              var x = 0
-              while (x < gw - 1) {
-                if (luma(y * gw + x + 1) > luma(y * gw + x))
-                  hash |= 1L << (y * (gw - 1) + x)
-                x += 1
-              }
-              y += 1
-            }
-            Row(r.getAs[Long]("media_id"), hash, true)
+            Row(r.getAs[Long]("media_id"), dhashOf(w, h, rgb), true)
           case None => Row(r.getAs[Long]("media_id"), null, false)
         }
       }
     }(enc)
+  }
+
+  /** The 64-bit dHash kernel shared by [[imageHashes]] and
+    * [[videoFrames]]: 9×8 luma grid, each bit = "right neighbor
+    * brighter".
+    */
+  private def dhashOf(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val (gw, gh) = (9, 8)
+    val luma = Array.tabulate(gw * gh) { i =>
+      val (sx, sy) = ((i % gw) * w / gw, (i / gw) * h / gh)
+      val o = (sy * w + sx) * 3
+      0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
+        0.114 * (rgb(o + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (luma(y * gw + x + 1) > luma(y * gw + x))
+          hash |= 1L << (y * (gw - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /** Near-duplicate images: pairs of decodable images whose dHashes are
@@ -473,9 +485,126 @@ object BinaryPipeline {
       .orderBy("media_a", "media_b")
   }
 
+  /** REAL container parse for RIFF/AVI — the video analogue of
+    * [[decodeWav]]'s RIFF walk: header `RIFF…AVI `, then a word-aligned
+    * chunk walk that recurses into `LIST` chunks (the `movi` list — and
+    * its optional `rec ` sub-lists — hold the frames) and collects every
+    * `##dc`/`##db` stream chunk in order: for an MJPEG AVI each such
+    * chunk IS a baseline JPEG the engine's own [[decodeJpeg]] kernel
+    * opens; for a DIB AVI it's a raster [[decodeRaster]] may or may not
+    * know. Codec-agnostic at THIS layer by design: container parse and
+    * frame decode are separate quarantine surfaces. Malformed/truncated
+    * containers → None.
+    */
+  def decodeAviFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def u32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    try {
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var ok = true
+        while (ok && o + 8 <= end) {
+          val id = fourcc(o)
+          val sz = u32(o + 4)
+          val chunkEnd = o + 8 + sz
+          if (id == "LIST") {
+            // a truncated LIST still yields its intact prefix: recurse
+            // clamped to the bytes that exist, then stop if it ran short
+            if (sz >= 4 && o + 12 <= end)
+              walk(o + 12, math.min(chunkEnd, end.toLong).toInt)
+            if (chunkEnd > end) ok = false
+            else o = (chunkEnd + (sz & 1)).toInt // chunks are word-aligned
+          } else if (chunkEnd > end) ok = false // truncated data chunk: stop
+          else {
+            if (id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && sz > 0) {
+              frames += java.util.Arrays.copyOfRange(payload, o + 8, chunkEnd.toInt)
+            }
+            o = (chunkEnd + (sz & 1)).toInt
+          }
+        }
+      }
+      walk(12, riffEnd)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(fs)
+    } catch { case _: Exception => None }
+  }
+
+  /** Container-level video decode summary — the quarantine surface for the
+    * video modality ([[videoFrames]] is the per-frame explode): n_frames
+    * from the REAL AVI chunk walk, dimensions from the first frame the
+    * raster kernels open. `real_decode = false` when the container parses
+    * but no frame codec is ours (or the container isn't AVI) — nothing
+    * throws, undecodable rows stay visible.
+    */
+  def decodeVideos(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("real_decode", BooleanType, nullable = false))))
+    media.where(col("modality") === "video").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        decodeAviFrames(r.getAs[Array[Byte]]("payload")) match {
+          case Some(fs) =>
+            fs.iterator.map(decodeRaster).collectFirst { case Some(x) => x } match {
+              case Some((w, h, _)) => Row(id, fs.size, w, h, true)
+              case None => Row(id, fs.size, null, null, false)
+            }
+          case None => Row(id, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame video decode + sampling: every `every`-th frame of each
+    * AVI, opened by the raster kernels (MJPEG frames → [[decodeJpeg]]),
+    * emitting per-frame channel means and the [[dhashOf]] perceptual hash
+    * — the 1→N stage video near-dup and scene analysis build on (two
+    * videos sharing sampled-frame dHashes are the same footage; the
+    * text-side analogue is the winnowing fingerprint set). Frames the
+    * codecs can't open emit nothing — [[decodeVideos]] is the quarantine
+    * surface that makes those visible. Map-only; payloads never shuffle
+    * (only means + an 8-byte hash leave the stage).
+    */
+  def videoFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every < 1: $every")
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channel_means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+    media.where(col("modality") === "video").flatMap { r =>
+      val id = r.getAs[Long]("media_id")
+      decodeAviFrames(r.getAs[Array[Byte]]("payload")).toSeq.flatMap { fs =>
+        fs.zipWithIndex
+          .filter { case (_, i) => i % every == 0 }
+          .flatMap { case (f, i) =>
+            decodeRaster(f).map { case (w, h, rgb) =>
+              val sums = new Array[Double](3)
+              var k = 0
+              while (k < rgb.length) { sums(k % 3) += (rgb(k) & 0xff); k += 1 }
+              Row(id, i, w, h, sums.map(_ / (w * h)), dhashOf(w, h, rgb))
+            }
+          }
+      }
+    }(enc)
+  }
+
   /** Video frame-sampling stage (STUB decode): emits every `stride`-th
     * fixed-size chunk of the payload as a "frame" (1→N explode shape — the
-    * real sampler yields decoded frames at the same cardinality).
+    * real sampler yields decoded frames at the same cardinality;
+    * [[videoFrames]] IS that sampler for AVI containers — this stub stays
+    * for opaque/unknown-container payloads).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 2): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(

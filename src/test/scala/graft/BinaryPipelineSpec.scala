@@ -403,4 +403,101 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(pairs.length == 1 &&
       pairs.head.getAs[Long]("media_a") == 1L && pairs.head.getAs[Long]("media_b") == 2L)
   }
+
+  // ---- AVI / MJPEG video path ----
+
+  /** Minimal RIFF/AVI writer for the specs: hdrl LIST (ignored by the
+    * parser) + movi LIST of 00dc frame chunks, word-aligned. */
+  private def aviBytes(frames: Seq[Array[Byte]], nest: Boolean = false): Array[Byte] = {
+    def cc(x: String) = x.getBytes("US-ASCII")
+    def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(cc("movi"))
+    frames.foreach { f =>
+      if (nest) {
+        // wrap each frame in a `rec ` sub-list, as interleaved AVIs do
+        val rec = new java.io.ByteArrayOutputStream()
+        rec.write(cc("rec ")); rec.write(cc("00dc")); rec.write(u32(f.length)); rec.write(f)
+        if (f.length % 2 == 1) rec.write(0)
+        movi.write(cc("LIST")); movi.write(u32(rec.size())); movi.write(rec.toByteArray)
+      } else {
+        movi.write(cc("00dc")); movi.write(u32(f.length)); movi.write(f)
+        if (f.length % 2 == 1) movi.write(0)
+      }
+    }
+    val hdrl = cc("hdrl") ++ cc("avih") ++ u32(4) ++ u32(frames.size)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(cc("AVI "))
+    body.write(cc("LIST")); body.write(u32(hdrl.length)); body.write(hdrl)
+    body.write(cc("LIST")); body.write(u32(movi.size())); body.write(movi.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(cc("RIFF")); out.write(u32(body.size())); out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  test("decodeAviFrames: chunk walk round-trip, rec nesting, padding, quarantine") {
+    val f1 = Array.tabulate[Byte](33)(_.toByte) // odd length -> pad byte
+    val f2 = Array.tabulate[Byte](20)(i => (i * 3).toByte)
+    val flat = BinaryPipeline.decodeAviFrames(aviBytes(Seq(f1, f2)))
+    assert(flat.exists(fs => fs.size == 2 &&
+      fs(0).sameElements(f1) && fs(1).sameElements(f2)))
+    // interleaved `rec ` sub-lists are recursed into
+    val nested = BinaryPipeline.decodeAviFrames(aviBytes(Seq(f1, f2), nest = true))
+    assert(nested.exists(fs => fs.size == 2 && fs(0).sameElements(f1)))
+    // garbage / wrong magic / truncated container
+    assert(BinaryPipeline.decodeAviFrames(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    assert(BinaryPipeline.decodeAviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val whole = aviBytes(Seq(f1, f2))
+    // cutting into the SECOND frame chunk keeps the first (walk stops at
+    // the truncated chunk, earlier frames stand)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 10)
+    assert(BinaryPipeline.decodeAviFrames(cut).exists(fs =>
+      fs.size == 1 && fs(0).sameElements(f1)))
+  }
+
+  test("videoFrames: MJPEG AVI decodes per sampled frame; dhash matches the image path") {
+    import java.awt.image.BufferedImage
+    // 4 frames: vertical gradients with distinct offsets (flat chroma)
+    val jpegs = (0 until 4).map { k =>
+      val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val v = (x * 10 + k * 30) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      jpegBytes(img, 0.9f)
+    }
+    val media = Seq((7L, aviBytes(jpegs))).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
+    val all = BinaryPipeline.videoFrames(media).collect()
+    assert(all.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(all.forall(r => r.getAs[Int]("width") == 24 && r.getAs[Int]("height") == 16))
+    val sampled = BinaryPipeline.videoFrames(media, every = 2).collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+    // frame dhash must equal the IMAGE pipeline's dhash of the same JPEG
+    val asImage = Seq((0L, jpegs(0))).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("image"))
+    val imgHash = BinaryPipeline.imageHashes(asImage).collect().head.getAs[Long]("dhash")
+    val frameHash = all.find(_.getAs[Int]("frame_idx") == 0).get.getAs[Long]("dhash")
+    assert(frameHash == imgHash, "video frame dhash must match the image-path dhash")
+    // container summary: real decode with dimensions
+    val summary = BinaryPipeline.decodeVideos(media).collect().head
+    assert(summary.getAs[Int]("n_frames") == 4 && summary.getAs[Boolean]("real_decode")
+      && summary.getAs[Int]("width") == 24)
+  }
+
+  test("video quarantine: unknown codec parses the container but flags; frames emit nothing") {
+    val junkFrames = Seq(Array.tabulate[Byte](40)(i => (i * 7).toByte))
+    val media = Seq(
+      (1L, aviBytes(junkFrames)),                       // AVI, alien codec
+      (2L, Array.tabulate[Byte](50)(_.toByte))          // not an AVI at all
+    ).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
+    val sums = BinaryPipeline.decodeVideos(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(sums(1L).getAs[Int]("n_frames") == 1 && !sums(1L).getAs[Boolean]("real_decode"))
+    assert(sums(2L).isNullAt(sums(2L).fieldIndex("n_frames"))
+      && !sums(2L).getAs[Boolean]("real_decode"))
+    assert(BinaryPipeline.videoFrames(media).count() == 0)
+  }
 }
