@@ -600,6 +600,41 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** VIDEO near-dup pairs — the footage analogue of [[imageNearDupPairs]]
+    * (re-encoded / re-containered / trimmed copies of the same clip share
+    * most sampled-frame perceptual hashes even when no byte matches):
+    * candidate frame pairs come from the same 8×8-bit dHash pigeonhole
+    * (hamming ≤ 7 ⟹ one full chunk agrees — an equi-join, never
+    * all-pairs), a video pair qualifies when ≥ `minShared` DISTINCT
+    * frames of the earlier video near-match some frame of the later one
+    * (distinct-frames, not frame-pairs: a still logo repeated 100×
+    * would otherwise fabricate 10 000 matches from one visual). Output:
+    * (media_a, media_b, shared_frames). Payloads never shuffle — the
+    * join carries (media_id, frame_idx, sig) rows only.
+    */
+  def videoNearDupPairs(media: DataFrame, every: Int = 1, maxHamming: Int = 6,
+                        minShared: Int = 2): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
+    require(minShared >= 1, s"minShared < 1: $minShared")
+    val sigs = videoFrames(media, every)
+      .select(col("media_id"), col("frame_idx"), col("dhash").as("sig"))
+    val chunks = sigs.select(col("media_id"), col("frame_idx"), col("sig"),
+      explode(array((0 until 8).map { c =>
+        concat_ws(":", lit(c), shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL)))
+      }: _*)).as("chunk_key"))
+    chunks.as("a")
+      .join(chunks.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.frame_idx").as("fa"))
+      .distinct() // one vote per (pair, earlier-video frame)
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+      .orderBy("media_a", "media_b")
+  }
+
   /** Video frame-sampling stage (STUB decode): emits every `stride`-th
     * fixed-size chunk of the payload as a "frame" (1→N explode shape — the
     * real sampler yields decoded frames at the same cardinality;

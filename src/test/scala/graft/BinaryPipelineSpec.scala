@@ -500,4 +500,38 @@ class BinaryPipelineSpec extends SparkSpec {
       && !sums(2L).getAs[Boolean]("real_decode"))
     assert(BinaryPipeline.videoFrames(media).count() == 0)
   }
+
+  test("videoNearDupPairs: re-encoded copy pairs, disjoint footage doesn't, still-logo counts once per frame") {
+    import java.awt.image.BufferedImage
+    def frame(seed: Int): BufferedImage = {
+      val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val v = (x * 10 + seed * 40) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // video 1: frames A,B,C at q=0.9; video 2: the SAME frames re-encoded
+    // at q=0.7 (near-dup, not byte-dup); video 3: unrelated frames
+    val v1 = aviBytes((0 until 3).map(k => jpegBytes(frame(k), 0.9f)))
+    val v2 = aviBytes((0 until 3).map(k => jpegBytes(frame(k), 0.7f)))
+    val v3 = aviBytes((10 until 13).map(k => jpegBytes(frame(k), 0.9f)))
+    val media = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
+    val pairs = BinaryPipeline.videoNearDupPairs(media, minShared = 2).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("shared_frames")).toMap
+    assert(pairs.contains((1L, 2L)), s"re-encoded copy must pair, got $pairs")
+    assert(pairs((1L, 2L)) >= 2L)
+    assert(!pairs.keySet.exists(k => k._2 == 3L || k._1 == 3L),
+      s"unrelated footage must not pair: $pairs")
+    // a still logo repeated 4x in A vs once in B: shared_frames counts
+    // DISTINCT A-frames that match (4), not 4x1 frame-pairs inflated
+    val logoA = aviBytes(Seq.fill(4)(jpegBytes(frame(5), 0.9f)))
+    val logoB = aviBytes(Seq(jpegBytes(frame(5), 0.7f)))
+    val logos = Seq((1L, logoA), (2L, logoB)).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
+    val lp = BinaryPipeline.videoNearDupPairs(logos, minShared = 1).collect()
+    assert(lp.length == 1 && lp.head.getAs[Long]("shared_frames") == 4L)
+  }
 }
