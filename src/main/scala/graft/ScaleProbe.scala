@@ -329,6 +329,12 @@ object ScaleProbe {
           dagE.unionAll(bridge).unionAll(sccE), maxRounds = 10, maxIters = 200).count()
       }
       time("assortativity/10x")(Graph.degreeAssortativity(bigTrust).count())
+      // r8c: HyperBall NF to the fixpoint on the small-world graph —
+      // diameter ~34 rounds, each ONE (join + 16-register max agg) over
+      // 64 B/node sketches; the exact reach operator would shuffle ball
+      // MEMBERS (here the giant component makes that ~10k² pair rows)
+      time("neighborhood_fn/10x-small-world-fixpoint")(
+        Graph.neighborhoodFunction(bigTrustSw, maxT = 64).count())
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
       time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())
       time("corr_matrix/10x-events") {
@@ -441,6 +447,27 @@ object ScaleProbe {
           bigDocs.where(col("doc_id") % 2 === 0),
           bigDocs.where(col("doc_id") % 2 === 1),
           valueCol = "n_chars", groupCol = "source").count())
+      // r8c: one user-keyed window pass + ONE conditional channel agg
+      // (the explode doubles conversion rows map-side, nothing else)
+      time("attribution/10x-events")(
+        Behavior.touchAttribution(bigEvents).count())
+      // r8c: per-customer rollup + 3 orderedScan global ranks over a
+      // 100k-customer frame synthesized from events (custkey = user,
+      // spend = value) — tracks the orders scan + 3 tiny two-phase scans
+      time("rfm/10x-100k-customers") {
+        Behavior.rfmSegments(bigEvents.select(
+          col("event_id").as("o_orderkey"), col("user_id").as("o_custkey"),
+          col("value").as("o_totalprice"),
+          col("ts").cast("timestamp").as("o_orderdate"))).count()
+      }
+      // r8c: canonical pick = ONE min_by partial agg over the (bounded)
+      // cluster membership + a doc_id-keyed decoration join — candidate
+      // generation is deliberately out of frame (probed by minhash/ngram)
+      time("canonical_docs/10x-500k-docs-10pct-clustered") {
+        val clusters = bigDocs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("doc_id") / 100).cast("long").as("cluster_id"))
+        Dedup.canonicalDocs(bigDocs, clusters).count()
+      }
     }
     // JPEG decode throughput through the raster front door (pure-JVM
     // Huffman + IDCT kernel): 2048 distinct 256×256 baseline JPEGs, the

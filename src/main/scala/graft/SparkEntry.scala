@@ -382,6 +382,16 @@ object SparkEntry {
       Graph.reachCounts(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), maxHops = 3)
     }),
+    // approximate neighborhood function over the trust graph — the
+    // FM-sketch scale path next to q_trust_reach_counts' exact sets;
+    // rows-only (sketch estimates are hash-specific by design; GraphSpec
+    // pins exact-BFS parity bounds + bit-determinism)
+    "q_trust_nf" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.neighborhoodFunction(trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst")))
+    }),
     // multi-source BFS hop distance from the every-17th-user signup cohort
     // over the same edge list (level-synchronous frontier BFS; oracle =
     // hop-bounded recursive CTE with UNION dedup)
@@ -458,6 +468,12 @@ object SparkEntry {
         horizonMs = 2L * 86400000L)),
     // per-day DAU / new / returning split (distinct people, not events)
     "q_active_users" -> ((s, d) => Behavior.activeUsers(Tables.events(s, d))),
+    // first/last-touch conversion attribution per channel (one user-keyed
+    // window sort; attributed value on the exact decimal(18,4) protocol)
+    "q_attribution" -> ((s, d) => Behavior.touchAttribution(Tables.events(s, d))),
+    // RFM customer segmentation over orders: quintile scores off the
+    // two-phase orderedScan global rank (no single-partition ntile)
+    "q_rfm" -> ((s, d) => Behavior.rfmSegments(Tables.orders(s, d))),
     // day-of-week-adjusted anomaly flags (weekly periodicity removed
     // before standardizing — the seasonal member of the monitoring family)
     "q_seasonal_anomalies" -> ((s, d) =>
@@ -984,6 +1000,14 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(Tables.documents(s, d),
         threshold = 0.5, blockBySource = false))),
+    // canonical-copy selection per dup cluster (longest member wins,
+    // doc_id tie-break); every doc gets a keep/drop verdict
+    "q_canonical_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalDocs(docs,
+        Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(docs,
+          threshold = 0.5, blockBySource = false)))
+    }),
     "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
     // per-stage yield accounting over the full curation chain
     "q_curation_funnel" -> ((s, d) => TextMetrics.curationFunnel(Tables.documents(s, d))),
@@ -1033,8 +1057,9 @@ object SparkEntry {
     // the LSH twin below is the full-corpus scale path (rows-only)
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(Tables.embeddings(s, d), k = 5, maxId = 300L)),
     // label propagation over the kNN graph: every 25th vector's planted
-    // label seeds the rest — rows-only (float knn graph is
-    // engine-specific; cluster recovery accuracy spec'd in AnnSpec)
+    // label seeds the rest — oracle-checked (r8): the kNN edges follow the
+    // q_knn_graph decimal-dot spelling, the 5 vote rounds unroll as CTEs
+    // (cluster recovery accuracy additionally spec'd in AnnSpec)
     "q_label_prop" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.labelPropagation(emb,
@@ -1872,6 +1897,53 @@ object SparkEntry {
         |                 / (sqrt(dd) + CAST(s1 AS DOUBLE)), 12)
         | END AS burstiness
         |FROM b ORDER BY user_id""".stripMargin,
+    // same IGNORE-NULLS window frame the Spark side uses; 'direct' backfill
+    // and the decimal(18,4) value protocol; channel set bounded by
+    // |event_type| so the outer join is exact
+    "q_attribution" ->
+      """WITH t AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+        | FROM events),
+        |c AS (
+        | SELECT event_type, value,
+        |  coalesce(first_value(touch IGNORE NULLS) OVER w, 'direct') AS first_touch,
+        |  coalesce(last_value(touch IGNORE NULLS) OVER w, 'direct') AS last_touch
+        | FROM t
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |conv AS (SELECT * FROM c WHERE event_type = 'purchase'),
+        |f AS (SELECT first_touch AS channel, count(*) AS first_touch_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS first_touch_value
+        |      FROM conv GROUP BY 1),
+        |l AS (SELECT last_touch AS channel, count(*) AS last_touch_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS last_touch_value
+        |      FROM conv GROUP BY 1)
+        |SELECT coalesce(f.channel, l.channel) AS channel,
+        | coalesce(first_touch_conversions, 0) AS first_touch_conversions,
+        | coalesce(first_touch_value, 0.0) AS first_touch_value,
+        | coalesce(last_touch_conversions, 0) AS last_touch_conversions,
+        | coalesce(last_touch_value, 0.0) AS last_touch_value
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        |ORDER BY channel""".stripMargin,
+    // quintiles off the row_number spelling of orderedScan's global rank —
+    // integer division on exact ranks, decimal(18,4) monetary
+    "q_rfm" ->
+      """WITH base AS (
+        | SELECT o_custkey AS custkey,
+        |  max(epoch_us(o_orderdate)) AS recency_us,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM base),
+        |r AS (SELECT custkey, ((row_number() OVER (ORDER BY recency_us, custkey) - 1) * 5) // n.n + 1 AS r_score FROM base, n),
+        |f AS (SELECT custkey, ((row_number() OVER (ORDER BY frequency, custkey) - 1) * 5) // n.n + 1 AS f_score FROM base, n),
+        |m AS (SELECT custkey, ((row_number() OVER (ORDER BY monetary, custkey) - 1) * 5) // n.n + 1 AS m_score FROM base, n)
+        |SELECT base.custkey, recency_us, frequency, monetary,
+        | r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM base JOIN r USING (custkey) JOIN f USING (custkey) JOIN m USING (custkey)
+        |ORDER BY custkey""".stripMargin,
     "q_transition_matrix" ->
       """WITH p AS (
         | SELECT event_type AS from_type,
@@ -3392,6 +3464,51 @@ object SparkEntry {
         |SELECT qid, nid, cosine, rk FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored) t
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // label propagation over the kNN graph: the q_knn_graph edge spelling
+    // + 5 unrolled vote/winner/update rounds (the trust_communities
+    // precedent). Votes are exact ints; the row_number (nv DESC, nbr) pick
+    // is the SQL spelling of the operator's min(struct(-nv, nbr)) argmax;
+    // seed clamping is the same coalesce(seed, win, prev) ladder
+    "q_label_prop" -> {
+      val rounds = (1 to 5).map { r =>
+        val p = r - 1
+        s"""|,
+            |v$r AS (SELECT e.qid, l.label AS nbr, count(*) AS nv
+            |        FROM edges e JOIN l$p l ON l.vec_id = e.nid
+            |        WHERE l.label IS NOT NULL GROUP BY 1, 2),
+            |w$r AS (SELECT qid AS vec_id, nbr AS win FROM (
+            |         SELECT qid, nbr,
+            |          row_number() OVER (PARTITION BY qid ORDER BY nv DESC, nbr) AS rk
+            |         FROM v$r) t WHERE rk = 1),
+            |l$r AS (SELECT l.vec_id, l.seed_label,
+            |         coalesce(l.seed_label, w.win, l.label) AS label
+            |        FROM l$p l LEFT JOIN w$r w USING (vec_id))""".stripMargin
+      }.mkString
+      s"""WITH n AS (
+         | SELECT vec_id, embedding,
+         |  sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+         |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+         | FROM embeddings WHERE vec_id < 300
+         |), nz AS (SELECT * FROM n WHERE nrm > 0),
+         |scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  round(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |       x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
+         |   / (a.nrm * b.nrm), 12) AS cosine
+         | FROM nz a, nz b WHERE a.vec_id <> b.vec_id
+         |),
+         |edges AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+         |  FROM scored) t WHERE rk <= 5),
+         |seeds AS (SELECT vec_id, min(CAST(label AS VARCHAR)) AS seed_label
+         |          FROM embeddings WHERE vec_id % 25 = 0 GROUP BY vec_id),
+         |nodes AS (SELECT DISTINCT qid AS vec_id FROM edges),
+         |l0 AS (SELECT n.vec_id, s.seed_label, s.seed_label AS label
+         |       FROM nodes n LEFT JOIN seeds s USING (vec_id))$rounds
+         |SELECT vec_id, label, seed_label IS NOT NULL AS is_seed
+         |FROM l5 ORDER BY vec_id""".stripMargin
+    },
     // contrastive mining: the knn-graph decimal-dot scored frame split by
     // the τ band, each role ranked per anchor (an independent window
     // spelling of the operator's bounded-heap top-k)
@@ -3490,6 +3607,45 @@ object SparkEntry {
         | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // canonical selection: the q_dup_clusters CC spelling + a per-cluster
+    // (n_chars DESC, doc_id) row_number argmax, left-joined onto the corpus
+    "q_canonical_docs" ->
+      """WITH RECURSIVE w AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |       ELSE list_distinct(list_transform(range(len(words) - 2),
+        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+        | FROM w),
+        |e AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM e
+        |        UNION ALL SELECT doc_b, doc_a FROM e),
+        |reach(id, r) AS (
+        | SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+        | UNION
+        | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |mm AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+        |       FROM cl c JOIN documents d USING (doc_id)),
+        |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+        |           SELECT cluster_id, doc_id,
+        |            row_number() OVER (PARTITION BY cluster_id
+        |                               ORDER BY n_chars DESC, doc_id) AS rk
+        |           FROM mm) t WHERE rk = 1)
+        |SELECT d.doc_id,
+        | coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+        | coalesce(c2.canonical_id, d.doc_id) AS canonical_id,
+        | coalesce(c2.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN canon c2 ON cl.cluster_id = c2.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(SUM(length(text)) AS BIGINT) AS total_chars,

@@ -447,4 +447,94 @@ object Behavior {
       .select("user_id", "n_gaps", "mean_gap_us", "std_gap_us", "burstiness")
       .orderBy("user_id")
   }
+
+  /** FIRST/LAST-touch conversion ATTRIBUTION — for every conversion event,
+    * credit the channel (event_type) of the user's first-ever and most
+    * recent non-conversion touches strictly before it; conversions with no
+    * prior touch credit `direct`. Per-channel rollup carries the conversion
+    * count and the attributed conversion value under both models — the
+    * standard position-based attribution pair marketing analytics serves
+    * from an event warehouse (Markov/removal-effect models start from this
+    * same touch frame).
+    *
+    * Scale shape: ONE user-keyed window sort (the same hash partitioning
+    * both IGNORE-NULLS frames reuse — one Exchange, one Sort in the plan),
+    * then each conversion explodes into its two (model, channel) credits
+    * MAP-SIDE and a SINGLE conditional partial agg rolls both models up
+    * per channel — one pass over events, one agg shuffle bounded by
+    * |event_type| rows, no second window scan and no outer join. Driver
+    * never sees per-event rows. Attributed value uses the exact
+    * decimal(18,4) sum protocol (order-independent, cross-engine).
+    */
+  def touchAttribution(events: DataFrame,
+                       conversionType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= conversionType, col("event_type"))
+    val conv = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        coalesce(first(touch, ignoreNulls = true).over(w), lit("direct"))
+          .as("first_touch"),
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct"))
+          .as("last_touch"))
+      .where(col("event_type") === conversionType)
+    val credits = conv.select(col("value"),
+        explode(array(
+          struct(lit("first").as("model"), col("first_touch").as("channel")),
+          struct(lit("last").as("model"), col("last_touch").as("channel"))))
+          .as("mc"))
+      .select(col("mc.model").as("model"), col("mc.channel").as("channel"),
+        col("value"))
+    def modelAgg(m: String, cnt: String, v: String): Seq[Column] = Seq(
+      sum(when(col("model") === m, 1L).otherwise(0L)).as(cnt),
+      coalesce(sum(when(col("model") === m, col("value").cast("decimal(18,4)")))
+        .cast("double"), lit(0.0d)).as(v))
+    val aggs = modelAgg("first", "first_touch_conversions", "first_touch_value") ++
+      modelAgg("last", "last_touch_conversions", "last_touch_value")
+    credits.groupBy("channel").agg(aggs.head, aggs.tail: _*)
+      .orderBy("channel")
+  }
+
+  /** RFM SEGMENTATION over an order history: per customer, Recency (latest
+    * order date), Frequency (order count), Monetary (exact decimal spend),
+    * each scored into quintiles 1..5 (5 = most recent / most frequent /
+    * highest spend) and concatenated into the classic 3-digit RFM code.
+    * The workhorse customer-value segmentation every warehouse serves; the
+    * indexer analogue buckets safes by last activity / tx count / volume.
+    *
+    * Scale shape: the per-customer rollup is one partial agg off the orders
+    * scan. Each quintile then needs a GLOBAL rank — the single-partition
+    * `ntile` window is the classic scale trap, so all three ride
+    * [[Economics.orderedScan]]'s two-phase protocol instead (range-bucket →
+    * ≤numBuckets totals → per-bucket windows over value-disjoint buckets):
+    * no stage ever holds more than a bucket. Scores derive from the exact
+    * integer rank — `(rank-1)*5 DIV n` — so the quintile edges are
+    * rerun-deterministic and the oracle's row_number spelling matches
+    * bit-for-bit; ties break by custkey (the orderedScan convention).
+    */
+  def rfmSegments(orders: DataFrame, numBuckets: Int = 64): DataFrame = {
+    val base = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary_d"))
+      .withColumn("monetary", col("monetary_d").cast("double"))
+      .drop("monetary_d")
+      .localCheckpoint(true) // feeds three ordered scans + the final join
+    val n = lit(base.count())
+    def score(valueCol: String, out: String): DataFrame =
+      graft.operators.Economics.orderedScan(
+          base.withColumn("osw", lit(0L)), valueCol, "custkey", "osw", numBuckets)
+        .select(col("custkey"),
+          (((col("rank") - 1) * 5).cast("long") / n).cast("long").plus(1).as(out))
+    base
+      .join(score("recency_us", "r_score"), "custkey")
+      .join(score("frequency", "f_score"), "custkey")
+      .join(score("monetary", "m_score"), "custkey")
+      .select(col("custkey"), col("recency_us"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+      .orderBy("custkey")
+  }
 }

@@ -776,4 +776,38 @@ object Dedup {
         "containment_a", "containment_b")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** CANONICAL-document selection per near-dup cluster — the "which copy do
+    * we keep" decision that turns [[dupClusters]]'s labeling into an
+    * actionable keep/drop list. The canonical member is the cluster's
+    * longest document (`n_chars` desc, doc_id asc tie-break: prefer the most
+    * complete copy, deterministically); every non-clustered document is its
+    * own canonical. Downstream, training reads `WHERE is_canonical` and
+    * loses no content, only near-copies — the keeper policy NeMo-Curator /
+    * CCNet pipelines apply after connected components.
+    *
+    * Scale shape: `clusters` holds only documents that belong to some
+    * dup cluster — at real dup rates (5-30%) a small fraction of the
+    * corpus. The canonical pick is ONE partial agg on cluster_id over
+    * (cluster_id, n_chars, doc_id) triples — `min_by` struct argmax, no
+    * window, no re-sort. The corpus-side decoration is a left join on
+    * doc_id (AQE-broadcastable while the cluster membership list fits,
+    * plain hash join beyond); document text never shuffles — only
+    * (doc_id, cluster_id, canonical_id) longs.
+    */
+  def canonicalDocs(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+    val canon = members.groupBy("cluster_id")
+      .agg(min_by(col("doc_id"),
+        struct((-col("n_chars")).as("neg_len"), col("doc_id"))).as("canonical_id"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(canon, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
 }

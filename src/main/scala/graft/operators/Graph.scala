@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge lists — the shapes the Circles
@@ -866,5 +866,114 @@ object Graph {
         .orderBy("community", "node"), 0, checkpointDir, 1)
     und.unpersist()
     out
+  }
+
+  /** Approximate NEIGHBORHOOD FUNCTION — NF(t) = Σᵤ |ball(u, t)|, the
+    * number of (source, reachable) pairs within t hops — via per-node
+    * HyperLogLog registers merged along edges: the HyperBall algorithm
+    * (Boldi–Vigna WWW'11; Palmer et al. KDD'02's ANF is the same algebra
+    * over FM bitmasks). This is the SCALE PATH next to [[reachCounts]]'s
+    * exact frontier sets: the exact operator shuffles the reachable-set
+    * *members* (O(Σ|ball|) rows — fine for bounded hops, quadratic on a
+    * dense giant component), while a sketch here is `numRegs` small ints
+    * (64 B/node at the default) no matter how big the ball gets, and a
+    * round is ONE (dst-keyed join + per-register max partial agg). From
+    * NF(t) fall out the classic distance summaries: effective diameter
+    * (smallest t with NF(t) ≥ 0.9·NF(∞)), average distance, connectivity
+    * growth — on graphs where any exact method drowns.
+    *
+    * Round t: reg_j(u,t) = max(reg_j(u,t−1), max over out-neighbors) —
+    * element-wise max is associative/commutative/idempotent, so partial
+    * aggs are exact and the fixpoint is partition-independent; with the
+    * xxhash64-derived registers the whole run is bit-deterministic (same
+    * estimates every rerun, any partitioning). Estimates use the standard
+    * HLL pipeline: raw = α·m²/Σ2^{−M_j} with the linear-counting
+    * small-range correction m·ln(m/V) (raw ≤ 2.5m, V = empty registers) —
+    * tiny balls come out near-exact instead of FM's ~1.8× small-set bias.
+    * Expected HLL error ~1.04/√numRegs per ball (spec'd vs exact BFS).
+    * Per-t NF and the convergence probe share ONE 1-row agg job on the
+    * just-materialized registers — no separate count() action (the SCC
+    * lesson).
+    */
+  def neighborhoodFunction(edges: DataFrame, maxT: Int = 16, numRegs: Int = 16,
+                           checkpointDir: Option[String] = None,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(numRegs >= 16 && (numRegs & (numRegs - 1)) == 0,
+      s"numRegs must be a power of two >= 16: $numRegs")
+    val m = numRegs
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val alpha =
+      if (m == 16) 0.673d else if (m == 32) 0.697d else if (m == 64) 0.709d
+      else 0.7213d / (1.0d + 1.079d / m)
+    val spark = edges.sparkSession
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct(), 0).persist()
+    val regs = (0 until m).map(j => s"r$j")
+    // the node's one nonzero register: bucket = low b hash bits, rho =
+    // trailing zeros of the remaining 64-b bits + 1 (w == 0 caps at the
+    // suffix width); w > 0 after the unsigned shift so w & -w is safe
+    val initRegs: Seq[Column] = {
+      val h = xxhash64(col("node"))
+      val bucket = pmod(h, lit(m.toLong))
+      val w = shiftrightunsigned(h, b)
+      val rho = when(w === 0L, lit(64 - b + 1))
+        .otherwise(bit_count((w.bitwiseAND(-w)) - 1) + 1).cast("int")
+      regs.zipWithIndex.map { case (r, j) =>
+        when(bucket === j.toLong, rho).otherwise(lit(0)).as(r)
+      }
+    }
+    var sketches = cut(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .select(col("node") +: initRegs: _*), 1)
+    // HLL estimate off the register columns, with linear counting below
+    // 2.5m: near-exact tiny balls, ~1.04/√m relative error beyond
+    val estCol: Column = {
+      val sumInv = regs.map(r => pow(lit(2.0d), -col(r))).reduce(_ + _)
+      val zeros = regs.map(r => when(col(r) === 0, 1).otherwise(0))
+        .reduce(_ + _).cast("double")
+      val raw = lit(alpha * m * m) / sumInv
+      when(raw <= lit(2.5d * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    }
+    def stats(df: DataFrame, chCol: Column): (Double, Long, Long) = {
+      val r = df.agg(sum(estCol).as("nf"), sum(chCol.cast("long")).as("ch"),
+        count(lit(1)).as("n")).head()
+      if (r.isNullAt(0)) (0.0d, 0L, 0L) // empty graph
+      else (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    val (nf0, _, n) = stats(sketches, lit(0))
+    buf += ((0, nf0, n))
+    var t = 0
+    var converged = false
+    while (!converged && t < maxT) {
+      t += 1
+      val msgs = e
+        .join(sketches.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(max(col(regs.head)).as(regs.head),
+          regs.tail.map(r => max(col(r)).as(r)): _*)
+      val merged = cut(sketches.as("a")
+        .join(msgs.as("b"), Seq("node"), "left")
+        .select(col("node") +: regs.map(r =>
+          greatest(col(s"a.$r"), coalesce(col(s"b.$r"), lit(0))).as(r)) :+
+          regs.map(r => col(s"a.$r") <
+            coalesce(col(s"b.$r"), lit(0))).reduce(_ || _).as("ch"): _*),
+        t + 1)
+      val (nf, ch, _) = stats(merged, col("ch"))
+      buf += ((t, nf, ch))
+      sketches = merged.drop("ch")
+      converged = ch == 0L
+    }
+    e.unpersist()
+    import spark.implicits._
+    buf.toSeq.toDF("t", "nf_raw", "changed_nodes")
+      .select(col("t"), round(col("nf_raw"), 4).as("nf_est"),
+        round(col("nf_raw") / lit(math.max(n, 1L).toDouble), 4).as("avg_ball_est"),
+        col("changed_nodes"))
+      .orderBy("t")
   }
 }

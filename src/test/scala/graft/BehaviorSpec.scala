@@ -321,4 +321,62 @@ class BehaviorSpec extends SparkSpec {
     assert(r2 == r)
     assert(graft.operators.Behavior.interEventStats(events.limit(0)).count() == 0)
   }
+
+  test("touchAttribution: first/last windows, direct backfill, value sums") {
+    def evv(rows: (Long, String, Long, String, Double)*) = rows.map {
+      case (id, t, u, k, v) => (id, ts(t), u, k, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val events = evv(
+      // u1: click → view → purchase(10): first=click, last=view
+      (0L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (1L, "2024-01-01 11:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 12:00:00", 1L, "purchase", 10.0),
+      // u2: bare purchase(5) → direct/direct
+      (3L, "2024-01-02 10:00:00", 2L, "purchase", 5.0),
+      // u3: purchase(7) with no prior → direct; then click; then
+      // purchase(3): a prior PURCHASE is not a touch, so first=last=click
+      (4L, "2024-01-03 10:00:00", 3L, "purchase", 7.0),
+      (5L, "2024-01-03 11:00:00", 3L, "click", 1.0),
+      (6L, "2024-01-03 12:00:00", 3L, "purchase", 3.0))
+    val r = Behavior.touchAttribution(events)
+      .as[(String, Long, Double, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("click", 2L, 13.0, 1L, 3.0),   // first: u1 + u3c2; last: u3c2
+      ("direct", 2L, 12.0, 2L, 12.0), // u2 + u3c1 under both models
+      ("view", 0L, 0.0, 1L, 10.0)))   // last-touch only (u1)
+    // conversion mass is conserved across both models
+    assert(r.map(_._2).sum == r.map(_._4).sum)
+    assert(math.abs(r.map(_._3).sum - r.map(_._5).sum) < 1e-9)
+    assert(Behavior.touchAttribution(events.limit(0)).count() == 0)
+  }
+
+  test("rfmSegments: hand quintiles, exact decimal monetary, tie-break by custkey") {
+    def ord(rows: (Long, Long, Double, String)*) = rows.map {
+      case (ok, ck, tp, d) => (ok, ck, "O", tp, ts(d), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    // 5 customers → with n=5, score = rank: recency orders c1<c2<..<c5,
+    // frequency c5 has 2 orders (others 1), monetary reverses recency
+    val orders = ord(
+      (1L, 1L, 500.0, "2024-01-01 00:00:00"),
+      (2L, 2L, 400.0, "2024-01-02 00:00:00"),
+      (3L, 3L, 300.0, "2024-01-03 00:00:00"),
+      (4L, 4L, 200.0, "2024-01-04 00:00:00"),
+      (5L, 5L, 50.0, "2024-01-05 00:00:00"),
+      (6L, 5L, 50.0, "2023-12-01 00:00:00"))
+    val r = Behavior.rfmSegments(orders)
+      .as[(Long, Long, Long, Double, Long, Long, Long, Long)].collect().toSeq
+    // recency rank: c1..c5 ascending by latest date → r = 1..5
+    // frequency: c5 freq 2 ranks last (others tie at 1, break by custkey)
+    // monetary: c5 100 < c4 200 < c3 < c2 < c1 → m = 5..1 reversed
+    assert(r.map(x => (x._1, x._5, x._6, x._7, x._8)) == Seq(
+      (1L, 1L, 1L, 5L, 115L),
+      (2L, 2L, 2L, 4L, 224L),
+      (3L, 3L, 3L, 3L, 333L),
+      (4L, 4L, 4L, 2L, 442L),
+      (5L, 5L, 5L, 1L, 551L)))
+    val c5 = r.find(_._1 == 5L).get
+    assert(c5._3 == 2L && c5._4 == 100.0) // exact decimal 50+50
+    assert(Behavior.rfmSegments(orders.limit(0)).count() == 0)
+  }
 }

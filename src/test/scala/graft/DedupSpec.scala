@@ -406,4 +406,26 @@ class DedupSpec extends SparkSpec {
     assert(rep.length == 3)
     assert(graft.operators.Dedup.containmentPairs(docs.limit(0)).count() == 0)
   }
+
+  test("canonicalDocs: longest member wins, doc_id tie-break, singletons self-canonical") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // cluster A: 2 wins (tie 30, min id)
+      (4L, "d", 99L),                                 // cluster B alone in clusters frame
+      (5L, "e", 7L))                                  // not clustered → self
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val r = graft.operators.Dedup.canonicalDocs(docs, clusters)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),
+      (5L, 5L, 5L, true)))
+    // exactly one canonical per cluster; every doc covered
+    assert(r.filter(_._4).map(_._2).distinct.size == r.map(_._2).distinct.size)
+    assert(graft.operators.Dedup.canonicalDocs(docs.limit(0),
+      clusters.limit(0)).count() == 0)
+  }
 }

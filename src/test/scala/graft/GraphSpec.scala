@@ -716,4 +716,67 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(five == bruteLpa(Seq(("h", "p"), ("h", "q"), ("h", "r")), 5))
   }
+
+  // ---- neighborhoodFunction ------------------------------------------------
+
+  /** Exact NF(t) = Σᵤ |ball(u, t)| by BFS from every node. */
+  private def bruteNf(edges: Seq[(Long, Long)], maxT: Int): Map[Int, Long] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    (0 to maxT).map { t =>
+      t -> nodes.map { u =>
+        var ball = Set(u)
+        var frontier = Set(u)
+        for (_ <- 1 to t) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- ball
+          ball ++= frontier
+        }
+        ball.size.toLong
+      }.sum
+    }.toMap
+  }
+
+  test("neighborhoodFunction: HLL estimates track exact BFS NF; monotone; converges") {
+    // pseudo-random sparse digraph: 200 nodes, 2 affine out-edges each
+    val edges = (0L until 200L).flatMap(u =>
+      Seq((u, (u * 7 + 13) % 200), (u, (u * 57 + 5) % 200)))
+    val got = Graph.neighborhoodFunction(edges.toDF("src", "dst"), maxT = 8)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    val exact = bruteNf(edges, 8)
+    // summed over 200 balls the FM register noise averages way down —
+    // every t must land within ±35% of exact (default 8 registers:
+    // single-ball std ≈ 28%, the sum is far tighter; bound kept loose
+    // enough to be seed-robust, tight enough to catch algebra bugs)
+    got.foreach { case (t, nf, avg, _) =>
+      val ex = exact(t).toDouble
+      assert(nf > 0.65 * ex && nf < 1.35 * ex,
+        s"t=$t: est $nf vs exact $ex out of band")
+      assert(math.abs(avg - nf / 200.0) < 1e-4) // both 4-dp rounded
+    }
+    // NF is monotone non-decreasing in t (balls only grow; OR only adds bits)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 - 1e-9, s"nf dropped: $a -> $b") }
+  }
+
+  test("neighborhoodFunction: bit-deterministic; converges at the diameter; empty total") {
+    // directed 8-cycle: ball(u, t) = t+1 until the full ring at t = 7,
+    // so masks change through t=7 and the t=8 round certifies the fixpoint
+    val ring = (0L until 8L).map(u => (u, (u + 1) % 8))
+    val a = Graph.neighborhoodFunction(ring.toDF("src", "dst"), maxT = 20)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    val b = Graph.neighborhoodFunction(ring.toDF("src", "dst"), maxT = 20)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // same hashes, same OR algebra → same bits
+    assert(a.last._4 == 0L, "last round must certify convergence")
+    assert(a.map(_._1).last == 8, s"8-ring converges at t=8, got ${a.map(_._1).last}")
+    // all balls equal the full ring at the fixpoint → per-node estimates
+    // identical → nf == 8 * the per-node mean (each independently rounded
+    // to 4 dp, so compare at rounding tolerance)
+    assert(math.abs(a.last._2 - 8.0 * a.last._3) < 1e-3)
+    val empty = Graph.neighborhoodFunction(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.columns.toSeq ==
+      Seq("t", "nf_est", "avg_ball_est", "changed_nodes"))
+  }
 }

@@ -211,4 +211,32 @@ class PlanShapeSpec extends SparkSpec {
       s"burstiness grew an extra shuffle:\n$burst")
   }
 
+  test("r8c additions: attribution/rfm/canonical keep bounded shapes") {
+    // attribution: BOTH ignore-nulls frames ride one user window
+    // (one Exchange + Sort), the credit explode is map-side, one channel
+    // agg, one output sort — ≤3 exchanges, ONE pass over events
+    val attr = planOf("q_attribution")
+    assert("Exchange".r.findAllIn(attr).length <= 3,
+      s"attribution grew an extra shuffle (second window pass?):\n$attr")
+    assert("Window".r.findAllIn(attr).length <= 1,
+      s"attribution must compute both touches in one window:\n$attr")
+    // rfm: three orderedScan windows partition by gr_bucket — never the
+    // single-partition ntile trap
+    val rfm = planOf("q_rfm")
+    assert(!rfm.contains("Exchange SinglePartition"),
+      s"rfm fell into a single-partition global window:\n$rfm")
+    // canonicalDocs: document text never rides a shuffle — only
+    // (doc_id, cluster_id, n_chars) longs exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = SparkEntry.queries("q_canonical_docs")(spark, sf)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected shuffles in the canonical plan")
+      exchanges.foreach(e =>
+        assert(e.child.output.forall(a => a.name != "text"),
+          s"document text leaked into an exchange: ${e.child.output.map(_.name)}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
 }
