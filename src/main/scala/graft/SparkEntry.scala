@@ -474,6 +474,11 @@ object SparkEntry {
     // RFM customer segmentation over orders: quintile scores off the
     // two-phase orderedScan global rank (no single-partition ntile)
     "q_rfm" -> ((s, d) => Behavior.rfmSegments(Tables.orders(s, d))),
+    // data-driven multi-touch attribution: journey chain + removal
+    // effects — rows-only (driver matrix-solve floats; BehaviorSpec pins
+    // hand-solved chains)
+    "q_attribution_markov" -> ((s, d) =>
+      Behavior.markovAttribution(Tables.events(s, d))),
     // day-of-week-adjusted anomaly flags (weekly periodicity removed
     // before standardizing — the seasonal member of the monitoring family)
     "q_seasonal_anomalies" -> ((s, d) =>
@@ -1036,6 +1041,11 @@ object SparkEntry {
     // representation-space triage: centroid-distance z-scores (rows-only —
     // float artifact; AnnSpec gates planted-outlier recall + determinism)
     "q_embedding_outliers" -> ((s, d) => Ann.outlierScores(Tables.embeddings(s, d))),
+    // per-dim z-standardization of the embedding corpus — the first
+    // oracle-checked vector transform (decimal-moment protocol, mirrored
+    // IEEE scalar tail, round-12 z)
+    "q_embedding_standardize" -> ((s, d) =>
+      Ann.standardizeEmbeddings(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "q_ann_lsh_multiprobe" -> ((s, d) => Ann.lshTopKMultiprobe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
@@ -1302,6 +1312,17 @@ object SparkEntry {
       Profiler.psiDrift(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1),
+        valueCol = "n_chars", groupCol = "source")
+    }),
+    // bucketing-free KS sup-distance over the same length profile —
+    // stride-20 split so every source populates BOTH sides (the parity
+    // split degenerates: doc_id ≡ source (mod 20) in the testdata)
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = Tables.documents(s, d)
+      Profiler.ksDrift(
+        docs.where(expr("(doc_id div 20) % 2") === 0),
+        docs.where(expr("(doc_id div 20) % 2") === 1),
         valueCol = "n_chars", groupCol = "source")
     }),
     "q_bigram_logprob" -> ((s, d) => TextMetrics.bigramLogProb(Tables.documents(s, d))),
@@ -4049,6 +4070,61 @@ object SparkEntry {
         |FROM cell c JOIN tots t ON t.grp = c.grp
         |GROUP BY c.grp, t.tot_old, t.tot_new
         |ORDER BY source""".stripMargin,
+    // KS: rational sup-distance — exact decimal(38,0) cross-products of
+    // cumulative counts, ONE double division of the max, round-12 (the
+    // burstiness no-large-round rule); one-sided groups NULL
+    "q_ks_drift" ->
+      """WITH oc AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, count(*) AS c_old
+        |            FROM documents WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+        |nc AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, count(*) AS c_new
+        |       FROM documents WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+        |cell AS (SELECT coalesce(oc.grp, nc.grp) AS grp, coalesce(oc.v, nc.v) AS v,
+        |          coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |         FROM oc FULL OUTER JOIN nc ON oc.grp = nc.grp AND oc.v = nc.v),
+        |sc AS (SELECT grp, v, c_old, c_new,
+        |        sum(c_old) OVER w AS cum_old, sum(c_new) OVER w AS cum_new
+        |       FROM cell
+        |       WINDOW w AS (PARTITION BY grp ORDER BY v
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tots AS (SELECT grp, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |          CAST(sum(c_new) AS BIGINT) AS n_new
+        |         FROM cell GROUP BY grp),
+        |d AS (SELECT sc.grp, n_old, n_new,
+        |       abs(CAST(cum_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0))
+        |         - CAST(cum_new AS DECIMAL(38,0)) * CAST(n_old AS DECIMAL(38,0))) AS diff
+        |      FROM sc JOIN tots ON sc.grp = tots.grp)
+        |SELECT grp AS source,
+        | CASE WHEN n_old > 0 AND n_new > 0
+        |      THEN round(CAST(max(diff) AS DOUBLE)
+        |        / CAST(CAST(n_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0)) AS DOUBLE), 12)
+        | END AS ks,
+        | n_old, n_new
+        |FROM d GROUP BY grp, n_old, n_new ORDER BY source""".stripMargin,
+    // standardization on the exact integer protocol: xq = floor(x·2^20)
+    // (exact in double for floats), integer moments, z from the exact
+    // discriminant via one double cast + IEEE sqrt, round-12; σ=0 NULL
+    "q_embedding_standardize" ->
+      """WITH ex AS (
+        | SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+        | FROM (SELECT vec_id, embedding FROM embeddings) e,
+        |      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+        |st AS (
+        | SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xq) AS BIGINT) AS s1,
+        |  CAST(sum(CAST(xq AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        | FROM ex GROUP BY dim)
+        |SELECT vec_id, ex.dim,
+        | CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |        - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) AS DOUBLE) > 0
+        |      THEN round(
+        |        CAST(CAST(n AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0))
+        |          - CAST(s1 AS DECIMAL(38,0)) AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |          - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) AS DOUBLE)), 12)
+        | END AS z
+        |FROM ex JOIN st ON ex.dim = st.dim
+        |ORDER BY vec_id, ex.dim""".stripMargin,
     // 56-bit md5 gram keys (the dataset-checksum hash convention), DISTINCT
     // per doc on the HASHED value so a collision collapses identically
     "q_novelty" ->

@@ -918,4 +918,49 @@ object Ann {
         coalesce(col("z") > zThreshold, lit(false)).as("is_outlier"))
       .orderBy("vec_id")
   }
+
+  /** Per-dimension STANDARDIZATION of an embedding corpus — z = (x−μ)/σ
+    * per dim — the feature-scaling pass before k-means/IVF training or
+    * distance-based outlier scoring trusts the geometry (a dimension with
+    * 100× the variance owns every Euclidean distance until this runs).
+    * The first ORACLE-CHECKED member of the vector family, on an EXACT
+    * INTEGER protocol (the temperature-mix grain rule): elements quantize
+    * as xq = floor(x·2^20) — EXACT in double (a float's 24-bit mantissa
+    * times 2^20 is a ≤44-bit integer; decimal(28,18) casts of raw doubles
+    * are NOT cross-engine: Spark rounds the shortest string repr, DuckDB
+    * the exact binary value, and the 1e-17 tails collide with round-12
+    * boundaries at corpus scale — measured, not theorized). Moments are
+    * then exact integer/decimal sums; z = (n·xq − Σxq)/√(n·Σxq² − (Σxq)²)
+    * — algebraically (xq−μ)/σ — takes ONE double cast + IEEE sqrt +
+    * division (the burstiness discriminant rule) and rounds 12 dp. The
+    * ~1e-6 quantization is invisible next to σ and documented. σ=0 dims
+    * emit NULL (a constant dimension has no z-score — loud beats a
+    * divide-by-zero convention).
+    *
+    * Scale shape: the explode is MAP-SIDE (no shuffle carries vectors);
+    * per-dim moments are ONE partial agg whose output is |dims| rows —
+    * broadcast back to the exploded frame (plan-literal-sized, AQE picks
+    * it). The output IS the exploded (vec_id, dim, z) frame — writers
+    * that want arrays re-assemble with a collect_list keyed by vec_id.
+    */
+  def standardizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(1048576.0d)).cast("long").as("xq"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val stats = ex.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("xq")).as("s1"),
+      sum(d38(col("xq")) * d38(col("xq"))).as("s2"))
+    // D = n·Σxq² − (Σxq)² ≥ 0 exactly; one double cast + IEEE sqrt
+    val disc = (d38(col("n")) * col("s2") - d38(col("s1")) * d38(col("s1")))
+      .cast("double")
+    ex.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(disc > 0,
+          round((d38(col("n")) * d38(col("xq")) - d38(col("s1"))).cast("double")
+            / sqrt(disc), 12)).as("z"))
+      .orderBy("vec_id", "dim")
+  }
 }

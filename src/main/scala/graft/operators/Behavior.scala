@@ -497,6 +497,112 @@ object Behavior {
       .orderBy("channel")
   }
 
+  /** MARKOV-CHAIN attribution with REMOVAL EFFECTS — the data-driven
+    * upgrade of [[touchAttribution]]'s positional models (Anderl et al.
+    * 2016, the standard multi-touch framework): user journeys become a
+    * first-order chain START → touches → CONV/NULL, a channel's removal
+    * effect is how much total conversion probability dies when every
+    * visit to it is redirected to NULL, and credit shares are the
+    * normalized removal effects. Position models can't see that a middle
+    * channel carries every converting path; this can.
+    *
+    * Journey construction: jid = conversions seen strictly before the
+    * row (one running-count window), so each conversion closes its own
+    * journey and trailing touches form an unconverted one. Transitions
+    * come from TWO windows over the SAME (user, jid) partitioning —
+    * lag(channel) for the incoming edge (START when first), lead-is-null
+    * to close unconverted journeys at NULL — then ONE (from, to)
+    * partial-agg count. The chain solve is DRIVER-SIDE ON PURPOSE: the
+    * state space is |channels|+3 (bounded by event-type cardinality, the
+    * transition-matrix precedent), so (I−Q)x = b is a ≤10×10 Gaussian
+    * elimination on a bounded artifact — per-channel removal re-solves
+    * shift counts, never touching the cluster again. Rows-only by design
+    * (matrix-solve floats are library/order-specific); BehaviorSpec pins
+    * hand-solved chains and the conservation invariants.
+    */
+  def markovAttribution(events: DataFrame,
+                        conversionType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = events.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === conversionType, lit("CONV"))
+          .otherwise(col("event_type")).as("ch"))
+      .withColumn("jid",
+        coalesce(sum(when(col("ch") === "CONV", 1L).otherwise(0L))
+          .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy("user_id", "jid")
+      .orderBy(col("ts"), col("event_id"))
+    val edges = marked
+      .withColumn("from", coalesce(lag("ch", 1).over(wj), lit("START")))
+      .withColumn("next", lead("ch", 1).over(wj))
+      .select(col("from"), col("ch"), col("next"))
+    val trans = edges.select(col("from"), col("ch").as("to"))
+      .unionAll(edges.where(col("next").isNull && col("ch") =!= "CONV")
+        .select(col("ch").as("from"), lit("NULL").as("to")))
+      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+    // bounded driver artifact: (|channels|+3)² transition counts
+    val counts = trans.as[(String, String, Long)].collect()
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "START" && s != "CONV" && s != "NULL").distinct.sorted
+    def solve(drop: Option[String]): Double = {
+      val redirected = counts.map { case (f, t, n) =>
+        if (drop.contains(t)) (f, "NULL", n) else (f, t, n)
+      }.filterNot { case (f, _, _) => drop.contains(f) }
+      val states = "START" +: channels.filterNot(drop.contains)
+      val idx = states.zipWithIndex.toMap
+      val outTot = redirected.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+      val m = states.length
+      // (I − Q)x = b with b(s) = P(s→CONV); Gaussian elimination, m ≤ ~10
+      val a = Array.tabulate(m, m) { (i, j) => if (i == j) 1.0 else 0.0 }
+      val b = Array.fill(m)(0.0)
+      redirected.foreach { case (f, t, n) =>
+        idx.get(f).foreach { i =>
+          val p = n.toDouble / outTot(f)
+          if (t == "CONV") b(i) += p
+          else idx.get(t).foreach { j => a(i)(j) -= p }
+        }
+      }
+      for (col0 <- 0 until m) {
+        val piv = (col0 until m).maxBy(r => math.abs(a(r)(col0)))
+        if (math.abs(a(piv)(col0)) > 1e-12) {
+          val (ta, tb) = (a(col0), b(col0)); a(col0) = a(piv); b(col0) = b(piv)
+          a(piv) = ta; b(piv) = tb
+          for (r <- col0 + 1 until m) {
+            val f = a(r)(col0) / a(col0)(col0)
+            if (f != 0.0) {
+              for (c <- col0 until m) a(r)(c) -= f * a(col0)(c)
+              b(r) -= f * b(col0)
+            }
+          }
+        }
+      }
+      val x = Array.fill(m)(0.0)
+      for (r <- m - 1 to 0 by -1) {
+        if (math.abs(a(r)(r)) > 1e-12) {
+          var s = b(r)
+          for (c <- r + 1 until m) s -= a(r)(c) * x(c)
+          x(r) = s / a(r)(r)
+        }
+      }
+      x(idx("START"))
+    }
+    val pBase = if (counts.isEmpty) 0.0 else solve(None)
+    val re = channels.map { c =>
+      val pc = if (pBase > 0) solve(Some(c)) else 0.0
+      c -> (if (pBase > 0) math.max(0.0, 1.0 - pc / pBase) else 0.0)
+    }
+    val total = re.map(_._2).sum
+    val r12 = (d: Double) =>
+      BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    re.map { case (c, e) =>
+      (c, r12(pBase), r12(e), if (total > 0) r12(e / total) else 0.0)
+    }.toSeq
+      .toDF("channel", "p_conversion", "removal_effect", "attribution_share")
+      .orderBy("channel")
+  }
+
   /** RFM SEGMENTATION over an order history: per customer, Recency (latest
     * order date), Frequency (order count), Monetary (exact decimal spend),
     * each scored into quintiles 1..5 (5 = most recent / most frequent /

@@ -970,7 +970,10 @@ object Graph {
     }
     e.unpersist()
     import spark.implicits._
-    buf.toSeq.toDF("t", "nf_raw", "changed_nodes")
+    // an empty graph has no NF curve — emit NO rows (empty-input totality),
+    // not a t=0 summary of nothing
+    val rows = if (n == 0L) Seq.empty[(Int, Double, Long)] else buf.toSeq
+    rows.toDF("t", "nf_raw", "changed_nodes")
       .select(col("t"), round(col("nf_raw"), 4).as("nf_est"),
         round(col("nf_raw") / lit(math.max(n, 1L).toDouble), 4).as("avg_ball_est"),
         col("changed_nodes"))

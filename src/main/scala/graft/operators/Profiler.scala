@@ -243,4 +243,64 @@ object Profiler {
         col("tot_old").as("n_old"), col("tot_new").as("n_new"))
       .orderBy(groupCol)
   }
+
+  /** Per-group Kolmogorov–Smirnov drift statistic — the DISTRIBUTION-SHAPE
+    * companion to [[psiDrift]]'s binned divergence: D = max over values of
+    * |F_old(x) − F_new(x)|, the sup-distance between the two empirical
+    * CDFs. PSI needs a bucketing choice and saturates on within-bucket
+    * shifts; KS is bucketing-free and the classic two-sample test the
+    * monitoring literature thresholds (D·√(n·m/(n+m)) against the
+    * Kolmogorov quantiles). Emitted per group so one report covers every
+    * source.
+    *
+    * Exactness: D is computed RATIONALLY — at each pooled distinct value,
+    * |cum_old·n_new − cum_new·n_old| as exact DECIMAL(38,0) products of
+    * longs, the max divided ONCE by n_old·n_new (one IEEE division,
+    * round 12 — the burstiness discriminant rule: no rounding of
+    * large-magnitude intermediates). Groups present on only one side emit
+    * a NULL ks (the two-sample statistic is undefined, and a silent 1.0
+    * would fake a "maximal drift" alarm).
+    *
+    * Scale shape: DOMAIN COMPRESSION first — each snapshot collapses to
+    * (group, value, count) partial aggs at scan time, so the per-group
+    * cumulative window runs over |distinct values| rows, not |rows|
+    * (integer-ish signals like lengths/counts compress thousands-fold;
+    * truly continuous signals should pre-bucket as in [[psiDrift]] —
+    * same honesty note as [[histogram]]). The window partitions BY GROUP
+    * over the compressed frame — never a single-partition global sort.
+    */
+  def ksDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+              groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as(out))
+    val oc = counts(oldDf, "c_old")
+    val nc = counts(newDf, "c_new")
+    val cell = oc.join(nc, Seq("grp", "v"), "full_outer")
+      .select(col("grp"), col("v"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val scanned = cell
+      .withColumn("cum_old", sum("c_old").over(w))
+      .withColumn("cum_new", sum("c_new").over(w))
+    val tots = cell.groupBy("grp")
+      .agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    scanned.join(tots, "grp") // |groups| rows — AQE broadcasts
+      .select(col("grp"), col("n_old"), col("n_new"),
+        abs(d38(col("cum_old")) * d38(col("n_new")) -
+          d38(col("cum_new")) * d38(col("n_old"))).as("diff"))
+      .groupBy("grp", "n_old", "n_new")
+      .agg(max("diff").as("maxdiff"))
+      .select(col("grp").as(groupCol),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round(col("maxdiff").cast("double") /
+            (d38(col("n_old")) * d38(col("n_new"))).cast("double"), 12))
+          .as("ks"),
+        col("n_old"), col("n_new"))
+      .orderBy(groupCol)
+  }
 }

@@ -636,4 +636,31 @@ class AnnSpec extends SparkSpec {
     assert(rs.length == 5 && rs.forall(x => x.isNullAt(2) && !x.getBoolean(3)))
     assert(Ann.outlierScores(df.limit(0)).count() == 0)
   }
+
+  test("standardizeEmbeddings: hand z-scores, constant dim NULL, determinism, totality") {
+    // dim 0 holds 1,2,3 (exact at the 2^-20 grain): z = ±√(3/2), 0;
+    // dim 1 is constant -> σ=0 -> NULL
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f), 0),
+      (1L, Array(2.0f, 5.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Ann.standardizeEmbeddings(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val z = BigDecimal(3.0 / math.sqrt(6.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      (0L, 0L) -> Some(-z), (1L, 0L) -> Some(0.0), (2L, 0L) -> Some(z),
+      (0L, 1L) -> None, (1L, 1L) -> None, (2L, 1L) -> None))
+    // non-grid floats: still bit-deterministic under repartition (the
+    // floor(x·2^20) quantization is exact double arithmetic)
+    val rng = new scala.util.Random(3)
+    val big = (0L until 50L).map(i =>
+      (i, Array.fill(4)(rng.nextFloat() * 2 - 1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val a = Ann.standardizeEmbeddings(big).collect().toSeq
+    val b = Ann.standardizeEmbeddings(big.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(Ann.standardizeEmbeddings(df.limit(0)).count() == 0)
+  }
 }

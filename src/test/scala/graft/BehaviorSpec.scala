@@ -350,6 +350,47 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.touchAttribution(events.limit(0)).count() == 0)
   }
 
+  test("markovAttribution: hand-solved chains, bottleneck channel, conservation") {
+    def evv(rows: (Long, String, Long, String)*) = rows.map {
+      case (id, t, u, k) => (id, ts(t), u, k, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // chain 1: START→A (2/3) / START→B (1/3); A→CONV ½, A→NULL ½; B→CONV 1
+    // p = 2/3·½ + 1/3·1 = 2/3; removing either channel → p' = 1/3 → RE ½, ½
+    val e1 = evv(
+      (0L, "2024-01-01 10:00:00", 1L, "A"),
+      (1L, "2024-01-01 11:00:00", 1L, "purchase"),
+      (2L, "2024-01-02 10:00:00", 2L, "A"),
+      (3L, "2024-01-03 10:00:00", 3L, "B"),
+      (4L, "2024-01-03 11:00:00", 3L, "purchase"))
+    val r1 = Behavior.markovAttribution(e1)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    def r12(d: Double) =
+      BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1 == Seq(
+      ("A", r12(2.0 / 3.0), 0.5, 0.5),
+      ("B", r12(2.0 / 3.0), 0.5, 0.5)))
+    // chain 2: M sits on EVERY converting path — position models split
+    // evenly, the removal effect sees the bottleneck: RE(M)=1, share ½
+    val e2 = evv(
+      (0L, "2024-01-01 10:00:00", 1L, "A"),
+      (1L, "2024-01-01 11:00:00", 1L, "M"),
+      (2L, "2024-01-01 12:00:00", 1L, "purchase"),
+      (3L, "2024-01-02 10:00:00", 2L, "B"),
+      (4L, "2024-01-02 11:00:00", 2L, "M"),
+      (5L, "2024-01-02 12:00:00", 2L, "purchase"))
+    val r2 = Behavior.markovAttribution(e2)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(r2 == Seq(
+      ("A", 1.0, 0.5, 0.25), ("B", 1.0, 0.5, 0.25), ("M", 1.0, 1.0, 0.5)))
+    // shares always sum to 1 when any channel has effect; journeys split
+    // at each conversion (a post-conversion touch starts a NEW journey)
+    assert(math.abs(r2.map(_._4).sum - 1.0) < 1e-9)
+    // bare conversions only → no channels → empty report; empty totality
+    assert(Behavior.markovAttribution(evv(
+      (0L, "2024-01-01 10:00:00", 1L, "purchase"))).count() == 0)
+    assert(Behavior.markovAttribution(e1.limit(0)).count() == 0)
+  }
+
   test("rfmSegments: hand quintiles, exact decimal monetary, tie-break by custkey") {
     def ord(rows: (Long, Long, Double, String)*) = rows.map {
       case (ok, ck, tp, d) => (ok, ck, "O", tp, ts(d), "1-URGENT")

@@ -168,4 +168,59 @@ class ProfilerSpec extends SparkSpec {
     assert(Profiler.psiDrift(oldRows.toDF("source", "n_chars").limit(0),
       newRows.toDF("source", "n_chars").limit(0), "n_chars", "source").count() == 0)
   }
+
+  /** Brute two-sample KS over longs: max |F1−F2| at pooled values. */
+  private def bruteKs(a: Seq[Long], b: Seq[Long]): Double = {
+    val vals = (a ++ b).distinct.sorted
+    val d = vals.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+    BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("ksDrift: identical dists 0, disjoint dists 1, hand value, one-sided NULL") {
+    val oldDf = Seq(("same", 10L), ("same", 20L), ("same", 30L),
+      ("shift", 1L), ("shift", 2L), ("shift", 3L), ("shift", 4L),
+      ("gone", 5L)).toDF("source", "n_chars")
+    val newDf = Seq(("same", 10L), ("same", 20L), ("same", 30L),
+      ("shift", 3L), ("shift", 4L), ("new", 7L)).toDF("source", "n_chars")
+    val got = Profiler.ksDrift(oldDf, newDf, "n_chars", "source")
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2), r.getLong(3)))).toMap
+    assert(got("same") == ((Some(0.0), 3L, 3L)))
+    // shift: F_old at v=2 is 2/4, F_new 0 -> D = 1/2
+    assert(got("shift") == ((Some(0.5), 4L, 2L)))
+    // one-sided groups: statistic undefined, NULL not a fake 1.0
+    assert(got("gone") == ((None, 1L, 0L)))
+    assert(got("new") == ((None, 0L, 1L)))
+    assert(got("shift")._1.get ==
+      bruteKs(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L)))
+  }
+
+  test("ksDrift: brute parity on hashed data; disjoint supports hit D=1; repartition-invariant; empty") {
+    val rng = new scala.util.Random(11)
+    val a = List.fill(400)((s"g${rng.nextInt(4)}", rng.nextInt(1000).toLong))
+    val b = List.fill(300)((s"g${rng.nextInt(4)}", (rng.nextInt(1000) + rng.nextInt(300)).toLong))
+    val got = Profiler.ksDrift(a.toDF("source", "n_chars"),
+        b.toDF("source", "n_chars"), "n_chars", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = (0 until 4).map { i =>
+      val g = s"g$i"
+      g -> bruteKs(a.filter(_._1 == g).map(_._2), b.filter(_._1 == g).map(_._2))
+    }.toMap
+    assert(got == want)
+    // disjoint value supports: every cum pair is (k, 0) or (n, j) -> D = 1
+    val dis = Profiler.ksDrift(
+      Seq(("g", 1L), ("g", 2L)).toDF("source", "n_chars"),
+      Seq(("g", 100L), ("g", 200L)).toDF("source", "n_chars"),
+      "n_chars", "source").collect()
+    assert(dis.length == 1 && dis.head.getDouble(1) == 1.0)
+    val rep = Profiler.ksDrift(a.toDF("source", "n_chars").repartition(7),
+        b.toDF("source", "n_chars").repartition(5), "n_chars", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rep == got)
+    assert(Profiler.ksDrift(a.toDF("source", "n_chars").limit(0),
+      b.toDF("source", "n_chars").limit(0), "n_chars", "source").count() == 0)
+  }
 }
