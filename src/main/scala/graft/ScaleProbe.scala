@@ -329,11 +329,13 @@ object ScaleProbe {
           dagE.unionAll(bridge).unionAll(sccE), maxRounds = 10, maxIters = 200).count()
       }
       time("assortativity/10x")(Graph.degreeAssortativity(bigTrust).count())
-      // r8c: HyperBall NF to the fixpoint on the small-world graph —
-      // diameter ~34 rounds, each ONE (join + 16-register max agg) over
-      // 64 B/node sketches; the exact reach operator would shuffle ball
-      // MEMBERS (here the giant component makes that ~10k² pair rows)
-      time("neighborhood_fn/10x-small-world-fixpoint")(
+      // r8c: HyperBall NF, 64 rounds on the small-world graph (the pure
+      // affine-map fringe keeps some directed paths past 64 hops, so this
+      // measures the capped curve, ~0.5 s/round) — each round ONE
+      // (join + 16-register max agg) over 64 B/node sketches; the exact
+      // reach operator would shuffle ball MEMBERS (the giant component
+      // alone makes that ~10k² pair rows)
+      time("neighborhood_fn/10x-small-world-64rounds")(
         Graph.neighborhoodFunction(bigTrustSw, maxT = 64).count())
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
       time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())
