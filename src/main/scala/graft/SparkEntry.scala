@@ -392,6 +392,16 @@ object SparkEntry {
       Graph.neighborhoodFunction(trust.where(col("limit") > 0)
         .select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // harmonic centrality off the same HyperBall sweep (classic "who can
+    // reach u" orientation = the reversed edge list); rows-only (sketch
+    // estimates hash-specific; GraphSpec pins brute-BFS bands + exact-0
+    // sinks + determinism)
+    "q_trust_harmonic" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.harmonicCentrality(trust.where(col("limit") > 0)
+        .select(col("can_send_to").as("src"), col("user").as("dst")))
+    }),
     // multi-source BFS hop distance from the every-17th-user signup cohort
     // over the same edge list (level-synchronous frontier BFS; oracle =
     // hop-bounded recursive CTE with UNION dedup)

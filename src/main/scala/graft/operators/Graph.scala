@@ -868,6 +868,42 @@ object Graph {
     out
   }
 
+  /** Shared HyperBall machinery: per-node HLL register init and the
+    * standard estimate (linear-counting small-range correction below
+    * 2.5m). Registers are xxhash64-derived → every run bit-deterministic.
+    */
+  private def hllAlpha(m: Int): Double =
+    if (m == 16) 0.673d else if (m == 32) 0.697d else if (m == 64) 0.709d
+    else 0.7213d / (1.0d + 1.079d / m)
+
+  /** The node's one nonzero register: bucket = low b hash bits, rho =
+    * trailing zeros of the remaining 64−b bits + 1 (w == 0 caps at the
+    * suffix width); w > 0 after the unsigned shift so w & −w is safe.
+    */
+  private def hllInitRegs(regs: Seq[String], m: Int): Seq[Column] = {
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = xxhash64(col("node"))
+    val bucket = pmod(h, lit(m.toLong))
+    val w = shiftrightunsigned(h, b)
+    val rho = when(w === 0L, lit(64 - b + 1))
+      .otherwise(bit_count((w.bitwiseAND(-w)) - 1) + 1).cast("int")
+    regs.zipWithIndex.map { case (r, j) =>
+      when(bucket === j.toLong, rho).otherwise(lit(0)).as(r)
+    }
+  }
+
+  /** HLL estimate over arbitrary register-valued columns, with linear
+    * counting below 2.5m: near-exact tiny balls, ~1.04/√m error beyond.
+    */
+  private def hllEst(regCols: Seq[Column], m: Int): Column = {
+    val sumInv = regCols.map(r => pow(lit(2.0d), -r)).reduce(_ + _)
+    val zeros = regCols.map(r => when(r === 0, 1).otherwise(0))
+      .reduce(_ + _).cast("double")
+    val raw = lit(hllAlpha(m) * m * m) / sumInv
+    when(raw <= lit(2.5d * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+  }
+
   /** Approximate NEIGHBORHOOD FUNCTION — NF(t) = Σᵤ |ball(u, t)|, the
     * number of (source, reachable) pairs within t hops — via per-node
     * HyperLogLog registers merged along edges: the HyperBall algorithm
@@ -901,43 +937,17 @@ object Graph {
     require(numRegs >= 16 && (numRegs & (numRegs - 1)) == 0,
       s"numRegs must be a power of two >= 16: $numRegs")
     val m = numRegs
-    val b = java.lang.Integer.numberOfTrailingZeros(m)
-    val alpha =
-      if (m == 16) 0.673d else if (m == 32) 0.697d else if (m == 64) 0.709d
-      else 0.7213d / (1.0d + 1.079d / m)
     val spark = edges.sparkSession
     def cut(df: DataFrame, round: Int) =
       Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
     val e = cut(edges.where(col("src") =!= col("dst"))
       .select("src", "dst").distinct(), 0).persist()
     val regs = (0 until m).map(j => s"r$j")
-    // the node's one nonzero register: bucket = low b hash bits, rho =
-    // trailing zeros of the remaining 64-b bits + 1 (w == 0 caps at the
-    // suffix width); w > 0 after the unsigned shift so w & -w is safe
-    val initRegs: Seq[Column] = {
-      val h = xxhash64(col("node"))
-      val bucket = pmod(h, lit(m.toLong))
-      val w = shiftrightunsigned(h, b)
-      val rho = when(w === 0L, lit(64 - b + 1))
-        .otherwise(bit_count((w.bitwiseAND(-w)) - 1) + 1).cast("int")
-      regs.zipWithIndex.map { case (r, j) =>
-        when(bucket === j.toLong, rho).otherwise(lit(0)).as(r)
-      }
-    }
     var sketches = cut(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
-        .select(col("node") +: initRegs: _*), 1)
-    // HLL estimate off the register columns, with linear counting below
-    // 2.5m: near-exact tiny balls, ~1.04/√m relative error beyond
-    val estCol: Column = {
-      val sumInv = regs.map(r => pow(lit(2.0d), -col(r))).reduce(_ + _)
-      val zeros = regs.map(r => when(col(r) === 0, 1).otherwise(0))
-        .reduce(_ + _).cast("double")
-      val raw = lit(alpha * m * m) / sumInv
-      when(raw <= lit(2.5d * m) && zeros > 0,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
-    }
+        .select(col("node") +: hllInitRegs(regs, m): _*), 1)
+    val estCol: Column = hllEst(regs.map(col), m)
     def stats(df: DataFrame, chCol: Column): (Double, Long, Long) = {
       val r = df.agg(sum(estCol).as("nf"), sum(chCol.cast("long")).as("ch"),
         count(lit(1)).as("n")).head()
@@ -978,5 +988,79 @@ object Graph {
         round(col("nf_raw") / lit(math.max(n, 1L).toDouble), 4).as("avg_ball_est"),
         col("changed_nodes"))
       .orderBy("t")
+  }
+
+  /** Approximate HARMONIC CENTRALITY per node via the same HyperBall sweep
+    * as [[neighborhoodFunction]]: h(u) = Σ_{v reachable, v≠u} 1/d(u,v),
+    * folded incrementally as Σ_t (|B(u,t)|−|B(u,t−1)|)/t — each round's
+    * ball GROWTH is the shell of new nodes at exactly distance t (Boldi–
+    * Vigna's centrality pass). The "who is close to everything" score
+    * that, unlike closeness, is total on disconnected graphs (unreachable
+    * nodes contribute 0, not ∞). NOTE on direction: this scores u by the
+    * set u REACHES along src→dst; classic harmonic centrality ("who can
+    * reach u") is the same call on the REVERSED edge list — the caller
+    * picks the orientation, exactly as the HyperBall paper does.
+    *
+    * Same scale shape as the NF sweep — per round ONE dst-keyed join +
+    * per-register max partial agg, sketches 64 B/node + one running
+    * double — with the shell delta computed IN the merge projection (old
+    * and new registers are both in the join row, so no extra pass); the
+    * delta clamps at 0 where the HLL estimate's linear-counting boundary
+    * would locally dip (max-merge registers are monotone, the corrected
+    * estimate is not perfectly so). Deterministic like the sweep; ~26%
+    * per-ball error at m=16 — ranking quality spec'd, not hash-free.
+    */
+  def harmonicCentrality(edges: DataFrame, maxT: Int = 16, numRegs: Int = 16,
+                         checkpointDir: Option[String] = None,
+                         checkpointEvery: Int = 5): DataFrame = {
+    require(numRegs >= 16 && (numRegs & (numRegs - 1)) == 0,
+      s"numRegs must be a power of two >= 16: $numRegs")
+    val m = numRegs
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct(), 0).persist()
+    val regs = (0 until m).map(j => s"r$j")
+    var sketches = cut(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .select((col("node") +: hllInitRegs(regs, m)) :+ lit(0.0d).as("h"): _*), 1)
+    def stats(df: DataFrame, chCol: Column): (Long, Long) = {
+      val r = df.agg(sum(chCol.cast("long")).as("ch"), count(lit(1)).as("n")).head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L)
+      else (r.getLong(0), r.getLong(1))
+    }
+    var t = 0
+    var converged = false
+    var n = -1L
+    while (!converged && t < maxT) {
+      t += 1
+      val msgs = e
+        .join(sketches.withColumnRenamed("node", "dst").drop("h"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(max(col(regs.head)).as(regs.head),
+          regs.tail.map(r => max(col(r)).as(r)): _*)
+      val mergedRegs = regs.map(r =>
+        greatest(col(s"a.$r"), coalesce(col(s"b.$r"), lit(0))))
+      val shell = greatest(
+        hllEst(mergedRegs, m) - hllEst(regs.map(r => col(s"a.$r")), m),
+        lit(0.0d))
+      val merged = cut(sketches.as("a")
+        .join(msgs.as("b"), Seq("node"), "left")
+        .select((col("node") +:
+          mergedRegs.zip(regs).map { case (c, r) => c.as(r) }) ++ Seq(
+          (col("a.h") + shell / lit(t.toDouble)).as("h"),
+          regs.map(r => col(s"a.$r") <
+            coalesce(col(s"b.$r"), lit(0))).reduce(_ || _).as("ch")): _*),
+        t + 1)
+      val (ch, nn) = stats(merged, col("ch"))
+      n = nn
+      sketches = merged.drop("ch")
+      converged = ch == 0L
+    }
+    e.unpersist()
+    val out = sketches.select(col("node"), round(col("h"), 4).as("harmonic_est"))
+      .orderBy(col("harmonic_est").desc, col("node"))
+    if (n == 0L) out.where(lit(false)) else out
   }
 }

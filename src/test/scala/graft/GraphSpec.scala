@@ -759,6 +759,59 @@ class GraphSpec extends SparkSpec {
       assert(b._2 >= a._2 - 1e-9, s"nf dropped: $a -> $b") }
   }
 
+  /** Exact harmonic centrality by per-source BFS: Σ 1/d(u,v). */
+  private def bruteHarmonic(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map { u =>
+      var seen = Set(u)
+      var frontier = Set(u)
+      var d = 0
+      var h = 0.0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        h += frontier.size.toDouble / d
+      }
+      u -> h
+    }.toMap
+  }
+
+  test("harmonicCentrality: hub tops the ranking, sinks score exactly 0, brute band, deterministic") {
+    // hub: 0 -> 1..20 (plus a 2-chain so distances vary)
+    val hub = (1L to 20L).map(l => (0L, l)) ++ Seq((1L, 21L))
+    val got = Graph.harmonicCentrality(hub.toDF("src", "dst"))
+      .as[(Long, Double)].collect().toMap
+    // pure sinks never grow their sketch -> shell 0 every round -> EXACT 0
+    (2L to 20L).foreach(l => assert(got(l) == 0.0, s"leaf $l: ${got(l)}"))
+    assert(got(21L) == 0.0)
+    // the hub reaches 21 nodes (20 at d=1 via 1..20... node 21 at d=2)
+    val exact = bruteHarmonic(hub)
+    assert(got(0L) == got.values.max, "hub must rank first")
+    assert(got(0L) > 0.65 * exact(0L) && got(0L) < 1.35 * exact(0L))
+    // pseudo-random digraph: per-node band where balls are big enough,
+    // plus aggregate band and rerun determinism
+    val edges = (0L until 200L).flatMap(u =>
+      Seq((u, (u * 7 + 13) % 200), (u, (u * 57 + 5) % 200)))
+    val est = Graph.harmonicCentrality(edges.toDF("src", "dst"), maxT = 12)
+      .as[(Long, Double)].collect().toMap
+    val ex = bruteHarmonic(edges)
+    val sumEst = est.values.sum
+    val sumEx = ex.values.sum
+    assert(sumEst > 0.65 * sumEx && sumEst < 1.35 * sumEx,
+      s"aggregate harmonic off: $sumEst vs $sumEx")
+    ex.filter(_._2 >= 5.0).foreach { case (u, e) =>
+      assert(est(u) > 0.5 * e && est(u) < 2.0 * e, s"node $u: ${est(u)} vs $e")
+    }
+    val rerun = Graph.harmonicCentrality(edges.toDF("src", "dst"), maxT = 12)
+      .as[(Long, Double)].collect().toMap
+    assert(rerun == est)
+    assert(Graph.harmonicCentrality(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
   test("neighborhoodFunction: bit-deterministic; converges at the diameter; empty total") {
     // directed 8-cycle: ball(u, t) = t+1 until the full ring at t = 7,
     // so masks change through t=7 and the t=8 round certifies the fixpoint
