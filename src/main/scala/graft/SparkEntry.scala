@@ -489,6 +489,28 @@ object SparkEntry {
     // hand-solved chains)
     "q_attribution_markov" -> ((s, d) =>
       Behavior.markovAttribution(Tables.events(s, d))),
+    // the SAME RFM segmentation served FROM the MAINTAINED per-customer
+    // rollup store: three hash-sliced micro-batches folded through the
+    // manifest-committed view (greatest/long-add/decimal-add merges —
+    // any slicing converges bit-for-bit), then scored without touching
+    // raw orders; same oracle as q_rfm
+    "q_rfm_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      val ord = Tables.orders(s, d)
+      val viewDir = servedStore("rfm", d) { dir =>
+        ord.persist()
+        (0 until 3).foreach { i =>
+          graft.streaming.ViewMaintenance.mergeRfmRollupBatch(s,
+            ord.where(pmod(xxhash64(col("o_orderkey")), lit(3)) === i),
+            dir, numBuckets = 8, version = i.toLong)
+        }
+        ord.unpersist()
+      }
+      val rollup = graft.streaming.ViewMaintenance.readViewOr(s, viewDir,
+        graft.streaming.ViewMaintenance.rfmRollupDelta(ord))
+      Behavior.rfmFromRollup(rollup.select(col("custkey"), col("recency_us"),
+        col("frequency"), col("monetary_d").cast("double").as("monetary")))
+    }),
     // day-of-week-adjusted anomaly flags (weekly periodicity removed
     // before standardizing — the seasonal member of the monitoring family)
     "q_seasonal_anomalies" -> ((s, d) =>
@@ -1957,24 +1979,8 @@ object SparkEntry {
         | coalesce(last_touch_value, 0.0) AS last_touch_value
         |FROM f FULL OUTER JOIN l ON f.channel = l.channel
         |ORDER BY channel""".stripMargin,
-    // quintiles off the row_number spelling of orderedScan's global rank —
-    // integer division on exact ranks, decimal(18,4) monetary
-    "q_rfm" ->
-      """WITH base AS (
-        | SELECT o_custkey AS custkey,
-        |  max(epoch_us(o_orderdate)) AS recency_us,
-        |  CAST(count(*) AS BIGINT) AS frequency,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
-        | FROM orders GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM base),
-        |r AS (SELECT custkey, ((row_number() OVER (ORDER BY recency_us, custkey) - 1) * 5) // n.n + 1 AS r_score FROM base, n),
-        |f AS (SELECT custkey, ((row_number() OVER (ORDER BY frequency, custkey) - 1) * 5) // n.n + 1 AS f_score FROM base, n),
-        |m AS (SELECT custkey, ((row_number() OVER (ORDER BY monetary, custkey) - 1) * 5) // n.n + 1 AS m_score FROM base, n)
-        |SELECT base.custkey, recency_us, frequency, monetary,
-        | r_score, f_score, m_score,
-        | r_score * 100 + f_score * 10 + m_score AS rfm
-        |FROM base JOIN r USING (custkey) JOIN f USING (custkey) JOIN m USING (custkey)
-        |ORDER BY custkey""".stripMargin,
+    "q_rfm" -> RfmOracleSql,
+    "q_rfm_served" -> RfmOracleSql,
     "q_transition_matrix" ->
       """WITH p AS (
         | SELECT event_type AS from_type,
@@ -4459,6 +4465,26 @@ object SparkEntry {
   /** Shared demo trust edge list (tr + e1) — prefix of [[trustEdgesCte]]
     * and [[trustRankSql]].
     */
+  // quintiles off the row_number spelling of orderedScan's global rank —
+  // shared by the batch key and the maintained-store serve twin (the
+  // decimal-exact merges make the served rollup bit-identical)
+  private val RfmOracleSql =
+    """WITH base AS (
+        | SELECT o_custkey AS custkey,
+        |  max(epoch_us(o_orderdate)) AS recency_us,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM base),
+        |r AS (SELECT custkey, ((row_number() OVER (ORDER BY recency_us, custkey) - 1) * 5) // n.n + 1 AS r_score FROM base, n),
+        |f AS (SELECT custkey, ((row_number() OVER (ORDER BY frequency, custkey) - 1) * 5) // n.n + 1 AS f_score FROM base, n),
+        |m AS (SELECT custkey, ((row_number() OVER (ORDER BY monetary, custkey) - 1) * 5) // n.n + 1 AS m_score FROM base, n)
+        |SELECT base.custkey, recency_us, frequency, monetary,
+        | r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM base JOIN r USING (custkey) JOIN f USING (custkey) JOIN m USING (custkey)
+        |ORDER BY custkey""".stripMargin
+
   private val trendingSql =
     """WITH pd AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
       |            FROM events GROUP BY 1, 2),

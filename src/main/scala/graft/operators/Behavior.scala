@@ -620,13 +620,26 @@ object Behavior {
     * rerun-deterministic and the oracle's row_number spelling matches
     * bit-for-bit; ties break by custkey (the orderedScan convention).
     */
-  def rfmSegments(orders: DataFrame, numBuckets: Int = 64): DataFrame = {
-    val base = orders.groupBy(col("o_custkey").as("custkey"))
-      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
-        count(lit(1)).as("frequency"),
-        sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary_d"))
-      .withColumn("monetary", col("monetary_d").cast("double"))
-      .drop("monetary_d")
+  def rfmSegments(orders: DataFrame, numBuckets: Int = 64): DataFrame =
+    rfmFromRollup(
+      orders.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("monetary")),
+      numBuckets)
+
+  /** Quintile scoring off an already-maintained (custkey, recency_us,
+    * frequency, monetary) rollup — the serve-side half of [[rfmSegments]],
+    * also fed by the incremental store
+    * ([[graft.streaming.ViewMaintenance.mergeRfmRollupBatch]]): the
+    * decimal-exact merges make the served rollup bit-identical to the
+    * batch one, so the scores (and the oracle) are unchanged.
+    */
+  def rfmFromRollup(rollup: DataFrame, numBuckets: Int = 64): DataFrame = {
+    val base = rollup
+      .select(col("custkey"), col("recency_us"), col("frequency"),
+        col("monetary"))
       .localCheckpoint(true) // feeds three ordered scans + the final join
     val n = lit(base.count())
     def score(valueCol: String, out: String): DataFrame =

@@ -1016,25 +1016,35 @@ object Graph {
     require(numRegs >= 16 && (numRegs & (numRegs - 1)) == 0,
       s"numRegs must be a power of two >= 16: $numRegs")
     val m = numRegs
-    def cut(df: DataFrame, round: Int) =
-      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val sc = edges.sparkSession.sparkContext
+    val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
+    def cut(df: DataFrame): DataFrame =
+      Checkpoints.cut(df, cutRound.incrementAndGet(), checkpointDir, checkpointEvery)
+    // like cut, but guaranteed to have MATERIALIZED every row on return
+    // (the accumulator probe reads right after) — the SCC pattern
+    def cutEager(df: DataFrame): DataFrame = {
+      val r = cutRound.incrementAndGet()
+      val out = Checkpoints.cut(df, r, checkpointDir, checkpointEvery)
+      if (checkpointDir.isDefined && r % checkpointEvery != 0) out.count()
+      out
+    }
     val e = cut(edges.where(col("src") =!= col("dst"))
-      .select("src", "dst").distinct(), 0).persist()
+      .select("src", "dst").distinct()).persist()
     val regs = (0 until m).map(j => s"r$j")
     var sketches = cut(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
-        .select((col("node") +: hllInitRegs(regs, m)) :+ lit(0.0d).as("h"): _*), 1)
-    def stats(df: DataFrame, chCol: Column): (Long, Long) = {
-      val r = df.agg(sum(chCol.cast("long")).as("ch"), count(lit(1)).as("n")).head()
-      if (r.isNullAt(1) || r.getLong(1) == 0L) (0L, 0L)
-      else (r.getLong(0), r.getLong(1))
-    }
+        .select((col("node") +: hllInitRegs(regs, m)) :+ lit(0.0d).as("h"): _*))
     var t = 0
     var converged = false
-    var n = -1L
     while (!converged && t < maxT) {
       t += 1
+      // ONE job per round: the merge materialization carries the shell
+      // fold AND the convergence probe (accumulator ticked per grown row
+      // — the SCC lesson: no separate agg/count action; a task retry can
+      // only over-tick, costing one extra, then truly empty, round)
+      val acc = sc.longAccumulator("graft-harmonic-delta")
+      val tick = udf { () => { acc.add(1L); true } }.asNondeterministic()
       val msgs = e
         .join(sketches.withColumnRenamed("node", "dst").drop("h"), "dst")
         .groupBy(col("src").as("node"))
@@ -1045,22 +1055,19 @@ object Graph {
       val shell = greatest(
         hllEst(mergedRegs, m) - hllEst(regs.map(r => col(s"a.$r")), m),
         lit(0.0d))
-      val merged = cut(sketches.as("a")
+      val grew = regs.map(r => col(s"a.$r") <
+        coalesce(col(s"b.$r"), lit(0))).reduce(_ || _)
+      val merged = cutEager(sketches.as("a")
         .join(msgs.as("b"), Seq("node"), "left")
         .select((col("node") +:
           mergedRegs.zip(regs).map { case (c, r) => c.as(r) }) ++ Seq(
           (col("a.h") + shell / lit(t.toDouble)).as("h"),
-          regs.map(r => col(s"a.$r") <
-            coalesce(col(s"b.$r"), lit(0))).reduce(_ || _).as("ch")): _*),
-        t + 1)
-      val (ch, nn) = stats(merged, col("ch"))
-      n = nn
+          when(grew, tick()).otherwise(lit(false)).as("ch")): _*))
       sketches = merged.drop("ch")
-      converged = ch == 0L
+      converged = acc.value == 0L
     }
     e.unpersist()
-    val out = sketches.select(col("node"), round(col("h"), 4).as("harmonic_est"))
+    sketches.select(col("node"), round(col("h"), 4).as("harmonic_est"))
       .orderBy(col("harmonic_est").desc, col("node"))
-    if (n == 0L) out.where(lit(false)) else out
   }
 }

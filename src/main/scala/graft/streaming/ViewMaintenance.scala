@@ -684,6 +684,53 @@ object ViewMaintenance {
       }
       .start()
 
+  /** Per-customer RFM ROLLUP store — the maintained moments behind
+    * [[graft.operators.Behavior.rfmSegments]]'s quintile scoring, so the
+    * segmentation never rescans order history: each batch folds
+    * (greatest recency, long-added frequency, decimal-added monetary)
+    * per customer. All three merges are commutative/associative, so any
+    * micro-batch slicing converges to the one-shot rollup bit-for-bit
+    * (monetary as exact decimal(38,4) — the balances-instance rule).
+    * Bucket key = custkey (the scoring reads per-customer rows).
+    */
+  def rfmRollupDelta(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").as("monetary_d"))
+
+  def mergeRfmRollupBatch(spark: SparkSession, batch: DataFrame, viewDir: String,
+                          numBuckets: Int = DefaultNumBuckets, version: Long = -1L,
+                          maxGenerations: Int = DefaultMaxGenerations,
+                          committer: ManifestCommitter = RenameCommitter): Unit =
+    mergeBatchGeneric(spark, viewDir, rfmRollupDelta(batch), "custkey",
+      (existing, d) => {
+        val e = existing.select(col("custkey"), col("recency_us").as("r_a"),
+          col("frequency").as("f_a"), col("monetary_d").as("m_a"))
+        val dd = d.select(col("custkey"), col("recency_us").as("r_b"),
+          col("frequency").as("f_b"), col("monetary_d").as("m_b"))
+        e.join(dd, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            greatest(col("r_a"), col("r_b")).as("recency_us"),
+            (coalesce(col("f_a"), lit(0L)) + coalesce(col("f_b"), lit(0L)))
+              .as("frequency"),
+            (coalesce(col("m_a"), lit(0).cast("decimal(38,4)")) +
+              coalesce(col("m_b"), lit(0).cast("decimal(38,4)")))
+              .cast("decimal(38,4)").as("monetary_d"))
+      },
+      numBuckets, version, maxGenerations, committer)
+
+  def startRfmRollupView(orders: DataFrame, viewDir: String, checkpointDir: String,
+                         numBuckets: Int = DefaultNumBuckets): StreamingQuery =
+    orders.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeRfmRollupBatch(batch.sparkSession, batch, viewDir, numBuckets, batchId)
+        ()
+      }
+      .start()
+
   /** SEEN-HASH dedup store — incremental cross-run exact dedup, the shape
     * a 100 TB crawl pipeline actually needs: every ingest batch must be
     * deduped against ALL previously ingested content, not just a

@@ -666,6 +666,50 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(cusumStore == cusumRaw && cusumStore.nonEmpty)
   }
 
+  test("rfm rollup store: sliced merges converge bit-for-bit; serve scores match batch") {
+    val viewDir = Files.createTempDirectory("graft-rfm").toString + "/view"
+    val orders = Seq(
+      (1L, 1L, "O", 500.0, "2024-01-01 00:00:00"),
+      (2L, 1L, "O", 250.5, "2024-02-01 00:00:00"),
+      (3L, 2L, "O", 400.0, "2024-01-02 00:00:00"),
+      (4L, 3L, "O", 300.0, "2024-01-03 00:00:00"),
+      (5L, 3L, "O", 100.0, "2023-12-01 00:00:00"),
+      (6L, 4L, "O", 200.0, "2024-01-04 00:00:00"))
+      .map { case (ok, ck, st, tp, d) =>
+        (ok, ck, st, tp, java.sql.Timestamp.valueOf(d), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    // three overlapping slices by order key — a customer's orders split
+    // ACROSS merges, so all three merge laws (greatest/add/decimal-add) fire
+    (0 until 3).foreach { i =>
+      ViewMaintenance.mergeRfmRollupBatch(spark,
+        orders.where(col("o_orderkey") % 3 === i), viewDir,
+        numBuckets = 4, version = i.toLong)
+    }
+    def served = readView(spark, viewDir)
+      .select(col("custkey"), col("recency_us"), col("frequency"),
+        col("monetary_d").cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val oneShot = ViewMaintenance.rfmRollupDelta(orders)
+      .select(col("custkey"), col("recency_us"), col("frequency"),
+        col("monetary_d").cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(served == oneShot)
+    // replay of a committed version is a detected no-op (sums would double)
+    ViewMaintenance.mergeRfmRollupBatch(spark,
+      orders.where(col("o_orderkey") % 3 === 1), viewDir,
+      numBuckets = 4, version = 1L)
+    assert(served == oneShot)
+    // scores off the store == scores off raw orders, row for row
+    val fromStore = graft.operators.Behavior.rfmFromRollup(
+        readView(spark, viewDir).select(col("custkey"), col("recency_us"),
+          col("frequency"), col("monetary_d").cast("double").as("monetary")))
+      .collect().map(_.toString).toSeq
+    val fromRaw = graft.operators.Behavior.rfmSegments(orders)
+      .collect().map(_.toString).toSeq
+    assert(fromStore == fromRaw && fromStore.nonEmpty)
+  }
+
   test("day-count store: streaming maintenance converges to the batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     val viewDir = Files.createTempDirectory("graft-daystream").toString + "/view"
