@@ -392,6 +392,31 @@ object SparkEntry {
       Graph.neighborhoodFunction(trust.where(col("limit") > 0)
         .select(col("user").as("src"), col("can_send_to").as("dst")))
     }),
+    // deterministic random-walk corpus over the trust graph (DeepWalk
+    // feed): md5(node:walk:step)-keyed neighbor picks — bit-reproducible,
+    // oracle re-derives every pick over the dst-sorted adjacency
+    "q_random_walks" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      Graph.randomWalks(trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst")),
+        walksPerNode = 2, length = 4)
+    }),
+    // time-respecting reachability over the hub-transfer edge stream:
+    // earliest arrival from the signup cohort along non-decreasing
+    // transfer times — oracle = recursive (node, t)-state closure CTE
+    "q_temporal_reach" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, hex, lit, lower, lpad}
+      val ev = Tables.events(s, d)
+      val edges = CirclesViews.formattedView(
+          Demo.hubStr(ReceiptClassifier.demoReceipts(ev)),
+          ReceiptClassifier.demoBlocks(ev))
+        .select(col("from").as("src"), col("to").as("dst"),
+          col("ts_us").as("ts"))
+      val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
+        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+      Graph.temporalReach(edges, seeds, startTs = 0L)
+    }),
     // harmonic centrality off the same HyperBall sweep (classic "who can
     // reach u" orientation = the reversed edge list); rows-only (sketch
     // estimates hash-specific; GraphSpec pins brute-BFS bands + exact-0
@@ -2757,6 +2782,54 @@ object SparkEntry {
         |SELECT e.hash, e.token, e."from", e."to", e.value, b.ts_us,
         |       b.block_number, CAST(0 AS BIGINT) AS tx_index
         |FROM erc e JOIN blk b ON e.hash = b.hash ORDER BY e.hash, e."from"""".stripMargin),
+    // random walks: the same md5(node:walk:step) pick over the same
+    // dst-sorted row_number adjacency, steps unrolled as CTEs
+    "q_random_walks" -> {
+      val steps = (1 to 4).map { i =>
+        val p = i - 1
+        s"""|,
+            |s$i AS (SELECT s.start, s.walk, $i AS step, a.dst AS node
+            |        FROM s$p s JOIN adj a ON a.src = s.node
+            |         AND a.rk = ('0x' || substring(md5(s.node || ':' ||
+            |               CAST(s.walk AS VARCHAR) || ':$i'), 1, 8))::BIGINT
+            |             % a.deg + 1)""".stripMargin
+      }.mkString
+      trustE1Cte +
+        s"""|,
+            |adj AS (SELECT src, dst,
+            |         row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+            |         count(*) OVER (PARTITION BY src) AS deg FROM e1),
+            |s0 AS (SELECT src AS start, w.range AS walk, 0 AS step, src AS node
+            |       FROM (SELECT DISTINCT src FROM e1) s CROSS JOIN range(2) w)$steps
+            |SELECT start, walk, step, node FROM s0
+            |UNION ALL SELECT start, walk, step, node FROM s1
+            |UNION ALL SELECT start, walk, step, node FROM s2
+            |UNION ALL SELECT start, walk, step, node FROM s3
+            |UNION ALL SELECT start, walk, step, node FROM s4
+            |ORDER BY start, walk, step""".stripMargin
+    },
+    // temporal reachability: recursive (node, t)-state closure — a state
+    // extends only along edges with ts >= t, UNION dedups states, the
+    // earliest arrival is min(t) per node (the operator's min-domination
+    // argument makes the two spellings equal)
+    "q_temporal_reach" ->
+      """WITH RECURSIVE hub AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS f,
+        |  '0x' || lpad(lower(to_hex((user_id * 11 + 7) % 150)), 40, '0') AS t0
+        | FROM events WHERE event_type = 'click'),
+        |blk AS (SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |        epoch_us(ts) AS ts_us FROM events),
+        |e AS (SELECT h.f AS src, h.t0 AS dst, b.ts_us AS ts
+        |      FROM hub h JOIN blk b USING (hash) WHERE h.f <> h.t0),
+        |seeds AS (SELECT DISTINCT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS node
+        |          FROM events WHERE event_type = 'signup' AND user_id % 17 = 0),
+        |r(node, t) AS (
+        | SELECT node, CAST(0 AS BIGINT) FROM seeds
+        | UNION
+        | SELECT e.dst, e.ts FROM r JOIN e ON e.src = r.node AND e.ts >= r.t)
+        |SELECT node, CAST(min(t) AS BIGINT) AS arrival_us FROM r
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q_fmt_crc_minting" -> (demoCte + fmtBlkCte +
       """
         |SELECT e.hash, e.token, e."from", e."to", e.value, b.ts_us,

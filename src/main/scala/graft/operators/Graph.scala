@@ -1070,4 +1070,128 @@ object Graph {
     sketches.select(col("node"), round(col("h"), 4).as("harmonic_est"))
       .orderBy(col("harmonic_est").desc, col("node"))
   }
+
+  /** TIME-RESPECTING reachability — earliest arrival over TEMPORAL edges:
+    * v is reached when some path uses edges in NON-DECREASING time order
+    * (a transfer chain, an infection path, an information cascade — a
+    * static closure overcounts: A→B in March then B→C in January is not
+    * a flow A→C). Output: every reachable node with its EARLIEST possible
+    * arrival time; seeds arrive at `startTs`.
+    *
+    * Correctness hinge: the earliest arrival DOMINATES — any edge usable
+    * from a later arrival (ts ≥ t₂ > t₁) is usable from the earlier one,
+    * so keeping only min-arrival per node loses nothing and the delta
+    * propagation converges to the exact fixpoint in ≤ temporal-diameter
+    * rounds (the same argument as shortest paths, on the time axis).
+    *
+    * Scale shape: per round ONE frontier⋈edges join on src (the `ts ≥
+    * arrival` predicate rides the join, so dead edges drop before the
+    * shuffle) + a min partial agg on dst + a full-outer merge of (node,
+    * long) pairs — frontier-sized frames, never the closure; convergence
+    * probes ride a LongAccumulator ticked in the merge materialization
+    * (no per-round count job); per-round Checkpoints cut; loud maxIters
+    * valve (the kCore no-partial-answer doctrine).
+    */
+  def temporalReach(edges: DataFrame, seeds: DataFrame,
+                    startTs: Long = Long.MinValue, maxIters: Int = 100,
+                    checkpointDir: Option[String] = None,
+                    checkpointEvery: Int = 5): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
+    def cut(df: DataFrame): DataFrame =
+      Checkpoints.cut(df, cutRound.incrementAndGet(), checkpointDir, checkpointEvery)
+    def cutEager(df: DataFrame): DataFrame = {
+      val r = cutRound.incrementAndGet()
+      val out = Checkpoints.cut(df, r, checkpointDir, checkpointEvery)
+      if (checkpointDir.isDefined && r % checkpointEvery != 0) out.count()
+      out
+    }
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst", "ts").distinct()).persist()
+    var arr = cut(seeds.select(col("node")).distinct()
+      .withColumn("arrival", lit(startTs)))
+    var delta = arr
+    var it = 0
+    var changed = -1L
+    while (changed != 0 && it < maxIters) {
+      it += 1
+      val acc = sc.longAccumulator("graft-temporal-delta")
+      val tick = udf { () => { acc.add(1L); true } }.asNondeterministic()
+      val cand = e
+        .join(delta.withColumnRenamed("node", "src"), "src")
+        .where(col("ts") >= col("arrival"))
+        .groupBy(col("dst").as("node")).agg(min("ts").as("cand"))
+      val merged = cutEager(arr.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arrival"), col("cand")),
+            coalesce(col("cand"), col("arrival"))).as("arrival"),
+          when(col("arrival").isNull ||
+            coalesce(col("cand") < col("arrival"), lit(false)), tick())
+            .otherwise(lit(false)).as("ch")))
+      changed = acc.value
+      if (changed != 0) delta = merged.where(col("ch")).select("node", "arrival")
+      arr = merged.select("node", "arrival")
+    }
+    if (changed != 0) sys.error(
+      s"temporalReach: did not converge within maxIters=$maxIters " +
+        "(temporal diameter exceeds the budget)")
+    e.unpersist()
+    arr.select(col("node"), col("arrival").as("arrival_us")).orderBy("node")
+  }
+
+  /** Deterministic RANDOM-WALK table — the DeepWalk/node2vec corpus
+    * generator: `walksPerNode` walks of `length` steps from every node
+    * with out-edges, each step picking the next neighbor by an md5-keyed
+    * index (md5(node:walk:step) mod out-degree over the dst-sorted
+    * adjacency). Walk sentences feed skip-gram embedding trainers exactly
+    * like text feeds word2vec; the HASH-pick makes the table
+    * bit-REPRODUCIBLE on any engine/partitioning (the hash-gate sampling
+    * doctrine: no RNG state, the oracle re-derives every pick), at the
+    * price of reusing one fixed "randomness" per (node, walk, step) —
+    * the right trade for an auditable training corpus.
+    *
+    * Scale shape: adjacency is indexed ONCE ((src, dst, rk, deg) via a
+    * per-src window — bounded by out-degree, the hub caveat of
+    * [[widestPaths]] applies) and each step is ONE join pointed at
+    * exactly (cur, rk=pick): state frames are (start, walk, node)
+    * triples, never neighborhoods; rounds = `length`, not diameter;
+    * dead-end nodes simply end their walks early (no self-loop padding —
+    * the consumer sees true walk lengths). Output: (start, walk, step,
+    * node) — step 0 is the start itself.
+    */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 2, length: Int = 4,
+                  checkpointDir: Option[String] = None,
+                  checkpointEvery: Int = 5): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1,
+      s"walksPerNode/length < 1: $walksPerNode/$length")
+    val spark = edges.sparkSession
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val adj = cut(e.select(col("src"), col("dst"),
+      row_number().over(Window.partitionBy("src").orderBy("dst"))
+        .cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy("src")).as("deg")), 0).persist()
+    var state = cut(adj.select("src").distinct()
+      .crossJoin(spark.range(walksPerNode).select(col("id").as("walk")))
+      .select(col("src").as("start"), col("walk"),
+        lit(0).as("step"), col("src").as("node")), 0)
+    var acc = state
+    for (i <- 1 to length) {
+      val pick = pmod(
+        conv(substring(md5(concat_ws(":",
+          col("node"), col("walk"), lit(i))), 1, 8), 16, 10).cast("long"),
+        col("deg")) + 1
+      val next = state.as("s")
+        .join(adj.as("a"), col("s.node") === col("a.src"))
+        .where(col("a.rk") === pick)
+        .select(col("s.start").as("start"), col("s.walk").as("walk"),
+          lit(i).as("step"), col("a.dst").as("node"))
+      state = cut(next, i)
+      acc = acc.unionByName(state)
+    }
+    adj.unpersist()
+    acc.orderBy("start", "walk", "step")
+  }
 }

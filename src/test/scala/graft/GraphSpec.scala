@@ -719,6 +719,94 @@ class GraphSpec extends SparkSpec {
 
   // ---- neighborhoodFunction ------------------------------------------------
 
+  // ---- randomWalks ---------------------------------------------------------
+
+  private def md5Pick(node: String, walk: Long, step: Int, deg: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$node:$walk:$step".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % deg + 1
+  }
+
+  test("randomWalks: md5 picks reproduce by hand; walks follow edges; deterministic") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val got = Graph.randomWalks(edges.toDF("src", "dst"),
+        walksPerNode = 2, length = 3)
+      .as[(String, Long, Int, String)].collect().toSeq
+    // step-0 rows: one per (start-with-out-edges, walk)
+    assert(got.filter(_._3 == 0).map(x => (x._1, x._2)).toSet ==
+      (for (s <- Seq("a", "b", "c"); w <- 0L to 1L) yield (s, w)).toSet)
+    // every consecutive (step, step+1) pair is a real edge AND the
+    // hand-computed md5 pick over the dst-sorted adjacency
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted.toVector }
+    got.groupBy(x => (x._1, x._2)).foreach { case ((start, walk), rows) =>
+      val path = rows.sortBy(_._3).map(_._4)
+      assert(path.head == start)
+      path.sliding(2).filter(_.size == 2).zipWithIndex.foreach {
+        case (Seq(cur, nxt), i) =>
+          val nbrs = adj(cur)
+          assert(nbrs(md5Pick(cur, walk, i + 1, nbrs.size).toInt - 1) == nxt,
+            s"walk ($start,$walk) step ${i + 1}: $cur -> $nxt not the md5 pick")
+      }
+      // a walk only ends early at a dead end (d is the only sink here)
+      if (path.size < 4) assert(path.last == "d")
+    }
+    // deterministic under repartition
+    val rep = Graph.randomWalks(edges.toDF("src", "dst").repartition(5),
+        walksPerNode = 2, length = 3)
+      .as[(String, Long, Int, String)].collect().toSeq
+    assert(rep.toSet == got.toSet)
+    assert(Graph.randomWalks(
+      Seq.empty[(String, String)].toDF("src", "dst")).count() == 0)
+  }
+
+  // ---- temporalReach -------------------------------------------------------
+
+  /** Exact earliest arrival by (node, t)-state closure. */
+  private def bruteTemporal(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                            start: Long): Map[Long, Long] = {
+    var arr = seeds.map(_ -> start).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (s, d, ts) =>
+        arr.get(s).filter(ts >= _).foreach { _ =>
+          if (arr.get(d).forall(ts < _)) { arr += d -> ts; changed = true }
+        }
+      }
+    }
+    arr
+  }
+
+  test("temporalReach: time order respected, earliest arrival dominates, brute parity") {
+    def tr(edges: Seq[(Long, Long, Long)], seeds: Seq[Long], start: Long = 0L) =
+      Graph.temporalReach(edges.toDF("src", "dst", "ts"),
+        seeds.toDF("node"), startTs = start)
+        .as[(Long, Long)].collect().toMap
+    // A→B@10 then B→C@5: NOT a flow (time decreases); @20 variant is
+    assert(tr(Seq((1L, 2L, 10L), (2L, 3L, 5L)), Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 10L))
+    assert(tr(Seq((1L, 2L, 10L), (2L, 3L, 20L)), Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // earliest arrival dominates: the @3 copy of A→B unlocks B→C@5
+    // (the @10-only graph above could not)
+    assert(tr(Seq((1L, 2L, 10L), (1L, 2L, 3L), (2L, 3L, 5L)), Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 3L, 3L -> 5L))
+    // startTs gates the first hop
+    assert(tr(Seq((1L, 2L, 10L)), Seq(1L), start = 11L) == Map(1L -> 11L))
+    // brute parity on a hashed temporal graph, determinism, empty totality
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rng.nextInt(60).toLong, rng.nextInt(60).toLong,
+      rng.nextInt(1000).toLong)).filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 17L, 34L)
+    val got = tr(edges, seeds)
+    assert(got == bruteTemporal(edges, seeds.toSet, 0L))
+    assert(tr(edges, seeds) == got)
+    assert(Graph.temporalReach(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "ts"),
+      Seq.empty[Long].toDF("node")).count() == 0)
+  }
+
   /** Exact NF(t) = Σᵤ |ball(u, t)| by BFS from every node. */
   private def bruteNf(edges: Seq[(Long, Long)], maxT: Int): Map[Int, Long] = {
     val adj = edges.filter(e => e._1 != e._2).distinct
