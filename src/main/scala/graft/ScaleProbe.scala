@@ -329,6 +329,23 @@ object ScaleProbe {
           dagE.unionAll(bridge).unionAll(sccE), maxRounds = 10, maxIters = 200).count()
       }
       time("assortativity/10x")(Graph.degreeAssortativity(bigTrust).count())
+      // r8c: earliest-arrival propagation on 10x temporal edges (ts =
+      // event time): rounds ≈ temporal diameter, each one frontier join
+      // + min agg over (node, long) pairs
+      time("temporal_reach/10x-events") {
+        Graph.temporalReach(
+          bigEvents.select(col("user_id").as("src"),
+            ((col("user_id") * 11 + 7) % 10150).as("dst"),
+            unix_micros(col("ts")).as("ts")),
+          bigEvents.select(col("user_id").as("node")).distinct().limit(600),
+          startTs = 0L).count()
+      }
+      // r8c: 2 walks × 8 steps from every node — 8 pointed (cur, rk)
+      // joins; the md5 pick is computed map-side, state is (start, walk,
+      // node) triples
+      time("random_walks/10x-2x8") {
+        Graph.randomWalks(bigTrustSw, walksPerNode = 2, length = 8).count()
+      }
       // r8c: HyperBall NF, 64 rounds on the small-world graph (the pure
       // affine-map fringe keeps some directed paths past 64 hops, so this
       // measures the capped curve, ~0.5 s/round) — each round ONE
@@ -469,6 +486,32 @@ object ScaleProbe {
         val clusters = bigDocs.where(col("doc_id") % 10 === 0)
           .select(col("doc_id"), (col("doc_id") / 100).cast("long").as("cluster_id"))
         Dedup.canonicalDocs(bigDocs, clusters).count()
+      }
+      // r8c: KS drift — the per-group cumulative window runs over the
+      // DOMAIN-COMPRESSED (group, value, count) frame, so cost tracks
+      // |distinct values| per group, not row count
+      time("ks_drift/10x-600k-events-20grp") {
+        Profiler.ksDrift(
+          bigEvents.where(col("event_id") % 2 === 0)
+            .select((col("user_id") % 20).as("source"),
+              (col("value") * 100).cast("long").as("n_chars")),
+          bigEvents.where(col("event_id") % 2 === 1)
+            .select((col("user_id") % 20).as("source"),
+              (col("value") * 100).cast("long").as("n_chars")),
+          "n_chars", "source").count()
+      }
+      // r8c: markov attribution — two windows on ONE (user, jid)
+      // partitioning + a (from,to) partial agg; the chain solves are
+      // driver-side on a |event_type|-bounded matrix
+      time("markov_attribution/10x-events")(
+        Behavior.markovAttribution(bigEvents).count())
+      // r8c: standardize — map-side explode, dim-row stats broadcast back
+      time("embedding_standardize/20k-vectors") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val big = (0 until 4).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 5000L)))
+          .reduce(_ unionAll _)
+        graft.operators.Ann.standardizeEmbeddings(big).count()
       }
     }
     // JPEG decode throughput through the raster front door (pure-JVM
