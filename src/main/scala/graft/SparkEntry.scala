@@ -402,6 +402,20 @@ object SparkEntry {
         .select(col("user").as("src"), col("can_send_to").as("dst")),
         walksPerNode = 2, length = 4)
     }),
+    // DeepWalk end-to-end: the md5-pick walk corpus → skip-gram pairs →
+    // deterministic SGNS embeddings — rows-only (trained floats;
+    // Node2VecSpec pins bit-determinism, loss descent, community
+    // recovery); labeled one-time training cost (the q_quality_clf
+    // precedent)
+    "q_node2vec" -> ((s, d) => {
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      val walks = Graph.randomWalks(trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst")),
+        walksPerNode = 2, length = 4)
+      Node2Vec.trainSgns(Node2Vec.walkPairs(walks, window = 2),
+        dim = 8, epochs = 3, lr = 0.5)
+    }),
     // time-respecting reachability over the hub-transfer edge stream:
     // earliest arrival from the signup cohort along non-decreasing
     // transfer times — oracle = recursive (node, t)-state closure CTE
