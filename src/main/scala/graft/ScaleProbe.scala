@@ -346,6 +346,14 @@ object ScaleProbe {
       time("random_walks/10x-2x8") {
         Graph.randomWalks(bigTrustSw, walksPerNode = 2, length = 8).count()
       }
+      // r8c: SGNS over the 10.5k-node walk corpus — per epoch two
+      // embedding joins + one exact-decimal gradient agg + one
+      // re-assembly; matrices are (node, array) frames end to end
+      time("node2vec/10x-3epochs") {
+        val walks = Graph.randomWalks(bigTrustSw, walksPerNode = 2, length = 6)
+        Node2Vec.trainSgns(Node2Vec.walkPairs(walks, window = 2),
+          dim = 16, epochs = 3, lr = 0.5).count()
+      }
       // r8c: HyperBall NF, 64 rounds on the small-world graph (the pure
       // affine-map fringe keeps some directed paths past 64 hops, so this
       // measures the capped curve, ~0.5 s/round) — each round ONE
