@@ -354,6 +354,17 @@ object ScaleProbe {
         Node2Vec.trainSgns(Node2Vec.walkPairs(walks, window = 2),
           dim = 16, epochs = 3, lr = 0.5).count()
       }
+      // fixed-vs-marginal split for the SGNS loop: walks+pairs+setup vs
+      // the per-epoch cost (epochs3 − epochs1)/2
+      if (args.exists("n2v_split".contains)) {
+        val walks = Graph.randomWalks(bigTrustSw, walksPerNode = 2, length = 6)
+        val pairs = Node2Vec.walkPairs(walks, window = 2).localCheckpoint(true)
+        println(s"[probe] n2v pairs=${pairs.count()}")
+        time("n2v_split/epochs1")(
+          Node2Vec.trainSgns(pairs, dim = 16, epochs = 1, lr = 0.5).count())
+        time("n2v_split/epochs3")(
+          Node2Vec.trainSgns(pairs, dim = 16, epochs = 3, lr = 0.5).count())
+      }
       // r8c: HyperBall NF, 64 rounds on the small-world graph (the pure
       // affine-map fringe keeps some directed paths past 64 hops, so this
       // measures the capped curve, ~0.5 s/round) — each round ONE

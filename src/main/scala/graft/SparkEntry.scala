@@ -583,6 +583,16 @@ object SparkEntry {
         StateOps.epochMs(col("day").cast("timestamp")).as("day"), col("n")))
     }),
     "q_retention" -> ((s, d) => Behavior.retentionCohorts(Tables.events(s, d))),
+    // truncated-EWMA volume forecast: exact bigint numerator, one
+    // exponent-shift division — bit-exact cross-engine
+    "q_ewma_forecast" -> ((s, d) => Behavior.ewmaForecast(Tables.events(s, d))),
+    // cohort payback curve: decimal revenue cells + decimal running sum,
+    // ltv = one IEEE division per cell
+    "q_cohort_ltv" -> ((s, d) => Behavior.cohortLtv(Tables.events(s, d))),
+    // md5-parity A/B readout with the pooled two-proportion z — a single
+    // summary row, every float derived from exact longs through a
+    // mirrored expression tree
+    "q_ab_test" -> ((s, d) => Behavior.abTest(Tables.events(s, d))),
     "q_token_balances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
@@ -811,6 +821,12 @@ object SparkEntry {
       Economics.lorenz(Tables.orders(s, d).groupBy("o_custkey")
           .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
         "wealth", "o_custkey")),
+    // Herfindahl index + effective holder count over the same wealth
+    // frame: one partial-agg pass, exact decimal moments, no rank
+    "q_hhi" -> ((s, d) =>
+      Economics.hhi(Tables.orders(s, d).groupBy("o_custkey")
+          .agg(StateOps.dsum(col("o_totalprice")).cast("double").as("wealth")),
+        "wealth")),
     // velocity of money per day over the demo ERC-20 ledger: peer volume
     // over cumulative issuance, registered tokens only
     "q_money_velocity" -> ((s, d) => {
@@ -2073,6 +2089,24 @@ object SparkEntry {
         |         / CAST(t AS DOUBLE), 12)
         | END AS topk_share
         |FROM c, t GROUP BY n_holders, t""".stripMargin,
+    // HHI: exact decimal moments, hhi/eff in one mirrored IEEE tree —
+    // deliberately NO round() (1/hhi is large-magnitude, the round trap)
+    "q_hhi" ->
+      """WITH w AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS wealth
+        |       FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_holders,
+        |       CAST(SUM(CAST(wealth AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS s,
+        |       SUM(CAST(CAST(wealth AS DECIMAL(19,4))
+        |             * CAST(wealth AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS ss
+        |      FROM w)
+        |SELECT n_holders, CAST(s AS DOUBLE) AS total,
+        | CASE WHEN s > 0 THEN
+        |   CAST(ss AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS hhi,
+        | CASE WHEN s > 0 THEN
+        |   1.0 / (CAST(ss AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+        | END AS effective_holders
+        |FROM a""".stripMargin,
     // Lorenz deciles: bin by the exact integer rank formula (no NTILE
     // remainder convention), cumulative share from the running decimal sum
     "q_lorenz" ->
@@ -3526,6 +3560,72 @@ object SparkEntry {
         | count(DISTINCT t.user_id) AS users
         |FROM t JOIN fb USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact bigint numerator Σ n_{t-j}·2^(7-j); /256.0 is an exponent
+    // shift — bit-exact on both engines
+    "q_ewma_forecast" -> {
+      val num = (0 until 8).map { j =>
+        s"coalesce(lag(n, $j) OVER w, 0) * ${1L << (7 - j)}"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |  count(*) AS n FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         | CAST($num AS DOUBLE) / 256.0 AS ewma
+         |FROM c
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    },
+    "q_cohort_ltv" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS t, event_type, value
+        |           FROM events),
+        |fb AS (SELECT user_id, min(t) // 604800000 AS cohort
+        |       FROM t GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS cohort_users FROM fb GROUP BY 1),
+        |cells AS (
+        | SELECT fb.cohort, t.t // 604800000 - fb.cohort AS week_offset,
+        |  sum(CAST(t.value AS DECIMAL(28,10))) AS rev
+        | FROM t JOIN fb USING (user_id)
+        | WHERE t.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.cohort, c.week_offset, CAST(c.rev AS DOUBLE) AS revenue,
+        | CAST(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.week_offset
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS cum_revenue,
+        | sz.cohort_users,
+        | CAST(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.week_offset
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / CAST(sz.cohort_users AS DOUBLE) AS ltv
+        |FROM cells c JOIN sz USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
+    // the z expression mirrors the Spark tree operation-for-operation:
+    // identical IEEE order over exact-long-derived doubles
+    "q_ab_test" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+        |u AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN t END) AS t_exp,
+        |  max(CASE WHEN event_type = 'purchase' THEN t END) AS t_conv
+        | FROM t GROUP BY 1),
+        |pu AS (
+        | SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |   % 2 AS variant,
+        |  CASE WHEN t_conv > t_exp THEN 1 ELSE 0 END AS cnv
+        | FROM u WHERE t_exp IS NOT NULL),
+        |v AS (SELECT variant, count(*) AS n, CAST(sum(cnv) AS BIGINT) AS c
+        |      FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n0, c AS c0 FROM v WHERE variant = 0),
+        |b AS (SELECT n AS n1, c AS c1 FROM v WHERE variant = 1)
+        |SELECT n0, c0, n1, c1,
+        | CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+        | CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+        | CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+        |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |   / sqrt(((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+        |           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+        |           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        | END AS z
+        |FROM a CROSS JOIN b""".stripMargin,
     "q_token_balances" -> (demoCte +
       """,
         |d AS (

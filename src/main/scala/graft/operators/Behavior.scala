@@ -656,4 +656,138 @@ object Behavior {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
       .orderBy("custkey")
   }
+
+  /** Truncated-EWMA forecast per event type — the smoothing companion of
+    * the monitoring trio ([[robustAnomalies]]/[[trendingEvents]]/
+    * [[cusumChangepoints]]): a geometric half-weight average of the last
+    * `taps` daily counts, ewma_t = Σ_{j<taps} n_{t−j}/2^{j+1}
+    * (zero-padded before history; weights sum to 1−2^{−taps}). The
+    * standard one-line forecast for tomorrow's volume.
+    *
+    * Scale shape: the raw stream collapses to ≤ |types|·|days| rows in
+    * ONE partial-agg shuffle (the cusum collapse), then a single per-type
+    * window pass computes every lag — `taps` lag() calls share one
+    * (type, day) sort. Determinism: the weighted numerator is an EXACT
+    * BIGINT (Σ n_j·2^{taps−1−j}), and the one division by 2^taps is a
+    * pure exponent shift — bit-exact in IEEE754, no rounding anywhere.
+    * Missing calendar days are skipped, not zero-filled: the series is
+    * the OBSERVED per-day sequence (the trendingEvents convention).
+    */
+  def ewmaForecast(events: DataFrame, taps: Int = 8): DataFrame = {
+    require(taps >= 1 && taps <= 32, s"taps out of range: $taps")
+    import org.apache.spark.sql.expressions.Window
+    val perDay = events
+      .select(col("event_type"), StateOps.epochMs(col("ts")).as("t"))
+      .select(col("event_type"), expr("t div 86400000L").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val num = (0 until taps).map { j =>
+      coalesce(lag(col("n"), j).over(w), lit(0L)) * lit(1L << (taps - 1 - j))
+    }.reduce(_ + _)
+    perDay
+      .withColumn("ewma",
+        num.cast("double") / lit((1L << taps).toDouble))
+      .orderBy("event_type", "day")
+  }
+
+  /** Cohort LTV — cumulative revenue per signup cohort by age: cohort =
+    * the week bucket of a user's FIRST event (the [[retentionCohorts]]
+    * bucketing), revenue = purchase-event value attributed to the week it
+    * happened, ltv = cumulative cohort revenue / cohort size. The
+    * payback-curve view every growth team reads next to the retention
+    * triangle.
+    *
+    * Scale shape: first-bucket is one partial-agg min per user; cohort
+    * sizes partial-agg off that |users|-row frame; the purchase stream
+    * joins user-keyed (the agg output is already hash-partitioned by
+    * user_id, only the event side shuffles) and collapses to ≤ |cohorts|·
+    * |offsets| cells before the cumulative window — which runs per-cohort
+    * over that tiny grid, never over events. Determinism: revenue sums
+    * ride decimal(28,10) (HALF_UP cast of the double values — the
+    * token-balance protocol), the running sum is a decimal window agg
+    * (exact), and ltv is one IEEE division of the decimal-cast-to-double
+    * by an exact long.
+    */
+  def cohortLtv(events: DataFrame,
+                stepMs: Long = 7L * 86400000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = events.select(col("user_id"), StateOps.epochMs(col("ts")).as("t"),
+      col("event_type"), col("value"))
+    val firstBucket = t.groupBy("user_id")
+      .agg(min(col("t")).as("t0"))
+      .select(col("user_id"), expr(s"t0 div ${stepMs}L").as("cohort"))
+    val sizes = firstBucket.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = t.where(col("event_type") === "purchase")
+      .join(firstBucket, Seq("user_id"))
+      .select(col("cohort"),
+        (expr(s"t div ${stepMs}L") - col("cohort")).as("week_offset"),
+        col("value").cast("decimal(28,10)").as("v"))
+      .groupBy("cohort", "week_offset")
+      .agg(sum(col("v")).as("rev"))
+    val cum = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_offset"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        col("cohort_users"),
+        (col("cum_rev").cast("double") / col("cohort_users").cast("double"))
+          .as("ltv"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** A/B conversion readout with a pooled two-proportion z-score:
+    * variant = md5-parity of the user id (the walk-corpus md5-pick
+    * protocol — deterministic, re-derivable by any engine, no sampler
+    * state), exposure = the user's first `exposeType` event, conversion =
+    * any `convertType` event strictly after it. One summary row:
+    * per-variant exposed/converted counts, rates, and
+    * z = (r1−r0)/√(p̂(1−p̂)(1/n0+1/n1)).
+    *
+    * Scale shape: one user-keyed partial agg computes first-exposure and
+    * first-qualifying-conversion TOGETHER (min + conditional min — the
+    * funnel's one-pass discipline, no join between the legs), then a
+    * 2-row conditional rollup and a 1-row cross of the two variant rows.
+    * Determinism: counts are exact longs; every double (rates, p̂, z)
+    * derives from exact longs through ONE mirrored expression tree —
+    * identical IEEE operation order on both engines.
+    */
+  def abTest(events: DataFrame, exposeType: String = "view",
+             convertType: String = "purchase"): DataFrame = {
+    val t = events.select(col("user_id"), StateOps.epochMs(col("ts")).as("t"),
+      col("event_type"))
+    val perUser = t.groupBy("user_id")
+      .agg(min(when(col("event_type") === exposeType, col("t"))).as("t_exp"),
+        max(when(col("event_type") === convertType, col("t"))).as("t_conv_max"))
+      .where(col("t_exp").isNotNull)
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("variant"),
+        (col("t_conv_max") > col("t_exp")).as("converted"))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("c"))
+    val a = byVariant.where(col("variant") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"))
+    val b = byVariant.where(col("variant") === 1)
+      .select(col("n").as("n1"), col("c").as("c1"))
+    val n0 = col("n0").cast("double"); val c0 = col("c0").cast("double")
+    val n1 = col("n1").cast("double"); val c1 = col("c1").cast("double")
+    val p = (c0 + c1) / (n0 + n1)
+    // degenerate pools (nobody or everybody converted) have a zero
+    // z-denominator: gate on the EXACT long counts (p̂=0 ⟺ c0+c1=0,
+    // p̂=1 ⟺ c0+c1=n0+n1) — no double compared to zero, no ANSI
+    // divide-by-zero, and the same two integer predicates in the oracle
+    a.crossJoin(b)
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (c0 / n0).as("rate0"), (c1 / n1).as("rate1"),
+        when(col("c0") + col("c1") > 0 &&
+            col("c0") + col("c1") < col("n0") + col("n1"),
+          (c1 / n1 - c0 / n0) /
+            sqrt(p * (lit(1.0d) - p) * (lit(1.0d) / n0 + lit(1.0d) / n1)))
+          .as("z"))
+  }
 }

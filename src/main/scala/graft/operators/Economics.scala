@@ -118,6 +118,35 @@ object Economics {
           12).as("gini"))
   }
 
+  /** Herfindahl–Hirschman concentration index over `valueCol` — HHI =
+    * Σ sᵢ² for shares sᵢ = xᵢ/Σx, plus the effective number of
+    * participants 1/HHI (the "how many equal-size holders would look
+    * like this" reading): the antitrust-standard scalar completing the
+    * inequality family — [[gini]] says "how unequal", concentration
+    * says "how few capture a majority", HHI says "how lumpy overall".
+    *
+    * Shape: ONE partial-agg pass — no rank, no sort, no window (HHI is
+    * permutation-invariant, so it skips the orderedScan the rest of the
+    * family needs). Determinism: Σx and Σx² accumulate as exact
+    * decimals (x as decimal(18,4), x² as decimal(38,8)); hhi =
+    * Σx²/(Σx·Σx) and eff = 1/hhi are IEEE ops over the decimal-cast
+    * doubles in one mirrored tree — NO round() anywhere (1/hhi can be
+    * \|holders\|-magnitude, where round-12 is the documented
+    * large-magnitude trap). Zero/empty totals yield null.
+    */
+  def hhi(df: DataFrame, valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(18,4)")
+    val t = col("s").cast("double")
+    val raw = col("ss").cast("double") / (t * t)
+    df.agg(
+        count(lit(1)).as("n_holders"),
+        sum(xd).cast("decimal(38,6)").as("s"),
+        sum((xd * xd).cast("decimal(38,8)")).as("ss"))
+      .select(col("n_holders"), t.as("total"),
+        when(col("s") > 0, raw).as("hhi"),
+        when(col("s") > 0, lit(1.0d) / raw).as("effective_holders"))
+  }
+
   /** Lorenz curve at `buckets` quantile bins (deciles by default): per
     * bin the row count, wealth sum, wealth share, and cumulative share —
     * "the bottom 50% hold cum_share of the currency". Bin assignment is

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * Scale notes: pair generation is a bounded self-join within walks
   * (|offset| ≤ window over length-L sentences). The vocabulary index and
   * the embedding matrices are (|V|·dim)-sized DataFrames — they shuffle as
-  * (node, array) rows, never collect to the driver. Per epoch: two
-  * embedding joins (AQE-broadcastable while |V|·dim fits, plain hash joins
-  * beyond), one posexplode + exact-decimal partial agg for the gradients,
-  * one sort_array(collect_list) re-assembly per matrix — full-batch GD
-  * (every epoch sees every pair; deterministic, no mini-batch order to
+  * (node, array) rows, never collect to the driver. Per epoch ONE eager
+  * job: two embedding joins (AQE-broadcastable while |V|·dim fits, plain
+  * hash joins beyond) feed a single tagged gradient pass — both matrices'
+  * contributions explode in one scan, sum exactly per (matrix, node, dim),
+  * and assemble into a 2|V|-row gradient-array frame, the only thing
+  * checkpointed per epoch (the fat sample frame has exactly one consumer
+  * and is never materialized). Updates are a node-keyed join + zip_with —
+  * the embedding array itself never explodes or re-assembles. Full-batch
+  * GD (every epoch sees every pair; deterministic, no mini-batch order to
   * pin). Hash-negatives may occasionally hit the true context — standard
   * SGNS accepts that bias at k ≪ |V|.
   */
@@ -112,6 +116,15 @@ object Node2Vec {
     val d28 = (c: Column) => c.cast("decimal(28,18)")
     var embU = cut(initEmbedding(vocabNodes, dim, "u"), 0)
     var embV = cut(initEmbedding(vocabNodes, dim, "v"), 0)
+    // lazy lineage severance for the per-epoch matrices: the expensive
+    // per-epoch work is severed by the GRADIENT frame's cut below (a
+    // 2|V|-row frame), so the matrices themselves only need caching —
+    // an eager materialization each would add a job per epoch per matrix
+    def soft(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(_) => cut(df, round)
+      case None    => df.persist()
+    }
+    var prevCaches: Seq[DataFrame] = Nil
     for (ep <- 1 to epochs) {
       val scored = samples
         .join(embU.select(col("node").as("center"), col("vec").as("cu")), "center")
@@ -119,32 +132,49 @@ object Node2Vec {
         .withColumn("g",
           sigmoid(aggregate(zip_with(col("cu"), col("cv"), _ * _),
             lit(0.0d), _ + _)) - col("label"))
-        .localCheckpoint(true) // feeds BOTH gradient aggregations
-      // gradient contributions explode to (node, dim, decimal) and sum
+      // BOTH matrices' gradient contributions ride ONE tagged pass over
+      // the scored samples (m='u' keys the center row by g·cv, m='v' the
+      // context row by g·cu), explode to (m, node, dim, decimal) and sum
       // EXACTLY — partition-order independent, hence bit-deterministic;
       // the update applies the per-node MEAN gradient (sum / samples
       // seen), so a hub's hundreds of contributions don't multiply the
       // step size into divergence — the count divisor is exact, the one
-      // double division deterministic
-      def grads(nodeCol: String, vecCol: String): DataFrame = scored
-        .select(col(nodeCol).as("node"),
-          posexplode(transform(col(vecCol), v => col("g") * v))
-            .as(Seq("dim", "c")))
-        .groupBy("node", "dim")
+      // double division deterministic. Only this 2|V|-row array frame is
+      // materialized per epoch (it has two consumers); the fat sample
+      // frame is consumed exactly once and never checkpointed.
+      val garr = cut(scored
+        .select(explode(array(
+          struct(lit("u").as("m"), col("center").as("node"),
+            transform(col("cv"), v => col("g") * v).as("c")),
+          struct(lit("v").as("m"), col("other").as("node"),
+            transform(col("cu"), v => col("g") * v).as("c")))).as("e"))
+        .select(col("e.m").as("m"), col("e.node").as("node"),
+          posexplode(col("e.c")).as(Seq("dim", "c")))
+        .groupBy("m", "node", "dim")
         .agg(sum(d28(col("c"))).as("grad"), count(lit(1)).as("n"))
-      def applyGrads(emb: DataFrame, g: DataFrame, round: Int): DataFrame =
-        cut(emb
-          .select(col("node"), posexplode(col("vec")).as(Seq("dim", "v")))
-          .join(g, Seq("node", "dim"), "left")
-          .select(col("node"), col("dim"),
-            (col("v") - lit(lr) *
-              coalesce(col("grad").cast("double") / col("n").cast("double"),
-                lit(0.0d))).as("v"))
-          .groupBy("node")
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
-            s => s.getField("v")).as("vec")), round)
-      val newU = applyGrads(embU, grads("center", "cv"), ep)
-      val newV = applyGrads(embV, grads("other", "cu"), ep)
+        .groupBy("m", "node")
+        .agg(transform(sort_array(collect_list(struct(col("dim"),
+          (col("grad").cast("double") / col("n").cast("double")).as("d")))),
+          s => s.getField("d")).as("garr")), ep)
+      // node-keyed join + zip_with update: the embedding array never
+      // explodes or re-assembles; a node absent from the gradient frame
+      // (never sampled on that side this epoch) keeps its vector
+      def applyGrads(emb: DataFrame, m: String, round: Int): DataFrame =
+        soft(emb
+          .join(garr.where(col("m") === m).select(col("node"), col("garr")),
+            Seq("node"), "left")
+          .select(col("node"),
+            when(col("garr").isNull, col("vec"))
+              .otherwise(zip_with(col("vec"), col("garr"),
+                (v, g) => v - lit(lr) * g)).as("vec")), round)
+      val newU = applyGrads(embU, "u", ep)
+      val newV = applyGrads(embV, "v", ep)
+      // drop soft caches from two epochs back (the current epoch's job
+      // just read them); never the epoch-0 inits — those are
+      // localCheckpointed, and unpersisting a localCheckpoint destroys
+      // its only (lineage-truncated) copy
+      prevCaches.foreach(_.unpersist())
+      prevCaches = if (ep >= 2) Seq(embU, embV) else Nil
       embU = newU
       embV = newV
     }

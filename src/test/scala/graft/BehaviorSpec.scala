@@ -391,6 +391,102 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.markovAttribution(e1.limit(0)).count() == 0)
   }
 
+  test("ewmaForecast: hand half-weights, zero-padded history, gaps skipped") {
+    val events = ev(
+      (0L, "2024-01-01 10:00:00", 1L, "view"), (1L, "2024-01-01 11:00:00", 2L, "view"),
+      (2L, "2024-01-01 12:00:00", 3L, "view"), (3L, "2024-01-01 13:00:00", 4L, "view"),
+      (4L, "2024-01-02 10:00:00", 1L, "view"), (5L, "2024-01-02 11:00:00", 2L, "view"),
+      (6L, "2024-01-02 12:00:00", 3L, "view"), (7L, "2024-01-02 13:00:00", 4L, "view"),
+      (8L, "2024-01-02 14:00:00", 5L, "view"), (9L, "2024-01-02 15:00:00", 6L, "view"),
+      (10L, "2024-01-02 16:00:00", 7L, "view"), (11L, "2024-01-02 17:00:00", 8L, "view"),
+      // gap: Jan 3-4 have no views; the observed series is [4, 8, 2]
+      (12L, "2024-01-05 10:00:00", 1L, "view"), (13L, "2024-01-05 11:00:00", 2L, "view"),
+      // a second type is its own series
+      (14L, "2024-01-01 10:00:00", 1L, "click"))
+    val r = Behavior.ewmaForecast(events)
+      .as[(String, Long, Long, Double)].collect()
+    val views = r.filter(_._1 == "view").sortBy(_._2).map(t => (t._3, t._4)).toSeq
+    // day1: 4/2; day2: 8/2 + 4/4; day3 (observed-sequence, gap skipped):
+    // 2/2 + 8/4 + 4/8
+    assert(views == Seq((4L, 2.0), (8L, 5.0), (2L, 3.5)))
+    val clicks = r.filter(_._1 == "click").map(t => (t._3, t._4)).toSeq
+    assert(clicks == Seq((1L, 0.5)))
+  }
+
+  test("cohortLtv: hand cells, decimal running sum, per-user denominators") {
+    val rows = Seq(
+      // u1, u2 first-seen in week of Jan 1 (any event type sets the cohort)
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-02 10:00:00"), 2L, "click", 0.0, "{}"),
+      // u3 first-seen the following week
+      (2L, ts("2024-01-09 10:00:00"), 3L, "view", 0.0, "{}"),
+      // purchases: u1 week0 (10.5), u2 week1 (2.25), u3 offset0 (4.0)
+      (3L, ts("2024-01-03 10:00:00"), 1L, "purchase", 10.5, "{}"),
+      (4L, ts("2024-01-10 10:00:00"), 2L, "purchase", 2.25, "{}"),
+      (5L, ts("2024-01-10 11:00:00"), 3L, "purchase", 4.0, "{}"),
+      // a non-purchase with value never counts as revenue
+      (6L, ts("2024-01-03 11:00:00"), 2L, "view", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Behavior.cohortLtv(rows)
+      .as[(Long, Long, Double, Double, Long, Double)].collect().toSeq
+    val cohorts = r.map(_._1).distinct.sorted
+    assert(cohorts.size == 2 && cohorts(1) == cohorts(0) + 1)
+    val c0 = r.filter(_._1 == cohorts(0)).map(t => (t._2, t._3, t._4, t._5, t._6))
+    assert(c0 == Seq((0L, 10.5, 10.5, 2L, 5.25), (1L, 2.25, 12.75, 2L, 6.375)))
+    val c1 = r.filter(_._1 == cohorts(1)).map(t => (t._2, t._3, t._4, t._5, t._6))
+    assert(c1 == Seq((0L, 4.0, 4.0, 1L, 4.0)))
+  }
+
+  test("abTest matches a JVM-md5 brute force on hashed exposure/conversion data") {
+    // deterministic pseudo-random event log: ~40 users, some never exposed,
+    // some convert before exposure (must NOT count), some after
+    val rows = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 40
+      // kind pattern period-7 (coprime to the 40-user cycle) so every
+      // user sees mixed kinds; a third of the users never convert —
+      // keeps p̂ strictly in (0,1)
+      val kind = (i.toLong * i + 3L * i) % 7 match {
+        case 0 | 1 => "view"
+        case 2 | 3 if u % 3 != 0 => "purchase"
+        case _ => "click"
+      }
+      (i.toLong, new Timestamp(1700000000000L + (i * 7919L) % 1000000L * 1000L),
+        u, kind, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Behavior.abTest(rows)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    // brute force in plain JVM: md5 parity, first view, any later purchase
+    val evs = rows.select("user_id", "ts", "event_type")
+      .as[(Long, Timestamp, String)].collect().toSeq
+    def parity(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2
+    }
+    val perUser = evs.groupBy(_._1).iterator.flatMap { case (u, es) =>
+      val exp = es.filter(_._3 == "view").map(_._2.getTime)
+      if (exp.isEmpty) None
+      else Some((parity(u),
+        es.filter(_._3 == "purchase").map(_._2.getTime)
+          .exists(_ > exp.min)))
+    }.toSeq
+    val n0 = perUser.count(_._1 == 0); val c0 = perUser.count(p => p._1 == 0 && p._2)
+    val n1 = perUser.count(_._1 == 1); val c1 = perUser.count(p => p._1 == 1 && p._2)
+    assert((got._1, got._2, got._3, got._4) == ((n0, c0, n1, c1)))
+    assert(got._5 == c0.toDouble / n0 && got._6 == c1.toDouble / n1)
+    // the planted mix keeps the pool non-degenerate, so z is defined
+    assert(c0 + c1 > 0 && c0 + c1 < n0 + n1)
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val z = (c1.toDouble / n1 - c0.toDouble / n0) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    assert(got._7 == z)
+    // degenerate pool (nobody converts): z is null, counts still emit
+    val noConv = rows.where($"event_type" =!= "purchase")
+    val d = Behavior.abTest(noConv).collect().head
+    assert(d.isNullAt(d.fieldIndex("z")) && d.getAs[Long]("n0") == n0)
+  }
+
   test("rfmSegments: hand quintiles, exact decimal monetary, tie-break by custkey") {
     def ord(rows: (Long, Long, Double, String)*) = rows.map {
       case (ok, ck, tp, d) => (ok, ck, "O", tp, ts(d), "1-URGENT")

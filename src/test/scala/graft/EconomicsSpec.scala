@@ -143,6 +143,29 @@ class EconomicsSpec extends SparkSpec {
     case (u, t) => (s"0xs$u", u, if (t.isEmpty) null else t)
   }.toDF("hash", "user", "token")
 
+  test("hhi: monopoly -> 1, equality -> 1/n, hand mixed case, degenerate totals") {
+    val mono = Economics.hhi(wealthDf((1L, 7.0)), "wealth").collect().head
+    assert(mono.getAs[Long]("n_holders") == 1L)
+    assert(mono.getAs[Double]("hhi") == 1.0)
+    assert(mono.getAs[Double]("effective_holders") == 1.0)
+    val eq = Economics.hhi(
+      wealthDf((1L, 2.5), (2L, 2.5), (3L, 2.5), (4L, 2.5)), "wealth")
+      .collect().head
+    assert(eq.getAs[Double]("hhi") == 0.25)
+    assert(eq.getAs[Double]("effective_holders") == 4.0)
+    // wealth 5,3,1,1 (total 10): hhi = (25+9+1+1)/100 = 0.36
+    val mixed = Economics.hhi(
+      wealthDf((1L, 5.0), (2L, 3.0), (3L, 1.0), (4L, 1.0)), "wealth")
+      .collect().head
+    assert(mixed.getAs[Double]("total") == 10.0)
+    assert(mixed.getAs[Double]("hhi") == 0.36)
+    assert(mixed.getAs[Double]("effective_holders") == 1.0 / 0.36)
+    // zero total → null (no shares to square); empty input keeps the row
+    val zero = Economics.hhi(wealthDf((1L, 0.0)), "wealth").collect().head
+    assert(zero.isNullAt(zero.fieldIndex("hhi")))
+    assert(zero.isNullAt(zero.fieldIndex("effective_holders")))
+  }
+
   test("moneyVelocity: mint/volume split, cumulative supply, registry gate") {
     val tx = xfer(
       ("0xt1", zero, "0xa", 100L, "2024-01-01"),  // day1 mint
