@@ -356,7 +356,7 @@ object ScaleProbe {
       }
       // fixed-vs-marginal split for the SGNS loop: walks+pairs+setup vs
       // the per-epoch cost (epochs3 − epochs1)/2
-      if (args.exists("n2v_split".contains)) {
+      if (args.contains("n2v_split")) {
         val walks = Graph.randomWalks(bigTrustSw, walksPerNode = 2, length = 6)
         val pairs = Node2Vec.walkPairs(walks, window = 2).localCheckpoint(true)
         println(s"[probe] n2v pairs=${pairs.count()}")
@@ -513,11 +513,11 @@ object ScaleProbe {
         Profiler.ksDrift(
           bigEvents.where(col("event_id") % 2 === 0)
             .select((col("user_id") % 20).as("source"),
-              (col("value") * 100).cast("long").as("n_chars")),
+              col("value").as("n_chars")),
           bigEvents.where(col("event_id") % 2 === 1)
             .select((col("user_id") % 20).as("source"),
-              (col("value") * 100).cast("long").as("n_chars")),
-          "n_chars", "source").count()
+              col("value").as("n_chars")),
+          "n_chars", "source", scale = 100L).count()
       }
       // r8c: markov attribution — two windows on ONE (user, jid)
       // partitioning + a (from,to) partial agg; the chain solves are

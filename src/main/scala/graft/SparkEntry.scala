@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_contains, col, expr, split, when}
+import org.apache.spark.sql.functions.{array_contains, col, expr, posexplode, split, when}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -406,7 +406,10 @@ object SparkEntry {
     // deterministic SGNS embeddings — rows-only (trained floats;
     // Node2VecSpec pins bit-determinism, loss descent, community
     // recovery); labeled one-time training cost (the q_quality_clf
-    // precedent)
+    // precedent). Emitted EXPLODED as (node, dim, value) — the
+    // q_embedding_standardize shape — so the gate's row hasher never
+    // sees an array column (round 8's THREW was pandas failing to hash
+    // array<double>).
     "q_node2vec" -> ((s, d) => {
       val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
         ReceiptClassifier.demoReceipts(Tables.events(s, d))))
@@ -415,6 +418,7 @@ object SparkEntry {
         walksPerNode = 2, length = 4)
       Node2Vec.trainSgns(Node2Vec.walkPairs(walks, window = 2),
         dim = 8, epochs = 3, lr = 0.5)
+        .select(col("node"), posexplode(col("embedding")).as(Seq("dim", "value")))
     }),
     // time-respecting reachability over the hub-transfer edge stream:
     // earliest arrival from the signup cohort along non-decreasing

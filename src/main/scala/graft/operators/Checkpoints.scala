@@ -42,4 +42,24 @@ object Checkpoints {
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** Free the storage behind a frame [[cut]] returned, once it is
+    * SUPERSEDED — the new round's frame is materialized with no lineage
+    * back to this one. Without this, a long loop's executor-storage
+    * footprint grows linearly with round count (one sketch/arrival frame
+    * per round). localCheckpoint frames are invisible to the CacheManager
+    * (`Dataset.unpersist` is a no-op on them), so the backing RDD inside
+    * the LogicalRDD is unpersisted directly; CacheManager-persisted
+    * frames go through the normal unpersist path; reliable-checkpoint
+    * frames keep their files (unpersisting the wrapper RDD is harmless).
+    * NEVER call this on a frame a live plan still depends on: a
+    * localCheckpoint's lineage is truncated, so its blocks cannot be
+    * recomputed.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
 }

@@ -957,6 +957,7 @@ object Graph {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
     val (nf0, _, n) = stats(sketches, lit(0))
     buf += ((0, nf0, n))
+    var prevCut = sketches // the frame cut() last returned; superseded rounds release
     var t = 0
     var converged = false
     while (!converged && t < maxT) {
@@ -974,11 +975,19 @@ object Graph {
             coalesce(col(s"b.$r"), lit(0))).reduce(_ || _).as("ch"): _*),
         t + 1)
       val (nf, ch, _) = stats(merged, col("ch"))
+      // merged is materialized (stats just ran on it), so round t−1's
+      // sketch blocks are dead — release them or executor storage grows
+      // linearly with rounds
+      Checkpoints.release(prevCut)
+      prevCut = merged
       buf += ((t, nf, ch))
       sketches = merged.drop("ch")
       converged = ch == 0L
     }
     e.unpersist()
+    // the NF curve lives in `buf` (driver rows) — the final sketch frame
+    // has no consumer either
+    Checkpoints.release(prevCut)
     import spark.implicits._
     // an empty graph has no NF curve — emit NO rows (empty-input totality),
     // not a t=0 summary of nothing
@@ -1035,6 +1044,7 @@ object Graph {
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
         .select((col("node") +: hllInitRegs(regs, m)) :+ lit(0.0d).as("h"): _*))
+    var prevCut = sketches // superseded rounds release (linear-growth guard)
     var t = 0
     var converged = false
     while (!converged && t < maxT) {
@@ -1063,6 +1073,11 @@ object Graph {
           mergedRegs.zip(regs).map { case (c, r) => c.as(r) }) ++ Seq(
           (col("a.h") + shell / lit(t.toDouble)).as("h"),
           when(grew, tick()).otherwise(lit(false)).as("ch")): _*))
+      // merged was eagerly materialized (the probe read its accumulator),
+      // so round t−1's sketch blocks are dead — the final round's frame
+      // stays (it IS the result)
+      Checkpoints.release(prevCut)
+      prevCut = merged
       sketches = merged.drop("ch")
       converged = acc.value == 0L
     }
@@ -1111,6 +1126,7 @@ object Graph {
     var arr = cut(seeds.select(col("node")).distinct()
       .withColumn("arrival", lit(startTs)))
     var delta = arr
+    var prevCut = arr // superseded rounds release (linear-growth guard)
     var it = 0
     var changed = -1L
     while (changed != 0 && it < maxIters) {
@@ -1129,6 +1145,11 @@ object Graph {
             coalesce(col("cand") < col("arrival"), lit(false)), tick())
             .otherwise(lit(false)).as("ch")))
       changed = acc.value
+      // merged is materialized (cutEager + the probe read); the previous
+      // round's arrival frame — which both arr and delta pointed into —
+      // is dead. The final round's frame stays: it IS the result.
+      Checkpoints.release(prevCut)
+      prevCut = merged
       if (changed != 0) delta = merged.where(col("ch")).select("node", "arrival")
       arr = merged.select("node", "arrival")
     }

@@ -114,21 +114,23 @@ object Node2Vec {
       p.select(col("center"), col("context").as("other"), lit(1.0d).as("label")))(
       _ unionByName _), 0).persist()
     val d28 = (c: Column) => c.cast("decimal(28,18)")
-    var embU = cut(initEmbedding(vocabNodes, dim, "u"), 0)
-    var embV = cut(initEmbedding(vocabNodes, dim, "v"), 0)
-    // lazy lineage severance for the per-epoch matrices: the expensive
-    // per-epoch work is severed by the GRADIENT frame's cut below (a
-    // 2|V|-row frame), so the matrices themselves only need caching —
-    // an eager materialization each would add a job per epoch per matrix
-    def soft(df: DataFrame, round: Int): DataFrame = checkpointDir match {
-      case Some(_) => cut(df, round)
-      case None    => df.persist()
-    }
-    var prevCaches: Seq[DataFrame] = Nil
+    // BOTH matrices live in ONE m-tagged 2|V|-row frame: per epoch the
+    // updated frame is cut (eagerly truncated), after which the previous
+    // epoch's matrices AND gradient frame have no live reference and
+    // their blocks are RELEASED — executor storage stays flat across
+    // epochs instead of growing one matrix + one gradient frame per
+    // epoch (round-8 advice). Cost: one extra eager job per epoch over a
+    // 2|V|-row array frame — negligible next to the gradient scan.
+    var emb = cut(
+      initEmbedding(vocabNodes, dim, "u").withColumn("m", lit("u"))
+        .unionByName(initEmbedding(vocabNodes, dim, "v").withColumn("m", lit("v"))), 0)
+    var prevEmb = emb
     for (ep <- 1 to epochs) {
       val scored = samples
-        .join(embU.select(col("node").as("center"), col("vec").as("cu")), "center")
-        .join(embV.select(col("node").as("other"), col("vec").as("cv")), "other")
+        .join(emb.where(col("m") === "u")
+          .select(col("node").as("center"), col("vec").as("cu")), "center")
+        .join(emb.where(col("m") === "v")
+          .select(col("node").as("other"), col("vec").as("cv")), "other")
         .withColumn("g",
           sigmoid(aggregate(zip_with(col("cu"), col("cv"), _ * _),
             lit(0.0d), _ + _)) - col("label"))
@@ -156,30 +158,26 @@ object Node2Vec {
         .agg(transform(sort_array(collect_list(struct(col("dim"),
           (col("grad").cast("double") / col("n").cast("double")).as("d")))),
           s => s.getField("d")).as("garr")), ep)
-      // node-keyed join + zip_with update: the embedding array never
+      // (m, node)-keyed join + zip_with update: the embedding array never
       // explodes or re-assembles; a node absent from the gradient frame
       // (never sampled on that side this epoch) keeps its vector
-      def applyGrads(emb: DataFrame, m: String, round: Int): DataFrame =
-        soft(emb
-          .join(garr.where(col("m") === m).select(col("node"), col("garr")),
-            Seq("node"), "left")
-          .select(col("node"),
-            when(col("garr").isNull, col("vec"))
-              .otherwise(zip_with(col("vec"), col("garr"),
-                (v, g) => v - lit(lr) * g)).as("vec")), round)
-      val newU = applyGrads(embU, "u", ep)
-      val newV = applyGrads(embV, "v", ep)
-      // drop soft caches from two epochs back (the current epoch's job
-      // just read them); never the epoch-0 inits — those are
-      // localCheckpointed, and unpersisting a localCheckpoint destroys
-      // its only (lineage-truncated) copy
-      prevCaches.foreach(_.unpersist())
-      prevCaches = if (ep >= 2) Seq(embU, embV) else Nil
-      embU = newU
-      embV = newV
+      val newEmb = cut(emb
+        .join(garr, Seq("m", "node"), "left")
+        .select(col("m"), col("node"),
+          when(col("garr").isNull, col("vec"))
+            .otherwise(zip_with(col("vec"), col("garr"),
+              (v, g) => v - lit(lr) * g)).as("vec")), ep)
+      // newEmb is truncated (or lineage-recoverable from the reliable
+      // checkpoint in dir-mode), so last epoch's matrices and this
+      // epoch's gradient frame are dead — release, keeping storage flat
+      Checkpoints.release(prevEmb)
+      Checkpoints.release(garr)
+      prevEmb = newEmb
+      emb = newEmb
     }
     samples.unpersist(); vocab.unpersist(); p.unpersist()
-    (embU, embV)
+    (emb.where(col("m") === "u").select("node", "vec"),
+     emb.where(col("m") === "v").select("node", "vec"))
   }
 
   /** Hash-initialized matrices before any epoch — the loss baseline the

@@ -270,10 +270,27 @@ object Profiler {
     * over the compressed frame — never a single-partition global sort.
     */
   def ksDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
-              groupCol: String): DataFrame = {
+              groupCol: String, scale: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // KS over the cast(long) domain grid: an integral signal casts
+    // losslessly; a FRACTIONAL signal must declare its quantization via
+    // `scale` (value·scale rounded to long), or the silent truncation
+    // would distort D with no warning. Refusing is better than lying.
+    def integral(df: DataFrame): Boolean =
+      df.schema(df.schema.fieldIndex(valueCol)).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType |
+             (_: org.apache.spark.sql.types.DecimalType) => false
+        case _ => true
+      }
+    require(scale >= 1L, s"ksDrift scale must be >= 1, got $scale")
+    require(scale > 1L || (integral(oldDf) && integral(newDf)),
+      s"ksDrift: '$valueCol' is fractional — pass an explicit scale " +
+        "(values are bucketed as round(value*scale)) instead of relying " +
+        "on a silent cast(long) truncation")
     def counts(df: DataFrame, out: String): DataFrame =
-      df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      df.select(col(groupCol).as("grp"),
+          round(col(valueCol) * lit(scale), 0).cast("long").as("v"))
         .groupBy("grp", "v").agg(count(lit(1)).as(out))
     val oc = counts(oldDf, "c_old")
     val nc = counts(newDf, "c_new")

@@ -49,6 +49,10 @@ class EmptyInputSpec extends SparkSpec {
         // 1-row global Gini report (n=0, null total/gini) — the oracle's
         // single-row aggregate SELECT returns the same shape on empty
         "q_wealth_gini",
+        // 1-row global Herfindahl report (n=0, null hhi/effective) — the
+        // oracle's single-row aggregate SELECT returns the same shape on
+        // empty (the q_wealth_gini precedent)
+        "q_hhi",
         // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
         "q_dataset_checksum",
         // 4-row stage census: all stages at 0/0 IS the empty-corpus funnel
