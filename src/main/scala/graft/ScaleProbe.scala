@@ -340,6 +340,28 @@ object ScaleProbe {
           bigEvents.select(col("user_id").as("node")).distinct().limit(600),
           startTs = 0L).count()
       }
+      // r9: REALISTIC-topology cost envelope — the 10x-events row above is
+      // the chord-less worst case (rounds = a long improving chain). Real
+      // event graphs route through hubs: 1M spokes each wired spoke→hub
+      // (ts = spoke id) and hub→spoke (all later), temporal diameter 2 —
+      // the probe pins rounds ≈ diameter (3: two growth + one empty
+      // confirming), NOT |E| (2M edges), so per-round frontier cost is the
+      // whole bill
+      time("temporal_reach/hub-spoke-1m-diam2") {
+        import spark.implicits._
+        val n = 1000000L
+        val hub = lit(n)
+        val inE = spark.range(0, n).select($"id".as("src"), hub.as("dst"),
+          $"id".as("ts"))
+        val outE = spark.range(0, n).select(hub.as("src"), $"id".as("dst"),
+          (lit(n) + $"id").as("ts"))
+        val (reach, rounds) = Graph.temporalReachWithRounds(
+          inE.unionAll(outE),
+          spark.range(0, 1).select(lit(0L).as("node")), startTs = 0L)
+        val cnt = reach.count()
+        println(s"[probe] temporal_reach hub-spoke rounds=$rounds (diameter 2)")
+        cnt
+      }
       // r8c: 2 walks × 8 steps from every node — 8 pointed (cur, rk)
       // joins; the md5 pick is computed map-side, state is (start, walk,
       // node) triples

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling + data-quality assertion reports — the warehouse-side
@@ -126,13 +126,24 @@ object Profiler {
     * that pair's n (pairwise deletion), counted per pair in the same
     * pass.
     */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+                        exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "correlationMatrix: need at least two columns")
-    // inputs quantize to decimal(18,4) — products are then decimal(37,8),
-    // WITHIN the 38-digit cap, so neither engine's precision-loss rules
-    // fire and the moment sums are bit-exact cross-engine (wider input
-    // casts would make (38,8)×(38,8) round differently in Spark vs DuckDB)
-    def d(c: String) = col(c).cast("double").cast("decimal(18,4)")
+    // exact=true (the ORACLE arm, q_correlation's spelling): inputs
+    // quantize to decimal(18,4) — products are then decimal(37,8), WITHIN
+    // the 38-digit cap, so neither engine's precision-loss rules fire and
+    // the moment sums are bit-exact cross-engine (wider input casts would
+    // make (38,8)×(38,8) round differently in Spark vs DuckDB).
+    // exact=false (the FAST arm for non-gate use): plain double moment
+    // sums — whole-stage-codegen'd primitive accumulation, ~an order of
+    // magnitude less agg state than decimal(38,8) sums, at the price of
+    // partition-order-dependent low-order bits (≈1e-12 relative on the
+    // testdata; ProfilerSpec pins the arms to 1e-6 agreement). The r
+    // formula, clamps and 12-dp rounding are shared — only the sum
+    // arithmetic differs.
+    def d(c: String): Column =
+      if (exact) col(c).cast("double").cast("decimal(18,4)")
+      else col(c).cast("double")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
       val both = col(a).isNotNull && col(b).isNotNull

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -134,6 +134,125 @@ object CorpusPipeline {
       round(terms.reduce(_ + _).cast("double"), 12).as("psi"),
       col("n_new"), refTot.as("n_ref"))
   }
+
+  // --- video corpus: the multimodal lifecycle --------------------------
+  // decode → curate (decodability) → dedup-by-frame-dHash (cross-history
+  // store + within-batch pairs) → append-only corpus store. The video
+  // path composes with the curation stack exactly the way text does: the
+  // batch kernels (BinaryPipeline.videoFrames / videoNearDupPairs) run
+  // unchanged inside foreachBatch, and the cross-batch state is the SAME
+  // manifest-committed seen-hash store the text dedup uses — holding
+  // frame dHashes instead of content hashes.
+
+  /** Distinct sampled-frame dHash signatures per video — the perceptual
+    * fingerprint set (payloads never shuffle; only (media_id, 8-byte
+    * hash) rows leave the map-only decode stage).
+    */
+  def videoSignatures(media: DataFrame, every: Int = 1): DataFrame =
+    graft.multimodal.BinaryPipeline.videoFrames(media, every)
+      .select(col("media_id"), col("dhash")).distinct()
+
+  /** Near-dup frame hits of `sigs` against the STORED frame-sig history:
+    * per video, how many of its distinct sampled frames near-match
+    * (hamming ≤ `maxHamming`) ANY stored frame sig. Candidates come from
+    * the 8×8-bit dHash pigeonhole equi-join (hamming ≤ 7 ⟹ one full
+    * byte-chunk agrees — never all-pairs), then verify on the real
+    * distance; the store stays a plain long-set ([[ViewMaintenance
+    * .mergeSeenHashesBatch]] mechanics), so slicing-invariance and replay
+    * no-ops are inherited. A re-encoded copy (different bytes, same
+    * footage) hits on most frames; exact copies on all.
+    */
+  def videoStoreHits(sigs: DataFrame, seen: DataFrame,
+                     maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
+    def chunks(df: DataFrame, sigCol: String): DataFrame =
+      df.select(col("*"), explode(array((0 until 8).map { c =>
+        concat_ws(":", lit(c), shiftright(col(sigCol), c * 8).bitwiseAND(lit(0xffL)))
+      }: _*)).as("chunk_key"))
+    chunks(sigs.select(col("media_id"), col("dhash")), "dhash")
+      .join(chunks(seen.select(col("h")), "h"), "chunk_key")
+      .where(bit_count(col("dhash").bitwiseXOR(col("h"))) <= maxHamming)
+      .select("media_id", "dhash").distinct() // one vote per batch frame
+      .groupBy("media_id").agg(count(lit(1)).as("hit_frames"))
+  }
+
+  /** One micro-batch of the video corpus pipeline (exactly-once by
+    * ordering: corpus append lands in its own `b=<batchId>` partition
+    * FIRST, the store merge commits LAST, and a batchId at or below the
+    * store's committed version skips entirely — so a replay after any
+    * crash point either redoes identical work or is a detected no-op).
+    *
+    * Verdicts, one row per batch video (the text-curate convention: drop
+    * decisions stay rows so sinks can audit them):
+    *   - `undecodable`    — no frame decodes (container or codec
+    *     quarantine; [[graft.multimodal.BinaryPipeline.decodeVideos]] is
+    *     the diagnostic surface)
+    *   - `near_dup_store` — ≥ `minShared` distinct frames near-match the
+    *     corpus HISTORY's frame sigs
+    *   - `near_dup_batch` — later id of a within-batch near-dup pair
+    *     ([[graft.multimodal.BinaryPipeline.videoNearDupPairs]]; keep-min,
+    *     the Dedup.exact rule)
+    *   - `ok`, keep=true  — lands in the corpus, its frame sigs fold into
+    *     the store (only KEPT videos feed the store: a dropped dup must
+    *     not extend the history it was judged against)
+    */
+  def mergeVideoCorpusBatch(spark: SparkSession, batch: DataFrame,
+                            corpusDir: String, storeDir: String, batchId: Long,
+                            every: Int = 1, minShared: Int = 2,
+                            maxHamming: Int = 6): Unit = {
+    import graft.multimodal.BinaryPipeline
+    val (_, lastBatch, _) = ViewMaintenance.readManifest(spark, storeDir)
+    if (batchId <= lastBatch) return // fully-processed replay (merge commits last)
+    val vids = batch.where(col("modality") === "video").persist()
+    val sigs = videoSignatures(vids, every).persist()
+    val seen = ViewMaintenance.readViewOr(spark, storeDir,
+      sigs.select(col("dhash").as("h")))
+    val storeDups = videoStoreHits(sigs, seen, maxHamming)
+      .where(col("hit_frames") >= minShared)
+      .select(col("media_id"), lit("near_dup_store").as("_r"))
+    val undecodable = vids.select("media_id")
+      .join(sigs.select("media_id").distinct(), Seq("media_id"), "left_anti")
+      .select(col("media_id"), lit("undecodable").as("_r"))
+    val survivors = vids
+      .join(storeDups.unionByName(undecodable), Seq("media_id"), "left_anti")
+    val batchDups = BinaryPipeline
+      .videoNearDupPairs(survivors, every, maxHamming, minShared)
+      .select(col("media_b").as("media_id")).distinct()
+      .select(col("media_id"), lit("near_dup_batch").as("_r"))
+    val verdicts = storeDups.unionByName(undecodable).unionByName(batchDups)
+    val corpusRows = vids.select("media_id", "ingest_ts")
+      .join(BinaryPipeline.decodeVideos(vids).select("media_id", "n_frames"),
+        Seq("media_id"), "left")
+      .join(verdicts, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        col("_r").isNull.as("keep"), coalesce(col("_r"), lit("ok")).as("reason"),
+        col("ingest_ts"))
+    ViewMaintenance.appendBatch(corpusRows, corpusDir, batchId)
+    val keptSigs = sigs
+      .join(corpusRows.where(col("keep")).select("media_id"),
+        Seq("media_id"), "left_semi")
+      .select(col("dhash").as("h"))
+    ViewMaintenance.mergeSeenHashesBatch(spark, keptSigs, storeDir,
+      version = batchId)
+    sigs.unpersist(); vids.unpersist()
+  }
+
+  /** Drive a media stream through the video corpus pipeline:
+    * decode-curate → frame-dHash near-dup drop (history store +
+    * within-batch) → audited append-only corpus at `corpusDir`, frame-sig
+    * history at `storeDir`.
+    */
+  def startVideoCorpus(media: DataFrame, corpusDir: String, storeDir: String,
+                       checkpointDir: String, every: Int = 1,
+                       minShared: Int = 2, maxHamming: Int = 6): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeVideoCorpusBatch(batch.sparkSession, batch, corpusDir, storeDir,
+          batchId, every, minShared, maxHamming)
+        ()
+      }
+      .start()
 
   /** Drive curate→dedup into an append-mode parquet corpus store. */
   def start(docs: DataFrame, corpusDir: String, checkpointDir: String,

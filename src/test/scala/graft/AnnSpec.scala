@@ -663,4 +663,64 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
     assert(Ann.standardizeEmbeddings(df.limit(0)).count() == 0)
   }
+
+  test("graph→walks→SGNS→IVF end-to-end: two-clique recovery through the stored index") {
+    import graft.operators.{Graph, Node2Vec}
+    import org.apache.spark.sql.expressions.Window
+    // the Node2VecSpec planted graph: two directed 4-cliques, one bridge
+    val clique1 = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val clique2 = for (a <- 10L to 13L; b <- 10L to 13L if a != b) yield (a, b)
+    val edges = (clique1 ++ clique2 :+ ((3L, 10L))).toDF("src", "dst")
+    val emb = Node2Vec.trainSgns(
+      Node2Vec.walkPairs(
+        Graph.randomWalks(edges, walksPerNode = 6, length = 8), window = 3),
+      dim = 8, epochs = 15, lr = 0.5)
+    // every node is base AND query (numQueries=0): dense vec_ids in node
+    // order, self lands at rank 1 with cosine 1 and is excluded below;
+    // the ANN stack stores float vectors — cast at the index boundary
+    val ids = emb.select(
+      (row_number().over(Window.orderBy("node")) - 1).cast("long").as("vec_id"),
+      col("node"), col("embedding").cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph-ann").toString
+    Ann.buildIvfIndex(ids.select("vec_id", "embedding"), dir,
+      numCentroids = 4, numQueries = 0)
+    val queries = ids.select("vec_id", "embedding")
+    val byId = ids.select("vec_id", "node").as[(Long, Long)].collect().toMap
+    def clique(n: Long) = if (n <= 3L) 1 else 2
+    val hits = Ann.ivfTopKFromIndex(queries, dir, nprobe = 2, k = 4)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (q, n, c, rk) => (byId(q), byId(n), c, rk) }
+      .filter { case (q, n, _, _) => q != n } // drop the self hit
+    assert(hits.nonEmpty)
+    // recovery gate: for INTERIOR queries (the bridge endpoints 3 and 10
+    // straddle the communities by construction), same-clique neighbors
+    // dominate the index's answers
+    val interior = hits.filter { case (q, _, _, _) => q != 3L && q != 10L }
+    val same = interior.count { case (q, n, _, _) => clique(q) == clique(n) }
+    assert(same.toDouble / interior.length > 0.5,
+      s"same-clique fraction ${same.toDouble / interior.length} over ${interior.length} interior hits")
+    // the index path agrees with brute force on the SAME embeddings at
+    // full probe width (nprobe = numCentroids ⇒ no pruning loss)
+    val full = Ann.ivfTopKFromIndex(queries, dir, nprobe = 4, k = 4)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // rank the full-probe result against a driver-side exact cosine
+    val vecsById = ids.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    full.groupBy(_._1).foreach { case (q, rows) =>
+      val got = rows.sortBy(_._4).map(_._2)
+      val want = vecsById.keys.filter(_ != q).toSeq
+        .map(n => (BigDecimal(cos(vecsById(q), vecsById(n)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP), n))
+        .sortBy { case (c, n) => (-c, n) }.map(_._2)
+      // rank 1 is the self hit (cosine 1); the rest must follow exact order
+      assert(got.head == q, s"query $q: rank-1 must be self, got ${got.head}")
+      assert(got.tail == want.take(got.tail.size),
+        s"query $q: index order ${got.tail} vs exact ${want.take(got.tail.size)}")
+    }
+  }
 }

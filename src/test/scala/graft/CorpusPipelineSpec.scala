@@ -133,4 +133,70 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got(("s0", ts("2024-01-01 10:00:00")))._3 == 4L)
     assert(got(("s9", ts("2024-01-01 11:00:00")))._3 == 0L)
   }
+
+  test("video corpus stream: real MJPEG AVIs curate, near-dups drop by frame dHash, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ViewMaintenance
+    val base = java.nio.file.Files.createTempDirectory("graft-video-corpus").toString
+    val (corpusDir, storeDir, ckpt) = (s"$base/corpus", s"$base/sigs", s"$base/ckpt")
+
+    // v1: 3-frame MJPEG AVI; v4: garbage payload (quarantine);
+    // v2: v1's frames RE-ENCODED at q0.7 — different bytes, same footage;
+    // v3: unrelated frames; v5: re-encode of v3 arriving in v3's OWN batch
+    val v1 = TestMedia.mjpegAvi(0 until 3, 0.9f)
+    val v2 = TestMedia.mjpegAvi(0 until 3, 0.7f)
+    val v3 = TestMedia.mjpegAvi(10 until 13, 0.9f)
+    val v5 = TestMedia.mjpegAvi(10 until 13, 0.7f)
+    val v4 = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+
+    val mem = MemoryStream[Media]
+    val q = CorpusPipeline.startVideoCorpus(mem.toDF(), corpusDir, storeDir, ckpt)
+    mem.addData(
+      Media(1L, "video", v1, ts("2024-01-01 10:00:00")),
+      Media(4L, "video", v4, ts("2024-01-01 10:00:01")))
+    q.processAllAvailable()
+    mem.addData(
+      Media(2L, "video", v2, ts("2024-01-01 10:30:00")),
+      Media(3L, "video", v3, ts("2024-01-01 10:30:01")),
+      Media(5L, "video", v5, ts("2024-01-01 10:30:02")))
+    q.processAllAvailable()
+    q.stop()
+
+    def corpus() = ViewMaintenance.readAppendView(spark, corpusDir)
+      .select("media_id", "keep", "reason", "n_frames")
+      .as[(Long, Boolean, String, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = corpus()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((true, "ok", Some(3))))
+    // undecodable payload is audited, not silently vanished
+    assert(got(4L)._1 == false && got(4L)._2 == "undecodable")
+    // the re-encoded copy of batch-1 footage drops against the HISTORY
+    // store — no byte matches, the frame dHashes carry it
+    assert(got(2L) == ((false, "near_dup_store", Some(3))))
+    // unrelated footage is kept; its within-batch re-encode drops by the
+    // batch-pair rule (later id loses)
+    assert(got(3L) == ((true, "ok", Some(3))))
+    assert(got(5L) == ((false, "near_dup_batch", Some(3))))
+    // only KEPT videos' sigs fold into the history store: v1+v3 frames
+    val storedSigs = ViewMaintenance.readView(spark, storeDir)
+      .select("h").as[Long].collect().toSet
+    val expectSigs = CorpusPipeline.videoSignatures(
+      Seq(Media(1L, "video", v1, ts("2024-01-01 10:00:00")),
+        Media(3L, "video", v3, ts("2024-01-01 10:30:01"))).toDF())
+      .select("dhash").as[Long].collect().toSet
+    assert(storedSigs == expectSigs)
+    // replay of an already-committed batch is a detected no-op: neither
+    // the corpus partition nor the store changes (the at-least-once
+    // foreachBatch contract)
+    val batch2 = Seq(
+      Media(2L, "video", v2, ts("2024-01-01 10:30:00")),
+      Media(3L, "video", v3, ts("2024-01-01 10:30:01")),
+      Media(5L, "video", v5, ts("2024-01-01 10:30:02"))).toDF()
+    CorpusPipeline.mergeVideoCorpusBatch(spark, batch2, corpusDir, storeDir,
+      batchId = 1L)
+    assert(corpus() == got)
+    assert(ViewMaintenance.readView(spark, storeDir)
+      .select("h").as[Long].collect().toSet == expectSigs)
+  }
 }

@@ -104,6 +104,35 @@ class ProfilerSpec extends SparkSpec {
     assert(rn._4 == 2L && rn._3.contains(1.0))
   }
 
+  test("correlationMatrix: fast double arm agrees with the exact arm within 1e-6") {
+    import org.apache.spark.sql.functions._
+    // non-trivial values (fractional, negative, a null, correlated and
+    // anti-correlated columns) so the arms' arithmetic actually diverges
+    // in the low bits if at all
+    val df = spark.range(0, 500).select(
+      (col("id") * 0.37 - 91.5).as("x"),
+      (col("id") * col("id") * 0.011 + 3.25).as("y"),
+      (lit(1000.0) - col("id") * 2.5).as("z"),
+      when(col("id") % 97 === 0, lit(null).cast("double"))
+        .otherwise(sin(col("id").cast("double")) * 40.0).as("w"))
+    def collect(exact: Boolean) =
+      Profiler.correlationMatrix(df, Seq("x", "y", "z", "w"), exact = exact)
+        .as[(String, String, Option[Double], Long)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    val e = collect(exact = true)
+    val f = collect(exact = false)
+    assert(e.keySet == f.keySet && e.nonEmpty)
+    e.foreach { case (k, (re, ne)) =>
+      val (rf, nf) = f(k)
+      assert(ne == nf, s"$k n mismatch: $ne vs $nf")
+      assert(re.isDefined == rf.isDefined, s"$k definedness mismatch")
+      re.zip(rf).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"$k arms disagree: $a vs $b") }
+    }
+    // the exact arm quantizes inputs at 4 dp, so the arms are NOT
+    // bit-identical in general — the spec pins closeness, not equality
+  }
+
   // ---- psiDrift ----
 
   /** Driver-side reference of psiDrift's exact contract: clamped integral
