@@ -103,11 +103,6 @@ object Bench {
         }
       }
     }
-    val unstable = samplesByKey.collect {
-      case (k, xs) if stdev(xs) > median(xs) => k
-    }.toSeq.sorted
-    if (unstable.nonEmpty) System.err.println(
-      s"[bench] UNSTABLE after resweeps (stdev > median): ${unstable.mkString(", ")}")
     // Cross-artifact gate (round-8 lesson: the stdev>median resweep passed
     // a 35s±23 measurement for a 5s query — a loaded MACHINE slows all
     // `runs` samples together, so dispersion alone can't catch it). Diff
@@ -168,6 +163,13 @@ object Bench {
         s"[bench] SUSPECT (still >2x committed baseline after isolated resweep " +
           s"— machine load or a genuine regression): ${suspect.mkString(", ")}")
     }
+    // computed AFTER both gates so resweep-replaced samples are judged,
+    // not the noisy originals they replaced
+    val unstable = samplesByKey.collect {
+      case (k, xs) if stdev(xs) > median(xs) => k
+    }.toSeq.sorted
+    if (unstable.nonEmpty) System.err.println(
+      s"[bench] UNSTABLE after resweeps (stdev > median): ${unstable.mkString(", ")}")
     val stats = names.collect { case (name, _) if samplesByKey.contains(name) =>
       val xs = samplesByKey(name)
       System.err.println(

@@ -623,6 +623,47 @@ object ScaleProbe {
         graft.multimodal.BinaryPipeline.videoFrames(media, every = 2).count())
       media.unpersist()
     }
+    // r9: audio fingerprint + near-dup envelope — 2048 clips of 2s PCM16
+    // @8kHz (~64 MB of samples), 10% planted requantized dups; prints are
+    // map-only, the pair join shuffles (media_id, win_idx, 8B print) rows
+    if (args.isEmpty || args.exists("audio_neardup".contains)) {
+      import spark.implicits._
+      val clips = spark.range(2048).as[Long].map { id =>
+        val rate = 8000
+        val n = rate * 2
+        val seed = (id % 1843).toInt // ~10% of ids collide on a take
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val t = i.toDouble / rate
+          val env = 0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * (1.0 + (seed % 7) * 0.4) * t))
+          val x = env * (0.6 * math.sin(2 * math.Pi * (200 + seed * 3) * t) +
+            0.4 * math.sin(2 * math.Pi * (450 + seed * 5) * t))
+          s(i) = (0.8 * x * 32767).toShort
+          i += 1
+        }
+        // duplicate ids (seed collisions) re-emit as 8-bit requantized
+        val pcm8 = id >= 1843
+        val bytesPer = if (pcm8) 1 else 2
+        val bb = java.nio.ByteBuffer.allocate(44 + n * bytesPer)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * bytesPer)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(rate)
+          .putInt(rate * bytesPer).putShort(bytesPer.toShort)
+          .putShort((8 * bytesPer).toShort)
+          .put("data".getBytes("US-ASCII")).putInt(n * bytesPer)
+        s.foreach(v => if (pcm8) bb.put(((v / 256) + 128).toByte) else bb.putShort(v))
+        (id, "audio", bb.array())
+      }.toDF("media_id", "modality", "payload").persist()
+      clips.count() // exclude encoding from the timing
+      time("audio_fingerprints/2048x2s")(
+        graft.multimodal.BinaryPipeline.audioFingerprints(clips).count())
+      time("audio_neardup/2048x2s-10pct-dups")(
+        graft.multimodal.BinaryPipeline.audioNearDupPairs(clips).count())
+      clips.unpersist()
+    }
     spark.stop()
   }
 }

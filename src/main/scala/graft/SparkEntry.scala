@@ -44,6 +44,48 @@ object SparkEntry {
       |FROM s GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Shared canonical-doc oracle - `q_canonical_docs` (one-shot) and
+    * `q_canonical_docs_served` (stored-cluster twin) must both reproduce
+    * it exactly.
+    */
+  private val CanonicalDocsOracleSql: String =
+    """WITH RECURSIVE w AS (
+            | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+            | FROM documents),
+            |s AS (
+            | SELECT doc_id,
+            |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+            |       ELSE list_distinct(list_transform(range(len(words) - 2),
+            |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+            | FROM w),
+            |e AS (
+            | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            | FROM s a JOIN s b ON a.doc_id < b.doc_id
+            | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+            |sym AS (SELECT doc_a AS s, doc_b AS d FROM e
+            |        UNION ALL SELECT doc_b, doc_a FROM e),
+            |reach(id, r) AS (
+            | SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+            | UNION
+            | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+            |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+            |mm AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+            |       FROM cl c JOIN documents d USING (doc_id)),
+            |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+            |           SELECT cluster_id, doc_id,
+            |            row_number() OVER (PARTITION BY cluster_id
+            |                               ORDER BY n_chars DESC, doc_id) AS rk
+            |           FROM mm) t WHERE rk = 1)
+            |SELECT d.doc_id,
+            | coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+            | coalesce(c2.canonical_id, d.doc_id) AS canonical_id,
+            | coalesce(c2.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+            |FROM documents d
+            |LEFT JOIN cl ON d.doc_id = cl.doc_id
+            |LEFT JOIN canon c2 ON cl.cluster_id = c2.cluster_id
+            |ORDER BY d.doc_id""".stripMargin
+
   /** One-time-store memo for the `_served` / index-backed keys: the
     * maintained store (or inverted text index) builds ONCE per
     * (store, sfDir) JVM-wide and every later invocation SERVES from it —
@@ -1158,6 +1200,19 @@ object SparkEntry {
       Dedup.canonicalDocs(docs,
         Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(docs,
           threshold = 0.5, blockBySource = false)))
+    }),
+    // the STORED-cluster twin (the _served precedent, same oracle): at
+    // scale the dup-cluster frame is a maintained artifact, not
+    // recomputed per consumer — the pick itself is one min_by partial
+    // agg + a doc_id-keyed decoration join over the stored labels
+    "q_canonical_docs_served" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = servedStore("dup_clusters", d) { dir =>
+        Dedup.dupClusters(Dedup.ngramJaccardPairsIndexed(docs,
+          threshold = 0.5, blockBySource = false))
+          .write.mode("overwrite").parquet(dir)
+      }
+      Dedup.canonicalDocs(docs, s.read.parquet(store))
     }),
     "q_quality_filter" -> ((s, d) => TextMetrics.qualityFilter(Tables.documents(s, d))),
     // per-stage yield accounting over the full curation chain
@@ -3892,43 +3947,9 @@ object SparkEntry {
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     // canonical selection: the q_dup_clusters CC spelling + a per-cluster
     // (n_chars DESC, doc_id) row_number argmax, left-joined onto the corpus
-    "q_canonical_docs" ->
-      """WITH RECURSIVE w AS (
-        | SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-        |       ELSE list_distinct(list_transform(range(len(words) - 2),
-        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
-        | FROM w),
-        |e AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        |sym AS (SELECT doc_a AS s, doc_b AS d FROM e
-        |        UNION ALL SELECT doc_b, doc_a FROM e),
-        |reach(id, r) AS (
-        | SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
-        | UNION
-        | SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
-        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |mm AS (SELECT c.doc_id, c.cluster_id, d.n_chars
-        |       FROM cl c JOIN documents d USING (doc_id)),
-        |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
-        |           SELECT cluster_id, doc_id,
-        |            row_number() OVER (PARTITION BY cluster_id
-        |                               ORDER BY n_chars DESC, doc_id) AS rk
-        |           FROM mm) t WHERE rk = 1)
-        |SELECT d.doc_id,
-        | coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
-        | coalesce(c2.canonical_id, d.doc_id) AS canonical_id,
-        | coalesce(c2.canonical_id, d.doc_id) = d.doc_id AS is_canonical
-        |FROM documents d
-        |LEFT JOIN cl ON d.doc_id = cl.doc_id
-        |LEFT JOIN canon c2 ON cl.cluster_id = c2.cluster_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_canonical_docs" -> CanonicalDocsOracleSql,
+    // the stored-cluster serve twin reproduces the one-shot rows exactly
+    "q_canonical_docs_served" -> CanonicalDocsOracleSql,
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(SUM(length(text)) AS BIGINT) AS total_chars,

@@ -485,6 +485,98 @@ object BinaryPipeline {
       .orderBy("media_a", "media_b")
   }
 
+  /** 64-bit per-window AUDIO fingerprint over the real WAV decode: the
+    * dHash idea applied to the window's coarse ENERGY ENVELOPE — the
+    * first channel's window splits into 65 equal time cells, and bit i
+    * is 1 iff cell i+1's energy exceeds cell i's (sign-of-difference
+    * fingerprinting in the Haitsma–Kalker style, time-domain variant —
+    * no FFT library in this container, and the envelope is the part a
+    * PCM requantization preserves). GAIN-invariant (scaling multiplies
+    * every cell alike) and requantization-tolerant (signs of coarse
+    * energy RATIOS survive PCM16→PCM8); NOT shift-invariant — the
+    * near-dup contract is re-encoded/requantized copies of the same
+    * take, the same trade the video path's frame dHash makes. Windows
+    * shorter than 65 samples emit nothing (no envelope to sign);
+    * undecodable payloads yield NO rows — [[decodeAudio]] is the
+    * quarantine surface. Map-only; payloads never shuffle (only an
+    * 8-byte print per window leaves the stage).
+    */
+  def audioFingerprints(media: DataFrame, windowMs: Int = 250): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))))
+    media.where(col("modality") === "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]]("payload")) match {
+          case Some((rate, _, chans)) if chans.nonEmpty =>
+            val s = chans(0)
+            val win = math.max(1, rate * windowMs / 1000)
+            (0 until s.length by win).iterator.zipWithIndex.flatMap { case (o, wi) =>
+              val end = math.min(o + win, s.length)
+              val n = end - o
+              if (n < 65) Iterator.empty
+              else {
+                val cell = n / 65
+                val e = new Array[Double](65)
+                var c = 0
+                while (c < 65) {
+                  var acc = 0.0
+                  var i = o + c * cell
+                  val ce = o + (c + 1) * cell
+                  while (i < ce) { acc += s(i) * s(i); i += 1 }
+                  e(c) = acc
+                  c += 1
+                }
+                var fp = 0L
+                var b = 0
+                while (b < 64) {
+                  if (e(b + 1) > e(b)) fp |= (1L << b)
+                  b += 1
+                }
+                Iterator.single(Row(r.getAs[Long]("media_id"), wi, fp))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** AUDIO near-dup pairs — the clip analogue of [[videoNearDupPairs]]
+    * (a requantized / gain-changed copy of the same take shares most
+    * per-window envelope fingerprints even when no byte matches):
+    * candidate window pairs come from the same 8×8-bit fingerprint
+    * pigeonhole (hamming ≤ 7 ⟹ one full chunk agrees — an equi-join,
+    * never all-pairs), a clip pair qualifies when ≥ `minShared` DISTINCT
+    * windows of the earlier clip near-match some window of the later one
+    * (distinct-windows, not window-pairs: a silence-heavy clip would
+    * otherwise fabricate matches from one flat envelope). Output:
+    * (media_a, media_b, shared_windows).
+    */
+  def audioNearDupPairs(media: DataFrame, windowMs: Int = 250,
+                        maxHamming: Int = 6, minShared: Int = 2): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
+    require(minShared >= 1, s"minShared < 1: $minShared")
+    val sigs = audioFingerprints(media, windowMs)
+      .select(col("media_id"), col("win_idx"), col("fp").as("sig"))
+    val chunks = sigs.select(col("media_id"), col("win_idx"), col("sig"),
+      explode(array((0 until 8).map { c =>
+        concat_ws(":", lit(c), shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL)))
+      }: _*)).as("chunk_key"))
+    chunks.as("a")
+      .join(chunks.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.win_idx").as("wa"))
+      .distinct() // one vote per (pair, earlier-clip window)
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+      .orderBy("media_a", "media_b")
+  }
+
   /** REAL container parse for RIFF/AVI — the video analogue of
     * [[decodeWav]]'s RIFF walk: header `RIFF…AVI `, then a word-aligned
     * chunk walk that recurses into `LIST` chunks (the `movi` list — and

@@ -534,4 +534,55 @@ class BinaryPipelineSpec extends SparkSpec {
     val lp = BinaryPipeline.videoNearDupPairs(logos, minShared = 1).collect()
     assert(lp.length == 1 && lp.head.getAs[Long]("shared_frames") == 4L)
   }
+
+  test("audioFingerprints: gain-invariant, window-deterministic, short/undecodable yield nothing") {
+    val take = TestMedia.toneTake(seed = 1, seconds = 1.0)
+    val loud = TestMedia.wav16(take)
+    val quiet = TestMedia.wav16(take.map(s => (s / 4).toShort))
+    val media = Seq((1L, loud), (2L, quiet)).toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    val fps = BinaryPipeline.audioFingerprints(media)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    // 1s @8kHz / 250ms windows = 4 windows each
+    assert(fps(1L).size == 4 && fps(2L).size == 4)
+    // the envelope-sign print is GAIN-invariant up to quantization noise:
+    // a 4x quieter copy keeps (nearly) every bit of every window
+    fps(1L).zip(fps(2L)).foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3, s"gain changed the print: $a vs $b") }
+    // windows shorter than the 65-cell envelope emit nothing; garbage
+    // payloads decode to nothing (decodeAudio is the quarantine surface)
+    val tiny = Seq((3L, TestMedia.wav16(TestMedia.toneTake(1).take(40))),
+      (4L, Array.tabulate[Byte](50)(_.toByte)))
+      .toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    assert(BinaryPipeline.audioFingerprints(tiny).count() == 0)
+  }
+
+  test("audioNearDupPairs: requantized copy pairs, disjoint takes don't, silence counts once per window") {
+    val takeA = TestMedia.toneTake(seed = 1, seconds = 1.0)
+    val takeB = TestMedia.toneTake(seed = 4, seconds = 1.0)
+    val media = Seq(
+      (1L, TestMedia.wav16(takeA)),             // original PCM16
+      (2L, TestMedia.wav8(takeA)),              // SAME take requantized to PCM8
+      (3L, TestMedia.wav16(takeB)))             // unrelated take
+      .toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    val pairs = BinaryPipeline.audioNearDupPairs(media, minShared = 2).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("shared_windows")).toMap
+    assert(pairs.contains((1L, 2L)), s"requantized copy must pair, got $pairs")
+    assert(pairs((1L, 2L)) >= 2L)
+    assert(!pairs.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      s"unrelated takes must not pair: $pairs")
+    // a flat-silence clip: every window prints 0, but distinct-window
+    // voting counts each earlier-clip window once (4 windows -> 4 votes,
+    // not 4x4 window-pairs)
+    val silence = Seq.fill(8000)(0.toShort)
+    val sm = Seq((1L, TestMedia.wav16(silence)), (2L, TestMedia.wav16(silence ++ silence)))
+      .toDF("media_id", "payload")
+      .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
+    val sp = BinaryPipeline.audioNearDupPairs(sm, minShared = 1).collect()
+    assert(sp.length == 1 && sp.head.getAs[Long]("shared_windows") == 4L)
+  }
 }

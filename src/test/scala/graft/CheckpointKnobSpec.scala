@@ -71,4 +71,38 @@ class CheckpointKnobSpec extends SparkSpec {
     assert(Graph.connectedComponents(edges, checkpointDir = ckDir(),
       checkpointEvery = 3).collect().toSeq == ccBase)
   }
+
+  // the r9 release() paths (superseded-round storage freed) must not
+  // change what any loop computes, in either storage mode
+  test("HyperBall sweeps: knob-independent with per-round release") {
+    val nfBase = Graph.neighborhoodFunction(edges, maxT = 6).collect().toSeq
+    assert(Graph.neighborhoodFunction(edges, maxT = 6, checkpointDir = ckDir(),
+      checkpointEvery = 2).collect().toSeq == nfBase)
+    val hBase = Graph.harmonicCentrality(edges, maxT = 6).collect().toSeq
+    assert(Graph.harmonicCentrality(edges, maxT = 6, checkpointDir = ckDir(),
+      checkpointEvery = 2).collect().toSeq == hBase)
+  }
+
+  test("temporalReach: knob-independent with per-round release") {
+    val tEdges = Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 15L), (1L, 3L, 40L),
+      (4L, 5L, 50L), (5L, 6L, 60L)).toDF("src", "dst", "ts")
+    val seeds = Seq(1L).toDF("node")
+    val base = Graph.temporalReach(tEdges, seeds, startTs = 0L).collect().toSeq
+    for (every <- Seq(1, 3))
+      assert(Graph.temporalReach(tEdges, seeds, startTs = 0L,
+        checkpointDir = ckDir(), checkpointEvery = every).collect().toSeq == base,
+        s"every=$every")
+  }
+
+  test("trainSgns: knob-independent with the single-frame epoch loop") {
+    import graft.operators.Node2Vec
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+      .toDF("center", "context")
+    val base = Node2Vec.trainSgns(pairs, dim = 4, epochs = 4, lr = 0.3)
+      .collect().toSeq
+    for (every <- Seq(1, 3))
+      assert(Node2Vec.trainSgns(pairs, dim = 4, epochs = 4, lr = 0.3,
+        checkpointDir = ckDir(), checkpointEvery = every).collect().toSeq == base,
+        s"every=$every")
+  }
 }

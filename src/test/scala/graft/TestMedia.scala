@@ -75,4 +75,53 @@ object TestMedia {
   /** An MJPEG AVI of gradient frames `seeds`, each encoded at `quality`. */
   def mjpegAvi(seeds: Seq[Int], quality: Float): Array[Byte] =
     aviBytes(seeds.map(s => jpegBytes(frame(s), quality)))
+
+  /** Mono PCM16 WAV of the given samples (the BinaryPipelineSpec writer,
+    * factored for reuse). */
+  def wav16(samples: Seq[Short], rate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Mono unsigned-PCM8 WAV — the REQUANTIZED twin of [[wav16]] for the
+    * audio near-dup cases (same take, different bytes). */
+  def wav8(samples: Seq[Short], rate: Int = 8000): Array[Byte] = {
+    val bytes = samples.map(s => ((s / 256) + 128).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + bytes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(bytes.length)
+    bytes.foreach(bb.put)
+    bb.array()
+  }
+
+  /** A deterministic multi-tone test take: `seconds` of samples at `rate`,
+    * amplitude-modulated sums of two sines keyed by `seed` — enough
+    * envelope structure for the fingerprint bits to be non-degenerate.
+    */
+  def toneTake(seed: Int, seconds: Double = 1.0, rate: Int = 8000,
+               gain: Double = 0.8): Seq[Short] = {
+    val n = (seconds * rate).toInt
+    (0 until n).map { i =>
+      val t = i.toDouble / rate
+      val f1 = 200.0 + 37.0 * seed
+      val f2 = 450.0 + 53.0 * seed
+      val envelope = 0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * (1.3 + 0.7 * seed) * t))
+      val x = envelope * (0.6 * math.sin(2 * math.Pi * f1 * t) +
+        0.4 * math.sin(2 * math.Pi * f2 * t))
+      (gain * x * 32767).toShort
+    }
+  }
 }
