@@ -485,21 +485,34 @@ object BinaryPipeline {
       .orderBy("media_a", "media_b")
   }
 
-  /** 64-bit per-window AUDIO fingerprint over the real WAV decode: the
-    * dHash idea applied to the window's coarse ENERGY ENVELOPE — the
-    * first channel's window splits into 65 equal time cells, and bit i
-    * is 1 iff cell i+1's energy exceeds cell i's (sign-of-difference
-    * fingerprinting in the Haitsma–Kalker style, time-domain variant —
-    * no FFT library in this container, and the envelope is the part a
-    * PCM requantization preserves). GAIN-invariant (scaling multiplies
-    * every cell alike) and requantization-tolerant (signs of coarse
-    * energy RATIOS survive PCM16→PCM8); NOT shift-invariant — the
-    * near-dup contract is re-encoded/requantized copies of the same
+  /** Band frequencies of the audio fingerprint: 5 octave-spaced centers
+    * giving 4 band-energy differences per time cell. Chosen in the
+    * speech/music energy range; a center at or above Nyquist simply
+    * measures (near-)zero energy and its bits go quiet — coarse but
+    * total for low sample rates.
+    */
+  private val FpBandsHz = Array(200.0, 400.0, 800.0, 1600.0, 3200.0)
+
+  /** 64-bit per-window AUDIO fingerprint over the real WAV decode — the
+    * Haitsma–Kalker construction (ISMIR'02, the classic robust audio
+    * hash): the window splits into 17 equal time cells, each cell's
+    * energy lands in 5 octave-spaced frequency bands (per-cell GOERTZEL
+    * filters — a 3-multiply recurrence per (sample, band), no FFT
+    * library needed), and bit (t, b) = sign of the TIME-DIFFERENCE of
+    * the BAND-DIFFERENCE: (E(t,b)−E(t,b+1)) − (E(t−1,b)−E(t−1,b+1)) > 0
+    * — 16 time steps × 4 band pairs = 64 bits. The double difference is
+    * what buys robustness: gain scales every energy alike (sign
+    * preserved EXACTLY), requantization noise rides far below the
+    * coarse-cell band energies (PCM16→PCM8 flips ~0 bits, spec-pinned),
+    * and equal-ENVELOPE different-CARRIER takes separate because the
+    * band axis sees the carrier (the envelope-only variant collided on
+    * those — measured in the 2048-clip probe). NOT shift-invariant —
+    * the near-dup contract is re-encoded/requantized copies of the same
     * take, the same trade the video path's frame dHash makes. Windows
-    * shorter than 65 samples emit nothing (no envelope to sign);
-    * undecodable payloads yield NO rows — [[decodeAudio]] is the
-    * quarantine surface. Map-only; payloads never shuffle (only an
-    * 8-byte print per window leaves the stage).
+    * shorter than 17 samples emit nothing; undecodable payloads yield
+    * NO rows — [[decodeAudio]] is the quarantine surface. Map-only;
+    * payloads never shuffle (an 8-byte print per window leaves the
+    * stage).
     */
   def audioFingerprints(media: DataFrame, windowMs: Int = 250): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
@@ -512,27 +525,45 @@ object BinaryPipeline {
           case Some((rate, _, chans)) if chans.nonEmpty =>
             val s = chans(0)
             val win = math.max(1, rate * windowMs / 1000)
+            val coeffs = FpBandsHz.map(f => 2.0 * math.cos(2.0 * math.Pi * f / rate))
             (0 until s.length by win).iterator.zipWithIndex.flatMap { case (o, wi) =>
               val end = math.min(o + win, s.length)
               val n = end - o
-              if (n < 65) Iterator.empty
+              if (n < 17) Iterator.empty
               else {
-                val cell = n / 65
-                val e = new Array[Double](65)
-                var c = 0
-                while (c < 65) {
-                  var acc = 0.0
-                  var i = o + c * cell
-                  val ce = o + (c + 1) * cell
-                  while (i < ce) { acc += s(i) * s(i); i += 1 }
-                  e(c) = acc
-                  c += 1
+                val cell = n / 17
+                // e(t)(b): Goertzel power of band b in time cell t
+                val e = Array.ofDim[Double](17, FpBandsHz.length)
+                var t = 0
+                while (t < 17) {
+                  var b = 0
+                  while (b < FpBandsHz.length) {
+                    val k = coeffs(b)
+                    var s1 = 0.0; var s2 = 0.0
+                    var i = o + t * cell
+                    val ce = o + (t + 1) * cell
+                    while (i < ce) {
+                      val s0 = s(i) + k * s1 - s2
+                      s2 = s1; s1 = s0
+                      i += 1
+                    }
+                    e(t)(b) = s1 * s1 + s2 * s2 - k * s1 * s2
+                    b += 1
+                  }
+                  t += 1
                 }
                 var fp = 0L
-                var b = 0
-                while (b < 64) {
-                  if (e(b + 1) > e(b)) fp |= (1L << b)
-                  b += 1
+                var bit = 0
+                t = 1
+                while (t < 17) {
+                  var b = 0
+                  while (b < FpBandsHz.length - 1) {
+                    val d = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+                    if (d > 0.0) fp |= (1L << bit)
+                    bit += 1
+                    b += 1
+                  }
+                  t += 1
                 }
                 Iterator.single(Row(r.getAs[Long]("media_id"), wi, fp))
               }

@@ -550,9 +550,9 @@ class BinaryPipelineSpec extends SparkSpec {
     // a 4x quieter copy keeps (nearly) every bit of every window
     fps(1L).zip(fps(2L)).foreach { case (a, b) =>
       assert(java.lang.Long.bitCount(a ^ b) <= 3, s"gain changed the print: $a vs $b") }
-    // windows shorter than the 65-cell envelope emit nothing; garbage
+    // windows shorter than the 17-cell grid emit nothing; garbage
     // payloads decode to nothing (decodeAudio is the quarantine surface)
-    val tiny = Seq((3L, TestMedia.wav16(TestMedia.toneTake(1).take(40))),
+    val tiny = Seq((3L, TestMedia.wav16(TestMedia.toneTake(1).take(12))),
       (4L, Array.tabulate[Byte](50)(_.toByte)))
       .toDF("media_id", "payload")
       .withColumn("modality", org.apache.spark.sql.functions.lit("audio"))
