@@ -1245,6 +1245,15 @@ object SparkEntry {
     // per-dim z-standardization of the embedding corpus — the first
     // oracle-checked vector transform (decimal-moment protocol, mirrored
     // IEEE scalar tail, round-12 z)
+    // embedding-distribution drift between the parity snapshots, grouped
+    // by a derived source — "did the mean vector walk": exact quantized
+    // per-dim sums, one sqrt + one division per group (49f)
+    "q_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 3).as("src"))
+      Ann.embeddingDrift(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1), "src")
+    }),
     "q_embedding_standardize" -> ((s, d) =>
       Ann.standardizeEmbeddings(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -1320,6 +1329,9 @@ object SparkEntry {
         .repartition(col("vec_id")).localCheckpoint(true))),
     "q_text_quality" -> ((s, d) => TextMetrics.quality(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextMetrics.corpusStats(Tables.documents(s, d))),
+    // type/token accounting per source: TTR + hapax share (32c3)
+    "q_lexical_diversity" -> ((s, d) =>
+      TextMetrics.lexicalDiversity(Tables.documents(s, d))),
     // exact frequent terms by the two-pass Misra-Gries protocol: pass 1
     // sketches candidates (bounded shuffle), pass 2 recounts exactly
     "q_heavy_terms" -> ((s, d) => HeavyHitters.frequentTerms(Tables.documents(s, d))),
@@ -3957,6 +3969,21 @@ object SparkEntry {
         | round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS median_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_lexical_diversity" ->
+      """WITH tf AS (
+        | SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT source,
+        |        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+        |       FROM documents) t
+        | GROUP BY source, term)
+        |SELECT source,
+        | CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 12) AS ttr,
+        | round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 12) AS hapax_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_topk" ->
       """SELECT doc_id, source FROM documents
         |ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
@@ -4386,6 +4413,38 @@ object SparkEntry {
     // standardization on the exact integer protocol: xq = floor(x·2^20)
     // (exact in double for floats), integer moments, z from the exact
     // discriminant via one double cast + IEEE sqrt, round-12; σ=0 NULL
+    "q_embedding_drift" ->
+      """WITH ex AS (
+        | SELECT vec_id % 3 AS src, vec_id % 2 AS par, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+        | FROM (SELECT vec_id, embedding FROM embeddings) e,
+        |      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+        |o AS (SELECT src, dim, CAST(count(*) AS BIGINT) AS n_old,
+        |       CAST(sum(xq) AS BIGINT) AS s_old FROM ex WHERE par = 0 GROUP BY 1, 2),
+        |nn AS (SELECT src, dim, CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(sum(xq) AS BIGINT) AS s_new FROM ex WHERE par = 1 GROUP BY 1, 2),
+        |cell AS (
+        | SELECT COALESCE(o.src, nn.src) AS src, COALESCE(o.dim, nn.dim) AS dim,
+        |  n_old, s_old, n_new, s_new,
+        |  CAST(CAST(s_new AS DECIMAL(38,0)) * CAST(n_old AS DECIMAL(38,0))
+        |     - CAST(s_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0))
+        |    AS DECIMAL(19,0)) AS dnum
+        | FROM o FULL OUTER JOIN nn ON o.src = nn.src AND o.dim = nn.dim),
+        |top AS (
+        | SELECT src, dim AS top_shift_dim FROM (
+        |  SELECT src, dim,
+        |   row_number() OVER (PARTITION BY src ORDER BY abs(dnum) DESC, dim) AS rk
+        |  FROM cell WHERE dnum IS NOT NULL) t WHERE rk = 1)
+        |SELECT c.src, max(n_old) AS n_old, max(n_new) AS n_new,
+        | CASE WHEN max(n_old) IS NOT NULL AND max(n_new) IS NOT NULL THEN
+        |  round(sqrt(CAST(sum(dnum * dnum) AS DOUBLE))
+        |    / CAST(CAST(max(n_old) AS DECIMAL(38,0))
+        |         * CAST(max(n_new) AS DECIMAL(38,0)) * 1048576 AS DOUBLE), 12)
+        | END AS shift_l2,
+        | CASE WHEN max(n_old) IS NOT NULL AND max(n_new) IS NOT NULL
+        |      THEN max(top.top_shift_dim) END AS top_shift_dim
+        |FROM cell c LEFT JOIN top ON c.src = top.src
+        |GROUP BY c.src ORDER BY c.src""".stripMargin,
     "q_embedding_standardize" ->
       """WITH ex AS (
         | SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

@@ -963,4 +963,62 @@ object Ann {
             / sqrt(disc), 12)).as("z"))
       .orderBy("vec_id", "dim")
   }
+
+  /** EMBEDDING-distribution drift between two corpus snapshots — the
+    * vector-side companion to [[Profiler.psiDrift]]/[[Profiler.ksDrift]]:
+    * per group, the L2 SHIFT of the mean embedding ‖μ_new − μ_old‖₂
+    * (in original vector units) plus the dimension that moved most —
+    * the "did the encoder/corpus change under me" alarm an embedding
+    * store checks before mixing a refreshed snapshot into ANN indexes
+    * or dedup clusters (a centroid that walked invalidates IVF lists
+    * and semantic-dup thresholds alike).
+    *
+    * Exactness protocol ([[standardizeEmbeddings]]'s): components
+    * quantize as xq = floor(x·2²⁰) — EXACT double arithmetic for float
+    * inputs — and all sums/differences stay integer/decimal; with both
+    * snapshots' counts constant across dims within a group, the per-dim
+    * mean difference shares one denominator, so
+    * shift = √(Σ_d (s_new·n_old − s_old·n_new)²) / (n_old·n_new·2²⁰)
+    * takes ONE IEEE sqrt + ONE division (round 12 — the burstiness
+    * discriminant rule: no rounding of large-magnitude intermediates).
+    * The per-dim difference is bounded to decimal(19) before squaring
+    * (documented envelope: |Σxq·n| < 10¹⁹ — holds to ~10⁹ unit-scale
+    * vectors per group). Groups on only one side emit NULL shift (the
+    * ksDrift one-sided rule: a silent 0 or ∞ would fake an answer).
+    *
+    * Scale shape: each snapshot collapses map-side to (group, dim,
+    * count, Σxq) partial aggs — vectors never shuffle whole; the join
+    * and final rollup run on |groups|·|dims| rows.
+    */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+                     groupCol: String): DataFrame = {
+    def side(df: DataFrame, nc: String, sc: String): DataFrame =
+      df.select(col(groupCol).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("grp"), col("dim").cast("long").as("dim"),
+          floor(col("xf").cast("double") * lit(1048576.0d)).cast("long").as("xq"))
+        .groupBy("grp", "dim")
+        .agg(count(lit(1)).as(nc), sum(col("xq")).as(sc))
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cell = side(oldDf, "n_old", "s_old")
+      .join(side(newDf, "n_new", "s_new"), Seq("grp", "dim"), "full_outer")
+    val dnum = d19(d38(col("s_new")) * d38(col("n_old")) -
+      d38(col("s_old")) * d38(col("n_new")))
+    cell
+      .groupBy("grp")
+      .agg(
+        max(col("n_old")).as("n_old"), // constant across dims in the group
+        max(col("n_new")).as("n_new"),
+        sum(dnum * dnum).as("l2q"),
+        max_by(col("dim"), struct(abs(dnum), -col("dim"))).as("top_shift_dim"))
+      .select(col("grp").as(groupCol), col("n_old"), col("n_new"),
+        when(col("n_old").isNotNull && col("n_new").isNotNull,
+          round(sqrt(col("l2q").cast("double")) /
+            (d38(col("n_old")) * d38(col("n_new")) * lit(1048576L)).cast("double"),
+            12)).as("shift_l2"),
+        when(col("n_old").isNotNull && col("n_new").isNotNull,
+          col("top_shift_dim")).as("top_shift_dim"))
+      .orderBy(groupCol)
+  }
 }

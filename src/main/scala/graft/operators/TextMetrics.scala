@@ -116,6 +116,35 @@ object TextMetrics {
     * medians here (the sketch path for 100 TB is #37b's
     * percentile_approx, same shape).
     */
+  /** LEXICAL DIVERSITY per source — the type/token accounting beside
+    * [[corpusStats]]'s volumes and [[zipfSlope]]'s shape: total tokens,
+    * distinct types, hapax legomena (types seen exactly once), TTR
+    * (types/tokens — crashes toward 0 for template/boilerplate sources)
+    * and hapax share (the long-tail health: natural text keeps ~40-60%
+    * of its vocabulary as one-offs; deduped boilerplate loses the tail).
+    * Whitespace tokens (empties dropped) — the corpus-wide convention.
+    *
+    * Parity: counts are exact longs; the two ratios are single IEEE
+    * divisions rounded 12 dp. Scale: ONE (source, term) partial-agg
+    * count (hot terms collapse map-side), then a |vocabulary|-row
+    * rollup — text never shuffles, terms do once.
+    */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        explode(filter(wsWords(col("text")), w => length(w) > 0)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 12)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 12)
+          .as("hapax_ratio"))
+      .orderBy("source")
+
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .groupBy("source")

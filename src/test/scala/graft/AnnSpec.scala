@@ -664,6 +664,36 @@ class AnnSpec extends SparkSpec {
     assert(Ann.standardizeEmbeddings(df.limit(0)).count() == 0)
   }
 
+  test("embeddingDrift: hand L2 shift, top dim, one-sided NULL, zero drift, determinism, empty") {
+    def df(rows: Seq[(String, Array[Double])]) =
+      rows.toDF("src", "embedding")
+    val old = df(Seq(
+      ("a", Array(1.0, 2.0)), ("a", Array(3.0, 4.0)),
+      ("b", Array(5.0, 5.0)),            // one-sided: only in old
+      ("c", Array(1.5, -2.25))))
+    val neu = df(Seq(
+      ("a", Array(2.0, 2.0)), ("a", Array(4.0, 6.0)),
+      ("c", Array(1.5, -2.25))))         // identical -> zero drift
+    val got = Ann.embeddingDrift(old, neu, "src")
+      .as[(String, Option[Long], Option[Long], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // group a: mean moves (2,3) -> (3,4): shift = sqrt(1+1) = sqrt(2)
+    val sqrt2 = BigDecimal(math.sqrt(2.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((Some(2L), Some(2L), Some(sqrt2), Some(0L))),
+      s"got ${got("a")}")
+    // one-sided group: NULL shift (the ksDrift rule), never a fake 0/inf
+    assert(got("b") == ((Some(1L), None, None, None)))
+    // identical snapshots: exactly 0 shift, top dim = smallest (tie rule)
+    assert(got("c") == ((Some(1L), Some(1L), Some(0.0), Some(0L))))
+    // partitioning must not change the exact sums
+    val rep = Ann.embeddingDrift(old.repartition(7), neu.repartition(5), "src")
+      .collect().toSeq
+    assert(rep == Ann.embeddingDrift(old, neu, "src").collect().toSeq)
+    // empty totality: both sides empty -> no rows
+    assert(Ann.embeddingDrift(old.limit(0), neu.limit(0), "src").count() == 0)
+  }
+
   test("graph→walks→SGNS→IVF end-to-end: two-clique recovery through the stored index") {
     import graft.operators.{Graph, Node2Vec}
     import org.apache.spark.sql.expressions.Window

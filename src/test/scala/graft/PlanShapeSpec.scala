@@ -164,7 +164,18 @@ class PlanShapeSpec extends SparkSpec {
       ("q_novelty", 5, 1),
       // r8: the funnel census must stay join-free — one (stage, hash)
       // partial agg + the 1-row census collapse, no keeper join-back
-      ("q_curation_funnel", 2, 1))
+      ("q_curation_funnel", 2, 1),
+      // r9 served keys: the memoized stores must STAY reads. q_node2vec
+      // serves the trained parquet (one output sort, no shuffle beyond
+      // it); the canonical twin is the min_by pick + decoration join
+      // over the stored labels — if training/clustering re-enters these
+      // plans the budgets blow immediately
+      ("q_node2vec", 1, 1),
+      // 5 exchanges (2 broadcast store reads + pick agg + join + output
+      // range sort) and 4 sorts (min_by runs as a two-phase SortAggregate
+      // + the pre-AQE SMJ sort + output) — the point is the ORDER of
+      // magnitude: clustering re-entering this plan adds tens of both
+      ("q_canonical_docs_served", 5, 4))
     budgets.foreach { case (key, maxExchanges, maxSorts) =>
       val plan = planOf(key)
       val ex = "Exchange".r.findAllIn(plan).length

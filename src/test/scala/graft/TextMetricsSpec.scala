@@ -582,6 +582,25 @@ class TextMetricsSpec extends SparkSpec {
 
   // ---- zipfSlope ----
 
+  test("lexicalDiversity: hand type/token/hapax counts, ratios, empty-token sources drop, empty total") {
+    val docs = Seq(
+      (1L, "x y x", "a"), (2L, "z", "a"),        // a: 4 tokens, 3 types, hapax {y,z}
+      (3L, "w w w w", "b"),                      // b: degenerate repetition
+      (4L, "", "c"), (5L, "   ", "c"))           // c: no tokens at all
+      .toDF("doc_id", "text", "source")
+    val got = TextMetrics.lexicalDiversity(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("a") == ((4L, 3L, 2L, 0.75, BigDecimal(2.0 / 3.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("b") == ((4L, 1L, 0L, 0.25, 0.0)))
+    // a source with no tokens has no vocabulary rows — absent, like the
+    // oracle's empty tf group (not a 0/0 row)
+    assert(!got.contains("c"))
+    // empty totality
+    assert(TextMetrics.lexicalDiversity(docs.limit(0)).count() == 0)
+  }
+
   test("zipfSlope: protocol-exact hand OLS, power-law slope ~ -1, degenerate and empty cases") {
     // src A: freqs 8/4/2/1 for terms a/b/c/d; src B: one term only
     val aText = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
