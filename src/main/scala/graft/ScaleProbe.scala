@@ -621,6 +621,79 @@ object ScaleProbe {
       media.count() // exclude encoding from the timing
       time("video_frames/256avi-8f-sample2")(
         graft.multimodal.BinaryPipeline.videoFrames(media, every = 2).count())
+      // r9: the streaming video corpus path end-to-end — batch 0 folds
+      // 192 videos' frame sigs into the seen-sig store; batch 1 offers
+      // 128 under NEW ids, 64 of which are byte-copies of stored footage:
+      // the near_dup_store gate should drop exactly those 64. Footage is
+      // id-keyed NOISE (the gradient set above is dHash-DEGENERATE by
+      // design of dHash: videos differing only by a constant brightness
+      // offset share every gradient sign — a correct non-match for the
+      // brightness-invariant hash, the wrong corpus for a dedup probe)
+      if (args.isEmpty || args.exists("video_corpus".contains)) {
+        val base = java.nio.file.Files.createTempDirectory("graft-vc-probe").toString
+        val noisy = spark.range(256).as[Long].map { id =>
+          def cc(x: String) = x.getBytes("US-ASCII")
+          def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          val movi = new java.io.ByteArrayOutputStream()
+          movi.write(cc("movi"))
+          (0 until 8).foreach { k =>
+            val img = new java.awt.image.BufferedImage(64, 64,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 64) {
+              var x = 0
+              while (x < 64) {
+                // id-keyed hash texture with a FULL avalanche (splitmix64
+                // finalizer): a plain multiplicative hash leaves a lattice
+                // along the dHash sample grid and every frame collapses to
+                // the same alternating sign pattern (measured: 2 distinct
+                // sigs over 1536 frames)
+                var z = (x.toLong * 0x9E3779B97F4A7C15L) ^
+                  (y.toLong * 0xC2B2AE3D27D4EB4FL) ^
+                  ((id * 8 + k + 1) * 0x165667B19E3779F9L)
+                z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 32)
+                val v = (z & 0xffL).toInt
+                img.setRGB(x, y, ((v << 16) | (v << 8) | v))
+                x += 1
+              }
+              y += 1
+            }
+            val f = DevJpeg.encode(img, 0.85f, progressive = false)
+            movi.write(cc("00dc")); movi.write(u32(f.length)); movi.write(f)
+            if (f.length % 2 == 1) movi.write(0)
+          }
+          val body = new java.io.ByteArrayOutputStream()
+          body.write(cc("AVI "))
+          body.write(cc("LIST")); body.write(u32(movi.size())); body.write(movi.toByteArray)
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(cc("RIFF")); out.write(u32(body.size())); out.write(body.toByteArray)
+          (id, "video", out.toByteArray)
+        }.toDF("media_id", "modality", "payload").persist()
+        noisy.count() // exclude encoding from the timing
+        val withTs = noisy.withColumn("ingest_ts",
+          org.apache.spark.sql.functions.to_timestamp(lit("2024-01-01 10:00:00")))
+        time("video_corpus/batch0-192avi") {
+          graft.streaming.CorpusPipeline.mergeVideoCorpusBatch(spark,
+            withTs.where(col("media_id") < 192),
+            s"$base/corpus", s"$base/sigs", batchId = 0L)
+          val stored = graft.streaming.ViewMaintenance.readView(spark, s"$base/sigs")
+          println(s"[probe] video_corpus stored distinct sigs=${stored.count()} " +
+            s"(1536 = fully distinct footage)")
+          spark.read.parquet(s"$base/corpus").count()
+        }
+        time("video_corpus/batch1-64dup-64new") {
+          graft.streaming.CorpusPipeline.mergeVideoCorpusBatch(spark,
+            withTs.where(col("media_id") >= 128)
+              .withColumn("media_id", col("media_id") + 1000L),
+            s"$base/corpus", s"$base/sigs", batchId = 1L)
+          val c = spark.read.parquet(s"$base/corpus")
+          val dropped = c.where(col("reason") === "near_dup_store").count()
+          println(s"[probe] video_corpus batch1 near_dup_store drops=$dropped (expect 64)")
+          c.count()
+        }
+        noisy.unpersist()
+      }
       media.unpersist()
     }
     // r9: audio fingerprint + near-dup envelope — 2048 clips of 2s PCM16

@@ -162,18 +162,42 @@ object CorpusPipeline {
     * no-ops are inherited. A re-encoded copy (different bytes, same
     * footage) hits on most frames; exact copies on all.
     */
+  private def sigChunks(df: DataFrame, sigCol: String): DataFrame =
+    df.select(col("*"), explode(array((0 until 8).map { c =>
+      concat_ws(":", lit(c), shiftright(col(sigCol), c * 8).bitwiseAND(lit(0xffL)))
+    }: _*)).as("chunk_key"))
+
   def videoStoreHits(sigs: DataFrame, seen: DataFrame,
                      maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
-    def chunks(df: DataFrame, sigCol: String): DataFrame =
-      df.select(col("*"), explode(array((0 until 8).map { c =>
-        concat_ws(":", lit(c), shiftright(col(sigCol), c * 8).bitwiseAND(lit(0xffL)))
-      }: _*)).as("chunk_key"))
-    chunks(sigs.select(col("media_id"), col("dhash")), "dhash")
-      .join(chunks(seen.select(col("h")), "h"), "chunk_key")
+    sigChunks(sigs.select(col("media_id"), col("dhash")), "dhash")
+      .join(sigChunks(seen.select(col("h")), "h"), "chunk_key")
       .where(bit_count(col("dhash").bitwiseXOR(col("h"))) <= maxHamming)
       .select("media_id", "dhash").distinct() // one vote per batch frame
       .groupBy("media_id").agg(count(lit(1)).as("hit_frames"))
+  }
+
+  /** Within-batch near-dup pairs over an already-computed sig frame —
+    * [[graft.multimodal.BinaryPipeline.videoNearDupPairs]]'s join without
+    * its second full decode pass (the merge batch already holds the
+    * sigs); votes are DISTINCT earlier-video sigs (the store gate's
+    * convention — a repeated still counts once, same pigeonhole
+    * soundness).
+    */
+  def videoBatchDupPairs(sigs: DataFrame, maxHamming: Int = 6,
+                         minShared: Int = 2): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit pigeonhole is sound up to hamming 7")
+    val ch = sigChunks(sigs.select(col("media_id"), col("dhash")), "dhash")
+    ch.as("a")
+      .join(ch.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.dhash").as("da"))
+      .distinct() // one vote per (pair, earlier-video sig)
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("shared_sigs"))
+      .where(col("shared_sigs") >= minShared)
   }
 
   /** One micro-batch of the video corpus pipeline (exactly-once by
@@ -190,8 +214,8 @@ object CorpusPipeline {
     *   - `near_dup_store` — ≥ `minShared` distinct frames near-match the
     *     corpus HISTORY's frame sigs
     *   - `near_dup_batch` — later id of a within-batch near-dup pair
-    *     ([[graft.multimodal.BinaryPipeline.videoNearDupPairs]]; keep-min,
-    *     the Dedup.exact rule)
+    *     ([[videoBatchDupPairs]] over the batch's already-computed sigs —
+    *     no second decode pass; keep-min, the Dedup.exact rule)
     *   - `ok`, keep=true  — lands in the corpus, its frame sigs fold into
     *     the store (only KEPT videos feed the store: a dropped dup must
     *     not extend the history it was judged against)
@@ -213,10 +237,10 @@ object CorpusPipeline {
     val undecodable = vids.select("media_id")
       .join(sigs.select("media_id").distinct(), Seq("media_id"), "left_anti")
       .select(col("media_id"), lit("undecodable").as("_r"))
-    val survivors = vids
-      .join(storeDups.unionByName(undecodable), Seq("media_id"), "left_anti")
-    val batchDups = BinaryPipeline
-      .videoNearDupPairs(survivors, every, maxHamming, minShared)
+    val survSigs = sigs
+      .join(vids.join(storeDups.unionByName(undecodable), Seq("media_id"), "left_anti")
+        .select("media_id"), Seq("media_id"), "left_semi")
+    val batchDups = videoBatchDupPairs(survSigs, maxHamming, minShared)
       .select(col("media_b").as("media_id")).distinct()
       .select(col("media_id"), lit("near_dup_batch").as("_r"))
     val verdicts = storeDups.unionByName(undecodable).unionByName(batchDups)
