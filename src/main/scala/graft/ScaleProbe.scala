@@ -554,6 +554,23 @@ object ScaleProbe {
           .reduce(_ unionAll _)
         graft.operators.Ann.standardizeEmbeddings(big).count()
       }
+      // r9: embedding drift — two snapshot scans collapse map-side to
+      // (group, dim, n, Σxq) partial aggs; join + rollup on
+      // |groups|·|dims| rows, never vectors
+      time("embedding_drift/20k-vectors-8grp") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val big = (0 until 4).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 5000L)))
+          .reduce(_ unionAll _)
+          .select(col("vec_id"), col("embedding"), (col("vec_id") % 8).as("src"))
+        graft.operators.Ann.embeddingDrift(
+          big.where(col("vec_id") % 2 === 0),
+          big.where(col("vec_id") % 2 === 1), "src").count()
+      }
+      // r9: lexical diversity — ONE (source, term) partial-agg count
+      // over the 500k-doc corpus + a vocabulary-row rollup
+      time("lexical_diversity/500k-docs")(
+        TextMetrics.lexicalDiversity(bigDocs).count())
     }
     // JPEG decode throughput through the raster front door (pure-JVM
     // Huffman + IDCT kernel): 2048 distinct 256×256 baseline JPEGs, the
