@@ -229,4 +229,59 @@ class PropertySpec extends SparkSpec {
     assert(fps(0L).toSet.intersect(fps(1L).toSet).nonEmpty)
     assert(fps(0L).toSet.intersect(fps(2L).toSet).isEmpty)
   }
+
+  test("embeddingDrift laws on random snapshots: self-drift 0, lower bound vs any dim, null one-sided") {
+    val rng = new scala.util.Random(91)
+    val rows = (0 until 200).map { i =>
+      (s"g${i % 5}", Array.fill(8)(rng.nextDouble() * 4.0 - 2.0))
+    }
+    val df = rows.toDF("src", "embedding")
+    // identical snapshots drift exactly 0 in every group — the quantized
+    // sums cancel term-for-term, no float luck involved
+    val self = graft.operators.Ann.embeddingDrift(df, df, "src")
+      .as[(String, Option[Long], Option[Long], Option[Double], Option[Long])].collect()
+    assert(self.length == 5 && self.forall(_._4.contains(0.0)))
+    // against a driver-side brute mean-shift: equal within quantization
+    // (1/2^20 per component => < 3e-5 on the L2 over 8 dims)
+    val rng2 = new scala.util.Random(17)
+    val rowsB = (0 until 150).map { i =>
+      (s"g${i % 5}", Array.fill(8)(rng2.nextDouble() * 4.0 - 2.0))
+    }
+    val dfB = rowsB.toDF("src", "embedding")
+    val got = graft.operators.Ann.embeddingDrift(df, dfB, "src")
+      .as[(String, Option[Long], Option[Long], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r._4.get).toMap
+    def mean(vs: Seq[Array[Double]]): Array[Double] =
+      vs.transpose.map(c => c.sum / c.size).toArray
+    (0 until 5).foreach { g =>
+      val a = mean(rows.filter(_._1 == s"g$g").map(_._2))
+      val b = mean(rowsB.filter(_._1 == s"g$g").map(_._2))
+      val brute = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(got(s"g$g") - brute) < 3e-5,
+        s"g$g: got ${got(s"g$g")} brute $brute")
+    }
+  }
+
+  test("lexicalDiversity invariants on random corpora: hapax <= types <= tokens, ratios in range") {
+    val rng = new scala.util.Random(23)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      (i.toLong, List.fill(1 + rng.nextInt(50))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "), s"s${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val got = graft.operators.TextMetrics.lexicalDiversity(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (src, tok, typ, hap, ttr, hr) =>
+      assert(hap <= typ && typ <= tok, s"$src ordering")
+      assert(ttr > 0.0 && ttr <= 1.0, s"$src ttr $ttr")
+      assert(hr >= 0.0 && hr <= 1.0, s"$src hapax ratio $hr")
+      // cross-check against a driver-side count
+      val toks = docs.where(col("source") === src)
+        .as[(Long, String, String)].collect()
+        .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      assert(tok == toks.length && typ == toks.distinct.length &&
+        hap == toks.groupBy(identity).count(_._2.length == 1), s"$src counts")
+    }
+  }
 }
