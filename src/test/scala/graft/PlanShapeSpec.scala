@@ -250,4 +250,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("graph_ann node-store build: hashed vec_ids, never a global window") {
+    // the r9 verdict finding: row_number().over(Window.orderBy("node"))
+    // was a single-task sort over the whole node registry in the
+    // store-build path; the hashed-id spelling must stay window-free
+    import spark.implicits._
+    val exploded = Seq(("a", 0, 0.1), ("a", 1, 0.2), ("b", 0, 0.3), ("b", 1, 0.4))
+      .toDF("node", "dim", "value")
+    val plan = SparkEntry.graphAnnNodes(exploded).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"graph_ann node build regrew a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"graph_ann node build collapsed to one partition:\n$plan")
+    // ids are unique, non-negative, and the embedding assembles in dim order
+    val rows = SparkEntry.graphAnnNodes(exploded)
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._2)
+    assert(rows.map(_._1).distinct.length == 2)
+    assert(rows.forall(_._1 >= 0L), s"vec_id must be non-negative: ${rows.toSeq}")
+    assert(rows.map(r => r._3.map(v => math.round(v * 10f))).toSeq ==
+      Seq(Seq(1, 2), Seq(3, 4)))
+  }
+
 }

@@ -56,4 +56,17 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.hybridSearch(docs.limit(0), emb.limit(0),
       Seq("spark"), 0L).count() == 0)
   }
+
+  test("served hybrid == ad-hoc hybrid on the sf0.001 corpus (both index legs)") {
+    // the q_hybrid_search_served contract: BM25-from-index + full-probe
+    // IVF-from-index fuse to EXACTLY the ad-hoc legs' RRF result
+    val sf = "/root/testdata/sf0.001"
+    val adhoc = SparkEntry.queries("q_hybrid_search")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("q_hybrid_search_served")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(adhoc.nonEmpty, "hybrid result must be non-empty at sf0.001")
+    assert(served == adhoc,
+      s"served hybrid diverged from the ad-hoc twin:\n$served\nvs\n$adhoc")
+  }
 }
