@@ -685,6 +685,37 @@ object ScaleProbe {
           .where(col("real_decode")).count())
       media.unpersist()
     }
+    // r10: drift-gated IVF maintenance at 10x — the append (quiet) arm vs
+    // the retrain+rebuild (alarmed) arm on the 10x embedding corpus, so
+    // the rebuild's one-time cost is a labeled number next to the append
+    // it replaces only under drift
+    if (args.contains("ivf_drift")) {
+      def bigEmb = spark.read.parquet(s"$big/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfdrift").toString + "/idx"
+      val n = bigEmb.count()
+      time(s"ivf_drift/build-${n}vec") {
+        Ann.buildIvfIndex(bigEmb, dir, numCentroids = 16, numQueries = 0)
+        graft.sources.ParquetCompactor.read(spark, s"$dir/lists").count()
+      }
+      // quiet batch: the same corpus distribution under fresh ids
+      val quiet = bigEmb.withColumn("vec_id", col("vec_id") + lit(10L * n))
+      time("ivf_drift/append-quiet") {
+        val act = Ann.maintainIvfIndexWithDrift(quiet, dir, batchId = 1L, tau = 0.5)
+        println(s"[probe] ivf_drift quiet action=$act (expect appended)")
+        graft.sources.ParquetCompactor.read(spark, s"$dir/lists").count()
+      }
+      // drifted batch: every component shifted far past tau
+      val drifted = bigEmb
+        .withColumn("vec_id", col("vec_id") + lit(20L * n))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(5.0f)))
+      time("ivf_drift/rebuild-drifted") {
+        val act = Ann.maintainIvfIndexWithDrift(drifted, dir, batchId = 2L, tau = 0.5)
+        println(s"[probe] ivf_drift drifted action=$act (expect rebuilt)")
+        graft.sources.ParquetCompactor.read(spark,
+          s"${graft.sources.ParquetCompactor.currentDir(spark, dir)}/lists").count()
+      }
+    }
     // PNG decode throughput through the same front door (Inflater +
     // per-row unfilter kernel): 2048 distinct 256² RGB PNGs, the same
     // checker content — lossless, so real_decode implies exact pixels

@@ -26,7 +26,11 @@ object SparkEntry {
     * both reproduce it exactly: same BM25 scores, same full-probe dense
     * ranking, same RRF fold.
     */
-  private val HybridOracleSql: String =
+  /** The two ranked legs (bmr: BM25 rank rk_a; dr: dense-cosine rank
+    * rk_b) as a shared CTE prefix — the hybrid RRF oracle and the
+    * ranking-agreement oracle both consume exactly these rankings.
+    */
+  private val HybridLegsCte: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT count(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tot FROM docs),
         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
@@ -60,13 +64,37 @@ object SparkEntry {
         |          / (q.nrm * b.nrm), 12) AS cosine
         |       FROM base b, q),
         |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk_b
-        |       FROM sc QUALIFY rk_b <= 20)
+        |       FROM sc QUALIFY rk_b <= 20)""".stripMargin
+
+  private val HybridOracleSql: String = HybridLegsCte +
+    """
         |SELECT doc_id, rk_a, rk_b,
         | CAST(COALESCE(CAST(round(1.0/(60 + rk_a), 12) AS DECIMAL(16,12)), 0)
         |    + COALESCE(CAST(round(1.0/(60 + rk_b), 12) AS DECIMAL(16,12)), 0)
         |   AS DOUBLE) AS rrf
         |FROM bmr FULL OUTER JOIN dr USING (doc_id)
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Ranking-agreement oracle over the SAME two legs. */
+  private val RetrievalAgreementOracleSql: String = HybridLegsCte +
+    """,
+        |fj AS (SELECT rk_a, rk_b FROM bmr FULL OUTER JOIN dr USING (doc_id)),
+        |ag AS (SELECT count(rk_a) AS n_a, count(rk_b) AS n_b,
+        |   count(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL THEN 1 END) AS n_overlap,
+        |   CAST(sum(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |            THEN abs(rk_a - rk_b) END) AS BIGINT) AS footrule,
+        |   min(CASE WHEN rk_a = 1 THEN rk_b END) AS rank_in_b_of_a_top1
+        | FROM fj)
+        |SELECT CAST(20 AS BIGINT) AS k, n_a, n_b, n_overlap,
+        | CASE WHEN n_a + n_b - n_overlap > 0
+        |      THEN round(CAST(n_overlap AS DOUBLE) / (n_a + n_b - n_overlap), 12)
+        | END AS jaccard,
+        | footrule,
+        | CASE WHEN n_overlap > 0
+        |      THEN round(CAST(footrule AS DOUBLE) / n_overlap, 12)
+        | END AS mean_rank_shift,
+        | rank_in_b_of_a_top1
+        |FROM ag""".stripMargin
 
   /** Shared BM25 oracle — `q_bm25` (one-shot) and `q_bm25_index` (served
     * from the posting-list store) must both reproduce it exactly.
@@ -1574,6 +1602,15 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) =>
       Retrieval.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
         Seq("dup", "spark", "merge"), queryVecId = 0L, legK = 20)),
+    // ranking-agreement diagnostics between the SAME two legs the hybrid
+    // fuses: overlap/jaccard of the top-20 sets, Spearman's footrule +
+    // mean rank shift on the shared docs, and where the dense leg puts
+    // the lexical winner — the "how complementary are my legs" report a
+    // hybrid deployment watches
+    "q_retrieval_agreement" -> ((s, d) =>
+      Retrieval.rankingAgreement(
+        Retrieval.bm25Leg(Tables.documents(s, d), Seq("dup", "spark", "merge"), 20),
+        Retrieval.denseLeg(Tables.embeddings(s, d), 0L, 20), k = 20)),
     // the production-shaped hybrid: BOTH legs served from write-once
     // stores — BM25 from the inverted index (32g2), the dense leg from
     // the stored IVF index (29c) at FULL probe width (nprobe =
@@ -4737,6 +4774,7 @@ object SparkEntry {
     // 1/(60+rank) decimal protocol as the operator
     "q_hybrid_search" -> HybridOracleSql,
     "q_hybrid_search_served" -> HybridOracleSql,
+    "q_retrieval_agreement" -> RetrievalAgreementOracleSql,
     // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
     // construction) — the one oracle covers both spellings independently
     "q_bm25_index" -> Bm25OracleSql,

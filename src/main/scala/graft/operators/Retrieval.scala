@@ -82,6 +82,52 @@ object Retrieval {
       .select(col("nid").as("doc_id"), col("rk"))
   }
 
+  /** RANKING-AGREEMENT diagnostics between two top-k rankings — the
+    * retrieval-evaluation report a hybrid deployment watches: how
+    * complementary are the lexical and dense legs (low overlap ⇒ fusion
+    * adds recall; high overlap ⇒ one leg suffices), and how far do the
+    * shared docs move between them. One row:
+    *   - `n_a`/`n_b`: docs in each leg's top-k (≤ k)
+    *   - `n_overlap`, `jaccard`: set agreement of the two top-k sets
+    *   - `footrule`: Σ |rk_a − rk_b| over the overlap — Spearman's
+    *     footrule distance, EXACT integer (the standard rank-displacement
+    *     measure; 0 = identical ordering on the shared docs)
+    *   - `mean_rank_shift`: footrule / n_overlap (round 12)
+    *   - `rank_in_b_of_a_top1`: where leg B puts leg A's best doc (NULL
+    *     when absent from B's top-k — the "would dense alone have found
+    *     the lexical winner" probe)
+    * Both inputs are ≤k-row leg artifacts (the [[rrfFuse]] contract), so
+    * the join and the single agg are driver-trivial at any corpus size;
+    * the heavy lifting stays inside the legs. Deterministic and fully
+    * oracle-checkable for deterministic legs (exact integer ranks in,
+    * exact counts/sums out; the two ratios are single IEEE divisions
+    * rounded 12 dp).
+    */
+  def rankingAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k < 1: $k")
+    val fa = a.where(col("rk") <= k).select(col("doc_id"), col("rk").as("rk_a"))
+    val fb = b.where(col("rk") <= k).select(col("doc_id"), col("rk").as("rk_b"))
+    val both = col("rk_a").isNotNull && col("rk_b").isNotNull
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .agg(
+        count(col("rk_a")).as("n_a"),
+        count(col("rk_b")).as("n_b"),
+        count(when(both, lit(1))).as("n_overlap"),
+        sum(when(both, abs(col("rk_a") - col("rk_b")))).as("footrule"),
+        min(when(col("rk_a") === 1, col("rk_b"))).as("rank_in_b_of_a_top1"))
+      .select(
+        lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_overlap"),
+        when(col("n_a") + col("n_b") - col("n_overlap") > 0,
+          round(col("n_overlap").cast("double") /
+            (col("n_a") + col("n_b") - col("n_overlap")).cast("double"), 12))
+          .as("jaccard"),
+        col("footrule"),
+        when(col("n_overlap") > 0,
+          round(col("footrule").cast("double") / col("n_overlap").cast("double"), 12))
+          .as("mean_rank_shift"),
+        col("rank_in_b_of_a_top1"))
+  }
+
   /** The composed hybrid query: BM25(terms) ⊕ cosine(query vector), RRF'd.
     * doc_id and vec_id share the corpus id space (the embeddings table IS
     * the documents' dense representation).

@@ -56,7 +56,10 @@ class EmptyInputSpec extends SparkSpec {
         // 1-row fingerprint: (0, "0") IS the empty corpus's checksum
         "q_dataset_checksum",
         // 4-row stage census: all stages at 0/0 IS the empty-corpus funnel
-        "q_curation_funnel")
+        "q_curation_funnel",
+        // 1-row agreement report: zero counts + null ratios IS the
+        // empty-legs answer (the q_correlation report convention)
+        "q_retrieval_agreement")
       if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }

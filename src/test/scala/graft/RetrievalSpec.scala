@@ -57,6 +57,36 @@ class RetrievalSpec extends SparkSpec {
       Seq("spark"), 0L).count() == 0)
   }
 
+  test("rankingAgreement: hand-computed overlap/footrule; one-leg and empty edges") {
+    // A: 10@1 20@2 30@3 ; B: 20@1 40@2 10@3 — overlap {10, 20},
+    // footrule = |1−3| + |2−1| = 3, A's top-1 (10) sits at B rank 3
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rk")
+    val b = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("doc_id", "rk")
+    val r = Retrieval.rankingAgreement(a, b, k = 3).collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_overlap") == 2L)
+    assert(r.getAs[Double]("jaccard") == r12(2.0 / 4.0))
+    assert(r.getAs[Long]("footrule") == 3L)
+    assert(r.getAs[Double]("mean_rank_shift") == r12(1.5))
+    assert(r.getAs[Long]("rank_in_b_of_a_top1") == 3L)
+    // k cuts BOTH legs before comparing
+    val r2 = Retrieval.rankingAgreement(a, b, k = 2).collect().head
+    assert(r2.getAs[Long]("n_overlap") == 1L) // only 20 survives both top-2
+    assert(r2.getAs[Long]("footrule") == 1L)
+    assert(r2.isNullAt(r2.fieldIndex("rank_in_b_of_a_top1"))) // 10 fell out of B
+    // disjoint legs: zero overlap → null footrule ratio, jaccard 0
+    val d = Retrieval.rankingAgreement(a,
+      Seq((77L, 1L)).toDF("doc_id", "rk"), k = 3).collect().head
+    assert(d.getAs[Long]("n_overlap") == 0L)
+    assert(d.getAs[Double]("jaccard") == 0.0)
+    assert(d.isNullAt(d.fieldIndex("mean_rank_shift")))
+    // both legs empty: the 1-row report with zero counts and null ratios
+    val e = Retrieval.rankingAgreement(a.limit(0), b.limit(0), k = 3).collect().head
+    assert(e.getAs[Long]("n_a") == 0L && e.getAs[Long]("n_overlap") == 0L)
+    assert(e.isNullAt(e.fieldIndex("jaccard")))
+  }
+
   test("served hybrid == ad-hoc hybrid on the sf0.001 corpus (both index legs)") {
     // the q_hybrid_search_served contract: BM25-from-index + full-probe
     // IVF-from-index fuse to EXACTLY the ad-hoc legs' RRF result
