@@ -574,6 +574,22 @@ object CorpusPipeline {
       }
       .start()
 
+  /** Per-(batch, reason) YIELD AUDIT over an audited append-only corpus
+    * store — the live twin of [[graft.operators.TextMetrics.curationFunnel]]
+    * for the streaming pipelines (17b/e/f/h all write verdict ROWS by
+    * contract, so the funnel is a query, not extra state): items and kept
+    * counts per micro-batch per drop reason, the "what did batch N cost
+    * me and why" report an operator reads after every incident. One scan
+    * of the store partition-pruned nowhere (it's an audit), one partial
+    * agg; output is |batches|·|reasons| rows.
+    */
+  def corpusAudit(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(corpusDir)
+      .groupBy(col("b").as("batch_id"), col("reason"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("keep").cast("long")).as("kept"))
+      .orderBy("batch_id", "reason")
+
   /** Drive curate→dedup into an append-mode parquet corpus store. */
   def start(docs: DataFrame, corpusDir: String, checkpointDir: String,
             watermarkDelay: String = "1 hour"): StreamingQuery =

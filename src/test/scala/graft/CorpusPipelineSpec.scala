@@ -323,6 +323,14 @@ class CorpusPipelineSpec extends SparkSpec {
         Media(5L, "image", i5, ts("2024-01-01 10:30:02"))).toDF(),
       corpusDir, storeDir, batchId = 1L)
     assert(corpus() == got)
+    // the yield audit reads straight off the verdict rows: per-batch
+    // per-reason counts, kept only under "ok"
+    val audit = CorpusPipeline.corpusAudit(spark, corpusDir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(audit == Set(
+      (0L, "ok", 1L, 1L), (0L, "undecodable", 1L, 0L),
+      (1L, "near_dup_store", 1L, 0L), (1L, "near_dup_batch", 1L, 0L),
+      (1L, "ok", 1L, 1L)))
   }
 
   test("audio corpus stream: requantized cross-batch copies drop by window print, replay no-ops") {

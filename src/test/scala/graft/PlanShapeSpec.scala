@@ -250,6 +250,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("r10 retrieval keys: legs end in bounded top-k artifacts") {
+    // the agreement report must inherit the legs' bounded shapes: the
+    // BM25 leg ends in a TakeOrderedAndProject (orderBy+limit over the
+    // score), the dense leg in the bounded-heap TopKAgg — the final
+    // full-outer join and agg then run on ≤2k rows whatever the corpus
+    val agree = planOf("q_retrieval_agreement")
+    assert(agree.contains("TakeOrderedAndProject"),
+      s"bm25 leg lost its bounded top-k:\n$agree")
+    // the only nested-loop joins are the two 1-row broadcast probes
+    // (dense query vector, BM25 stats row) — never a corpus cartesian
+    assert("CartesianProduct".r.findAllIn(agree).isEmpty,
+      s"agreement plan grew a cartesian:\n$agree")
+    val served = planOf("q_hybrid_search_served")
+    assert("CartesianProduct".r.findAllIn(served).isEmpty,
+      s"served hybrid plan grew a cartesian:\n$served")
+  }
+
   test("graph_ann node-store build: hashed vec_ids, never a global window") {
     // the r9 verdict finding: row_number().over(Window.orderBy("node"))
     // was a single-task sort over the whole node registry in the
