@@ -1577,6 +1577,14 @@ object SparkEntry {
     // asymmetric n-gram containment pairs (partial copies / quotes the
     // symmetric Jaccard family misses)
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    // pair-set agreement between the two exact near-dup detectors (the
+    // dedup side of q_retrieval_agreement): how much of the symmetric
+    // Jaccard signal does asymmetric containment capture and vice versa
+    // — both legs are the EXISTING oracle-checked operators, so the
+    // report is fully oracle-checkable
+    "q_dedup_signal_overlap" -> ((s, d) => Dedup.pairSetMetrics(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d)),
+      Dedup.containmentPairs(Tables.documents(s, d)))),
     // entity-resolution near-dup part names: brand-blocked candidates,
     // exact levenshtein verification
     "q_entity_pairs" -> ((s, d) =>
@@ -4690,6 +4698,55 @@ object SparkEntry {
     // containment: the oracle runs the UNCAPPED inverted-gram brute force
     // over the same 56-bit md5 gram keys (the operator's dfCap must be
     // vacuous on the gate — demo max df is single-digit)
+    // the agreement report re-derives BOTH pair sets with the two legs'
+    // own oracle spellings (the q_ngram_jaccard w/s CTEs + the
+    // q_containment base/g/sz/pc CTEs compose into one WITH)
+    "q_dedup_signal_overlap" ->
+      """WITH w AS (
+        | SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |       ELSE list_distinct(list_transform(range(len(words) - 2),
+        |            i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) END AS sh
+        | FROM w),
+        |ja AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+        |base AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |       ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))::BIGINT AS g
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM base WHERE len(toks) >= 3) z),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |       FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |co AS (
+        | SELECT doc_a, doc_b
+        | FROM pc JOIN sz sa ON pc.doc_a = sa.doc_id
+        |  JOIN sz sb ON pc.doc_b = sb.doc_id
+        | WHERE round(CAST(shared AS DOUBLE) / sa.sz, 12) >= 0.5
+        |    OR round(CAST(shared AS DOUBLE) / sb.sz, 12) >= 0.5),
+        |fj AS (SELECT COALESCE(ja.doc_a, co.doc_a) AS doc_a,
+        |        ja.doc_a AS a_a, co.doc_a AS c_a
+        |       FROM ja FULL OUTER JOIN co
+        |         ON ja.doc_a = co.doc_a AND ja.doc_b = co.doc_b),
+        |ag AS (SELECT count(a_a) AS n_a, count(c_a) AS n_b,
+        |        count(CASE WHEN a_a IS NOT NULL AND c_a IS NOT NULL THEN 1 END) AS n_common
+        |       FROM fj)
+        |SELECT n_a, n_b, n_common,
+        | CASE WHEN n_a + n_b - n_common > 0
+        |      THEN round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 12)
+        | END AS jaccard,
+        | CASE WHEN n_a > 0 THEN round(CAST(n_common AS DOUBLE) / n_a, 12) END AS share_a_in_b,
+        | CASE WHEN n_b > 0 THEN round(CAST(n_common AS DOUBLE) / n_b, 12) END AS share_b_in_a
+        |FROM ag""".stripMargin,
     "q_containment" ->
       """WITH base AS (SELECT doc_id,
         |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -777,6 +777,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PAIR-SET AGREEMENT metrics between two near-dup pair lists — the
+    * dedup side of [[Retrieval.rankingAgreement]]'s evaluation story: how
+    * much of detector A's signal does detector B capture (and vice
+    * versa), the question a curation team answers before swapping a
+    * cheaper detector in or tightening a threshold. One row:
+    * `n_a`/`n_b`/`n_common` exact pair counts, set-level `jaccard`, and
+    * the two directional shares `share_a_in_b` = n_common/n_a ("B's
+    * recall of A's pairs") / `share_b_in_a` (NULL over empty
+    * denominators — the one-sided rule). Inputs are (doc_a, doc_b) pair
+    * frames in the family's doc_a < doc_b orientation; duplicates are
+    * collapsed before counting.
+    *
+    * Scale shape: one full-outer join + partial-agg counts over pair
+    * KEYS only (16 bytes/row) — the pair lists themselves are already
+    * bounded by their operators' candidate valves; no text, no vectors,
+    * no driver loop.
+    */
+  def pairSetMetrics(a: DataFrame, b: DataFrame): DataFrame = {
+    val fa = a.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_a", lit(1))
+    val fb = b.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_b", lit(1))
+    fa.join(fb, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("in_a")).as("n_a"),
+        count(col("in_b")).as("n_b"),
+        count(when(col("in_a").isNotNull && col("in_b").isNotNull, lit(1)))
+          .as("n_common"))
+      .select(
+        col("n_a"), col("n_b"), col("n_common"),
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"), 12))
+          .as("jaccard"),
+        when(col("n_a") > 0,
+          round(col("n_common").cast("double") / col("n_a").cast("double"), 12))
+          .as("share_a_in_b"),
+        when(col("n_b") > 0,
+          round(col("n_common").cast("double") / col("n_b").cast("double"), 12))
+          .as("share_b_in_a"))
+  }
+
   /** CANONICAL-document selection per near-dup cluster — the "which copy do
     * we keep" decision that turns [[dupClusters]]'s labeling into an
     * actionable keep/drop list. The canonical member is the cluster's

@@ -428,4 +428,27 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.canonicalDocs(docs.limit(0),
       clusters.limit(0)).count() == 0)
   }
+
+  test("pairSetMetrics: hand-computed agreement; duplicate pairs collapse; empty edges") {
+    import graft.operators.Dedup
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A = {(1,2),(1,3),(2,3)}, B = {(1,2),(4,5)} → common {(1,2)}
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)) // dup row collapses
+      .toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val m = Dedup.pairSetMetrics(a, b).collect().head
+    assert(m.getAs[Long]("n_a") == 3L && m.getAs[Long]("n_b") == 2L)
+    assert(m.getAs[Long]("n_common") == 1L)
+    assert(m.getAs[Double]("jaccard") == r12(1.0 / 4.0))
+    assert(m.getAs[Double]("share_a_in_b") == r12(1.0 / 3.0))
+    assert(m.getAs[Double]("share_b_in_a") == r12(0.5))
+    // one empty side: directional share NULL over the empty denominator
+    val e = Dedup.pairSetMetrics(a, b.limit(0)).collect().head
+    assert(e.getAs[Long]("n_b") == 0L && e.getAs[Long]("n_common") == 0L)
+    assert(e.getAs[Double]("jaccard") == 0.0)
+    assert(e.isNullAt(e.fieldIndex("share_b_in_a")))
+    // both empty: the 1-row zero report with all-null ratios
+    val z = Dedup.pairSetMetrics(a.limit(0), b.limit(0)).collect().head
+    assert(z.getAs[Long]("n_a") == 0L && z.isNullAt(z.fieldIndex("jaccard")))
+  }
 }

@@ -59,7 +59,7 @@ class EmptyInputSpec extends SparkSpec {
         "q_curation_funnel",
         // 1-row agreement report: zero counts + null ratios IS the
         // empty-legs answer (the q_correlation report convention)
-        "q_retrieval_agreement")
+        "q_retrieval_agreement", "q_dedup_signal_overlap")
       if (!globalAggs.contains(name))
         assert(n == 0L, s"$name returned $n rows on empty input")
     }
