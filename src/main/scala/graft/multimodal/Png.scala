@@ -66,6 +66,14 @@ private[multimodal] object Png {
           sawIhdr = true
           val ww = u32(dataOff); val hh = u32(dataOff + 4)
           if (ww < 1 || hh < 1 || ww > (1 << 20) || hh > (1 << 20)) return None
+          // total-pixel budget in LONG math before any allocation: the
+          // per-axis caps alone admit 2^40 px, and h*(stride+1) / w*h*3
+          // overflow Int or force multi-GB arrays from a 25-byte header —
+          // OutOfMemoryError is an Error, so the decodePng catch-Exception
+          // quarantine would NOT absorb it (memory-DoS on hostile corpora).
+          // 2^26 px (64 Mpx ≈ 340 MB raw at RGBA) bounds the worst cell at
+          // a sane executor-task budget; larger images quarantine.
+          if (ww * hh > (1L << 26)) return None
           w = ww.toInt; h = hh.toInt
           bitDepth = payload(dataOff + 8) & 0xff
           colorType = payload(dataOff + 9) & 0xff

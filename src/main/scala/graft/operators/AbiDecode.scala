@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic ABI event decoder — the topic0-keyed schema registry that
+  * generalizes [[ReceiptClassifier]]'s hard-wired head decodes (the
+  * reference reaches the same capability through per-event Nethereum DTOs:
+  * `ABIs/GnosisSafeABI.cs:1` + the typed `Event<T>.DecodeAllEvents` calls in
+  * `DetailExtractors/TransactionClassifier.cs:243`). A user registers
+  * `AbiEvent(name, topic0, params)` rows and gets typed columns for ANY
+  * contract's events, under the same guarded-decode discipline as the
+  * hard-wired extractors: hostile words (wrong length, non-hex, out of
+  * range) decode to NULL, never to a wrong value and never to an ANSI
+  * raise — one bad on-chain word must not kill a 100 TB scan.
+  *
+  * Static head types only (the reference's own extractors decode exactly
+  * these): address, uint (small → long, 256 → decimal string), bool,
+  * bytes32. Dynamic types (string/bytes tails) are deliberately out of
+  * scope — the only reference decode needing one is execTransaction's
+  * calldata, which [[ReceiptClassifier.extractSafeEthTransfers]] covers.
+  *
+  * Scale shape: ONE pass — posexplode(logs) then a single chained-CASE
+  * projection across the whole registry (no per-event rescan, no union, no
+  * shuffle); every kernel is a codegen'd expression ([[graft.functions
+  * .HexUtils]] natives or string ops). The output is map-only from the
+  * scan, so predicate pushdown on `hash`/receipt columns survives.
+  */
+object AbiDecode {
+
+  sealed trait AbiType
+  /** 20-byte address (indexed topic or data word) → lowercased 0x-hex. */
+  case object AddressT extends AbiType
+  /** uint256 → decimal STRING (BigInteger.ToString semantics, the
+    * reference's Postgres `value text`); null above the 16^31 guard of
+    * [[ReceiptClassifier.hexDecimalString]]. */
+  case object Uint256T extends AbiType
+  /** Small uint (≤ 2^60: limits, op codes, timestamps) → LONG via the
+    * guarded [[ReceiptClassifier.hexLong]] kernel. */
+  case object UintSmallT extends AbiType
+  /** ABI bool: strict 0/1 word → boolean, anything else null. */
+  case object BoolT extends AbiType
+  /** Raw 32-byte word → lowercased 0x-hex (hashes, ids). */
+  case object Bytes32T extends AbiType
+
+  case class AbiParam(name: String, tpe: AbiType, indexed: Boolean)
+
+  case class AbiEvent(name: String, topic0: String, params: Seq[AbiParam]) {
+    require(params.count(_.indexed) <= 3, s"$name: ABI allows at most 3 indexed params")
+    require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
+    /** Expected topics arity: topic0 + one topic per indexed param. */
+    def arity: Int = 1 + params.count(_.indexed)
+  }
+
+  // Settings.cs:47-66 events, as registry rows — the built-in vocabulary
+  // (a caller can pass any registry; these cover the reference's ABI set)
+  val Erc20Transfer: AbiEvent = AbiEvent("Transfer", ReceiptClassifier.TransferTopic, Seq(
+    AbiParam("from", AddressT, indexed = true),
+    AbiParam("to", AddressT, indexed = true),
+    AbiParam("value", Uint256T, indexed = false)))
+  val CrcTrust: AbiEvent = AbiEvent("Trust", ReceiptClassifier.CrcTrustTopic, Seq(
+    AbiParam("can_send_to", AddressT, indexed = true),
+    AbiParam("user", AddressT, indexed = true),
+    AbiParam("limit", Uint256T, indexed = false)))
+  val CrcSignup: AbiEvent = AbiEvent("Signup", ReceiptClassifier.CrcSignupTopic, Seq(
+    AbiParam("user", AddressT, indexed = true),
+    AbiParam("token", AddressT, indexed = false)))
+  val CrcOrgSignup: AbiEvent = AbiEvent("OrganizationSignup",
+    ReceiptClassifier.CrcOrgSignupTopic, Seq(
+      AbiParam("organization", AddressT, indexed = true)))
+  val CrcHubTransfer: AbiEvent = AbiEvent("HubTransfer",
+    ReceiptClassifier.CrcHubTransferTopic, Seq(
+      AbiParam("from", AddressT, indexed = true),
+      AbiParam("to", AddressT, indexed = true),
+      AbiParam("amount", Uint256T, indexed = false)))
+  val ExecutionSuccess: AbiEvent = AbiEvent("ExecutionSuccess",
+    ReceiptClassifier.ExecutionSuccessTopic, Seq(
+      AbiParam("tx_hash", Bytes32T, indexed = false),
+      AbiParam("payment", Uint256T, indexed = false)))
+
+  val CirclesRegistry: Seq[AbiEvent] =
+    Seq(Erc20Transfer, CrcTrust, CrcSignup, CrcOrgSignup, CrcHubTransfer)
+
+  /** j-th 32-byte data word as a bare 64-char hex string; null when the
+    * data is too short (hostile/truncated payload — totality, not a wrong
+    * partial word). */
+  private def dataWord(data: Column, j: Int): Column = {
+    val d = when(data.startsWith("0x"), substring(data, 3, 1000000)).otherwise(data)
+    val w = substring(d, j * 64 + 1, 64)
+    when(length(w) === 64, w)
+  }
+
+  /** i-th indexed topic (1-based after topic0) as a bare 64-char word;
+    * null on a malformed topic. */
+  private def topicWord(topics: Column, i: Int): Column = {
+    val t = element_at(topics, i + 2) // 1-based; +1 to skip topic0
+    when(t.startsWith("0x") && length(t) === 66, substring(t, 3, 64))
+  }
+
+  /** Decode one 64-char word (already null when malformed/short) to the
+    * param's type. Every arm is total: null in → null out, junk → null. */
+  private def decodeWord(w: Column, tpe: AbiType): Column = tpe match {
+    case AddressT => lower(concat(lit("0x"), substring(w, 25, 40)))
+    case Uint256T => ReceiptClassifier.hexDecimalString(w)
+    case UintSmallT => ReceiptClassifier.hexLong(w)
+    case BoolT =>
+      val v = ReceiptClassifier.hexLong(w)
+      when(v === 0L, lit(false)).when(v === 1L, lit(true))
+        .otherwise(lit(null).cast("boolean"))
+    case Bytes32T => lower(concat(lit("0x"), w))
+  }
+
+  private def paramWord(log: Column, ev: AbiEvent, p: AbiParam): Column =
+    if (p.indexed)
+      topicWord(log.getField("topics"), ev.params.filter(_.indexed).indexWhere(_.name == p.name))
+    else
+      dataWord(log.getField("data"), ev.params.filterNot(_.indexed).indexWhere(_.name == p.name))
+
+  private def matches(log: Column, ev: AbiEvent): Column =
+    element_at(log.getField("topics"), 1) === ev.topic0 &&
+      size(log.getField("topics")) === ev.arity
+
+  /** WIDE decode of one event: one row per matching log with one TYPED
+    * column per param (+ hash, log_index, emitter). The per-event twin of
+    * the reference's `DecodeAllEvents<T>` — compose with joins/views like
+    * any detail frame.
+    */
+  def decodeEvent(txs: DataFrame, ev: AbiEvent): DataFrame =
+    txs.select(col("hash"), posexplode(col("logs")).as(Seq("log_index", "log")))
+      .where(matches(col("log"), ev))
+      .select(Seq(col("hash"), col("log_index").cast("long").as("log_index"),
+        lower(col("log.address")).as("emitter")) ++
+        ev.params.map(p => decodeWord(paramWord(col("log"), ev, p), p.tpe).as(p.name)): _*)
+
+  /** LONG-format decode of a whole registry in ONE pass: (hash, log_index,
+    * emitter, event, param, value), values rendered as strings (addresses/
+    * bytes as 0x-hex, uints as decimal digits, bools as true/false, failed
+    * decodes as null). Unregistered logs drop; a registered topic0 with the
+    * WRONG topics arity also drops (the reference's typed decode would
+    * throw there — in a corpus-scale decode, arity-hostile logs are
+    * quarantined by omission, countable via [[decodeCoverage]]).
+    */
+  def decodeEvents(txs: DataFrame, registry: Seq[AbiEvent] = CirclesRegistry): DataFrame = {
+    require(registry.nonEmpty, "empty ABI registry")
+    require(registry.map(_.name).distinct.size == registry.size, "duplicate event names")
+    val log = col("log")
+    val eventName = registry.map(ev => (matches(log, ev), lit(ev.name)))
+      .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
+        when(cond, name).otherwise(acc) }
+    val paramsMap = registry.map { ev =>
+      (matches(log, ev), map(ev.params.flatMap(p => Seq(
+        lit(p.name),
+        decodeWord(paramWord(log, ev, p), p.tpe).cast("string"))): _*))
+    }.foldLeft(lit(null).cast("map<string,string>")) { case (acc, (cond, m)) =>
+      when(cond, m).otherwise(acc) }
+    txs.select(col("hash"), posexplode(col("logs")).as(Seq("log_index", "log")))
+      .select(col("hash"), col("log_index").cast("long").as("log_index"),
+        lower(col("log.address")).as("emitter"),
+        eventName.as("event"), paramsMap.as("params"))
+      .where(col("event").isNotNull)
+      .select(col("hash"), col("log_index"), col("emitter"), col("event"),
+        explode(col("params")).as(Seq("param", "value")))
+      .orderBy("hash", "log_index", "param")
+  }
+
+  /** Registry coverage report: per topic0, how many logs matched a
+    * registered event vs carried a registered topic0 at the WRONG arity vs
+    * are entirely unregistered — the "is my registry complete / is the
+    * chain emitting malformed shapes" audit. One partial-agg shuffle over
+    * ≤|distinct topic0| keys.
+    */
+  def decodeCoverage(txs: DataFrame, registry: Seq[AbiEvent] = CirclesRegistry): DataFrame = {
+    val log = col("log")
+    val known = registry.map(ev => (matches(log, ev), lit(ev.name)))
+      .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
+        when(cond, name).otherwise(acc) }
+    val topicOnly = registry.map(ev =>
+        (element_at(log.getField("topics"), 1) === ev.topic0, lit(ev.name)))
+      .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
+        when(cond, name).otherwise(acc) }
+    txs.select(posexplode(col("logs")).as(Seq("log_index", "log")))
+      .select(element_at(col("log.topics"), 1).as("topic0"),
+        known.isNotNull.as("decoded"), topicOnly.isNotNull.as("registered"))
+      .groupBy("topic0")
+      .agg(count(lit(1)).as("n_logs"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("registered") && !col("decoded"), 1L).otherwise(0L))
+          .as("n_arity_mismatch"))
+      .orderBy("topic0")
+  }
+}

@@ -306,12 +306,19 @@ object Ann {
     * list side never shuffles; the only exchange in the whole query is
     * rankTopK's partial-agged k·queries rows.
     */
-  private def scoreProbed(lists: DataFrame, probes: DataFrame, k: Int): DataFrame =
+  private def scoreProbed(lists: DataFrame, probes: DataFrame, k: Int,
+                          excludeSelf: Boolean = false): DataFrame = {
+    val joined = lists.join(broadcast(probes), "cid")
+    // self-exclusion happens BEFORE scoring and ranking: when queries live
+    // in the index, ranking first and filtering after can drop the self-hit
+    // outside top-k under cosine ties (>= k neighbors tied at 1.0 with
+    // smaller ids), silently yielding k instead of k-1 true neighbors
+    val cand = if (excludeSelf) joined.where(col("qid") =!= col("nid")) else joined
     rankTopK(
-      lists.join(broadcast(probes), "cid")
-        .select(col("qid"), col("nid"),
-          round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine")),
+      cand.select(col("qid"), col("nid"),
+        round(dotDecimal(col("qe"), col("ne")).cast("double") / (col("qn") * col("nn")), 12).as("cosine")),
       k)
+  }
 
   def ivfTopK(embeddings: DataFrame, numCentroids: Int = 16, nprobe: Int = 4,
               numQueries: Int = 5, k: Int = 5, kmeansIters: Int = 0): DataFrame = {
@@ -511,12 +518,22 @@ object Ann {
       graft.sources.ParquetCompactor.writeMarker(spark, ivfFoldMarker(out),
         batchId + 1)
       graft.sources.ParquetCompactor.flipPointer(spark, dir, out)
-      // superseded root is unreachable from the pointer now; GC unless it
-      // is the original live dir (the compact() GC rule)
+      // DEFERRED GC: the just-superseded root is unreachable from the
+      // pointer but may still be mid-scan by a reader that resolved it
+      // before the flip (ivfTopKFromIndex resolves once, then opens
+      // centroids + lists lazily) — deleting it now can fail that reader
+      // mid-query. Retain ONE superseded generation and GC the one
+      // before it (any reader of gen N-2 has had a full rebuild cycle to
+      // finish); `dir` itself is never deleted (the compact() GC rule).
+      // Single-writer assumption: concurrent maintainers would race the
+      // pointer CAS and this GC — serialize maintenance per index root.
       if (root != dir) {
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val prevGen = root.substring(root.lastIndexOf("-g") + 2).toLong - 1L
+        if (prevGen >= 1L) {
+          val stale = new org.apache.hadoop.fs.Path(s"$dir-g$prevGen")
+          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(stale)) fs.delete(stale, true)
+        }
       }
       "rebuilt"
     }
@@ -546,7 +563,8 @@ object Ann {
     * probed partitions); candidates then score against the broadcast probe
     * set exactly like the inline path.
     */
-  def ivfTopKFromIndex(queries: DataFrame, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+  def ivfTopKFromIndex(queries: DataFrame, dir: String, nprobe: Int = 4, k: Int = 5,
+                       excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     // the index ROOT itself resolves through a generation pointer first:
     // a drift-triggered retrain ([[maintainIvfIndexWithDrift]]) rebuilds
@@ -570,7 +588,7 @@ object Ann {
     // compacted store resolves to the original dir)
     val lists = graft.sources.ParquetCompactor.read(spark, s"$root/lists")
       .where(col("cid").isin(probedCids.toIndexedSeq: _*))
-    scoreProbed(lists, probes, k)
+    scoreProbed(lists, probes, k, excludeSelf)
   }
 
   /** Random-hyperplane sign-bit bucket key — the readable Column-expression

@@ -378,6 +378,79 @@ object CirclesViews {
         col("balance"), col("last_change_at"))
   }
 
+  /** crc_capacity_graph v1 (0.0.64.sql:815) — the ORIGINAL catalog
+    * capacity view, ported faithfully beside [[capacityGraph2]]/
+    * [[capacityGraph3]] (the reference keeps all three; the pathfinder
+    * reads `_2`, but v1 is still a granted catalog object). Its CTE chain
+    * differs from `_2` in four observable ways, all preserved here:
+    * receiver registration is REQUIRED (accepted_tokens inner-joins
+    * crc_all_signups on the receiver, so edges to unregistered addresses
+    * drop), holder balances filter strictly positive (`> 0`, not `>= 0`)
+    * with the 0x0/0x1 sink addresses excluded, max_transferable_amount is
+    * UNCONDITIONALLY owner_balance·limit/100 (no org/own-token arm — that
+    * special case lives only in the final capacity CASE, where it returns
+    * the holder's full balance), and there is no `- 1` safety margin; the
+    * `zero` arm (receiver already holds more of the token than the owner
+    * can transfer) zeroes the edge, else capacity clamps at the holder's
+    * balance. Emits the view's own column set (token_holder, token,
+    * token_owner, balance, can_send_to, can_send_to_is_orga, capacity).
+    *
+    * Join shape at 100 TB: identical to `_2` — trust/signup registries
+    * broadcast; `balances` is the one fact frame, touched once as the
+    * holder leg (edges broadcast onto it) and twice by (address, token)
+    * lookup legs (owner's own balance, receiver's balance), both
+    * registry-×-token sized and pre-bucketable by address.
+    */
+  def capacityGraph1(balances: DataFrame, trust: DataFrame, signups: DataFrame): DataFrame = {
+    val bal = ownedBalances(balances, signups)
+      .select(col("safe_address"), col("token"), col("balance"))
+    val owners = signups.where(col("token").isNotNull)
+      .select(col("token").as("user_token"), col("user"))
+    val receiverReg = signups.select(col("user").as("can_send_to"),
+      col("token").as("receivers_own_token"))
+    // accepted_tokens: trust edges with limit > 0, decorated with the
+    // trusted user's token and the RECEIVER's registry row (inner join —
+    // v1 drops edges to unregistered receivers; orgs are null-token rows)
+    val accepted = trust.where(col("limit") > 0)
+      .join(broadcast(owners), Seq("user"))
+      .join(broadcast(receiverReg), Seq("can_send_to"))
+      .select(col("user_token").as("token"), col("user").as("token_owner"),
+        col("can_send_to"), col("receivers_own_token"),
+        col("receivers_own_token").isNull.as("can_send_to_is_orga"),
+        col("limit"))
+    // total_holdings: who holds a positive balance of an accepted token
+    val holdings = bal
+      .where(col("balance") > 0 &&
+        col("safe_address") =!= "0x0000000000000000000000000000000000000000" &&
+        col("safe_address") =!= "0x0000000000000000000000000000000000000001")
+      .select(col("safe_address").as("token_holder"), col("token"),
+        col("balance"))
+      .join(broadcast(accepted), Seq("token"))
+      .where(col("token_holder") =!= col("can_send_to"))
+    // owner-balance and receiver-balance lookup legs, both (address, token)
+    val ownerBal = bal.select(col("safe_address").as("token_owner"),
+      col("token"), col("balance").as("owner_bal"))
+    val recvBal = bal.select(col("safe_address").as("can_send_to"),
+      col("token"), col("balance").as("recv_bal"))
+    val d = holdings
+      .join(ownerBal, Seq("token_owner", "token"), "left")
+      .join(recvBal, Seq("can_send_to", "token"), "left")
+    val mta = coalesce(col("owner_bal"), lit(0.0d)) * col("limit") / lit(100.0d)
+    val rtb = coalesce(col("recv_bal"), lit(0.0d))
+    val scaled = rtb * (lit(100L) - col("limit")) / lit(100.0d)
+    val maxCap = mta - scaled
+    val zero = rtb > 0 && mta < rtb
+    val actual = when(maxCap < col("balance"), maxCap).otherwise(col("balance"))
+    // is_receivers_own_token is three-valued exactly as the catalog's
+    // equality: NULL for org receivers, where the OR's other arm is true
+    val isOwnToken = col("receivers_own_token") === col("token")
+    d.select(col("token_holder"), col("token"), col("token_owner"),
+        col("balance"), col("can_send_to"), col("can_send_to_is_orga"),
+        when(isOwnToken || col("can_send_to_is_orga"), col("balance"))
+          .otherwise(when(zero, lit(0.0d)).otherwise(actual)).as("capacity"))
+      .orderBy("token_holder", "token", "can_send_to")
+  }
+
   /** crc_capacity_graph_2 (0.0.64.sql:945) — the REAL transfer-capacity
     * formula the Circles pathfinder consumes, successor of the simple
     * balance·limit/100 `_1` form above. Per (holder, receiver, token

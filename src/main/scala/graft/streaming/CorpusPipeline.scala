@@ -200,9 +200,13 @@ object CorpusPipeline {
     val l2q = dnums.map(d => d * d).reduce(_ + _)
     // argmax |dnum| with smaller-dim tie-break == the batch
     // max_by(dim, struct(abs(dnum), -dim)): lexicographic struct greatest
-    val top = greatest(dnums.zipWithIndex.map { case (d, i) =>
+    val topStructs = dnums.zipWithIndex.map { case (d, i) =>
       struct(abs(d).as("a"), lit(-i).as("nd"), lit(i.toLong).as("dim"))
-    }: _*).getField("dim")
+    }
+    // greatest() analysis-fails below 2 args — dim=1 (legal per the
+    // require) has a trivially unique argmax, so take it directly
+    val top = (if (topStructs.sizeIs >= 2) greatest(topStructs: _*)
+               else topStructs.head).getField("dim")
     val bothSides = nOld.isNotNull && col("n_new").isNotNull
     counts.select(col("source"), col("window.start").as("window_start"),
       nOld.as("n_old"), col("n_new"),

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.AbiDecode
+import graft.operators.AbiDecode._
+import graft.operators.ReceiptClassifier._
+import org.apache.spark.sql.functions._
+
+/** The generic topic0-keyed ABI decoder: typed decode correctness against
+  * hand-built receipts, and TOTALITY under hostile on-chain words — every
+  * malformed shape must yield null (or drop), never a wrong value and
+  * never an ANSI raise.
+  */
+class AbiDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hub = DefaultHubAddress
+  private val user = "0xde374ece6fa50e781e81aac78e811b33d16912c4"
+  private val other = "0xaaaa74ece6fa50e781e81aac78e811b33d1691aa"
+  private val token = "0x1111111111111111111111111111111111111111"
+  private def word(addr: String) = "0x" + "0" * 24 + addr.drop(2)
+  private def uintHex(v: Long) = "0x" + f"$v%064x"
+
+  private def txOf(logs: Log*) =
+    Seq(Tx("0xabc", user, other, "0", "0x", logs)).toDS.toDF
+
+  test("decodeEvent: typed wide decode of a Transfer log") {
+    val t = txOf(
+      Log(token, Seq(TransferTopic, word(user), word(other)), uintHex(1234)),
+      // unregistered-shape log rides along and is ignored
+      Log(hub, Seq(ExecutionSuccessTopic), "0x"))
+    val r = AbiDecode.decodeEvent(t, Erc20Transfer).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("log_index") == 0L)
+    assert(row.getAs[String]("emitter") == token)
+    assert(row.getAs[String]("from") == user)
+    assert(row.getAs[String]("to") == other)
+    assert(row.getAs[String]("value") == "1234")
+  }
+
+  test("decodeEvent: small-uint, bool, bytes32 arms decode typed") {
+    val ev = AbiEvent("Custom", "0x" + "ab" * 32, Seq(
+      AbiParam("id", Bytes32T, indexed = true),
+      AbiParam("n", UintSmallT, indexed = false),
+      AbiParam("flag", BoolT, indexed = false)))
+    val idWord = "11" * 32
+    val t = txOf(Log(token, Seq("0x" + "ab" * 32, "0x" + idWord),
+      uintHex(42) + f"${1L}%064x"))
+    val row = AbiDecode.decodeEvent(t, ev).collect().head
+    assert(row.getAs[String]("id") == "0x" + idWord)
+    assert(row.getAs[Long]("n") == 42L)
+    assert(row.getAs[Boolean]("flag"))
+    // bool word 2 is NOT a bool (strict ABI): null, not true
+    val t2 = txOf(Log(token, Seq("0x" + "ab" * 32, "0x" + idWord),
+      uintHex(42) + f"${2L}%064x"))
+    assert(AbiDecode.decodeEvent(t2, ev).select("flag").collect().head.isNullAt(0))
+  }
+
+  test("hostile words: every malformed shape nulls (or drops), never raises") {
+    val hostile = Seq(
+      // short data: value word truncated → value null
+      Tx("0x1", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(user), word(other)), "0xdeadbeef"))),
+      // non-hex garbage in the data word → null (guarded kernels)
+      Tx("0x2", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(user), word(other)), "0x" + "zz" * 32))),
+      // uint256 above the 16^31 decode guard → null, not a wrong number
+      Tx("0x3", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(user), word(other)), "0x" + "f" * 64))),
+      // malformed topic word (wrong length) → that param null
+      Tx("0x4", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, "0x1234", word(other)), uintHex(5)))),
+      // arity mismatch on a registered topic0 → the row DROPS
+      Tx("0x5", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(user)), uintHex(5)))),
+      // empty logs array → nothing
+      Tx("0x6", user, other, "0", "0x", Seq.empty))
+    val out = AbiDecode.decodeEvents(hostile.toDS.toDF, CirclesRegistry)
+      .collect().map(r => (r.getAs[String]("hash"), r.getAs[String]("param"),
+        Option(r.getAs[String]("value"))))
+    val byHash = out.groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    assert(byHash("0x1")("value").isEmpty, "short data → null value")
+    assert(byHash("0x1")("from").contains(user), "good topics still decode")
+    assert(byHash("0x2")("value").isEmpty, "non-hex data → null")
+    assert(byHash("0x3")("value").isEmpty, "over-guard uint256 → null")
+    assert(byHash("0x4")("from").isEmpty, "malformed topic → null param")
+    assert(byHash("0x4")("to").contains(other))
+    assert(!byHash.contains("0x5"), "arity-hostile log drops")
+    assert(!byHash.contains("0x6"))
+  }
+
+  test("decodeEvents long format agrees with the wide per-event decode") {
+    val t = txOf(
+      Log(hub, Seq(CrcTrustTopic, word(other), word(user)), uintHex(55)),
+      Log(token, Seq(TransferTopic, word(user), word(other)), uintHex(9)))
+    val long = AbiDecode.decodeEvents(t)
+      .select("event", "param", "value").as[(String, String, String)].collect().toSet
+    assert(long == Set(
+      ("Trust", "can_send_to", other), ("Trust", "user", user),
+      ("Trust", "limit", "55"),
+      ("Transfer", "from", user), ("Transfer", "to", other),
+      ("Transfer", "value", "9")))
+    // log_index is the position in the receipt's array
+    val idx = AbiDecode.decodeEvents(t).select("event", "log_index")
+      .distinct().as[(String, Long)].collect().toMap
+    assert(idx == Map("Trust" -> 0L, "Transfer" -> 1L))
+  }
+
+  test("decodeCoverage: decoded / arity-mismatch / unregistered accounting") {
+    val t = Seq(
+      Tx("0x1", user, other, "0", "0x", Seq(
+        Log(token, Seq(TransferTopic, word(user), word(other)), uintHex(1)),
+        Log(token, Seq(TransferTopic, word(user)), uintHex(2)), // arity-hostile
+        Log(hub, Seq(ExecutionSuccessTopic), "0x")))            // unregistered
+    ).toDS.toDF
+    val r = AbiDecode.decodeCoverage(t, CirclesRegistry)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(TransferTopic) == ((2L, 1L, 1L)))
+    assert(r(ExecutionSuccessTopic) == ((1L, 0L, 0L)))
+  }
+
+  test("registry validation: duplicate names and >3 indexed params reject") {
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x00", Seq(
+        AbiParam("a", AddressT, indexed = true), AbiParam("a", AddressT, indexed = false)))
+    }
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x00", (1 to 4).map(i => AbiParam(s"p$i", AddressT, indexed = true)))
+    }
+    intercept[IllegalArgumentException] {
+      AbiDecode.decodeEvents(txOf(), Seq.empty)
+    }
+  }
+}

@@ -380,6 +380,48 @@ class AnnSpec extends SparkSpec {
     // empty batches never touch the store
     assert(Ann.maintainIvfIndexWithDrift(mk(0 until 0, 0f), dir,
       batchId = 3L, tau = 1.0) == "empty")
+    // DEFERRED GC: a second rebuild retains the JUST-superseded root (an
+    // in-flight reader that resolved it before the flip must finish its
+    // scan); the generation BEFORE it is the one GC'd — verified across a
+    // third rebuild
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a4 = Ann.maintainIvfIndexWithDrift(mk(300 until 340, 10f), dir,
+      batchId = 4L, tau = 1.0)
+    assert(a4 == "rebuilt")
+    val root3 = ParquetCompactor.currentDir(spark, dir)
+    assert(root3 != root2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root2)),
+      "just-superseded root must survive one generation for in-flight readers")
+    val a5 = Ann.maintainIvfIndexWithDrift(mk(400 until 440, 20f), dir,
+      batchId = 5L, tau = 1.0)
+    assert(a5 == "rebuilt")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root2)),
+      "generation N-2 is GC'd on the following rebuild")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root3)),
+      "generation N-1 is retained")
+  }
+
+  test("ivfTopKFromIndex excludeSelf: self filtered BEFORE ranking under cosine ties") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-self").toString + "/idx"
+    // 8 identical vectors: every pair ties at cosine 1.0, ties break on
+    // smaller nid — so query id 7's self-hit ranks LAST and a post-rank
+    // filter over k results would never drop it (the q_graph_ann defect:
+    // k+1-then-filter overshoots to k+1 neighbors when the self falls
+    // outside the top k)
+    val vecs = (0L until 8L).map(i => (i, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Ann.buildIvfIndex(vecs, dir, numCentroids = 1, numQueries = 0)
+    val q = vecs.where($"vec_id" === 7L)
+    val got = Ann.ivfTopKFromIndex(q, dir, nprobe = 1, k = 5, excludeSelf = true)
+      .select("nid", "rk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      s"expected the 5 smallest non-self ids, got ${got.mkString(",")}")
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "ranks re-number after the exclusion (1..k, not 2..k+1)")
+    // default keeps the legacy contract: self ranks among its ties
+    val raw = Ann.ivfTopKFromIndex(q, dir, nprobe = 1, k = 8)
+      .select("nid").as[Long].collect()
+    assert(raw.contains(7L))
   }
 
   private def semDocs = Seq(

@@ -442,6 +442,29 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(BinaryPipeline.decodePng(bos.toByteArray).isEmpty, "palette quarantines")
   }
 
+  test("decodePng: total-pixel budget quarantines hostile huge-dimension headers") {
+    // a 25-byte IHDR claiming 1048576×450 RGBA would force a ~1.9 GB raw
+    // allocation (and Int overflow in h*(stride+1)) before any pixel data
+    // exists — OutOfMemoryError is an Error, NOT caught by the
+    // catch-Exception quarantine, so the budget must reject at the header
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+      be32(data.length.toLong) ++ typ.getBytes("US-ASCII") ++ data ++ be32(0L)
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    def hostile(w: Long, h: Long): Array[Byte] =
+      sig ++ chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+        chunk("IDAT", Array[Byte](0)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(BinaryPipeline.decodePng(hostile(1L << 20, 450L)).isEmpty,
+      "450 Mpx RGBA quarantines at the header, before allocation")
+    assert(BinaryPipeline.decodePng(hostile(1L << 20, 1L << 20)).isEmpty,
+      "per-axis-cap-passing 2^40 px quarantines")
+    // within-budget dimensions pass the gate (and then quarantine on the
+    // garbage stream instead — proving the gate itself is the boundary)
+    assert(BinaryPipeline.decodePng(hostile(256L, 256L)).isEmpty)
+  }
+
   test("decodePng: dhash equals the lossless PPM twin; pairs with the JPEG re-encode") {
     import spark.implicits._
     val w = 64; val h = 48

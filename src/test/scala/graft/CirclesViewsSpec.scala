@@ -145,6 +145,41 @@ class CirclesViewsSpec extends SparkSpec {
       g(("bob", "eve", "carol"))._8.isEmpty)
   }
 
+  test("capacityGraph1: original catalog arms — registration gate, zero arm, clamp") {
+    // v1 takes ONE unified registry (orgs = null-token rows) and requires
+    // the receiver to be registered; frank exists to exercise the regular
+    // and clamp-at-balance arms (no tokC holdings, 100-limit edge)
+    val v1Signups = capSignups.unionByName(
+      Seq(("0xo1", "org1", null.asInstanceOf[String]), ("0xs4", "frank", "tokF"))
+        .toDF("hash", "user", "token"))
+    val v1Trusts = capTrusts.unionByName(
+      Seq(("0xh6", "carol", "frank", 100L)).toDF("hash", "user", "can_send_to", "limit"))
+    val g = CirclesViews.capacityGraph1(
+        CirclesViews.balancesBySafeAndToken(capTransfers),
+        CirclesViews.currentTrust(v1Trusts), v1Signups)
+      .as[(String, String, String, Double, String, Boolean, Double)].collect().toSet
+    assert(g == Set(
+      // zero arm: alice's own tokA balance is −120 → mta −60 < bob's held
+      // 20 (> 0) → capacity 0 (not negative, not clamped)
+      ("carol", "tokA", "alice", 100.0, "bob", false, 0.0),
+      // org receivers take the holder's full balance
+      ("bob", "tokB", "bob", 120.0, "org1", true, 120.0),
+      ("alice", "tokB", "bob", 80.0, "org1", true, 80.0),
+      // own-token receiver takes the holder's full balance
+      ("bob", "tokC", "carol", 40.0, "carol", false, 40.0),
+      // regular arm: carol's own tokC = 10, limit 100 → mta 10; frank holds
+      // none → maxCap 10 < bob's 40 → 10
+      ("bob", "tokC", "carol", 40.0, "frank", false, 10.0),
+      // clamp at the holder's balance: maxCap 10 is NOT < carol's 10 → 10
+      ("carol", "tokC", "carol", 10.0, "frank", false, 10.0)))
+    // v1 differences vs _2: unregistered receivers (eve) drop entirely,
+    // limit-0 edges drop (strict > 0), self pairs and non-positive-balance
+    // holders never appear
+    assert(!g.exists(_._5 == "eve"))
+    assert(!g.exists(r => r._1 == r._5))
+    assert(g.forall(_._4 > 0))
+  }
+
   test("capacityChangesSince: provenance OR filter, null provenance = unchanged") {
     // 0xh5 (the eve edges' trust hash) deliberately has NO block row →
     // null trust provenance, which the reference's null comparison treats

@@ -188,6 +188,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s9._1.isEmpty && s9._3.isEmpty && s9._4.isEmpty && s9._2 == 1L)
   }
 
+  case class EmbDoc1(doc_id: Long, source: String, embedding: Seq[Float],
+                     ingest_ts: Timestamp)
+
+  test("embeddingDriftStats: dim=1 analyzes and runs (greatest() needs two args)") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(("s0", Seq(1.0f)), ("s0", Seq(1.2f))).toDF("source", "embedding")
+    val mem = MemoryStream[EmbDoc1]
+    // the dim=1 argmax is trivially dim 0 — the regression was an
+    // ANALYSIS-time failure (greatest() rejects a single argument), so
+    // starting + draining the stream is the essential assertion
+    val q = CorpusPipeline.embeddingDriftStats(mem.toDF(), reference, dim = 1)
+      .writeStream.format("memory").queryName("edrift1").outputMode("complete").start()
+    mem.addData(EmbDoc1(1L, "s0", Seq(-1.0f), ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("edrift1")
+      .select("source", "shift_l2", "top_shift_dim")
+      .as[(String, Option[Double], Option[Long])].collect()
+    assert(got.length == 1)
+    assert(got.head._2.exists(_ > 0.5), s"1-dim shift must register: ${got.head}")
+    assert(got.head._3.contains(0L), "argmax over one dim is dim 0")
+  }
+
   test("video corpus stream: real MJPEG AVIs curate, near-dups drop by frame dHash, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.ViewMaintenance
