@@ -1337,8 +1337,13 @@ object SparkEntry {
     // the 100 TB form (8-byte shuffle key): same answer as q_dedup_exact,
     // recorded in the per-round gate rather than only in DedupSpec
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactByHash(Tables.documents(s, d))),
-    "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
-    "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
+    // round 11: both keys re-keyed to the EXACT cross-engine editions
+    // (md5-56 grams/words, affine-mod signatures) so the DuckDB oracle
+    // re-derives every signature — upgraded from rows-only to hash-match.
+    // The xxhash64 natives stay the scale path (DedupSpec parity-pins the
+    // two spellings on planted near-dups).
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashLshExact(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedupExact(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
       // filter on the RAW jaccard (operator semantics), round for output
@@ -1954,7 +1959,75 @@ object SparkEntry {
         |FROM g WHERE "from" <> "to"
         |ORDER BY "from", "to", token_owner""".stripMargin
 
+  /** GENERATED oracle for q_dedup_minhash (the q_trust_rank_weighted
+    * unrolled-CTE precedent): embeds the SAME affine-mix coefficients as
+    * [[operators.Dedup.minhashLshExact]], signatures in HUGEINT (the
+    * decimal(38,0) twin of the Spark side), md5-56 3-gram keys.
+    */
+  private lazy val minhashExactSql: String = {
+    val coeffs = operators.Dedup.minhashExactCoeffs(16)
+    val p = operators.Dedup.MinhashExactP
+    val sigExprs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"CAST(MIN((g::HUGEINT * $a + $b) % $p) AS BIGINT) AS s$j"
+    }.mkString(",\n ")
+    val bands = (0 until 8).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, s${2 * bnd} AS x, s${2 * bnd + 1} AS y FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH base AS (SELECT doc_id,
+       |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |       FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |       ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))::BIGINT AS g
+       |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |            FROM base WHERE len(toks) >= 3) z),
+       |sig AS (SELECT doc_id,
+       | $sigExprs
+       | FROM g GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
+       |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |com AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |        FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+       |                    JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+       |        GROUP BY c.doc_a, c.doc_b),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |       round(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+       |             / (na.n + nb.n - COALESCE(m.n_common, 0)), 12) AS jaccard
+       |      FROM cand c JOIN n na ON na.doc_id = c.doc_a
+       |                  JOIN n nb ON nb.doc_id = c.doc_b
+       |                  LEFT JOIN com m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // exact cross-engine minhash/simhash (round 11): the oracle re-derives
+    // signatures from md5-56 keys — see minhashExactSql / the 56-bit
+    // frequency-weighted simhash twin below
+    "q_dedup_minhash" -> minhashExactSql,
+    "q_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, ('0x' || substring(md5(x), 1, 14))::BIGINT AS h
+        |           FROM (SELECT doc_id,
+        |                  unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS x
+        |                 FROM documents) t),
+        |bits AS (SELECT doc_id, b,
+        |          SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM w CROSS JOIN (SELECT unnest(generate_series(0, 55)) AS b) bb
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM bits GROUP BY doc_id),
+        |ch AS (SELECT doc_id, sig, c, (sig >> (c * 14)) & 16383 AS chunk
+        |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) cc),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.sig AS sa, b.sig AS sb
+        |         FROM ch a JOIN ch b
+        |           ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

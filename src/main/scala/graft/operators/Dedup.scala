@@ -164,6 +164,131 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- CROSS-ENGINE exact twins of the minhash/simhash detectors ---------
+  // Same algorithms, re-keyed on the md5-56 gram/word convention
+  // (TextMetrics.gramKeys / HashConv.md5Long56) so a SQL engine can
+  // re-derive every signature bit-for-bit — the noveltyScore/
+  // containmentPairs precedent, upgrading both driver keys from rows-only
+  // to hash-match. The xxhash64 natives above remain the hot/scale path
+  // (one fused kernel per row vs md5-per-gram); DedupSpec pins that both
+  // spellings recover the same planted near-dup pairs.
+
+  /** Deterministic affine-mix coefficients for [[minhashLshExact]] —
+    * splitmix64-derived, bounded to 31 bits so g·a + b stays well inside
+    * decimal(38,0)/HUGEINT on both engines. Public so the oracle-SQL
+    * generator embeds the SAME constants.
+    */
+  def minhashExactCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    (0 until numHashes).map { j =>
+      val a = (mix(2L * j) & 0x7fffffffL) | 1L // odd, 1..2^31-1
+      val b = mix(2L * j + 1) & 0x7fffffffL
+      (a, b)
+    }
+  }
+
+  /** Modulus for the exact minhash mix: 2^61 − 1 (Mersenne; any prime
+    * comfortably above the 56-bit gram keys works — both engines compute
+    * (g·a + b) % P exactly in 128-bit/decimal(38,0) intermediates).
+    */
+  val MinhashExactP: Long = (1L << 61) - 1
+
+  /** MinHash + LSH banding, EXACT cross-engine edition: distinct md5-56
+    * 3-gram keys per doc ([[TextMetrics.gramKeys]]), signature row j =
+    * min over grams of (g·a_j + b_j) mod P with [[minhashExactCoeffs]]
+    * literals, band keys over `rowsPerBand` consecutive rows, candidate
+    * pairs per band, exact-Jaccard verification on the gram SETS (count
+    * form: |∩| / (n_a + n_b − |∩|), round 12).
+    *
+    * Same shuffle discipline as [[minhashLsh]]: signatures are ONE
+    * partial agg over (doc_id, gram) longs; bands fan out docs×numBands
+    * 16-byte rows; verification joins gram keys back BY ID for candidate
+    * pairs only — text never shuffles, nothing is all-pairs. Docs under 3
+    * tokens carry no grams and never pair (vs [[minhashLsh]]'s whole-doc
+    * fallback shingle — documented divergence, irrelevant above tweet
+    * length).
+    */
+  def minhashLshExact(documents: DataFrame, numHashes: Int = 16,
+                      rowsPerBand: Int = 2,
+                      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val coeffs = minhashExactCoeffs(numHashes)
+    val grams = TextMetrics.gramKeys(documents, 3, Seq("doc_id"))
+      .localCheckpoint(true) // sigs + counts + two verification legs
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min((d38(col("g")) * lit(a) + lit(b)).mod(lit(MinhashExactP))
+        .cast("long")).as(s"s$j")
+    }
+    val sigs = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKey = (bnd: Int) => concat_ws(":",
+      lit(bnd) +: (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}")): _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until numBands).map(bandKey): _*)).as("band_key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 12)
+          .as("jaccard"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dedup, EXACT cross-engine edition: 56-bit signatures
+    * from md5-56 word hashes (duplicates keep their weight — the standard
+    * frequency-weighted simhash), pigeonhole-bucketed by the 4 14-bit
+    * chunks (hamming ≤ 3 ⟹ one chunk equal), verified on
+    * bit_count(xor). Signature construction is one partial agg of 56
+    * conditional sums per doc (codegen'd, no HOF tree) + a pack
+    * projection; same bounded-bucket join as [[simhashDedup]].
+    */
+  def simhashDedupExact(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val words = documents
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+      .select(col("doc_id"), graft.functions.HashConv.md5Long56(col("w")).as("h"))
+    val bitSums = (0 until 56).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    val sigs = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 56).map(b =>
+          shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
+          .reduce(_ + _).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        concat_ws(":", lit(c),
+          shiftright(col("sig"), c * 14).bitwiseAND(lit(0x3fffL)))
+      }: _*)).as("chunk_key"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_key") === col("b.chunk_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** n-gram Jaccard pair scoring within a blocking key (here: source).
     * Default threshold 0.02: low enough that the recorded run on driver
     * testdata emits a meaningful pair set (~21 pairs at sf0.01, vs 1 at

@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     assert(!r.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("exact cross-engine minhash/simhash: same planted verdicts as the xxhash64 natives") {
+    // the md5-56 editions behind q_dedup_minhash/q_dedup_simhash must
+    // recover the same planted near-dup structure as the native scale path
+    val mh = Dedup.minhashLshExact(docs, jaccardThreshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((0L, 3L)) && mh.contains((0L, 1L)))
+    assert(!mh.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(mh == Dedup.minhashLsh(docs, jaccardThreshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    // exact-dup pair carries jaccard exactly 1.0
+    val j = Dedup.minhashLshExact(docs).where($"doc_a" === 0L && $"doc_b" === 3L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+    val sh = Dedup.simhashDedupExact(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.exists(r => r._1 == 0L && r._2 == 3L && r._3 == 0)) // identical → 0
+    assert(!sh.exists(r => r._1 == 2L || r._2 == 2L))
+    // sub-3-token docs: no grams, no signature, no pairs — never a throw
+    val tiny = Seq((0L, "a b", "s0"), (1L, "a b", "s0")).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashLshExact(tiny).count() == 0)
+    // simhash still pairs them (word-level, no 3-gram minimum)
+    assert(Dedup.simhashDedupExact(tiny).count() == 1)
+  }
+
   test("simhash signature is deterministic and exactly 0 hamming for equal text") {
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
