@@ -899,6 +899,161 @@ object ScaleProbe {
         graft.multimodal.BinaryPipeline.audioNearDupPairs(clips).count())
       clips.unpersist()
     }
+    // ---- round-11 probes: the round-10 serve surface at 10x ---------------
+    // hybrid retrieval SERVED from stored indexes over the 10x corpus:
+    // each index build is the labeled ONE-TIME cost; the serve row is the
+    // steady-state read a deployment repeats per query
+    if (args.contains("hybrid_served")) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val base = java.nio.file.Files.createTempDirectory("graft-hs-probe").toString
+      time("hybrid_served/build-text-index-10x") {
+        TextIndex.buildTextIndex(bigDocs, s"$base/text")
+        1L
+      }
+      time("hybrid_served/build-ivf-10x") {
+        Ann.buildIvfIndex(bigEmb, s"$base/ivf", numCentroids = 16, numQueries = 1)
+        1L
+      }
+      time("hybrid_served/serve-rrf") {
+        val bmLeg = TextIndex.bm25FromIndex(spark, s"$base/text",
+            Seq("dup", "spark", "merge"), topK = 20)
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rk"))
+        val dLeg = Ann.ivfTopKFromIndex(
+            bigEmb.where(col("vec_id") === 0L), s"$base/ivf", nprobe = 16, k = 20)
+          .select(col("nid").as("doc_id"), col("rk"))
+        Retrieval.rrfFuse(bmLeg, dLeg).count()
+      }
+      time("retrieval_agreement/10x") {
+        Retrieval.rankingAgreement(
+          Retrieval.bm25Leg(bigDocs, Seq("dup", "spark", "merge"), 20),
+          Retrieval.denseLeg(bigEmb, 0L, 20), k = 20).count()
+      }
+    }
+    // near-dup detector PAIR-SET AGREEMENT at 10x: both exact detectors'
+    // pair lists + the agreement fold (the fold itself is pair-count-sized;
+    // the legs are the cost being measured — at 100 TB they are MAINTAINED
+    // artifacts, the fold reads them)
+    if (args.contains("pair_agreement")) {
+      time("pair_agreement/legs+fold-10x") {
+        val jac = Dedup.ngramJaccardPairs(bigDocs, 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val cont = Dedup.containmentPairs(bigDocs)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.pairSetMetrics(jac, cont).count()
+      }
+    }
+    // streaming IMAGE corpus store at 10x media volume: 1536 distinct
+    // textures fold into the store, then a 512-image batch offers 256
+    // byte-fresh RE-ENCODES of stored pixels (JPEG of stored PNG content —
+    // zero byte overlap, dHash carries the verdict) + 256 new textures
+    if (args.contains("image_corpus")) {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-ic-probe").toString
+      def texture(id: Long, size: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(size, size,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) {
+            // splitmix64-avalanched texture (the video_corpus lesson:
+            // structured gradients are dHash-degenerate)
+            var z = (x.toLong * 0x9E3779B97F4A7C15L) ^
+              (y.toLong * 0xC2B2AE3D27D4EB4FL) ^ ((id + 1) * 0x165667B19E3779F9L)
+            z ^= (z >>> 29); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 32)
+            val v = (z & 0xffL).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val media = spark.range(2048).as[Long].map { id =>
+        val texId = if (id >= 1536 && id < 1792) id - 1536 else id // re-encode band
+        val img = texture(texId, 128)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (id >= 1536 && id < 1792) bos.write(DevJpeg.encode(img, 0.9f, progressive = false))
+        else javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      }.toDF("media_id", "modality", "payload")
+        .withColumn("ingest_ts", to_timestamp(lit("2024-01-01 10:00:00")))
+        .persist()
+      media.count() // exclude encoding from the timing
+      time("image_corpus/batch0-1536png") {
+        graft.streaming.CorpusPipeline.mergeImageCorpusBatch(spark,
+          media.where(col("media_id") < 1536), s"$base/corpus", s"$base/sigs",
+          batchId = 0L)
+        spark.read.parquet(s"$base/corpus").count()
+      }
+      time("image_corpus/batch1-256reenc-256new") {
+        graft.streaming.CorpusPipeline.mergeImageCorpusBatch(spark,
+          media.where(col("media_id") >= 1536), s"$base/corpus", s"$base/sigs",
+          batchId = 1L)
+        val c = spark.read.parquet(s"$base/corpus")
+        val drops = c.where(col("reason") === "near_dup_store").count()
+        println(s"[probe] image_corpus batch1 near_dup_store drops=$drops (expect ~256)")
+        c.count()
+      }
+      media.unpersist()
+    }
+    // streaming AUDIO corpus store at 10x: 1536 distinct takes fold in,
+    // then a 512-clip batch offers ~205 PCM8 REQUANTIZATIONS of stored
+    // PCM16 takes (zero byte overlap; Haitsma-Kalker prints decide)
+    if (args.contains("audio_corpus")) {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-ac-probe").toString
+      val clips = spark.range(2048).as[Long].map { id =>
+        val rate = 8000
+        val n = rate * 2
+        val seed = (id % 1843).toInt
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val t = i.toDouble / rate
+          val env = 0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * (1.0 + (seed % 7) * 0.4) * t))
+          val x = env * (0.6 * math.sin(2 * math.Pi * (200 + seed * 3) * t) +
+            0.4 * math.sin(2 * math.Pi * (450 + seed * 5) * t))
+          s(i) = (0.8 * x * 32767).toShort
+          i += 1
+        }
+        val pcm8 = id >= 1843
+        val bytesPer = if (pcm8) 1 else 2
+        val bb = java.nio.ByteBuffer.allocate(44 + n * bytesPer)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * bytesPer)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(rate)
+          .putInt(rate * bytesPer).putShort(bytesPer.toShort)
+          .putShort((8 * bytesPer).toShort)
+          .put("data".getBytes("US-ASCII")).putInt(n * bytesPer)
+        s.foreach(v => if (pcm8) bb.put(((v / 256) + 128).toByte) else bb.putShort(v))
+        (id, "audio", bb.array())
+      }.toDF("media_id", "modality", "payload")
+        .withColumn("ingest_ts", to_timestamp(lit("2024-01-01 10:00:00")))
+        .persist()
+      clips.count() // exclude encoding from the timing
+      time("audio_corpus/batch0-1536wav") {
+        graft.streaming.CorpusPipeline.mergeAudioCorpusBatch(spark,
+          clips.where(col("media_id") < 1536), s"$base/corpus", s"$base/sigs",
+          batchId = 0L)
+        spark.read.parquet(s"$base/corpus").count()
+      }
+      time("audio_corpus/batch1-205requant") {
+        graft.streaming.CorpusPipeline.mergeAudioCorpusBatch(spark,
+          clips.where(col("media_id") >= 1536), s"$base/corpus", s"$base/sigs",
+          batchId = 1L)
+        val c = spark.read.parquet(s"$base/corpus")
+        val drops = c.where(col("reason") === "near_dup_store").count()
+        println(s"[probe] audio_corpus batch1 near_dup_store drops=$drops (expect ~205)")
+        c.count()
+      }
+      clips.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,322 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The live PUSH source — the reference's head-following ingest
+  * (`Sources/LiveSource.cs:1`: catch up to the persisted frontier, then
+  * subscribe to new-head pushes over a websocket), re-expressed as a
+  * DataSourceV2 micro-batch streaming source:
+  *
+  *   `spark.readStream.format("graft-live")
+  *        .option("host", h).option("port", p)
+  *        .option("subscribeFrom", lastImportedBlock + 1).load()`
+  *
+  * Transport: newline-delimited JSON over TCP. On connect the source sends
+  * ONE request line `{"subscribe": <fromBlock>}` — the catch-up contract
+  * (LiveSource.cs:32-57 polls old blocks until it reaches the head; here
+  * the server replays history ≥ fromBlock, then keeps pushing live — the
+  * same catch-up-then-subscribe arc over one transport). Server lines:
+  *
+  *   - event  `{"block":N,"event_id":i,"ts_us":µs,"user_id":u,
+  *              "event_type":"...","value":x,"n_in_block":k}` — one output
+  *     row; `n_in_block` is the block's declared total, which is exactly
+  *     what the complete-block-gated import
+  *     ([[graft.streaming.EventPipeline.importGatedBatch]]) groups on.
+  *   - head   `{"head":N}` — a block announcement with no rows (keeps the
+  *     idle timer alive, advances the known frontier).
+  *   - reorg  `{"reorg":N}` — the chain reorganized at block N; the stream
+  *     FAILS with [[LiveReorgException]] so the import round restarts
+  *     (Indexer.cs:195-204: a flagged reorg throws "the round needs to be
+  *     restarted", after broadcasting the magic hash).
+  *
+  * Contract checks, all from the reference:
+  *   - missed block — a pushed block must not skip past last+1
+  *     (LiveSource.cs:121-124 "The live source missed at least one
+  *     block"); first block after (re)connect is exempt, because the
+  *     server decides where its replay starts.
+  *   - idle timeout — no line for `idleTimeoutMs` fails the stream
+  *     (LiveSource.cs:75-84, 20 s default).
+  *   - repeated/old blocks are ADMITTED (downstream dedup owns
+  *     idempotency) but reported to [[graft.streaming.HealthState]], whose
+  *     25-deep ring raises the repeated-block warning
+  *     (Api/HealthService.cs:26-36).
+  *
+  * Like Spark's own socket source, the transport is not replayable, so
+  * this source is NOT fault-tolerant by itself: end-to-end exactly-once
+  * comes from the downstream contract (gated import anti-joins + feed
+  * dedup), and a restarted round uses a FRESH checkpoint with a new
+  * `subscribeFrom` — which is precisely the reference's model (every round
+  * re-creates its Akka source from the persisted frontier).
+  *
+  * Scale shape: the push feed is the chain head — human-scale row rates on
+  * a driver thread, exactly where the reference runs it. The heavy lifting
+  * (classify, gate, import) happens in the downstream distributed plan;
+  * rows leave the driver once per micro-batch as `numPartitions` splits.
+  */
+class LiveBlockSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-live"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LiveBlockSource.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LiveBlockTable(new CaseInsensitiveStringMap(properties))
+}
+
+object LiveBlockSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("block", LongType),
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("n_in_block", LongType)))
+
+  /** Health surfaces keyed by the `healthKey` option — the same registry
+    * the serving layer reads, so one prober sees source + import health.
+    */
+  private val healthRegistry = new TrieMap[String, graft.streaming.HealthState]
+  def healthFor(key: String): graft.streaming.HealthState =
+    healthRegistry.getOrElseUpdate(key, new graft.streaming.HealthState())
+  /** Binds an externally-owned state (e.g. the one a [[graft.streaming.HealthServer]]
+    * already serves) to a `healthKey`, so source and import report into the
+    * same surface.
+    */
+  def registerHealth(key: String, state: graft.streaming.HealthState): Unit =
+    healthRegistry.put(key, state)
+
+  /** Walks a failure's cause chain for the reorg signal (bounded — cause
+    * cycles exist in the wild). The import loop uses this to tell "restart
+    * the round at block N" from a genuine failure.
+    */
+  def reorgBlockOf(t: Throwable): Option[Long] = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case r: LiveReorgException => return Some(r.fromBlock)
+        case _ => cur = cur.getCause; depth += 1
+      }
+    }
+    None
+  }
+}
+
+/** The chain reorganized at `fromBlock`; the current import round must
+  * restart from there (after announcing the magic hash to subscribers).
+  */
+final class LiveReorgException(val fromBlock: Long)
+  extends RuntimeException(
+    s"A reorg occurred at block $fromBlock and the round needs to be restarted.")
+
+private[sources] final case class LiveRow(
+    block: Long, eventId: Long, tsUs: Long, userId: Long,
+    eventType: String, value: Double, props: String, nInBlock: Long)
+
+private[sources] class LiveBlockTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-live://${options.get("host")}:${options.get("port")}"
+  override def schema(): StructType = LiveBlockSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = LiveBlockSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new LiveBlockMicroBatchStream(
+            host = Option(options.get("host")).getOrElse(
+              sys.error("graft-live requires option 'host'")),
+            port = options.getInt("port", -1) match {
+              case -1 => sys.error("graft-live requires option 'port'")
+              case p => p
+            },
+            subscribeFrom = options.getLong("subscribeFrom", 0L),
+            idleTimeoutMs = options.getInt("idleTimeoutMs", 20000),
+            failOnGap = options.getBoolean("failOnGap", true),
+            numPartitions = options.getInt("numPartitions", 4),
+            healthKey = Option(options.get("healthKey")))
+      }
+    }
+}
+
+private[sources] case class LiveOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class LiveBlockMicroBatchStream(
+    host: String, port: Int, subscribeFrom: Long, idleTimeoutMs: Int,
+    failOnGap: Boolean, numPartitions: Int, healthKey: Option[String])
+  extends MicroBatchStream {
+
+  private val lock = new Object
+  private val buffer = new ArrayBuffer[LiveRow]
+  private var baseOffset = 0L
+  @volatile private var failure: Throwable = _
+  @volatile private var stopped = false
+  private val health = healthKey.map(LiveBlockSource.healthFor)
+  private val blocksMetric = graft.streaming.Metrics.counter(
+    "graft_live_blocks_total", "Blocks announced by the live source.", "source")
+  private val rowsMetric = graft.streaming.Metrics.counter(
+    "graft_live_rows_total", "Event rows admitted by the live source.")
+
+  private val socket = new Socket()
+  private val mapper = new ObjectMapper()
+
+  private val reader = new Thread(() => {
+    try {
+      socket.connect(new InetSocketAddress(host, port), 10000)
+      if (idleTimeoutMs > 0) socket.setSoTimeout(idleTimeoutMs)
+      val out = new BufferedWriter(
+        new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
+      out.write(s"""{"subscribe":$subscribeFrom}"""); out.write("\n"); out.flush()
+      val in = new BufferedReader(
+        new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+      // first block after connect is exempt from the gap check — the
+      // server owns its replay start; afterwards blocks may repeat or go
+      // back (repeats are health warnings) but never skip forward
+      var lastBlock = Long.MinValue
+      var line = in.readLine()
+      while (line != null && !stopped) {
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("reorg")) {
+            blocksMetric.labels("reorg").inc()
+            throw new LiveReorgException(node.get("reorg").asLong())
+          } else if (node.has("head")) {
+            val h = node.get("head").asLong()
+            admitBlock(h, lastBlock)
+            lastBlock = math.max(lastBlock, h)
+          } else {
+            val b = node.get("block").asLong()
+            admitBlock(b, lastBlock)
+            lastBlock = math.max(lastBlock, b)
+            val row = LiveRow(
+              block = b,
+              eventId = node.get("event_id").asLong(),
+              tsUs = node.get("ts_us").asLong(),
+              userId = node.get("user_id").asLong(),
+              eventType = node.get("event_type").asText(),
+              value = node.get("value").asDouble(),
+              props = if (node.has("props")) node.get("props").asText() else "{}",
+              nInBlock = node.get("n_in_block").asLong())
+            rowsMetric.only.inc()
+            lock.synchronized { buffer += row; () }
+          }
+        }
+        line = in.readLine()
+      }
+      // EOF: the server closed cleanly — stop producing, let buffered rows
+      // drain (the push twin of a bounded replay)
+    } catch {
+      case t: Throwable if !stopped =>
+        failure = t match {
+          case _: SocketTimeoutException => new RuntimeException(
+            s"Received no new block from the live source for $idleTimeoutMs ms.", t)
+          case other => other
+        }
+      case _: Throwable => // stopping; socket close races are benign
+    }
+  }, s"graft-live-reader-$host:$port")
+
+  /** Frontier bookkeeping + the missed-block check for one announced
+    * block. Runs on the reader thread; throws to fail the stream.
+    */
+  private def admitBlock(b: Long, lastBlock: Long): Unit = {
+    if (b > lastBlock && lastBlock != Long.MinValue) {
+      if (failOnGap && b > lastBlock + 1)
+        throw new RuntimeException(
+          s"The live source missed at least one block. Current block: $b; Last block: $lastBlock")
+    }
+    if (b != lastBlock) {
+      health.foreach(_.reportStartImportBlock(b))
+      blocksMetric.labels("live").inc()
+    }
+  }
+
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = LiveOffset(0L)
+  override def deserializeOffset(json: String): Offset = LiveOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    val f = failure
+    if (f != null) throw f
+    lock.synchronized { LiveOffset(baseOffset + buffer.length) }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LiveOffset].v, end.asInstanceOf[LiveOffset].v)
+    val rows = lock.synchronized {
+      // clamp defensively: a restart against a stale checkpoint may ask
+      // for offsets this (fresh, non-replayable) connection never buffered
+      val from = math.max(s - baseOffset, 0L).toInt
+      val until = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
+      if (from >= until) Array.empty[LiveRow]
+      else buffer.slice(from, until).toArray
+    }
+    if (rows.isEmpty) Array.empty
+    else {
+      val n = math.max(1, math.min(numPartitions, rows.length))
+      rows.grouped((rows.length + n - 1) / n)
+        .map(g => LiveInputPartition(g): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new LiveReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[LiveOffset].v
+    val drop = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
+    buffer.remove(0, drop)
+    baseOffset = math.max(baseOffset, e)
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    try socket.close() catch { case _: java.io.IOException => }
+  }
+}
+
+private[sources] final case class LiveInputPartition(rows: Array[LiveRow])
+  extends InputPartition
+
+private[sources] class LiveReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[LiveInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        new GenericInternalRow(Array[Any](
+          r.block, r.eventId, r.tsUs, r.userId,
+          UTF8String.fromString(r.eventType), r.value,
+          UTF8String.fromString(r.props), r.nInBlock))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+import graft.sources.LiveBlockSource
+
+/** The round loop that ties the live push source to the gated import —
+  * the reference's `Indexer.Run` arc (Indexer.cs:107): source → classify →
+  * gated import, and on a reorg: broadcast the magic hash, delete from the
+  * reorged block onward, restart the round from the corrected frontier.
+  *
+  * One round =
+  *   `graft-live` source (subscribed at the resume frontier)
+  *   → classify (the SAME batch expressions, streaming)
+  *   → [[EventPipeline.startGatedImport]] keyed on (block, n_in_block) —
+  *     only COMPLETE blocks import, replays anti-join away
+  *   → `onImported` fan-out: [[ImportFeed]] append (pollable feed),
+  *     [[TxHashBroadcastServer]] push (live subscribers), [[HealthState]]
+  *     recency (the /health surface).
+  *
+  * Reorg restart (Indexer.cs:195-204 + RoundContext.OnError): the source
+  * fails the query with [[graft.sources.LiveReorgException]]; the loop
+  * broadcasts [[EventPipeline.ReorgMagicHash]], truncates the table from
+  * the reorged block ([[EventPipeline.reimportFrom]] — partition-scoped,
+  * never a rewrite), clears staging (held rows of reorged blocks must not
+  * survive into the new round), and resubscribes. The resume frontier is
+  * re-derived from the TABLE, not trusted from memory: the first missing
+  * block in the imported sequence (gated imports are per-group, so a later
+  * block can land while an earlier one is still incomplete — resuming at
+  * max+1 would orphan it forever), capped by the reorg point.
+  *
+  * Each round gets a FRESH checkpoint dir: the push transport is not
+  * replayable, so a new round must not resume V2 offsets against a new
+  * connection — re-delivery safety is the gated import's anti-join, the
+  * same division of labor the reference uses (restart re-downloads, the
+  * import dedups).
+  */
+object LiveImportLoop {
+
+  final case class Result(rounds: Int, reorgs: Seq[Long])
+
+  /** First block the next round must re-request: the lowest gap in the
+    * imported block sequence, else max+1; `fromBlock` when nothing
+    * imported yet.
+    */
+  private def resumeFrontier(spark: SparkSession, tableDir: String, fromBlock: Long): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) return fromBlock
+    val blocks = spark.read.parquet(tableDir).select("block")
+    if (blocks.isEmpty) return fromBlock
+    val firstGap = graft.operators.Integrity.gaps(blocks, "block")
+      .agg(min("gap_start")).collect()(0)
+    if (!firstGap.isNullAt(0)) firstGap.getLong(0)
+    else blocks.agg(max("block")).collect()(0).getLong(0) + 1
+  }
+
+  private def classified(events: DataFrame): DataFrame = {
+    val flagCols = Classify.eventFlags.map { case (name, pred) => when(pred, lit(name)) }
+    events.select(
+      col("block"), col("n_in_block"), col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"),
+      coalesce(nullif(concat_ws(",", flagCols: _*), lit("")), lit("Unknown"))
+        .as("classification"))
+  }
+
+  /** Runs rounds until `converged()` turns true (the caller's "head
+    * reached, stop following" probe — checked every 100 ms against the
+    * live query) or `maxRounds` reorg restarts are exhausted.
+    */
+  def run(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      fromBlock: Long,
+      tableDir: String,
+      stagingDir: String,
+      feedDir: String,
+      checkpointRoot: String,
+      converged: () => Boolean,
+      broadcast: Option[TxHashBroadcastServer] = None,
+      health: Option[HealthState] = None,
+      idleTimeoutMs: Int = 20000,
+      maxRounds: Int = 8): Result = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val feedSub = ImportFeed.subscriber(spark, feedDir)
+    val onImported: (Long, Iterator[Long]) => Unit = (batchId, it) => {
+      val ids = it.toArray // bounded: ≤ EventPipeline.IdChunkSize
+      feedSub(batchId, ids.iterator)
+      broadcast.foreach(_.broadcastImported(ids.iterator))
+      health.foreach(h => if (ids.nonEmpty) h.reportCompleteBatch(ids.max))
+    }
+
+    val reorgs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var done = false
+    val healthKey = s"$host:$port"
+    health.foreach(LiveBlockSource.registerHealth(healthKey, _))
+    while (!done && round < maxRounds) {
+      val subscribe = resumeFrontier(spark, tableDir, fromBlock)
+      val events = spark.readStream.format("graft-live")
+        .option("host", host).option("port", port)
+        .option("subscribeFrom", subscribe)
+        .option("idleTimeoutMs", idleTimeoutMs)
+        .option("healthKey", healthKey)
+        .load()
+      val q = EventPipeline.startGatedImport(
+        classified(events), tableDir, stagingDir,
+        s"$checkpointRoot/round$round",
+        groupCol = "block", declaredCol = "n_in_block",
+        onImported = onImported)
+      val watcher = new Thread(() => {
+        // a probe that races the live writer (e.g. reads the table mid-
+        // rewrite) must not kill the loop — a transient failure is simply
+        // "not converged yet"
+        def probe(): Boolean = try converged() catch { case _: Exception => false }
+        while (q.isActive && !probe()) Thread.sleep(100)
+        if (q.isActive) q.stop()
+      }, "graft-live-loop-watcher")
+      watcher.setDaemon(true)
+      watcher.start()
+      try {
+        q.awaitTermination()
+        done = true // stopped by the watcher: converged
+      } catch {
+        case t: Throwable =>
+          LiveBlockSource.reorgBlockOf(t) match {
+            case Some(b) =>
+              broadcast.foreach(_.broadcastReorg())
+              if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+                EventPipeline.reimportFrom(spark, tableDir, b, keyCol = "block")
+              fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+              reorgs += b
+            case None => throw t
+          }
+      } finally watcher.join(2000)
+      round += 1
+    }
+    Result(round, reorgs.toSeq)
+  }
+}

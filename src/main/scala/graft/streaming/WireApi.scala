@@ -1,0 +1,331 @@
+package graft.streaming
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.lang.Double.{doubleToLongBits, longBitsToDouble}
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The wire-served operations surface — the Spark-native re-expression of
+  * the reference's Api/ services:
+  *
+  *  - [[Metrics]]              — Prometheus text-exposition registry (the
+  *    reference publishes `prometheus-net` counters/gauges from
+  *    Statistics.cs:16 and SourceMetrics; this is a dependency-free
+  *    registry rendering the same public text format).
+  *  - [[HealthState]]          — the liveness bookkeeping of
+  *    Api/HealthService.cs:26 (`ReportStartImportBlock` /
+  *    `ReportCompleteBatch`, repeated-block ring, stale-import warning).
+  *  - [[HealthServer]]         — `/health` + `/metrics` over the JDK's
+  *    built-in HTTP server (Api/HealthService.cs:81 returns 200
+  *    "Healthy." with the block frontier lines, 500 with the issue list).
+  *  - [[TxHashBroadcastServer]] — the imported-ids push fan-out
+  *    (Api/TransactionHashBroadcastService.cs:40 broadcasts each imported
+  *    batch's tx hashes as a JSON array to every connected subscriber, and
+  *    the magic reorg hash — Indexer.cs:37 — when a reorg invalidates
+  *    announced transactions). Transport here is newline-delimited JSON
+  *    over TCP: the CONTRACT (every subscriber sees every imported batch,
+  *    and the reorg sentinel) is what the spec pins, not the framing.
+  *
+  * All of this is driver-side control plane — none of it touches executor
+  * work, so the 100 TB story is unchanged: the servers observe bounded
+  * driver state (block frontiers, id chunks already bounded by
+  * [[EventPipeline.IdChunkSize]], per-query progress structs).
+  */
+object Metrics {
+
+  /** One labeled time series. CAS on raw double bits: counters are
+    * add-only, gauges are set, both lock-free.
+    */
+  final class Child {
+    private val bits = new AtomicLong(doubleToLongBits(0.0))
+    @annotation.tailrec
+    def add(d: Double): Unit = {
+      val cur = bits.get
+      if (!bits.compareAndSet(cur, doubleToLongBits(longBitsToDouble(cur) + d)))
+        add(d)
+    }
+    def inc(): Unit = add(1.0)
+    def set(d: Double): Unit = bits.set(doubleToLongBits(d))
+    def value: Double = longBitsToDouble(bits.get)
+  }
+
+  final class Metric private[Metrics] (
+      val name: String, val help: String, val kind: String,
+      val labelNames: Seq[String]) {
+    private[Metrics] val children = new TrieMap[Seq[String], Child]
+    def labels(values: String*): Child = {
+      require(values.length == labelNames.length,
+        s"$name expects labels $labelNames, got $values")
+      children.getOrElseUpdate(values.toSeq, new Child)
+    }
+    /** The unlabeled series (metrics declared with no label names). */
+    def only: Child = labels()
+  }
+
+  private val registry = new TrieMap[String, Metric]
+
+  def counter(name: String, help: String, labelNames: String*): Metric =
+    registry.getOrElseUpdate(name, new Metric(name, help, "counter", labelNames.toSeq))
+
+  def gauge(name: String, help: String, labelNames: String*): Metric =
+    registry.getOrElseUpdate(name, new Metric(name, help, "gauge", labelNames.toSeq))
+
+  /** Prometheus text exposition format, stable ordering (name, then label
+    * values) so scrapes and spec assertions are deterministic.
+    */
+  def render(): String = {
+    val sb = new StringBuilder
+    registry.toSeq.sortBy(_._1).foreach { case (name, m) =>
+      sb.append(s"# HELP $name ${m.help}\n")
+      sb.append(s"# TYPE $name ${m.kind}\n")
+      m.children.toSeq.sortBy(_._1.mkString(",")).foreach { case (values, child) =>
+        val labelStr =
+          if (values.isEmpty) ""
+          else m.labelNames.zip(values)
+            .map { case (k, v) => s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+            .mkString("{", ",", "}")
+        sb.append(s"$name$labelStr ${child.value}\n")
+      }
+    }
+    sb.toString
+  }
+
+  /** Spec hygiene: drop every registered series. */
+  def reset(): Unit = registry.clear()
+}
+
+/** Import-loop liveness bookkeeping (Api/HealthService.cs:17-61).
+  *
+  * The reference tracks the last 25 source blocks (repeated block ⇒ the
+  * source is stuck re-emitting), the completed-batch recency (stale ⇒ the
+  * import wedged), and a no-import-yet flag. Same state here, with the
+  * warnings computed at READ time from the recorded timestamps instead of
+  * a background timer — deterministic under test, identical surface.
+  *
+  * Frontier naming: `lastKnownBlock` is the source frontier (block
+  * numbers, as in the reference); `lastImportedKey` is the import frontier
+  * in THIS engine's key sequence (event ids — the id chunks the import
+  * hook hands out are the granting artifact; block numbers don't flow
+  * through it).
+  */
+final class HealthState(
+    val staleAfterMs: Long = 30000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val lastBlocks = mutable.Queue.empty[Long]
+  @volatile private var repeatedBlock: Boolean = false
+  @volatile private var _lastKnownBlock: Long = 0L
+  @volatile private var _lastImportedKey: Long = 0L
+  @volatile private var lastCompletedAtMs: Long = -1L
+  @volatile private var noImport: Boolean = true
+
+  /** The source announced `block` is entering the import (HealthService
+    * `ReportStartImportBlock`): advance the known frontier, flag a repeat
+    * if the 25-block ring already holds it.
+    */
+  def reportStartImportBlock(block: Long): Unit = synchronized {
+    if (block > _lastKnownBlock) _lastKnownBlock = block
+    repeatedBlock = lastBlocks.contains(block)
+    while (lastBlocks.size >= 25) { lastBlocks.dequeue(); () }
+    lastBlocks.enqueue(block)
+  }
+
+  /** A batch landed (HealthService `ReportCompleteBatch`): clear the
+    * no-import flag, stamp recency, advance the imported frontier.
+    */
+  def reportCompleteBatch(importedKeyHigh: Long): Unit = synchronized {
+    noImport = false
+    lastCompletedAtMs = clock()
+    if (importedKeyHigh > _lastImportedKey) _lastImportedKey = importedKeyHigh
+  }
+
+  def lastKnownBlock: Long = _lastKnownBlock
+  def lastImportedKey: Long = _lastImportedKey
+
+  /** The reference's three unhealthy conditions, computed on demand. */
+  def issues(): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    if (repeatedBlock)
+      out += "Unhealthy: The source yielded repeated blocks."
+    if (noImport)
+      out += "Unhealthy: No import was processed until now."
+    else if (clock() - lastCompletedAtMs > staleAfterMs)
+      out += "Unhealthy: The import is slow or stale."
+    out.toSeq
+  }
+
+  def healthy: Boolean = issues().isEmpty
+}
+
+/** `/health` + `/metrics` on the JDK HTTP server.
+  *
+  * `/health` — 200 and `Healthy.` plus the two frontier lines when the
+  * [[HealthState]] reports no issues AND every registered streaming query
+  * is active without exception ([[PipelineHealth.status]] is the judge of
+  * query health); 500 and the issue list otherwise. Mirrors
+  * Api/HealthService.cs:111-124.
+  *
+  * `/metrics` — the [[Metrics]] registry in Prometheus text format, with
+  * per-query progress gauges refreshed at scrape time (batches completed,
+  * input/processed rows per second) so a prober sees the same numbers
+  * [[PipelineHealth.status]] reports.
+  */
+object HealthServer {
+
+  final case class Handle(server: HttpServer, port: Int) {
+    def stop(): Unit = server.stop(0)
+  }
+
+  private val lastKnownGauge =
+    Metrics.gauge("graft_import_last_known_block", "Highest block announced by the source.")
+  private val lastImportedGauge =
+    Metrics.gauge("graft_import_last_imported_key", "Highest imported key (event id).")
+
+  def start(
+      state: HealthState,
+      queries: () => Seq[StreamingQuery] = () => Seq.empty,
+      port: Int = 0): Handle = {
+    val server = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    server.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val stateIssues = state.issues()
+        val queryIssues = queries().flatMap { q =>
+          val s = PipelineHealth.status(q)
+          if (s.healthy) None
+          else Some(s"Unhealthy: Query ${q.name} is " +
+            s.exception.map(e => s"failed: $e").getOrElse("not active."))
+        }
+        val issues = stateIssues ++ queryIssues
+        if (issues.isEmpty)
+          respond(ex, 200,
+            s"Healthy.\nLast known block: ${state.lastKnownBlock}\n" +
+              s"Last imported key: ${state.lastImportedKey}\n")
+        else
+          respond(ex, 500, ("Unhealthy:" +: issues).mkString("", "\n", "\n"))
+      }
+    })
+
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        lastKnownGauge.only.set(state.lastKnownBlock.toDouble)
+        lastImportedGauge.only.set(state.lastImportedKey.toDouble)
+        val batches = Metrics.gauge("graft_stream_batches_completed",
+          "Micro-batches completed by a streaming query.", "query")
+        val inRps = Metrics.gauge("graft_stream_input_rows_per_sec",
+          "Input rows per second of a streaming query.", "query")
+        queries().foreach { q =>
+          val s = PipelineHealth.status(q)
+          val name = Option(q.name).getOrElse(q.id.toString)
+          batches.labels(name).set(s.batchesCompleted.toDouble)
+          inRps.labels(name).set(s.inputRowsPerSecond)
+        }
+        respond(ex, 200, Metrics.render())
+      }
+    })
+
+    server.setExecutor(null) // serve on the dispatch thread; probes are tiny
+    server.start()
+    Handle(server, server.getAddress.getPort)
+  }
+}
+
+/** Imported-tx-hash push fan-out over TCP lines — the
+  * Api/TransactionHashBroadcastService.cs contract. Subscribers connect
+  * and read; every imported batch arrives as one JSON array line of
+  * 0x-hex hashes; a reorg arrives as the magic-hash array
+  * ([[EventPipeline.ReorgMagicHash]], Indexer.cs:37) telling subscribers
+  * to drop cached state. A dead subscriber is dropped on its first failed
+  * write — a broadcast never fails the import loop.
+  */
+final class TxHashBroadcastServer(port: Int = 0) {
+
+  private val server =
+    new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  private val clients = new TrieMap[Int, (Socket, BufferedWriter)]
+  private val nextId = new AtomicInteger(0)
+  @volatile private var running = true
+
+  private val connGauge = Metrics.gauge(
+    "graft_broadcast_connections", "Connected broadcast subscribers.")
+  private val msgCounter = Metrics.counter(
+    "graft_broadcast_messages_total", "Broadcast messages sent to all subscribers.")
+
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val w = new BufferedWriter(
+          new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+        clients.put(nextId.incrementAndGet(), (sock, w))
+        connGauge.only.set(clients.size.toDouble)
+      } catch {
+        case _: Throwable if !running => // closed during shutdown
+        case _: java.io.IOException => // accept hiccup; keep serving
+      }
+    }
+  }, "graft-broadcast-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def boundPort: Int = server.getLocalPort
+  def connectionCount: Int = clients.size
+
+  /** Send one line to every subscriber; drop the ones whose socket died. */
+  def broadcast(message: String): Unit = {
+    msgCounter.only.inc()
+    clients.foreach { case (id, (sock, w)) =>
+      try {
+        w.write(message); w.write("\n"); w.flush()
+      } catch {
+        case _: java.io.IOException =>
+          clients.remove(id)
+          try sock.close() catch { case _: java.io.IOException => }
+          connGauge.only.set(clients.size.toDouble)
+      }
+    }
+  }
+
+  /** One imported batch: the ids as a JSON array of 0x-hex "hashes"
+    * (RoundContext.cs:81 serializes the written tx hashes the same way).
+    */
+  def broadcastImported(ids: Iterator[Long]): Unit = {
+    val arr = ids.map(id => f""""0x$id%064x"""").mkString("[", ",", "]")
+    broadcast(arr)
+  }
+
+  /** The reorg sentinel (Indexer.cs:195): subscribers must invalidate. */
+  def broadcastReorg(): Unit =
+    broadcast(s"""["${EventPipeline.ReorgMagicHash}"]""")
+
+  /** Adapter with the [[EventPipeline.startImport]] `onImported` shape. */
+  def onImported: (Long, Iterator[Long]) => Unit =
+    (_, ids) => broadcastImported(ids)
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: java.io.IOException => }
+    clients.foreach { case (id, (sock, _)) =>
+      clients.remove(id)
+      try sock.close() catch { case _: java.io.IOException => }
+    }
+    connGauge.only.set(0.0)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{HttpURLConnection, InetAddress, Socket, URL}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventPipeline, HealthServer, HealthState, Metrics, TxHashBroadcastServer}
+
+/** The wire-served operations surface: metrics registry rendering, the
+  * health bookkeeping + HTTP endpoints (Api/HealthService.cs semantics),
+  * and the imported-hash broadcast fan-out
+  * (Api/TransactionHashBroadcastService.cs contract incl. the reorg
+  * sentinel).
+  */
+class WireApiSpec extends SparkSpec {
+
+  private def httpGet(port: Int, path: String): (Int, String) = {
+    val conn = new URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("metrics registry renders prometheus text with stable ordering") {
+    Metrics.reset()
+    val c = Metrics.counter("t_requests_total", "Requests.", "route")
+    c.labels("/a").inc()
+    c.labels("/a").inc()
+    c.labels("/b").add(3.0)
+    val g = Metrics.gauge("t_depth", "Queue depth.")
+    g.only.set(7.5)
+    val text = Metrics.render()
+    assert(text.contains("# HELP t_requests_total Requests."))
+    assert(text.contains("# TYPE t_requests_total counter"))
+    assert(text.contains("""t_requests_total{route="/a"} 2.0"""))
+    assert(text.contains("""t_requests_total{route="/b"} 3.0"""))
+    assert(text.contains("# TYPE t_depth gauge"))
+    assert(text.contains("t_depth 7.5"))
+    // stable order: t_depth section precedes t_requests_total
+    assert(text.indexOf("t_depth") < text.indexOf("t_requests_total"))
+  }
+
+  test("health state mirrors the reference's three unhealthy conditions") {
+    var now = 1000L
+    val h = new HealthState(staleAfterMs = 30000L, clock = () => now)
+    // fresh: no import yet
+    assert(h.issues() === Seq("Unhealthy: No import was processed until now."))
+    h.reportStartImportBlock(5L)
+    h.reportCompleteBatch(50L)
+    assert(h.healthy)
+    assert(h.lastKnownBlock === 5L)
+    assert(h.lastImportedKey === 50L)
+    // a repeated block within the 25-deep ring flags the source as stuck
+    h.reportStartImportBlock(6L)
+    h.reportCompleteBatch(60L)
+    assert(h.healthy)
+    h.reportStartImportBlock(5L)
+    assert(h.issues().exists(_.contains("repeated blocks")))
+    // a fresh (non-repeated) block clears the warning
+    h.reportStartImportBlock(7L)
+    assert(h.healthy)
+    // staleness: the import stops completing batches
+    now += 30001L
+    assert(h.issues() === Seq("Unhealthy: The import is slow or stale."))
+    h.reportCompleteBatch(70L)
+    assert(h.healthy)
+    // frontiers are monotone
+    h.reportStartImportBlock(3L)
+    h.reportCompleteBatch(10L)
+    assert(h.lastKnownBlock === 7L)
+    assert(h.lastImportedKey === 70L)
+  }
+
+  test("/health serves 200 on healthy and 500 with the issue list; /metrics moves with a live query") {
+    Metrics.reset()
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val h = new HealthState(staleAfterMs = 600000L)
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().writeStream.format("noop")
+      .queryName("wirespec_q").start()
+    val handle = HealthServer.start(h, () => Seq(q))
+    try {
+      // no import yet → 500 with the reference's message
+      val (code0, body0) = httpGet(handle.port, "/health")
+      assert(code0 === 500)
+      assert(body0.contains("Unhealthy:"))
+      assert(body0.contains("No import was processed"))
+
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      h.reportStartImportBlock(11L)
+      h.reportCompleteBatch(42L)
+      val (code1, body1) = httpGet(handle.port, "/health")
+      assert(code1 === 200)
+      assert(body1.startsWith("Healthy."))
+      assert(body1.contains("Last known block: 11"))
+      assert(body1.contains("Last imported key: 42"))
+
+      // /metrics: frontier gauges + per-query progress gauges present
+      val (mc, metrics1) = httpGet(handle.port, "/metrics")
+      assert(mc === 200)
+      assert(metrics1.contains("graft_import_last_known_block 11.0"))
+      assert(metrics1.contains("graft_import_last_imported_key 42.0"))
+      assert(metrics1.contains("""graft_stream_batches_completed{query="wirespec_q"}"""))
+      val batches1 = metrics1.linesIterator
+        .find(_.startsWith("graft_stream_batches_completed")).get
+        .split(' ').last.toDouble
+      assert(batches1 >= 1.0)
+
+      // counters move: another batch raises the completed count
+      mem.addData(4, 5)
+      q.processAllAvailable()
+      val (_, metrics2) = httpGet(handle.port, "/metrics")
+      val batches2 = metrics2.linesIterator
+        .find(_.startsWith("graft_stream_batches_completed")).get
+        .split(' ').last.toDouble
+      assert(batches2 > batches1)
+
+      // a stopped query turns /health unhealthy (PipelineHealth is the judge)
+      q.stop()
+      q.awaitTermination()
+      val (code2, body2) = httpGet(handle.port, "/health")
+      assert(code2 === 500)
+      assert(body2.contains("wirespec_q"))
+      assert(body2.contains("not active"))
+    } finally {
+      if (q.isActive) q.stop()
+      handle.stop()
+    }
+  }
+
+  test("broadcast server fans imported batches and the reorg sentinel to every subscriber") {
+    Metrics.reset()
+    val srv = new TxHashBroadcastServer()
+    try {
+      def connect(): (Socket, BufferedReader) = {
+        val s = new Socket(InetAddress.getLoopbackAddress, srv.boundPort)
+        s.setSoTimeout(10000)
+        (s, new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8)))
+      }
+      val (s1, r1) = connect()
+      val (s2, r2) = connect()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (srv.connectionCount < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(srv.connectionCount === 2)
+
+      // one imported batch: a JSON array of 0x-padded hex hashes
+      srv.onImported(7L, Iterator(1L, 255L))
+      val expected = """["0x%064x","0x%064x"]""".format(1L, 255L)
+      assert(r1.readLine() === expected)
+      assert(r2.readLine() === expected)
+
+      // a dead subscriber is dropped without failing the broadcast; the
+      // drop registers once TCP surfaces the failed write (platform-timed)
+      s2.close()
+      var tries = 0
+      while (srv.connectionCount > 1 && tries < 50) {
+        srv.broadcastImported(Iterator(100L + tries))
+        assert(r1.readLine() === """["0x%064x"]""".format(100L + tries))
+        tries += 1
+        Thread.sleep(20)
+      }
+      assert(srv.connectionCount === 1)
+
+      // the reorg sentinel is the magic-hash array (Indexer.cs:37 contract)
+      srv.broadcastReorg()
+      assert(r1.readLine() === s"""["${EventPipeline.ReorgMagicHash}"]""")
+
+      s1.close()
+    } finally srv.stop()
+  }
+}
