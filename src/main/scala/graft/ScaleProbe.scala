@@ -1054,6 +1054,77 @@ object ScaleProbe {
       }
       clips.unpersist()
     }
+    // ---- round-11b probes: the generic ABI decode surface at 10x ----------
+    // decodeEvents explodes every receipt's logs and runs the whole-registry
+    // chained-CASE projection (map-only, the orderBy is the only exchange);
+    // decodeCalls/callCoverage are pure projections over tx.input
+    if (args.contains("abi_decode")) {
+      def bigRx = ReceiptClassifier.demoReceipts(bigEvents)
+      time("abi_decode/events-10x")(AbiDecode.decodeEvents(bigRx).count())
+      time("abi_decode/event-coverage-10x")(AbiDecode.decodeCoverage(bigRx).count())
+      time("abi_decode/calls-10x")(AbiDecode.decodeCalls(bigRx).count())
+      time("abi_decode/call-coverage-10x")(AbiDecode.callCoverage(bigRx).count())
+      // the wide typed decode without the long-format explode/orderBy —
+      // the shape a downstream view consumes directly
+      time("abi_decode/wide-transfer-10x")(
+        AbiDecode.decodeEvent(bigRx, AbiDecode.Erc20Transfer).count())
+    }
+    // the exact cross-engine minhash/simhash editions vs the xxhash64
+    // natives at 10x — the measured price of md5-per-gram oracle keys
+    // (the natives remain the scale path; the exact twins exist for
+    // cross-engine verification)
+    if (args.contains("dedup_exact_twins")) {
+      time("minhash/native-10x")(Dedup.minhashLsh(bigDocs).count())
+      time("minhash/exact-md5-10x")(Dedup.minhashLshExact(bigDocs).count())
+      time("simhash/native-10x")(Dedup.simhashDedup(bigDocs).count())
+      time("simhash/exact-md5-10x")(Dedup.simhashDedupExact(bigDocs).count())
+    }
+    // live push-source throughput: a local feed server pushes 100k event
+    // rows across 2k blocks through the graft-live DataSourceV2 into a
+    // counting sink — the sub-second-latency ingest path's ceiling on one
+    // driver thread (the reference runs its websocket reader exactly there)
+    if (args.contains("live_source")) {
+      val server = new java.net.ServerSocket(0)
+      val rows = 100000L
+      val perBlock = 50L
+      val feeder = new Thread(() => {
+        val s = server.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+        in.readLine() // the subscribe request
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"), 1 << 16)
+        var id = 0L
+        while (id < rows) {
+          val b = id / perBlock
+          out.write(s"""{"block":$b,"event_id":$id,"ts_us":${id * 1000L},""" +
+            s""""user_id":${id % 1000L},"event_type":"click","value":1.5,""" +
+            s""""n_in_block":$perBlock}""")
+          out.write("\n")
+          id += 1
+        }
+        out.flush(); s.close()
+      }, "probe-live-feeder")
+      feeder.setDaemon(true); feeder.start()
+      time(s"live_source/ingest-${rows}rows") {
+        val total = new java.util.concurrent.atomic.AtomicLong()
+        val q = spark.readStream.format("graft-live")
+          .option("host", "127.0.0.1").option("port", server.getLocalPort)
+          .option("idleTimeoutMs", 120000).load()
+          .writeStream
+          .foreachBatch((b: DataFrame, _: Long) => { total.addAndGet(b.count()); () })
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-live-probe").toString)
+          .start()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (total.get() < rows && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+        }
+        q.stop()
+        total.get()
+      }
+      server.close()
+    }
     spark.stop()
   }
 }

@@ -567,6 +567,16 @@ object SparkEntry {
     // unregistered family in the demo registry)
     "q_abi_coverage" -> ((s, d) =>
       AbiDecode.decodeCoverage(ReceiptClassifier.demoReceipts(Tables.events(s, d)))),
+    // generic selector-keyed ABI CALL decode over the demo receipts'
+    // tx.input — the execTransaction family's 10 params (2 dynamic tails)
+    // head-decoded through the same guarded kernels; the oracle re-derives
+    // every decoded value from the events that generated the inputs
+    "q_abi_input_decode" -> ((s, d) =>
+      AbiDecode.decodeCalls(ReceiptClassifier.demoReceipts(Tables.events(s, d)))),
+    // call-registry coverage: per selector, decoded / truncated-head /
+    // unregistered counts (0xdeadbeef is the demo's unregistered selector)
+    "q_abi_call_coverage" -> ((s, d) =>
+      AbiDecode.callCoverage(ReceiptClassifier.demoReceipts(Tables.events(s, d)))),
     "q_trust_view" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val receipts = ReceiptClassifier.demoReceipts(Tables.events(s, d))
@@ -2783,6 +2793,46 @@ object SparkEntry {
         | UNION ALL SELECT '0x442e715f626346e8c54381002da614f62bee8d27386535b2521ec8540898556e',
         |        CAST(execs AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n)
         |ORDER BY topic0""".stripMargin,
+    // execTransaction calldata decode: the demo's safe inputs carry
+    // to=(user_id*13+29)%150, value=event_id, empty data/signatures tails,
+    // operation 0, zero gas params, zero-address gas_token/refund_receiver
+    "q_abi_input_decode" ->
+      """WITH b AS (
+        | SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS caller,
+        |  '0x' || lpad(lower(to_hex(user_id + 2000000)), 40, '0') AS callee,
+        |  '0x' || lpad(lower(to_hex((user_id * 13 + 29) % 150)), 40, '0') AS sto,
+        |  CAST(event_id AS VARCHAR) AS eid,
+        |  '0x' || repeat('0', 40) AS zaddr
+        | FROM events WHERE event_type = 'error' AND event_id % 2 = 0),
+        |r AS (
+        | SELECT hash, caller, callee, 'execTransaction' AS fn, 'to' AS param, sto AS value FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'value', eid FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'data', '0x' FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'operation', '0' FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'safe_tx_gas', '0' FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'base_gas', '0' FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'gas_price', '0' FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'gas_token', zaddr FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'refund_receiver', zaddr FROM b
+        | UNION ALL SELECT hash, caller, callee, 'execTransaction', 'signatures', '0x' FROM b)
+        |SELECT hash, caller, callee, fn, param, value FROM r
+        |ORDER BY hash, param""".stripMargin,
+    // selector coverage: safe demos decode under 0x6a761202; every
+    // non-error event's input is the unregistered selector-length
+    // 0xdeadbeef; odd error events have bare '0x' inputs (excluded)
+    "q_abi_call_coverage" ->
+      """WITH n AS (
+        | SELECT
+        |  SUM(CASE WHEN event_type = 'error' AND event_id % 2 = 0 THEN 1 ELSE 0 END) AS execs,
+        |  SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS unreg
+        | FROM events)
+        |SELECT * FROM (
+        | SELECT '0x6a761202' AS selector, CAST(execs AS BIGINT) AS n_calls,
+        |        CAST(execs AS BIGINT) AS n_decoded, CAST(0 AS BIGINT) AS n_short FROM n
+        | UNION ALL SELECT '0xdeadbeef', CAST(unreg AS BIGINT), CAST(0 AS BIGINT),
+        |        CAST(0 AS BIGINT) FROM n)
+        |ORDER BY selector""".stripMargin,
     "q_eth_transfers" ->
       """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
         | '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS "from",

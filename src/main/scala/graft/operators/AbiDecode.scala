@@ -42,14 +42,36 @@ object AbiDecode {
   case object BoolT extends AbiType
   /** Raw 32-byte word → lowercased 0x-hex (hashes, ids). */
   case object Bytes32T extends AbiType
+  /** Dynamic `bytes`/`string` CALL param: the head word is an offset into
+    * the tail section; decodes to 0x-hex of the tail bytes ("0x" for the
+    * empty tail). Function params only — the reference's one dynamic decode
+    * is execTransaction's calldata (TransactionClassifier.cs:283). Guarded:
+    * a garbage offset, an out-of-range length word, or a tail past the end
+    * of the input all decode to null, never to a truncated wrong value. */
+  case object DynBytesT extends AbiType
 
   case class AbiParam(name: String, tpe: AbiType, indexed: Boolean)
 
   case class AbiEvent(name: String, topic0: String, params: Seq[AbiParam]) {
     require(params.count(_.indexed) <= 3, s"$name: ABI allows at most 3 indexed params")
     require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
+    require(params.forall(_.tpe != DynBytesT), s"$name: dynamic tails are call-only")
     /** Expected topics arity: topic0 + one topic per indexed param. */
     def arity: Int = 1 + params.count(_.indexed)
+  }
+
+  /** A function-CALL schema: 4-byte selector + one head word per param
+    * (static params decode in place; DynBytesT heads are tail offsets).
+    * The call-side twin of [[AbiEvent]] — the reference reaches this
+    * through Nethereum's `FunctionCallDecoder.DecodeFunctionInput`
+    * (TransactionClassifier.cs:283). */
+  case class AbiFunction(name: String, selector: String, params: Seq[AbiParam]) {
+    require(selector.length == 10 && selector.startsWith("0x"),
+      s"$name: selector must be 0x + 8 hex chars")
+    require(params.forall(!_.indexed), s"$name: call params are never indexed")
+    require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
+    /** Minimum decodable input length: "0x" + selector + one word per param. */
+    def minLen: Int = 10 + 64 * params.size
   }
 
   // Settings.cs:47-66 events, as registry rows — the built-in vocabulary
@@ -80,6 +102,30 @@ object AbiDecode {
 
   val CirclesRegistry: Seq[AbiEvent] =
     Seq(Erc20Transfer, CrcTrust, CrcSignup, CrcOrgSignup, CrcHubTransfer)
+
+  /** GnosisSafe execTransaction(address,uint256,bytes,uint8,uint256,uint256,
+    * uint256,address,address,bytes) — the call the reference head-decodes for
+    * SafeEthTransfer details (TransactionClassifier.cs:277). */
+  val ExecTransaction: AbiFunction = AbiFunction("execTransaction",
+    ReceiptClassifier.ExecTransactionMethodId, Seq(
+      AbiParam("to", AddressT, indexed = false),
+      AbiParam("value", Uint256T, indexed = false),
+      AbiParam("data", DynBytesT, indexed = false),
+      AbiParam("operation", UintSmallT, indexed = false),
+      AbiParam("safe_tx_gas", Uint256T, indexed = false),
+      AbiParam("base_gas", Uint256T, indexed = false),
+      AbiParam("gas_price", Uint256T, indexed = false),
+      AbiParam("gas_token", AddressT, indexed = false),
+      AbiParam("refund_receiver", AddressT, indexed = false),
+      AbiParam("signatures", DynBytesT, indexed = false)))
+
+  /** ERC-20 transfer(address,uint256) — the other call shape common on the
+    * chain the reference indexes (token moves not routed through the hub). */
+  val Erc20TransferCall: AbiFunction = AbiFunction("transfer", "0xa9059cbb", Seq(
+    AbiParam("to", AddressT, indexed = false),
+    AbiParam("value", Uint256T, indexed = false)))
+
+  val CallRegistry: Seq[AbiFunction] = Seq(ExecTransaction, Erc20TransferCall)
 
   /** j-th 32-byte data word as a bare 64-char hex string; null when the
     * data is too short (hostile/truncated payload — totality, not a wrong
@@ -187,5 +233,97 @@ object AbiDecode {
         sum(when(col("registered") && !col("decoded"), 1L).otherwise(0L))
           .as("n_arity_mismatch"))
       .orderBy("topic0")
+  }
+
+  // --- function-CALL decoding (tx.input) ----------------------------------
+
+  /** Head word i of a call input (after "0x" + 8 selector chars), null when
+    * the input is too short for it — totality, not a wrong partial word. */
+  private def callHeadWord(input: Column, i: Int): Column = {
+    val w = substring(input, 11 + 64 * i, 64)
+    when(length(w) === 64, w)
+  }
+
+  /** Dynamic tail whose offset lives in head word i: 0x-hex of the tail
+    * bytes ("0x" for len 0). Null when the offset word is junk/huge, the
+    * length word is junk/out of range, or the tail runs past the input —
+    * every case where the reference's DecodeFunctionInput throws
+    * (TransactionClassifier.cs:295). ABI offsets are byte offsets relative
+    * to the params section (1-based char 11): byte b = char 11 + 2b. */
+  private def callTail(input: Column, i: Int): Column = {
+    val off = ReceiptClassifier.hexLong(callHeadWord(input, i))
+    val start = when(off.isNotNull && off < 1000000000L, lit(11) + off.cast("int") * 2)
+    val len = ReceiptClassifier.hexLong(input.substr(start, lit(64)))
+    val fits = len.isNotNull && len >= 0L && len < 500000000L &&
+      length(input).cast("long") >= start.cast("long") + 63L + len * 2L
+    when(fits, concat(lit("0x"), lower(input.substr(start + 64, (len * 2L).cast("int")))))
+  }
+
+  private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
+    fn.params(i).tpe match {
+      case DynBytesT => callTail(input, i)
+      case t => decodeWord(callHeadWord(input, i), t)
+    }
+
+  /** Selector match at full head arity — a selector-prefixed input too
+    * short for its head words is quarantined by omission (the reference's
+    * typed decode throws there), countable via [[callCoverage]]. */
+  private def matchesCall(input: Column, fn: AbiFunction): Column =
+    input.startsWith(fn.selector) && length(input) >= fn.minLen
+
+  /** WIDE decode of one function's calls: one row per matching tx with one
+    * TYPED column per param (+ hash, caller, callee) — the call-side twin
+    * of [[decodeEvent]]. Map-only projection; no shuffle. */
+  def decodeCall(txs: DataFrame, fn: AbiFunction): DataFrame =
+    txs.where(matchesCall(col("input"), fn))
+      .select(Seq(col("hash"), lower(col("from")).as("caller"),
+        lower(col("to")).as("callee")) ++
+        fn.params.zipWithIndex.map { case (p, i) =>
+          callParam(col("input"), fn, i).as(p.name) }: _*)
+
+  /** LONG-format decode of a whole call registry in ONE pass: (hash,
+    * caller, callee, fn, param, value), values rendered as strings
+    * (addresses/bytes as 0x-hex, uints as decimal digits, bools as
+    * true/false, failed decodes as null). Unregistered selectors drop. */
+  def decodeCalls(txs: DataFrame, registry: Seq[AbiFunction] = CallRegistry): DataFrame = {
+    require(registry.nonEmpty, "empty call registry")
+    require(registry.map(_.name).distinct.size == registry.size, "duplicate function names")
+    require(registry.map(_.selector).distinct.size == registry.size, "duplicate selectors")
+    val input = col("input")
+    val fnName = registry.map(fn => (matchesCall(input, fn), lit(fn.name)))
+      .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
+        when(cond, name).otherwise(acc) }
+    val paramsMap = registry.map { fn =>
+      (matchesCall(input, fn), map(fn.params.indices.flatMap(i => Seq(
+        lit(fn.params(i).name),
+        callParam(input, fn, i).cast("string"))): _*))
+    }.foldLeft(lit(null).cast("map<string,string>")) { case (acc, (cond, m)) =>
+      when(cond, m).otherwise(acc) }
+    txs.select(col("hash"), lower(col("from")).as("caller"),
+        lower(col("to")).as("callee"), fnName.as("fn"), paramsMap.as("params"))
+      .where(col("fn").isNotNull)
+      .select(col("hash"), col("caller"), col("callee"), col("fn"),
+        explode(col("params")).as(Seq("param", "value")))
+      .orderBy("hash", "param")
+  }
+
+  /** Call-registry coverage: per 4-byte selector (inputs carrying one), how
+    * many txs decoded vs matched a registered selector at a TRUNCATED head
+    * vs are unregistered. One partial-agg shuffle over ≤|selectors| keys. */
+  def callCoverage(txs: DataFrame, registry: Seq[AbiFunction] = CallRegistry): DataFrame = {
+    val input = col("input")
+    val decoded = registry.map(fn => matchesCall(input, fn))
+      .foldLeft(lit(false)) { case (acc, cond) => acc || cond }
+    val registered = registry.map(fn => input.startsWith(fn.selector))
+      .foldLeft(lit(false)) { case (acc, cond) => acc || cond }
+    txs.where(length(input) >= 10)
+      .select(lower(substring(input, 1, 10)).as("selector"),
+        decoded.as("decoded"), registered.as("registered"))
+      .groupBy("selector")
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("registered") && !col("decoded"), 1L).otherwise(0L))
+          .as("n_short"))
+      .orderBy("selector")
   }
 }

@@ -251,6 +251,7 @@ private[sources] class LiveBlockMicroBatchStream(
     }
     if (b != lastBlock) {
       health.foreach(_.reportStartImportBlock(b))
+      graft.streaming.BlockTimer.trackBlockEnter(b)
       blocksMetric.labels("live").inc()
     }
   }

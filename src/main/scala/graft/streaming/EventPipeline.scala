@@ -186,7 +186,8 @@ object EventPipeline {
   def importGatedBatch(batch: DataFrame, batchId: Long, tableDir: String,
       stagingDir: String, key: String = "event_id", groupCol: String,
       declaredCol: String,
-      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported): Unit = {
+      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported,
+      onGroupsImported: (Long, Iterator[Long]) => Unit = NoOpOnImported): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staged = latestStagingVersion(spark, stagingDir) match {
@@ -245,6 +246,16 @@ object EventPipeline {
       // everything (the main anti-join discards what the append landed)
       stable.withColumn("day", to_date(col("ts")))
         .write.mode("append").partitionBy("day").parquet(tableDir)
+      // the groups whose rows just LANDED — the per-block "written" signal
+      // (Statistics.cs:24 TrackBlockWritten). Bounded: distinct groups of
+      // one micro-batch. Fired after the append so the duration covers the
+      // full enter→written arc; replays re-fire, which the consumer's
+      // remove-once semantics absorb.
+      if (onGroupsImported ne NoOpOnImported) {
+        val groups = stable.select(col(groupCol).cast("long"))
+          .distinct().collect().map(_.getLong(0))
+        if (groups.nonEmpty) onGroupsImported(batchId, groups.iterator)
+      }
       // commit the new snapshot by rename (atomic), then prune older ones
       val committed = new org.apache.hadoop.fs.Path(s"$stagingDir/v=$batchId")
       fs.delete(committed, true) // replay leftovers
@@ -269,13 +280,14 @@ object EventPipeline {
       groupCol: String,
       declaredCol: String,
       key: String = "event_id",
-      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported
+      onImported: (Long, Iterator[Long]) => Unit = NoOpOnImported,
+      onGroupsImported: (Long, Iterator[Long]) => Unit = NoOpOnImported
   ) =
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         importGatedBatch(batch, batchId, tableDir, stagingDir, key, groupCol,
-          declaredCol, onImported)
+          declaredCol, onImported, onGroupsImported)
       }
       .start()
 

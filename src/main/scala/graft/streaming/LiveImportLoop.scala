@@ -108,7 +108,10 @@ object LiveImportLoop {
         classified(events), tableDir, stagingDir,
         s"$checkpointRoot/round$round",
         groupCol = "block", declaredCol = "n_in_block",
-        onImported = onImported)
+        onImported = onImported,
+        // per-block wall time from source announce to table append — the
+        // Statistics.cs TrackBlockWritten leg (enter fires in the source)
+        onGroupsImported = (_, blocks) => blocks.foreach(BlockTimer.trackBlockWritten))
       val watcher = new Thread(() => {
         // a probe that races the live writer (e.g. reads the table mid-
         // rewrite) must not kill the loop — a transient failure is simply

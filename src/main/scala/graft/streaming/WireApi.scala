@@ -101,6 +101,37 @@ object Metrics {
   def reset(): Unit = registry.clear()
 }
 
+/** Per-block import-duration tracking — Statistics.cs:20-39
+  * (`TrackBlockEnter`/`TrackBlockWritten` around the
+  * `indexer_block_import_duration` gauge). A block's timer starts when the
+  * source announces it and stops when the gated import lands it; the gauge
+  * holds the LAST completed block's wall time, the reference's exact
+  * semantics (Gauge.Set, not a histogram). Unmatched enters clear at 100
+  * outstanding — the reference's leak valve for blocks that never complete
+  * (Statistics.cs:25-29). `trackBlockWritten` is idempotent per block
+  * (TryRemove semantics), so gated-import replays don't re-stamp.
+  */
+object BlockTimer {
+  private val entered = new TrieMap[Long, Long]
+  private val gauge = Metrics.gauge("graft_block_import_duration_ms",
+    "How long the last block took to import from start to finish.")
+
+  def trackBlockEnter(block: Long): Unit = {
+    if (entered.size > 100) entered.clear() // the reference's leak valve
+    entered.putIfAbsent(block, System.nanoTime()); ()
+  }
+
+  def trackBlockWritten(block: Long): Unit =
+    entered.remove(block).foreach { t0 =>
+      gauge.only.set((System.nanoTime() - t0) / 1e6)
+    }
+
+  def pendingCount: Int = entered.size
+  def lastDurationMs: Double = gauge.only.value
+  /** Spec hygiene: drop outstanding timers (the gauge lives in Metrics). */
+  def reset(): Unit = entered.clear()
+}
+
 /** Import-loop liveness bookkeeping (Api/HealthService.cs:17-61).
   *
   * The reference tracks the last 25 source blocks (repeated block ⇒ the

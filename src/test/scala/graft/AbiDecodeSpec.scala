@@ -131,4 +131,128 @@ class AbiDecodeSpec extends SparkSpec {
       AbiDecode.decodeEvents(txOf(), Seq.empty)
     }
   }
+
+  // --- function-CALL decoding ----------------------------------------------
+
+  private def w64(v: Long) = f"$v%064x"
+  private def wAddr(addr: String) = "0" * 24 + addr.drop(2)
+
+  /** Well-formed execTransaction input: 10 head words + two tails. */
+  private def execInput(to: String, value: Long, data: String = "",
+                        operation: Long = 0L): String = {
+    val dataLenWords = (data.length / 2 + 31) / 32
+    "0x6a761202" + wAddr(to) + w64(value) +
+      w64(320L) +            // data offset: past the 10 head words
+      w64(operation) + w64(0L) * 3 + wAddr("0x" + "0" * 40) * 2 +
+      w64(352L + dataLenWords * 32L) + // signatures offset: past data tail
+      w64(data.length / 2L) + data.padTo(dataLenWords * 64, '0') +
+      w64(0L)                // signatures: empty
+  }
+
+  private def callTx(hash: String, input: String) =
+    Seq(Tx(hash, user, other, "0", input, Seq.empty)).toDS.toDF
+
+  test("decodeCall: typed wide decode of execTransaction, empty tails") {
+    val row = AbiDecode.decodeCall(callTx("0xc1", execInput(other, 777L)),
+      ExecTransaction).collect().head
+    assert(row.getAs[String]("caller") == user)
+    assert(row.getAs[String]("callee") == other)
+    assert(row.getAs[String]("to") == other)
+    assert(row.getAs[String]("value") == "777")
+    assert(row.getAs[String]("data") == "0x")
+    assert(row.getAs[Long]("operation") == 0L)
+    assert(row.getAs[String]("safe_tx_gas") == "0")
+    assert(row.getAs[String]("gas_token") == "0x" + "0" * 40)
+    assert(row.getAs[String]("signatures") == "0x")
+  }
+
+  test("decodeCall: non-empty dynamic tail decodes to its exact bytes") {
+    val payload = "a9059cbb" + wAddr(user) + w64(5L) // 68-byte inner call
+    val row = AbiDecode.decodeCall(
+      callTx("0xc2", execInput(other, 1L, data = payload, operation = 1L)),
+      ExecTransaction).collect().head
+    assert(row.getAs[String]("data") == "0x" + payload)
+    assert(row.getAs[Long]("operation") == 1L)
+    assert(row.getAs[String]("signatures") == "0x")
+  }
+
+  test("hostile calls: truncation drops, garbage offsets/words null, never raise") {
+    val good = execInput(other, 9L)
+    val hostile = Seq(
+      // truncated head: selector-prefixed but short → DROPS (quarantine)
+      Tx("0xh1", user, other, "0", good.take(100), Seq.empty),
+      // garbage data-offset word → data null, static params still decode
+      Tx("0xh2", user, other, "0",
+        "0x6a761202" + wAddr(other) + w64(3L) + "zz" * 32 +
+          w64(0L) * 4 + wAddr("0x" + "0" * 40) * 2 + w64(352L) + w64(0L) * 2,
+        Seq.empty),
+      // tail length word runs past the input end → data null
+      Tx("0xh3", user, other, "0",
+        "0x6a761202" + wAddr(other) + w64(3L) + w64(320L) +
+          w64(0L) * 4 + wAddr("0x" + "0" * 40) * 2 + w64(352L) +
+          w64(999999L) + w64(0L),
+        Seq.empty),
+      // non-hex value word → that param null
+      Tx("0xh4", user, other, "0",
+        "0x6a761202" + wAddr(other) + "gg" * 32 + w64(320L) +
+          w64(0L) * 4 + wAddr("0x" + "0" * 40) * 2 + w64(352L) + w64(0L) * 2,
+        Seq.empty),
+      // unregistered selector → drops
+      Tx("0xh5", user, other, "0", "0xdeadbeef" + w64(1L) * 12, Seq.empty),
+      // bare transfer input → drops
+      Tx("0xh6", user, other, "0", "0x", Seq.empty))
+    val out = AbiDecode.decodeCalls(hostile.toDS.toDF, Seq(ExecTransaction))
+      .collect().map(r => (r.getAs[String]("hash"), r.getAs[String]("param"),
+        Option(r.getAs[String]("value"))))
+    val byHash = out.groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    assert(!byHash.contains("0xh1"), "truncated head drops")
+    assert(byHash("0xh2")("data").isEmpty, "garbage offset → null tail")
+    assert(byHash("0xh2")("to").contains(other), "static params still decode")
+    assert(byHash("0xh3")("data").isEmpty, "overrun tail length → null")
+    assert(byHash("0xh3")("signatures").contains("0x"), "other tail unaffected")
+    assert(byHash("0xh4")("value").isEmpty, "non-hex word → null")
+    assert(!byHash.contains("0xh5"))
+    assert(!byHash.contains("0xh6"))
+  }
+
+  test("decodeCalls long format agrees with the wide decode; registry routes") {
+    val txs = Seq(
+      Tx("0xm1", user, other, "0", execInput(other, 42L), Seq.empty),
+      Tx("0xm2", user, token, "0",
+        "0xa9059cbb" + wAddr(user) + w64(5L), Seq.empty)).toDS.toDF
+    val long = AbiDecode.decodeCalls(txs, CallRegistry)
+      .select("fn", "param", "value").as[(String, String, String)].collect().toSet
+    assert(long.contains(("execTransaction", "value", "42")))
+    assert(long.contains(("transfer", "to", user)))
+    assert(long.contains(("transfer", "value", "5")))
+    val wide = AbiDecode.decodeCall(txs, Erc20TransferCall).collect()
+    assert(wide.length == 1 && wide.head.getAs[String]("callee") == token)
+  }
+
+  test("callCoverage: decoded / truncated / unregistered accounting") {
+    val txs = Seq(
+      Tx("0xv1", user, other, "0", execInput(other, 1L), Seq.empty),
+      Tx("0xv2", user, other, "0", execInput(other, 2L).take(80), Seq.empty),
+      Tx("0xv3", user, other, "0", "0xdeadbeef", Seq.empty),
+      Tx("0xv4", user, other, "0", "0x", Seq.empty)).toDS.toDF
+    val r = AbiDecode.callCoverage(txs, Seq(ExecTransaction))
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r("0x6a761202") == ((2L, 1L, 1L)), "one decoded, one truncated")
+    assert(r("0xdeadbeef") == ((1L, 0L, 0L)), "unregistered selector counted")
+    assert(!r.contains("0x"), "bare transfers excluded")
+  }
+
+  test("call-registry validation: dup selectors, indexed params, event tails reject") {
+    intercept[IllegalArgumentException] {
+      AbiFunction("bad", "0x6a761202", Seq(AbiParam("a", AddressT, indexed = true)))
+    }
+    intercept[IllegalArgumentException] {
+      AbiDecode.decodeCalls(txOf(), Seq(ExecTransaction,
+        AbiFunction("twin", "0x6a761202", Seq(AbiParam("a", AddressT, indexed = false)))))
+    }
+    intercept[IllegalArgumentException] { // dynamic tails are call-only
+      AbiEvent("Bad", "0x" + "ab" * 32, Seq(AbiParam("blob", DynBytesT, indexed = false)))
+    }
+  }
 }

@@ -5,7 +5,7 @@ import java.net.{HttpURLConnection, InetAddress, Socket, URL}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{EventPipeline, HealthServer, HealthState, Metrics, TxHashBroadcastServer}
+import graft.streaming.{BlockTimer, EventPipeline, HealthServer, HealthState, Metrics, TxHashBroadcastServer}
 
 /** The wire-served operations surface: metrics registry rendering, the
   * health bookkeeping + HTTP endpoints (Api/HealthService.cs semantics),
@@ -176,5 +176,32 @@ class WireApiSpec extends SparkSpec {
 
       s1.close()
     } finally srv.stop()
+  }
+
+  test("BlockTimer: enter→written sets the duration gauge once, leak valve clears at 100") {
+    BlockTimer.reset()
+    // enter → written stamps a non-negative duration and drains the entry
+    BlockTimer.trackBlockEnter(7L)
+    assert(BlockTimer.pendingCount === 1)
+    Thread.sleep(5)
+    BlockTimer.trackBlockWritten(7L)
+    assert(BlockTimer.pendingCount === 0)
+    val d1 = BlockTimer.lastDurationMs
+    assert(d1 >= 5.0, s"duration covers the enter->written wall time, got $d1")
+    // written without enter is a no-op (TryRemove semantics): gauge holds
+    BlockTimer.trackBlockWritten(999L)
+    assert(BlockTimer.lastDurationMs === d1)
+    // a replayed written for the same block is also a no-op
+    BlockTimer.trackBlockWritten(7L)
+    assert(BlockTimer.lastDurationMs === d1)
+    // the reference's leak valve: >100 outstanding enters clear on the next
+    (0L until 101L).foreach(BlockTimer.trackBlockEnter)
+    assert(BlockTimer.pendingCount === 101)
+    BlockTimer.trackBlockEnter(200L)
+    assert(BlockTimer.pendingCount === 1, "the valve cleared the stale enters")
+    // the gauge renders on the /metrics surface
+    assert(graft.streaming.Metrics.render()
+      .contains("graft_block_import_duration_ms"))
+    BlockTimer.reset()
   }
 }
