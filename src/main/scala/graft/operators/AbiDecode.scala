@@ -137,11 +137,19 @@ object AbiDecode {
   }
 
   /** i-th indexed topic (1-based after topic0) as a bare 64-char word;
-    * null on a malformed topic. */
+    * null on a malformed OR MISSING topic — the arity guard must live here,
+    * not only in the match predicate: the decode columns evaluate
+    * unconditionally in the split projection, so an unguarded element_at
+    * would ANSI-raise on any log shorter than the widest registered event. */
   private def topicWord(topics: Column, i: Int): Column = {
-    val t = element_at(topics, i + 2) // 1-based; +1 to skip topic0
+    val t = when(size(topics) >= i + 2, element_at(topics, i + 2))
     when(t.startsWith("0x") && length(t) === 66, substring(t, 3, 64))
   }
+
+  /** topic0 of a log, null when the topics array is empty (anonymous
+    * events) — totality for every element_at in this file. */
+  private def topic0(topics: Column): Column =
+    when(size(topics) >= 1, element_at(topics, 1))
 
   /** Decode one 64-char word (already null when malformed/short) to the
     * param's type. Every arm is total: null in → null out, junk → null. */
@@ -163,7 +171,7 @@ object AbiDecode {
       dataWord(log.getField("data"), ev.params.filterNot(_.indexed).indexWhere(_.name == p.name))
 
   private def matches(log: Column, ev: AbiEvent): Column =
-    element_at(log.getField("topics"), 1) === ev.topic0 &&
+    topic0(log.getField("topics")) === ev.topic0 &&
       size(log.getField("topics")) === ev.arity
 
   /** WIDE decode of one event: one row per matching log with one TYPED
@@ -190,22 +198,33 @@ object AbiDecode {
     require(registry.nonEmpty, "empty ABI registry")
     require(registry.map(_.name).distinct.size == registry.size, "duplicate event names")
     val log = col("log")
-    val eventName = registry.map(ev => (matches(log, ev), lit(ev.name)))
+    // two-phase projection like [[decodeCalls]]: each match flag / decoded
+    // param is its own splittable column below the Generate, so a WIDE user
+    // registry cannot push one fused map<> expression past Janino's 64 KB
+    // method limit (which silently drops the stage to interpreted mode)
+    val decoded = txs
+      .select(col("hash"), posexplode(col("logs")).as(Seq("log_index", "log")))
+      .select(col("hash") +: col("log_index").cast("long").as("log_index") +:
+        lower(col("log.address")).as("emitter") +:
+        registry.zipWithIndex.flatMap { case (ev, ei) =>
+          matches(log, ev).as(s"_m$ei") +:
+            ev.params.zipWithIndex.map { case (p, pi) =>
+              decodeWord(paramWord(log, ev, p), p.tpe).cast("string").as(s"_p${ei}_$pi")
+            }
+        }: _*)
+    val eventName = registry.zipWithIndex
+      .map { case (ev, ei) => (col(s"_m$ei"), lit(ev.name)) }
       .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
         when(cond, name).otherwise(acc) }
-    val paramsMap = registry.map { ev =>
-      (matches(log, ev), map(ev.params.flatMap(p => Seq(
-        lit(p.name),
-        decodeWord(paramWord(log, ev, p), p.tpe).cast("string"))): _*))
+    val paramsMap = registry.zipWithIndex.map { case (ev, ei) =>
+      (col(s"_m$ei"), map(ev.params.zipWithIndex.flatMap { case (p, pi) =>
+        Seq(lit(p.name), col(s"_p${ei}_$pi")) }: _*))
     }.foldLeft(lit(null).cast("map<string,string>")) { case (acc, (cond, m)) =>
       when(cond, m).otherwise(acc) }
-    txs.select(col("hash"), posexplode(col("logs")).as(Seq("log_index", "log")))
-      .select(col("hash"), col("log_index").cast("long").as("log_index"),
-        lower(col("log.address")).as("emitter"),
-        eventName.as("event"), paramsMap.as("params"))
-      .where(col("event").isNotNull)
-      .select(col("hash"), col("log_index"), col("emitter"), col("event"),
-        explode(col("params")).as(Seq("param", "value")))
+    decoded
+      .where(eventName.isNotNull)
+      .select(col("hash"), col("log_index"), col("emitter"), eventName.as("event"),
+        explode(paramsMap).as(Seq("param", "value")))
       .orderBy("hash", "log_index", "param")
   }
 
@@ -221,11 +240,11 @@ object AbiDecode {
       .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
         when(cond, name).otherwise(acc) }
     val topicOnly = registry.map(ev =>
-        (element_at(log.getField("topics"), 1) === ev.topic0, lit(ev.name)))
+        (topic0(log.getField("topics")) === ev.topic0, lit(ev.name)))
       .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
         when(cond, name).otherwise(acc) }
     txs.select(posexplode(col("logs")).as(Seq("log_index", "log")))
-      .select(element_at(col("log.topics"), 1).as("topic0"),
+      .select(topic0(col("log.topics")).as("topic0"),
         known.isNotNull.as("decoded"), topicOnly.isNotNull.as("registered"))
       .groupBy("topic0")
       .agg(count(lit(1)).as("n_logs"),
@@ -290,20 +309,33 @@ object AbiDecode {
     require(registry.map(_.name).distinct.size == registry.size, "duplicate function names")
     require(registry.map(_.selector).distinct.size == registry.size, "duplicate selectors")
     val input = col("input")
-    val fnName = registry.map(fn => (matchesCall(input, fn), lit(fn.name)))
+    // two-phase projection on purpose: each match flag and decoded param is
+    // its OWN column in the lower Project (splittable codegen — one fused
+    // map<> expression over a 10-param registry blows Janino's 64 KB method
+    // limit and drops the whole stage to interpreted mode); the Generate
+    // above assembles the map from plain attribute refs, which
+    // CollapseProject does not inline into a generator child
+    val decoded = txs.select(
+      col("hash") +: lower(col("from")).as("caller") +:
+        lower(col("to")).as("callee") +:
+        registry.zipWithIndex.flatMap { case (fn, fi) =>
+          matchesCall(input, fn).as(s"_m$fi") +:
+            fn.params.indices.map(i =>
+              callParam(input, fn, i).cast("string").as(s"_p${fi}_$i"))
+        }: _*)
+    val fnName = registry.zipWithIndex
+      .map { case (fn, fi) => (col(s"_m$fi"), lit(fn.name)) }
       .foldLeft(lit(null).cast("string")) { case (acc, (cond, name)) =>
         when(cond, name).otherwise(acc) }
-    val paramsMap = registry.map { fn =>
-      (matchesCall(input, fn), map(fn.params.indices.flatMap(i => Seq(
-        lit(fn.params(i).name),
-        callParam(input, fn, i).cast("string"))): _*))
+    val paramsMap = registry.zipWithIndex.map { case (fn, fi) =>
+      (col(s"_m$fi"), map(fn.params.indices.flatMap(i =>
+        Seq(lit(fn.params(i).name), col(s"_p${fi}_$i"))): _*))
     }.foldLeft(lit(null).cast("map<string,string>")) { case (acc, (cond, m)) =>
       when(cond, m).otherwise(acc) }
-    txs.select(col("hash"), lower(col("from")).as("caller"),
-        lower(col("to")).as("callee"), fnName.as("fn"), paramsMap.as("params"))
-      .where(col("fn").isNotNull)
-      .select(col("hash"), col("caller"), col("callee"), col("fn"),
-        explode(col("params")).as(Seq("param", "value")))
+    decoded
+      .where(fnName.isNotNull)
+      .select(col("hash"), col("caller"), col("callee"), fnName.as("fn"),
+        explode(paramsMap).as(Seq("param", "value")))
       .orderBy("hash", "param")
   }
 

@@ -74,7 +74,13 @@ class AbiDecodeSpec extends SparkSpec {
       Tx("0x5", user, other, "0", "0x",
         Seq(Log(token, Seq(TransferTopic, word(user)), uintHex(5)))),
       // empty logs array → nothing
-      Tx("0x6", user, other, "0", "0x", Seq.empty))
+      Tx("0x6", user, other, "0", "0x", Seq.empty),
+      // EMPTY TOPICS (anonymous event) rides next to a decodable log: the
+      // anonymous log drops silently, the good log still decodes — the
+      // unconditional split-projection decode must not element_at-raise
+      Tx("0x7", user, other, "0", "0x",
+        Seq(Log(token, Seq.empty, uintHex(1)),
+          Log(token, Seq(TransferTopic, word(user), word(other)), uintHex(8)))))
     val out = AbiDecode.decodeEvents(hostile.toDS.toDF, CirclesRegistry)
       .collect().map(r => (r.getAs[String]("hash"), r.getAs[String]("param"),
         Option(r.getAs[String]("value"))))
@@ -87,6 +93,7 @@ class AbiDecodeSpec extends SparkSpec {
     assert(byHash("0x4")("to").contains(other))
     assert(!byHash.contains("0x5"), "arity-hostile log drops")
     assert(!byHash.contains("0x6"))
+    assert(byHash("0x7")("value").contains("8"), "good log beside an anonymous one decodes")
   }
 
   test("decodeEvents long format agrees with the wide per-event decode") {
