@@ -1074,10 +1074,10 @@ object ScaleProbe {
     // (the natives remain the scale path; the exact twins exist for
     // cross-engine verification)
     if (args.contains("dedup_exact_twins")) {
-      time("minhash/native-10x")(Dedup.minhashLsh(bigDocs).count())
-      time("minhash/exact-md5-10x")(Dedup.minhashLshExact(bigDocs).count())
-      time("simhash/native-10x")(Dedup.simhashDedup(bigDocs).count())
-      time("simhash/exact-md5-10x")(Dedup.simhashDedupExact(bigDocs).count())
+      time("dedup_exact_twins/minhash-native-10x")(Dedup.minhashLsh(bigDocs).count())
+      time("dedup_exact_twins/minhash-md5-10x")(Dedup.minhashLshExact(bigDocs).count())
+      time("dedup_exact_twins/simhash-native-10x")(Dedup.simhashDedup(bigDocs).count())
+      time("dedup_exact_twins/simhash-md5-10x")(Dedup.simhashDedupExact(bigDocs).count())
     }
     // live push-source throughput: a local feed server pushes 100k event
     // rows across 2k blocks through the graft-live DataSourceV2 into a
