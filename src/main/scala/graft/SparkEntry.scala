@@ -699,6 +699,21 @@ object SparkEntry {
       Graph.harmonicCentrality(trust.where(col("limit") > 0)
         .select(col("can_send_to").as("src"), col("user").as("dst")))
     }),
+    // approximate BETWEENNESS by sampled-source Brandes over the same edge
+    // list — the broker/chokepoint measure beside the endorsement (PageRank/
+    // HITS) and closeness (harmonic) ranks. Sources = the 12 xxhash64-min
+    // users (deterministic min-K sample); rows-only (float dependency sums;
+    // GraphSpec pins hand-checked scores + reference-Brandes parity)
+    "q_trust_betweenness" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, xxhash64}
+      val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+        ReceiptClassifier.demoReceipts(Tables.events(s, d))))
+      val edges = trust.where(col("limit") > 0)
+        .select(col("user").as("src"), col("can_send_to").as("dst"))
+      val sources = edges.select(col("src").as("node")).distinct()
+        .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
+      Graph.betweenness(edges, sources, maxDepth = 6)
+    }),
     // multi-source BFS hop distance from the every-17th-user signup cohort
     // over the same edge list (level-synchronous frontier BFS; oracle =
     // hop-bounded recursive CTE with UNION dedup)

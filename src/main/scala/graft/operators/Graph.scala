@@ -1227,4 +1227,120 @@ object Graph {
     adj.unpersist()
     acc.orderBy("start", "walk", "step")
   }
+
+  /** Approximate BETWEENNESS centrality by sampled-source Brandes (Brandes
+    * 2001; the sampling estimator is Brandes–Pich 2007) — the "who sits on
+    * the short paths between others" complement of the centrality family:
+    * PageRank/HITS rank by endorsement mass, harmonic by closeness; this
+    * ranks the BROKERS whose removal lengthens routes — on a trust graph,
+    * the transitive-transfer chokepoints.
+    *
+    * All sampled sources run SIMULTANEOUSLY, state keyed (s, node):
+    *
+    *  - forward: level-synchronous BFS accumulating σ(s,v) = #shortest
+    *    s→v paths (exact decimal(38,0) sums — path counts overflow longs
+    *    on dense graphs). Round d's shuffle carries the (s, frontier) pairs
+    *    and their adjacent edges, never adjacency lists: O(K·E) total.
+    *  - backward: the dependency accumulation δ(s,v) = Σ_{w∈succ(v)}
+    *    σ(v)/σ(w)·(1+δ(w)), one level per round from the deepest frontier
+    *    back to the sources. Per-(s,v) sums are decimal(38,18) over
+    *    deterministic double addends, so the result is bit-stable under
+    *    any partitioning (the SGNS/HITS exact-sum discipline); δ itself is
+    *    the standard double-precision estimate.
+    *
+    * Output: (node, betweenness, n_sources) for every node with a positive
+    * score — betweenness = Σ_s δ(s, node) over the K sampled sources
+    * (sources excluded from their own sums, the Brandes v≠s rule), rounded
+    * to 9 decimals; multiply by |V|/K for the unbiased full-graph estimate.
+    * Rounds = 2·(BFS depth reached, capped at maxDepth) — the truncated-
+    * Brandes cap bounds work on small-world graphs exactly like [[bfsHops]]'
+    * maxHops; paths longer than maxDepth contribute nothing (documented
+    * approximation, standard for k-betweenness).
+    *
+    * Input `edges`: (src, dst) directed; `sources`: (node) — pass a
+    * deterministic hash-sampled subset (the q_trust_betweenness key uses
+    * the xxhash64-min-K rule) or every node for the exact measure.
+    */
+  def betweenness(edges: DataFrame, sources: DataFrame, maxDepth: Int = 8,
+                  checkpointDir: Option[String] = None,
+                  checkpointEvery: Int = 5): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth < 1: $maxDepth")
+    def cut(df: DataFrame, round: Int) =
+      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct(), 0).persist()
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // forward: levels(d) = (s, v, sigma) for nodes FIRST reached at dist d
+    var levels = Vector(cut(sources.select(col("node").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), d38(lit(1)).as("sigma")), 0).persist())
+    var caches = levels.toList
+    var d = 0
+    var frontierEmpty = levels.head.isEmpty
+    while (!frontierEmpty && d < maxDepth) {
+      d += 1
+      val visited = levels.map(_.select("s", "v")).reduce(_ unionByName _)
+      val nxt = cut(
+        levels.last.join(e, col("v") === col("src"))
+          .select(col("s"), col("dst").as("v"), col("sigma"))
+          .join(visited, Seq("s", "v"), "left_anti")
+          .groupBy("s", "v").agg(sum(col("sigma")).as("sigma")), d).persist()
+      caches = nxt :: caches
+      if (nxt.isEmpty) { frontierEmpty = true; d -= 1 }
+      else levels = levels :+ nxt
+    }
+    // backward: delta(d) = (s, v, delta); the deepest level has no
+    // successors, so its delta is 0 — start the accumulation one level up
+    val dExact = (c: Column) => c.cast("decimal(38,18)")
+    var delta = cut(levels(levels.size - 1)
+      .select(col("s"), col("v"), lit(0.0).as("delta")), 0).persist()
+    caches = delta :: caches
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (levels.size > 1) contribs += delta
+    for (dd <- (levels.size - 2) to 0 by -1) {
+      // successors of level-dd nodes are exactly the level-(dd+1) nodes one
+      // edge away (shortest-path DAG edges); sum their weighted dependency
+      val succ = levels(dd + 1).as("w")
+        .join(delta.as("dw"), col("w.s") === col("dw.s") && col("w.v") === col("dw.v"))
+        .select(col("w.s").as("s"), col("w.v").as("w"),
+          col("w.sigma").as("sigma_w"), col("dw.delta").as("delta_w"))
+      val nextDelta = cut(
+        succ.join(e, col("w") === col("dst"))
+          .select(col("s"), col("src").as("v"), col("sigma_w"), col("delta_w"))
+          .join(levels(dd).select(col("s"), col("v"), col("sigma").as("sigma_v")),
+            Seq("s", "v"))
+          .select(col("s"), col("v"),
+            dExact(col("sigma_v").cast("double") / col("sigma_w").cast("double") *
+              (lit(1.0) + col("delta_w"))).as("dpart"))
+          .groupBy("s", "v").agg(sum(col("dpart")).cast("double").as("delta")),
+        levels.size - 1 - dd).persist()
+      caches = nextDelta :: caches
+      // the NEXT round's successor frame must cover EVERY level-dd node:
+      // ones missing from nextDelta have no successors in the truncated
+      // DAG — their delta is 0, but their (1 + 0) contribution to THEIR
+      // predecessors is real, so they need explicit zero rows
+      val levelDelta = cut(levels(dd).select(col("s"), col("v"))
+        .join(nextDelta, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta")),
+        levels.size - 1 - dd).persist()
+      caches = levelDelta :: caches
+      delta = levelDelta
+      if (dd >= 1) contribs += nextDelta // dd = 0 rows are the sources (v = s)
+    }
+    val bc =
+      if (contribs.isEmpty)
+        levels.head.sparkSession.emptyDataFrame
+          .select(lit(0L).as("node"), lit(0.0).as("betweenness"),
+            lit(0L).as("n_sources")).limit(0)
+      else contribs.reduce(_ unionByName _)
+        .where(col("s") =!= col("v")) // Brandes v ≠ s
+        .groupBy(col("v").as("node"))
+        .agg(round(sum(dExact(col("delta"))).cast("double"), 9).as("betweenness"),
+          count_distinct(col("s")).as("n_sources"))
+        .where(col("betweenness") > 0.0)
+        .orderBy("node")
+    val out = Checkpoints.cut(bc, 0, checkpointDir, 1)
+    caches.foreach(Checkpoints.release)
+    Checkpoints.release(e)
+    out
+  }
 }

@@ -920,4 +920,79 @@ class GraphSpec extends SparkSpec {
     assert(empty.columns.toSeq ==
       Seq("t", "nf_est", "avg_ball_est", "changed_nodes"))
   }
+
+  // --- betweenness (sampled Brandes) ---------------------------------------
+
+  /** Reference Brandes (directed, truncated at maxDepth) for parity. */
+  private def bruteBetweenness(edges: Seq[(Long, Long)], sources: Seq[Long],
+                               maxDepth: Int): Map[Long, Double] = {
+    val es = edges.distinct.filter(e => e._1 != e._2)
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val preds = es.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- sources) {
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = scala.collection.mutable.Map[Long, Double](s -> 1.0)
+      val levels = scala.collection.mutable.ArrayBuffer(List(s))
+      var frontier = List(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxDepth) {
+        d += 1
+        val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        for (v <- frontier; w <- adj.getOrElse(v, Nil) if !dist.contains(w))
+          acc(w) += sigma(v)
+        val next = acc.keys.toList.sorted
+        next.foreach { w => dist(w) = d; sigma(w) = acc(w) }
+        if (next.nonEmpty) levels += next
+        frontier = next
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (dd <- (levels.size - 1) to 1 by -1; w <- levels(dd);
+           v <- preds.getOrElse(w, Nil) if dist.get(v).contains(dd - 1))
+        delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+      for ((v, dl) <- delta if v != s) bc(v) += dl
+    }
+    bc.toMap.filter(_._2 > 1e-12)
+  }
+
+  test("betweenness: hand-checked path and diamond scores") {
+    // path 1->2->3->4: node 2 sits on (1,3),(1,4); node 3 on (1,4),(2,4)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val r = Graph.betweenness(path, allNodes).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Double]("betweenness")).toMap
+    assert(r == Map(2L -> 2.0, 3L -> 2.0))
+    // diamond 1->{2,3}->4: two equal shortest paths split the dependency
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r2 = Graph.betweenness(diamond, allNodes).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Double]("betweenness")).toMap
+    assert(r2 == Map(2L -> 0.5, 3L -> 0.5))
+  }
+
+  test("betweenness: parity with reference Brandes on a mixed graph, truncation honored") {
+    // 24 nodes, two affine maps + a long chain so some shortest paths
+    // exceed the truncation cap
+    val n = 24L
+    val edges = (0L until n).flatMap(i => Seq(
+      (i, (i * 5 + 3) % n), (i, (i * 7 + 1) % n))) ++
+      (0L until n - 1).map(i => (i, i + 1))
+    val sources = Seq(0L, 3L, 7L, 11L, 19L)
+    for (depth <- Seq(3, 8)) {
+      val expect = bruteBetweenness(edges, sources, depth)
+      val got = Graph.betweenness(edges.toDF("src", "dst"),
+          sources.toDF("node"), maxDepth = depth).collect()
+        .map(x => x.getAs[Long]("node") -> x.getAs[Double]("betweenness")).toMap
+      assert(got.keySet == expect.keySet, s"node sets differ at depth $depth")
+      got.foreach { case (v, b) =>
+        assert(math.abs(b - expect(v)) < 1e-9, s"node $v depth $depth: $b vs ${expect(v)}")
+      }
+    }
+  }
+
+  test("betweenness: sources outside the graph and empty inputs are harmless") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(Graph.betweenness(edges, Seq(99L).toDF("node")).collect().isEmpty)
+    assert(Graph.betweenness(edges, spark.range(0).select(col("id").as("node")))
+      .collect().isEmpty)
+  }
 }
