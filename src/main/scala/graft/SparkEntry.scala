@@ -96,6 +96,63 @@ object SparkEntry {
         | rank_in_b_of_a_top1
         |FROM ag""".stripMargin
 
+  /** MMR-rerank oracle: the SAME greedy selection [[Retrieval.mmrRerank]]
+    * runs (k=5, λ=0.7 over the dense leg's top-12), UNROLLED as five
+    * chained single-row CTEs — step i picks argmax of
+    * round(0.7·rel̂ − (1−0.7)·max sim-to-selected, 12) with doc_id
+    * tie-breaks. Every ingredient (cosine scores, rel̂ normalization, the
+    * pairwise sims, the step scores) rounds to 12 dp on BOTH engines, and
+    * the 1−λ constant is forced through DOUBLE arithmetic so it equals the
+    * JVM's 1.0−0.7 bit pattern (a DECIMAL 0.3 literal would not).
+    */
+  private val MmrOracleSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = s"(CAST(1.0 AS DOUBLE) - $lam)"
+    def step(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""s$i AS (SELECT r.doc_id,
+         |   round($lam*r.reln - $mu *
+         |     (SELECT max(s.sim) FROM sims s
+         |      WHERE s.da = r.doc_id AND s.db IN (SELECT doc_id FROM $prev)), 12) AS ms
+         | FROM rel r WHERE r.doc_id NOT IN (SELECT doc_id FROM $prev)
+         | ORDER BY ms DESC, r.doc_id LIMIT 1),
+         |p$i AS (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+    }
+    """WITH nv AS (SELECT vec_id, embedding,
+      |    sqrt(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+      |         x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+      |              AS DECIMAL(28,18)))) AS DOUBLE)) AS nrm
+      |   FROM embeddings),
+      |q AS (SELECT * FROM nv WHERE vec_id = 0 AND nrm > 0),
+      |base AS (SELECT * FROM nv WHERE vec_id <> 0 AND nrm > 0),
+      |sc AS (SELECT b.vec_id AS doc_id,
+      |    round(CAST(list_sum(list_transform(list_zip(q.embedding, b.embedding),
+      |         x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+      |              AS DECIMAL(28,18)))) AS DOUBLE) / (q.nrm * b.nrm), 12) AS score
+      |   FROM base b, q),
+      |cand AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 12),
+      |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM cand),
+      |rel AS (SELECT c.doc_id,
+      |    CASE WHEN m.mx = m.mn THEN CAST(1.0 AS DOUBLE)
+      |         ELSE round((c.score - m.mn) / (m.mx - m.mn), 12) END AS reln
+      |   FROM cand c, mm m),
+      |ce AS (SELECT c.doc_id, v.embedding, v.nrm FROM cand c JOIN nv v ON v.vec_id = c.doc_id),
+      |sims AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |    round(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |         x -> CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)
+      |              AS DECIMAL(28,18)))) AS DOUBLE) / (a.nrm * b.nrm), 12) AS sim
+      |   FROM ce a JOIN ce b ON a.doc_id <> b.doc_id),
+      |""".stripMargin +
+      s"""s1 AS (SELECT doc_id, round($lam*reln, 12) AS ms FROM rel
+         | ORDER BY ms DESC, doc_id LIMIT 1),
+         |p1 AS (SELECT doc_id FROM s1),
+         |""".stripMargin +
+      (2 to 5).map(step).mkString(",\n").stripMargin + "\n" +
+      (1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, doc_id, ms AS mmr_score FROM s$i")
+        .mkString("", "\nUNION ALL ", "\nORDER BY rank")
+  }
+
   /** Shared BM25 oracle — `q_bm25` (one-shot) and `q_bm25_index` (served
     * from the posting-list store) must both reproduce it exactly.
     */
@@ -1708,6 +1765,16 @@ object SparkEntry {
       Retrieval.rankingAgreement(
         Retrieval.bm25Leg(Tables.documents(s, d), Seq("dup", "spark", "merge"), 20),
         Retrieval.denseLeg(Tables.embeddings(s, d), 0L, 20), k = 20)),
+    // MMR diversity rerank of the dense leg's top-12 (k=5, λ=0.7): greedy
+    // relevance-vs-redundancy selection, every intermediate 12-dp-rounded
+    // with doc_id tie-breaks — the DuckDB twin unrolls the same 5 greedy
+    // steps over the same decimal-dot cosines, so even this iterative
+    // reranker is hash-checked cross-engine
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Retrieval.mmrRerank(Retrieval.denseLegScored(emb, 0L, 12), emb,
+        k = 5, lambda = 0.7)
+    }),
     // the production-shaped hybrid: BOTH legs served from write-once
     // stores — BM25 from the inverted index (32g2), the dense leg from
     // the stored IVF index (29c) at FULL probe width (nprobe =
@@ -5153,6 +5220,7 @@ object SparkEntry {
     "q_hybrid_search" -> HybridOracleSql,
     "q_hybrid_search_served" -> HybridOracleSql,
     "q_retrieval_agreement" -> RetrievalAgreementOracleSql,
+    "q_mmr_rerank" -> MmrOracleSql,
     // the index-served twin scores IDENTICALLY (same tf/df/dl/stats by
     // construction) — the one oracle covers both spellings independently
     "q_bm25_index" -> Bm25OracleSql,

@@ -138,4 +138,96 @@ object Retrieval {
                    maxId: Long = Long.MaxValue): DataFrame =
     rrfFuse(bm25Leg(documents, queryTerms, legK),
       denseLeg(embeddings, queryVecId, legK, maxId), kConst, topK)
+
+  /** [[denseLeg]] keeping the 12-dp cosine as a SCORE column — the
+    * candidate-list shape [[mmrRerank]] consumes. */
+  def denseLegScored(embeddings: DataFrame, queryVecId: Long, legK: Int,
+                     maxId: Long = Long.MaxValue): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), Ann.norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+    val base = embeddings
+      .where(col("vec_id") =!= queryVecId && col("vec_id") < maxId)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        Ann.norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val scored = base.crossJoin(broadcast(q))
+      .select(lit(queryVecId).as("qid"), col("nid"),
+        round(Ann.dotDecimal(col("qe"), col("ne")).cast("double") /
+          (col("qn") * col("nn")), 12).as("cosine"))
+    Ann.rankTopK(scored, legK)
+      .select(col("nid").as("doc_id"), col("cosine").as("score"))
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE rerank (Carbonell–Goldstein 1998): greedily
+    * re-order a bounded candidate list so each pick balances relevance
+    * against redundancy with what is already picked —
+    *   mmr(c) = λ·rel̂(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    * with rel̂ = min-max-normalized candidate score (1.0 when all scores
+    * tie) and sim = exact 12-dp cosine between candidate embeddings. The
+    * diversity member of the retrieval stack: RRF fuses legs, the ranking-
+    * agreement report diagnoses them, this de-duplicates the final page
+    * (near-identical top hits collapse to one + the next DIFFERENT doc).
+    *
+    * Scale shape: candidates are a ≤maxCandidates leg artifact by contract
+    * (every leg here ends in a bounded top-k), so the pairwise-sim frame is
+    * ≤N² small rows and the greedy loop runs driver-side over collected
+    * arrays — the markov-chain-solve precedent (a |candidates|-bounded
+    * matrix, never corpus data). Sims use the engine's decimal-dot cosine
+    * protocol, every intermediate rounds to 12 dp, ties break by doc_id —
+    * fully deterministic and ORACLE-CHECKABLE (the DuckDB twin unrolls the
+    * same greedy steps).
+    *
+    * Input `candidates`: (doc_id, score); `embeddings`: (vec_id, embedding)
+    * sharing the id space. Candidates without a usable embedding (missing
+    * row or zero norm) drop before selection — sim against them is
+    * undefined. Output: (rank 1.., doc_id, mmr_score), ≤k rows.
+    */
+  def mmrRerank(candidates: DataFrame, embeddings: DataFrame, k: Int = 10,
+                lambda: Double = 0.7, maxCandidates: Int = 256): DataFrame = {
+    require(k >= 1, s"k < 1: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda outside [0,1]: $lambda")
+    require(maxCandidates >= 1 && maxCandidates <= 4096,
+      s"maxCandidates outside [1, 4096]: $maxCandidates")
+    val spark = candidates.sparkSession
+    val ce = candidates.orderBy(col("score").desc, col("doc_id")).limit(maxCandidates)
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding"),
+        Ann.norm(col("embedding")).as("nrm")), Seq("doc_id"))
+      .where(col("nrm") > 0)
+      .persist()
+    // bounded driver aggregates: ≤N scores + ≤N(N−1)/2 sims
+    val rels = ce.select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val sims = ce.as("a").join(ce.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        round(Ann.dotDecimal(col("a.embedding"), col("b.embedding")).cast("double") /
+          (col("a.nrm") * col("b.nrm")), 12).as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ce.unpersist()
+    def r12(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def simOf(a: Long, b: Long): Double =
+      if (a < b) sims((a, b)) else sims((b, a))
+    val mn = if (rels.isEmpty) 0.0 else rels.map(_._2).min
+    val mx = if (rels.isEmpty) 0.0 else rels.map(_._2).max
+    val rel = rels.map { case (id, sc) =>
+      id -> (if (mx == mn) 1.0 else r12((sc - mn) / (mx - mn))) }.toMap
+    val mu = 1.0 - lambda
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+    while (picked.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { c =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => simOf(c, p._1)).max
+        (c, r12(lambda * rel(c) - mu * maxSim))
+      }.minBy { case (id, ms) => (-ms, id) }
+      picked += best
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, ms), i) => (i + 1L, id, ms) }
+      .toDF("rank", "doc_id", "mmr_score")
+  }
 }

@@ -99,4 +99,45 @@ class RetrievalSpec extends SparkSpec {
     assert(served == adhoc,
       s"served hybrid diverged from the ad-hoc twin:\n$served\nvs\n$adhoc")
   }
+
+  test("mmrRerank: lambda=1 is pure relevance order; diversity demotes the near-twin") {
+    // q-space: A and B nearly identical high-relevance vectors, C distinct
+    // but still relevant — classic MMR shape
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),        // A
+      (11L, Array(0.999f, 0.045f, 0.0f)),    // B ≈ A
+      (12L, Array(0.0f, 1.0f, 0.0f)),        // C ⊥ A
+      (13L, Array(0.5f, 0.5f, 0.7f))         // D middling
+    ).toDF("vec_id", "embedding")
+    val cands = Seq((10L, 0.95), (11L, 0.94), (12L, 0.80), (13L, 0.70))
+      .toDF("doc_id", "score")
+    // λ=1: exactly the candidate order
+    val pure = Retrieval.mmrRerank(cands, emb, k = 4, lambda = 1.0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(pure == Seq(10L, 11L, 12L, 13L))
+    // λ=0.5: A first (top relevance), then C (B is ~A, sim≈1 kills it) —
+    // the near-twin B demotes below C (it ranked 2nd on pure relevance);
+    // D stays last (min-max rel-hat 0 outweighs its moderate diversity)
+    val div = Retrieval.mmrRerank(cands, emb, k = 4, lambda = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(div == Seq(10L, 12L, 11L, 13L), s"got $div")
+    // ranks are 1..k and mmr_score is non-increasing only within no-tie
+    val full = Retrieval.mmrRerank(cands, emb, k = 4, lambda = 0.5).collect()
+    assert(full.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("mmrRerank: k beyond candidates, equal scores, missing embeddings") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // doc 3 has no embedding: drops before selection
+    val cands = Seq((1L, 0.5), (2L, 0.5), (3L, 0.9)).toDF("doc_id", "score")
+    val out = Retrieval.mmrRerank(cands, emb, k = 10, lambda = 0.7).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    // equal scores: rel-hat = 1.0 for both, first pick ties break by doc_id
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // empty candidates: schema-stable empty
+    val empty = Retrieval.mmrRerank(cands.where($"doc_id" > 99), emb, k = 3)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("rank", "doc_id", "mmr_score"))
+  }
 }
