@@ -395,6 +395,13 @@ object ScaleProbe {
       // alone makes that ~10k² pair rows)
       time("neighborhood_fn/10x-small-world-64rounds")(
         Graph.neighborhoodFunction(bigTrustSw, maxT = 64).count())
+      // r11b: sampled Brandes on the same small-world graph — 12 sources
+      // simultaneously, rounds = 2×BFS-depth (capped 6), state (s, node)
+      time("betweenness/10x-12src-depth6") {
+        val srcs = bigTrustSw.select(col("src").as("node")).distinct()
+          .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
+        Graph.betweenness(bigTrustSw, srcs, maxDepth = 6).count()
+      }
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
       time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())
       time("corr_matrix/10x-events") {
