@@ -262,4 +262,31 @@ class AbiDecodeSpec extends SparkSpec {
       AbiEvent("Bad", "0x" + "ab" * 32, Seq(AbiParam("blob", DynBytesT, indexed = false)))
     }
   }
+
+  test("wide decodes are streaming-compatible: decodeEvent over a MemoryStream") {
+    // the wide per-event/per-call decodes are pure projections (no orderBy,
+    // no agg), so they run unchanged inside a micro-batch pipeline — the
+    // streaming half of the generic-decoder claim
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tx]
+    val q = AbiDecode.decodeEvent(mem.toDF(), Erc20Transfer)
+      .writeStream.format("memory").queryName("abi_stream").outputMode("append").start()
+    mem.addData(
+      Tx("0xs1", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(user), word(other)), uintHex(7)))),
+      Tx("0xs2", user, other, "0", "0x", Seq.empty))
+    q.processAllAvailable()
+    mem.addData(
+      Tx("0xs3", user, other, "0", "0x",
+        Seq(Log(token, Seq(TransferTopic, word(other), word(user)), uintHex(9)))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("abi_stream")
+      .select("hash", "from", "to", "value").as[(String, String, String, String)]
+      .collect().toSet
+    assert(got == Set(
+      ("0xs1", user, other, "7"),
+      ("0xs3", other, user, "9")))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Retrieval
+
 /** Plan-shape regression guards for flagship queries: the properties that
   * make these run at 100 TB (dimension broadcasts, partial aggregation,
   * scan-level filter/column pushdown, no nested-loop fallbacks) asserted
@@ -288,4 +290,32 @@ class PlanShapeSpec extends SparkSpec {
       Seq(Seq(1, 2), Seq(3, 4)))
   }
 
+  test("r11b keys: ABI decode stays map-only-to-sort and codegen'd; mmr legs bounded") {
+    // the long-format event decode: posexplode + split projection; the ONLY
+    // exchange is the final global sort (rangepartitioning) — no join, no
+    // aggregate before it, and the projection stays inside codegen (the
+    // fused-map spelling fell out of codegen at 64 KB)
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    val ev = finalSection(finalPlanOf("q_abi_decode"))
+    assert("Exchange".r.findAllIn(ev).length <= 1,
+      s"event decode grew a non-sort exchange:\n$ev")
+    assert(!ev.contains("SortMergeJoin") && !ev.contains("BroadcastHashJoin"),
+      s"event decode must not join:\n$ev")
+    assert(ev.contains("*(1)"), s"event decode fell out of codegen:\n$ev")
+    val calls = finalSection(finalPlanOf("q_abi_input_decode"))
+    assert("Exchange".r.findAllIn(calls).length <= 1,
+      s"call decode grew a non-sort exchange:\n$calls")
+    assert(calls.contains("*(1)"), s"call decode fell out of codegen:\n$calls")
+    // coverage audits: one partial-agg shuffle over tiny key spaces
+    val cov = finalPlanOf("q_abi_coverage")
+    assert(cov.contains("partial_count") || cov.contains("HashAggregate"),
+      s"coverage lost partial aggregation:\n$cov")
+    // mmr: the candidate leg ends bounded (TopKAgg heap), no corpus cartesian
+    // beyond the 1-row query-vector broadcast
+    val mmrCand = Retrieval.denseLegScored(
+      Tables.embeddings(spark, sf), 0L, 12).queryExecution.executedPlan.toString
+    assert(mmrCand.contains("topk") || mmrCand.contains("TopK") ||
+      mmrCand.contains("ObjectHashAggregate"),
+      s"mmr candidate leg lost the bounded heap:\n$mmrCand")
+  }
 }
