@@ -7,7 +7,7 @@ import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.streaming.StreamingQueryException
-import graft.streaming.{EventPipeline, HealthState, ImportFeed, LiveImportLoop, TxHashBroadcastServer}
+import graft.streaming.{BlockTimer, EventPipeline, HealthState, ImportFeed, LiveImportLoop, TxHashBroadcastServer}
 
 /** The live push-source end-to-end: a real TCP feed server drives the
   * `graft-live` DataSourceV2 source through classify → complete-block-gated
@@ -94,6 +94,7 @@ class LiveSourceSpec extends SparkSpec {
     subReader.setDaemon(true)
     subReader.start()
     val health = new HealthState(staleAfterMs = 600000L)
+    BlockTimer.reset()
     try {
       val res = LiveImportLoop.run(
         spark, "127.0.0.1", feed.port, fromBlock = 1L,
@@ -129,6 +130,15 @@ class LiveSourceSpec extends SparkSpec {
       assert(health.lastKnownBlock === 4L)
       assert(health.lastImportedKey === 32L)
       assert(health.healthy)
+
+      // the Statistics.cs duration arc fired end-to-end: blocks entered at
+      // the source, written through the gated import's onGroupsImported
+      // hook — the last completed block stamped a positive duration, and
+      // block 4 (held, never written) is still pending
+      assert(BlockTimer.lastDurationMs > 0.0,
+        "no block stamped an import duration")
+      assert(BlockTimer.pendingCount === 1,
+        "exactly the held block (4) should still be pending")
     } finally {
       feed.stop(); bcast.stop(); sub.close()
     }
