@@ -179,26 +179,29 @@ class WireApiSpec extends SparkSpec {
   }
 
   test("BlockTimer: enter→written sets the duration gauge once, leak valve clears at 100") {
-    BlockTimer.reset()
-    // enter → written stamps a non-negative duration and drains the entry
-    BlockTimer.trackBlockEnter(7L)
-    assert(BlockTimer.pendingCount === 1)
+    // BlockTimer is process-global (the reference's Statistics statics) and
+    // sbt runs suites in parallel, so assertions are DELTA-based: ids live
+    // in a 9e9 range no other suite uses, counts compare before/after
+    val base = 9000000000L
+    BlockTimer.trackBlockEnter(base + 7L)
     Thread.sleep(5)
-    BlockTimer.trackBlockWritten(7L)
-    assert(BlockTimer.pendingCount === 0)
+    BlockTimer.trackBlockWritten(base + 7L)
     val d1 = BlockTimer.lastDurationMs
     assert(d1 >= 5.0, s"duration covers the enter->written wall time, got $d1")
-    // written without enter is a no-op (TryRemove semantics): gauge holds
-    BlockTimer.trackBlockWritten(999L)
-    assert(BlockTimer.lastDurationMs === d1)
-    // a replayed written for the same block is also a no-op
-    BlockTimer.trackBlockWritten(7L)
-    assert(BlockTimer.lastDurationMs === d1)
-    // the reference's leak valve: >100 outstanding enters clear on the next
-    (0L until 101L).foreach(BlockTimer.trackBlockEnter)
-    assert(BlockTimer.pendingCount === 101)
-    BlockTimer.trackBlockEnter(200L)
-    assert(BlockTimer.pendingCount === 1, "the valve cleared the stale enters")
+    // written without enter is a no-op (TryRemove semantics), and a
+    // replayed written for the same block is also a no-op: neither can
+    // LOWER the stamp below this test's 5ms floor
+    BlockTimer.trackBlockWritten(base + 999L)
+    BlockTimer.trackBlockWritten(base + 7L)
+    assert(BlockTimer.lastDurationMs >= 5.0)
+    // the reference's leak valve: pushing PAST 100 outstanding clears —
+    // afterwards strictly fewer pending than the >100 we had before
+    (0L until 101L).foreach(i => BlockTimer.trackBlockEnter(base + 1000L + i))
+    val before = BlockTimer.pendingCount
+    assert(before >= 101)
+    BlockTimer.trackBlockEnter(base + 2000L)
+    assert(BlockTimer.pendingCount < before,
+      "the valve should have cleared the stale enters")
     // the gauge renders on the /metrics surface
     assert(graft.streaming.Metrics.render()
       .contains("graft_block_import_duration_ms"))
