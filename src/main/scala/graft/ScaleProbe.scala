@@ -1086,6 +1086,29 @@ object ScaleProbe {
       time("dedup_exact_twins/simhash-native-10x")(Dedup.simhashDedup(bigDocs).count())
       time("dedup_exact_twins/simhash-md5-10x")(Dedup.simhashDedupExact(bigDocs).count())
     }
+    // MMR rerank at its contract ceiling: 256 candidates (the bounded
+    // collect = 256 rel rows + 32,640 sim pairs), greedy k=20 — the
+    // driver-side loop's worst case, next to a 10x-corpus candidate build
+    if (args.contains("mmr_rerank")) {
+      time("mmr_rerank/cand-build-10x-200k") {
+        Retrieval.denseLegScored(bigEmb, 0L, 256).count()
+      }
+      time("mmr_rerank/256cand-k20") {
+        Retrieval.mmrRerank(Retrieval.denseLegScored(bigEmb, 0L, 256), bigEmb,
+          k = 20, lambda = 0.7, maxCandidates = 256).count()
+      }
+    }
+    // capacity_graph v1 beside _2 at 10x (the round-11 catalog port)
+    if (args.contains("capacity_v1")) {
+      time("capacity_v1/10x") {
+        val rx = ReceiptClassifier.demoReceipts(bigEvents)
+        val signups = ReceiptClassifier.demoSignups(bigEvents)
+        CirclesViews.capacityGraph1(
+          CirclesViews.balancesBySafeAndToken(SparkEntry.Demo.erc20Num(rx)),
+          CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(rx)),
+          signups).count()
+      }
+    }
     // live push-source throughput: a local feed server pushes 100k event
     // rows across 2k blocks through the graft-live DataSourceV2 into a
     // counting sink — the sub-second-latency ingest path's ceiling on one
