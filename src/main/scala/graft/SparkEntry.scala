@@ -1830,6 +1830,17 @@ object SparkEntry {
         TextIndex.buildTextIndex(Tables.documents(s, d), _))
       TextIndex.proximityDocsFromIndex(s, dir, "scan", "filter", window = 5)
     }),
+    // Lucene-style BOOLEAN query from the same index: must-ALL(scan,
+    // filter) AND-NOT(dup), ranked by distinct should-matches (merge,
+    // window) — exact set semantics, oracle = DuckDB set algebra over the
+    // same tokenization
+    "q_bool_search" -> ((s, d) => {
+      val dir = servedStore("text-index", d)(
+        TextIndex.buildTextIndex(Tables.documents(s, d), _))
+      TextIndex.booleanDocsFromIndex(s, dir,
+        must = Seq("scan", "filter"), should = Seq("merge", "window"),
+        mustNot = Seq("dup"))
+    }),
     // order-independent corpus fingerprint (the release checksum a data
     // contract pins); 1-row global aggregate
     "q_dataset_checksum" -> ((s, d) =>
@@ -2678,6 +2689,22 @@ object SparkEntry {
         |FROM pa JOIN pb USING (doc_id)
         |WHERE abs(pa.p - q) <= 5
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // boolean query: must-ALL(scan, filter) AND-NOT(dup), n_should =
+    // distinct should-term matches (merge, window) — pure set algebra over
+    // the same whitespace tokenization
+    "q_bool_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |td AS (SELECT DISTINCT doc_id, term FROM t),
+        |m AS (SELECT doc_id FROM td WHERE term IN ('scan', 'filter')
+        |      GROUP BY doc_id HAVING count(*) = 2),
+        |x AS (SELECT DISTINCT doc_id FROM td WHERE term = 'dup'),
+        |sh AS (SELECT doc_id, count(*) AS ns FROM td
+        |       WHERE term IN ('merge', 'window') GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(COALESCE(sh.ns, 0) AS BIGINT) AS n_should
+        |FROM m LEFT JOIN sh USING (doc_id)
+        |WHERE m.doc_id NOT IN (SELECT doc_id FROM x)
+        |ORDER BY n_should DESC, doc_id""".stripMargin,
     // order-independent checksum: same md5-14-hex-long per row, summed in
     // HUGEINT and folded mod 2^64 — emitted as VARCHAR on both sides.
     // Per-column COALESCE('') mirrors the Spark side's null discipline

@@ -258,6 +258,64 @@ object TextIndex {
       .orderBy("doc_id")
   }
 
+  /** BOOLEAN retrieval from the index — the Lucene BooleanQuery member of
+    * the retrieval stack (BM25 ranks, phrase/proximity position-match;
+    * this is the filter algebra): documents containing ALL `must` terms
+    * and NONE of the `mustNot` terms, ranked by how many DISTINCT `should`
+    * terms they also contain (then doc_id). With `must` empty, candidates
+    * are docs matching ≥1 `should` term (the standard pure-OR query).
+    *
+    * Scale shape: one pruned postings read covering all three clauses'
+    * buckets, then set algebra on (term, doc_id) pairs — a count-distinct
+    * partial agg for must/should, an anti-join for mustNot; posting
+    * payloads (positions) never load (column pruning) and the corpus is
+    * never re-tokenized. Fully oracle-checkable: exact set semantics over
+    * the engine's whitespace tokenization.
+    */
+  def booleanDocsFromIndex(spark: SparkSession, dir: String,
+                           must: Seq[String], should: Seq[String] = Nil,
+                           mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty, "need at least one must/should term")
+    val mustD = must.distinct
+    val shouldD = should.distinct
+    val notD = mustNot.distinct
+    require((mustD ++ notD).distinct.size == mustD.size + notD.size,
+      "a term cannot be both must and mustNot")
+    val (n, _, numBuckets) = readStatsRow(spark, dir)
+    if (n == 0L)
+      return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_should"))
+    import spark.implicits._
+    val allTerms = (mustD ++ shouldD ++ notD).distinct
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("tb"))
+      .as[Long].collect().distinct.toSeq
+    val posts = readPostings(spark, dir)
+      .where(col("tb").isInCollection(buckets) && col("term").isInCollection(allTerms))
+      .select("term", "doc_id")
+    val candidates =
+      if (mustD.nonEmpty)
+        posts.where(col("term").isInCollection(mustD))
+          .groupBy("doc_id")
+          .agg(count_distinct(col("term")).as("_nm"))
+          .where(col("_nm") === mustD.size)
+          .select("doc_id")
+      else
+        posts.where(col("term").isInCollection(shouldD)).select("doc_id").distinct()
+    val excluded =
+      if (notD.isEmpty) candidates
+      else candidates.join(
+        posts.where(col("term").isInCollection(notD)).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    val shouldN =
+      if (shouldD.isEmpty) excluded.select(col("doc_id"), lit(0L).as("n_should"))
+      else excluded.join(
+          posts.where(col("term").isInCollection(shouldD))
+            .groupBy("doc_id").agg(count_distinct(col("term")).as("_ns")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_ns"), lit(0L)).as("n_should"))
+    shouldN.orderBy(col("n_should").desc, col("doc_id"))
+  }
+
   /** PROXIMITY (NEAR) search from the positional index: documents where
     * `termA` and `termB` occur within `window` tokens of each other, with
     * the matching position-pair count. One doc_id-keyed join of the two

@@ -190,4 +190,43 @@ class TextIndexSpec extends SparkSpec {
     assert(served == brute.map { case (k, v) => k -> v.toLong })
     assert(served.nonEmpty, "testdata must exercise the phrase")
   }
+
+  test("boolean query: must/should/mustNot set semantics vs brute force; edges") {
+    val dir = freshIndex()
+    val got = TextIndex.booleanDocsFromIndex(spark, dir,
+        must = Seq("scan", "filter"), should = Seq("merge", "window"),
+        mustNot = Seq("dup"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_should")).toMap
+    // brute force over the same tokenization
+    val toks = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSet).toMap
+    val expect = toks.collect {
+      case (id, ts) if ts("scan") && ts("filter") && !ts("dup") =>
+        id -> Seq("merge", "window").count(ts).toLong
+    }
+    assert(got == expect)
+    // pure-OR: must empty -> any should match qualifies
+    val or = TextIndex.booleanDocsFromIndex(spark, dir,
+        must = Nil, should = Seq("merge", "window"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_should")).toMap
+    val orExpect = toks.collect {
+      case (id, ts) if ts("merge") || ts("window") =>
+        id -> Seq("merge", "window").count(ts).toLong
+    }
+    assert(or == orExpect)
+    assert(or.values.forall(_ >= 1L))
+    // a term in both must and mustNot rejects; no terms at all rejects
+    intercept[IllegalArgumentException] {
+      TextIndex.booleanDocsFromIndex(spark, dir, Seq("scan"), Nil, Seq("scan"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.booleanDocsFromIndex(spark, dir, Nil, Nil, Seq("dup"))
+    }
+    // empty index: schema-stable empty
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-text-bool").toString
+    TextIndex.buildTextIndex(docs.where(org.apache.spark.sql.functions.lit(false)), emptyDir, 8)
+    val e = TextIndex.booleanDocsFromIndex(spark, emptyDir, Seq("scan"))
+    assert(e.collect().isEmpty)
+    assert(e.columns.toSeq == Seq("doc_id", "n_should"))
+  }
 }
