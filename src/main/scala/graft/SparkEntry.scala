@@ -313,7 +313,8 @@ object SparkEntry {
     "q_dedup_store_served", "q_distinct_sketch_served", "q_freq_sketch_served",
     "q_neardup_store_served", "q_quantile_sketch_served", "q_rfm_served",
     "q_token_balances_served", "q_trending_served", "q_trust_scd_served",
-    "q_trust_view_served", "q_dedup_signal_overlap", "q_semantic_dedup_docs")
+    "q_trust_view_served", "q_dedup_signal_overlap", "q_semantic_dedup_docs",
+    "q_quality_clf", "q_semantic_dedup", "q_bool_search")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
