@@ -264,14 +264,19 @@ object AbiDecode {
   }
 
   /** Dynamic tail whose offset lives in head word i: 0x-hex of the tail
-    * bytes ("0x" for len 0). Null when the offset word is junk/huge, the
-    * length word is junk/out of range, or the tail runs past the input —
-    * every case where the reference's DecodeFunctionInput throws
-    * (TransactionClassifier.cs:295). ABI offsets are byte offsets relative
-    * to the params section (1-based char 11): byte b = char 11 + 2b. */
-  private def callTail(input: Column, i: Int): Column = {
+    * bytes ("0x" for len 0). Null when the offset word is junk/huge,
+    * UNALIGNED (strict ABI: offsets are multiples of 32), points back into
+    * the head section (< 32·nParams — a strict decoder rejects a tail
+    * overlapping the head words), the length word is junk/out of range, or
+    * the tail runs past the input — every case where the reference's
+    * DecodeFunctionInput throws (TransactionClassifier.cs:295). ABI
+    * offsets are byte offsets relative to the params section (1-based char
+    * 11): byte b = char 11 + 2b. */
+  private def callTail(input: Column, i: Int, nParams: Int): Column = {
     val off = ReceiptClassifier.hexLong(callHeadWord(input, i))
-    val start = when(off.isNotNull && off < 1000000000L, lit(11) + off.cast("int") * 2)
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nParams,
+      lit(11) + off.cast("int") * 2)
     val len = ReceiptClassifier.hexLong(input.substr(start, lit(64)))
     val fits = len.isNotNull && len >= 0L && len < 500000000L &&
       length(input).cast("long") >= start.cast("long") + 63L + len * 2L
@@ -280,7 +285,7 @@ object AbiDecode {
 
   private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
     fn.params(i).tpe match {
-      case DynBytesT => callTail(input, i)
+      case DynBytesT => callTail(input, i, fn.params.size)
       case t => decodeWord(callHeadWord(input, i), t)
     }
 

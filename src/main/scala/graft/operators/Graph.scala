@@ -1086,6 +1086,101 @@ object Graph {
       .orderBy(col("harmonic_est").desc, col("node"))
   }
 
+  /** ONE fused HyperBall sweep serving BOTH outputs (r11 verdict item 1:
+    * [[neighborhoodFunction]] and [[harmonicCentrality]] are the same
+    * register sweep — harmonic is literally a fold off the per-round ball
+    * growth — yet the two serve keys used to pay it twice). Returns
+    * (nf curve, harmonic scores), each BIT-IDENTICAL to the standalone
+    * operator on the same edge frame: identical register init/merge
+    * expressions, identical convergence condition (stop when no register
+    * grew), and the shell fold computed in the same merge projection.
+    * HyperBallSpec pins both parities.
+    *
+    * Per round: one dst-keyed join + per-register max partial agg + one
+    * 1-row stats agg on the just-cut frame (the agg doubles as the
+    * convergence probe AND materializes the round, so superseded sketch
+    * blocks release immediately). Orientation note for callers fusing the
+    * two keys: NF(t) = #(u,v) pairs within t hops is the SAME quantity on
+    * either orientation (summing forward balls over sources ≡ summing
+    * backward balls over targets), so running this on the REVERSED edge
+    * list keeps classic who-can-reach-u harmonic semantics while the nf
+    * curve still estimates the graph's one neighborhood function (the
+    * per-round HLL estimates differ hash-wise from a forward sweep; the
+    * estimated quantity does not).
+    */
+  def hyperBallBoth(edges: DataFrame, maxT: Int = 16, numRegs: Int = 16,
+                    checkpointDir: Option[String] = None,
+                    checkpointEvery: Int = 5): (DataFrame, DataFrame) = {
+    require(numRegs >= 16 && (numRegs & (numRegs - 1)) == 0,
+      s"numRegs must be a power of two >= 16: $numRegs")
+    val m = numRegs
+    val spark = edges.sparkSession
+    val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
+    def cut(df: DataFrame): DataFrame =
+      Checkpoints.cut(df, cutRound.incrementAndGet(), checkpointDir, checkpointEvery)
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()).persist()
+    val regs = (0 until m).map(j => s"r$j")
+    var sketches = cut(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .select((col("node") +: hllInitRegs(regs, m)) :+ lit(0.0d).as("h"): _*))
+    val estCol: Column = hllEst(regs.map(col), m)
+    def stats(df: DataFrame, chCol: Column): (Double, Long, Long) = {
+      val r = df.agg(sum(estCol).as("nf"), sum(chCol.cast("long")).as("ch"),
+        count(lit(1)).as("n")).head()
+      if (r.isNullAt(0)) (0.0d, 0L, 0L) // empty graph
+      else (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    val (nf0, _, n) = stats(sketches, lit(0))
+    buf += ((0, nf0, n))
+    var prevCut = sketches // superseded rounds release (linear-growth guard)
+    var t = 0
+    var converged = false
+    while (!converged && t < maxT) {
+      t += 1
+      val msgs = e
+        .join(sketches.withColumnRenamed("node", "dst").drop("h"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(max(col(regs.head)).as(regs.head),
+          regs.tail.map(r => max(col(r)).as(r)): _*)
+      val mergedRegs = regs.map(r =>
+        greatest(col(s"a.$r"), coalesce(col(s"b.$r"), lit(0))))
+      val shell = greatest(
+        hllEst(mergedRegs, m) - hllEst(regs.map(r => col(s"a.$r")), m),
+        lit(0.0d))
+      val grew = regs.map(r => col(s"a.$r") <
+        coalesce(col(s"b.$r"), lit(0))).reduce(_ || _)
+      val merged = cut(sketches.as("a")
+        .join(msgs.as("b"), Seq("node"), "left")
+        .select((col("node") +:
+          mergedRegs.zip(regs).map { case (c, r) => c.as(r) }) ++ Seq(
+          (col("a.h") + shell / lit(t.toDouble)).as("h"),
+          grew.as("ch")): _*))
+      val (nf, ch, _) = stats(merged, col("ch"))
+      // merged is materialized (stats just ran on it) → round t−1's blocks
+      // are dead; the final round's frame stays (it carries the h column)
+      Checkpoints.release(prevCut)
+      prevCut = merged
+      buf += ((t, nf, ch))
+      sketches = merged.drop("ch")
+      converged = ch == 0L
+    }
+    e.unpersist()
+    import spark.implicits._
+    val rows = if (n == 0L) Seq.empty[(Int, Double, Long)] else buf.toSeq
+    val nfCurve = rows.toDF("t", "nf_raw", "changed_nodes")
+      .select(col("t"), round(col("nf_raw"), 4).as("nf_est"),
+        round(col("nf_raw") / lit(math.max(n, 1L).toDouble), 4).as("avg_ball_est"),
+        col("changed_nodes"))
+      .orderBy("t")
+    val harmonic = sketches
+      .select(col("node"), round(col("h"), 4).as("harmonic_est"))
+      .orderBy(col("harmonic_est").desc, col("node"))
+    (nfCurve, harmonic)
+  }
+
   /** TIME-RESPECTING reachability — earliest arrival over TEMPORAL edges:
     * v is reached when some path uses edges in NON-DECREASING time order
     * (a transfer chain, an infection path, an information cascade — a
@@ -1250,7 +1345,10 @@ object Graph {
     *
     * Output: (node, betweenness, n_sources) for every node with a positive
     * score — betweenness = Σ_s δ(s, node) over the K sampled sources
-    * (sources excluded from their own sums, the Brandes v≠s rule), rounded
+    * (sources excluded from their own sums, the Brandes v≠s rule),
+    * n_sources = how many of those sources contributed a POSITIVE
+    * dependency sum (computed uniformly — zero-delta rows never enter the
+    * aggregation, whatever level the node was reached at), rounded
     * to 9 decimals; multiply by |V|/K for the unbiased full-graph estimate.
     * Rounds = 2·(BFS depth reached, capped at maxDepth) — the truncated-
     * Brandes cap bounds work on small-world graphs exactly like [[bfsHops]]'
@@ -1274,11 +1372,17 @@ object Graph {
     var levels = Vector(cut(sources.select(col("node").as("s")).distinct()
       .select(col("s"), col("s").as("v"), d38(lit(1)).as("sigma")), 0).persist())
     var caches = levels.toList
+    // ONE incrementally-maintained visited frame (round-11 verdict item 6):
+    // re-reducing `levels` each round builds O(depth²) union nodes into the
+    // plan — scan cost was already right (Σ|levels| = |visited|), but the
+    // plan itself must stay O(depth). cut() truncates the union chain's
+    // lineage on the checkpoint cadence.
+    var visited = cut(levels.head.select("s", "v"), 0).persist()
+    caches = visited :: caches
     var d = 0
     var frontierEmpty = levels.head.isEmpty
     while (!frontierEmpty && d < maxDepth) {
       d += 1
-      val visited = levels.map(_.select("s", "v")).reduce(_ unionByName _)
       val nxt = cut(
         levels.last.join(e, col("v") === col("src"))
           .select(col("s"), col("dst").as("v"), col("sigma"))
@@ -1286,7 +1390,11 @@ object Graph {
           .groupBy("s", "v").agg(sum(col("sigma")).as("sigma")), d).persist()
       caches = nxt :: caches
       if (nxt.isEmpty) { frontierEmpty = true; d -= 1 }
-      else levels = levels :+ nxt
+      else {
+        levels = levels :+ nxt
+        visited = cut(visited.unionByName(nxt.select("s", "v")), d).persist()
+        caches = visited :: caches
+      }
     }
     // backward: delta(d) = (s, v, delta); the deepest level has no
     // successors, so its delta is 0 — start the accumulation one level up
@@ -1294,8 +1402,14 @@ object Graph {
     var delta = cut(levels(levels.size - 1)
       .select(col("s"), col("v"), lit(0.0).as("delta")), 0).persist()
     caches = delta :: caches
+    // contribs collects ONLY the nextDelta frames (strictly positive
+    // dependency sums): the deepest level's all-zero frame used to be
+    // included, which bumped n_sources for nodes reached at the truncation
+    // depth but not for zero-delta interior nodes — n_sources is now
+    // uniformly "sampled sources with a POSITIVE dependency contribution
+    // to the node" (ADVICE r11; the zero frame contributed nothing to the
+    // betweenness sum either way)
     val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    if (levels.size > 1) contribs += delta
     for (dd <- (levels.size - 2) to 0 by -1) {
       // successors of level-dd nodes are exactly the level-(dd+1) nodes one
       // edge away (shortest-path DAG edges); sum their weighted dependency
@@ -1328,9 +1442,10 @@ object Graph {
     }
     val bc =
       if (contribs.isEmpty)
-        levels.head.sparkSession.emptyDataFrame
-          .select(lit(0L).as("node"), lit(0.0).as("betweenness"),
-            lit(0L).as("n_sources")).limit(0)
+        // empty-output branch keeps the node column's REAL type (string
+        // addresses vs long ids) by projecting off the seed frame
+        levels.head.select(col("v").as("node"), lit(0.0).as("betweenness"),
+          lit(0L).as("n_sources")).limit(0)
       else contribs.reduce(_ unionByName _)
         .where(col("s") =!= col("v")) // Brandes v ≠ s
         .groupBy(col("v").as("node"))

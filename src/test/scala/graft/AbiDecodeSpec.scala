@@ -222,6 +222,24 @@ class AbiDecodeSpec extends SparkSpec {
     assert(!byHash.contains("0xh6"))
   }
 
+  test("strict tails: unaligned / head-overlapping offsets null (ADVICE r11)") {
+    // strict ABI decoding rejects a tail offset that is not 32-byte aligned
+    // or that points back into the head words — the reference's typed
+    // decoder throws on both; the old lenient spelling decoded a
+    // plausible-looking value (e.g. offset 128 lands on the zero safeTxGas
+    // head word → len 0 → "0x") where null is required
+    def withDataOff(off: String) =
+      "0x6a761202" + wAddr(other) + w64(3L) + off +
+        w64(0L) * 4 + wAddr("0x" + "0" * 40) * 2 + w64(352L) + w64(0L) * 2
+    val txs = Seq(
+      Tx("0xs1", user, other, "0", withDataOff(w64(321L)), Seq.empty),
+      Tx("0xs2", user, other, "0", withDataOff(w64(128L)), Seq.empty)).toDS.toDF
+    val rows = AbiDecode.decodeCall(txs, ExecTransaction).collect()
+      .map(r => r.getAs[String]("hash") -> Option(r.getAs[String]("data"))).toMap
+    assert(rows("0xs1").isEmpty, "unaligned tail offset → null (strict ABI)")
+    assert(rows("0xs2").isEmpty, "offset into the head words → null (strict ABI)")
+  }
+
   test("decodeCalls long format agrees with the wide decode; registry routes") {
     val txs = Seq(
       Tx("0xm1", user, other, "0", execInput(other, 42L), Seq.empty),

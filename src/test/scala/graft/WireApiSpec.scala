@@ -194,9 +194,16 @@ class WireApiSpec extends SparkSpec {
     BlockTimer.trackBlockWritten(base + 999L)
     BlockTimer.trackBlockWritten(base + 7L)
     assert(BlockTimer.lastDurationMs >= 5.0)
-    // the reference's leak valve: pushing PAST 100 outstanding clears —
-    // afterwards strictly fewer pending than the >100 we had before
-    (0L until 101L).foreach(i => BlockTimer.trackBlockEnter(base + 1000L + i))
+    // the reference's leak valve: pushing PAST 100 outstanding clears.
+    // BlockTimer is process-global and other suites may hold outstanding
+    // enters, so enter ids ONE AT A TIME until pending crosses 100 — if a
+    // pre-existing enter makes the valve fire mid-loop, pending collapses
+    // and the loop simply keeps entering until it genuinely crosses
+    // (delta-tolerant, never an absolute count assumption; ADVICE r11)
+    var vi = 0L
+    while (BlockTimer.pendingCount <= 100 && vi < 1000L) {
+      BlockTimer.trackBlockEnter(base + 1000L + vi); vi += 1
+    }
     val before = BlockTimer.pendingCount
     assert(before >= 101)
     BlockTimer.trackBlockEnter(base + 2000L)
