@@ -70,6 +70,24 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int): Column =
     graft.functions.TextHashes.minhashSig(text, 3, numHashes)
 
+  /** Hot-bucket cap valve shared by every banded candidate generator: a
+    * bucket with more than `cap` members is boilerplate-like (every doc
+    * carrying the same header lands in one band) and would quadratically
+    * explode one reducer in the self-join — drop the WHOLE bucket. Partial
+    * count + broadcast anti-join — NOT a count-over-window, which would
+    * globally sort every band row just to tag the handful of hot keys.
+    * Cap-sound by construction: pairs can only VANISH (and only pairs whose
+    * every shared bucket is hot), never appear — DedupSpec pins both
+    * directions. At 100 TB this is the valve that keeps a duplicated
+    * boilerplate corpus from densifying any single band partition.
+    */
+  private[operators] def capHotBuckets(rows: DataFrame, keyCol: String,
+                                       cap: Int): DataFrame = {
+    val hot = rows.groupBy(keyCol)
+      .agg(count(lit(1)).as("n")).where(col("n") > cap).select(keyCol)
+    rows.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   /** MinHash + LSH banding near-dedup.
     *
     * shingle → numHashes minhashes → bands of `rowsPerBand` → explode to
@@ -96,13 +114,7 @@ object Dedup {
 
     val bands = withSig.select(col("doc_id"),
       explode(bandKeysArray(col("sig"), numBands, rowsPerBand)).as("band_key"))
-    // Cap degenerate buckets (skew guard): a bucket with >cap docs is
-    // boilerplate-like and would quadratically explode one reducer. Partial
-    // count + broadcast anti-join — NOT a count-over-window, which would
-    // globally sort every band row just to tag the handful of hot keys.
-    val hotBuckets = bands.groupBy("band_key")
-      .agg(count(lit(1)).as("n")).where(col("n") > bucketCap).select("band_key")
-    val capped = bands.join(broadcast(hotBuckets), Seq("band_key"), "left_anti")
+    val capped = capHotBuckets(bands, "band_key", bucketCap)
 
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -147,14 +159,16 @@ object Dedup {
     * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verify with
     * bit_count(xor) ≤ maxHamming. Same bounded-bucket join shape as LSH.
     */
-  def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(documents: DataFrame, maxHamming: Int = 3,
+                   bucketCap: Int = 10000): DataFrame = {
     val sigs = documents.select(col("doc_id"), simhash64(col("text")).as("sig"))
-    val chunks = sigs.select(
+    val rawChunks = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map { c =>
         concat_ws(":", lit(c), shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)))
       }: _*)).as("chunk_key")
     )
+    val chunks = capHotBuckets(rawChunks, "chunk_key", bucketCap)
     chunks.as("a")
       .join(chunks.as("b"), col("a.chunk_key") === col("b.chunk_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -207,7 +221,10 @@ object Dedup {
     *
     * Same shuffle discipline as [[minhashLsh]]: signatures are ONE
     * partial agg over (doc_id, gram) longs; bands fan out docs×numBands
-    * 16-byte rows; verification joins gram keys back BY ID for candidate
+    * 16-byte rows through the same [[capHotBuckets]] valve (r11 verdict:
+    * the exact edition used to lack it — a boilerplate-heavy corpus
+    * densified one reducer quadratically with nothing throwing);
+    * verification joins gram keys back BY ID for candidate
     * pairs only — text never shuffles, nothing is all-pairs. Docs under 3
     * tokens carry no grams and never pair (vs [[minhashLsh]]'s whole-doc
     * fallback shingle — documented divergence, irrelevant above tweet
@@ -215,7 +232,8 @@ object Dedup {
     */
   def minhashLshExact(documents: DataFrame, numHashes: Int = 16,
                       rowsPerBand: Int = 2,
-                      jaccardThreshold: Double = 0.5): DataFrame = {
+                      jaccardThreshold: Double = 0.5,
+                      bucketCap: Int = 10000): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
     val coeffs = minhashExactCoeffs(numHashes)
@@ -229,8 +247,9 @@ object Dedup {
     val sigs = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKey = (bnd: Int) => concat_ws(":",
       lit(bnd) +: (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}")): _*)
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until numBands).map(bandKey): _*)).as("band_key"))
+    val bands = capHotBuckets(sigs.select(col("doc_id"),
+      explode(array((0 until numBands).map(bandKey): _*)).as("band_key")),
+      "band_key", bucketCap)
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -259,9 +278,11 @@ object Dedup {
     * chunks (hamming ≤ 3 ⟹ one chunk equal), verified on
     * bit_count(xor). Signature construction is one partial agg of 56
     * conditional sums per doc (codegen'd, no HOF tree) + a pack
-    * projection; same bounded-bucket join as [[simhashDedup]].
+    * projection; same bounded-bucket join as [[simhashDedup]], behind the
+    * same [[capHotBuckets]] hot-chunk valve.
     */
-  def simhashDedupExact(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedupExact(documents: DataFrame, maxHamming: Int = 3,
+                        bucketCap: Int = 10000): DataFrame = {
     val words = documents
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
@@ -274,11 +295,11 @@ object Dedup {
         (0 until 56).map(b =>
           shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
           .reduce(_ + _).as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
+    val chunks = capHotBuckets(sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { c =>
         concat_ws(":", lit(c),
           shiftright(col("sig"), c * 14).bitwiseAND(lit(0x3fffL)))
-      }: _*)).as("chunk_key"))
+      }: _*)).as("chunk_key")), "chunk_key", bucketCap)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_key") === col("b.chunk_key") && col("a.doc_id") < col("b.doc_id"))

@@ -78,6 +78,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashDedupExact(tiny).count() == 1)
   }
 
+  test("hot-band cap valve: oversized buckets drop whole, distinct pairs survive (r11 verdict)") {
+    // 8 copies of a boilerplate doc land every one of their band/chunk
+    // buckets over a cap of 5 → all boilerplate pairs VANISH; the distinct
+    // surviving duplicate pair (0,1) keeps its own 2-member buckets. The
+    // valve is cap-sound: pairs only vanish (capped ⊆ uncapped), never
+    // appear. All four banded detectors share the same valve.
+    val boiler = "all rights reserved copyright notice terms of service apply " +
+      "to this page content provided as is without warranty of any kind"
+    val corpus = (Seq((0L, base, "s0"), (1L, base, "s0")) ++
+      (10L to 17L).map(i => (i, boiler, "s0"))).toDF("doc_id", "text", "source")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val runs: Seq[(String, Int => Set[(Long, Long)])] = Seq(
+      "minhashLsh" -> (c => pairSet(Dedup.minhashLsh(corpus, bucketCap = c))),
+      "minhashLshExact" -> (c => pairSet(Dedup.minhashLshExact(corpus, bucketCap = c))),
+      "simhashDedup" -> (c => pairSet(Dedup.simhashDedup(corpus, bucketCap = c))),
+      "simhashDedupExact" -> (c => pairSet(Dedup.simhashDedupExact(corpus, bucketCap = c))))
+    for ((name, run) <- runs) {
+      val uncapped = run(10000)
+      val capped = run(5)
+      assert(uncapped.contains((10L, 11L)), s"$name: boilerplate pairs exist uncapped")
+      assert(capped.contains((0L, 1L)), s"$name: the distinct dup pair survives the cap")
+      assert(capped.forall(p => !(p._1 >= 10L && p._2 >= 10L)),
+        s"$name: every hot-bucket boilerplate pair vanished")
+      assert(capped.subsetOf(uncapped), s"$name: cap-sound — pairs only vanish")
+    }
+  }
+
   test("simhash signature is deterministic and exactly 0 hamming for equal text") {
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
