@@ -29,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *        .option("host", h).option("port", p)
   *        .option("subscribeFrom", lastImportedBlock + 1).load()`
   *
-  * Transport: newline-delimited JSON over TCP. On connect the source sends
-  * ONE request line `{"subscribe": <fromBlock>}` — the catch-up contract
+  * Transport: newline-delimited JSON over TCP by default;
+  * `.option("transport", "websocket")` speaks the SAME lines as RFC 6455
+  * text frames behind the standard opening handshake
+  * ([[graft.streaming.WebSocket]] — the framing the reference's
+  * LiveSource.cs actually subscribes over). Either way, on connect the
+  * source sends ONE request `{"subscribe": <fromBlock>}` — the catch-up contract
   * (LiveSource.cs:32-57 polls old blocks until it reaches the head; here
   * the server replays history ≥ fromBlock, then keeps pushing live — the
   * same catch-up-then-subscribe arc over one transport). Server lines:
@@ -156,7 +160,8 @@ private[sources] class LiveBlockTable(options: CaseInsensitiveStringMap)
             idleTimeoutMs = options.getInt("idleTimeoutMs", 20000),
             failOnGap = options.getBoolean("failOnGap", true),
             numPartitions = options.getInt("numPartitions", 4),
-            healthKey = Option(options.get("healthKey")))
+            healthKey = Option(options.get("healthKey")),
+            transport = Option(options.get("transport")).getOrElse("tcp"))
       }
     }
 }
@@ -167,7 +172,8 @@ private[sources] case class LiveOffset(v: Long) extends Offset {
 
 private[sources] class LiveBlockMicroBatchStream(
     host: String, port: Int, subscribeFrom: Long, idleTimeoutMs: Int,
-    failOnGap: Boolean, numPartitions: Int, healthKey: Option[String])
+    failOnGap: Boolean, numPartitions: Int, healthKey: Option[String],
+    transport: String = "tcp")
   extends MicroBatchStream {
 
   private val lock = new Object
@@ -188,44 +194,64 @@ private[sources] class LiveBlockMicroBatchStream(
     try {
       socket.connect(new InetSocketAddress(host, port), 10000)
       if (idleTimeoutMs > 0) socket.setSoTimeout(idleTimeoutMs)
-      val out = new BufferedWriter(
-        new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
-      out.write(s"""{"subscribe":$subscribeFrom}"""); out.write("\n"); out.flush()
-      val in = new BufferedReader(
-        new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
       // first block after connect is exempt from the gap check — the
       // server owns its replay start; afterwards blocks may repeat or go
       // back (repeats are health warnings) but never skip forward
       var lastBlock = Long.MinValue
-      var line = in.readLine()
-      while (line != null && !stopped) {
-        if (line.nonEmpty) {
-          val node = mapper.readTree(line)
-          if (node.has("reorg")) {
-            blocksMetric.labels("reorg").inc()
-            throw new LiveReorgException(node.get("reorg").asLong())
-          } else if (node.has("head")) {
-            val h = node.get("head").asLong()
-            admitBlock(h, lastBlock)
-            lastBlock = math.max(lastBlock, h)
-          } else {
-            val b = node.get("block").asLong()
-            admitBlock(b, lastBlock)
-            lastBlock = math.max(lastBlock, b)
-            val row = LiveRow(
-              block = b,
-              eventId = node.get("event_id").asLong(),
-              tsUs = node.get("ts_us").asLong(),
-              userId = node.get("user_id").asLong(),
-              eventType = node.get("event_type").asText(),
-              value = node.get("value").asDouble(),
-              props = if (node.has("props")) node.get("props").asText() else "{}",
-              nInBlock = node.get("n_in_block").asLong())
-            rowsMetric.only.inc()
-            lock.synchronized { buffer += row; () }
-          }
+      def handleLine(line: String): Unit = if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (node.has("reorg")) {
+          blocksMetric.labels("reorg").inc()
+          throw new LiveReorgException(node.get("reorg").asLong())
+        } else if (node.has("head")) {
+          val h = node.get("head").asLong()
+          admitBlock(h, lastBlock)
+          lastBlock = math.max(lastBlock, h)
+        } else {
+          val b = node.get("block").asLong()
+          admitBlock(b, lastBlock)
+          lastBlock = math.max(lastBlock, b)
+          val row = LiveRow(
+            block = b,
+            eventId = node.get("event_id").asLong(),
+            tsUs = node.get("ts_us").asLong(),
+            userId = node.get("user_id").asLong(),
+            eventType = node.get("event_type").asText(),
+            value = node.get("value").asDouble(),
+            props = if (node.has("props")) node.get("props").asText() else "{}",
+            nInBlock = node.get("n_in_block").asLong())
+          rowsMetric.only.inc()
+          lock.synchronized { buffer += row; () }
         }
-        line = in.readLine()
+      }
+      if (transport == "websocket") {
+        // RFC 6455 transport (the reference's actual LiveSource.cs wire):
+        // standard opening handshake, subscribe request as one MASKED text
+        // frame (§5.3: clients mask), then one JSON message per frame —
+        // same lines, same contracts, different framing
+        val rawIn = socket.getInputStream
+        val rawOut = socket.getOutputStream
+        graft.streaming.WebSocket.clientHandshake(rawIn, rawOut, s"$host:$port")
+        val mask = Array[Byte](0x13, 0x57, 0x9b.toByte, 0xdf.toByte)
+        rawOut.write(graft.streaming.WebSocket.textFrame(
+          s"""{"subscribe":$subscribeFrom}""", Some(mask)))
+        rawOut.flush()
+        var msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+        while (msg.isDefined && !stopped) {
+          handleLine(msg.get)
+          msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+        }
+      } else {
+        val out = new BufferedWriter(
+          new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
+        out.write(s"""{"subscribe":$subscribeFrom}"""); out.write("\n"); out.flush()
+        val in = new BufferedReader(
+          new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+        var line = in.readLine()
+        while (line != null && !stopped) {
+          handleLine(line)
+          line = in.readLine()
+        }
       }
       // EOF: the server closed cleanly — stop producing, let buffered rows
       // drain (the push twin of a bounded replay)

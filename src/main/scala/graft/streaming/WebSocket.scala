@@ -1,0 +1,222 @@
+package graft.streaming
+
+import java.io.{InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Minimal RFC 6455 websocket framing — the transport the reference
+  * actually speaks on both wire surfaces (Api/ConnectedWebsocketClient.cs:2
+  * wraps a `System.Net.WebSockets` client for the tx-hash broadcast;
+  * Sources/LiveSource.cs subscribes to new heads over a websocket). The
+  * repo's default transport stays newline-JSON over TCP (the spec-driven
+  * contract surface); this adapter adds the standard framing so a real
+  * websocket peer can connect — handshake (§4.2.2: SHA-1 of key + fixed
+  * GUID, base64), text frames with 7/16/64-bit payload lengths (§5.2),
+  * client-to-server masking (§5.3), close/ping/pong opcodes.
+  *
+  * Deliberately NOT implemented (out of contract for a line-per-message
+  * feed): continuation frames (every message fits one frame), extensions,
+  * subprotocol negotiation. A fragmented or binary frame fails loudly.
+  *
+  * Everything here derives from the public RFC 6455 text alone.
+  */
+object WebSocket {
+
+  /** §1.3: the fixed handshake GUID. */
+  val MagicGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  final val OpText = 0x1
+  final val OpClose = 0x8
+  final val OpPing = 0x9
+  final val OpPong = 0xA
+
+  /** §4.2.2 step 5.4: Sec-WebSocket-Accept for a client key. */
+  def acceptKeyOf(key: String): String = {
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    java.util.Base64.getEncoder.encodeToString(
+      sha1.digest((key + MagicGuid).getBytes(StandardCharsets.US_ASCII)))
+  }
+
+  /** One frame with the given opcode, FIN set, optionally client-masked
+    * (§5.3: the mask is XORed over the payload; any 4 bytes are legal —
+    * a counter-derived mask keeps the adapter deterministic under test).
+    */
+  def frame(opcode: Int, payload: Array[Byte], mask: Option[Array[Byte]]): Array[Byte] = {
+    require(mask.forall(_.length == 4), "mask must be 4 bytes")
+    val n = payload.length
+    val header = new java.io.ByteArrayOutputStream()
+    header.write(0x80 | (opcode & 0x0f)) // FIN + opcode
+    val maskBit = if (mask.isDefined) 0x80 else 0x00
+    if (n < 126) header.write(maskBit | n)
+    else if (n < 65536) {
+      header.write(maskBit | 126)
+      header.write((n >> 8) & 0xff); header.write(n & 0xff)
+    } else {
+      header.write(maskBit | 127)
+      var i = 56
+      while (i >= 0) { header.write(((n.toLong >> i) & 0xffL).toInt); i -= 8 }
+    }
+    mask match {
+      case Some(m) =>
+        header.write(m, 0, 4)
+        val masked = new Array[Byte](n)
+        var i = 0
+        while (i < n) { masked(i) = (payload(i) ^ m(i % 4)).toByte; i += 1 }
+        header.write(masked, 0, n)
+      case None =>
+        header.write(payload, 0, n)
+    }
+    header.toByteArray
+  }
+
+  /** UTF-8 text frame. */
+  def textFrame(text: String, mask: Option[Array[Byte]] = None): Array[Byte] =
+    frame(OpText, text.getBytes(StandardCharsets.UTF_8), mask)
+
+  private def readFully(in: InputStream, n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return None
+      off += r
+    }
+    Some(buf)
+  }
+
+  /** Reads ONE complete frame: (opcode, unmasked payload). None on EOF.
+    * Fails loudly on fragmentation (FIN=0) and on payloads past 64 MiB
+    * (a line-per-message feed never legitimately sends one — the same
+    * bounded-allocation doctrine as the media decoders).
+    */
+  def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read()
+    if (b0 < 0) return None
+    val fin = (b0 & 0x80) != 0
+    val opcode = b0 & 0x0f
+    if (!fin) throw new java.io.IOException(
+      "websocket continuation frames are not supported by this adapter")
+    val b1 = in.read()
+    if (b1 < 0) return None
+    val masked = (b1 & 0x80) != 0
+    val len7 = b1 & 0x7f
+    val len: Long =
+      if (len7 < 126) len7.toLong
+      else if (len7 == 126) readFully(in, 2) match {
+        case Some(b) => ((b(0) & 0xffL) << 8) | (b(1) & 0xffL)
+        case None => return None
+      }
+      else readFully(in, 8) match {
+        case Some(b) => b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+        case None => return None
+      }
+    if (len > 64L * 1024 * 1024) throw new java.io.IOException(
+      s"websocket frame of $len bytes exceeds the 64 MiB adapter bound")
+    val mask = if (masked) readFully(in, 4) match {
+      case Some(m) => m
+      case None => return None
+    } else null
+    readFully(in, len.toInt).map { payload =>
+      if (mask != null) {
+        var i = 0
+        while (i < payload.length) {
+          payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1
+        }
+      }
+      (opcode, payload)
+    }
+  }
+
+  /** Reads text messages off a websocket stream as if they were lines:
+    * answers pings with pongs, skips pongs, returns None on EOF or a
+    * close frame (answering the close per §5.5.1). The newline-JSON
+    * reader's drop-in replacement for `readLine()`.
+    */
+  def readTextMessage(in: InputStream, out: OutputStream): Option[String] = {
+    while (true) {
+      readFrame(in) match {
+        case None => return None
+        case Some((OpClose, payload)) =>
+          try { out.write(frame(OpClose, payload, None)); out.flush() }
+          catch { case _: java.io.IOException => }
+          return None
+        case Some((OpPing, payload)) =>
+          out.write(frame(OpPong, payload, None)); out.flush()
+        case Some((OpPong, _)) => // unsolicited pong: ignore (§5.5.3)
+        case Some((OpText, payload)) =>
+          return Some(new String(payload, StandardCharsets.UTF_8))
+        case Some((op, _)) => throw new java.io.IOException(
+          s"unsupported websocket opcode 0x${op.toHexString} (text feed expected)")
+      }
+    }
+    None // unreachable
+  }
+
+  /** Server side of the opening handshake: reads the HTTP upgrade request
+    * (first line already consumed by the caller or not — pass null to read
+    * it here), writes the 101 response. Returns false (connection must
+    * close) when the request is not a well-formed websocket upgrade.
+    */
+  def serverHandshake(in: InputStream, out: OutputStream): Boolean = {
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      if (c < 0 && sb.isEmpty) null else sb.toString
+    }
+    val request = readLine()
+    if (request == null || !request.startsWith("GET ")) return false
+    var key: String = null
+    var upgrade = false
+    var line = readLine()
+    while (line != null && line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val (h, v) = (line.substring(0, idx).trim.toLowerCase, line.substring(idx + 1).trim)
+        if (h == "sec-websocket-key") key = v
+        if (h == "upgrade" && v.equalsIgnoreCase("websocket")) upgrade = true
+      }
+      line = readLine()
+    }
+    if (!upgrade || key == null) return false
+    val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${acceptKeyOf(key)}\r\n\r\n"
+    out.write(resp.getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+    true
+  }
+
+  /** Client side of the opening handshake. Throws on anything but a 101
+    * with the matching accept key (§4.1 step 5 validation).
+    */
+  def clientHandshake(in: InputStream, out: OutputStream,
+                      host: String, path: String = "/"): Unit = {
+    val keyBytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(keyBytes)
+    val key = java.util.Base64.getEncoder.encodeToString(keyBytes)
+    val req = s"GET $path HTTP/1.1\r\nHost: $host\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n\r\n"
+    out.write(req.getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      sb.toString
+    }
+    val status = readLine()
+    if (!status.contains(" 101 ")) throw new java.io.IOException(
+      s"websocket handshake rejected: '$status'")
+    var accept: String = null
+    var line = readLine()
+    while (line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("sec-websocket-accept"))
+        accept = line.substring(idx + 1).trim
+      line = readLine()
+    }
+    if (accept != acceptKeyOf(key)) throw new java.io.IOException(
+      s"websocket handshake accept-key mismatch: '$accept'")
+  }
+}

@@ -284,12 +284,18 @@ object HealthServer {
   * ([[EventPipeline.ReorgMagicHash]], Indexer.cs:37) telling subscribers
   * to drop cached state. A dead subscriber is dropped on its first failed
   * write — a broadcast never fails the import loop.
+  *
+  * `webSocket = true` serves the SAME messages as RFC 6455 text frames
+  * behind the standard opening handshake ([[WebSocket]]) — the transport
+  * the reference's subscribers actually speak
+  * (Api/ConnectedWebsocketClient.cs:2). One message per frame, no
+  * newline; the default stays the newline-JSON TCP contract.
   */
-final class TxHashBroadcastServer(port: Int = 0) {
+final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
 
   private val server =
     new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
-  private val clients = new TrieMap[Int, (Socket, BufferedWriter)]
+  private val clients = new TrieMap[Int, (Socket, String => Unit)]
   private val nextId = new AtomicInteger(0)
   @volatile private var running = true
 
@@ -303,13 +309,29 @@ final class TxHashBroadcastServer(port: Int = 0) {
       try {
         val sock = server.accept()
         sock.setTcpNoDelay(true)
-        val w = new BufferedWriter(
-          new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-        clients.put(nextId.incrementAndGet(), (sock, w))
+        val send: String => Unit =
+          if (webSocket) {
+            // bounded handshake: a client that connects but never sends the
+            // upgrade request must not wedge the accept loop
+            sock.setSoTimeout(5000)
+            val ok = WebSocket.serverHandshake(sock.getInputStream, sock.getOutputStream)
+            if (!ok) {
+              try sock.close() catch { case _: java.io.IOException => }
+              throw new java.io.IOException("rejected non-websocket client")
+            }
+            sock.setSoTimeout(0)
+            val out = sock.getOutputStream
+            m => { out.write(WebSocket.textFrame(m)); out.flush() }
+          } else {
+            val w = new BufferedWriter(
+              new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+            m => { w.write(m); w.write("\n"); w.flush() }
+          }
+        clients.put(nextId.incrementAndGet(), (sock, send))
         connGauge.only.set(clients.size.toDouble)
       } catch {
         case _: Throwable if !running => // closed during shutdown
-        case _: java.io.IOException => // accept hiccup; keep serving
+        case _: java.io.IOException => // accept/handshake hiccup; keep serving
       }
     }
   }, "graft-broadcast-accept")
@@ -319,13 +341,12 @@ final class TxHashBroadcastServer(port: Int = 0) {
   def boundPort: Int = server.getLocalPort
   def connectionCount: Int = clients.size
 
-  /** Send one line to every subscriber; drop the ones whose socket died. */
+  /** Send one message to every subscriber; drop the ones whose socket died. */
   def broadcast(message: String): Unit = {
     msgCounter.only.inc()
-    clients.foreach { case (id, (sock, w)) =>
-      try {
-        w.write(message); w.write("\n"); w.flush()
-      } catch {
+    clients.foreach { case (id, (sock, send)) =>
+      try send(message)
+      catch {
         case _: java.io.IOException =>
           clients.remove(id)
           try sock.close() catch { case _: java.io.IOException => }
