@@ -47,7 +47,12 @@ object LiveImportLoop {
   private def resumeFrontier(spark: SparkSession, tableDir: String, fromBlock: Long): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) return fromBlock
-    val blocks = spark.read.parquet(tableDir).select("block")
+    // a reorg can kill the round MID-append: the table dir then exists with
+    // only in-flight temp files and no committed parquet footer, and the
+    // schema-less read throws — that state is "nothing imported yet", not
+    // an error (caught by LiveSoakSpec's sustained run, round 12)
+    val blocks = try spark.read.parquet(tableDir).select("block")
+      catch { case _: org.apache.spark.sql.AnalysisException => return fromBlock }
     if (blocks.isEmpty) return fromBlock
     val firstGap = graft.operators.Integrity.gaps(blocks, "block")
       .agg(min("gap_start")).collect()(0)
