@@ -402,47 +402,50 @@ object ScaleProbe {
           .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
         Graph.betweenness(bigTrustSw, srcs, maxDepth = 6).count()
       }
-      // r12: 100x rows for the iterative-graph family (r11 verdict item 3) —
-      // the 100 TB claim for scc/nf/harmonic/betweenness/temporal_reach
-      // rests on "cost = round-count × per-round frontier work"; these rows
-      // pin that ROUND COUNTS stay flat (small-world diameter grows ~log n)
-      // while per-round work grows linearly, i.e. no frontier blowup. Graph:
-      // the same 2-affine-map + every-8th-chord small-world topology at
-      // 1.015M nodes / ~2.3M edges (100× the 10150-node bigTrustSw).
+      // r12: paired 10k-vs-1M rows for the iterative-graph family (r11
+      // verdict item 3) — the 100 TB claim for scc/nf/harmonic/betweenness/
+      // temporal_reach rests on "cost = round-count × per-round frontier
+      // work"; these rows pin that ROUND COUNTS grow ~log n (the realistic
+      // small-world diameter) while per-round work grows linearly — no
+      // frontier blowup. Topology: hash-random out-degree-3 (xxhash64
+      // targets — directed diameter ≈ log₃ n ≈ 9 at 10k / 13 at 1M; the
+      // affine-map bigTrustSw above is DELIBERATELY adversarial for label
+      // propagation and its min-label chains grow superlinearly with n, so
+      // it measures budget valves, not scaling — both rows on record).
       locally {
         import spark.implicits._
-        val n100 = 1015000L
-        def sw100 = spark.range(0, n100).select($"id".as("src"),
-            (($"id" * 7 + 13) % n100).as("dst"))
-          .unionAll(spark.range(0, n100).select($"id".as("src"),
-            (($"id" * 11 + 5) % n100).as("dst")))
-          .unionAll(spark.range(0, n100).where($"id" % 8 === 0)
-            .select($"id".as("src"), (($"id" * 4973 + 29) % n100).as("dst")))
-          .distinct()
-        time("scc/100x-small-world")(
-          Graph.stronglyConnectedComponents(sw100, maxRounds = 100).count())
-        // fused sweep (the q_trust_nf + q_trust_harmonic store build) at
-        // 100×: nf-curve row count − 1 = register-sweep rounds
-        time("hyperball_both/100x-small-world") {
-          val (nf, harm) = Graph.hyperBallBoth(sw100, maxT = 64)
-          val rounds = nf.count() - 1
-          val hn = harm.count()
-          println(s"[probe] hyperball_both 100x rounds=$rounds harmonic_nodes=$hn")
-          hn
-        }
-        time("betweenness/100x-12src-depth6") {
-          val srcs = sw100.select(col("src").as("node")).distinct()
-            .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
-          Graph.betweenness(sw100, srcs, maxDepth = 6).count()
-        }
-        time("temporal_reach/100x-small-world") {
-          val (reach, rounds) = Graph.temporalReachWithRounds(
-            sw100.select(col("src"), col("dst"), (col("src") % 1000L).as("ts")),
-            spark.range(0, n100, n100 / 600).select($"id".as("node")),
-            startTs = 0L)
-          val cnt = reach.count()
-          println(s"[probe] temporal_reach 100x rounds=$rounds")
-          cnt
+        def rand3(n: Long) = (1 to 3).map(k => spark.range(0, n)
+            .select($"id".as("src"),
+              pmod(xxhash64($"id", lit(k)), lit(n)).as("dst")))
+          .reduce(_ unionAll _).where($"src" =!= $"dst").distinct()
+        for (n <- Seq(10150L, 1015000L)) {
+          val tag = if (n < 100000L) "10k" else "1m"
+          def g = rand3(n)
+          time(s"scc/100x-rand3-$tag")(
+            Graph.stronglyConnectedComponents(g, maxRounds = 100).count())
+          // fused sweep (the q_trust_nf + q_trust_harmonic store build):
+          // nf-curve row count − 1 = register-sweep rounds
+          time(s"hyperball_both/100x-rand3-$tag") {
+            val (nf, harm) = Graph.hyperBallBoth(g, maxT = 64)
+            val rounds = nf.count() - 1
+            val hn = harm.count()
+            println(s"[probe] hyperball_both rand3-$tag rounds=$rounds harmonic_nodes=$hn")
+            hn
+          }
+          time(s"betweenness/100x-rand3-$tag-12src-d6") {
+            val srcs = g.select(col("src").as("node")).distinct()
+              .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
+            Graph.betweenness(g, srcs, maxDepth = 6).count()
+          }
+          time(s"temporal_reach/100x-rand3-$tag") {
+            val (reach, rounds) = Graph.temporalReachWithRounds(
+              g.select(col("src"), col("dst"), (col("src") % 1000L).as("ts")),
+              spark.range(0, n, math.max(1L, n / 600)).select($"id".as("node")),
+              startTs = 0L)
+            val cnt = reach.count()
+            println(s"[probe] temporal_reach rand3-$tag rounds=$rounds")
+            cnt
+          }
         }
       }
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())

@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{Callable, Executors, Future => JFuture}
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal JSON-RPC 2.0 client over HTTP POST — the wire the reference's
+  * downloader actually speaks (Nethereum `Web3` issuing `eth_blockNumber`
+  * / `eth_getBlockWithTransactionsByNumber` / `eth_getTransactionReceipt`,
+  * Indexer.cs:107 pipeline stages). Dependency-free: JDK HTTP + the
+  * Jackson the Spark classpath already carries. Single calls and
+  * id-matched BATCH calls (the spec allows responses out of order — match
+  * by id, never by position); an `error` member throws loudly with the
+  * server's code + message. Stateless per call → safe across the bounded
+  * download pool's threads.
+  */
+final class JsonRpcClient(url: String,
+                          connectTimeoutMs: Int = 10000,
+                          readTimeoutMs: Int = 30000) {
+  private val mapper = new ObjectMapper()
+  private val nextId = new AtomicLong(1L)
+
+  final class JsonRpcException(val code: Int, message: String)
+    extends RuntimeException(s"JSON-RPC error $code: $message")
+
+  private def post(body: String): JsonNode = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try { out.write(body.getBytes(StandardCharsets.UTF_8)) } finally out.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val resp = try new String(is.readAllBytes(), StandardCharsets.UTF_8) finally is.close()
+    conn.disconnect()
+    if (code != 200) throw new java.io.IOException(s"JSON-RPC HTTP $code: ${resp.take(200)}")
+    mapper.readTree(resp)
+  }
+
+  private def requestNode(id: Long, method: String, params: Seq[Any]): JsonNode = {
+    val req = mapper.createObjectNode()
+    req.put("jsonrpc", "2.0").put("id", id).put("method", method)
+    val arr = req.putArray("params")
+    params.foreach {
+      case s: String => arr.add(s)
+      case l: Long => arr.add(l)
+      case i: Int => arr.add(i)
+      case b: Boolean => arr.add(b)
+      case n: JsonNode => arr.add(n)
+      case other => arr.add(String.valueOf(other))
+    }
+    req
+  }
+
+  private def resultOf(resp: JsonNode): JsonNode = {
+    if (resp.has("error") && !resp.get("error").isNull) {
+      val e = resp.get("error")
+      throw new JsonRpcException(
+        if (e.has("code")) e.get("code").asInt() else -32000,
+        if (e.has("message")) e.get("message").asText() else e.toString)
+    }
+    resp.get("result")
+  }
+
+  def call(method: String, params: Any*): JsonNode =
+    resultOf(post(requestNode(nextId.getAndIncrement(), method, params).toString))
+
+  /** One POST carrying several calls; results returned in REQUEST order by
+    * id-matching the (possibly reordered) response array.
+    */
+  def callBatch(calls: Seq[(String, Seq[Any])]): Seq[JsonNode] = {
+    if (calls.isEmpty) return Seq.empty
+    val ids = calls.map(_ => nextId.getAndIncrement())
+    val arr = mapper.createArrayNode()
+    ids.zip(calls).foreach { case (id, (m, ps)) => arr.add(requestNode(id, m, ps)) }
+    val resp = post(arr.toString)
+    if (!resp.isArray) throw new java.io.IOException(
+      s"batch response is not an array: ${resp.toString.take(200)}")
+    val byId = new util.HashMap[Long, JsonNode]()
+    resp.forEach(n => byId.put(n.get("id").asLong(), n))
+    ids.map { id =>
+      val n = byId.get(id)
+      if (n == null) throw new java.io.IOException(s"batch response missing id $id")
+      resultOf(n)
+    }
+  }
+}
+
+object JsonRpcClient {
+  /** eth QUANTITY ("0x1b4" / decimal string) → Long. */
+  def quantity(n: JsonNode): Long = {
+    val s = n.asText()
+    if (s.startsWith("0x") || s.startsWith("0X")) java.lang.Long.parseLong(s.drop(2), 16)
+    else s.toLong
+  }
+  def toQuantity(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+  /** eth QUANTITY of arbitrary width → decimal string (wei values overflow
+    * longs; the engine's value columns are decimal strings).
+    */
+  def quantityDecimal(n: JsonNode): String = {
+    val s = n.asText()
+    if (s.startsWith("0x") || s.startsWith("0X"))
+      new java.math.BigInteger(if (s.length == 2) "0" else s.drop(2), 16).toString
+    else s
+  }
+}
+
+/** One downloaded transaction with its receipt, the engine-facing row:
+  * `logs` is the receipt's log array re-serialized as JSON (address /
+  * topics / data — the ReceiptClassifier-consumable shape).
+  */
+private[sources] final case class RpcTxRow(
+    block: Long, nInBlock: Long, tsUs: Long, hash: String,
+    from: String, to: String, value: String, input: String, logs: String)
+
+/** The JSON-RPC POLLING source — the reference's IntervalSource /
+  * BulkSource / DetermineSource arc (Sources/IntervalSource.cs:21,
+  * BulkSource.cs, Indexer.cs:477) as a DataSourceV2 micro-batch source:
+  *
+  *   `spark.readStream.format("graft-rpc")
+  *        .option("url", "http://host:port/").option("fromBlock", n).load()`
+  *
+  * Round arc, all from the reference:
+  *   - poll the head with `eth_blockNumber`; when behind, download the
+  *     missing range IN ORDER — `delta > bulkThreshold` is the
+  *     DetermineSource rule that flips the catch-up into BULK mode
+  *     (labeled separately in the emitted-blocks metric, exactly the
+  *     `indexer_source_emitted_blocks_total{source=bulk|interval}` split);
+  *   - at the head, sleep `pollIntervalMs` and re-poll (IntervalSource's
+  *     wait-for-new-block leg);
+  *   - per block: `eth_getBlockByNumber(n, true)` for the transactions,
+  *     then `eth_getTransactionReceipt` per tx — downloads run on a
+  *     BOUNDED pool (`maxParallelDownloads`, the reference's
+  *     MaxParallelBlockDownloads/MaxParallelReceiptDownloads caps) but
+  *     append in block order, like the reference's order-preserving
+  *     SelectAsync stages;
+  *   - `haltAtHead = true` stops producing once caught up (the bounded
+  *     BulkSource / GapSource `finish` arc) — rows drain, the query idles.
+  *
+  * Requested-by-number transport ⇒ no gap check needed (a block can't be
+  * skipped, unlike the push feed). Reorg detection deliberately stays on
+  * the live source + `q_reorg_check`'s parent-hash audit — the reference's
+  * polling mode merges a ReorgSource the same way, as a SEPARATE source.
+  * Like the live source, this transport is driver-side head-following and
+  * non-replayable; exactly-once is the downstream gated import's job.
+  */
+class RpcBlockSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rpc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RpcBlockSource.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RpcBlockTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RpcBlockSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("block", LongType),
+    StructField("n_in_block", LongType),
+    StructField("ts", TimestampType),
+    StructField("hash", StringType),
+    StructField("from", StringType),
+    StructField("to", StringType),
+    StructField("value", StringType),
+    StructField("input", StringType),
+    StructField("logs", StringType)))
+}
+
+private[sources] class RpcBlockTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-rpc://${options.get("url")}"
+  override def schema(): StructType = RpcBlockSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = RpcBlockSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RpcBlockMicroBatchStream(
+            url = Option(options.get("url")).getOrElse(
+              sys.error("graft-rpc requires option 'url'")),
+            fromBlock = options.getLong("fromBlock", 1L),
+            pollIntervalMs = options.getInt("pollIntervalMs", 1000),
+            bulkThreshold = options.getLong("bulkThreshold", 100L),
+            maxParallelDownloads = options.getInt("maxParallelDownloads", 4),
+            haltAtHead = options.getBoolean("haltAtHead", false),
+            numPartitions = options.getInt("numPartitions", 4),
+            healthKey = Option(options.get("healthKey")))
+      }
+    }
+}
+
+private[sources] class RpcBlockMicroBatchStream(
+    url: String, fromBlock: Long, pollIntervalMs: Int, bulkThreshold: Long,
+    maxParallelDownloads: Int, haltAtHead: Boolean, numPartitions: Int,
+    healthKey: Option[String])
+  extends MicroBatchStream {
+
+  private val lock = new Object
+  private val buffer = new ArrayBuffer[RpcTxRow]
+  private var baseOffset = 0L
+  @volatile private var failure: Throwable = _
+  @volatile private var stopped = false
+  private val health = healthKey.map(LiveBlockSource.healthFor)
+  private val blocksMetric = graft.streaming.Metrics.counter(
+    "graft_rpc_blocks_total", "Blocks downloaded by the JSON-RPC source.", "source")
+  private val txMetric = graft.streaming.Metrics.counter(
+    "graft_rpc_transactions_total", "Transactions downloaded by the JSON-RPC source.")
+
+  private val pool = Executors.newFixedThreadPool(maxParallelDownloads, r => {
+    val t = new Thread(r, "graft-rpc-download"); t.setDaemon(true); t
+  })
+
+  /** One block: eth_getBlockByNumber(n, full) + a receipt per tx. Runs on
+    * the bounded pool; each task owns a client (stateless HTTP per call).
+    */
+  private def fetchBlock(client: JsonRpcClient, n: Long): Seq[RpcTxRow] = {
+    val block = client.call("eth_getBlockByNumber", JsonRpcClient.toQuantity(n), true)
+    if (block == null || block.isNull)
+      throw new java.io.IOException(s"eth_getBlockByNumber($n) returned null (pruned node?)")
+    val tsUs = JsonRpcClient.quantity(block.get("timestamp")) * 1000000L
+    val txs = block.get("transactions")
+    val out = new ArrayBuffer[RpcTxRow](txs.size())
+    val hashes = (0 until txs.size()).map(i => txs.get(i).get("hash").asText())
+    // receipts for the whole block in ONE batched POST — id-matched
+    val receipts =
+      if (hashes.isEmpty) Seq.empty
+      else client.callBatch(hashes.map(h => ("eth_getTransactionReceipt", Seq[Any](h))))
+    (0 until txs.size()).foreach { i =>
+      val t = txs.get(i)
+      val logs = receipts(i).get("logs")
+      out += RpcTxRow(
+        block = n, nInBlock = txs.size().toLong, tsUs = tsUs,
+        hash = hashes(i),
+        from = Option(t.get("from")).map(_.asText()).getOrElse(null),
+        to = Option(t.get("to")).map(x => if (x.isNull) null else x.asText()).orNull,
+        value = JsonRpcClient.quantityDecimal(t.get("value")),
+        input = Option(t.get("input")).map(_.asText()).getOrElse("0x"),
+        logs = if (logs == null) "[]" else logs.toString)
+    }
+    out.toSeq
+  }
+
+  private val reader = new Thread(() => {
+    val client = new JsonRpcClient(url)
+    try {
+      var next = fromBlock
+      var producing = true
+      while (producing && !stopped) {
+        val head = JsonRpcClient.quantity(client.call("eth_blockNumber"))
+        if (head >= next) {
+          val delta = head - next + 1
+          val mode = if (delta > bulkThreshold) "bulk" else "interval"
+          // submit in order, append in order: bounded parallel downloads
+          // with order-preserving emission (the SelectAsync shape)
+          (next to head).grouped(math.max(1, maxParallelDownloads * 4)).foreach { chunk =>
+            if (!stopped) {
+              val futures: Seq[(Long, JFuture[Seq[RpcTxRow]])] = chunk.map { n =>
+                n -> pool.submit(new Callable[Seq[RpcTxRow]] {
+                  override def call(): Seq[RpcTxRow] = fetchBlock(new JsonRpcClient(url), n)
+                })
+              }
+              futures.foreach { case (n, f) =>
+                val rows = f.get()
+                health.foreach(_.reportStartImportBlock(n))
+                graft.streaming.BlockTimer.trackBlockEnter(n)
+                blocksMetric.labels(mode).inc()
+                txMetric.only.add(rows.size.toDouble)
+                lock.synchronized { buffer ++= rows; () }
+              }
+            }
+          }
+          next = head + 1
+        } else if (haltAtHead) {
+          producing = false // caught up: the bounded bulk/gap `finish` arc
+        } else {
+          Thread.sleep(pollIntervalMs.toLong)
+        }
+      }
+    } catch {
+      case t: java.util.concurrent.ExecutionException if !stopped =>
+        failure = Option(t.getCause).getOrElse(t)
+      case t: Throwable if !stopped => failure = t
+      case _: Throwable => // stopping; races are benign
+    }
+  }, s"graft-rpc-reader")
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = LiveOffset(0L)
+  override def deserializeOffset(json: String): Offset = LiveOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    val f = failure
+    if (f != null) throw f
+    lock.synchronized { LiveOffset(baseOffset + buffer.length) }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LiveOffset].v, end.asInstanceOf[LiveOffset].v)
+    val rows = lock.synchronized {
+      val from = math.max(s - baseOffset, 0L).toInt
+      val until = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
+      if (from >= until) Array.empty[RpcTxRow]
+      else buffer.slice(from, until).toArray
+    }
+    if (rows.isEmpty) Array.empty
+    else {
+      val n = math.max(1, math.min(numPartitions, rows.length))
+      rows.grouped((rows.length + n - 1) / n)
+        .map(g => RpcInputPartition(g): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new RpcReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[LiveOffset].v
+    val drop = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
+    buffer.remove(0, drop)
+    baseOffset = math.max(baseOffset, e)
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    pool.shutdownNow()
+    ()
+  }
+}
+
+private[sources] final case class RpcInputPartition(rows: Array[RpcTxRow])
+  extends InputPartition
+
+private[sources] class RpcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[RpcInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        new GenericInternalRow(Array[Any](
+          r.block, r.nInBlock, r.tsUs,
+          UTF8String.fromString(r.hash),
+          UTF8String.fromString(r.from),
+          if (r.to == null) null else UTF8String.fromString(r.to),
+          UTF8String.fromString(r.value),
+          UTF8String.fromString(r.input),
+          UTF8String.fromString(r.logs)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
