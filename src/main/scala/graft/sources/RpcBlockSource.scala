@@ -184,6 +184,25 @@ object RpcBlockSource {
     StructField("value", StringType),
     StructField("input", StringType),
     StructField("logs", StringType)))
+
+  /** Downloaded tx rows → the classifier-consumable receipts frame: the
+    * receipt-log JSON parsed to `array<struct<address, topics, data>>` —
+    * [[graft.operators.ReceiptClassifier.classify]]'s input shape, so the
+    * reference's download → classify → staging pipeline composes directly
+    * off this source (a malformed log array parses to null ⇒ the
+    * classifier's size()/exists() predicates see no logs — quarantine by
+    * Unknown, never a throw).
+    */
+  def asReceipts(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val logSchema = ArrayType(StructType(Seq(
+      StructField("address", StringType),
+      StructField("topics", ArrayType(StringType)),
+      StructField("data", StringType))))
+    rows.select(col("block"), col("n_in_block"), col("ts"), col("hash"),
+      col("from"), col("to"), col("value"), col("input"),
+      from_json(col("logs"), logSchema).as("logs"))
+  }
 }
 
 private[sources] class RpcBlockTable(options: CaseInsensitiveStringMap)

@@ -56,9 +56,16 @@ class RpcSourceSpec extends SparkSpec {
               s""""transactions":$txs}""")
         case "eth_getTransactionReceipt" =>
           val h = params.get(0).asText()
+          // one marker log (data = the tx hash) + one WELL-FORMED ERC20
+          // transfer log (Transfer topic, exactly 3 topics) so the
+          // download → classify composition has something to classify
+          val w = (x: Long) => "0x" + "0" * 48 + f"$x%016x"
           result(id,
             s"""{"transactionHash":"$h","logs":[{"address":"0xcccc",""" +
-              s""""topics":["0x01"],"data":"$h"}]}""")
+              s""""topics":["0x01"],"data":"$h"},""" +
+              s"""{"address":"0xt0ken","topics":[""" +
+              s""""${graft.operators.ReceiptClassifier.TransferTopic}",""" +
+              s""""${w(1L)}","${w(2L)}"],"data":"${w(5L)}"}]}""")
         case other =>
           s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"method not found: $other"}}"""
       }
@@ -153,6 +160,14 @@ class RpcSourceSpec extends SparkSpec {
         val metrics = graft.streaming.Metrics.render()
         assert(metrics.contains("""graft_rpc_blocks_total{source="bulk"}"""))
         assert(metrics.contains("""graft_rpc_blocks_total{source="interval"}"""))
+
+        // download → classify composes: the receipt-log JSON parses to the
+        // classifier's array<struct> shape and the well-formed transfer
+        // log classifies every downloaded tx as Erc20Transfer
+        val classified = graft.operators.ReceiptClassifier.classify(
+          RpcBlockSource.asReceipts(spark.table("rpc_rows")))
+        val cls = classified.select("classification").collect().map(_.getString(0))
+        assert(cls.nonEmpty && cls.forall(_.contains("Erc20Transfer")))
       } finally q.stop()
     } finally node.stop()
   }
