@@ -447,6 +447,17 @@ object ScaleProbe {
             cnt
           }
         }
+        // r12 item-6 "done" leg: a DEEPER truncation cap on betweenness —
+        // with the incremental visited frame the plan stays O(depth);
+        // pre-fix the per-round reduce-union grew O(depth²) plan nodes and
+        // a d16 run was where the bloat turned visible. Cost should land
+        // near ~2.7x the d6 row (16/6 rounds, same per-round shape).
+        time("betweenness/deep-rand3-10k-d16") {
+          val g = rand3(10150L)
+          val srcs = g.select(col("src").as("node")).distinct()
+            .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
+          Graph.betweenness(g, srcs, maxDepth = 16).count()
+        }
       }
       time("transition_matrix/10x")(Behavior.transitionMatrix(bigEvents).count())
       time("histogram/10x")(Profiler.histogram(bigEvents, "value", 32).count())

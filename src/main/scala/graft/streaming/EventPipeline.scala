@@ -312,7 +312,12 @@ object EventPipeline {
   def reimportFrom(spark: SparkSession, tableDir: String, fromEventId: Long,
                    keyCol: String = "event_id"): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val current = spark.read.parquet(tableDir)
+    // a reorg can land while the FIRST append is still in flight: the table
+    // dir then exists with only temp files and no committed parquet footer —
+    // nothing imported means nothing to truncate (LiveSoakSpec's sustained
+    // run hits this window under suite-parallel load)
+    val current = try spark.read.parquet(tableDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
     // Partitions holding any reorged row. Collecting *days* is a bounded
     // driver-side list (≈ reorg depth), not data.
     val affectedDays = current.where(col(keyCol) >= fromEventId)
