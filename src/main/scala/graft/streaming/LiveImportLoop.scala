@@ -86,7 +86,8 @@ object LiveImportLoop {
       broadcast: Option[TxHashBroadcastServer] = None,
       health: Option[HealthState] = None,
       idleTimeoutMs: Int = 20000,
-      maxRounds: Int = 8): Result = {
+      maxRounds: Int = 8,
+      transport: String = "tcp"): Result = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val feedSub = ImportFeed.subscriber(spark, feedDir)
     val onImported: (Long, Iterator[Long]) => Unit = (batchId, it) => {
@@ -108,6 +109,7 @@ object LiveImportLoop {
         .option("subscribeFrom", subscribe)
         .option("idleTimeoutMs", idleTimeoutMs)
         .option("healthKey", healthKey)
+        .option("transport", transport) // "tcp" | "websocket" (RFC 6455)
         .load()
       val q = EventPipeline.startGatedImport(
         classified(events), tableDir, stagingDir,

@@ -205,4 +205,48 @@ class RpcSourceSpec extends SparkSpec {
       intercept[StreamingQueryException] { q2.awaitTermination() }
     } finally node.stop()
   }
+
+  test("full CatchUp arc: graft-rpc -> classify -> complete-block-gated import") {
+    // the reference's download -> classify -> staging -> import pipeline
+    // (Indexer.cs:107 CatchUp mode) composed over the polling transport:
+    // blocks arrive by number, every tx classifies off its receipt logs,
+    // and the gated import lands only complete (block, n_in_block) groups
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val node = new MockNode
+    node.head.set(8L)
+    val root = java.nio.file.Files.createTempDirectory("rpcimp").toFile.getAbsolutePath
+    val (tableDir, stagingDir) = (s"$root/table", s"$root/staging")
+    val rows = spark.readStream.format("graft-rpc")
+      .option("url", node.url).option("fromBlock", 1L)
+      .option("pollIntervalMs", 100).option("haltAtHead", true)
+      .load()
+    val classified = graft.operators.ReceiptClassifier.classify(
+      graft.sources.RpcBlockSource.asReceipts(rows))
+      // the import key: a stable 63-bit id off the tx hash (the engine's
+      // graphAnnNodes convention); ts flows through for day partitioning
+      .withColumn("event_id", xxhash64(col("hash")).bitwiseAND(Long.MaxValue))
+    val q = graft.streaming.EventPipeline.startGatedImport(
+      classified, tableDir, stagingDir, s"$root/ck",
+      groupCol = "block", declaredCol = "n_in_block")
+    try {
+      val expected = (1L to 8L).flatMap(n => (0 until node.nTx(n)).map(i => node.txHash(n, i))).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      def imported(): Set[String] =
+        // the poll can catch the dir mid-first-append (exists, no footer)
+        try spark.read.parquet(tableDir).select("hash").collect().map(_.getString(0)).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+      val deadline = System.nanoTime() + 90e9.toLong
+      while (imported() != expected && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(imported() === expected)
+      val table = spark.read.parquet(tableDir)
+      // classification rode the streaming plan: the well-formed transfer
+      // log marks every downloaded tx
+      assert(table.where(col("classification").contains("Erc20Transfer")).count()
+        === expected.size.toLong)
+      // group completeness: per block, exactly its declared tx count
+      val byBlock = table.groupBy("block").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      byBlock.foreach { case (b, c) => assert(c === node.nTx(b).toLong) }
+    } finally q.stop()
+  }
 }

@@ -72,13 +72,15 @@ class WebSocketSpec extends SparkSpec {
   }
 
   /** Websocket feed server: handshake, read the masked subscribe frame,
-    * push script lines one text frame each, keep the connection open.
+    * push `script(round, from)`'s lines one text frame each, keep the
+    * connection open (round = accepted-connection ordinal).
     */
-  private final class WsFeedServer(script: Long => Seq[String]) {
+  private final class WsFeedServer(script: (Int, Long) => Seq[String]) {
     private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
     val subscribes = new ConcurrentLinkedQueue[Long]()
     @volatile private var running = true
     private val t = new Thread(() => {
+      var round = 0
       while (running) {
         try {
           val sock = server.accept()
@@ -89,8 +91,9 @@ class WebSocketSpec extends SparkSpec {
           val from = """"subscribe"\s*:\s*(\d+)""".r
             .findFirstMatchIn(req).map(_.group(1).toLong).getOrElse(0L)
           subscribes.add(from)
-          script(from).foreach(l => out.write(WebSocket.textFrame(l)))
+          script(round, from).foreach(l => out.write(WebSocket.textFrame(l)))
           out.flush()
+          round += 1
         } catch { case _: Throwable if !running => case _: java.io.IOException => }
       }
     }, "ws-feed-server")
@@ -106,7 +109,7 @@ class WebSocketSpec extends SparkSpec {
       s""""user_id":1,"event_type":"transfer","value":1.0,"n_in_block":$n}"""
 
   test("graft-live over transport=websocket: subscribe frame, event rows, reorg contract") {
-    val feed = new WsFeedServer(from => Seq(
+    val feed = new WsFeedServer((_, from) => Seq(
       ev(from, from * 10, 2), ev(from, from * 10 + 1, 2),
       ev(from + 1, (from + 1) * 10, 1)))
     val root = java.nio.file.Files.createTempDirectory("wslive").toFile.getAbsolutePath
@@ -131,7 +134,7 @@ class WebSocketSpec extends SparkSpec {
 
       // the reorg line rides the same frames and fails the stream with the
       // restart contract
-      val feed2 = new WsFeedServer(_ => Seq(ev(1, 11, 1), """{"reorg":1}"""))
+      val feed2 = new WsFeedServer((_, _) => Seq(ev(1, 11, 1), """{"reorg":1}"""))
       try {
         val ev2 = spark.readStream.format("graft-live")
           .option("host", "127.0.0.1").option("port", feed2.port)
@@ -144,5 +147,61 @@ class WebSocketSpec extends SparkSpec {
         assert(graft.sources.LiveBlockSource.reorgBlockOf(e) === Some(1L))
       } finally feed2.stop()
     } finally feed.stop()
+  }
+
+  test("full Indexer.Run arc over websocket: gated import + reorg restart + ws broadcast") {
+    // the round loop end-to-end with RFC 6455 on BOTH wire surfaces: the
+    // feed the source subscribes to AND the tx-hash broadcast subscribers
+    def corrected(b: Long): Seq[String] = b match {
+      case 1L => Seq(ev(1, 11, 2), ev(1, 12, 2))
+      case 2L => Seq(ev(2, 2001, 2), ev(2, 2002, 2))
+      case 3L => Seq(ev(3, 31, 1))
+      case _ => Seq.empty
+    }
+    val feed = new WsFeedServer((round, from) =>
+      if (round == 0)
+        Seq(ev(1, 11, 2), ev(1, 12, 2), ev(2, 21, 2), ev(2, 22, 2), """{"reorg":2}""")
+      else (from to 3L).flatMap(corrected))
+    val bcast = new graft.streaming.TxHashBroadcastServer(webSocket = true)
+    val sock = new Socket(InetAddress.getLoopbackAddress, bcast.boundPort)
+    sock.setSoTimeout(60000)
+    val seen = new ConcurrentLinkedQueue[String]()
+    val root = java.nio.file.Files.createTempDirectory("wsloop").toFile.getAbsolutePath
+    val (tableDir, stagingDir, feedDir, ckRoot) =
+      (s"$root/table", s"$root/staging", s"$root/feed", s"$root/ck")
+    try {
+      WebSocket.clientHandshake(sock.getInputStream, sock.getOutputStream,
+        s"127.0.0.1:${bcast.boundPort}")
+      val reader = new Thread(() => {
+        try {
+          var m = WebSocket.readTextMessage(sock.getInputStream, sock.getOutputStream)
+          while (m.isDefined) { seen.add(m.get); m = WebSocket.readTextMessage(sock.getInputStream, sock.getOutputStream) }
+        } catch { case _: java.io.IOException => }
+      }, "ws-loop-subscriber")
+      reader.setDaemon(true)
+      reader.start()
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      def ids(): Set[Long] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) Set.empty
+        else spark.read.parquet(tableDir).select("event_id")
+          .collect().map(_.getLong(0)).toSet
+      val want = Set(11L, 12L, 2001L, 2002L, 31L)
+      val res = graft.streaming.LiveImportLoop.run(
+        spark, "127.0.0.1", feed.port, fromBlock = 1L,
+        tableDir, stagingDir, feedDir, ckRoot,
+        converged = () => ids() == want,
+        broadcast = Some(bcast),
+        idleTimeoutMs = 600000, maxRounds = 6, transport = "websocket")
+      assert(res.reorgs === Seq(2L))
+      assert(ids() === want) // pre-reorg 21/22 truncated, corrected landed
+      // the ws subscriber saw the reorg sentinel and the corrected hashes
+      val deadline = System.nanoTime() + 30e9.toLong
+      def lines = seen.toArray(Array.empty[String])
+      while ((!lines.exists(_.contains(EventPipeline.ReorgMagicHash)) ||
+        !lines.exists(_.contains(f"0x${2002L}%064x"))) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(lines.exists(_.contains(EventPipeline.ReorgMagicHash)))
+      assert(lines.exists(_.contains(f"0x${2002L}%064x")))
+    } finally { feed.stop(); bcast.stop(); sock.close() }
   }
 }
