@@ -318,4 +318,27 @@ class PlanShapeSpec extends SparkSpec {
       mmrCand.contains("ObjectHashAggregate"),
       s"mmr candidate leg lost the bounded heap:\n$mmrCand")
   }
+
+  test("r12 keys: hyperball serves are pure store reads; dedup cap valve broadcasts") {
+    // the fused-store serves must stay parquet-scan + output-sort — a join
+    // or aggregate here means someone re-attached the sweep to the key
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    for (k <- Seq("q_trust_nf", "q_trust_harmonic")) {
+      val p = finalSection(finalPlanOf(k))
+      assert(!p.contains("Join"), s"$k must not join (store read):\n$p")
+      assert(!p.contains("HashAggregate"), s"$k must not aggregate:\n$p")
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$k grew a non-sort exchange:\n$p")
+    }
+    // the exact-edition hot-band cap (r12): the valve must stay a BROADCAST
+    // anti-join on the bucket key — a shuffled anti-join or a window count
+    // here re-introduces the global sort the valve exists to avoid
+    for (k <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
+      val p = finalPlanOf(k)
+      assert(p.contains("LeftAnti"), s"$k lost the cap valve anti-join:\n$p")
+      assert(!p.contains("Window"), s"$k must not count over a window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k fell into a product join:\n$p")
+    }
+  }
 }

@@ -51,6 +51,54 @@ class WebSocketSpec extends SparkSpec {
     assert(op === WebSocket.OpPong && new String(body) === "hi")
   }
 
+  test("malformed frames fail loudly: fragmentation, oversize, non-text opcodes") {
+    val out = new java.io.ByteArrayOutputStream()
+    // FIN=0 (fragmented) — deliberately out of the adapter's contract
+    val frag = WebSocket.textFrame("abc").clone()
+    frag(0) = (frag(0) & 0x7f).toByte // clear FIN
+    val e1 = intercept[java.io.IOException] {
+      WebSocket.readFrame(new ByteArrayInputStream(frag))
+    }
+    assert(e1.getMessage.contains("continuation"))
+    // declared 64-bit length past the 64 MiB bound — must throw BEFORE
+    // allocating (bounded-allocation doctrine)
+    val huge = Array[Byte](0x81.toByte, 127.toByte,
+      0, 0, 0, 1, 0, 0, 0, 0) // 2^32 bytes declared
+    val e2 = intercept[java.io.IOException] {
+      WebSocket.readFrame(new ByteArrayInputStream(huge))
+    }
+    assert(e2.getMessage.contains("64 MiB"))
+    // a binary frame on the text feed is a contract violation, not a skip
+    val bin = WebSocket.frame(0x2, Array[Byte](1, 2, 3), None)
+    val e3 = intercept[java.io.IOException] {
+      WebSocket.readTextMessage(new ByteArrayInputStream(bin), out)
+    }
+    assert(e3.getMessage.contains("unsupported websocket opcode"))
+    // truncated mid-payload: clean EOF signal, never a partial message
+    val cut = WebSocket.textFrame("payload").dropRight(3)
+    assert(WebSocket.readFrame(new ByteArrayInputStream(cut)) === None)
+  }
+
+  test("ws transport honors the idle-timeout contract (LiveSource.cs 20s rule)") {
+    // handshake succeeds, then silence: the frame read must hit the socket
+    // SoTimeout and fail the stream with the same message as the TCP path
+    val feed = new WsFeedServer((_, _) => Seq.empty)
+    val root = java.nio.file.Files.createTempDirectory("wsidle").toFile.getAbsolutePath
+    try {
+      val events = spark.readStream.format("graft-live")
+        .option("host", "127.0.0.1").option("port", feed.port)
+        .option("subscribeFrom", 1L).option("idleTimeoutMs", 500)
+        .option("transport", "websocket")
+        .load()
+      val q = events.writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck").start()
+      val e = intercept[StreamingQueryException] { q.awaitTermination() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("Received no new block")))
+    } finally feed.stop()
+  }
+
   test("tx-hash broadcast serves websocket subscribers: handshake, frames, reorg sentinel") {
     val srv = new TxHashBroadcastServer(webSocket = true)
     val sock = new Socket(InetAddress.getLoopbackAddress, srv.boundPort)
