@@ -185,6 +185,66 @@ object RpcBlockSource {
     StructField("input", StringType),
     StructField("logs", StringType)))
 
+  /** One block over JSON-RPC: `eth_getBlockByNumber(n, true)` for the
+    * transactions + ONE batched POST of `eth_getTransactionReceipt` calls
+    * (id-matched). Shared by the polling stream and [[downloadBlocks]].
+    */
+  private[sources] def fetchBlockRows(client: JsonRpcClient, n: Long): Seq[RpcTxRow] = {
+    val block = client.call("eth_getBlockByNumber", JsonRpcClient.toQuantity(n), true)
+    if (block == null || block.isNull)
+      throw new java.io.IOException(s"eth_getBlockByNumber($n) returned null (pruned node?)")
+    val tsUs = JsonRpcClient.quantity(block.get("timestamp")) * 1000000L
+    val txs = block.get("transactions")
+    val out = new ArrayBuffer[RpcTxRow](txs.size())
+    val hashes = (0 until txs.size()).map(i => txs.get(i).get("hash").asText())
+    val receipts =
+      if (hashes.isEmpty) Seq.empty
+      else client.callBatch(hashes.map(h => ("eth_getTransactionReceipt", Seq[Any](h))))
+    (0 until txs.size()).foreach { i =>
+      val t = txs.get(i)
+      val logs = receipts(i).get("logs")
+      out += RpcTxRow(
+        block = n, nInBlock = txs.size().toLong, tsUs = tsUs,
+        hash = hashes(i),
+        from = Option(t.get("from")).map(_.asText()).getOrElse(null),
+        to = Option(t.get("to")).map(x => if (x.isNull) null else x.asText()).orNull,
+        value = JsonRpcClient.quantityDecimal(t.get("value")),
+        input = Option(t.get("input")).map(_.asText()).getOrElse("0x"),
+        logs = if (logs == null) "[]" else logs.toString)
+    }
+    out.toSeq
+  }
+
+  /** GAP REPAIR / targeted backfill — the reference's GapSource arc
+    * (Sources/GapSource.cs:14: find missing blocks, re-emit their numbers
+    * into the download pipeline) as one bounded batch call: download
+    * exactly `numbers` (any order in, ascending out) on a bounded pool and
+    * return the tx rows as a DataFrame ready for the gated import — the
+    * natural consumer of [[graft.streaming.EventPipeline.checkGaps]]'s
+    * re-request callback. Driver-side transport like the polling stream
+    * (the gap list is bounded by contract: missing blocks, not data).
+    */
+  def downloadBlocks(spark: org.apache.spark.sql.SparkSession, url: String,
+                     numbers: Seq[Long], maxParallel: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    val pool = Executors.newFixedThreadPool(math.max(1, maxParallel), r => {
+      val t = new Thread(r, "graft-rpc-gap"); t.setDaemon(true); t
+    })
+    try {
+      val futures = numbers.distinct.sorted.map { n =>
+        pool.submit(new Callable[Seq[RpcTxRow]] {
+          override def call(): Seq[RpcTxRow] = fetchBlockRows(new JsonRpcClient(url), n)
+        })
+      }
+      val rows = futures.flatMap(_.get()).map { r =>
+        Row(r.block, r.nInBlock, new java.sql.Timestamp(r.tsUs / 1000L),
+          r.hash, r.from, r.to, r.value, r.input, r.logs)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), Schema)
+    } finally { pool.shutdownNow(); () }
+  }
+
   /** Downloaded tx rows → the classifier-consumable receipts frame: the
     * receipt-log JSON parsed to `array<struct<address, topics, data>>` —
     * [[graft.operators.ReceiptClassifier.classify]]'s input shape, so the
@@ -251,36 +311,6 @@ private[sources] class RpcBlockMicroBatchStream(
     val t = new Thread(r, "graft-rpc-download"); t.setDaemon(true); t
   })
 
-  /** One block: eth_getBlockByNumber(n, full) + a receipt per tx. Runs on
-    * the bounded pool; each task owns a client (stateless HTTP per call).
-    */
-  private def fetchBlock(client: JsonRpcClient, n: Long): Seq[RpcTxRow] = {
-    val block = client.call("eth_getBlockByNumber", JsonRpcClient.toQuantity(n), true)
-    if (block == null || block.isNull)
-      throw new java.io.IOException(s"eth_getBlockByNumber($n) returned null (pruned node?)")
-    val tsUs = JsonRpcClient.quantity(block.get("timestamp")) * 1000000L
-    val txs = block.get("transactions")
-    val out = new ArrayBuffer[RpcTxRow](txs.size())
-    val hashes = (0 until txs.size()).map(i => txs.get(i).get("hash").asText())
-    // receipts for the whole block in ONE batched POST — id-matched
-    val receipts =
-      if (hashes.isEmpty) Seq.empty
-      else client.callBatch(hashes.map(h => ("eth_getTransactionReceipt", Seq[Any](h))))
-    (0 until txs.size()).foreach { i =>
-      val t = txs.get(i)
-      val logs = receipts(i).get("logs")
-      out += RpcTxRow(
-        block = n, nInBlock = txs.size().toLong, tsUs = tsUs,
-        hash = hashes(i),
-        from = Option(t.get("from")).map(_.asText()).getOrElse(null),
-        to = Option(t.get("to")).map(x => if (x.isNull) null else x.asText()).orNull,
-        value = JsonRpcClient.quantityDecimal(t.get("value")),
-        input = Option(t.get("input")).map(_.asText()).getOrElse("0x"),
-        logs = if (logs == null) "[]" else logs.toString)
-    }
-    out.toSeq
-  }
-
   private val reader = new Thread(() => {
     val client = new JsonRpcClient(url)
     try {
@@ -297,7 +327,8 @@ private[sources] class RpcBlockMicroBatchStream(
             if (!stopped) {
               val futures: Seq[(Long, JFuture[Seq[RpcTxRow]])] = chunk.map { n =>
                 n -> pool.submit(new Callable[Seq[RpcTxRow]] {
-                  override def call(): Seq[RpcTxRow] = fetchBlock(new JsonRpcClient(url), n)
+                  override def call(): Seq[RpcTxRow] =
+                    RpcBlockSource.fetchBlockRows(new JsonRpcClient(url), n)
                 })
               }
               futures.foreach { case (n, f) =>

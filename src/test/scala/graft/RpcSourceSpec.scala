@@ -206,6 +206,35 @@ class RpcSourceSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("GapSource arc: Integrity.gaps -> downloadBlocks backfills exactly the missing blocks") {
+    // the reference's GapSource (find missing blocks, re-emit their numbers
+    // into the download pipeline) as the gaps-operator -> bounded-batch
+    // composition over JSON-RPC
+    import org.apache.spark.sql.functions.col
+    val node = new MockNode
+    node.head.set(8L)
+    try {
+      val all = RpcBlockSource.downloadBlocks(spark, node.url, 1L to 8L)
+      val withGaps = all.where(col("block").isin(1L, 2L, 5L, 8L))
+      val gapRanges = graft.operators.Integrity.gaps(withGaps.select("block"), "block")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(gapRanges.toSet === Set((3L, 4L), (6L, 7L)))
+      val missing = gapRanges.toSeq.flatMap { case (a, b) => a to b }
+      val repaired = RpcBlockSource.downloadBlocks(spark, node.url, missing)
+      // empty blocks (3, 6 — zero txs) yield no rows; tx-bearing blocks
+      // come back whole with their declared counts
+      val blocks = repaired.select("block").distinct().collect().map(_.getLong(0)).toSet
+      assert(blocks === Set(4L, 7L))
+      val hashes = withGaps.unionByName(repaired)
+        .select("hash").collect().map(_.getString(0)).toSet
+      val expected = Seq(1L, 2L, 4L, 5L, 7L, 8L)
+        .flatMap(n => (0 until node.nTx(n)).map(i => node.txHash(n, i))).toSet
+      assert(hashes === expected)
+      assert(repaired.select("n_in_block").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally node.stop()
+  }
+
   test("full CatchUp arc: graft-rpc -> classify -> complete-block-gated import") {
     // the reference's download -> classify -> staging -> import pipeline
     // (Indexer.cs:107 CatchUp mode) composed over the polling transport:
