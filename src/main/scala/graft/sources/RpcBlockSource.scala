@@ -245,6 +245,39 @@ object RpcBlockSource {
     } finally { pool.shutdownNow(); () }
   }
 
+  /** BLOCK HEADERS for a set of numbers — `eth_getBlockByNumber(n, false)`
+    * in ONE batched POST: (number, hash, ts, n_tx). This is the reference's
+    * InsertEmptyBlock leg (Persistence/BlockTracker.cs:50): an EMPTY block
+    * must be RECORDED (n_tx = 0) so the requested-vs-actual watermark
+    * ([[graft.operators.Integrity.lastValid]], the GetLastValidBlock port)
+    * treats it as imported rather than as a permanent gap — tx rows alone
+    * can't represent it. Append the result to a block-ledger dir and feed
+    * the ledger as `actual` to lastValid / the gap check.
+    */
+  def fetchBlockHeaders(spark: org.apache.spark.sql.SparkSession, url: String,
+                        numbers: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    val client = new JsonRpcClient(url)
+    val ns = numbers.distinct.sorted
+    val blocks =
+      if (ns.isEmpty) Seq.empty
+      else client.callBatch(ns.map(n =>
+        ("eth_getBlockByNumber", Seq[Any](JsonRpcClient.toQuantity(n), false))))
+    val rows = ns.zip(blocks).map { case (n, b) =>
+      if (b == null || b.isNull)
+        throw new java.io.IOException(s"eth_getBlockByNumber($n) returned null")
+      Row(n,
+        Option(b.get("hash")).map(_.asText()).orNull,
+        new java.sql.Timestamp(JsonRpcClient.quantity(b.get("timestamp")) * 1000L),
+        Option(b.get("transactions")).map(_.size().toLong).getOrElse(0L))
+    }
+    val schema = StructType(Seq(
+      StructField("number", LongType), StructField("hash", StringType),
+      StructField("ts", TimestampType), StructField("n_tx", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), schema)
+  }
+
   /** Downloaded tx rows → the classifier-consumable receipts frame: the
     * receipt-log JSON parsed to `array<struct<address, topics, data>>` —
     * [[graft.operators.ReceiptClassifier.classify]]'s input shape, so the

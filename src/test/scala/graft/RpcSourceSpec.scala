@@ -46,12 +46,17 @@ class RpcSourceSpec extends SparkSpec {
           result(id, s""""0x${java.lang.Long.toHexString(head.get())}"""")
         case "eth_getBlockByNumber" =>
           val n = java.lang.Long.parseLong(params.get(0).asText().drop(2), 16)
-          val txs = (0 until nTx(n)).map { i =>
-            s"""{"hash":"${txHash(n, i)}","from":"0xaaaa","to":"0xbbbb",""" +
-              s""""value":"0x${java.lang.Long.toHexString(n * 1000 + i)}","input":"0xdead"}"""
-          }.mkString("[", ",", "]")
+          val full = params.size() > 1 && params.get(1).asBoolean()
+          // full=false returns tx HASHES only (the header fetch shape)
+          val txs =
+            if (full) (0 until nTx(n)).map { i =>
+              s"""{"hash":"${txHash(n, i)}","from":"0xaaaa","to":"0xbbbb",""" +
+                s""""value":"0x${java.lang.Long.toHexString(n * 1000 + i)}","input":"0xdead"}"""
+            }.mkString("[", ",", "]")
+            else (0 until nTx(n)).map(i => s""""${txHash(n, i)}"""").mkString("[", ",", "]")
           result(id,
             s"""{"number":"0x${java.lang.Long.toHexString(n)}",""" +
+              s""""hash":"0xb${java.lang.Long.toHexString(n)}",""" +
               s""""timestamp":"0x${java.lang.Long.toHexString(1700000000L + n)}",""" +
               s""""transactions":$txs}""")
         case "eth_getTransactionReceipt" =>
@@ -232,6 +237,33 @@ class RpcSourceSpec extends SparkSpec {
       assert(hashes === expected)
       assert(repaired.select("n_in_block").distinct()
         .collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally node.stop()
+  }
+
+  test("empty blocks are recorded, not gaps: header ledger + lastValid watermark") {
+    // the InsertEmptyBlock leg (BlockTracker.cs:50): blocks 3 and 6 carry
+    // zero txs — the tx-row stream can't represent them, so the HEADER
+    // ledger must, or the requested-vs-actual watermark flags them missing
+    // forever. lastValid over (requested 1..10, headers 1..8) = 8: the
+    // empty blocks count as imported; 9..10 are the genuine frontier.
+    import org.apache.spark.sql.functions.col
+    val node = new MockNode
+    node.head.set(8L)
+    try {
+      val headers = RpcBlockSource.fetchBlockHeaders(spark, node.url, 1L to 8L)
+      assert(headers.count() === 8L)
+      val byN = headers.collect().map(r =>
+        r.getAs[Long]("number") -> (r.getAs[String]("hash"), r.getAs[Long]("n_tx"))).toMap
+      assert(byN(3L)._2 === 0L && byN(6L)._2 === 0L, "empty blocks recorded with n_tx = 0")
+      assert(byN(5L)._2 === 2L)
+      assert(byN(4L)._1 === "0xb4")
+      import spark.implicits._
+      val requested = (1L to 10L).toDF("block_no")
+      val lastValid = graft.operators.Integrity.lastValid(
+        requested, "block_no", headers.select(col("number")), "number")
+        .collect()(0).getLong(0)
+      assert(lastValid === 8L,
+        "empty blocks must count as imported; the frontier is the true gap")
     } finally node.stop()
   }
 
