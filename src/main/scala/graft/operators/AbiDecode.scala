@@ -162,6 +162,10 @@ object AbiDecode {
       when(v === 0L, lit(false)).when(v === 1L, lit(true))
         .otherwise(lit(null).cast("boolean"))
     case Bytes32T => lower(concat(lit("0x"), w))
+    // dynamic tails never reach the head-word decoder: events reject
+    // DynBytesT at registry construction, calls route it to callTail
+    case DynBytesT => throw new IllegalArgumentException(
+      "dynamic bytes decode through callTail, not decodeWord")
   }
 
   private def paramWord(log: Column, ev: AbiEvent, p: AbiParam): Column =

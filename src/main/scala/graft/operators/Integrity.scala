@@ -192,6 +192,8 @@ object Integrity {
           (c, "nullability_changed", a.dataType.sql, b.dataType.sql)
         case (Some(a), Some(b)) =>
           (c, "unchanged", a.dataType.sql, b.dataType.sql)
+        case (None, None) => // unreachable: c comes from o.keySet ++ n.keySet
+          sys.error(s"column '$c' in neither schema")
       }
     }
     val out = rows.toDF("column", "status", "old_type", "new_type")
