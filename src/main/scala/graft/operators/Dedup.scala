@@ -212,6 +212,15 @@ object Dedup {
     */
   val MinhashExactP: Long = (1L << 61) - 1
 
+  /** The decimal(38,0) affine-mix spelling — the exact arithmetic the
+    * DuckDB oracle runs in HUGEINT. Kept as the parity reference for the
+    * native long kernel ([[graft.functions.HashConv.affineModP]]) that
+    * the hot path uses; DedupSpec pins column-level equality on real
+    * gram keys.
+    */
+  def minhashExactAffineRef(g: Column, a: Long, b: Long): Column =
+    (g.cast("decimal(38,0)") * lit(a) + lit(b)).mod(lit(MinhashExactP)).cast("long")
+
   /** MinHash + LSH banding, EXACT cross-engine edition: distinct md5-56
     * 3-gram keys per doc ([[TextMetrics.gramKeys]]), signature row j =
     * min over grams of (g·a_j + b_j) mod P with [[minhashExactCoeffs]]
@@ -239,10 +248,13 @@ object Dedup {
     val coeffs = minhashExactCoeffs(numHashes)
     val grams = TextMetrics.gramKeys(documents, 3, Seq("doc_id"))
       .localCheckpoint(true) // sigs + counts + two verification legs
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // the affine mix runs on the NATIVE long kernel (multiplyHigh +
+    // Mersenne folds — r12): bit-identical to the decimal(38,0) spelling
+    // the ORACLE still computes ([[minhashExactAffineRef]]; DedupSpec pins
+    // kernel parity and the oracle hash-match is unchanged), ~n× cheaper
+    // than a decimal multiply/mod chain per (gram, hash)
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min((d38(col("g")) * lit(a) + lit(b)).mod(lit(MinhashExactP))
-        .cast("long")).as(s"s$j")
+      min(graft.functions.HashConv.affineModP(col("g"), a, b)).as(s"s$j")
     }
     val sigs = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKey = (bnd: Int) => concat_ws(":",

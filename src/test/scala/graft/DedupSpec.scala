@@ -113,6 +113,35 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L) != sigs(2L))
   }
 
+  test("native affine-mod-P kernel == decimal spelling == BigInteger (r12)") {
+    // the exact-minhash hot path runs (g·a+b) mod (2^61−1) on the long
+    // kernel; the ORACLE still computes the decimal/HUGEINT spelling, so
+    // the two must agree bit-for-bit on every real gram key and on the
+    // operand envelope's edges
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val coeffs = Dedup.minhashExactCoeffs(16)
+    def mismatches(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val checks = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        sum(when(graft.functions.HashConv.affineModP(col("g"), a, b) =!=
+          Dedup.minhashExactAffineRef(col("g"), a, b), 1L).otherwise(0L)).as(s"m$j")
+      }
+      val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+      (0 until 16).map(row.getLong)
+    }
+    // real 56-bit keys off the same md5Long56 convention gramKeys uses
+    val grams = real.select(graft.functions.HashConv.md5Long56(col("text")).as("g"))
+    assert(mismatches(grams).forall(_ == 0L), "kernel diverged on real md5-56 keys")
+    val edges = Seq(0L, 1L, 2L, (1L << 56) - 1L, (1L << 60) + 12345L,
+      (1L << 61) - 2L).toDF("g")
+    assert(mismatches(edges).forall(_ == 0L), "kernel diverged on envelope edges")
+    // scalar parity with BigInteger on the same edges (independent of Spark)
+    val P = BigInt(Dedup.MinhashExactP)
+    for (g <- Seq(0L, 1L, (1L << 56) - 1L, (1L << 61) - 2L); (a, b) <- coeffs) {
+      val want = ((BigInt(g) * a + b) mod P).toLong
+      assert(graft.functions.AffineModPImpl.eval(g, a, b) === want, s"g=$g a=$a b=$b")
+    }
+  }
+
   test("ngram jaccard default run is non-trivial on driver testdata") {
     val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(real)
