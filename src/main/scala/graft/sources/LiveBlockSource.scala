@@ -124,6 +124,21 @@ object LiveBlockSource {
     }
     None
   }
+
+  /** Walks a failure's cause chain for the connection-closed signal — the
+    * import loop reconnects (resubscribe, no truncation) on it.
+    */
+  def connectionClosed(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case _: LiveConnectionClosedException => return true
+        case _ => cur = cur.getCause; depth += 1
+      }
+    }
+    false
+  }
 }
 
 /** The chain reorganized at `fromBlock`; the current import round must
@@ -132,6 +147,20 @@ object LiveBlockSource {
 final class LiveReorgException(val fromBlock: Long)
   extends RuntimeException(
     s"A reorg occurred at block $fromBlock and the round needs to be restarted.")
+
+/** The push connection ended (EOF / websocket close) while the stream was
+  * live. A HEAD-FOLLOWING transport never closes by itself, so this is an
+  * error, not an end-of-data: the reference restarts the round on any
+  * source error (Indexer.cs RoundContext.OnError) and the import loop
+  * resubscribes from the table frontier. Round 12: the old "clean EOF —
+  * let rows drain" branch let a dropped connection idle a live query
+  * FOREVER (no failure, no new data, the idle timer unarmed because reads
+  * had ended) — caught when a GC-finalized test socket closed under a
+  * parallel suite.
+  */
+final class LiveConnectionClosedException
+  extends RuntimeException(
+    "The live source connection closed unexpectedly and the round needs to be restarted.")
 
 private[sources] final case class LiveRow(
     block: Long, eventId: Long, tsUs: Long, userId: Long,
@@ -253,8 +282,11 @@ private[sources] class LiveBlockMicroBatchStream(
           line = in.readLine()
         }
       }
-      // EOF: the server closed cleanly — stop producing, let buffered rows
-      // drain (the push twin of a bounded replay)
+      // EOF / ws close with the stream live: a push head never closes by
+      // itself — fail the round so the loop reconnects from the table
+      // frontier (buffered rows already handed to earlier offsets stay
+      // valid; the gated import dedups the re-request)
+      if (!stopped) failure = new LiveConnectionClosedException
     } catch {
       case t: Throwable if !stopped =>
         failure = t match {

@@ -19,6 +19,14 @@ import graft.sources.LiveBlockSource
   *     [[TxHashBroadcastServer]] push (live subscribers), [[HealthState]]
   *     recency (the /health surface).
   *
+  * Connection-drop RECONNECT (round 12; RoundContext.OnError restarts the
+  * round on ANY source error): an unexpected EOF / websocket close fails
+  * the query with [[graft.sources.LiveConnectionClosedException]] and the
+  * loop resubscribes from the table-derived frontier — no truncation,
+  * staging kept (held rows of incomplete blocks stay valid; the
+  * re-request re-sends and the gated import dedups). Bounded by the same
+  * `maxRounds` budget as reorg restarts.
+  *
   * Reorg restart (Indexer.cs:195-204 + RoundContext.OnError): the source
   * fails the query with [[graft.sources.LiveReorgException]]; the loop
   * broadcasts [[EventPipeline.ReorgMagicHash]], truncates the table from
@@ -38,7 +46,7 @@ import graft.sources.LiveBlockSource
   */
 object LiveImportLoop {
 
-  final case class Result(rounds: Int, reorgs: Seq[Long])
+  final case class Result(rounds: Int, reorgs: Seq[Long], reconnects: Int = 0)
 
   /** First block the next round must re-request: the lowest gap in the
     * imported block sequence, else max+1; `fromBlock` when nothing
@@ -98,6 +106,7 @@ object LiveImportLoop {
     }
 
     val reorgs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var reconnects = 0
     var round = 0
     var done = false
     val healthKey = s"$host:$port"
@@ -141,11 +150,19 @@ object LiveImportLoop {
                 EventPipeline.reimportFrom(spark, tableDir, b, keyCol = "block")
               fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
               reorgs += b
+            // a dropped connection (the head never closes by itself)
+            // RECONNECTS: resubscribe from the table frontier, NO
+            // truncation and staging kept — held rows of incomplete blocks
+            // are still valid, the re-request re-sends them and the gated
+            // import's anti-join dedups (the reference restarts the round
+            // on any source error, RoundContext.OnError)
+            case None if LiveBlockSource.connectionClosed(t) =>
+              reconnects += 1
             case None => throw t
           }
       } finally watcher.join(2000)
       round += 1
     }
-    Result(round, reorgs.toSeq)
+    Result(round, reorgs.toSeq, reconnects)
   }
 }

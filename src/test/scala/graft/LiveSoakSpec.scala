@@ -52,6 +52,9 @@ class LiveSoakSpec extends SparkSpec {
   private final class SoakFeed {
     private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
     val subscribes = new ConcurrentLinkedQueue[Long]()
+    // hold accepted sockets: a GC-finalized socket closes and would turn a
+    // kept-open head into a surprise reconnect mid-soak
+    private val held = new ConcurrentLinkedQueue[java.net.Socket]()
     @volatile private var running = true
     private def script(round: Int, from: Long): Seq[String] = round match {
       case 0 =>
@@ -68,6 +71,7 @@ class LiveSoakSpec extends SparkSpec {
       while (running) {
         try {
           val sock = server.accept()
+          held.add(sock)
           val in = new BufferedReader(
             new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
           val out = new BufferedWriter(
@@ -86,7 +90,11 @@ class LiveSoakSpec extends SparkSpec {
     t.setDaemon(true)
     t.start()
     def port: Int = server.getLocalPort
-    def stop(): Unit = { running = false; server.close() }
+    def stop(): Unit = {
+      running = false
+      server.close()
+      held.forEach(s => try s.close() catch { case _: java.io.IOException => })
+    }
   }
 
   private def httpGet(port: Int, path: String): (Int, String) = {

@@ -18,17 +18,24 @@ class LiveSourceSpec extends SparkSpec {
 
   /** Newline-JSON feed server. Each accepted connection reads the
     * subscribe request, then streams `script(round, from)`'s lines and
-    * keeps the connection open (a push head never closes by itself).
+    * keeps the connection open (a push head never closes by itself) —
+    * unless `dropAfter(round)`, which closes it to exercise the
+    * reconnect contract. Accepted sockets are HELD (not left to GC: a
+    * finalized socket closes, and a surprise mid-test EOF is exactly the
+    * failure mode the connection-closed contract now makes loud).
     */
-  private final class TestFeedServer(script: (Int, Long) => Seq[String]) {
+  private final class TestFeedServer(script: (Int, Long) => Seq[String],
+                                     dropAfter: Int => Boolean = _ => false) {
     private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
     val subscribes = new ConcurrentLinkedQueue[Long]()
+    private val held = new ConcurrentLinkedQueue[Socket]()
     @volatile private var running = true
     private val t = new Thread(() => {
       var round = 0
       while (running) {
         try {
           val sock = server.accept()
+          held.add(sock)
           val in = new BufferedReader(
             new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
           val out = new BufferedWriter(
@@ -39,15 +46,20 @@ class LiveSourceSpec extends SparkSpec {
           subscribes.add(from)
           script(round, from).foreach { l => out.write(l); out.write("\n") }
           out.flush()
+          if (dropAfter(round)) sock.close() // deliberate mid-stream drop
           round += 1
-          // keep open: the source decides when to hang up
+          // otherwise keep open: the source decides when to hang up
         } catch { case _: Throwable if !running => case _: java.io.IOException => }
       }
     }, "test-feed-server")
     t.setDaemon(true)
     t.start()
     def port: Int = server.getLocalPort
-    def stop(): Unit = { running = false; server.close() }
+    def stop(): Unit = {
+      running = false
+      server.close()
+      held.forEach(s => try s.close() catch { case _: java.io.IOException => })
+    }
   }
 
   private val baseUs = 1700000000000000L // fixed epoch anchor, µs
@@ -98,7 +110,13 @@ class LiveSourceSpec extends SparkSpec {
       val res = LiveImportLoop.run(
         spark, "127.0.0.1", feed.port, fromBlock = 1L,
         tableDir, stagingDir, feedDir, ckRoot,
-        converged = () => tableBlocks(tableDir).values.map(_.size).sum == 6,
+        // ALSO gate on the duration stamp: the watcher may otherwise stop
+        // the query in the window between the table append and the
+        // onGroupsImported hook, and the BlockTimer assertion below races
+        // (caught running this test solo — suite-parallel runs masked it
+        // because other suites stamp the process-global gauge)
+        converged = () => tableBlocks(tableDir).values.map(_.size).sum == 6 &&
+          BlockTimer.lastDurationMs > 0.0,
         broadcast = Some(bcast), health = Some(health),
         idleTimeoutMs = 600000)
       assert(res.reorgs.isEmpty)
@@ -177,6 +195,39 @@ class LiveSourceSpec extends SparkSpec {
       def messages(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
       assert(messages(e).exists(_.contains("Received no new block")))
+    } finally feed.stop()
+  }
+
+  test("a dropped connection reconnects from the table frontier, no truncation") {
+    // the head never closes by itself: round 0 serves blocks 1-2 then the
+    // server DROPS the connection — the loop must fail the round with the
+    // connection-closed contract and resubscribe (no reorg, no truncate),
+    // finishing the history on the next connection
+    val root = tmp()
+    val (tableDir, stagingDir, feedDir, ckRoot) =
+      (s"$root/table", s"$root/staging", s"$root/feed", s"$root/ck")
+    def block(b: Long) = Seq(
+      ev(b, b * 10 + 1, 1, "transfer", 1.0, 2), ev(b, b * 10 + 2, 2, "trust", 2.0, 2))
+    val feed = new TestFeedServer(
+      (round, from) =>
+        if (round == 0) (1L to 2L).flatMap(block)
+        else (from to 4L).flatMap(block),
+      dropAfter = _ == 0)
+    try {
+      val res = LiveImportLoop.run(
+        spark, "127.0.0.1", feed.port, fromBlock = 1L,
+        tableDir, stagingDir, feedDir, ckRoot,
+        converged = () => tableBlocks(tableDir).keySet == Set(1L, 2L, 3L, 4L),
+        idleTimeoutMs = 600000, maxRounds = 6)
+      assert(res.reorgs.isEmpty, "a dropped connection is not a reorg")
+      assert(res.reconnects >= 1, "the drop must be surfaced as a reconnect")
+      assert(tableBlocks(tableDir) === Map(
+        1L -> Set(11L, 12L), 2L -> Set(21L, 22L),
+        3L -> Set(31L, 32L), 4L -> Set(41L, 42L)))
+      val subs = subscribes(feed)
+      assert(subs.head === 1L)
+      assert(subs.length >= 2, "a second connection must have been made")
+      assert(subs.tail.forall(_ >= 1L), "resubscribe comes from the table frontier")
     } finally feed.stop()
   }
 

@@ -126,12 +126,16 @@ class WebSocketSpec extends SparkSpec {
   private final class WsFeedServer(script: (Int, Long) => Seq[String]) {
     private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
     val subscribes = new ConcurrentLinkedQueue[Long]()
+    // hold accepted sockets: a GC-finalized socket closes and would read
+    // as a surprise connection drop mid-test
+    private val held = new ConcurrentLinkedQueue[java.net.Socket]()
     @volatile private var running = true
     private val t = new Thread(() => {
       var round = 0
       while (running) {
         try {
           val sock = server.accept()
+          held.add(sock)
           val in = sock.getInputStream
           val out = sock.getOutputStream
           assert(WebSocket.serverHandshake(in, out), "client must upgrade")
@@ -148,7 +152,11 @@ class WebSocketSpec extends SparkSpec {
     t.setDaemon(true)
     t.start()
     def port: Int = server.getLocalPort
-    def stop(): Unit = { running = false; server.close() }
+    def stop(): Unit = {
+      running = false
+      server.close()
+      held.forEach(s => try s.close() catch { case _: java.io.IOException => })
+    }
   }
 
   private val baseUs = 1700000000000000L
