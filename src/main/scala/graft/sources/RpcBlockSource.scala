@@ -36,9 +36,6 @@ final class JsonRpcClient(url: String,
   private val mapper = new ObjectMapper()
   private val nextId = new AtomicLong(1L)
 
-  final class JsonRpcException(val code: Int, message: String)
-    extends RuntimeException(s"JSON-RPC error $code: $message")
-
   private def post(body: String): JsonNode = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
@@ -49,7 +46,14 @@ final class JsonRpcClient(url: String,
     val out = conn.getOutputStream
     try { out.write(body.getBytes(StandardCharsets.UTF_8)) } finally out.close()
     val code = conn.getResponseCode
+    // getErrorStream is NULL for error responses without a body (and some
+    // connection-level failures) — dereferencing it would NPE and mask the
+    // real HTTP status
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    if (is == null) {
+      conn.disconnect()
+      throw new java.io.IOException(s"JSON-RPC HTTP $code with no response body")
+    }
     val resp = try new String(is.readAllBytes(), StandardCharsets.UTF_8) finally is.close()
     conn.disconnect()
     if (code != 200) throw new java.io.IOException(s"JSON-RPC HTTP $code: ${resp.take(200)}")
@@ -104,6 +108,15 @@ final class JsonRpcClient(url: String,
     }
   }
 }
+
+/** A JSON-RPC `error` member, surfaced as an [[java.io.IOException]]: node
+  * errors (rate limits, "header not found" on a just-mined block, pruned
+  * state) are WIRE faults — the same transient family as timeouts and
+  * resets — so one retry arm covers both (the reference's round-restart
+  * penalty treats them uniformly, Indexer.cs RoundContext.OnError).
+  */
+final class JsonRpcException(val code: Int, message: String)
+  extends java.io.IOException(s"JSON-RPC error $code: $message")
 
 object JsonRpcClient {
   /** eth QUANTITY ("0x1b4" / decimal string) → Long. */
@@ -162,6 +175,18 @@ private[sources] final case class RpcTxRow(
   * polling mode merges a ReorgSource the same way, as a SEPARATE source.
   * Like the live source, this transport is driver-side head-following and
   * non-replayable; exactly-once is the downstream gated import's job.
+  *
+  * Robustness at depth (round 13):
+  *   - `maxBufferedRows` (default 100k) BACKPRESSURES the catch-up: the
+  *     reader blocks once that many rows await a micro-batch and resumes
+  *     on commit-drain, so a million-block bulk catch-up is paced by the
+  *     consumer, not by the driver heap — the end-to-end backpressure the
+  *     reference gets from its Akka Streams pipeline (Indexer.cs:107).
+  *   - `maxRetries`/`retryBaseMs` (default 3 / 1 s) bound transient-fault
+  *     retries with exponential backoff around every head poll and block
+  *     fetch — the reference's error-restart penalty (Settings.cs:171-172,
+  *     5 s doubling to a 4-minute cap) at call grain. A fault that
+  *     outlives the budget still fails the stream LOUDLY.
   */
 class RpcBlockSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-rpc"
@@ -202,7 +227,16 @@ object RpcBlockSource {
       else client.callBatch(hashes.map(h => ("eth_getTransactionReceipt", Seq[Any](h))))
     (0 until txs.size()).foreach { i =>
       val t = txs.get(i)
-      val logs = receipts(i).get("logs")
+      // a NULL receipt result (node hasn't indexed a just-mined block's
+      // receipts yet, or pruned them) must FAIL, not emit logs="[]" — the
+      // reference's receipt-download stage retries a missing receipt;
+      // silently dropping log events would corrupt the classified import
+      val receipt = receipts(i)
+      if (receipt == null || receipt.isNull) throw new java.io.IOException(
+        s"eth_getTransactionReceipt(${hashes(i)}) returned null (receipts not yet indexed, or pruned)")
+      val logs = receipt.get("logs")
+      if (logs == null || logs.isNull) throw new java.io.IOException(
+        s"eth_getTransactionReceipt(${hashes(i)}) carries no logs member")
       out += RpcTxRow(
         block = n, nInBlock = txs.size().toLong, tsUs = tsUs,
         hash = hashes(i),
@@ -210,9 +244,39 @@ object RpcBlockSource {
         to = Option(t.get("to")).map(x => if (x.isNull) null else x.asText()).orNull,
         value = JsonRpcClient.quantityDecimal(t.get("value")),
         input = Option(t.get("input")).map(_.asText()).getOrElse("0x"),
-        logs = if (logs == null) "[]" else logs.toString)
+        logs = logs.toString)
     }
     out.toSeq
+  }
+
+  private val retriesMetric = graft.streaming.Metrics.counter(
+    "graft_rpc_retries_total", "Transient JSON-RPC faults retried with backoff.")
+
+  /** Bounded retry with exponential backoff around ONE wire call — the
+    * reference's error-restart penalty arc at call grain
+    * (Settings.cs:171-172: a 5 s penalty doubling to a 4-minute cap per
+    * errored round; Indexer.cs restarts the round). A transient fault
+    * (read timeout, 429/5xx, connection reset, a node-reported JSON-RPC
+    * error like "header not found" on a just-mined block, a
+    * not-yet-indexed receipt) must not kill a million-block bulk
+    * catch-up; after `maxRetries` failures the LAST fault propagates and
+    * the stream fails loudly, the declared doctrine for persistent
+    * faults. Sleeps base·2^k, capped at 4 minutes like the reference.
+    */
+  private[sources] def withRetry[A](maxRetries: Int, baseDelayMs: Long)(f: => A): A = {
+    var attempt = 0
+    var delayMs = math.max(1L, baseDelayMs)
+    while (true) {
+      try return f
+      catch {
+        case t: java.io.IOException if attempt < maxRetries =>
+          attempt += 1
+          retriesMetric.only.inc()
+          Thread.sleep(delayMs)
+          delayMs = math.min(delayMs * 2, 240000L)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** GAP REPAIR / targeted backfill — the reference's GapSource arc
@@ -225,7 +289,8 @@ object RpcBlockSource {
     * (the gap list is bounded by contract: missing blocks, not data).
     */
   def downloadBlocks(spark: org.apache.spark.sql.SparkSession, url: String,
-                     numbers: Seq[Long], maxParallel: Int = 4): org.apache.spark.sql.DataFrame = {
+                     numbers: Seq[Long], maxParallel: Int = 4,
+                     maxRetries: Int = 3, retryBaseMs: Long = 1000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     val pool = Executors.newFixedThreadPool(math.max(1, maxParallel), r => {
       val t = new Thread(r, "graft-rpc-gap"); t.setDaemon(true); t
@@ -233,7 +298,8 @@ object RpcBlockSource {
     try {
       val futures = numbers.distinct.sorted.map { n =>
         pool.submit(new Callable[Seq[RpcTxRow]] {
-          override def call(): Seq[RpcTxRow] = fetchBlockRows(new JsonRpcClient(url), n)
+          override def call(): Seq[RpcTxRow] =
+            withRetry(maxRetries, retryBaseMs)(fetchBlockRows(new JsonRpcClient(url), n))
         })
       }
       val rows = futures.flatMap(_.get()).map { r =>
@@ -243,6 +309,50 @@ object RpcBlockSource {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), Schema)
     } finally { pool.shutdownNow(); () }
+  }
+
+  /** The GapSource arc AS ONE OPERATOR — detect → download → import
+    * (Sources/GapSource.cs:14: find missing blocks, re-emit their numbers
+    * into the download pipeline, let the import land them): diff the
+    * imported block sequence in `tableDir` for gaps
+    * ([[graft.operators.Integrity.gaps]] — the scalable anti-join form),
+    * download exactly the missing blocks over JSON-RPC (bounded pool,
+    * bounded retries), push them through the caller's `transform` (the
+    * classify/key-derivation stage — receives the
+    * [[asReceipts]]-shaped frame, must yield rows carrying `keyCol`,
+    * `blockCol`, `declaredCol` and a `ts` for day partitioning, matching
+    * the table the stream writes), and land them through the SAME
+    * complete-block-gated import the stream uses
+    * ([[graft.streaming.EventPipeline.importGatedBatch]] — anti-joins
+    * make the repair idempotent; a half-downloaded block is held back,
+    * never half-imported). Returns the repaired (gap_start, gap_end)
+    * ranges, empty when the table is contiguous.
+    *
+    * `stagingDir` must be a REPAIR-SCOPED dir (not a live stream's
+    * staging): the gated import versions/prunes snapshots by batch id.
+    * Empty blocks carry no tx rows and therefore stay invisible to a
+    * tx-table gap check — record them via [[fetchBlockHeaders]]'s header
+    * ledger (the InsertEmptyBlock leg) and gap-check block numbers
+    * against THAT, exactly as the reference splits the two concerns.
+    */
+  def repairGaps(spark: org.apache.spark.sql.SparkSession, url: String,
+                 tableDir: String, stagingDir: String,
+                 transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                 blockCol: String = "block", keyCol: String = "event_id",
+                 declaredCol: String = "n_in_block", maxParallel: Int = 4,
+                 maxRetries: Int = 3, retryBaseMs: Long = 1000): Seq[(Long, Long)] = {
+    val imported = spark.read.parquet(tableDir).select(blockCol)
+    // bounded by contract: gap RANGES (missing block spans), not data
+    val gaps = graft.operators.Integrity.gaps(imported, blockCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (gaps.isEmpty) return gaps
+    val numbers = gaps.flatMap { case (a, b) => a to b }
+    val batch = transform(asReceipts(
+      downloadBlocks(spark, url, numbers, maxParallel, maxRetries, retryBaseMs)))
+    graft.streaming.EventPipeline.importGatedBatch(
+      batch, batchId = 0L, tableDir = tableDir, stagingDir = stagingDir,
+      key = keyCol, groupCol = blockCol, declaredCol = declaredCol)
+    gaps
   }
 
   /** BLOCK HEADERS for a set of numbers — `eth_getBlockByNumber(n, false)`
@@ -255,14 +365,15 @@ object RpcBlockSource {
     * the ledger as `actual` to lastValid / the gap check.
     */
   def fetchBlockHeaders(spark: org.apache.spark.sql.SparkSession, url: String,
-                        numbers: Seq[Long]): org.apache.spark.sql.DataFrame = {
+                        numbers: Seq[Long], maxRetries: Int = 3,
+                        retryBaseMs: Long = 1000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     val client = new JsonRpcClient(url)
     val ns = numbers.distinct.sorted
     val blocks =
       if (ns.isEmpty) Seq.empty
-      else client.callBatch(ns.map(n =>
-        ("eth_getBlockByNumber", Seq[Any](JsonRpcClient.toQuantity(n), false))))
+      else withRetry(maxRetries, retryBaseMs)(client.callBatch(ns.map(n =>
+        ("eth_getBlockByNumber", Seq[Any](JsonRpcClient.toQuantity(n), false)))))
     val rows = ns.zip(blocks).map { case (n, b) =>
       if (b == null || b.isNull)
         throw new java.io.IOException(s"eth_getBlockByNumber($n) returned null")
@@ -318,7 +429,10 @@ private[sources] class RpcBlockTable(options: CaseInsensitiveStringMap)
             maxParallelDownloads = options.getInt("maxParallelDownloads", 4),
             haltAtHead = options.getBoolean("haltAtHead", false),
             numPartitions = options.getInt("numPartitions", 4),
-            healthKey = Option(options.get("healthKey")))
+            healthKey = Option(options.get("healthKey")),
+            maxBufferedRows = options.getInt("maxBufferedRows", 100000),
+            maxRetries = options.getInt("maxRetries", 3),
+            retryBaseMs = options.getLong("retryBaseMs", 1000L))
       }
     }
 }
@@ -326,7 +440,8 @@ private[sources] class RpcBlockTable(options: CaseInsensitiveStringMap)
 private[sources] class RpcBlockMicroBatchStream(
     url: String, fromBlock: Long, pollIntervalMs: Int, bulkThreshold: Long,
     maxParallelDownloads: Int, haltAtHead: Boolean, numPartitions: Int,
-    healthKey: Option[String])
+    healthKey: Option[String], maxBufferedRows: Int = 100000,
+    maxRetries: Int = 3, retryBaseMs: Long = 1000L)
   extends MicroBatchStream {
 
   private val lock = new Object
@@ -339,6 +454,41 @@ private[sources] class RpcBlockMicroBatchStream(
     "graft_rpc_blocks_total", "Blocks downloaded by the JSON-RPC source.", "source")
   private val txMetric = graft.streaming.Metrics.counter(
     "graft_rpc_transactions_total", "Transactions downloaded by the JSON-RPC source.")
+  private val bufferHighWater = graft.streaming.Metrics.gauge(
+    "graft_rpc_buffer_high_water_rows",
+    "Highest catch-up buffer fill observed by the JSON-RPC source.",
+    "endpoint").labels(url)
+
+  /** Highest offset handed to a micro-batch via [[planInputPartitions]] —
+    * the backpressure valve's drain signal. Guarded by `lock`.
+    */
+  private var servedOffset = 0L
+
+  /** BACKPRESSURE (r12 verdict: the one structural property of the
+    * reference's Akka Streams pipeline the port had dropped — its
+    * Source/SelectAsync stages are backpressured end-to-end,
+    * Indexer.cs:107): the reader thread BLOCKS once `maxBufferedRows`
+    * rows await being SERVED to a micro-batch and resumes when
+    * [[planInputPartitions]] hands them over, so a deep bulk catch-up is
+    * paced by the consumer, never by the driver heap. The valve counts
+    * UNSERVED rows, not uncommitted ones: Spark defers `commit(N)` until
+    * it constructs batch N+1, so gating on commit would deadlock the
+    * stream at exactly `maxBufferedRows` (no new data ⇒ no next batch ⇒
+    * no commit ⇒ reader never resumes — caught by the r13 backpressure
+    * soak). Served-but-uncommitted rows stay in the buffer until their
+    * commit lands, bounding total fill at ~2× the valve (+ one block's
+    * rows, the append grain). Runs on the reader thread;
+    * `planInputPartitions`/`commit`/`stop` notify.
+    */
+  private def appendBackpressured(rows: Seq[RpcTxRow]): Unit = lock.synchronized {
+    while (baseOffset + buffer.length - servedOffset >= maxBufferedRows &&
+           !stopped && failure == null)
+      lock.wait(100)
+    if (!stopped) {
+      buffer ++= rows
+      bufferHighWater.set(math.max(bufferHighWater.value, buffer.length.toDouble))
+    }
+  }
 
   private val pool = Executors.newFixedThreadPool(maxParallelDownloads, r => {
     val t = new Thread(r, "graft-rpc-download"); t.setDaemon(true); t
@@ -350,7 +500,8 @@ private[sources] class RpcBlockMicroBatchStream(
       var next = fromBlock
       var producing = true
       while (producing && !stopped) {
-        val head = JsonRpcClient.quantity(client.call("eth_blockNumber"))
+        val head = JsonRpcClient.quantity(
+          RpcBlockSource.withRetry(maxRetries, retryBaseMs)(client.call("eth_blockNumber")))
         if (head >= next) {
           val delta = head - next + 1
           val mode = if (delta > bulkThreshold) "bulk" else "interval"
@@ -361,7 +512,8 @@ private[sources] class RpcBlockMicroBatchStream(
               val futures: Seq[(Long, JFuture[Seq[RpcTxRow]])] = chunk.map { n =>
                 n -> pool.submit(new Callable[Seq[RpcTxRow]] {
                   override def call(): Seq[RpcTxRow] =
-                    RpcBlockSource.fetchBlockRows(new JsonRpcClient(url), n)
+                    RpcBlockSource.withRetry(maxRetries, retryBaseMs)(
+                      RpcBlockSource.fetchBlockRows(new JsonRpcClient(url), n))
                 })
               }
               futures.foreach { case (n, f) =>
@@ -370,7 +522,7 @@ private[sources] class RpcBlockMicroBatchStream(
                 graft.streaming.BlockTimer.trackBlockEnter(n)
                 blocksMetric.labels(mode).inc()
                 txMetric.only.add(rows.size.toDouble)
-                lock.synchronized { buffer ++= rows; () }
+                appendBackpressured(rows)
               }
             }
           }
@@ -403,6 +555,8 @@ private[sources] class RpcBlockMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[LiveOffset].v, end.asInstanceOf[LiveOffset].v)
     val rows = lock.synchronized {
+      servedOffset = math.max(servedOffset, e)
+      lock.notifyAll() // served rows no longer count against the valve
       val from = math.max(s - baseOffset, 0L).toInt
       val until = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
       if (from >= until) Array.empty[RpcTxRow]
@@ -423,10 +577,12 @@ private[sources] class RpcBlockMicroBatchStream(
     val drop = math.min(math.max(e - baseOffset, 0L), buffer.length.toLong).toInt
     buffer.remove(0, drop)
     baseOffset = math.max(baseOffset, e)
+    lock.notifyAll() // wake a reader blocked on the backpressure valve
   }
 
   override def stop(): Unit = {
     stopped = true
+    lock.synchronized { lock.notifyAll() }
     pool.shutdownNow()
     ()
   }

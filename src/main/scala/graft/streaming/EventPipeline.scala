@@ -304,6 +304,39 @@ object EventPipeline {
     if (gaps.nonEmpty) reRequest(gaps)
   }
 
+  /** Does `dir` hold at least one COMMITTED parquet part file (recursing
+    * into partition dirs; in-flight temp/hidden files don't count)? The
+    * nothing-imported-yet probe for [[reimportFrom]] and the import loop's
+    * resume frontier: a reorg can land while the FIRST append is still in
+    * flight, leaving the dir with only temp files and no committed footer.
+    * Probing the FS directly (instead of catching AnalysisException off
+    * the read) keeps a genuinely unreadable/corrupt table LOUD — the r12
+    * ADVICE find: the broad catch silenced corruption during a reorg and
+    * served stale reorged rows with no signal.
+    */
+  private[graft] def committedParquetExists(spark: SparkSession, dir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return false
+    // manual walk SKIPPING _/. entries: a recursive listFiles would descend
+    // into a live writer's _temporary dirs, whose files vanish mid-listing
+    // (a probe racing an append must never throw on the writer's scratch)
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      val children =
+        try fs.listStatus(stack.pop())
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      children.foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) stack.push(st.getPath)
+          else if (name.endsWith(".parquet")) return true
+        }
+      }
+    }
+    false
+  }
+
   /** Reorg handling (`Sources/ReorgSource.cs` + README "Reorgs"): delete all
     * data from the reorged key onward and let re-ingest repopulate. With a
     * day-partitioned table this is a partition-scoped overwrite, not a table
@@ -312,12 +345,10 @@ object EventPipeline {
   def reimportFrom(spark: SparkSession, tableDir: String, fromEventId: Long,
                    keyCol: String = "event_id"): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // a reorg can land while the FIRST append is still in flight: the table
-    // dir then exists with only temp files and no committed parquet footer —
-    // nothing imported means nothing to truncate (LiveSoakSpec's sustained
-    // run hits this window under suite-parallel load)
-    val current = try spark.read.parquet(tableDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    // nothing committed means nothing to truncate; anything else that makes
+    // the table unreadable must THROW, not silently keep stale reorged rows
+    if (!committedParquetExists(spark, tableDir)) return
+    val current = spark.read.parquet(tableDir)
     // Partitions holding any reorged row. Collecting *days* is a bounded
     // driver-side list (≈ reorg depth), not data.
     val affectedDays = current.where(col(keyCol) >= fromEventId)

@@ -87,8 +87,13 @@ object WebSocket {
     * Fails loudly on fragmentation (FIN=0) and on payloads past 64 MiB
     * (a line-per-message feed never legitimately sends one — the same
     * bounded-allocation doctrine as the media decoders).
+    *
+    * `requireMasked = true` is the SERVER read path: RFC 6455 §5.1
+    * requires a server to FAIL the connection on an unmasked
+    * client→server frame — tolerating a sloppy peer silently would let
+    * non-compliant traffic through a surface that claims the RFC.
     */
-  def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+  def readFrame(in: InputStream, requireMasked: Boolean = false): Option[(Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
     val fin = (b0 & 0x80) != 0
@@ -98,6 +103,8 @@ object WebSocket {
     val b1 = in.read()
     if (b1 < 0) return None
     val masked = (b1 & 0x80) != 0
+    if (requireMasked && !masked) throw new java.io.IOException(
+      "unmasked client-to-server websocket frame (RFC 6455 §5.1 requires the server to fail the connection)")
     val len7 = b1 & 0x7f
     val len: Long =
       if (len7 < 126) len7.toLong
@@ -131,9 +138,10 @@ object WebSocket {
     * close frame (answering the close per §5.5.1). The newline-JSON
     * reader's drop-in replacement for `readLine()`.
     */
-  def readTextMessage(in: InputStream, out: OutputStream): Option[String] = {
+  def readTextMessage(in: InputStream, out: OutputStream,
+                      requireMasked: Boolean = false): Option[String] = {
     while (true) {
-      readFrame(in) match {
+      readFrame(in, requireMasked) match {
         case None => return None
         case Some((OpClose, payload)) =>
           try { out.write(frame(OpClose, payload, None)); out.flush() }

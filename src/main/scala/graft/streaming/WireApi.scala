@@ -309,29 +309,40 @@ final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
       try {
         val sock = server.accept()
         sock.setTcpNoDelay(true)
-        val send: String => Unit =
-          if (webSocket) {
-            // bounded handshake: a client that connects but never sends the
-            // upgrade request must not wedge the accept loop
-            sock.setSoTimeout(5000)
-            val ok = WebSocket.serverHandshake(sock.getInputStream, sock.getOutputStream)
-            if (!ok) {
-              try sock.close() catch { case _: java.io.IOException => }
-              throw new java.io.IOException("rejected non-websocket client")
+        if (webSocket) {
+          // the 5 s-bounded handshake runs on a SHORT-LIVED per-connection
+          // thread (r12 ADVICE: on the accept thread, one slow or
+          // non-upgrading client head-of-line-blocked every other
+          // subscriber's accept for up to 5 s); the client registers into
+          // the TrieMap only on completion
+          val t = new Thread(() => {
+            try {
+              sock.setSoTimeout(5000)
+              val ok = WebSocket.serverHandshake(sock.getInputStream, sock.getOutputStream)
+              if (!ok) throw new java.io.IOException("rejected non-websocket client")
+              sock.setSoTimeout(0)
+              val out = sock.getOutputStream
+              val send: String => Unit =
+                m => { out.write(WebSocket.textFrame(m)); out.flush() }
+              clients.put(nextId.incrementAndGet(), (sock, send))
+              connGauge.only.set(clients.size.toDouble)
+            } catch {
+              case _: java.io.IOException =>
+                try sock.close() catch { case _: java.io.IOException => }
             }
-            sock.setSoTimeout(0)
-            val out = sock.getOutputStream
-            m => { out.write(WebSocket.textFrame(m)); out.flush() }
-          } else {
-            val w = new BufferedWriter(
-              new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-            m => { w.write(m); w.write("\n"); w.flush() }
-          }
-        clients.put(nextId.incrementAndGet(), (sock, send))
-        connGauge.only.set(clients.size.toDouble)
+          }, "graft-broadcast-handshake")
+          t.setDaemon(true)
+          t.start()
+        } else {
+          val w = new BufferedWriter(
+            new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+          val send: String => Unit = m => { w.write(m); w.write("\n"); w.flush() }
+          clients.put(nextId.incrementAndGet(), (sock, send))
+          connGauge.only.set(clients.size.toDouble)
+        }
       } catch {
         case _: Throwable if !running => // closed during shutdown
-        case _: java.io.IOException => // accept/handshake hiccup; keep serving
+        case _: java.io.IOException => // accept hiccup; keep serving
       }
     }
   }, "graft-broadcast-accept")

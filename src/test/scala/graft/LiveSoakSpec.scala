@@ -151,7 +151,7 @@ class LiveSoakSpec extends SparkSpec {
         tableDir, stagingDir, feedDir, ckRoot,
         converged = () => frontier() == (Blocks * 2, expectedMaxId),
         broadcast = Some(bcast), health = Some(health),
-        idleTimeoutMs = 600000, maxRounds = 8)
+        idleTimeoutMs = 600000, maxRounds = 8, errorPenaltyBaseMs = 10)
 
       assert(res.reorgs === Seq(1000L, 1500L))
       assert(res.rounds <= 8)

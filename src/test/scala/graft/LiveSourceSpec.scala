@@ -118,7 +118,7 @@ class LiveSourceSpec extends SparkSpec {
         converged = () => tableBlocks(tableDir).values.map(_.size).sum == 6 &&
           BlockTimer.lastDurationMs > 0.0,
         broadcast = Some(bcast), health = Some(health),
-        idleTimeoutMs = 600000)
+        idleTimeoutMs = 600000, errorPenaltyBaseMs = 10)
       assert(res.reorgs.isEmpty)
 
       val blocks = tableBlocks(tableDir)
@@ -218,7 +218,7 @@ class LiveSourceSpec extends SparkSpec {
         spark, "127.0.0.1", feed.port, fromBlock = 1L,
         tableDir, stagingDir, feedDir, ckRoot,
         converged = () => tableBlocks(tableDir).keySet == Set(1L, 2L, 3L, 4L),
-        idleTimeoutMs = 600000, maxRounds = 6)
+        idleTimeoutMs = 600000, maxRounds = 6, errorPenaltyBaseMs = 10)
       assert(res.reorgs.isEmpty, "a dropped connection is not a reorg")
       assert(res.reconnects >= 1, "the drop must be surfaced as a reconnect")
       assert(tableBlocks(tableDir) === Map(
@@ -275,7 +275,7 @@ class LiveSourceSpec extends SparkSpec {
           b.keySet == Set(1L, 2L, 3L, 4L) && b(2L) == Set(2001L, 2002L)
         },
         broadcast = Some(bcast),
-        idleTimeoutMs = 600000, maxRounds = 6)
+        idleTimeoutMs = 600000, maxRounds = 6, errorPenaltyBaseMs = 10)
       assert(res.reorgs === Seq(2L))
 
       val blocks = tableBlocks(tableDir)

@@ -1,0 +1,324 @@
+package graft
+
+import java.net.{InetAddress, InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.sources.RpcBlockSource
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** Round-13 robustness contracts on the wire sources:
+  *
+  *   - BACKPRESSURE (r12 verdict #1): a deep bulk catch-up must be paced
+  *     by the consumer, never by the driver heap — the reader blocks at
+  *     `maxBufferedRows` and resumes on commit-drain, the end-to-end
+  *     backpressure the reference gets from its Akka Streams pipeline
+  *     (Indexer.cs:107 Source/SelectAsync stages).
+  *   - TRANSIENT-FAULT RETRY (r12 verdict #2 + ADVICE): flapping
+  *     endpoints are ridden out with bounded exponential backoff
+  *     (Settings.cs:171-172's error-restart penalty at call grain);
+  *     persistent faults still fail LOUDLY.
+  *   - NULL-RECEIPT GUARD (r12 ADVICE, medium): a null
+  *     eth_getTransactionReceipt result must throw, never emit logs="[]"
+  *     — the reference's receipt stage retries a missing receipt; silent
+  *     empty logs would corrupt the classified import forever.
+  *   - repairGaps (r12 verdict #8): the GapSource.cs:14 arc as ONE call —
+  *     detect → download → complete-block-gated import.
+  */
+class RpcRobustnessSpec extends SparkSpec {
+
+  /** The RpcSourceSpec mock node + fault injection: `failHttpNext` answers
+    * that many requests with HTTP 503 **with no body** (also covering the
+    * getErrorStream==null arm), `failRpcNext` with JSON-RPC error objects,
+    * and `nullReceipts` turns every receipt result into JSON null.
+    */
+  private final class FlakyNode {
+    private val mapper = new ObjectMapper()
+    val head = new AtomicLong(0L)
+    val failHttpNext = new AtomicInteger(0)
+    val failRpcNext = new AtomicInteger(0)
+    @volatile var nullReceipts = false
+    private val server = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+
+    def txHash(n: Long, i: Int): String = f"0x$n%016x$i%02x"
+    def nTx(n: Long): Int = (n % 3).toInt
+
+    private def result(id: Long, resultJson: String): String =
+      s"""{"jsonrpc":"2.0","id":$id,"result":$resultJson}"""
+
+    private def answer(one: com.fasterxml.jackson.databind.JsonNode): String = {
+      val id = one.get("id").asLong()
+      val params = one.get("params")
+      one.get("method").asText() match {
+        case "eth_blockNumber" =>
+          result(id, s""""0x${java.lang.Long.toHexString(head.get())}"""")
+        case "eth_getBlockByNumber" =>
+          val n = java.lang.Long.parseLong(params.get(0).asText().drop(2), 16)
+          val txs = (0 until nTx(n)).map { i =>
+            s"""{"hash":"${txHash(n, i)}","from":"0xaaaa","to":"0xbbbb",""" +
+              s""""value":"0x${java.lang.Long.toHexString(n * 1000 + i)}","input":"0xdead"}"""
+          }.mkString("[", ",", "]")
+          result(id,
+            s"""{"number":"0x${java.lang.Long.toHexString(n)}",""" +
+              s""""hash":"0xb${java.lang.Long.toHexString(n)}",""" +
+              s""""timestamp":"0x${java.lang.Long.toHexString(1700000000L + n)}",""" +
+              s""""transactions":$txs}""")
+        case "eth_getTransactionReceipt" =>
+          if (nullReceipts) result(id, "null")
+          else {
+            val h = params.get(0).asText()
+            val w = (x: Long) => "0x" + "0" * 48 + f"$x%016x"
+            result(id,
+              s"""{"transactionHash":"$h","logs":[{"address":"0xt0ken","topics":[""" +
+                s""""${graft.operators.ReceiptClassifier.TransferTopic}",""" +
+                s""""${w(1L)}","${w(2L)}"],"data":"${w(5L)}"}]}""")
+          }
+        case other =>
+          s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"no $other"}}"""
+      }
+    }
+
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (failHttpNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          // 503 with NO body: getErrorStream is null — the NPE arm the
+          // r12 ADVICE flagged must surface as a clean IOException+status
+          ex.sendResponseHeaders(503, -1)
+          ex.close()
+          return
+        }
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val node = mapper.readTree(body)
+        val resp =
+          if (failRpcNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            val id = (if (node.isArray) node.get(0) else node).get("id").asLong()
+            val err = s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32000,"message":"header not found"}}"""
+            if (node.isArray) s"[$err]" else err
+          } else if (node.isArray) {
+            (0 until node.size()).map(i => answer(node.get(i))).reverse.mkString("[", ",", "]")
+          } else answer(node)
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** The CatchUp-arc classify/key stage (the RpcSourceSpec convention):
+    * receipts → classification + a stable 63-bit event key off the hash.
+    */
+  private def classifyArc(receipts: DataFrame): DataFrame =
+    graft.operators.ReceiptClassifier.classify(receipts)
+      .withColumn("event_id", xxhash64(col("hash")).bitwiseAND(Long.MaxValue))
+
+  private def highWater(metric: String, endpoint: String): Double = {
+    val line = graft.streaming.Metrics.render().linesIterator
+      .find(l => l.startsWith(metric + "{") && l.contains(s""""$endpoint""""))
+    line.map(_.split(' ').last.toDouble).getOrElse(0.0)
+  }
+
+  test("flapping endpoint: transient HTTP and RPC faults retry with backoff, stream survives") {
+    val node = new FlakyNode
+    node.head.set(5L)
+    node.failHttpNext.set(3) // the first head polls 503 (empty body)
+    val root = java.nio.file.Files.createTempDirectory("rpcflap").toFile.getAbsolutePath
+    val retriesBefore = graft.streaming.Metrics
+      .counter("graft_rpc_retries_total", "").only.value
+    try {
+      val rows = spark.readStream.format("graft-rpc")
+        .option("url", node.url).option("fromBlock", 1L)
+        .option("pollIntervalMs", 50)
+        .option("maxRetries", 8).option("retryBaseMs", 10L)
+        .load()
+      val q = rows.writeStream.format("memory").queryName("rpc_flap")
+        .option("checkpointLocation", s"$root/ck").start()
+      try {
+        def count() = spark.table("rpc_flap").count()
+        val expect1 = (1L to 5L).map(node.nTx(_).toLong).sum
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (count() < expect1 && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(count() === expect1, "catch-up must survive the 503 burst")
+        // now a JSON-RPC error burst mid-follow (the node-reported family)
+        node.failRpcNext.set(2)
+        node.head.set(7L)
+        val expect2 = expect1 + (6L to 7L).map(node.nTx(_).toLong).sum
+        while (count() < expect2 && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(count() === expect2, "the follow must survive node-reported errors")
+        assert(graft.streaming.Metrics.counter("graft_rpc_retries_total", "")
+          .only.value > retriesBefore, "retries must be observable in metrics")
+      } finally q.stop()
+
+      // PERSISTENT faults still fail loudly once the budget is exhausted
+      node.nullReceipts = true
+      node.head.set(9L)
+      val bad = spark.readStream.format("graft-rpc")
+        .option("url", node.url).option("fromBlock", 8L)
+        .option("maxRetries", 1).option("retryBaseMs", 10L)
+        .load()
+      val q2 = bad.writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck2").start()
+      val e = intercept[StreamingQueryException] { q2.awaitTermination() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("returned null")),
+        "a persistently-null receipt must fail the stream with the guard's message")
+    } finally node.stop()
+  }
+
+  test("bulk catch-up soak: backpressure bounds the buffer through classify + gated import") {
+    // r12 verdict #1 + #7 done-criteria: a multi-thousand-block bulk
+    // catch-up through classify + complete-block-gated import with
+    // haltAtHead — declared counts land, the metric split labels it bulk,
+    // and the catch-up buffer high-water stays at the valve (+ one block's
+    // rows, the append grain) while the reader races a slow consumer.
+    val node = new FlakyNode
+    val blocks = 2000L
+    node.head.set(blocks)
+    val root = java.nio.file.Files.createTempDirectory("rpcsoak").toFile.getAbsolutePath
+    val (tableDir, stagingDir) = (s"$root/table", s"$root/staging")
+    val maxBuffered = 128
+    try {
+      val rows = spark.readStream.format("graft-rpc")
+        .option("url", node.url).option("fromBlock", 1L)
+        .option("pollIntervalMs", 50).option("bulkThreshold", 100L)
+        .option("maxParallelDownloads", 4)
+        .option("maxBufferedRows", maxBuffered)
+        .option("haltAtHead", true)
+        .load()
+      val classified = classifyArc(RpcBlockSource.asReceipts(rows))
+      val q = graft.streaming.EventPipeline.startGatedImport(
+        classified, tableDir, stagingDir, s"$root/ck",
+        groupCol = "block", declaredCol = "n_in_block")
+      try {
+        val expect = (1L to blocks).map(node.nTx(_).toLong).sum
+        def imported(): Long =
+          if (!graft.streaming.EventPipeline.committedParquetExists(spark, tableDir)) 0L
+          else spark.read.parquet(tableDir).count()
+        val deadline = System.nanoTime() + 600e9.toLong
+        while (imported() < expect && System.nanoTime() < deadline) Thread.sleep(500)
+        assert(imported() === expect)
+        val table = spark.read.parquet(tableDir)
+        // declared counts: per block exactly its tx count, every block once
+        val byBlock = table.groupBy("block").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(byBlock.keySet === (1L to blocks).filter(node.nTx(_) > 0).toSet)
+        byBlock.foreach { case (b, c) => assert(c === node.nTx(b).toLong) }
+        // the deep catch-up was labeled bulk
+        assert(graft.streaming.Metrics.render()
+          .contains("""graft_rpc_blocks_total{source="bulk"}"""))
+        // THE VALVE bounds UNSERVED rows at maxBuffered (+ one block's rows,
+        // the append grain); served-but-uncommitted rows of the in-flight
+        // batch stay buffered until Spark's deferred commit lands, so total
+        // fill is bounded at ~2× the valve — bounded is the contract (the
+        // unvalved source would buffer all ~2000 rows of this catch-up)
+        val hw = highWater("graft_rpc_buffer_high_water_rows", node.url)
+        assert(hw > 0.0, "the soak must have exercised the buffer")
+        assert(hw <= (2 * maxBuffered + 4).toDouble,
+          s"catch-up buffer must stay bounded: high-water $hw > ${2 * maxBuffered + 4}")
+      } finally q.stop()
+    } finally node.stop()
+  }
+
+  test("repairGaps: detect -> download -> gated import as one operator (GapSource.cs arc)") {
+    val node = new FlakyNode
+    node.head.set(8L)
+    val root = java.nio.file.Files.createTempDirectory("rpcrepair").toFile.getAbsolutePath
+    val tableDir = s"$root/table"
+    try {
+      // seed the table with blocks {1,2,5,8} through the same gated import
+      val all = classifyArc(RpcBlockSource.asReceipts(
+        RpcBlockSource.downloadBlocks(spark, node.url, 1L to 8L)))
+      graft.streaming.EventPipeline.importGatedBatch(
+        all.where(col("block").isin(1L, 2L, 5L, 8L)), 1L, tableDir,
+        s"$root/stage_seed", groupCol = "block", declaredCol = "n_in_block")
+      // ONE call runs the whole arc; returns the ranges it repaired
+      val repaired = RpcBlockSource.repairGaps(
+        spark, node.url, tableDir, s"$root/stage_repair", classifyArc,
+        maxRetries = 2, retryBaseMs = 10L)
+      assert(repaired.toSet === Set((3L, 4L), (6L, 7L)))
+      // the table now carries every tx-bearing block 1..8 (3 and 6 are
+      // EMPTY blocks — no tx rows to repair; the header ledger owns those)
+      val hashes = spark.read.parquet(tableDir)
+        .select("hash").collect().map(_.getString(0)).toSet
+      val expected = (1L to 8L)
+        .flatMap(n => (0 until node.nTx(n)).map(i => node.txHash(n, i))).toSet
+      assert(hashes === expected)
+      // idempotent: a second repair sees only the empty-block gaps and
+      // re-imports nothing (anti-joins discard the re-download)
+      val again = RpcBlockSource.repairGaps(
+        spark, node.url, tableDir, s"$root/stage_repair2", classifyArc,
+        maxRetries = 2, retryBaseMs = 10L)
+      assert(again.toSet === Set((3L, 3L), (6L, 6L)),
+        "empty blocks stay invisible to a tx-table gap check (header ledger's job)")
+      assert(spark.read.parquet(tableDir).count() === expected.size.toLong)
+    } finally node.stop()
+  }
+
+  test("live source: backpressure bounds the push buffer against a slow consumer") {
+    // the push twin of the bulk-catch-up valve: a server that replays a
+    // deep history as fast as TCP accepts it must not grow the driver
+    // buffer past the valve — blocking the reader stops draining the
+    // socket and the TCP window pushes back on the server
+    val total = 3000
+    val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, StandardCharsets.UTF_8))
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          sock.getInputStream, StandardCharsets.UTF_8))
+        in.readLine() // subscribe request
+        (1 to total).foreach { i =>
+          out.write(s"""{"block":$i,"event_id":$i,"ts_us":${1700000000000000L + i},""" +
+            s""""user_id":1,"event_type":"transfer","value":1.0,"n_in_block":1}""")
+          out.write("\n")
+        }
+        out.flush()
+        Thread.sleep(600000) // keep open; the test closes the server
+      } catch { case _: Throwable => }
+    }, "live-bp-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+    val root = java.nio.file.Files.createTempDirectory("livebp").toFile.getAbsolutePath
+    val maxBuffered = 64
+    val endpoint = s"127.0.0.1:${server.getLocalPort}"
+    try {
+      val events = spark.readStream.format("graft-live")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort)
+        .option("subscribeFrom", 1L).option("idleTimeoutMs", 600000)
+        .option("maxBufferedRows", maxBuffered)
+        .load()
+      val seen = new AtomicLong(0L)
+      val q = events.writeStream
+        .option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen.addAndGet(batch.count())
+          Thread.sleep(50) // deliberately slow consumer
+          ()
+        }
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (seen.get() < total.toLong && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(seen.get() === total.toLong, "every pushed row must still land")
+        // unserved ≤ valve; + the in-flight batch until its deferred commit
+        val hw = highWater("graft_live_buffer_high_water_rows", endpoint)
+        assert(hw > 0.0 && hw <= (2 * maxBuffered + 2).toDouble,
+          s"push buffer must stay bounded: high-water $hw > ${2 * maxBuffered + 2}")
+      } finally q.stop()
+    } finally server.close()
+  }
+}

@@ -79,6 +79,20 @@ class WebSocketSpec extends SparkSpec {
     assert(WebSocket.readFrame(new ByteArrayInputStream(cut)) === None)
   }
 
+  test("server read path fails the connection on an unmasked client frame (§5.1)") {
+    val unmasked = WebSocket.textFrame("""{"subscribe":1}""") // no mask bit
+    val e = intercept[java.io.IOException] {
+      WebSocket.readFrame(new ByteArrayInputStream(unmasked), requireMasked = true)
+    }
+    assert(e.getMessage.contains("unmasked"))
+    // the same frame properly masked passes the same gate
+    val masked = WebSocket.textFrame("""{"subscribe":1}""",
+      Some(Array[Byte](0x0a, 0x0b, 0x0c, 0x0d)))
+    val Some((op, body)) =
+      WebSocket.readFrame(new ByteArrayInputStream(masked), requireMasked = true)
+    assert(op === WebSocket.OpText && new String(body) === """{"subscribe":1}""")
+  }
+
   test("ws transport honors the idle-timeout contract (LiveSource.cs 20s rule)") {
     // handshake succeeds, then silence: the frame read must hit the socket
     // SoTimeout and fail the stream with the same message as the TCP path
@@ -139,7 +153,8 @@ class WebSocketSpec extends SparkSpec {
           val in = sock.getInputStream
           val out = sock.getOutputStream
           assert(WebSocket.serverHandshake(in, out), "client must upgrade")
-          val req = WebSocket.readTextMessage(in, out).getOrElse("")
+          // server read path: §5.1 masking enforced (the source masks)
+          val req = WebSocket.readTextMessage(in, out, requireMasked = true).getOrElse("")
           val from = """"subscribe"\s*:\s*(\d+)""".r
             .findFirstMatchIn(req).map(_.group(1).toLong).getOrElse(0L)
           subscribes.add(from)
@@ -247,7 +262,7 @@ class WebSocketSpec extends SparkSpec {
         tableDir, stagingDir, feedDir, ckRoot,
         converged = () => ids() == want,
         broadcast = Some(bcast),
-        idleTimeoutMs = 600000, maxRounds = 6, transport = "websocket")
+        idleTimeoutMs = 600000, maxRounds = 6, transport = "websocket", errorPenaltyBaseMs = 10)
       assert(res.reorgs === Seq(2L))
       assert(ids() === want) // pre-reorg 21/22 truncated, corrected landed
       // the ws subscriber saw the reorg sentinel and the corrected hashes
