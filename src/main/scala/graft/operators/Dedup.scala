@@ -288,25 +288,22 @@ object Dedup {
     * from md5-56 word hashes (duplicates keep their weight — the standard
     * frequency-weighted simhash), pigeonhole-bucketed by the 4 14-bit
     * chunks (hamming ≤ 3 ⟹ one chunk equal), verified on
-    * bit_count(xor). Signature construction is one partial agg of 56
-    * conditional sums per doc (codegen'd, no HOF tree) + a pack
-    * projection; same bounded-bucket join as [[simhashDedup]], behind the
-    * same [[capHotBuckets]] hot-chunk valve.
+    * bit_count(xor). Signature construction is one fused codegen'd
+    * kernel per doc (r13 — no words explode, no 56-column agg shuffle);
+    * same bounded-bucket join as [[simhashDedup]], behind the same
+    * [[capHotBuckets]] hot-chunk valve.
     */
   def simhashDedupExact(documents: DataFrame, maxHamming: Int = 3,
                         bucketCap: Int = 10000): DataFrame = {
-    val words = documents
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
-      .select(col("doc_id"), graft.functions.HashConv.md5Long56(col("w")).as("h"))
-    val bitSums = (0 until 56).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b"))
-    val sigs = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 56).map(b =>
-          shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
-          .reduce(_ + _).as("sig"))
+    // round 13: the signature is ONE fused map-only kernel per doc
+    // ([[graft.functions.Md5Text.simhash56]] — md5-56 per word, 56 ±1
+    // sums, sign pack) instead of a words explode + a 56-column groupBy
+    // SHUFFLE; Md5TextSpec pins bit-parity with the composed spelling.
+    // -1 marks a wordless doc (unreachable as a real 56-bit sig) — the
+    // old explode dropped those docs from the frame, so filter them here
+    val sigs = documents
+      .select(col("doc_id"), graft.functions.Md5Text.simhash56(col("text")).as("sig"))
+      .where(col("sig") >= 0L)
     val chunks = capHotBuckets(sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { c =>
         concat_ws(":", lit(c),

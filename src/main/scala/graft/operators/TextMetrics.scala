@@ -793,32 +793,30 @@ object TextMetrics {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
-  /** Distinct word-n-gram keys per doc, hashed to the 56-bit md5-prefix
-    * long — the engine's CROSS-ENGINE hash convention (the oracle
-    * re-derives the exact keys, unlike the xxhash64 shingles the minhash
-    * family uses), so everything downstream shuffles 8-byte longs, never
-    * gram text. Dedup runs on the HASHED value (so an in-doc 56-bit
-    * collision collapses identically on both engines). Docs under n
-    * tokens contribute nothing.
-    */
   /** Distinct 56-bit md5 n-gram keys per carried column set — the
     * CROSS-ENGINE gram convention (the oracle re-derives exact keys,
-    * unlike the minhash family's xxhash64 shingles). Shared by novelty,
-    * source overlap, and [[Dedup.containmentPairs]].
+    * unlike the minhash family's xxhash64 shingles), so everything
+    * downstream shuffles 8-byte longs, never gram text. Dedup runs on the
+    * HASHED value (an in-doc 56-bit collision collapses identically on
+    * both engines); docs under n tokens contribute nothing. Shared by
+    * novelty, source overlap, [[Dedup.containmentPairs]] and
+    * [[Dedup.minhashLshExact]].
+    *
+    * Round 13: computed by the FUSED kernel
+    * ([[graft.functions.Md5Text.gramKeys56]] — tokenize → gram-bytes →
+    * md5 → 56-bit prefix → in-row dedup in one codegen'd pass;
+    * Md5TextSpec pins bit-parity with the composed
+    * transform/concat_ws/md5/conv spelling the oracle still runs). The
+    * kernel dedups PER ROW, which equals the old global `.distinct()`
+    * because `carry` always includes the corpus key (`doc_id` — one row
+    * per document is the documents-table contract) — and drops the
+    * distinct SHUFFLE plus the per-gram string materialization that was
+    * the measured residual cost across ~5 of the bench's top-10 keys.
     */
   private[operators] def gramKeys(documents: DataFrame, n: Int,
-                                  carry: Seq[String]): DataFrame = {
-    val toks = filter(wsWords(col("text")), w => length(w) > 0)
-    documents
-      .select(carry.map(col) :+
-        explode(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"): _*)
-      .select(carry.map(col) :+
-        graft.functions.HashConv.md5Long56(col("gram")).as("g"): _*)
-      .distinct()
-  }
+                                  carry: Seq[String]): DataFrame =
+    documents.select(carry.map(col) :+
+      explode(graft.functions.Md5Text.gramKeys56(col("text"), n)).as("g"): _*)
 
   private def docGramKeys(documents: DataFrame, n: Int): DataFrame =
     gramKeys(documents, n, Seq("doc_id", "source"))
