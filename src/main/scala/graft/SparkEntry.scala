@@ -647,6 +647,14 @@ object SparkEntry {
     // unregistered family in the demo registry)
     "q_abi_coverage" -> ((s, d) =>
       AbiDecode.decodeCoverage(ReceiptClassifier.demoReceipts(Tables.events(s, d)))),
+    // r13 dynamic-array/tuple arms: a user-registered BatchTransfer(
+    // operator indexed address, (address,uint256) inline tuple, uint256[])
+    // over the demo purchase family — offsets, variable lengths (incl.
+    // empty arrays) and the explicit [a,b]/(a,b) renderings all re-derived
+    // by the oracle from first principles
+    "q_abi_array_decode" -> ((s, d) =>
+      AbiDecode.decodeEvents(AbiDecode.demoArrayReceipts(Tables.events(s, d)),
+        Seq(AbiDecode.DemoBatchTransfer))),
     // generic selector-keyed ABI CALL decode over the demo receipts'
     // tx.input — the execTransaction family's 10 params (2 dynamic tails)
     // head-decoded through the same guarded kernels; the oracle re-derives
@@ -2921,6 +2929,35 @@ object SparkEntry {
         | UNION ALL SELECT '0x442e715f626346e8c54381002da614f62bee8d27386535b2521ec8540898556e',
         |        CAST(execs AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n)
         |ORDER BY topic0""".stripMargin,
+    // r13 array/tuple decode: every expected value re-derived from the
+    // demoArrayReceipts generation rules — pair = (addr((user_id*3+1)%150),
+    // event_id), ids = [event_id*10 .. +k) with k = event_id % 4
+    "q_abi_array_decode" ->
+      """WITH b AS (
+        | SELECT event_id, user_id,
+        |  '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') AS tok,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS op,
+        |  '0x' || lpad(lower(to_hex((user_id * 3 + 1) % 150)), 40, '0') AS pto,
+        |  CAST(event_id AS VARCHAR) AS amt,
+        |  CAST(event_id % 4 AS INTEGER) AS n
+        | FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        | SELECT hash, 0 AS log_index, tok AS emitter, 'BatchTransfer' AS event,
+        |        'operator' AS param, op AS value FROM b
+        | UNION ALL SELECT hash, 0, tok, 'BatchTransfer', 'pair',
+        |        '(' || pto || ',' || amt || ')' FROM b
+        | UNION ALL SELECT hash, 0, tok, 'BatchTransfer', 'ids',
+        |   CASE n WHEN 0 THEN '[]'
+        |     WHEN 1 THEN '[' || CAST(event_id * 10 AS VARCHAR) || ']'
+        |     WHEN 2 THEN '[' || CAST(event_id * 10 AS VARCHAR) || ',' ||
+        |                 CAST(event_id * 10 + 1 AS VARCHAR) || ']'
+        |     ELSE '[' || CAST(event_id * 10 AS VARCHAR) || ',' ||
+        |          CAST(event_id * 10 + 1 AS VARCHAR) || ',' ||
+        |          CAST(event_id * 10 + 2 AS VARCHAR) || ']'
+        |   END FROM b)
+        |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
+        |FROM r ORDER BY hash, log_index, param""".stripMargin,
     // execTransaction calldata decode: the demo's safe inputs carry
     // to=(user_id*13+29)%150, value=event_id, empty data/signatures tails,
     // operation 0, zero gas params, zero-address gas_token/refund_receiver

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * range) decode to NULL, never to a wrong value and never to an ANSI
   * raise — one bad on-chain word must not kill a 100 TB scan.
   *
-  * Static head types only (the reference's own extractors decode exactly
-  * these): address, uint (small → long, 256 → decimal string), bool,
-  * bytes32. Dynamic types (string/bytes tails) are deliberately out of
-  * scope — the only reference decode needing one is execTransaction's
-  * calldata, which [[ReceiptClassifier.extractSafeEthTransfers]] covers.
+  * Decodable envelope: single-word static types (address, uint small →
+  * long / 256 → decimal string, bool, bytes32 — everything the
+  * reference's own extractors decode), `bytes`/`string` call tails
+  * ([[DynBytesT]], execTransaction's calldata), and — r13 — dynamic
+  * arrays of static words ([[ArrayT]]: `address[]`, `uint256[]`, …) plus
+  * INLINE static tuples ([[TupleT]]) on both the event-data and call
+  * sides. Dynamic-member tuples and nested arrays stay out of envelope,
+  * quarantined by omission like any unregistered shape.
   *
   * Scale shape: ONE pass — posexplode(logs) then a single chained-CASE
   * projection across the whole registry (no per-event rescan, no union, no
@@ -50,12 +53,60 @@ object AbiDecode {
     * of the input all decode to null, never to a truncated wrong value. */
   case object DynBytesT extends AbiType
 
+  /** Is `tpe` a single-word static type — the envelope array elements,
+    * tuple members, and indexed params must live in? */
+  private def isWordStatic(tpe: AbiType): Boolean = tpe match {
+    case AddressT | Uint256T | UintSmallT | BoolT | Bytes32T => true
+    case _ => false
+  }
+
+  /** Dynamic array `T[]` of a single-word STATIC element type (r13 —
+    * `address[]`, `uint256[]`, `bool[]`, `bytes32[]`): the head word is a
+    * byte offset to the tail, the tail is a length word + one word per
+    * element. Decodes to `array<elem>` (wide) / `[v1,v2]` string (long
+    * format). Event DATA and call params only — an INDEXED dynamic param
+    * is keccak-hashed into its topic, undecodable by construction.
+    * Guarded like [[DynBytesT]]'s tail: junk/unaligned/head-overlapping
+    * offsets, junk or > [[MaxArrayLen]] lengths, and tails past the end
+    * all decode to null (bounded allocation, never a wrong partial
+    * array). */
+  case class ArrayT(elem: AbiType) extends AbiType {
+    require(isWordStatic(elem), "array elements must be single-word static types")
+  }
+
+  /** STATIC tuple — all members single-word static types (r13). Solidity
+    * encodes such a tuple INLINE: its members occupy consecutive head
+    * words with no offset indirection (only tuples containing dynamic
+    * members are offset-addressed — those stay out of the decodable
+    * envelope, quarantined by omission like any unregistered shape).
+    * Decodes to a struct `(_0, _1, …)` (wide) / `(v1,v2)` string (long
+    * format); a tuple whose words run past the payload decodes to null,
+    * junk member words to per-member nulls. */
+  case class TupleT(elems: Seq[AbiType]) extends AbiType {
+    require(elems.nonEmpty, "empty tuple")
+    require(elems.forall(isWordStatic), "tuple members must be single-word static types")
+  }
+
+  /** Hostile length words must not allocate unboundedly: arrays past this
+    * many elements quarantine to null (the media decoders' bounded-
+    * allocation doctrine; a REAL log's array is limited by block gas). */
+  val MaxArrayLen = 1024L
+
+  /** Words a param occupies in the static head section (static tuples
+    * inline their members; every other type heads exactly one word). */
+  private def headWords(tpe: AbiType): Int = tpe match {
+    case TupleT(elems) => elems.size
+    case _ => 1
+  }
+
   case class AbiParam(name: String, tpe: AbiType, indexed: Boolean)
 
   case class AbiEvent(name: String, topic0: String, params: Seq[AbiParam]) {
     require(params.count(_.indexed) <= 3, s"$name: ABI allows at most 3 indexed params")
     require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
     require(params.forall(_.tpe != DynBytesT), s"$name: dynamic tails are call-only")
+    require(params.forall(p => !p.indexed || isWordStatic(p.tpe)),
+      s"$name: an indexed dynamic/tuple param is keccak-hashed into its topic — undecodable")
     /** Expected topics arity: topic0 + one topic per indexed param. */
     def arity: Int = 1 + params.count(_.indexed)
   }
@@ -70,8 +121,12 @@ object AbiDecode {
       s"$name: selector must be 0x + 8 hex chars")
     require(params.forall(!_.indexed), s"$name: call params are never indexed")
     require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
-    /** Minimum decodable input length: "0x" + selector + one word per param. */
-    def minLen: Int = 10 + 64 * params.size
+    /** Total static head words (tuples inline their members). */
+    def nHeadWords: Int = params.map(p => headWords(p.tpe)).sum
+    /** Head-word index where param i starts. */
+    def headIndex(i: Int): Int = params.take(i).map(p => headWords(p.tpe)).sum
+    /** Minimum decodable input length: "0x" + selector + the head words. */
+    def minLen: Int = 10 + 64 * nHeadWords
   }
 
   // Settings.cs:47-66 events, as registry rows — the built-in vocabulary
@@ -102,6 +157,45 @@ object AbiDecode {
 
   val CirclesRegistry: Seq[AbiEvent] =
     Seq(Erc20Transfer, CrcTrust, CrcSignup, CrcOrgSignup, CrcHubTransfer)
+
+  /** Synthetic topic0 for the array/tuple demo event (a user-registered
+    * shape beyond the Circles surface — r12 verdict "What's missing" #2). */
+  val BatchTransferTopic: String = "0x" + "ab" * 32
+
+  /** Demo event exercising the r13 arms end-to-end: one indexed address,
+    * one INLINE static tuple (address,uint256), one uint256[] tail. */
+  val DemoBatchTransfer: AbiEvent = AbiEvent("BatchTransfer", BatchTransferTopic, Seq(
+    AbiParam("operator", AddressT, indexed = true),
+    AbiParam("pair", TupleT(Seq(AddressT, Uint256T)), indexed = false),
+    AbiParam("ids", ArrayT(Uint256T), indexed = false)))
+
+  /** Deterministic receipts carrying [[DemoBatchTransfer]] logs, derived
+    * from the events table's purchase family (the
+    * [[ReceiptClassifier.demoReceipts]] conventions: md5 hashes,
+    * user_id-derived addresses) — the REAL hex path for the array/tuple
+    * arms, oracle-re-derivable from first principles. `ids` length cycles
+    * event_id % 4 (0..3), so EMPTY arrays are first-class in the gate.
+    */
+  def demoArrayReceipts(events: DataFrame): DataFrame = {
+    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    val len = col("event_id") % 4
+    val data = concat(
+      lit("0x"),
+      word((col("user_id") * 3 + 1) % 150), // pair._0 (address)
+      word(col("event_id")),                // pair._1 (uint256)
+      lit(f"${96L}%064x"),                  // ids tail offset: 3 head words
+      word(len),                            // ids length (0..3)
+      when(len >= 1, word(col("event_id") * 10)).otherwise(lit("")),
+      when(len >= 2, word(col("event_id") * 10 + 1)).otherwise(lit("")),
+      when(len >= 3, word(col("event_id") * 10 + 2)).otherwise(lit("")))
+    events.where(col("event_type") === "purchase").select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      array(struct(token.as("address"),
+        array(lit(BatchTransferTopic),
+          concat(lit("0x"), word(col("user_id")))).as("topics"),
+        data.as("data"))).as("logs"))
+  }
 
   /** GnosisSafe execTransaction(address,uint256,bytes,uint8,uint256,uint256,
     * uint256,address,address,bytes) — the call the reference head-decodes for
@@ -162,17 +256,97 @@ object AbiDecode {
       when(v === 0L, lit(false)).when(v === 1L, lit(true))
         .otherwise(lit(null).cast("boolean"))
     case Bytes32T => lower(concat(lit("0x"), w))
-    // dynamic tails never reach the head-word decoder: events reject
-    // DynBytesT at registry construction, calls route it to callTail
-    case DynBytesT => throw new IllegalArgumentException(
-      "dynamic bytes decode through callTail, not decodeWord")
+    // multi-word types never reach the single-word decoder: events/calls
+    // route them through decodeEventParam/callParam
+    case _ => throw new IllegalArgumentException(
+      s"$tpe decodes through its dedicated arm, not decodeWord")
+  }
+
+  private def sparkTypeOf(tpe: AbiType): String = tpe match {
+    case UintSmallT => "bigint"
+    case BoolT => "boolean"
+    case _ => "string"
+  }
+
+  /** The bare words section of an event's data payload (optional 0x
+    * stripped) — 1-based char 1 is head word 0. */
+  private def dataWords(data: Column): Column =
+    when(data.startsWith("0x"), substring(data, 3, 1000000)).otherwise(data)
+
+  /** Dynamic static-word array whose OFFSET lives at head word `i` of a
+    * bare words section (`dataWords` for events, `substring(input, 11)`
+    * for calls). Null on every hostile shape — junk/huge/unaligned
+    * offset, offset back into the `nHeadWords`-word head, junk or
+    * > [[MaxArrayLen]] length, tail past the end — the [[callTail]]
+    * totality rules; length 0 decodes to the EMPTY array. ABI offsets
+    * are bytes relative to the section start: byte b = char 1 + 2b. */
+  private def dynWordArray(words: Column, i: Int, nHeadWords: Int, elem: AbiType): Column = {
+    val headWord = substring(words, i * 64 + 1, 64)
+    val off = ReceiptClassifier.hexLong(when(length(headWord) === 64, headWord))
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nHeadWords,
+      off.cast("int") * 2 + 1)
+    val len = ReceiptClassifier.hexLong(words.substr(start, lit(64)))
+    val fits = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
+      length(words).cast("long") >= start.cast("long") + 63L + len * 64L
+    when(fits,
+      when(len === 0L, array().cast(s"array<${sparkTypeOf(elem)}>"))
+        .otherwise(transform(sequence(lit(0L), len - 1L),
+          j => decodeWord(words.substr(start + lit(64) + (j * 64L).cast("int"), lit(64)), elem))))
+  }
+
+  /** Static tuple at head word `base` of a bare words section: members
+    * inline in consecutive words. Null when the payload is too short for
+    * the LAST member (a truncated tuple must not half-decode); a junk
+    * member word stays a per-member null. */
+  private def staticTuple(words: Column, base: Int, elems: Seq[AbiType]): Column = {
+    def wordAt(j: Int): Column = {
+      val w = substring(words, j * 64 + 1, 64)
+      when(length(w) === 64, w)
+    }
+    when(wordAt(base + elems.size - 1).isNotNull,
+      struct(elems.zipWithIndex.map { case (e, k) =>
+        decodeWord(wordAt(base + k), e).as(s"_$k") }: _*))
+  }
+
+  /** Head-word index of a non-indexed param in the event's data section
+    * (preceding static tuples inline their members). */
+  private def dataHeadIndex(ev: AbiEvent, p: AbiParam): Int =
+    ev.params.filterNot(_.indexed).takeWhile(_.name != p.name)
+      .map(x => headWords(x.tpe)).sum
+
+  private def dataHeadWords(ev: AbiEvent): Int =
+    ev.params.filterNot(_.indexed).map(x => headWords(x.tpe)).sum
+
+  /** One event param → its TYPED column (arrays → array<elem>, tuples →
+    * struct, words → scalar), total under every hostile payload. */
+  private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
+    case ArrayT(elem) =>
+      dynWordArray(dataWords(log.getField("data")), dataHeadIndex(ev, p), dataHeadWords(ev), elem)
+    case TupleT(elems) =>
+      staticTuple(dataWords(log.getField("data")), dataHeadIndex(ev, p), elems)
+    case _ => decodeWord(paramWord(log, ev, p), p.tpe)
+  }
+
+  /** Long-format string rendering of a decoded param — EXPLICIT spellings
+    * (`[a,b]` / `(a,b)`, nulls as "null") rather than Spark's cast, so the
+    * DuckDB oracle re-derives the identical strings. */
+  private def renderValue(c: Column, tpe: AbiType): Column = tpe match {
+    case ArrayT(_) =>
+      when(c.isNotNull, concat(lit("["),
+        array_join(transform(c, e => e.cast("string")), ",", "null"), lit("]")))
+    case TupleT(elems) =>
+      when(c.isNotNull, concat(lit("("),
+        array_join(array(elems.indices.map(k => c.getField(s"_$k").cast("string")): _*),
+          ",", "null"), lit(")")))
+    case _ => c.cast("string")
   }
 
   private def paramWord(log: Column, ev: AbiEvent, p: AbiParam): Column =
     if (p.indexed)
       topicWord(log.getField("topics"), ev.params.filter(_.indexed).indexWhere(_.name == p.name))
     else
-      dataWord(log.getField("data"), ev.params.filterNot(_.indexed).indexWhere(_.name == p.name))
+      dataWord(log.getField("data"), dataHeadIndex(ev, p))
 
   private def matches(log: Column, ev: AbiEvent): Column =
     topic0(log.getField("topics")) === ev.topic0 &&
@@ -188,7 +362,7 @@ object AbiDecode {
       .where(matches(col("log"), ev))
       .select(Seq(col("hash"), col("log_index").cast("long").as("log_index"),
         lower(col("log.address")).as("emitter")) ++
-        ev.params.map(p => decodeWord(paramWord(col("log"), ev, p), p.tpe).as(p.name)): _*)
+        ev.params.map(p => decodeEventParam(col("log"), ev, p).as(p.name)): _*)
 
   /** LONG-format decode of a whole registry in ONE pass: (hash, log_index,
     * emitter, event, param, value), values rendered as strings (addresses/
@@ -213,7 +387,7 @@ object AbiDecode {
         registry.zipWithIndex.flatMap { case (ev, ei) =>
           matches(log, ev).as(s"_m$ei") +:
             ev.params.zipWithIndex.map { case (p, pi) =>
-              decodeWord(paramWord(log, ev, p), p.tpe).cast("string").as(s"_p${ei}_$pi")
+              renderValue(decodeEventParam(log, ev, p), p.tpe).as(s"_p${ei}_$pi")
             }
         }: _*)
     val eventName = registry.zipWithIndex
@@ -276,10 +450,10 @@ object AbiDecode {
     * DecodeFunctionInput throws (TransactionClassifier.cs:295). ABI
     * offsets are byte offsets relative to the params section (1-based char
     * 11): byte b = char 11 + 2b. */
-  private def callTail(input: Column, i: Int, nParams: Int): Column = {
+  private def callTail(input: Column, i: Int, nHeadWords: Int): Column = {
     val off = ReceiptClassifier.hexLong(callHeadWord(input, i))
     val start = when(off.isNotNull && off < 1000000000L &&
-      off % 32L === 0L && off >= 32L * nParams,
+      off % 32L === 0L && off >= 32L * nHeadWords,
       lit(11) + off.cast("int") * 2)
     val len = ReceiptClassifier.hexLong(input.substr(start, lit(64)))
     val fits = len.isNotNull && len >= 0L && len < 500000000L &&
@@ -289,8 +463,12 @@ object AbiDecode {
 
   private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
     fn.params(i).tpe match {
-      case DynBytesT => callTail(input, i, fn.params.size)
-      case t => decodeWord(callHeadWord(input, i), t)
+      case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
+      case ArrayT(elem) =>
+        dynWordArray(substring(input, 11, 1000000), fn.headIndex(i), fn.nHeadWords, elem)
+      case TupleT(elems) =>
+        staticTuple(substring(input, 11, 1000000), fn.headIndex(i), elems)
+      case t => decodeWord(callHeadWord(input, fn.headIndex(i)), t)
     }
 
   /** Selector match at full head arity — a selector-prefixed input too
@@ -330,7 +508,7 @@ object AbiDecode {
         registry.zipWithIndex.flatMap { case (fn, fi) =>
           matchesCall(input, fn).as(s"_m$fi") +:
             fn.params.indices.map(i =>
-              callParam(input, fn, i).cast("string").as(s"_p${fi}_$i"))
+              renderValue(callParam(input, fn, i), fn.params(i).tpe).as(s"_p${fi}_$i"))
         }: _*)
     val fnName = registry.zipWithIndex
       .map { case (fn, fi) => (col(s"_m$fi"), lit(fn.name)) }

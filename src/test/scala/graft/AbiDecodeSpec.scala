@@ -281,6 +281,112 @@ class AbiDecodeSpec extends SparkSpec {
     }
   }
 
+  // ---- r13 dynamic-array / static-tuple arms ------------------------------
+
+  /** BatchTransfer data: pair (addr, amt) inline + uint256[] tail. */
+  private def batchData(pairAddr: String, amt: Long, ids: Seq[Long],
+                        offsetOverride: Option[String] = None,
+                        lenOverride: Option[String] = None,
+                        dropTailChars: Int = 0): String = {
+    val tail = lenOverride.getOrElse(f"${ids.size}%064x") + ids.map(v => f"$v%064x").mkString
+    val s = "0x" + wAddr(pairAddr) + f"$amt%064x" +
+      offsetOverride.getOrElse(f"${96L}%064x") + tail
+    s.dropRight(dropTailChars)
+  }
+
+  private def batchTx(data: String) = txOf(
+    Log(token, Seq(BatchTransferTopic, word(user)), data))
+
+  test("ArrayT/TupleT: typed wide decode, empty arrays, long-format rendering") {
+    val t = batchTx(batchData(other, 77L, Seq(5L, 6L)))
+    val row = AbiDecode.decodeEvent(t, DemoBatchTransfer).collect().head
+    assert(row.getAs[String]("operator") == user)
+    val pair = row.getAs[org.apache.spark.sql.Row]("pair")
+    assert(pair.getAs[String]("_0") == other && pair.getAs[String]("_1") == "77")
+    assert(row.getAs[scala.collection.Seq[String]]("ids") == Seq("5", "6"))
+    // length 0: the EMPTY array, not null
+    val t0 = batchTx(batchData(other, 1L, Seq.empty))
+    assert(AbiDecode.decodeEvent(t0, DemoBatchTransfer)
+      .collect().head.getAs[scala.collection.Seq[String]]("ids") == Seq.empty)
+    // long format renders the explicit spellings
+    val long = AbiDecode.decodeEvents(t, Seq(DemoBatchTransfer))
+      .select("param", "value").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(long("pair") == s"($other,77)")
+    assert(long("ids") == "[5,6]")
+    assert(long("operator") == user)
+  }
+
+  test("hostile arrays/tuples: every malformed shape nulls, never raises") {
+    def idsOf(data: String): Option[scala.collection.Seq[String]] = {
+      val r = AbiDecode.decodeEvent(batchTx(data), DemoBatchTransfer).collect().head
+      Option(r.getAs[scala.collection.Seq[String]]("ids"))
+    }
+    // unaligned offset
+    assert(idsOf(batchData(other, 1L, Seq(5L), offsetOverride = Some(f"${97L}%064x"))).isEmpty)
+    // offset back into the head section (strict: tails live past 3 words)
+    assert(idsOf(batchData(other, 1L, Seq(5L), offsetOverride = Some(f"${32L}%064x"))).isEmpty)
+    // junk offset word
+    assert(idsOf(batchData(other, 1L, Seq(5L), offsetOverride = Some("zz" * 32))).isEmpty)
+    // length word past MaxArrayLen (bounded allocation)
+    assert(idsOf(batchData(other, 1L, Seq(5L),
+      lenOverride = Some(f"${AbiDecode.MaxArrayLen + 1}%064x"))).isEmpty)
+    // declared 2 elements, tail truncated mid-element
+    assert(idsOf(batchData(other, 1L, Seq(5L, 6L), dropTailChars = 10)).isEmpty)
+    // junk element word: per-element null, array survives, renders "null"
+    val junkElem = batchData(other, 1L, Seq(5L)).dropRight(64) + "zz" * 32
+    assert(idsOf(junkElem) == Some(Seq(null)))
+    val rendered = AbiDecode.decodeEvents(batchTx(junkElem), Seq(DemoBatchTransfer))
+      .where(col("param") === "ids").select("value").collect().head.getString(0)
+    assert(rendered == "[null]")
+    // data too short for the tuple's last word: the whole tuple nulls
+    val shortTuple = "0x" + wAddr(other) + f"${7L}%064x".take(32)
+    val r2 = AbiDecode.decodeEvent(batchTx(shortTuple), DemoBatchTransfer).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("pair")))
+    assert(r2.isNullAt(r2.fieldIndex("ids")))
+  }
+
+  test("call-side ArrayT/TupleT: multi-word heads, cumulative indices, minLen") {
+    // transferBatch((address,uint256) pair, uint256[] ids, address last):
+    // the tuple inlines 2 words, so ids heads at word 2 and last at word 3
+    val fn = AbiFunction("transferBatch", "0x11223344", Seq(
+      AbiParam("pair", TupleT(Seq(AddressT, Uint256T)), indexed = false),
+      AbiParam("ids", ArrayT(Uint256T), indexed = false),
+      AbiParam("last", AddressT, indexed = false)))
+    assert(fn.nHeadWords == 4 && fn.minLen == 10 + 64 * 4)
+    val input = "0x11223344" + wAddr(other) + f"${9L}%064x" +
+      f"${128L}%064x" + wAddr(user) + // ids offset = 4 words; last addr
+      f"${2L}%064x" + f"${10L}%064x" + f"${11L}%064x"
+    val row = AbiDecode.decodeCall(Seq(Tx("0xc1", user, other, "0", input, Seq.empty)).toDS().toDF(), fn)
+      .collect().head
+    val pair = row.getAs[org.apache.spark.sql.Row]("pair")
+    assert(pair.getAs[String]("_0") == other && pair.getAs[String]("_1") == "9")
+    assert(row.getAs[scala.collection.Seq[String]]("ids") == Seq("10", "11"))
+    assert(row.getAs[String]("last") == user)
+    // long format routes + renders through the same arms
+    val long = AbiDecode.decodeCalls(
+      Seq(Tx("0xc1", user, other, "0", input, Seq.empty)).toDS().toDF(), Seq(fn))
+      .select("param", "value").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(long("pair") == s"($other,9)" && long("ids") == "[10,11]" && long("last") == user)
+    // an input short of the 4 head words is quarantined (minLen gate)
+    val short = "0x11223344" + wAddr(other) + f"${9L}%064x" + f"${128L}%064x"
+    assert(AbiDecode.decodeCall(
+      Seq(Tx("0xc2", user, other, "0", short, Seq.empty)).toDS.toDF, fn).isEmpty)
+  }
+
+  test("registry validation: indexed dynamic/tuple params reject (keccak-hashed topics)") {
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x" + "cd" * 32,
+        Seq(AbiParam("xs", ArrayT(Uint256T), indexed = true)))
+    }
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x" + "cd" * 32,
+        Seq(AbiParam("t", TupleT(Seq(AddressT)), indexed = true)))
+    }
+    intercept[IllegalArgumentException] { ArrayT(ArrayT(Uint256T)) } // no nesting
+    intercept[IllegalArgumentException] { TupleT(Seq(ArrayT(Uint256T))) }
+    intercept[IllegalArgumentException] { TupleT(Seq.empty) }
+  }
+
   test("wide decodes are streaming-compatible: decodeEvent over a MemoryStream") {
     // the wide per-event/per-call decodes are pure projections (no orderBy,
     // no agg), so they run unchanged inside a micro-batch pipeline — the
