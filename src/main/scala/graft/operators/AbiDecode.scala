@@ -195,6 +195,13 @@ object AbiDecode {
         array(lit(BatchTransferTopic),
           concat(lit("0x"), word(col("user_id")))).as("topics"),
         data.as("data"))).as("logs"))
+      // MATERIALIZED: without the barrier, SimplifyExtractValueOps inlines
+      // this construction tree into every word reference of the decode —
+      // and the array transform() re-evaluates its subtrees PER ELEMENT,
+      // so the generator would be re-run ~2·len times per row (measured
+      // 21 s at sf0.1 vs ~2 s decoding materialized rows). A real user
+      // decodes stored receipts; the bench must price the DECODER.
+      .localCheckpoint(true)
   }
 
   /** GnosisSafe execTransaction(address,uint256,bytes,uint8,uint256,uint256,
@@ -268,40 +275,58 @@ object AbiDecode {
     case _ => "string"
   }
 
-  /** The bare words section of an event's data payload (optional 0x
-    * stripped) — 1-based char 1 is head word 0. */
-  private def dataWords(data: Column): Column =
-    when(data.startsWith("0x"), substring(data, 3, 1000000)).otherwise(data)
+  /** 1-based char where an event data payload's words start (past an
+    * optional 0x). Addressing the RAW column with this offset — instead
+    * of pre-stripping via substring — matters: a pre-strip expression
+    * would re-COPY the whole payload once per word reference and once
+    * per array element (the HOF evaluates its subtrees per element),
+    * turning a 1024-element decode into ~len×payload bytes of copying. */
+  private def dataPrefix(data: Column): Column =
+    when(data.startsWith("0x"), lit(2)).otherwise(lit(0))
 
-  /** Dynamic static-word array whose OFFSET lives at head word `i` of a
-    * bare words section (`dataWords` for events, `substring(input, 11)`
-    * for calls). Null on every hostile shape — junk/huge/unaligned
-    * offset, offset back into the `nHeadWords`-word head, junk or
-    * > [[MaxArrayLen]] length, tail past the end — the [[callTail]]
-    * totality rules; length 0 decodes to the EMPTY array. ABI offsets
-    * are bytes relative to the section start: byte b = char 1 + 2b. */
-  private def dynWordArray(words: Column, i: Int, nHeadWords: Int, elem: AbiType): Column = {
-    val headWord = substring(words, i * 64 + 1, 64)
-    val off = ReceiptClassifier.hexLong(when(length(headWord) === 64, headWord))
+  /** Dynamic static-word array whose OFFSET lives at head word `i` of the
+    * words section starting `prefix` chars into `blob` (event data past
+    * the 0x; call input past the selector). Null on every hostile shape —
+    * junk/huge/unaligned offset, offset back into the `nHeadWords`-word
+    * head, junk or > [[MaxArrayLen]] length, tail past the end — the
+    * [[callTail]] totality rules; length 0 decodes to the EMPTY array.
+    * ABI offsets are bytes relative to the section start: byte b sits at
+    * char prefix + 1 + 2b. */
+  private def dynWordArray(blob: Column, prefix: Column, i: Int,
+                           nHeadWords: Int, elem: AbiType): Column = {
+    def wordAt(pos: Column): Column = {
+      val w = blob.substr(pos, lit(64))
+      when(length(w) === 64, w)
+    }
+    val off = ReceiptClassifier.hexLong(wordAt(prefix + lit(i * 64 + 1)))
     val start = when(off.isNotNull && off < 1000000000L &&
       off % 32L === 0L && off >= 32L * nHeadWords,
-      off.cast("int") * 2 + 1)
-    val len = ReceiptClassifier.hexLong(words.substr(start, lit(64)))
+      prefix + (off.cast("int") * 2 + 1))
+    val len = ReceiptClassifier.hexLong(blob.substr(start, lit(64)))
     val fits = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
-      length(words).cast("long") >= start.cast("long") + 63L + len * 64L
+      length(blob).cast("long") >= start.cast("long") + 63L + len * 64L
+    // the lambda re-evaluates its SUBTREES per element, so the sequence
+    // carries precomputed char POSITIONS — the off/start guard tree runs
+    // once per row, each element costs one substr + one word decode
+    // (positions-in-lambda was measured ~5× slower on the demo corpus)
+    val positions = sequence(
+      start + lit(64),
+      start + lit(64) + ((len - 1L) * 64L).cast("int"),
+      lit(64))
     when(fits,
       when(len === 0L, array().cast(s"array<${sparkTypeOf(elem)}>"))
-        .otherwise(transform(sequence(lit(0L), len - 1L),
-          j => decodeWord(words.substr(start + lit(64) + (j * 64L).cast("int"), lit(64)), elem))))
+        .otherwise(transform(positions, p => decodeWord(wordAt(p), elem))))
   }
 
-  /** Static tuple at head word `base` of a bare words section: members
-    * inline in consecutive words. Null when the payload is too short for
-    * the LAST member (a truncated tuple must not half-decode); a junk
-    * member word stays a per-member null. */
-  private def staticTuple(words: Column, base: Int, elems: Seq[AbiType]): Column = {
+  /** Static tuple at head word `base` of the words section starting
+    * `prefix` chars into `blob`: members inline in consecutive words.
+    * Null when the payload is too short for the LAST member (a truncated
+    * tuple must not half-decode); a junk member word stays a per-member
+    * null. */
+  private def staticTuple(blob: Column, prefix: Column, base: Int,
+                          elems: Seq[AbiType]): Column = {
     def wordAt(j: Int): Column = {
-      val w = substring(words, j * 64 + 1, 64)
+      val w = blob.substr(prefix + lit(j * 64 + 1), lit(64))
       when(length(w) === 64, w)
     }
     when(wordAt(base + elems.size - 1).isNotNull,
@@ -322,9 +347,11 @@ object AbiDecode {
     * struct, words → scalar), total under every hostile payload. */
   private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
     case ArrayT(elem) =>
-      dynWordArray(dataWords(log.getField("data")), dataHeadIndex(ev, p), dataHeadWords(ev), elem)
+      val data = log.getField("data")
+      dynWordArray(data, dataPrefix(data), dataHeadIndex(ev, p), dataHeadWords(ev), elem)
     case TupleT(elems) =>
-      staticTuple(dataWords(log.getField("data")), dataHeadIndex(ev, p), elems)
+      val data = log.getField("data")
+      staticTuple(data, dataPrefix(data), dataHeadIndex(ev, p), elems)
     case _ => decodeWord(paramWord(log, ev, p), p.tpe)
   }
 
@@ -333,8 +360,11 @@ object AbiDecode {
     * DuckDB oracle re-derives the identical strings. */
   private def renderValue(c: Column, tpe: AbiType): Column = tpe match {
     case ArrayT(_) =>
-      when(c.isNotNull, concat(lit("["),
-        array_join(transform(c, e => e.cast("string")), ",", "null"), lit("]")))
+      // no isNotNull guard: it would DUPLICATE the whole decode subtree
+      // (no CSE through the HOF); null propagates through transform →
+      // array_join → concat to the same null rendering
+      concat(lit("["),
+        array_join(transform(c, e => e.cast("string")), ",", "null"), lit("]"))
     case TupleT(elems) =>
       when(c.isNotNull, concat(lit("("),
         array_join(array(elems.indices.map(k => c.getField(s"_$k").cast("string")): _*),
@@ -465,9 +495,9 @@ object AbiDecode {
     fn.params(i).tpe match {
       case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
       case ArrayT(elem) =>
-        dynWordArray(substring(input, 11, 1000000), fn.headIndex(i), fn.nHeadWords, elem)
+        dynWordArray(input, lit(10), fn.headIndex(i), fn.nHeadWords, elem)
       case TupleT(elems) =>
-        staticTuple(substring(input, 11, 1000000), fn.headIndex(i), elems)
+        staticTuple(input, lit(10), fn.headIndex(i), elems)
       case t => decodeWord(callHeadWord(input, fn.headIndex(i)), t)
     }
 

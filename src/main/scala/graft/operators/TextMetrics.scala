@@ -810,13 +810,23 @@ object TextMetrics {
     * kernel dedups PER ROW, which equals the old global `.distinct()`
     * because `carry` always includes the corpus key (`doc_id` — one row
     * per document is the documents-table contract) — and drops the
-    * distinct SHUFFLE plus the per-gram string materialization that was
-    * the measured residual cost across ~5 of the bench's top-10 keys.
+    * per-gram string materialization that was the measured residual cost
+    * across ~5 of the bench's top-10 keys.
+    *
+    * The closing `repartition(g)` carries the same 8-byte rows the old
+    * distinct shuffled, and is load-bearing twice: (a) every consumer
+    * localCheckpoints this frame, and without a shuffle the kernel would
+    * materialize at the SCAN's partitioning — one task on a one-file
+    * corpus slice (the r13 bench caught exactly that: q_canonical_docs
+    * 1.6× while its inputs sat in two partitions); (b) the checkpoint
+    * RETAINS HashPartitioning(g), so the df-count `groupBy("g")` and the
+    * inverted-gram joins downstream reuse it instead of re-exchanging.
     */
   private[operators] def gramKeys(documents: DataFrame, n: Int,
                                   carry: Seq[String]): DataFrame =
     documents.select(carry.map(col) :+
       explode(graft.functions.Md5Text.gramKeys56(col("text"), n)).as("g"): _*)
+      .repartition(col("g"))
 
   private def docGramKeys(documents: DataFrame, n: Int): DataFrame =
     gramKeys(documents, n, Seq("doc_id", "source"))
