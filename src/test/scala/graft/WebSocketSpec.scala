@@ -133,6 +133,33 @@ class WebSocketSpec extends SparkSpec {
     } finally { sock.close(); srv.stop() }
   }
 
+  test("broadcast handshake runs off the accept thread: a stalled client cannot block others") {
+    // r12 ADVICE: the 5s-bounded handshake used to run ON the accept
+    // thread, so one connected-but-never-upgrading client head-of-line
+    // blocked every other subscriber's accept for up to 5 s
+    val srv = new TxHashBroadcastServer(webSocket = true)
+    val stalled = new Socket(InetAddress.getLoopbackAddress, srv.boundPort) // never upgrades
+    try {
+      Thread.sleep(100) // let the stalled connection reach the server first
+      val t0 = System.nanoTime()
+      val sock = new Socket(InetAddress.getLoopbackAddress, srv.boundPort)
+      sock.setSoTimeout(30000)
+      try {
+        WebSocket.clientHandshake(sock.getInputStream, sock.getOutputStream,
+          s"127.0.0.1:${srv.boundPort}")
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (srv.connectionCount < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+        assert(srv.connectionCount >= 1, "the good client must register")
+        val elapsedMs = (System.nanoTime() - t0) / 1e6
+        assert(elapsedMs < 4000,
+          s"good client must not wait out the stalled client's 5s budget ($elapsedMs ms)")
+        srv.broadcastImported(Iterator(7L))
+        val msg = WebSocket.readTextMessage(sock.getInputStream, sock.getOutputStream)
+        assert(msg.exists(_.contains(f"0x${7L}%064x")))
+      } finally sock.close()
+    } finally { stalled.close(); srv.stop() }
+  }
+
   /** Websocket feed server: handshake, read the masked subscribe frame,
     * push `script(round, from)`'s lines one text frame each, keep the
     * connection open (round = accepted-connection ordinal).
