@@ -91,6 +91,117 @@ case class HexLongExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass ABI dynamic-array decode (r13): offset word at `headIdx` of
+  * the words section (`prefix` = 2 when the payload is "0x"-prefixed),
+  * length word + `len` element words at the offset, every element decoded
+  * per `kind`. Bit-equal to the composable Column spelling
+  * (`AbiDecode.dynWordArray`, kept as the parity reference and pinned by
+  * AbiDecodeSpec) — same guards (strict 0x, off < 1e9, 32-aligned, past
+  * the `nHeadWords` head, 0 ≤ len ≤ maxLen, tail fits), same per-element
+  * arms (address/bytes32 lowercase pass-through, uint256 decimal via
+  * [[HexWordImpl.hexWordDecimal]], small uint / bool via
+  * [[HexWordImpl.hexLong]]). Why: the HOF spelling re-enters the
+  * interpreter per element (~45µs/row measured on the sf0.1 demo); this
+  * is one imperative pass inside whole-stage codegen. One DELIBERATE
+  * divergence: a payload carrying non-ASCII bytes quarantines to null
+  * (char-based substr and byte-based slicing disagree there; real ABI
+  * payloads are pure-ASCII hex, so stricter is safer than junk-in-junk-out).
+  */
+object AbiWordArrayImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  // kind codes (AbiDecode maps its AbiType arms onto these)
+  final val KindAddress = 0
+  final val KindUint256 = 1
+  final val KindUintSmall = 2
+  final val KindBool = 3
+  final val KindBytes32 = 4
+
+  private def lowerHexWord(bytes: Array[Byte], from: Int, len: Int,
+                           withPrefix: Boolean): UTF8String = {
+    val head = if (withPrefix) 2 else 0
+    val out = new Array[Byte](head + len)
+    if (withPrefix) { out(0) = '0'; out(1) = 'x' }
+    var i = 0
+    while (i < len) {
+      val b = bytes(from + i)
+      out(head + i) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** `extraPrefixChars`: chars between the 0x and the words section — 0
+    * for event data, 8 for a call input's selector. */
+  def eval(data: UTF8String, extraPrefixChars: Int, headIdx: Int, nHeadWords: Int,
+           kind: Int, maxLen: Long): ArrayData = {
+    // ASCII gate: byte offsets == char offsets below
+    if (data.numChars() != data.numBytes()) return null
+    val bytes = data.getBytes
+    val n = bytes.length
+    val prefix = (if (n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte) 2 else 0) +
+      extraPrefixChars
+    val headStart = prefix + headIdx * 64
+    if (n < headStart + 64) return null
+    val off = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, headStart, 64))
+    if (off == null) return null
+    val offV = off.longValue()
+    if (offV >= 1000000000L || offV % 32L != 0L || offV < 32L * nHeadWords) return null
+    val start = prefix + offV.toInt * 2 // 0-based char of the length word
+    if (start >= n) return null
+    val lenWord = HexWordImpl.hexLong(
+      UTF8String.fromBytes(bytes, start, math.min(64, n - start)))
+    if (lenWord == null) return null
+    val len = lenWord.longValue()
+    if (len < 0L || len > maxLen) return null
+    if (n.toLong < start.toLong + 64L + len * 64L) return null
+    val out = new Array[Any](len.toInt)
+    var i = 0
+    while (i < len) {
+      val ws = start + 64 + i * 64
+      out(i) = kind match {
+        case KindAddress => lowerHexWord(bytes, ws + 24, 40, withPrefix = true)
+        case KindUint256 =>
+          HexWordImpl.hexWordDecimal(UTF8String.fromBytes(bytes, ws, 64))
+        case KindUintSmall =>
+          HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
+        case KindBool =>
+          val v = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
+          if (v == null) null
+          else if (v.longValue() == 0L) java.lang.Boolean.FALSE
+          else if (v.longValue() == 1L) java.lang.Boolean.TRUE
+          else null
+        case _ => lowerHexWord(bytes, ws, 64, withPrefix = true) // bytes32
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd ABI dynamic-array decode: see [[AbiWordArrayImpl]]. */
+case class AbiWordArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: Int,
+                            nHeadWords: Int, kind: Int, maxLen: Long) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    kind match {
+      case AbiWordArrayImpl.KindUintSmall => LongType
+      case AbiWordArrayImpl.KindBool => org.apache.spark.sql.types.BooleanType
+      case _ => StringType
+    }, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_abi_word_array"
+  override protected def nullSafeEval(input: Any): Any =
+    AbiWordArrayImpl.eval(input.asInstanceOf[UTF8String], extraPrefixChars, headIdx,
+      nHeadWords, kind, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AbiWordArrayImpl.eval($c, $extraPrefixChars, $headIdx, $nHeadWords, $kind, ${maxLen}L);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AbiWordArrayExpr =
+    copy(child = newChild)
+}
+
 case class HexWordDecimalExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -117,6 +228,12 @@ object HexUtils {
     */
   def hexWordDecimal(w: Column): Column =
     GraftBridge.column(HexWordDecimalExpr(GraftBridge.expression(w)))
+
+  /** Native ABI dynamic-array decode (see [[AbiWordArrayImpl]]). */
+  def abiWordArray(data: Column, extraPrefixChars: Int, headIdx: Int,
+                   nHeadWords: Int, kind: Int, maxLen: Long): Column =
+    GraftBridge.column(AbiWordArrayExpr(
+      GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kind, maxLen))
 
   /** 0x-prefixed 64-hex-digit topic → 0x-prefixed 40-hex-digit address
     * (drop the 24 zero hex chars after "0x").

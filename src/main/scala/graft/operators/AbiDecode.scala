@@ -284,6 +284,17 @@ object AbiDecode {
   private def dataPrefix(data: Column): Column =
     when(data.startsWith("0x"), lit(2)).otherwise(lit(0))
 
+  /** Kind code of a single-word static element for the native array
+    * kernel ([[graft.functions.AbiWordArrayImpl]]). */
+  private def kindOf(elem: AbiType): Int = elem match {
+    case AddressT => graft.functions.AbiWordArrayImpl.KindAddress
+    case Uint256T => graft.functions.AbiWordArrayImpl.KindUint256
+    case UintSmallT => graft.functions.AbiWordArrayImpl.KindUintSmall
+    case BoolT => graft.functions.AbiWordArrayImpl.KindBool
+    case Bytes32T => graft.functions.AbiWordArrayImpl.KindBytes32
+    case other => throw new IllegalArgumentException(s"$other is not word-static")
+  }
+
   /** Dynamic static-word array whose OFFSET lives at head word `i` of the
     * words section starting `prefix` chars into `blob` (event data past
     * the 0x; call input past the selector). Null on every hostile shape —
@@ -291,9 +302,18 @@ object AbiDecode {
     * head, junk or > [[MaxArrayLen]] length, tail past the end — the
     * [[callTail]] totality rules; length 0 decodes to the EMPTY array.
     * ABI offsets are bytes relative to the section start: byte b sits at
-    * char prefix + 1 + 2b. */
-  private def dynWordArray(blob: Column, prefix: Column, i: Int,
-                           nHeadWords: Int, elem: AbiType): Column = {
+    * char prefix + 1 + 2b.
+    *
+    * This Column spelling is the PARITY REFERENCE (the
+    * minhashExactAffineRef precedent): the hot path runs the one-pass
+    * codegen'd kernel ([[graft.functions.HexUtils.abiWordArray]] — the
+    * HOF form re-enters the interpreter per element, ~45µs/row measured
+    * on the sf0.1 demo vs the kernel's single imperative slice pass);
+    * AbiDecodeSpec pins the two bit-equal across the happy/hostile
+    * envelope and the oracle re-derives the same values from first
+    * principles. */
+  private[graft] def dynWordArrayRef(blob: Column, prefix: Column, i: Int,
+                                         nHeadWords: Int, elem: AbiType): Column = {
     def wordAt(pos: Column): Column = {
       val w = blob.substr(pos, lit(64))
       when(length(w) === 64, w)
@@ -347,8 +367,8 @@ object AbiDecode {
     * struct, words → scalar), total under every hostile payload. */
   private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
     case ArrayT(elem) =>
-      val data = log.getField("data")
-      dynWordArray(data, dataPrefix(data), dataHeadIndex(ev, p), dataHeadWords(ev), elem)
+      graft.functions.HexUtils.abiWordArray(log.getField("data"), 0,
+        dataHeadIndex(ev, p), dataHeadWords(ev), kindOf(elem), MaxArrayLen)
     case TupleT(elems) =>
       val data = log.getField("data")
       staticTuple(data, dataPrefix(data), dataHeadIndex(ev, p), elems)
@@ -495,7 +515,9 @@ object AbiDecode {
     fn.params(i).tpe match {
       case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
       case ArrayT(elem) =>
-        dynWordArray(input, lit(10), fn.headIndex(i), fn.nHeadWords, elem)
+        // 8 selector chars between the 0x and the head words
+        graft.functions.HexUtils.abiWordArray(input, 8,
+          fn.headIndex(i), fn.nHeadWords, kindOf(elem), MaxArrayLen)
       case TupleT(elems) =>
         staticTuple(input, lit(10), fn.headIndex(i), elems)
       case t => decodeWord(callHeadWord(input, fn.headIndex(i)), t)

@@ -373,6 +373,48 @@ class AbiDecodeSpec extends SparkSpec {
       Seq(Tx("0xc2", user, other, "0", short, Seq.empty)).toDS.toDF, fn).isEmpty)
   }
 
+  test("native word-array kernel is bit-equal to the Column parity reference") {
+    // the hot path decodes arrays through AbiWordArrayExpr (one imperative
+    // pass, codegen'd); dynWordArrayRef keeps the composable Column
+    // spelling as the parity reference (the minhashExactAffineRef
+    // precedent). Every envelope arm, every element kind.
+    import org.apache.spark.sql.functions.{col, lit, when => cwhen}
+    def payload(headWords: Seq[String], tail: String): String =
+      "0x" + headWords.mkString + tail
+    val goodTail2 = f"${2L}%064x" + f"${10L}%064x" + f"${11L}%064x"
+    val boolTail = f"${3L}%064x" + f"${0L}%064x" + f"${1L}%064x" + f"${2L}%064x"
+    val upperWord = "00000000000000000000000000000000000000000000000000000000000000AB"
+    val payloads = Seq(
+      payload(Seq(f"${32L}%064x"), goodTail2),                         // 1 head word, 2 elems
+      payload(Seq(f"${32L}%064x"), f"${0L}%064x"),                     // empty array
+      payload(Seq(f"${32L}%064x"), boolTail),                          // bool triple (0,1,2)
+      payload(Seq(f"${32L}%064x"), f"${1L}%064x" + upperWord),         // UPPERCASE hex elem
+      payload(Seq(f"${33L}%064x"), goodTail2),                         // unaligned offset
+      payload(Seq(f"${0L}%064x"), goodTail2),                          // offset into the head
+      payload(Seq("zz" * 32), goodTail2),                              // junk offset word
+      payload(Seq(f"${32L}%064x"), f"${9999L}%064x"),                  // len > MaxArrayLen
+      payload(Seq(f"${32L}%064x"), goodTail2).dropRight(7),            // truncated tail
+      payload(Seq(f"${32L}%064x"), f"${2L}%064x" + "zz" * 32 + f"${7L}%064x"), // junk elem
+      "0x" + f"${32L}%064x".take(40),                                  // head word too short
+      payload(Seq(f"${32L}%064x"), goodTail2).stripPrefix("0x"),       // no 0x prefix
+      "0x")                                                            // empty payload
+    val df = payloads.toDF("data")
+    for (elem <- Seq(AddressT, Uint256T, UintSmallT, BoolT, Bytes32T)) {
+      val kind = elem match {
+        case AddressT => 0; case Uint256T => 1; case UintSmallT => 2
+        case BoolT => 3; case _ => 4
+      }
+      val both = df.select(
+        graft.functions.HexUtils.abiWordArray(col("data"), 0, 0, 1, kind,
+          AbiDecode.MaxArrayLen).as("ker"),
+        AbiDecode.dynWordArrayRef(col("data"),
+          cwhen(col("data").startsWith("0x"), lit(2)).otherwise(lit(0)),
+          0, 1, elem).as("ref"))
+      val diff = both.where(!(col("ker") <=> col("ref"))).collect()
+      assert(diff.isEmpty, s"$elem kernel/reference divergence: ${diff.mkString("; ")}")
+    }
+  }
+
   test("registry validation: indexed dynamic/tuple params reject (keccak-hashed topics)") {
     intercept[IllegalArgumentException] {
       AbiEvent("Bad", "0x" + "cd" * 32,
