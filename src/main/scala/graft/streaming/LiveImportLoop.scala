@@ -46,7 +46,28 @@ import graft.sources.LiveBlockSource
   */
 object LiveImportLoop {
 
-  final case class Result(rounds: Int, reorgs: Seq[Long], reconnects: Int = 0)
+  final case class Result(rounds: Int, reorgs: Seq[Long], reconnects: Int = 0,
+                          penaltiesMs: Seq[Long] = Seq.empty)
+
+  /** The ERROR-RESTART PENALTY policy (Settings.cs:171-172: 5 s doubling
+    * to a 4-minute cap; Indexer.cs sleeps it before restarting the round):
+    * every errored round sleeps the current penalty, the penalty doubles
+    * across CONSECUTIVE errored rounds and resets to base when the failed
+    * round had imported anything — so a flapping endpoint is ridden out
+    * for ~half an hour of escalating waits instead of exhausting the
+    * round budget in milliseconds (the r12 verdict's #1 gap). Pure state
+    * machine, unit-pinned by LiveSourceSpec.
+    */
+  final class ErrorRestartPenalty(baseMs: Long, capMs: Long) {
+    private var penaltyMs = baseMs
+    /** The sleep this errored round has earned; advances the state. */
+    def nextSleep(importedSinceLastError: Boolean): Long = {
+      if (importedSinceLastError) penaltyMs = baseMs
+      val sleep = penaltyMs
+      penaltyMs = math.min(penaltyMs * 2, capMs)
+      sleep
+    }
+  }
 
   /** First block the next round must re-request: the lowest gap in the
     * imported block sequence, else max+1; `fromBlock` when nothing
@@ -110,20 +131,15 @@ object LiveImportLoop {
     var reconnects = 0
     var round = 0
     var done = false
-    // ERROR-RESTART PENALTY (Settings.cs:171-172: 5 s doubling to a
-    // 4-minute cap; Indexer.cs restarts the round after sleeping it): every
-    // errored round sleeps the current penalty before reconnecting, the
-    // penalty doubles across CONSECUTIVE errored rounds and resets to base
-    // on a round that imported anything — so a flapping endpoint is ridden
-    // out for ~half an hour of escalating waits instead of exhausting the
-    // `maxRounds` budget in milliseconds (the r12 verdict's #1 gap).
-    var penaltyMs = errorPenaltyBaseMs
+    val penalty = new ErrorRestartPenalty(errorPenaltyBaseMs, errorPenaltyCapMs)
+    val penalties = scala.collection.mutable.ArrayBuffer.empty[Long]
     def sleepPenalty(): Unit = {
-      val deadline = System.nanoTime() + penaltyMs * 1000000L
+      val sleepMs = penalty.nextSleep(importedThisRound.get())
+      penalties += sleepMs
+      val deadline = System.nanoTime() + sleepMs * 1000000L
       while (System.nanoTime() < deadline &&
              !(try converged() catch { case _: Exception => false }))
-        Thread.sleep(math.min(100L, penaltyMs))
-      penaltyMs = math.min(penaltyMs * 2, errorPenaltyCapMs)
+        Thread.sleep(math.min(100L, sleepMs))
     }
     val healthKey = s"$host:$port"
     health.foreach(LiveBlockSource.registerHealth(healthKey, _))
@@ -163,9 +179,6 @@ object LiveImportLoop {
         done = true // stopped by the watcher: converged
       } catch {
         case t: Throwable =>
-          // a round that imported anything resets the penalty to base
-          // BEFORE this error's sleep (the reference's reset-on-success)
-          if (importedThisRound.get()) penaltyMs = errorPenaltyBaseMs
           LiveBlockSource.reorgBlockOf(t) match {
             case Some(b) =>
               broadcast.foreach(_.broadcastReorg())
@@ -188,6 +201,6 @@ object LiveImportLoop {
       } finally watcher.join(2000)
       round += 1
     }
-    Result(round, reorgs.toSeq, reconnects)
+    Result(round, reorgs.toSeq, reconnects, penalties.toSeq)
   }
 }

@@ -231,6 +231,46 @@ class LiveSourceSpec extends SparkSpec {
     } finally feed.stop()
   }
 
+  test("error-restart penalty: escalates across consecutive errored rounds, resets on import, caps") {
+    // the pure policy (Settings.cs:171-172 — 5 s doubling to the 4-min cap,
+    // reset on a round that imported anything)
+    val p = new LiveImportLoop.ErrorRestartPenalty(baseMs = 5000, capMs = 240000)
+    assert(p.nextSleep(importedSinceLastError = false) === 5000L)
+    assert(p.nextSleep(importedSinceLastError = false) === 10000L)
+    assert(p.nextSleep(importedSinceLastError = false) === 20000L)
+    assert(p.nextSleep(importedSinceLastError = true) === 5000L, "reset on import")
+    (1 to 10).foreach(_ => p.nextSleep(importedSinceLastError = false))
+    assert(p.nextSleep(importedSinceLastError = false) === 240000L, "capped at 4 min")
+  }
+
+  test("flapping endpoint: the loop rides out consecutive drops with escalating penalties") {
+    // r12 verdict #2 done-criterion: N induced drops, the loop survives
+    // without exhausting maxRounds, penalties observed escalating. The
+    // first THREE connections drop before serving any complete block
+    // (nothing imports → consecutive errored rounds), then the feed serves
+    // to convergence.
+    val root = tmp()
+    val (tableDir, stagingDir, feedDir, ckRoot) =
+      (s"$root/table", s"$root/staging", s"$root/feed", s"$root/ck")
+    def block(b: Long) = Seq(
+      ev(b, b * 10 + 1, 1, "transfer", 1.0, 2), ev(b, b * 10 + 2, 2, "trust", 2.0, 2))
+    val feed = new TestFeedServer(
+      (round, from) => if (round < 3) Seq.empty else (from to 2L).flatMap(block),
+      dropAfter = _ < 3)
+    try {
+      val res = LiveImportLoop.run(
+        spark, "127.0.0.1", feed.port, fromBlock = 1L,
+        tableDir, stagingDir, feedDir, ckRoot,
+        converged = () => tableBlocks(tableDir).keySet == Set(1L, 2L),
+        idleTimeoutMs = 600000, maxRounds = 8, errorPenaltyBaseMs = 20)
+      assert(res.reconnects === 3)
+      assert(res.rounds < 8, "the budget must survive the flap")
+      assert(res.penaltiesMs === Seq(20L, 40L, 80L),
+        "consecutive errored rounds must sleep escalating penalties")
+      assert(tableBlocks(tableDir) === Map(1L -> Set(11L, 12L), 2L -> Set(21L, 22L)))
+    } finally feed.stop()
+  }
+
   test("reorg restart arc: magic-hash broadcast, partition truncate, corrected re-import") {
     val root = tmp()
     val (tableDir, stagingDir, feedDir, ckRoot) =
