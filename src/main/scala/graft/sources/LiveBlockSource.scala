@@ -191,7 +191,9 @@ private[sources] class LiveBlockTable(options: CaseInsensitiveStringMap)
             numPartitions = options.getInt("numPartitions", 4),
             healthKey = Option(options.get("healthKey")),
             transport = Option(options.get("transport")).getOrElse("tcp"),
-            maxBufferedRows = options.getInt("maxBufferedRows", 100000))
+            maxBufferedRows = options.getInt("maxBufferedRows", 100000),
+            maxRetries = options.getInt("maxRetries", 3),
+            retryBaseMs = options.getLong("retryBaseMs", 1000L))
       }
     }
 }
@@ -203,7 +205,8 @@ private[sources] case class LiveOffset(v: Long) extends Offset {
 private[sources] class LiveBlockMicroBatchStream(
     host: String, port: Int, subscribeFrom: Long, idleTimeoutMs: Int,
     failOnGap: Boolean, numPartitions: Int, healthKey: Option[String],
-    transport: String = "tcp", maxBufferedRows: Int = 100000)
+    transport: String = "tcp", maxBufferedRows: Int = 100000,
+    maxRetries: Int = 3, retryBaseMs: Long = 1000L)
   extends MicroBatchStream {
 
   private val lock = new Object
@@ -249,85 +252,140 @@ private[sources] class LiveBlockMicroBatchStream(
     }
   }
 
-  private val socket = new Socket()
+  @volatile private var socket: Socket = _
   private val mapper = new ObjectMapper()
 
+  private val retriesMetric = graft.streaming.Metrics.counter(
+    "graft_live_retries_total",
+    "Transient live-source faults ridden out by reconnect with backoff.", "endpoint")
+  private val backoffGauge = graft.streaming.Metrics.gauge(
+    "graft_live_retry_backoff_ms",
+    "Current live-source reconnect backoff (resets on a healthy line).", "endpoint")
+
+  /** The reader thread: connect → subscribe → read loop, with the
+    * TRANSIENT-RETRY arm the RPC source carries (`withRetry`,
+    * r13 VERDICT item 6): a malformed frame / malformed JSON / connect or
+    * mid-read I/O fault RECONNECTS with doubling backoff (capped like the
+    * reference's error-restart penalty, Settings.cs:171) instead of
+    * failing the stream on first occurrence; the counter/gauge pair makes
+    * each penalty observable, and a healthy line resets the arc. After
+    * `maxRetries` consecutive faults the LAST fault fails the stream —
+    * the declared doctrine for persistent faults. NOT retried here, by
+    * contract: idle timeout (LiveSource.cs 20 s rule — the import loop
+    * owns that restart), reorg (the round must restart), EOF/ws-close
+    * ([[LiveConnectionClosedException]] — the import loop resubscribes
+    * from the TABLE frontier, the stronger recovery point). On reconnect
+    * the source re-requests from the highest admitted block — a possibly
+    * partially-delivered block replays whole, and the downstream gated
+    * import's anti-join dedup owns idempotency (this source's declared
+    * contract for repeated blocks).
+    */
   private val reader = new Thread(() => {
-    try {
-      socket.connect(new InetSocketAddress(host, port), 10000)
-      if (idleTimeoutMs > 0) socket.setSoTimeout(idleTimeoutMs)
-      // first block after connect is exempt from the gap check — the
-      // server owns its replay start; afterwards blocks may repeat or go
-      // back (repeats are health warnings) but never skip forward
-      var lastBlock = Long.MinValue
-      def handleLine(line: String): Unit = if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        if (node.has("reorg")) {
-          blocksMetric.labels("reorg").inc()
-          throw new LiveReorgException(node.get("reorg").asLong())
-        } else if (node.has("head")) {
-          val h = node.get("head").asLong()
-          admitBlock(h, lastBlock)
-          lastBlock = math.max(lastBlock, h)
+    // survives reconnects: the frontier and the gap-check state
+    var lastBlock = Long.MinValue
+    var attempt = 0
+    var delayMs = math.max(1L, retryBaseMs)
+    var done = false
+    while (!done && !stopped) {
+      var sock: Socket = null
+      try {
+        sock = new Socket()
+        socket = sock // expose for stop()
+        sock.connect(new InetSocketAddress(host, port), 10000)
+        if (idleTimeoutMs > 0) sock.setSoTimeout(idleTimeoutMs)
+        // first block after (re)connect is exempt from the gap check — the
+        // server owns its replay start; afterwards blocks may repeat or go
+        // back (repeats are health warnings) but never skip forward
+        var exemptNext = true
+        val fromBlock = if (lastBlock == Long.MinValue) subscribeFrom else lastBlock
+        def handleLine(line: String): Unit = if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("reorg")) {
+            blocksMetric.labels("reorg").inc()
+            throw new LiveReorgException(node.get("reorg").asLong())
+          } else if (node.has("head")) {
+            val h = node.get("head").asLong()
+            admitBlock(h, if (exemptNext) Long.MinValue else lastBlock)
+            exemptNext = false
+            lastBlock = math.max(lastBlock, h)
+          } else {
+            val b = node.get("block").asLong()
+            admitBlock(b, if (exemptNext) Long.MinValue else lastBlock)
+            exemptNext = false
+            lastBlock = math.max(lastBlock, b)
+            val row = LiveRow(
+              block = b,
+              eventId = node.get("event_id").asLong(),
+              tsUs = node.get("ts_us").asLong(),
+              userId = node.get("user_id").asLong(),
+              eventType = node.get("event_type").asText(),
+              value = node.get("value").asDouble(),
+              props = if (node.has("props")) node.get("props").asText() else "{}",
+              nInBlock = node.get("n_in_block").asLong())
+            rowsMetric.only.inc()
+            appendBackpressured(row)
+          }
+          // a healthy line closes the penalty arc (reset-on-success)
+          attempt = 0
+          delayMs = math.max(1L, retryBaseMs)
+          backoffGauge.labels(s"$host:$port").set(0.0)
+        }
+        if (transport == "websocket") {
+          // RFC 6455 transport (the reference's actual LiveSource.cs wire):
+          // standard opening handshake, subscribe request as one MASKED text
+          // frame (§5.3: clients mask), then one JSON message per frame —
+          // same lines, same contracts, different framing
+          val rawIn = sock.getInputStream
+          val rawOut = sock.getOutputStream
+          graft.streaming.WebSocket.clientHandshake(rawIn, rawOut, s"$host:$port")
+          val mask = Array[Byte](0x13, 0x57, 0x9b.toByte, 0xdf.toByte)
+          rawOut.write(graft.streaming.WebSocket.textFrame(
+            s"""{"subscribe":$fromBlock}""", Some(mask)))
+          rawOut.flush()
+          var msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+          while (msg.isDefined && !stopped) {
+            handleLine(msg.get)
+            msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+          }
         } else {
-          val b = node.get("block").asLong()
-          admitBlock(b, lastBlock)
-          lastBlock = math.max(lastBlock, b)
-          val row = LiveRow(
-            block = b,
-            eventId = node.get("event_id").asLong(),
-            tsUs = node.get("ts_us").asLong(),
-            userId = node.get("user_id").asLong(),
-            eventType = node.get("event_type").asText(),
-            value = node.get("value").asDouble(),
-            props = if (node.has("props")) node.get("props").asText() else "{}",
-            nInBlock = node.get("n_in_block").asLong())
-          rowsMetric.only.inc()
-          appendBackpressured(row)
+          val out = new BufferedWriter(
+            new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+          out.write(s"""{"subscribe":$fromBlock}"""); out.write("\n"); out.flush()
+          val in = new BufferedReader(
+            new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+          var line = in.readLine()
+          while (line != null && !stopped) {
+            handleLine(line)
+            line = in.readLine()
+          }
         }
-      }
-      if (transport == "websocket") {
-        // RFC 6455 transport (the reference's actual LiveSource.cs wire):
-        // standard opening handshake, subscribe request as one MASKED text
-        // frame (§5.3: clients mask), then one JSON message per frame —
-        // same lines, same contracts, different framing
-        val rawIn = socket.getInputStream
-        val rawOut = socket.getOutputStream
-        graft.streaming.WebSocket.clientHandshake(rawIn, rawOut, s"$host:$port")
-        val mask = Array[Byte](0x13, 0x57, 0x9b.toByte, 0xdf.toByte)
-        rawOut.write(graft.streaming.WebSocket.textFrame(
-          s"""{"subscribe":$subscribeFrom}""", Some(mask)))
-        rawOut.flush()
-        var msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
-        while (msg.isDefined && !stopped) {
-          handleLine(msg.get)
-          msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
-        }
-      } else {
-        val out = new BufferedWriter(
-          new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8))
-        out.write(s"""{"subscribe":$subscribeFrom}"""); out.write("\n"); out.flush()
-        val in = new BufferedReader(
-          new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
-        var line = in.readLine()
-        while (line != null && !stopped) {
-          handleLine(line)
-          line = in.readLine()
-        }
-      }
-      // EOF / ws close with the stream live: a push head never closes by
-      // itself — fail the round so the loop reconnects from the table
-      // frontier (buffered rows already handed to earlier offsets stay
-      // valid; the gated import dedups the re-request)
-      if (!stopped) failure = new LiveConnectionClosedException
-    } catch {
-      case t: Throwable if !stopped =>
-        failure = t match {
-          case _: SocketTimeoutException => new RuntimeException(
+        // EOF / ws close with the stream live: a push head never closes by
+        // itself — fail the round so the loop reconnects from the table
+        // frontier (buffered rows already handed to earlier offsets stay
+        // valid; the gated import dedups the re-request)
+        if (!stopped) failure = new LiveConnectionClosedException
+        done = true
+      } catch {
+        case _: Throwable if stopped =>
+          done = true // stopping; socket close races are benign
+        case t: SocketTimeoutException =>
+          failure = new RuntimeException(
             s"Received no new block from the live source for $idleTimeoutMs ms.", t)
-          case other => other
-        }
-      case _: Throwable => // stopping; socket close races are benign
+          done = true
+        case t: java.io.IOException if attempt < maxRetries =>
+          // transient wire fault: reconnect with escalating, observable backoff
+          attempt += 1
+          retriesMetric.labels(s"$host:$port").inc()
+          backoffGauge.labels(s"$host:$port").set(delayMs.toDouble)
+          try sock.close() catch { case _: java.io.IOException => }
+          try Thread.sleep(delayMs) catch { case _: InterruptedException => done = true }
+          delayMs = math.min(delayMs * 2, 240000L)
+        case t: Throwable =>
+          failure = t
+          done = true
+      } finally {
+        if (sock != null) { try sock.close() catch { case _: java.io.IOException => } }
+      }
     }
   }, s"graft-live-reader-$host:$port")
 
@@ -392,7 +450,9 @@ private[sources] class LiveBlockMicroBatchStream(
   override def stop(): Unit = {
     stopped = true
     lock.synchronized { lock.notifyAll() }
-    try socket.close() catch { case _: java.io.IOException => }
+    val s = socket
+    if (s != null) { try s.close() catch { case _: java.io.IOException => } }
+    reader.interrupt() // wake a retry arm sleeping in its backoff
   }
 }
 

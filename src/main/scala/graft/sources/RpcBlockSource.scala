@@ -340,12 +340,24 @@ object RpcBlockSource {
                  transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                  blockCol: String = "block", keyCol: String = "event_id",
                  declaredCol: String = "n_in_block", maxParallel: Int = 4,
-                 maxRetries: Int = 3, retryBaseMs: Long = 1000): Seq[(Long, Long)] = {
+                 maxRetries: Int = 3, retryBaseMs: Long = 1000,
+                 maxGapSpan: Long = 100000L): Seq[(Long, Long)] = {
     val imported = spark.read.parquet(tableDir).select(blockCol)
     // bounded by contract: gap RANGES (missing block spans), not data
     val gaps = graft.operators.Integrity.gaps(imported, blockCol)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     if (gaps.isEmpty) return gaps
+    // loud guard (r13 ADVICE): a corrupt/misconfigured table (e.g. a
+    // restart at a much higher fromBlock) reads as one colossal "gap" —
+    // materializing it would OOM the driver and start an unbounded
+    // download. A genuine repair never spans millions of blocks; fail
+    // fast with the offending range instead.
+    gaps.find { case (a, b) => b - a + 1 > maxGapSpan }.foreach { case (a, b) =>
+      throw new IllegalStateException(
+        s"repairGaps: gap ($a, $b) spans ${b - a + 1} blocks, over the " +
+          s"maxGapSpan=$maxGapSpan bound — this looks like a corrupt or " +
+          "misconfigured table, not a repairable gap")
+    }
     val numbers = gaps.flatMap { case (a, b) => a to b }
     val batch = transform(asReceipts(
       downloadBlocks(spark, url, numbers, maxParallel, maxRetries, retryBaseMs)))

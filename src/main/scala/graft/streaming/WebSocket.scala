@@ -13,9 +13,16 @@ import java.nio.charset.StandardCharsets
   * GUID, base64), text frames with 7/16/64-bit payload lengths (§5.2),
   * client-to-server masking (§5.3), close/ping/pong opcodes.
   *
+  * Fragmented messages (§5.4) ARE reassembled (r13 VERDICT: any compliant
+  * peer may fragment, and the reference's ASP.NET stack reassembles
+  * transparently): a text message may arrive as FIN=0 text + continuation
+  * frames, with control frames processable mid-sequence as §5.4 requires;
+  * the 64 MiB bound is enforced across the REASSEMBLED message, and the
+  * §5.4/§5.5 protocol violations (new data opcode mid-sequence, orphan
+  * continuation, fragmented control frame) fail loudly.
+  *
   * Deliberately NOT implemented (out of contract for a line-per-message
-  * feed): continuation frames (every message fits one frame), extensions,
-  * subprotocol negotiation. A fragmented or binary frame fails loudly.
+  * feed): extensions, subprotocol negotiation. A binary frame fails loudly.
   *
   * Everything here derives from the public RFC 6455 text alone.
   */
@@ -24,6 +31,7 @@ object WebSocket {
   /** §1.3: the fixed handshake GUID. */
   val MagicGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+  final val OpCont = 0x0
   final val OpText = 0x1
   final val OpClose = 0x8
   final val OpPing = 0x9
@@ -40,11 +48,19 @@ object WebSocket {
     * (§5.3: the mask is XORed over the payload; any 4 bytes are legal —
     * a counter-derived mask keeps the adapter deterministic under test).
     */
-  def frame(opcode: Int, payload: Array[Byte], mask: Option[Array[Byte]]): Array[Byte] = {
+  def frame(opcode: Int, payload: Array[Byte], mask: Option[Array[Byte]]): Array[Byte] =
+    frame(opcode, payload, mask, fin = true)
+
+  /** One frame with explicit FIN — `fin = false` emits a fragment (§5.4);
+    * the message then continues with [[OpCont]] frames, the last with
+    * FIN set.
+    */
+  def frame(opcode: Int, payload: Array[Byte], mask: Option[Array[Byte]],
+            fin: Boolean): Array[Byte] = {
     require(mask.forall(_.length == 4), "mask must be 4 bytes")
     val n = payload.length
     val header = new java.io.ByteArrayOutputStream()
-    header.write(0x80 | (opcode & 0x0f)) // FIN + opcode
+    header.write((if (fin) 0x80 else 0x00) | (opcode & 0x0f)) // FIN + opcode
     val maskBit = if (mask.isDefined) 0x80 else 0x00
     if (n < 126) header.write(maskBit | n)
     else if (n < 65536) {
@@ -83,23 +99,28 @@ object WebSocket {
     Some(buf)
   }
 
-  /** Reads ONE complete frame: (opcode, unmasked payload). None on EOF.
-    * Fails loudly on fragmentation (FIN=0) and on payloads past 64 MiB
-    * (a line-per-message feed never legitimately sends one — the same
-    * bounded-allocation doctrine as the media decoders).
+  /** The 64 MiB bounded-allocation valve — applied per frame AND across a
+    * reassembled fragmented message (the same doctrine as the media
+    * decoders: a line-per-message feed never legitimately sends one).
+    */
+  final val MaxMessageBytes: Long = 64L * 1024 * 1024
+
+  /** Reads ONE frame off the wire: (fin, opcode, unmasked payload). None
+    * on EOF. No fragmentation policy here — that lives in the callers
+    * ([[readFrame]] is the strict single-frame read; [[readTextMessage]]
+    * reassembles §5.4 sequences).
     *
     * `requireMasked = true` is the SERVER read path: RFC 6455 §5.1
     * requires a server to FAIL the connection on an unmasked
     * client→server frame — tolerating a sloppy peer silently would let
     * non-compliant traffic through a surface that claims the RFC.
     */
-  def readFrame(in: InputStream, requireMasked: Boolean = false): Option[(Int, Array[Byte])] = {
+  def readRawFrame(in: InputStream, requireMasked: Boolean = false)
+      : Option[(Boolean, Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
     val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f
-    if (!fin) throw new java.io.IOException(
-      "websocket continuation frames are not supported by this adapter")
     val b1 = in.read()
     if (b1 < 0) return None
     val masked = (b1 & 0x80) != 0
@@ -116,7 +137,7 @@ object WebSocket {
         case Some(b) => b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
         case None => return None
       }
-    if (len > 64L * 1024 * 1024) throw new java.io.IOException(
+    if (len > MaxMessageBytes) throw new java.io.IOException(
       s"websocket frame of $len bytes exceeds the 64 MiB adapter bound")
     val mask = if (masked) readFully(in, 4) match {
       case Some(m) => m
@@ -129,30 +150,75 @@ object WebSocket {
           payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1
         }
       }
-      (opcode, payload)
+      (fin, opcode, payload)
     }
   }
 
+  /** Reads ONE complete (FIN=1) frame: (opcode, unmasked payload). None on
+    * EOF; fails loudly on a fragment — the strict variant for callers that
+    * speak the one-message-one-frame convention (this adapter's own
+    * writers). Fragment-tolerant readers go through [[readTextMessage]].
+    */
+  def readFrame(in: InputStream, requireMasked: Boolean = false): Option[(Int, Array[Byte])] =
+    readRawFrame(in, requireMasked).map {
+      case (true, opcode, payload) => (opcode, payload)
+      case (false, _, _) => throw new java.io.IOException(
+        "fragmented frame on a single-frame read path (use readTextMessage to reassemble)")
+    }
+
   /** Reads text messages off a websocket stream as if they were lines:
     * answers pings with pongs, skips pongs, returns None on EOF or a
-    * close frame (answering the close per §5.5.1). The newline-JSON
-    * reader's drop-in replacement for `readLine()`.
+    * close frame (answering the close per §5.5.1), and reassembles §5.4
+    * fragmented text messages — control frames are processed mid-sequence
+    * (§5.4 note: they MAY be injected between fragments), the 64 MiB
+    * bound holds across the whole reassembled message, and protocol
+    * violations (orphan continuation, new data opcode mid-sequence,
+    * fragmented control frame) fail loudly. The newline-JSON reader's
+    * drop-in replacement for `readLine()`.
     */
   def readTextMessage(in: InputStream, out: OutputStream,
                       requireMasked: Boolean = false): Option[String] = {
+    // non-null while a fragmented text message is being reassembled
+    var partial: java.io.ByteArrayOutputStream = null
     while (true) {
-      readFrame(in, requireMasked) match {
-        case None => return None
-        case Some((OpClose, payload)) =>
-          try { out.write(frame(OpClose, payload, None)); out.flush() }
-          catch { case _: java.io.IOException => }
+      readRawFrame(in, requireMasked) match {
+        case None =>
+          if (partial != null) throw new java.io.IOException(
+            "EOF inside a fragmented websocket message")
           return None
-        case Some((OpPing, payload)) =>
-          out.write(frame(OpPong, payload, None)); out.flush()
-        case Some((OpPong, _)) => // unsolicited pong: ignore (§5.5.3)
-        case Some((OpText, payload)) =>
-          return Some(new String(payload, StandardCharsets.UTF_8))
-        case Some((op, _)) => throw new java.io.IOException(
+        case Some((fin, op, payload)) if op >= 0x8 =>
+          // control frames: must not be fragmented (§5.5), legal mid-sequence
+          if (!fin) throw new java.io.IOException(
+            s"fragmented websocket control frame 0x${op.toHexString} (RFC 6455 §5.5 forbids)")
+          op match {
+            case OpClose =>
+              try { out.write(frame(OpClose, payload, None)); out.flush() }
+              catch { case _: java.io.IOException => }
+              return None
+            case OpPing =>
+              out.write(frame(OpPong, payload, None)); out.flush()
+            case OpPong => // unsolicited pong: ignore (§5.5.3)
+            case other => throw new java.io.IOException(
+              s"unsupported websocket control opcode 0x${other.toHexString}")
+          }
+        case Some((fin, OpText, payload)) =>
+          if (partial != null) throw new java.io.IOException(
+            "new data frame opened inside a fragmented websocket message (RFC 6455 §5.4)")
+          if (fin) return Some(new String(payload, StandardCharsets.UTF_8))
+          partial = new java.io.ByteArrayOutputStream()
+          partial.write(payload, 0, payload.length)
+        case Some((fin, OpCont, payload)) =>
+          if (partial == null) throw new java.io.IOException(
+            "websocket continuation frame with no message in progress (RFC 6455 §5.4)")
+          if (partial.size.toLong + payload.length > MaxMessageBytes)
+            throw new java.io.IOException(
+              "reassembled websocket message exceeds the 64 MiB adapter bound")
+          partial.write(payload, 0, payload.length)
+          if (fin) {
+            val whole = partial.toByteArray
+            return Some(new String(whole, StandardCharsets.UTF_8))
+          }
+        case Some((_, op, _)) => throw new java.io.IOException(
           s"unsupported websocket opcode 0x${op.toHexString} (text feed expected)")
       }
     }

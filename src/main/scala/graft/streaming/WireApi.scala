@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.io.{BufferedWriter, OutputStreamWriter}
 import java.lang.Double.{doubleToLongBits, longBitsToDouble}
 import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
@@ -285,17 +284,80 @@ object HealthServer {
   * to drop cached state. A dead subscriber is dropped on its first failed
   * write — a broadcast never fails the import loop.
   *
+  * Fan-out is DECOUPLED from the caller (r13 VERDICT top item): each
+  * subscriber owns a bounded send queue drained by its own writer thread,
+  * so `broadcast` only ever enqueues — it never touches a socket. The
+  * reference awaits each client's `SendAsync` in turn
+  * (TransactionHashBroadcastService.cs `BroadcastMessage`), which lets one
+  * stalled-but-connected subscriber (TCP window full, reads stopped) stall
+  * every other subscriber AND the import round; here a subscriber whose
+  * queue overflows is dropped on the spot — the reference's
+  * dead-subscriber semantics generalized to slow ones
+  * (`graft_broadcast_slow_dropped_total` counts them).
+  *
   * `webSocket = true` serves the SAME messages as RFC 6455 text frames
   * behind the standard opening handshake ([[WebSocket]]) — the transport
   * the reference's subscribers actually speak
   * (Api/ConnectedWebsocketClient.cs:2). One message per frame, no
-  * newline; the default stays the newline-JSON TCP contract.
+  * newline; the default stays the newline-JSON TCP contract. Handshakes
+  * run on a small FIXED pool (r13 ADVICE: one unbounded thread per
+  * accepted connection let a connect flood create unbounded threads) — a
+  * flood of non-upgrading clients degrades to queued handshakes, never
+  * thread exhaustion.
   */
-final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
+final class TxHashBroadcastServer(
+    port: Int = 0, webSocket: Boolean = false, sendQueueCapacity: Int = 1024) {
+  import java.util.concurrent.{ArrayBlockingQueue, Executors, TimeUnit}
+
+  /** One subscriber: socket + bounded queue + dedicated writer thread.
+    * The writer is the ONLY code that touches the socket after
+    * registration; `offer` is the only surface the broadcaster sees.
+    */
+  private final class Subscriber(
+      val id: Int, sock: Socket, encode: String => Array[Byte]) {
+    private val queue = new ArrayBlockingQueue[String](sendQueueCapacity)
+    @volatile private var alive = true
+
+    private val writer = new Thread(() => {
+      try {
+        val out = sock.getOutputStream
+        while (alive) {
+          // poll-with-timeout instead of take(): kill() needs the loop to
+          // observe `alive` even when no message ever arrives again
+          val m = queue.poll(100, TimeUnit.MILLISECONDS)
+          if (m != null) { out.write(encode(m)); out.flush() }
+        }
+      } catch {
+        case _: java.io.IOException => // dead socket; drop below
+        case _: InterruptedException => // kill() while blocked in write/poll
+      } finally {
+        alive = false
+        try sock.close() catch { case _: java.io.IOException => }
+        if (clients.remove(id).isDefined)
+          connGauge.only.set(clients.size.toDouble)
+      }
+    }, s"graft-broadcast-writer-$id")
+    writer.setDaemon(true)
+
+    /** Called once, AFTER the subscriber is in the registry, so the
+      * writer's dead-socket cleanup can never race its own registration.
+      */
+    def start(): Unit = writer.start()
+
+    /** False when the queue is full or the subscriber already died. */
+    def offer(m: String): Boolean = alive && queue.offer(m)
+
+    def kill(): Unit = {
+      alive = false
+      // closing the socket unblocks a writer wedged in a full-window write
+      try sock.close() catch { case _: java.io.IOException => }
+      writer.interrupt()
+    }
+  }
 
   private val server =
     new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
-  private val clients = new TrieMap[Int, (Socket, String => Unit)]
+  private val clients = new TrieMap[Int, Subscriber]
   private val nextId = new AtomicInteger(0)
   @volatile private var running = true
 
@@ -303,6 +365,24 @@ final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
     "graft_broadcast_connections", "Connected broadcast subscribers.")
   private val msgCounter = Metrics.counter(
     "graft_broadcast_messages_total", "Broadcast messages sent to all subscribers.")
+  private val slowDropCounter = Metrics.counter(
+    "graft_broadcast_slow_dropped_total",
+    "Subscribers dropped because their bounded send queue overflowed.")
+
+  private def register(sock: Socket, encode: String => Array[Byte]): Unit = {
+    val id = nextId.incrementAndGet()
+    val sub = new Subscriber(id, sock, encode)
+    clients.put(id, sub)
+    connGauge.only.set(clients.size.toDouble)
+    sub.start()
+  }
+
+  // bounded handshake pool: 4 threads ride out a connect flood by queuing
+  private val handshakePool = Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-broadcast-handshake")
+    t.setDaemon(true)
+    t
+  })
 
   private val acceptThread = new Thread(() => {
     while (running) {
@@ -310,35 +390,25 @@ final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
         val sock = server.accept()
         sock.setTcpNoDelay(true)
         if (webSocket) {
-          // the 5 s-bounded handshake runs on a SHORT-LIVED per-connection
-          // thread (r12 ADVICE: on the accept thread, one slow or
-          // non-upgrading client head-of-line-blocked every other
-          // subscriber's accept for up to 5 s); the client registers into
-          // the TrieMap only on completion
-          val t = new Thread(() => {
-            try {
-              sock.setSoTimeout(5000)
-              val ok = WebSocket.serverHandshake(sock.getInputStream, sock.getOutputStream)
-              if (!ok) throw new java.io.IOException("rejected non-websocket client")
-              sock.setSoTimeout(0)
-              val out = sock.getOutputStream
-              val send: String => Unit =
-                m => { out.write(WebSocket.textFrame(m)); out.flush() }
-              clients.put(nextId.incrementAndGet(), (sock, send))
-              connGauge.only.set(clients.size.toDouble)
-            } catch {
-              case _: java.io.IOException =>
-                try sock.close() catch { case _: java.io.IOException => }
-            }
-          }, "graft-broadcast-handshake")
-          t.setDaemon(true)
-          t.start()
+          // the 5 s-bounded handshake runs OFF the accept thread (r12
+          // ADVICE: head-of-line blocking) on the bounded pool; the client
+          // registers into the TrieMap only on completion
+          handshakePool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                sock.setSoTimeout(5000)
+                val ok = WebSocket.serverHandshake(sock.getInputStream, sock.getOutputStream)
+                if (!ok) throw new java.io.IOException("rejected non-websocket client")
+                sock.setSoTimeout(0)
+                register(sock, m => WebSocket.textFrame(m))
+              } catch {
+                case _: java.io.IOException =>
+                  try sock.close() catch { case _: java.io.IOException => }
+              }
+          })
+          ()
         } else {
-          val w = new BufferedWriter(
-            new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-          val send: String => Unit = m => { w.write(m); w.write("\n"); w.flush() }
-          clients.put(nextId.incrementAndGet(), (sock, send))
-          connGauge.only.set(clients.size.toDouble)
+          register(sock, m => (m + "\n").getBytes(StandardCharsets.UTF_8))
         }
       } catch {
         case _: Throwable if !running => // closed during shutdown
@@ -352,16 +422,19 @@ final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
   def boundPort: Int = server.getLocalPort
   def connectionCount: Int = clients.size
 
-  /** Send one message to every subscriber; drop the ones whose socket died. */
+  /** Enqueue one message for every subscriber; never blocks on a socket.
+    * A subscriber whose bounded queue is full is dropped immediately — a
+    * stalled consumer cannot stall the import round or its peers.
+    */
   def broadcast(message: String): Unit = {
     msgCounter.only.inc()
-    clients.foreach { case (id, (sock, send)) =>
-      try send(message)
-      catch {
-        case _: java.io.IOException =>
-          clients.remove(id)
-          try sock.close() catch { case _: java.io.IOException => }
+    clients.foreach { case (id, sub) =>
+      if (!sub.offer(message)) {
+        slowDropCounter.only.inc()
+        if (clients.remove(id).isDefined) {
+          sub.kill()
           connGauge.only.set(clients.size.toDouble)
+        }
       }
     }
   }
@@ -385,9 +458,10 @@ final class TxHashBroadcastServer(port: Int = 0, webSocket: Boolean = false) {
   def stop(): Unit = {
     running = false
     try server.close() catch { case _: java.io.IOException => }
-    clients.foreach { case (id, (sock, _)) =>
+    handshakePool.shutdownNow()
+    clients.foreach { case (id, sub) =>
       clients.remove(id)
-      try sock.close() catch { case _: java.io.IOException => }
+      sub.kill()
     }
     connGauge.only.set(0.0)
   }

@@ -342,6 +342,93 @@ class LiveSourceSpec extends SparkSpec {
     }
   }
 
+  test("transient wire faults ride the source-level retry arm: reconnect with escalating observable backoff, stream never fails") {
+    // r13 VERDICT item 6: a malformed frame/line used to fail the stream on
+    // first occurrence. Rounds 0 and 1 end in a MALFORMED JSON line (a
+    // transient wire fault, not a drop); round 2 serves clean. The source
+    // must ride out both faults inside the reader (no StreamingQueryException),
+    // resubscribing from the highest admitted block, with the penalty arc
+    // observable on the metrics surface.
+    val root = tmp()
+    def block(b: Long) = Seq(
+      ev(b, b * 10 + 1, 1, "transfer", 1.0, 2), ev(b, b * 10 + 2, 2, "trust", 2.0, 2))
+    val feed = new TestFeedServer((round, from) =>
+      if (round == 0) block(1) :+ """{malformed garbage"""
+      else if (round == 1) Seq("""{malformed again""")
+      else (from to 2L).flatMap(block))
+    val endpoint = s"127.0.0.1:${feed.port}"
+    val retries = graft.streaming.Metrics.counter(
+      "graft_live_retries_total",
+      "Transient live-source faults ridden out by reconnect with backoff.", "endpoint")
+    val backoff = graft.streaming.Metrics.gauge(
+      "graft_live_retry_backoff_ms",
+      "Current live-source reconnect backoff (resets on a healthy line).", "endpoint")
+    // sample the backoff gauge from a side thread so the escalation
+    // (200 → 400) is observed even though a healthy line later resets it
+    val observed = new ConcurrentLinkedQueue[Long]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val v = backoff.labels(endpoint).value.toLong
+        if (v > 0 && (observed.isEmpty || observed.toArray.last != v)) observed.add(v)
+        Thread.sleep(5)
+      }
+    }, "backoff-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+    try {
+      val events = spark.readStream.format("graft-live")
+        .option("host", "127.0.0.1").option("port", feed.port)
+        .option("subscribeFrom", 1L).option("idleTimeoutMs", 600000)
+        .option("maxRetries", 3).option("retryBaseMs", 200L)
+        .load()
+      val q = events.writeStream.format("memory").queryName("flapsink")
+        .option("checkpointLocation", s"$root/ck").start()
+      val deadline = System.nanoTime() + 60e9.toLong
+      def ids(): Set[Long] = spark.sql("select distinct event_id from flapsink")
+        .collect().map(_.getLong(0)).toSet
+      while (!ids().contains(22L) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+      assert(q.exception.isEmpty, s"the retry arm must absorb transient faults: ${q.exception}")
+      assert(ids() === Set(11L, 12L, 21L, 22L),
+        "all blocks land exactly once at the id grain (replays dedup downstream)")
+      q.stop()
+      // two faults, two observable retries; resubscribes came from the
+      // highest admitted block (1), not from scratch and not skipping
+      assert(retries.labels(endpoint).value === 2.0)
+      assert(subscribes(feed) === Seq(1L, 1L, 1L))
+      val esc = observed.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      assert(esc.containsSlice(Seq(200L, 400L)),
+        s"backoff must escalate base→2×base across consecutive faults, saw $esc")
+    } finally {
+      sampling = false
+      feed.stop()
+    }
+  }
+
+  test("persistent wire faults still fail the stream loudly after maxRetries") {
+    val root = tmp()
+    val feed = new TestFeedServer((_, _) => Seq("""{never valid"""))
+    try {
+      val events = spark.readStream.format("graft-live")
+        .option("host", "127.0.0.1").option("port", feed.port)
+        .option("subscribeFrom", 1L).option("idleTimeoutMs", 600000)
+        .option("maxRetries", 1).option("retryBaseMs", 10L)
+        .load()
+      val q = events.writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck").start()
+      val e = intercept[StreamingQueryException] { q.awaitTermination() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m =>
+        m.contains("Unexpected character") || m.contains("malformed") ||
+          m.contains("JsonParseException") || m.toLowerCase.contains("json")),
+        s"the LAST fault must propagate, got: ${messages(e)}")
+    } finally feed.stop()
+  }
+
   private def subscribes(f: TestFeedServer): Seq[Long] = {
     val it = f.subscribes.iterator()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.sources.RpcBlockSource
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
 import org.apache.spark.sql.streaming.StreamingQueryException
 
 /** Round-13 robustness contracts on the wire sources:
@@ -262,6 +262,24 @@ class RpcRobustnessSpec extends SparkSpec {
       assert(again.toSet === Set((3L, 3L), (6L, 6L)),
         "empty blocks stay invisible to a tx-table gap check (header ledger's job)")
       assert(spark.read.parquet(tableDir).count() === expected.size.toLong)
+
+      // a pathological "gap" (corrupt table / misconfigured fromBlock:
+      // one stray block far above the frontier) fails FAST with the
+      // offending range — before any driver-side materialization or wire
+      // call (r13 ADVICE: the unguarded span would OOM the driver)
+      graft.streaming.EventPipeline.importGatedBatch(
+        all.where(col("block") === 8L)
+          .withColumn("block", lit(5000008L))
+          .withColumn("event_id", col("event_id") + 1000000000L),
+        2L, tableDir, s"$root/stage_stray",
+        groupCol = "block", declaredCol = "n_in_block")
+      val e = intercept[IllegalStateException] {
+        RpcBlockSource.repairGaps(
+          spark, node.url, tableDir, s"$root/stage_repair3", classifyArc,
+          maxRetries = 2, retryBaseMs = 10L)
+      }
+      assert(e.getMessage.contains("maxGapSpan"))
+      assert(e.getMessage.contains("5000007"), s"message names the range: ${e.getMessage}")
     } finally node.stop()
   }
 

@@ -51,15 +51,74 @@ class WebSocketSpec extends SparkSpec {
     assert(op === WebSocket.OpPong && new String(body) === "hi")
   }
 
+  test("fragmented text messages reassemble, with control frames legal mid-sequence (§5.4)") {
+    val out = new java.io.ByteArrayOutputStream()
+    val stream = new java.io.ByteArrayOutputStream()
+    // "hello world" as text(FIN=0) + cont(FIN=0) + cont(FIN=1), with a
+    // ping injected BETWEEN fragments — §5.4 requires control frames be
+    // processable mid-sequence
+    stream.write(WebSocket.frame(WebSocket.OpText, "hel".getBytes, None, fin = false))
+    stream.write(WebSocket.frame(WebSocket.OpPing, "mid".getBytes, None))
+    stream.write(WebSocket.frame(WebSocket.OpCont, "lo wo".getBytes, None, fin = false))
+    stream.write(WebSocket.frame(WebSocket.OpCont, "rld".getBytes, None, fin = true))
+    // then an ordinary single-frame message rides the same stream
+    stream.write(WebSocket.textFrame("next"))
+    val in = new ByteArrayInputStream(stream.toByteArray)
+    assert(WebSocket.readTextMessage(in, out) === Some("hello world"))
+    assert(WebSocket.readTextMessage(in, out) === Some("next"))
+    // the mid-sequence ping was answered with its pong before reassembly finished
+    val Some((op, body)) = WebSocket.readFrame(new ByteArrayInputStream(out.toByteArray))
+    assert(op === WebSocket.OpPong && new String(body) === "mid")
+
+    // a masked fragmented sequence passes the server read path intact
+    val m = Some(Array[Byte](0x11, 0x22, 0x33, 0x44))
+    val ms = new java.io.ByteArrayOutputStream()
+    ms.write(WebSocket.frame(WebSocket.OpText, "ab".getBytes, m, fin = false))
+    ms.write(WebSocket.frame(WebSocket.OpCont, "cd".getBytes, m, fin = true))
+    assert(WebSocket.readTextMessage(new ByteArrayInputStream(ms.toByteArray),
+      new java.io.ByteArrayOutputStream(), requireMasked = true) === Some("abcd"))
+  }
+
+  test("fragmentation protocol violations fail loudly (§5.4/§5.5)") {
+    val out = new java.io.ByteArrayOutputStream()
+    // orphan continuation: no message in progress
+    val orphan = WebSocket.frame(WebSocket.OpCont, "x".getBytes, None, fin = true)
+    val eo = intercept[java.io.IOException] {
+      WebSocket.readTextMessage(new ByteArrayInputStream(orphan), out)
+    }
+    assert(eo.getMessage.contains("no message in progress"))
+    // a NEW data opcode while a fragmented message is open
+    val overlap = new java.io.ByteArrayOutputStream()
+    overlap.write(WebSocket.frame(WebSocket.OpText, "a".getBytes, None, fin = false))
+    overlap.write(WebSocket.textFrame("b"))
+    val ei = intercept[java.io.IOException] {
+      WebSocket.readTextMessage(new ByteArrayInputStream(overlap.toByteArray), out)
+    }
+    assert(ei.getMessage.contains("inside a fragmented"))
+    // a fragmented CONTROL frame (§5.5 forbids)
+    val fragPing = WebSocket.frame(WebSocket.OpPing, "p".getBytes, None, fin = false)
+    val ec = intercept[java.io.IOException] {
+      WebSocket.readTextMessage(new ByteArrayInputStream(fragPing), out)
+    }
+    assert(ec.getMessage.contains("control frame"))
+    // EOF mid-sequence is a loud error, never a silent partial message
+    val eof = WebSocket.frame(WebSocket.OpText, "a".getBytes, None, fin = false)
+    val ee = intercept[java.io.IOException] {
+      WebSocket.readTextMessage(new ByteArrayInputStream(eof), out)
+    }
+    assert(ee.getMessage.contains("EOF inside"))
+  }
+
   test("malformed frames fail loudly: fragmentation, oversize, non-text opcodes") {
     val out = new java.io.ByteArrayOutputStream()
-    // FIN=0 (fragmented) — deliberately out of the adapter's contract
+    // FIN=0 on the strict single-frame read path (this adapter's writers
+    // never fragment; reassembly lives in readTextMessage)
     val frag = WebSocket.textFrame("abc").clone()
     frag(0) = (frag(0) & 0x7f).toByte // clear FIN
     val e1 = intercept[java.io.IOException] {
       WebSocket.readFrame(new ByteArrayInputStream(frag))
     }
-    assert(e1.getMessage.contains("continuation"))
+    assert(e1.getMessage.contains("single-frame"))
     // declared 64-bit length past the 64 MiB bound — must throw BEFORE
     // allocating (bounded-allocation doctrine)
     val huge = Array[Byte](0x81.toByte, 127.toByte,

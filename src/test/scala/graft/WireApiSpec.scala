@@ -178,6 +178,79 @@ class WireApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("a stalled-but-connected subscriber never stalls broadcasts: peers stream on, caller stays non-blocking, the slow client is dropped") {
+    // r13 VERDICT top item: the old fan-out did sequential blocking writes
+    // on the caller's thread, so a subscriber with a full TCP window (reads
+    // stopped) wedged the import round. Now each subscriber has a bounded
+    // send queue + writer thread; overflow drops the client.
+    Metrics.reset()
+    val srv = new TxHashBroadcastServer(sendQueueCapacity = 8)
+    try {
+      // the stalled subscriber: tiny receive buffer, never reads — its TCP
+      // window fills after a few big messages and its writer thread wedges
+      val stalled = new Socket()
+      stalled.setReceiveBufferSize(4096)
+      stalled.connect(new java.net.InetSocketAddress(
+        InetAddress.getLoopbackAddress, srv.boundPort), 5000)
+
+      // the healthy subscriber: a reader thread drains every line as it
+      // arrives (reading AFTER the loop would make this client slow too)
+      val healthy = new Socket(InetAddress.getLoopbackAddress, srv.boundPort)
+      healthy.setSoTimeout(20000)
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val reader = new Thread(() => {
+        try {
+          val r = new BufferedReader(new InputStreamReader(
+            healthy.getInputStream, StandardCharsets.UTF_8))
+          var line = r.readLine()
+          while (line != null) { received.put(line); line = r.readLine() }
+        } catch { case _: java.io.IOException => }
+      })
+      reader.setDaemon(true)
+      reader.start()
+
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (srv.connectionCount < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(srv.connectionCount === 2)
+
+      // 40 × 256 KiB ≈ 10 MB — far beyond any socket buffering, so the
+      // stalled writer MUST wedge mid-run; with capacity 8 its queue then
+      // overflows and the client is dropped while broadcasts continue.
+      // The 10 ms pacing models an import round's cadence — the healthy
+      // writer drains a 256 KiB loopback write well inside it, so only the
+      // genuinely wedged subscriber overflows.
+      val big = "x" * (256 * 1024)
+      val n = 40
+      val t0 = System.nanoTime()
+      (0 until n).foreach { i =>
+        val c0 = System.nanoTime()
+        srv.broadcast(s"$i:$big")
+        assert((System.nanoTime() - c0) < 2e9.toLong,
+          s"broadcast $i blocked on a stalled subscriber's socket")
+        Thread.sleep(10)
+      }
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      assert(totalSec < 30.0, s"broadcast loop took ${totalSec}s — caller was stalled")
+
+      // every message reaches the healthy subscriber, in order
+      (0 until n).foreach { i =>
+        val line = received.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+        assert(line != null, s"healthy subscriber never received message $i")
+        assert(line.startsWith(s"$i:"), s"expected message $i, got ${line.take(20)}")
+      }
+
+      // the stalled client was dropped (generalized dead-subscriber drop)
+      // and the drop is observable on the metrics surface
+      val dropDeadline = System.nanoTime() + 10e9.toLong
+      while (srv.connectionCount > 1 && System.nanoTime() < dropDeadline) Thread.sleep(10)
+      assert(srv.connectionCount === 1)
+      assert(Metrics.render().contains("graft_broadcast_slow_dropped_total"))
+
+      stalled.close()
+      healthy.close()
+    } finally srv.stop()
+  }
+
   test("BlockTimer: enter→written sets the duration gauge once, leak valve clears at 100") {
     // BlockTimer is process-global (the reference's Statistics statics) and
     // sbt runs suites in parallel, so assertions are DELTA-based: ids live
