@@ -655,6 +655,14 @@ object SparkEntry {
     "q_abi_array_decode" -> ((s, d) =>
       AbiDecode.decodeEvents(AbiDecode.demoArrayReceipts(Tables.events(s, d)),
         Seq(AbiDecode.DemoBatchTransfer))),
+    // r14 dynamic-element arrays: a user-registered Multicall(operator
+    // indexed address, uint8 n_calls, bytes[] calls) over the signup
+    // family — offset TABLE + per-element bytes tails, empty arrays AND
+    // empty elements first-class, re-derived by the oracle from the same
+    // md5-derived element bytes
+    "q_abi_dynarray_decode" -> ((s, d) =>
+      AbiDecode.decodeEvents(AbiDecode.demoDynArrayReceipts(Tables.events(s, d)),
+        Seq(AbiDecode.DemoMulticall))),
     // generic selector-keyed ABI CALL decode over the demo receipts'
     // tx.input — the execTransaction family's 10 params (2 dynamic tails)
     // head-decoded through the same guarded kernels; the oracle re-derives
@@ -2955,6 +2963,32 @@ object SparkEntry {
         |     ELSE '[' || CAST(event_id * 10 AS VARCHAR) || ',' ||
         |          CAST(event_id * 10 + 1 AS VARCHAR) || ',' ||
         |          CAST(event_id * 10 + 2 AS VARCHAR) || ']'
+        |   END FROM b)
+        |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
+        |FROM r ORDER BY hash, log_index, param""".stripMargin,
+    // r14 bytes[] decode: elements re-derived from the demoDynArrayReceipts
+    // generation rules — n = event_id % 3 elements, element j carries the
+    // first (event_id + j) % 3 bytes of md5(event_id || '_' || j)
+    "q_abi_dynarray_decode" ->
+      """WITH b AS (
+        | SELECT event_id, user_id,
+        |  '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') AS tok,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS op,
+        |  CAST(event_id % 3 AS INTEGER) AS n,
+        |  substr(md5(CAST(event_id AS VARCHAR) || '_0'), 1,
+        |         CAST((event_id % 3) * 2 AS INTEGER)) AS h0,
+        |  substr(md5(CAST(event_id AS VARCHAR) || '_1'), 1,
+        |         CAST(((event_id + 1) % 3) * 2 AS INTEGER)) AS h1
+        | FROM events WHERE event_type = 'signup'),
+        |r AS (
+        | SELECT hash, 0 AS log_index, tok AS emitter, 'Multicall' AS event,
+        |        'operator' AS param, op AS value FROM b
+        | UNION ALL SELECT hash, 0, tok, 'Multicall', 'n_calls', CAST(n AS VARCHAR) FROM b
+        | UNION ALL SELECT hash, 0, tok, 'Multicall', 'calls',
+        |   CASE n WHEN 0 THEN '[]'
+        |     WHEN 1 THEN '[0x' || h0 || ']'
+        |     ELSE '[0x' || h0 || ',0x' || h1 || ']'
         |   END FROM b)
         |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
         |FROM r ORDER BY hash, log_index, param""".stripMargin,

@@ -116,6 +116,11 @@ object AbiWordArrayImpl {
   final val KindUintSmall = 2
   final val KindBool = 3
   final val KindBytes32 = 4
+  /** r14: dynamic-ELEMENT arrays (`bytes[]`/`string[]`) — the tail is a
+    * length word + per-element offset table + per-element bytes tails;
+    * decodes to 0x-hex strings, whole-array null on any structural
+    * violation (parity reference: `AbiDecode.dynBytesArrayRef`). */
+  final val KindDynBytes = 5
 
   private def lowerHexWord(bytes: Array[Byte], from: Int, len: Int,
                            withPrefix: Boolean): UTF8String = {
@@ -139,8 +144,14 @@ object AbiWordArrayImpl {
     if (data.numChars() != data.numBytes()) return null
     val bytes = data.getBytes
     val n = bytes.length
-    val prefix = (if (n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte) 2 else 0) +
-      extraPrefixChars
+    val has0x = n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte
+    // call payloads (extraPrefixChars > 0) address their words at FIXED
+    // char positions after "0x" + selector in the Column parity reference;
+    // a non-0x call payload would make kernel and reference disagree, so
+    // quarantine it (r13 ADVICE — previously only the selector gate hid
+    // the divergence)
+    if (extraPrefixChars > 0 && !has0x) return null
+    val prefix = (if (has0x) 2 else 0) + extraPrefixChars
     val headStart = prefix + headIdx * 64
     if (n < headStart + 64) return null
     val off = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, headStart, 64))
@@ -155,6 +166,32 @@ object AbiWordArrayImpl {
     val len = lenWord.longValue()
     if (len < 0L || len > maxLen) return null
     if (n.toLong < start.toLong + 64L + len * 64L) return null
+    if (kind == KindDynBytes) {
+      // dynamic elements: the len words after the length word are an
+      // OFFSET TABLE (byte offsets relative to the area after the length
+      // word); each element is a bytes tail (length word + padded data).
+      // Whole-array null on any structural violation — never a wrong
+      // partial array.
+      val out = new Array[Any](len.toInt)
+      var i = 0
+      while (i < len) {
+        val eoffWord = HexWordImpl.hexLong(
+          UTF8String.fromBytes(bytes, start + 64 + i * 64, 64))
+        if (eoffWord == null) return null
+        val eoff = eoffWord.longValue()
+        if (eoff >= 1000000000L || eoff % 32L != 0L || eoff < 32L * len) return null
+        val estart = start + 64 + eoff.toInt * 2
+        if (n < estart + 64) return null
+        val elenWord = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, estart, 64))
+        if (elenWord == null) return null
+        val elen = elenWord.longValue()
+        if (elen < 0L || elen >= 500000000L) return null
+        if (n.toLong < estart.toLong + 64L + elen * 2L) return null
+        out(i) = lowerHexWord(bytes, estart + 64, (elen * 2L).toInt, withPrefix = true)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
     val out = new Array[Any](len.toInt)
     var i = 0
     while (i < len) {

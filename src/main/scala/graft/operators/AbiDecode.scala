@@ -60,18 +60,28 @@ object AbiDecode {
     case _ => false
   }
 
-  /** Dynamic array `T[]` of a single-word STATIC element type (r13 —
-    * `address[]`, `uint256[]`, `bool[]`, `bytes32[]`): the head word is a
-    * byte offset to the tail, the tail is a length word + one word per
-    * element. Decodes to `array<elem>` (wide) / `[v1,v2]` string (long
-    * format). Event DATA and call params only — an INDEXED dynamic param
-    * is keccak-hashed into its topic, undecodable by construction.
-    * Guarded like [[DynBytesT]]'s tail: junk/unaligned/head-overlapping
-    * offsets, junk or > [[MaxArrayLen]] lengths, and tails past the end
-    * all decode to null (bounded allocation, never a wrong partial
-    * array). */
+  /** Dynamic array `T[]` (r13 — `address[]`, `uint256[]`, `bool[]`,
+    * `bytes32[]`; r14 — `bytes[]`/`string[]` via `ArrayT(DynBytesT)`):
+    * the head word is a byte offset to the tail; the tail is a length
+    * word + one word per element for STATIC elements, or a length word +
+    * an offset TABLE (one word per element, each a byte offset relative
+    * to the area after the length word) + per-element `bytes` tails
+    * (length word + padded data) for DYNAMIC elements — the §"use of
+    * dynamic types" layout of the public ABI spec. Static elements
+    * decode to `array<elem>`; dynamic elements to `array<string>` of
+    * 0x-hex ("0x" for an empty element — the [[DynBytesT]] convention,
+    * so `string[]` decodes identically). Long format renders `[v1,v2]`.
+    * Event DATA and call params only — an INDEXED dynamic param is
+    * keccak-hashed into its topic, undecodable by construction.
+    * Guarded like [[DynBytesT]]'s tail at EVERY level: junk/unaligned/
+    * head-overlapping offsets (incl. per-element offsets back into the
+    * offset table), junk or > [[MaxArrayLen]] lengths, and tails past
+    * the end all decode to null (bounded allocation, never a wrong
+    * partial array). Nested arrays (`uint256[][]`) and `tuple[]` stay
+    * out of envelope, quarantined at the registry. */
   case class ArrayT(elem: AbiType) extends AbiType {
-    require(isWordStatic(elem), "array elements must be single-word static types")
+    require(isWordStatic(elem) || elem == DynBytesT,
+      "array elements must be single-word static types or bytes/string")
   }
 
   /** STATIC tuple — all members single-word static types (r13). Solidity
@@ -204,6 +214,64 @@ object AbiDecode {
       .localCheckpoint(true)
   }
 
+  /** Synthetic topic0 for the `bytes[]` demo event (r14 — the multicall
+    * shape mainstream contracts carry that r13's static-word arrays could
+    * not express). */
+  val MulticallTopic: String = "0x" + "cd" * 32
+
+  /** Demo event exercising the r14 dynamic-element arm end-to-end: one
+    * indexed address, one small uint, one `bytes[]` tail. */
+  val DemoMulticall: AbiEvent = AbiEvent("Multicall", MulticallTopic, Seq(
+    AbiParam("operator", AddressT, indexed = true),
+    AbiParam("n_calls", UintSmallT, indexed = false),
+    AbiParam("calls", ArrayT(DynBytesT), indexed = false)))
+
+  /** Deterministic receipts carrying [[DemoMulticall]] logs over the
+    * events table's signup family — the REAL hex path for `bytes[]`
+    * (offset table + per-element bytes tails), oracle-re-derivable from
+    * first principles. Array length cycles event_id % 3 (0..2 — EMPTY
+    * arrays first-class); element j's byte length cycles
+    * (event_id + j) % 3 (0..2 — EMPTY elements first-class, exercising
+    * the zero-data-word tail); element bytes are the first bytes of
+    * md5(event_id + "_" + j), reproducible in any SQL engine.
+    */
+  def demoDynArrayReceipts(events: DataFrame): DataFrame = {
+    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    val nElems = col("event_id") % 3 // 0..2 elements
+    def elemLen(j: Int): Column = (col("event_id") + j) % 3 // 0..2 BYTES
+    def elemHex(j: Int): Column = // 2·len hex chars of the element bytes
+      md5(concat(col("event_id").cast("string"), lit(s"_$j")))
+        .substr(lit(1), (elemLen(j) * 2).cast("int"))
+    // element tail: length word + data padded to a 32-byte word (absent
+    // entirely for the empty element — zero data words)
+    def elemBlob(j: Int): Column = concat(word(elemLen(j)),
+      when(elemLen(j) > 0, rpad(elemHex(j), 64, "0")).otherwise(lit("")))
+    // offset table entries, relative to the area after the length word:
+    // table first (32·n bytes), then element 0, then element 1 (each 32
+    // bytes of length word + 32 when non-empty)
+    val e0 = nElems * 32
+    val e1 = nElems * 32 + 32 + when(elemLen(0) > 0, 32L).otherwise(0L)
+    val data = concat(
+      lit("0x"),
+      word(nElems),        // n_calls (head word 0)
+      lit(f"${64L}%064x"), // calls offset: past the 2 head words
+      word(nElems),        // array length
+      when(nElems >= 1, word(e0)).otherwise(lit("")),
+      when(nElems >= 2, word(e1)).otherwise(lit("")),
+      when(nElems >= 1, elemBlob(0)).otherwise(lit("")),
+      when(nElems >= 2, elemBlob(1)).otherwise(lit("")))
+    events.where(col("event_type") === "signup").select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      array(struct(token.as("address"),
+        array(lit(MulticallTopic),
+          concat(lit("0x"), word(col("user_id")))).as("topics"),
+        data.as("data"))).as("logs"))
+      // same barrier as demoArrayReceipts: price the DECODER, not a
+      // re-inlined generator tree
+      .localCheckpoint(true)
+  }
+
   /** GnosisSafe execTransaction(address,uint256,bytes,uint8,uint256,uint256,
     * uint256,address,address,bytes) — the call the reference head-decodes for
     * SafeEthTransfer details (TransactionClassifier.cs:277). */
@@ -292,7 +360,8 @@ object AbiDecode {
     case UintSmallT => graft.functions.AbiWordArrayImpl.KindUintSmall
     case BoolT => graft.functions.AbiWordArrayImpl.KindBool
     case Bytes32T => graft.functions.AbiWordArrayImpl.KindBytes32
-    case other => throw new IllegalArgumentException(s"$other is not word-static")
+    case DynBytesT => graft.functions.AbiWordArrayImpl.KindDynBytes
+    case other => throw new IllegalArgumentException(s"$other is not an array element type")
   }
 
   /** Dynamic static-word array whose OFFSET lives at head word `i` of the
@@ -336,6 +405,48 @@ object AbiDecode {
     when(fits,
       when(len === 0L, array().cast(s"array<${sparkTypeOf(elem)}>"))
         .otherwise(transform(positions, p => decodeWord(wordAt(p), elem))))
+  }
+
+  /** `bytes[]`/`string[]` PARITY REFERENCE (r14): the Column spelling of
+    * the dynamic-element array decode — offset word at head `i`, length
+    * word, per-element offset TABLE (each offset relative to the area
+    * after the length word), per-element `bytes` tails, every level
+    * guarded by the [[callTail]] totality rules. The hot path runs the
+    * one-pass kernel ([[graft.functions.AbiWordArrayImpl.KindDynBytes]]);
+    * AbiDecodeSpec pins the two bit-equal across the hostile envelope.
+    * Whole-array null on ANY structural violation (a half-decoded array
+    * of calldata is worse than none — the staticTuple doctrine at array
+    * grain). */
+  private[graft] def dynBytesArrayRef(blob: Column, prefix: Column, i: Int,
+                                      nHeadWords: Int): Column = {
+    def wordAt(pos: Column): Column = {
+      val w = blob.substr(pos, lit(64))
+      when(length(w) === 64, w)
+    }
+    val off = ReceiptClassifier.hexLong(wordAt(prefix + lit(i * 64 + 1)))
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nHeadWords,
+      prefix + (off.cast("int") * 2 + 1))
+    val len = ReceiptClassifier.hexLong(blob.substr(start, lit(64)))
+    // the offset table itself must fit before any element is chased
+    val tableOk = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
+      length(blob).cast("long") >= start.cast("long") + 63L + len * 64L
+    val idxs = sequence(lit(0L), len - 1L, lit(1L))
+    val elems = transform(idxs, j => {
+      val eoff = ReceiptClassifier.hexLong(
+        wordAt(start + lit(64) + (j * 64L).cast("int")))
+      val estart = when(eoff.isNotNull && eoff < 1000000000L &&
+        eoff % 32L === 0L && eoff >= lit(32L) * len,
+        start + lit(64) + (eoff * 2L).cast("int"))
+      val elen = ReceiptClassifier.hexLong(blob.substr(estart, lit(64)))
+      val efits = elen.isNotNull && elen >= 0L && elen < 500000000L &&
+        length(blob).cast("long") >= estart.cast("long") + 63L + elen * 2L
+      when(efits,
+        concat(lit("0x"), lower(blob.substr(estart + lit(64), (elen * 2L).cast("int")))))
+    })
+    when(tableOk,
+      when(len === 0L, array().cast("array<string>"))
+        .otherwise(when(!exists(elems, e => e.isNull), elems)))
   }
 
   /** Static tuple at head word `base` of the words section starting

@@ -822,11 +822,32 @@ object TextMetrics {
     * RETAINS HashPartitioning(g), so the df-count `groupBy("g")` and the
     * inverted-gram joins downstream reuse it instead of re-exchanging.
     */
+  /** The kernel's per-row dedup equals a global distinct ONLY under the
+    * one-row-per-doc contract (r13 ADVICE): duplicated doc rows would
+    * inflate every downstream intersection count SILENTLY. The guard
+    * makes a contract violation loud instead — off by default (it costs
+    * one aggregation over the corpus), switched on by
+    * `spark.graft.gramKeys.checkUnique=true` in debug/CI runs.
+    */
+  private def assertOneRowPerDoc(documents: DataFrame, carry: Seq[String]): Unit = {
+    val keyCols = if (carry.contains("doc_id")) Seq("doc_id") else carry
+    val dup = documents.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"gramKeys: input violates the one-row-per-doc contract (duplicate " +
+        s"${keyCols.mkString(",")} = ${dup.head.toSeq.dropRight(1).mkString(",")}); " +
+        "per-row gram dedup would inflate similarity counts downstream")
+  }
+
   private[operators] def gramKeys(documents: DataFrame, n: Int,
-                                  carry: Seq[String]): DataFrame =
+                                  carry: Seq[String]): DataFrame = {
+    if (documents.sparkSession.conf
+        .getOption("spark.graft.gramKeys.checkUnique").exists(_.toBoolean))
+      assertOneRowPerDoc(documents, carry)
     documents.select(carry.map(col) :+
       explode(graft.functions.Md5Text.gramKeys56(col("text"), n)).as("g"): _*)
       .repartition(col("g"))
+  }
 
   private def docGramKeys(documents: DataFrame, n: Int): DataFrame =
     gramKeys(documents, n, Seq("doc_id", "source"))

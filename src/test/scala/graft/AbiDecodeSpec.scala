@@ -413,6 +413,91 @@ class AbiDecodeSpec extends SparkSpec {
       val diff = both.where(!(col("ker") <=> col("ref"))).collect()
       assert(diff.isEmpty, s"$elem kernel/reference divergence: ${diff.mkString("; ")}")
     }
+
+    // call-shaped addressing (extraPrefixChars=8): a payload WITHOUT the
+    // 0x prefix is quarantined outright — the Column reference addresses
+    // call words at fixed positions after "0x"+selector, and silently
+    // shifting the kernel's addressing would diverge from it (r13 ADVICE;
+    // previously only the selector gate hid this envelope arm)
+    val callGood = "0x11223344" + f"${32L}%064x" + goodTail2
+    val calls = Seq(callGood, callGood.stripPrefix("0x")).toDF("data")
+    val decoded = calls.select(graft.functions.HexUtils.abiWordArray(
+      col("data"), 8, 0, 1, 2, AbiDecode.MaxArrayLen).as("a")).collect()
+    assert(decoded(0).getSeq[Long](0) === Seq(10L, 11L))
+    assert(decoded(1).isNullAt(0), "non-0x call payload must quarantine")
+  }
+
+  test("bytes[] kernel is bit-equal to the Column parity reference across the hostile envelope") {
+    import org.apache.spark.sql.functions.{col, lit, when => cwhen}
+    def w(v: Long) = f"$v%064x"
+    // element tail: length word + data padded to whole words
+    def el(hexBytes: String): String = {
+      val padded = if (hexBytes.isEmpty) ""
+        else hexBytes.padTo(((hexBytes.length + 63) / 64) * 64, '0')
+      w(hexBytes.length / 2L) + padded
+    }
+    val twoElems = w(2) + w(64) + w(128) + el("aabbcc") + el("")
+    val longElem = w(1) + w(32) + el("ab" * 40) // 40-byte element, 2 data words
+    val payloads = Seq(
+      "0x" + w(32) + twoElems,                          // happy: ["0xaabbcc","0x"]
+      "0x" + w(32) + longElem,                          // multi-word element
+      "0x" + w(32) + w(0),                              // empty array
+      "0x" + "zz" * 32 + twoElems,                      // junk table offset
+      "0x" + w(33) + twoElems,                          // unaligned offset
+      "0x" + w(32) + w(9999) + w(64),                   // len > MaxArrayLen
+      "0x" + w(32) + w(2) + w(0) + w(64) + el("aabbcc") + el(""), // elem offset into table
+      "0x" + w(32) + w(1) + w(33) + el("aa"),           // unaligned elem offset
+      "0x" + w(32) + w(1) + w(32) + "zz" * 32,          // junk elem length word
+      "0x" + w(32) + w(1) + w(32) + w(3) + "aabb",      // elem tail truncated
+      "0x" + w(32) + w(2) + w(64),                      // offset table truncated
+      ("0x" + w(32) + twoElems).stripPrefix("0x"),      // no 0x prefix (event side)
+      "0x")                                             // empty payload
+    val df = payloads.toDF("data")
+    val both = df.select(
+      graft.functions.HexUtils.abiWordArray(col("data"), 0, 0, 1,
+        graft.functions.AbiWordArrayImpl.KindDynBytes, AbiDecode.MaxArrayLen).as("ker"),
+      AbiDecode.dynBytesArrayRef(col("data"),
+        cwhen(col("data").startsWith("0x"), lit(2)).otherwise(lit(0)), 0, 1).as("ref"))
+    val rows = both.collect()
+    val diff = both.where(!(col("ker") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"bytes[] kernel/reference divergence: ${diff.mkString("; ")}")
+    // pin the happy-path VALUES, not just parity
+    assert(rows(0).getSeq[String](0) === Seq("0xaabbcc", "0x"))
+    assert(rows(1).getSeq[String](0) === Seq("0x" + "ab" * 40))
+    assert(rows(2).getSeq[String](0) === Seq.empty)
+    // index 11 is the NO-0x spelling — legal on the event side (prefix 0),
+    // decodes like the happy payload; everything else hostile → null
+    assert(rows(11).getSeq[String](0) === Seq("0xaabbcc", "0x"))
+    ((3 until 11) :+ 12).foreach(i =>
+      assert(rows(i).isNullAt(0), s"hostile payload $i must decode to null"))
+  }
+
+  test("bytes[] end-to-end: Multicall demo decodes wide and long, empty arrays/elements first-class") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (100L, 7L, "signup", ts0),  // n = 100%3 = 1, elem0 len = (100+0)%3 = 1 byte
+      (101L, 8L, "signup", ts0),  // n = 2, lens (101%3)=2, (102%3)=0 → ["0x…",“0x”]
+      (102L, 9L, "signup", ts0),  // n = 0 → []
+      (103L, 9L, "purchase", ts0) // other family: no Multicall log
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val receipts = AbiDecode.demoDynArrayReceipts(events)
+    val wide = AbiDecode.decodeEvent(receipts, DemoMulticall)
+      .collect().map(r => r.getAs[String]("hash") ->
+        (r.getAs[Long]("n_calls"), r.getAs[Seq[String]]("calls"))).toMap
+    def h(id: Long) = "0x" + java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(wide.size === 3)
+    assert(wide(h(100L)) === ((1L, Seq("0x" + md5hex("100_0").take(2)))))
+    assert(wide(h(101L)) === ((2L, Seq("0x" + md5hex("101_0").take(4), "0x"))))
+    assert(wide(h(102L)) === ((0L, Seq.empty)))
+    // long format renders the explicit [a,b] spelling the oracle re-derives
+    val long = AbiDecode.decodeEvents(receipts, Seq(DemoMulticall))
+      .where(col("param") === "calls")
+      .collect().map(r => r.getAs[String]("hash") -> r.getAs[String]("value")).toMap
+    assert(long(h(102L)) === "[]")
+    assert(long(h(101L)) === s"[0x${md5hex("101_0").take(4)},0x]")
   }
 
   test("registry validation: indexed dynamic/tuple params reject (keccak-hashed topics)") {
@@ -425,8 +510,18 @@ class AbiDecodeSpec extends SparkSpec {
         Seq(AbiParam("t", TupleT(Seq(AddressT)), indexed = true)))
     }
     intercept[IllegalArgumentException] { ArrayT(ArrayT(Uint256T)) } // no nesting
+    intercept[IllegalArgumentException] { ArrayT(ArrayT(DynBytesT)) } // no bytes[][]
     intercept[IllegalArgumentException] { TupleT(Seq(ArrayT(Uint256T))) }
+    intercept[IllegalArgumentException] { TupleT(Seq(DynBytesT)) } // no dynamic tuple members
     intercept[IllegalArgumentException] { TupleT(Seq.empty) }
+    ArrayT(DynBytesT) // r14: bytes[]/string[] IS in envelope
+    // a bare dynamic tail stays call-only on events; bytes[] is event-legal
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x" + "cd" * 32,
+        Seq(AbiParam("d", DynBytesT, indexed = false)))
+    }
+    AbiEvent("Ok", "0x" + "ce" * 32,
+      Seq(AbiParam("calls", ArrayT(DynBytesT), indexed = false)))
   }
 
   test("wide decodes are streaming-compatible: decodeEvent over a MemoryStream") {

@@ -365,6 +365,28 @@ class TextMetricsSpec extends SparkSpec {
     assert(shuffled == r.map { case (k, v) => (k, v._1, v._2) }.toSet)
   }
 
+  test("gramKeys guard: duplicated doc rows fail loudly under the debug flag") {
+    // r13 ADVICE: the fused kernel dedups grams PER ROW, so a caller
+    // breaking the one-row-per-doc contract would silently inflate every
+    // downstream intersection count. The opt-in guard turns that into a
+    // loud contract failure; off by default it costs nothing.
+    val dup = Seq(
+      (1L, "a b c d", "s1"),
+      (1L, "a b c d", "s1"), // the same doc twice — contract violation
+      (2L, "a b c e", "s2")).toDF("doc_id", "text", "source")
+    spark.conf.set("spark.graft.gramKeys.checkUnique", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.operators.TextMetrics.noveltyScore(dup).collect()
+      }
+      assert(e.getMessage.contains("one-row-per-doc"))
+      assert(e.getMessage.contains("doc_id"))
+    } finally spark.conf.unset("spark.graft.gramKeys.checkUnique")
+    // flag off: the violation rides through silently (3 output rows — the
+    // duplicated doc appears twice), which is exactly why the guard exists
+    assert(graft.operators.TextMetrics.noveltyScore(dup).count() === 3L)
+  }
+
   test("sourceNgramOverlap: distinct shared grams per pair, ordered pairs") {
     val docs = Seq(
       (1L, "a b c d", "s1"),
