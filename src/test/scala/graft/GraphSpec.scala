@@ -995,4 +995,28 @@ class GraphSpec extends SparkSpec {
     assert(Graph.betweenness(edges, spark.range(0).select(col("id").as("node")))
       .collect().isEmpty)
   }
+
+  test("heavy-graph store: q_trust_scc / q_trust_betweenness serve bit-equal to direct compute") {
+    // r13 VERDICT item 5: the two most expensive benched keys now read a
+    // per-sfDir maintained artifact (the hyperBall precedent); this pins
+    // the served rows bit-equal to running the operators directly on the
+    // same trust edges — the store is a cache, never a different answer.
+    import graft.operators.{CirclesViews, ReceiptClassifier}
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val d = "/root/testdata/sf0.001"
+    val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
+      ReceiptClassifier.demoReceipts(graft.Tables.events(spark, d))))
+    val edges = trust.where(col("limit") > 0)
+      .select(col("user").as("src"), col("can_send_to").as("dst"))
+
+    val servedScc = SparkEntry.queries("q_trust_scc")(spark, d).collect().toSeq
+    val directScc = Graph.stronglyConnectedComponents(edges).collect().toSeq
+    assert(servedScc === directScc)
+
+    val servedBtw = SparkEntry.queries("q_trust_betweenness")(spark, d).collect().toSeq
+    val sources = edges.select(col("src").as("node")).distinct()
+      .orderBy(xxhash64(col("node"), lit("btw")), col("node")).limit(12)
+    val directBtw = Graph.betweenness(edges, sources, maxDepth = 6).collect().toSeq
+    assert(servedBtw === directBtw)
+  }
 }
