@@ -342,10 +342,14 @@ private[sources] class LiveBlockMicroBatchStream(
           rawOut.write(graft.streaming.WebSocket.textFrame(
             s"""{"subscribe":$fromBlock}""", Some(mask)))
           rawOut.flush()
-          var msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+          // r14: pong/close answers ride the same client mask — §5.1
+          // requires a client to mask EVERYTHING it sends, replies included
+          def readMsg() = graft.streaming.WebSocket.readTextMessage(
+            rawIn, rawOut, maskReplies = Some(mask))
+          var msg = readMsg()
           while (msg.isDefined && !stopped) {
             handleLine(msg.get)
-            msg = graft.streaming.WebSocket.readTextMessage(rawIn, rawOut)
+            msg = readMsg()
           }
         } else {
           val out = new BufferedWriter(

@@ -175,9 +175,15 @@ object WebSocket {
     * violations (orphan continuation, new data opcode mid-sequence,
     * fragmented control frame) fail loudly. The newline-JSON reader's
     * drop-in replacement for `readLine()`.
+    *
+    * `maskReplies`: §5.1 requires a CLIENT to mask everything it sends —
+    * including the pong/close answers this reader emits. A client-side
+    * caller passes its 4-byte mask; the server side leaves None
+    * (server→client frames must NOT be masked).
     */
   def readTextMessage(in: InputStream, out: OutputStream,
-                      requireMasked: Boolean = false): Option[String] = {
+                      requireMasked: Boolean = false,
+                      maskReplies: Option[Array[Byte]] = None): Option[String] = {
     // non-null while a fragmented text message is being reassembled
     var partial: java.io.ByteArrayOutputStream = null
     while (true) {
@@ -192,11 +198,11 @@ object WebSocket {
             s"fragmented websocket control frame 0x${op.toHexString} (RFC 6455 §5.5 forbids)")
           op match {
             case OpClose =>
-              try { out.write(frame(OpClose, payload, None)); out.flush() }
+              try { out.write(frame(OpClose, payload, maskReplies)); out.flush() }
               catch { case _: java.io.IOException => }
               return None
             case OpPing =>
-              out.write(frame(OpPong, payload, None)); out.flush()
+              out.write(frame(OpPong, payload, maskReplies)); out.flush()
             case OpPong => // unsolicited pong: ignore (§5.5.3)
             case other => throw new java.io.IOException(
               s"unsupported websocket control opcode 0x${other.toHexString}")

@@ -96,8 +96,16 @@ object Metrics {
     sb.toString
   }
 
-  /** Spec hygiene: drop every registered series. */
-  def reset(): Unit = registry.clear()
+  /** Spec hygiene: drop every registered SERIES while keeping the
+    * registrations. Callers across the engine cache their `Metric`
+    * handles in vals (BlockTimer's gauge, the broadcast counters, the
+    * source metrics); dropping the name→Metric mapping would leave those
+    * handles accepting writes into objects `render()` can no longer see
+    * — exactly the cross-suite ghost a parallel test run exposed (a
+    * suite's reset() permanently unrendered BlockTimer's gauge for the
+    * whole process).
+    */
+  def reset(): Unit = registry.values.foreach(_.children.clear())
 }
 
 /** Per-block import-duration tracking — Statistics.cs:20-39

@@ -265,6 +265,67 @@ class WebSocketSpec extends SparkSpec {
     s"""{"block":$block,"event_id":$id,"ts_us":${baseUs + id},""" +
       s""""user_id":1,"event_type":"transfer","value":1.0,"n_in_block":$n}"""
 
+  test("graft-live over ws ingests a FRAGMENTED message with a ping mid-sequence; client replies are masked (§5.1/§5.4 e2e)") {
+    // a compliant peer may fragment any message; the reference's ASP.NET
+    // stack does this transparently. The server here splits one event line
+    // across text(FIN=0) + cont(FIN=1) with a ping INJECTED between the
+    // fragments, then sends a normal single-frame event. The source must
+    // ingest both rows, and its pong answer must be MASKED (a client
+    // masks everything it sends — the reply path used to skip this).
+    val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+    val held = new ConcurrentLinkedQueue[Socket]()
+    @volatile var pongMasked = false
+    @volatile var pongBody = ""
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept(); held.add(sock)
+        val in = sock.getInputStream
+        val out = sock.getOutputStream
+        assert(WebSocket.serverHandshake(in, out), "client must upgrade")
+        WebSocket.readTextMessage(in, out, requireMasked = true) // subscribe
+        val line = ev(1, 11, 1)
+        val (a, b) = line.splitAt(line.length / 2)
+        out.write(WebSocket.frame(WebSocket.OpText, a.getBytes, None, fin = false))
+        out.write(WebSocket.frame(WebSocket.OpPing, "mid".getBytes, None))
+        out.write(WebSocket.frame(WebSocket.OpCont, b.getBytes, None, fin = true))
+        out.write(WebSocket.textFrame(ev(2, 21, 1)))
+        out.flush()
+        // the client's pong must arrive AND pass the §5.1 server gate
+        WebSocket.readFrame(in, requireMasked = true).foreach { case (op, body) =>
+          pongMasked = op == WebSocket.OpPong
+          pongBody = new String(body, StandardCharsets.UTF_8)
+        }
+      } catch { case _: Throwable => }
+    }, "ws-frag-feed")
+    t.setDaemon(true)
+    t.start()
+    val root = java.nio.file.Files.createTempDirectory("wsfrag").toFile.getAbsolutePath
+    try {
+      val events = spark.readStream.format("graft-live")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort)
+        .option("subscribeFrom", 1L).option("idleTimeoutMs", 600000)
+        .option("transport", "websocket")
+        .load()
+      val q = events.writeStream.format("memory").queryName("ws_frag")
+        .option("checkpointLocation", s"$root/ck").start()
+      try {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (spark.table("ws_frag").count() < 2 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(q.exception.isEmpty, s"fragmentation must not fail the stream: ${q.exception}")
+        val rows = spark.table("ws_frag").select("block", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows === Set((1L, 11L), (2L, 21L)),
+          "the reassembled event decodes identically to a single-frame one")
+        assert(pongMasked, "the client's mid-sequence pong must be masked (§5.1)")
+        assert(pongBody === "mid", "pong echoes the ping payload (§5.5.3)")
+      } finally q.stop()
+    } finally {
+      server.close()
+      held.forEach(s => try s.close() catch { case _: java.io.IOException => })
+    }
+  }
+
   test("graft-live over transport=websocket: subscribe frame, event rows, reorg contract") {
     val feed = new WsFeedServer((_, from) => Seq(
       ev(from, from * 10, 2), ev(from, from * 10 + 1, 2),
