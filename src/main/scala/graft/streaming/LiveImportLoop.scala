@@ -116,7 +116,9 @@ object LiveImportLoop {
       maxRounds: Int = 8,
       transport: String = "tcp",
       errorPenaltyBaseMs: Long = 5000,
-      errorPenaltyCapMs: Long = 240000): Result = {
+      errorPenaltyCapMs: Long = 240000,
+      sourceMaxRetries: Int = 3,
+      sourceRetryBaseMs: Long = 1000L): Result = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val feedSub = ImportFeed.subscriber(spark, feedDir)
     val importedThisRound = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -152,6 +154,11 @@ object LiveImportLoop {
         .option("idleTimeoutMs", idleTimeoutMs)
         .option("healthKey", healthKey)
         .option("transport", transport) // "tcp" | "websocket" (RFC 6455)
+        // r14: the source-level transient-retry arm (reconnect with
+        // capped doubling backoff on malformed-frame/IO faults) — the
+        // call-grain twin of this loop's round-grain ErrorRestartPenalty
+        .option("maxRetries", sourceMaxRetries)
+        .option("retryBaseMs", sourceRetryBaseMs)
         .load()
       val q = EventPipeline.startGatedImport(
         classified(events), tableDir, stagingDir,
