@@ -687,6 +687,13 @@ object SparkEntry {
     "q_abi_dynarray_decode" -> ((s, d) =>
       AbiDecode.decodeEvents(AbiDecode.demoDynArrayReceipts(Tables.events(s, d)),
         Seq(AbiDecode.DemoMulticall))),
+    // r14 static-tuple arrays: a user-registered PairBatch(operator
+    // indexed address, (address,uint256)[] pairs) over the view family —
+    // len·2 inline words after the length word, [(a,b),(c,d)] rendering
+    // re-derived by the oracle
+    "q_abi_tuple_array_decode" -> ((s, d) =>
+      AbiDecode.decodeEvents(AbiDecode.demoTupleArrayReceipts(Tables.events(s, d)),
+        Seq(AbiDecode.DemoPairBatch))),
     // generic selector-keyed ABI CALL decode over the demo receipts'
     // tx.input — the execTransaction family's 10 params (2 dynamic tails)
     // head-decoded through the same guarded kernels; the oracle re-derives
@@ -3006,6 +3013,31 @@ object SparkEntry {
         |   CASE n WHEN 0 THEN '[]'
         |     WHEN 1 THEN '[0x' || h0 || ']'
         |     ELSE '[0x' || h0 || ',0x' || h1 || ']'
+        |   END FROM b)
+        |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
+        |FROM r ORDER BY hash, log_index, param""".stripMargin,
+    // r14 static-tuple-array decode: pairs re-derived from the
+    // demoTupleArrayReceipts rules — n = event_id % 3 pairs, pair j =
+    // (addr((user_id*7+j) % 150), event_id*100+j)
+    "q_abi_tuple_array_decode" ->
+      """WITH b AS (
+        | SELECT event_id, user_id,
+        |  '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') AS tok,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS op,
+        |  CAST(event_id % 3 AS INTEGER) AS n,
+        |  '(0x' || lpad(lower(to_hex((user_id * 7) % 150)), 40, '0') || ',' ||
+        |    CAST(event_id * 100 AS VARCHAR) || ')' AS p0,
+        |  '(0x' || lpad(lower(to_hex((user_id * 7 + 1) % 150)), 40, '0') || ',' ||
+        |    CAST(event_id * 100 + 1 AS VARCHAR) || ')' AS p1
+        | FROM events WHERE event_type = 'view'),
+        |r AS (
+        | SELECT hash, 0 AS log_index, tok AS emitter, 'PairBatch' AS event,
+        |        'operator' AS param, op AS value FROM b
+        | UNION ALL SELECT hash, 0, tok, 'PairBatch', 'pairs',
+        |   CASE n WHEN 0 THEN '[]'
+        |     WHEN 1 THEN '[' || p0 || ']'
+        |     ELSE '[' || p0 || ',' || p1 || ']'
         |   END FROM b)
         |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
         |FROM r ORDER BY hash, log_index, param""".stripMargin,

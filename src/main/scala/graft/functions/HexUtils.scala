@@ -195,21 +195,73 @@ object AbiWordArrayImpl {
     val out = new Array[Any](len.toInt)
     var i = 0
     while (i < len) {
-      val ws = start + 64 + i * 64
-      out(i) = kind match {
-        case KindAddress => lowerHexWord(bytes, ws + 24, 40, withPrefix = true)
-        case KindUint256 =>
-          HexWordImpl.hexWordDecimal(UTF8String.fromBytes(bytes, ws, 64))
-        case KindUintSmall =>
-          HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
-        case KindBool =>
-          val v = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
-          if (v == null) null
-          else if (v.longValue() == 0L) java.lang.Boolean.FALSE
-          else if (v.longValue() == 1L) java.lang.Boolean.TRUE
-          else null
-        case _ => lowerHexWord(bytes, ws, 64, withPrefix = true) // bytes32
+      out(i) = decodeKindAt(bytes, start + 64 + i * 64, kind)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One static word at char `ws` decoded per `kind` — shared by the
+    * static-array loop and the tuple-array member loop. */
+  private def decodeKindAt(bytes: Array[Byte], ws: Int, kind: Int): Any = kind match {
+    case KindAddress => lowerHexWord(bytes, ws + 24, 40, withPrefix = true)
+    case KindUint256 =>
+      HexWordImpl.hexWordDecimal(UTF8String.fromBytes(bytes, ws, 64))
+    case KindUintSmall =>
+      HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
+    case KindBool =>
+      val v = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, ws, 64))
+      if (v == null) null
+      else if (v.longValue() == 0L) java.lang.Boolean.FALSE
+      else if (v.longValue() == 1L) java.lang.Boolean.TRUE
+      else null
+    case _ => lowerHexWord(bytes, ws, 64, withPrefix = true) // bytes32
+  }
+
+  /** r14: dynamic array of STATIC TUPLES (`(address,uint256)[]`-style) —
+    * a static tuple of k word-static members is itself a static type of
+    * size k words, so the tail is a length word + len·k INLINE words (no
+    * per-element offsets; the §"formal specification" static-type rule of
+    * the public ABI spec). Same head-offset/length/fit guards as the
+    * static-word arrays with the element width k; junk member words
+    * decode to per-member nulls (the inline-tuple convention), structural
+    * violations null the whole array. Parity reference:
+    * `AbiDecode.dynTupleArrayRef`.
+    */
+  def evalTuple(data: UTF8String, extraPrefixChars: Int, headIdx: Int,
+                nHeadWords: Int, kinds: Array[Int], maxLen: Long): ArrayData = {
+    if (data.numChars() != data.numBytes()) return null
+    val bytes = data.getBytes
+    val n = bytes.length
+    val has0x = n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte
+    if (extraPrefixChars > 0 && !has0x) return null
+    val prefix = (if (has0x) 2 else 0) + extraPrefixChars
+    val headStart = prefix + headIdx * 64
+    if (n < headStart + 64) return null
+    val off = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, headStart, 64))
+    if (off == null) return null
+    val offV = off.longValue()
+    if (offV >= 1000000000L || offV % 32L != 0L || offV < 32L * nHeadWords) return null
+    val start = prefix + offV.toInt * 2
+    if (start >= n) return null
+    val lenWord = HexWordImpl.hexLong(
+      UTF8String.fromBytes(bytes, start, math.min(64, n - start)))
+    if (lenWord == null) return null
+    val len = lenWord.longValue()
+    if (len < 0L || len > maxLen) return null
+    val k = kinds.length
+    if (n.toLong < start.toLong + 64L + len * 64L * k) return null
+    val out = new Array[Any](len.toInt)
+    var i = 0
+    while (i < len) {
+      val base = start + 64 + i * 64 * k
+      val row = new Array[Any](k)
+      var m = 0
+      while (m < k) {
+        row(m) = decodeKindAt(bytes, base + m * 64, kinds(m))
+        m += 1
       }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
       i += 1
     }
     new GenericArrayData(out)
@@ -236,6 +288,35 @@ case class AbiWordArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: I
       ${ev.isNull} = (${ev.value} == null);
     """)
   override protected def withNewChildInternal(newChild: Expression): AbiWordArrayExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd static-TUPLE-array decode: see [[AbiWordArrayImpl.evalTuple]]. */
+case class AbiTupleArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: Int,
+                             nHeadWords: Int, kinds: Seq[Int], maxLen: Long)
+  extends UnaryExpression {
+  private def memberType(kind: Int): DataType = kind match {
+    case AbiWordArrayImpl.KindUintSmall => LongType
+    case AbiWordArrayImpl.KindBool => org.apache.spark.sql.types.BooleanType
+    case _ => StringType
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(kinds.zipWithIndex.map { case (k, i) =>
+      org.apache.spark.sql.types.StructField(s"_$i", memberType(k), nullable = true)
+    }), containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_abi_tuple_array"
+  override protected def nullSafeEval(input: Any): Any =
+    AbiWordArrayImpl.evalTuple(input.asInstanceOf[UTF8String], extraPrefixChars,
+      headIdx, nHeadWords, kinds.toArray, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kindsRef = ctx.addReferenceObj("kinds", kinds.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AbiWordArrayImpl.evalTuple($c, $extraPrefixChars, $headIdx, $nHeadWords, $kindsRef, ${maxLen}L);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AbiTupleArrayExpr =
     copy(child = newChild)
 }
 
@@ -271,6 +352,12 @@ object HexUtils {
                    nHeadWords: Int, kind: Int, maxLen: Long): Column =
     GraftBridge.column(AbiWordArrayExpr(
       GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kind, maxLen))
+
+  /** Native static-tuple-array decode (see [[AbiWordArrayImpl.evalTuple]]). */
+  def abiTupleArray(data: Column, extraPrefixChars: Int, headIdx: Int,
+                    nHeadWords: Int, kinds: Seq[Int], maxLen: Long): Column =
+    GraftBridge.column(AbiTupleArrayExpr(
+      GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kinds, maxLen))
 
   /** 0x-prefixed 64-hex-digit topic → 0x-prefixed 40-hex-digit address
     * (drop the 24 zero hex chars after "0x").

@@ -78,10 +78,15 @@ object AbiDecode {
     * offset table), junk or > [[MaxArrayLen]] lengths, and tails past
     * the end all decode to null (bounded allocation, never a wrong
     * partial array). Nested arrays (`uint256[][]`) and `tuple[]` stay
-    * out of envelope, quarantined at the registry. */
+    * out of envelope, quarantined at the registry. r14 also admits
+    * STATIC-TUPLE elements (`(address,uint256)[]`-style — a static tuple
+    * is itself a static type of k words, so the tail is len·k INLINE
+    * words after the length word, no per-element offsets); tuples with
+    * dynamic members stay rejected. */
   case class ArrayT(elem: AbiType) extends AbiType {
-    require(isWordStatic(elem) || elem == DynBytesT,
-      "array elements must be single-word static types or bytes/string")
+    require(isWordStatic(elem) || elem == DynBytesT ||
+      (elem match { case TupleT(ms) => ms.forall(isWordStatic); case _ => false }),
+      "array elements must be single-word static types, bytes/string, or static tuples")
   }
 
   /** STATIC tuple — all members single-word static types (r13). Solidity
@@ -272,6 +277,42 @@ object AbiDecode {
       .localCheckpoint(true)
   }
 
+  /** Synthetic topic0 for the static-tuple-array demo event (r14). */
+  val PairBatchTopic: String = "0x" + "ef" * 32
+
+  /** Demo event exercising the r14 `(address,uint256)[]` arm end-to-end. */
+  val DemoPairBatch: AbiEvent = AbiEvent("PairBatch", PairBatchTopic, Seq(
+    AbiParam("operator", AddressT, indexed = true),
+    AbiParam("pairs", ArrayT(TupleT(Seq(AddressT, Uint256T))), indexed = false)))
+
+  /** Deterministic receipts carrying [[DemoPairBatch]] logs over the
+    * events table's view family — the REAL hex path for static-tuple
+    * arrays (length word + len·2 inline words), oracle-re-derivable.
+    * Array length cycles event_id % 3 (0..2); pair j =
+    * (addr((user_id·7 + j) % 150), event_id·100 + j).
+    */
+  def demoTupleArrayReceipts(events: DataFrame): DataFrame = {
+    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    val nPairs = col("event_id") % 3
+    def pairBlob(j: Int): Column =
+      concat(word((col("user_id") * 7 + j) % 150), word(col("event_id") * 100 + j))
+    val data = concat(
+      lit("0x"),
+      lit(f"${32L}%064x"), // pairs offset: past the 1 head word
+      word(nPairs),        // array length
+      when(nPairs >= 1, pairBlob(0)).otherwise(lit("")),
+      when(nPairs >= 2, pairBlob(1)).otherwise(lit("")))
+    events.where(col("event_type") === "view").select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      array(struct(token.as("address"),
+        array(lit(PairBatchTopic),
+          concat(lit("0x"), word(col("user_id")))).as("topics"),
+        data.as("data"))).as("logs"))
+      // same barrier as demoArrayReceipts: price the DECODER
+      .localCheckpoint(true)
+  }
+
   /** GnosisSafe execTransaction(address,uint256,bytes,uint8,uint256,uint256,
     * uint256,address,address,bytes) — the call the reference head-decodes for
     * SafeEthTransfer details (TransactionClassifier.cs:277). */
@@ -449,6 +490,42 @@ object AbiDecode {
         .otherwise(when(!exists(elems, e => e.isNull), elems)))
   }
 
+  /** Static-TUPLE-array PARITY REFERENCE (r14): the Column spelling of
+    * `(T1,..,Tk)[]` for word-static members — offset word at head `i`,
+    * length word, then len·k INLINE words (a static tuple is a static
+    * type; no per-element offsets). The hot path runs the one-pass
+    * kernel ([[graft.functions.AbiWordArrayImpl.evalTuple]]);
+    * AbiDecodeSpec pins the two bit-equal across the hostile envelope.
+    */
+  private[graft] def dynTupleArrayRef(blob: Column, prefix: Column, i: Int,
+                                      nHeadWords: Int, elems: Seq[AbiType]): Column = {
+    val k = elems.size
+    def wordAt(pos: Column): Column = {
+      val w = blob.substr(pos, lit(64))
+      when(length(w) === 64, w)
+    }
+    val off = ReceiptClassifier.hexLong(wordAt(prefix + lit(i * 64 + 1)))
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nHeadWords,
+      prefix + (off.cast("int") * 2 + 1))
+    val len = ReceiptClassifier.hexLong(blob.substr(start, lit(64)))
+    val fits = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
+      length(blob).cast("long") >= start.cast("long") + 63L + len * (64L * k)
+    // precomputed element BASE positions (the guard tree runs once per
+    // row — the r13 HOF lesson); each member is one substr off the base
+    val positions = sequence(
+      start + lit(64),
+      start + lit(64) + ((len - 1L) * (64L * k)).cast("int"),
+      lit(64 * k))
+    val structType = elems.zipWithIndex.map { case (e, m) =>
+      s"_$m ${sparkTypeOf(e)}" }.mkString("struct<", ",", ">")
+    when(fits,
+      when(len === 0L, array().cast(s"array<$structType>"))
+        .otherwise(transform(positions, p =>
+          struct(elems.zipWithIndex.map { case (e, m) =>
+            decodeWord(wordAt(p + lit(m * 64)), e).as(s"_$m") }: _*))))
+  }
+
   /** Static tuple at head word `base` of the words section starting
     * `prefix` chars into `blob`: members inline in consecutive words.
     * Null when the payload is too short for the LAST member (a truncated
@@ -477,6 +554,9 @@ object AbiDecode {
   /** One event param → its TYPED column (arrays → array<elem>, tuples →
     * struct, words → scalar), total under every hostile payload. */
   private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
+    case ArrayT(TupleT(elems)) =>
+      graft.functions.HexUtils.abiTupleArray(log.getField("data"), 0,
+        dataHeadIndex(ev, p), dataHeadWords(ev), elems.map(kindOf), MaxArrayLen)
     case ArrayT(elem) =>
       graft.functions.HexUtils.abiWordArray(log.getField("data"), 0,
         dataHeadIndex(ev, p), dataHeadWords(ev), kindOf(elem), MaxArrayLen)
@@ -490,6 +570,17 @@ object AbiDecode {
     * (`[a,b]` / `(a,b)`, nulls as "null") rather than Spark's cast, so the
     * DuckDB oracle re-derives the identical strings. */
   private def renderValue(c: Column, tpe: AbiType): Column = tpe match {
+    case ArrayT(TupleT(elems)) =>
+      // [(a,b),(c,d)] — the tuple rendering at array grain (a null member
+      // renders "null"; a null element collapses to "null" via the join's
+      // null replacement; whole-array null propagates like ArrayT)
+      concat(lit("["),
+        array_join(transform(c, e =>
+          concat(lit("("),
+            array_join(array(elems.indices.map(k =>
+              e.getField(s"_$k").cast("string")): _*), ",", "null"),
+            lit(")"))), ",", "null"),
+        lit("]"))
     case ArrayT(_) =>
       // no isNotNull guard: it would DUPLICATE the whole decode subtree
       // (no CSE through the HOF); null propagates through transform →
@@ -625,6 +716,9 @@ object AbiDecode {
   private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
     fn.params(i).tpe match {
       case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
+      case ArrayT(TupleT(elems)) =>
+        graft.functions.HexUtils.abiTupleArray(input, 8,
+          fn.headIndex(i), fn.nHeadWords, elems.map(kindOf), MaxArrayLen)
       case ArrayT(elem) =>
         // 8 selector chars between the 0x and the head words
         graft.functions.HexUtils.abiWordArray(input, 8,

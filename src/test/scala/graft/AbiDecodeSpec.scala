@@ -472,6 +472,85 @@ class AbiDecodeSpec extends SparkSpec {
       assert(rows(i).isNullAt(0), s"hostile payload $i must decode to null"))
   }
 
+  test("static-tuple-array kernel is bit-equal to the Column parity reference across the hostile envelope") {
+    import org.apache.spark.sql.functions.{col, lit, when => cwhen}
+    def w(v: Long) = f"$v%064x"
+    def aw(a: Long) = "0" * 24 + f"$a%040x" // address word
+    val elems = Seq(AddressT, UintSmallT)
+    val kinds = elems.map { case AddressT => 0; case _ => 2 }
+    val twoPairs = w(2) + aw(0x11L) + w(7) + aw(0x22L) + w(9)
+    val payloads = Seq(
+      "0x" + w(32) + twoPairs,                       // happy: 2 pairs
+      "0x" + w(32) + w(0),                           // empty array
+      "0x" + w(32) + w(1) + aw(0x33L) + "zz" * 32,   // junk MEMBER word → per-member null
+      "0x" + "zz" * 32 + twoPairs,                   // junk offset
+      "0x" + w(33) + twoPairs,                       // unaligned offset
+      "0x" + w(32) + w(9999) + aw(1) + w(1),         // len > MaxArrayLen
+      "0x" + w(32) + w(2) + aw(0x11L) + w(7) + aw(0x22L), // truncated: 3 of 4 inline words
+      ("0x" + w(32) + twoPairs).stripPrefix("0x"),   // no 0x (event-legal)
+      "0x")                                          // empty payload
+    val df = payloads.toDF("data")
+    val both = df.select(
+      graft.functions.HexUtils.abiTupleArray(col("data"), 0, 0, 1, kinds,
+        AbiDecode.MaxArrayLen).as("ker"),
+      AbiDecode.dynTupleArrayRef(col("data"),
+        cwhen(col("data").startsWith("0x"), lit(2)).otherwise(lit(0)),
+        0, 1, elems).as("ref"))
+    val diff = both.where(!(col("ker") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"tuple-array kernel/reference divergence: ${diff.mkString("; ")}")
+    val rows = both.collect()
+    def pair(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](0).map(pair) ===
+      Seq(("0x" + "0" * 38 + "11", 7L), ("0x" + "0" * 38 + "22", 9L)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](0) === Seq.empty)
+    // junk member: element survives with a per-member null (inline-tuple
+    // convention), the array itself is NOT nulled
+    val junkElem = rows(2).getSeq[org.apache.spark.sql.Row](0)
+    assert(junkElem.size === 1 && junkElem.head.getString(0) === "0x" + "0" * 38 + "33"
+      && junkElem.head.isNullAt(1))
+    (3 to 6).foreach(i => assert(rows(i).isNullAt(0), s"hostile payload $i must null"))
+    assert(rows(7).getSeq[org.apache.spark.sql.Row](0).map(pair) ===
+      Seq(("0x" + "0" * 38 + "11", 7L), ("0x" + "0" * 38 + "22", 9L)))
+    assert(rows(8).isNullAt(0))
+
+    // call-side addressing quarantines non-0x payloads like the word kernel
+    val callGood = "0x11223344" + w(32) + twoPairs
+    val calls = Seq(callGood, callGood.stripPrefix("0x")).toDF("data")
+    val decoded = calls.select(graft.functions.HexUtils.abiTupleArray(
+      col("data"), 8, 0, 1, kinds, AbiDecode.MaxArrayLen).as("a")).collect()
+    assert(decoded(0).getSeq[org.apache.spark.sql.Row](0).size === 2)
+    assert(decoded(1).isNullAt(0))
+  }
+
+  test("tuple-array end-to-end: PairBatch demo decodes wide and long") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (200L, 3L, "view", ts0),   // n = 2 pairs
+      (201L, 4L, "view", ts0),   // n = 0 → []
+      (202L, 5L, "view", ts0),   // n = 1
+      (203L, 5L, "click", ts0)   // other family: no PairBatch log
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val receipts = AbiDecode.demoTupleArrayReceipts(events)
+    def addr(v: Long) = "0x" + f"$v%040x"
+    val wide = AbiDecode.decodeEvent(receipts, DemoPairBatch)
+      .collect().map { r =>
+        r.getAs[String]("hash") -> r.getAs[Seq[org.apache.spark.sql.Row]]("pairs")
+          .map(p => (p.getString(0), p.getString(1)))
+      }.toMap
+    def h(id: Long) = "0x" + java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(wide.size === 3)
+    assert(wide(h(200L)) === Seq((addr(21L), "20000"), (addr(22L), "20001")))
+    assert(wide(h(201L)) === Seq.empty)
+    assert(wide(h(202L)) === Seq((addr(35L), "20200")))
+    val long = AbiDecode.decodeEvents(receipts, Seq(DemoPairBatch))
+      .where(col("param") === "pairs")
+      .collect().map(r => r.getAs[String]("hash") -> r.getAs[String]("value")).toMap
+    assert(long(h(201L)) === "[]")
+    assert(long(h(202L)) === s"[(${addr(35L)},20200)]")
+    assert(long(h(200L)) === s"[(${addr(21L)},20000),(${addr(22L)},20001)]")
+  }
+
   test("bytes[] end-to-end: Multicall demo decodes wide and long, empty arrays/elements first-class") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
@@ -515,6 +594,7 @@ class AbiDecodeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TupleT(Seq(DynBytesT)) } // no dynamic tuple members
     intercept[IllegalArgumentException] { TupleT(Seq.empty) }
     ArrayT(DynBytesT) // r14: bytes[]/string[] IS in envelope
+    ArrayT(TupleT(Seq(AddressT, Uint256T))) // r14: static-tuple arrays too
     // a bare dynamic tail stays call-only on events; bytes[] is event-legal
     intercept[IllegalArgumentException] {
       AbiEvent("Bad", "0x" + "cd" * 32,
