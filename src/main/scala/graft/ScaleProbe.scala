@@ -1132,6 +1132,21 @@ object ScaleProbe {
       // the shape a downstream view consumes directly
       time("abi_decode/wide-transfer-10x")(
         AbiDecode.decodeEvent(bigRx, AbiDecode.Erc20Transfer).count())
+      // r13/r14 array-family kernels at 10x: static-word arrays
+      // (AbiWordArrayExpr), bytes[] offset-table tails (KindDynBytes),
+      // static-tuple inline arrays (evalTuple) — each one codegen'd pass
+      time("abi_decode/word-array-10x")(
+        AbiDecode.decodeEvents(AbiDecode.demoArrayReceipts(bigEvents),
+          Seq(AbiDecode.DemoBatchTransfer)).count())
+      time("abi_decode/bytes-array-10x")(
+        AbiDecode.decodeEvents(AbiDecode.demoDynArrayReceipts(bigEvents),
+          Seq(AbiDecode.DemoMulticall)).count())
+      time("abi_decode/tuple-array-10x")(
+        AbiDecode.decodeEvents(AbiDecode.demoTupleArrayReceipts(bigEvents),
+          Seq(AbiDecode.DemoPairBatch)).count())
+      time("abi_decode/multicall-10x")(
+        AbiDecode.decodeCalls(AbiDecode.demoAggregate3Receipts(bigEvents),
+          Seq(AbiDecode.Aggregate3)).count())
     }
     // the exact cross-engine minhash/simhash editions vs the xxhash64
     // natives at 10x — the measured price of md5-per-gram oracle keys

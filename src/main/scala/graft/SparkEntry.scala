@@ -694,6 +694,13 @@ object SparkEntry {
     "q_abi_tuple_array_decode" -> ((s, d) =>
       AbiDecode.decodeEvents(AbiDecode.demoTupleArrayReceipts(Tables.events(s, d)),
         Seq(AbiDecode.DemoPairBatch))),
+    // r14 Multicall3: aggregate3((address,bool,bytes)[]) over the click
+    // family — the mainstream dynamic-member-tuple-array CALL shape
+    // (element offset table + per-element tuple heads + calldata tails);
+    // the oracle re-derives every (addr,bool,0xhex) rendering
+    "q_abi_multicall_decode" -> ((s, d) =>
+      AbiDecode.decodeCalls(AbiDecode.demoAggregate3Receipts(Tables.events(s, d)),
+        Seq(AbiDecode.Aggregate3))),
     // generic selector-keyed ABI CALL decode over the demo receipts'
     // tx.input — the execTransaction family's 10 params (2 dynamic tails)
     // head-decoded through the same guarded kernels; the oracle re-derives
@@ -3041,6 +3048,30 @@ object SparkEntry {
         |   END FROM b)
         |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
         |FROM r ORDER BY hash, log_index, param""".stripMargin,
+    // r14 Multicall3 decode: calls re-derived from the
+    // demoAggregate3Receipts rules — n = event_id % 3 calls, call j =
+    // (addr((user_id*11+j)%150), (event_id+j)%2 as bool, first
+    // (event_id+j)%3 bytes of md5(event_id || '_c' || j))
+    "q_abi_multicall_decode" ->
+      """WITH b AS (
+        | SELECT event_id, user_id,
+        |  '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS caller,
+        |  '0x' || lpad(lower(to_hex(user_id + 3000000)), 40, '0') AS callee,
+        |  CAST(event_id % 3 AS INTEGER) AS n,
+        |  '(0x' || lpad(lower(to_hex((user_id * 11) % 150)), 40, '0') || ',' ||
+        |    (CASE WHEN event_id % 2 = 1 THEN 'true' ELSE 'false' END) || ',0x' ||
+        |    substr(md5(CAST(event_id AS VARCHAR) || '_c0'), 1,
+        |           CAST((event_id % 3) * 2 AS INTEGER)) || ')' AS c0,
+        |  '(0x' || lpad(lower(to_hex((user_id * 11 + 1) % 150)), 40, '0') || ',' ||
+        |    (CASE WHEN (event_id + 1) % 2 = 1 THEN 'true' ELSE 'false' END) || ',0x' ||
+        |    substr(md5(CAST(event_id AS VARCHAR) || '_c1'), 1,
+        |           CAST(((event_id + 1) % 3) * 2 AS INTEGER)) || ')' AS c1
+        | FROM events WHERE event_type = 'click')
+        |SELECT hash, caller, callee, 'aggregate3' AS fn, 'calls' AS param,
+        |  CASE n WHEN 0 THEN '[]' WHEN 1 THEN '[' || c0 || ']'
+        |    ELSE '[' || c0 || ',' || c1 || ']' END AS value
+        |FROM b ORDER BY hash, param""".stripMargin,
     // execTransaction calldata decode: the demo's safe inputs carry
     // to=(user_id*13+29)%150, value=event_id, empty data/signatures tails,
     // operation 0, zero gas params, zero-address gas_token/refund_receiver

@@ -218,6 +218,94 @@ object AbiWordArrayImpl {
     case _ => lowerHexWord(bytes, ws, 64, withPrefix = true) // bytes32
   }
 
+  /** r14: dynamic array of DYNAMIC-member tuples — the Multicall3
+    * `aggregate3((address,bool,bytes)[])` shape. A tuple carrying a
+    * dynamic member is itself dynamic, so the array tail is a length
+    * word + a per-element OFFSET TABLE (like `bytes[]`), and each
+    * element is a tuple whose head holds static members inline and one
+    * offset word per dynamic member (relative to the ELEMENT start),
+    * each pointing at a `bytes` tail (length word + padded data).
+    * Totality split: table/element-offset structure violations null the
+    * WHOLE array (never a wrong partial array); a junk static member
+    * word or a structurally-bad member tail nulls that MEMBER only (the
+    * [[decodeKindAt]] / DynBytesT param conventions at member grain).
+    * Parity reference: `AbiDecode.dynDynTupleArrayRef`.
+    */
+  def evalDynTuple(data: UTF8String, extraPrefixChars: Int, headIdx: Int,
+                   nHeadWords: Int, kinds: Array[Int], maxLen: Long): ArrayData = {
+    if (data.numChars() != data.numBytes()) return null
+    val bytes = data.getBytes
+    val n = bytes.length
+    val has0x = n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte
+    if (extraPrefixChars > 0 && !has0x) return null
+    val prefix = (if (has0x) 2 else 0) + extraPrefixChars
+    val headStart = prefix + headIdx * 64
+    if (n < headStart + 64) return null
+    val off = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, headStart, 64))
+    if (off == null) return null
+    val offV = off.longValue()
+    if (offV >= 1000000000L || offV % 32L != 0L || offV < 32L * nHeadWords) return null
+    val start = prefix + offV.toInt * 2
+    if (start >= n) return null
+    val lenWord = HexWordImpl.hexLong(
+      UTF8String.fromBytes(bytes, start, math.min(64, n - start)))
+    if (lenWord == null) return null
+    val len = lenWord.longValue()
+    if (len < 0L || len > maxLen) return null
+    if (n.toLong < start.toLong + 64L + len * 64L) return null // offset table fits
+    val k = kinds.length
+    val out = new Array[Any](len.toInt)
+    var i = 0
+    while (i < len) {
+      val eoffWord = HexWordImpl.hexLong(
+        UTF8String.fromBytes(bytes, start + 64 + i * 64, 64))
+      if (eoffWord == null) return null
+      val eoff = eoffWord.longValue()
+      if (eoff >= 1000000000L || eoff % 32L != 0L || eoff < 32L * len) return null
+      val estart = start + 64 + eoff.toInt * 2
+      if (n < estart + 64 * k) return null // the tuple head must fit whole
+      val row = new Array[Any](k)
+      var m = 0
+      while (m < k) {
+        if (kinds(m) == KindDynBytes) {
+          // member tail: offset word (relative to the ELEMENT start) →
+          // length word → data; any guard failure nulls the MEMBER
+          row(m) = {
+            val moffWord = HexWordImpl.hexLong(
+              UTF8String.fromBytes(bytes, estart + m * 64, 64))
+            if (moffWord == null) null
+            else {
+              val moff = moffWord.longValue()
+              if (moff >= 1000000000L || moff % 32L != 0L || moff < 32L * k) null
+              else {
+                val mstart = estart + moff.toInt * 2
+                if (n < mstart + 64) null
+                else {
+                  val mlenWord = HexWordImpl.hexLong(
+                    UTF8String.fromBytes(bytes, mstart, 64))
+                  if (mlenWord == null) null
+                  else {
+                    val mlen = mlenWord.longValue()
+                    if (mlen < 0L || mlen >= 500000000L ||
+                        n.toLong < mstart.toLong + 64L + mlen * 2L) null
+                    else lowerHexWord(bytes, mstart + 64, (mlen * 2L).toInt,
+                      withPrefix = true)
+                  }
+                }
+              }
+            }
+          }
+        } else {
+          row(m) = decodeKindAt(bytes, estart + m * 64, kinds(m))
+        }
+        m += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** r14: dynamic array of STATIC TUPLES (`(address,uint256)[]`-style) —
     * a static tuple of k word-static members is itself a static type of
     * size k words, so the tail is a length word + len·k INLINE words (no
@@ -291,9 +379,13 @@ case class AbiWordArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: I
     copy(child = newChild)
 }
 
-/** Codegen'd static-TUPLE-array decode: see [[AbiWordArrayImpl.evalTuple]]. */
+/** Codegen'd TUPLE-array decode — `dynamicElems = false` runs the inline
+  * static-tuple layout ([[AbiWordArrayImpl.evalTuple]]); `true` runs the
+  * offset-table dynamic-member layout ([[AbiWordArrayImpl.evalDynTuple]],
+  * the Multicall3 shape). */
 case class AbiTupleArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: Int,
-                             nHeadWords: Int, kinds: Seq[Int], maxLen: Long)
+                             nHeadWords: Int, kinds: Seq[Int], maxLen: Long,
+                             dynamicElems: Boolean = false)
   extends UnaryExpression {
   private def memberType(kind: Int): DataType = kind match {
     case AbiWordArrayImpl.KindUintSmall => LongType
@@ -307,12 +399,17 @@ case class AbiTupleArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: 
   override def nullable: Boolean = true
   override def prettyName: String = "graft_abi_tuple_array"
   override protected def nullSafeEval(input: Any): Any =
-    AbiWordArrayImpl.evalTuple(input.asInstanceOf[UTF8String], extraPrefixChars,
-      headIdx, nHeadWords, kinds.toArray, maxLen)
+    if (dynamicElems)
+      AbiWordArrayImpl.evalDynTuple(input.asInstanceOf[UTF8String], extraPrefixChars,
+        headIdx, nHeadWords, kinds.toArray, maxLen)
+    else
+      AbiWordArrayImpl.evalTuple(input.asInstanceOf[UTF8String], extraPrefixChars,
+        headIdx, nHeadWords, kinds.toArray, maxLen)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kindsRef = ctx.addReferenceObj("kinds", kinds.toArray, "int[]")
+    val method = if (dynamicElems) "evalDynTuple" else "evalTuple"
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.AbiWordArrayImpl.evalTuple($c, $extraPrefixChars, $headIdx, $nHeadWords, $kindsRef, ${maxLen}L);
+      ${ev.value} = graft.functions.AbiWordArrayImpl.$method($c, $extraPrefixChars, $headIdx, $nHeadWords, $kindsRef, ${maxLen}L);
       ${ev.isNull} = (${ev.value} == null);
     """)
   }
@@ -358,6 +455,14 @@ object HexUtils {
                     nHeadWords: Int, kinds: Seq[Int], maxLen: Long): Column =
     GraftBridge.column(AbiTupleArrayExpr(
       GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kinds, maxLen))
+
+  /** Native dynamic-member-tuple-array decode (the Multicall3 shape; see
+    * [[AbiWordArrayImpl.evalDynTuple]]). */
+  def abiDynTupleArray(data: Column, extraPrefixChars: Int, headIdx: Int,
+                       nHeadWords: Int, kinds: Seq[Int], maxLen: Long): Column =
+    GraftBridge.column(AbiTupleArrayExpr(
+      GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kinds,
+      maxLen, dynamicElems = true))
 
   /** 0x-prefixed 64-hex-digit topic → 0x-prefixed 40-hex-digit address
     * (drop the 24 zero hex chars after "0x").

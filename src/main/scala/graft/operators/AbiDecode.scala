@@ -85,8 +85,12 @@ object AbiDecode {
     * dynamic members stay rejected. */
   case class ArrayT(elem: AbiType) extends AbiType {
     require(isWordStatic(elem) || elem == DynBytesT ||
-      (elem match { case TupleT(ms) => ms.forall(isWordStatic); case _ => false }),
-      "array elements must be single-word static types, bytes/string, or static tuples")
+      (elem match {
+        case TupleT(ms) => ms.forall(m => isWordStatic(m) || m == DynBytesT)
+        case _ => false
+      }),
+      "array elements must be single-word static types, bytes/string, or " +
+        "tuples of those (the Multicall3 (address,bool,bytes)[] shape)")
   }
 
   /** STATIC tuple — all members single-word static types (r13). Solidity
@@ -99,7 +103,13 @@ object AbiDecode {
     * junk member words to per-member nulls. */
   case class TupleT(elems: Seq[AbiType]) extends AbiType {
     require(elems.nonEmpty, "empty tuple")
-    require(elems.forall(isWordStatic), "tuple members must be single-word static types")
+    require(elems.forall(m => isWordStatic(m) || m == DynBytesT),
+      "tuple members must be single-word static types or bytes/string")
+    /** A tuple with a dynamic member is itself a dynamic type — legal
+      * ONLY as an [[ArrayT]] element (offset-table layout); a STANDALONE
+      * tuple param must be fully static (inline head words). Enforced at
+      * event/function registry build. */
+    def isStatic: Boolean = elems.forall(isWordStatic)
   }
 
   /** Hostile length words must not allocate unboundedly: arrays past this
@@ -120,6 +130,11 @@ object AbiDecode {
     require(params.count(_.indexed) <= 3, s"$name: ABI allows at most 3 indexed params")
     require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
     require(params.forall(_.tpe != DynBytesT), s"$name: dynamic tails are call-only")
+    require(params.forall(p => p.tpe match {
+      case t: TupleT => t.isStatic
+      case _ => true
+    }), s"$name: a standalone tuple param must be fully static — " +
+      "dynamic-member tuples are array-element-only (offset-table layout)")
     require(params.forall(p => !p.indexed || isWordStatic(p.tpe)),
       s"$name: an indexed dynamic/tuple param is keccak-hashed into its topic — undecodable")
     /** Expected topics arity: topic0 + one topic per indexed param. */
@@ -136,6 +151,11 @@ object AbiDecode {
       s"$name: selector must be 0x + 8 hex chars")
     require(params.forall(!_.indexed), s"$name: call params are never indexed")
     require(params.map(_.name).distinct.size == params.size, s"$name: duplicate param names")
+    require(params.forall(p => p.tpe match {
+      case t: TupleT => t.isStatic
+      case _ => true
+    }), s"$name: a standalone tuple param must be fully static — " +
+      "dynamic-member tuples are array-element-only (offset-table layout)")
     /** Total static head words (tuples inline their members). */
     def nHeadWords: Int = params.map(p => headWords(p.tpe)).sum
     /** Head-word index where param i starts. */
@@ -328,6 +348,57 @@ object AbiDecode {
       AbiParam("gas_token", AddressT, indexed = false),
       AbiParam("refund_receiver", AddressT, indexed = false),
       AbiParam("signatures", DynBytesT, indexed = false)))
+
+  /** Multicall3 aggregate3((address,bool,bytes)[]) — THE mainstream
+    * dynamic-member-tuple-array call shape (selector from the public
+    * Multicall3 ABI). Registered explicitly by its demo key, not in the
+    * default [[CallRegistry]]. */
+  val Aggregate3: AbiFunction = AbiFunction("aggregate3", "0x82ad56cb", Seq(
+    AbiParam("calls", ArrayT(TupleT(Seq(AddressT, BoolT, DynBytesT))), indexed = false)))
+
+  /** Deterministic tx frames carrying [[Aggregate3]] inputs over the
+    * events table's click family — the REAL hex path for the Multicall3
+    * layout (length word + element offset table + per-element tuple
+    * heads + calldata tails), oracle-re-derivable. n = event_id % 3
+    * calls; call j = (addr((user_id·11+j) % 150),
+    * allowFailure = (event_id+j) % 2, calldata = first (event_id+j) % 3
+    * bytes of md5(event_id + "_c" + j)) — empty call lists AND empty
+    * calldata both first-class.
+    */
+  def demoAggregate3Receipts(events: DataFrame): DataFrame = {
+    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val nCalls = col("event_id") % 3
+    def blen(j: Int): Column = (col("event_id") + j) % 3 // calldata BYTES
+    def bhex(j: Int): Column =
+      md5(concat(col("event_id").cast("string"), lit(s"_c$j")))
+        .substr(lit(1), (blen(j) * 2).cast("int"))
+    def elemBlob(j: Int): Column = concat(
+      word((col("user_id") * 11 + j) % 150),  // target address word
+      word((col("event_id") + j) % 2),        // allowFailure bool word
+      lit(f"${96L}%064x"),                    // calldata offset: past 3 head words
+      word(blen(j)),
+      when(blen(j) > 0, rpad(bhex(j), 64, "0")).otherwise(lit("")))
+    // element sizes: 3 head words + length word + one data word when
+    // non-empty = 128 or 160 bytes; table entries are relative to the
+    // area after the array length word
+    val e0 = nCalls * 32
+    val e1 = nCalls * 32 + 128 + when(blen(0) > 0, 32L).otherwise(0L)
+    val input = concat(
+      lit("0x82ad56cb"),
+      lit(f"${32L}%064x"), // calls offset: past the 1 head word
+      word(nCalls),
+      when(nCalls >= 1, word(e0)).otherwise(lit("")),
+      when(nCalls >= 2, word(e1)).otherwise(lit("")),
+      when(nCalls >= 1, elemBlob(0)).otherwise(lit("")),
+      when(nCalls >= 2, elemBlob(1)).otherwise(lit("")))
+    events.where(col("event_type") === "click").select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("from"),
+      concat(lit("0x"), lpad(lower(hex(col("user_id") + 3000000L)), 40, "0")).as("to"),
+      input.as("input"))
+      // same barrier as the other demo generators: price the DECODER
+      .localCheckpoint(true)
+  }
 
   /** ERC-20 transfer(address,uint256) — the other call shape common on the
     * chain the reference indexes (token moves not routed through the hub). */
@@ -526,6 +597,63 @@ object AbiDecode {
             decodeWord(wordAt(p + lit(m * 64)), e).as(s"_$m") }: _*))))
   }
 
+  /** DYNAMIC-member tuple-array PARITY REFERENCE (r14): the Column
+    * spelling of the Multicall3 `(address,bool,bytes)[]` layout —
+    * offset word at head `i`, length word, per-element offset table,
+    * each element a tuple head (static members inline, one offset word
+    * per dynamic member relative to the element start) + bytes tails.
+    * Totality split mirrors the kernel: structural violations at
+    * table/element grain null the WHOLE array; junk static member words
+    * and structurally-bad member tails null the MEMBER. Hot path:
+    * [[graft.functions.AbiWordArrayImpl.evalDynTuple]]; AbiDecodeSpec
+    * pins bit-equality.
+    */
+  private[graft] def dynDynTupleArrayRef(blob: Column, prefix: Column, i: Int,
+                                         nHeadWords: Int, elems: Seq[AbiType]): Column = {
+    val k = elems.size
+    def wordAt(pos: Column): Column = {
+      val w = blob.substr(pos, lit(64))
+      when(length(w) === 64, w)
+    }
+    val off = ReceiptClassifier.hexLong(wordAt(prefix + lit(i * 64 + 1)))
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nHeadWords,
+      prefix + (off.cast("int") * 2 + 1))
+    val len = ReceiptClassifier.hexLong(blob.substr(start, lit(64)))
+    val tableOk = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
+      length(blob).cast("long") >= start.cast("long") + 63L + len * 64L
+    val idxs = sequence(lit(0L), len - 1L, lit(1L))
+    val elemsCol = transform(idxs, j => {
+      val eoff = ReceiptClassifier.hexLong(
+        wordAt(start + lit(64) + (j * 64L).cast("int")))
+      val estart = when(eoff.isNotNull && eoff < 1000000000L &&
+        eoff % 32L === 0L && eoff >= lit(32L) * len,
+        start + lit(64) + (eoff * 2L).cast("int"))
+      // the whole tuple HEAD must fit (element-structure grain)
+      val headOk = estart.isNotNull &&
+        length(blob).cast("long") >= estart.cast("long") + (64L * k) - 1L
+      def member(m: Int): Column = elems(m) match {
+        case DynBytesT =>
+          val moff = ReceiptClassifier.hexLong(wordAt(estart + lit(m * 64)))
+          val mstart = when(moff.isNotNull && moff < 1000000000L &&
+            moff % 32L === 0L && moff >= 32L * k,
+            estart + (moff * 2L).cast("int"))
+          val mlen = ReceiptClassifier.hexLong(blob.substr(mstart, lit(64)))
+          val mfits = mlen.isNotNull && mlen >= 0L && mlen < 500000000L &&
+            length(blob).cast("long") >= mstart.cast("long") + 63L + mlen * 2L
+          when(mfits,
+            concat(lit("0x"), lower(blob.substr(mstart + lit(64), (mlen * 2L).cast("int")))))
+        case e => decodeWord(wordAt(estart + lit(m * 64)), e)
+      }
+      when(headOk, struct(elems.indices.map(m => member(m).as(s"_$m")): _*))
+    })
+    when(tableOk,
+      when(len === 0L, array().cast(
+        elems.zipWithIndex.map { case (e, m) => s"_$m ${sparkTypeOf(e)}" }
+          .mkString("array<struct<", ",", ">>")))
+        .otherwise(when(!exists(elemsCol, e => e.isNull), elemsCol)))
+  }
+
   /** Static tuple at head word `base` of the words section starting
     * `prefix` chars into `blob`: members inline in consecutive words.
     * Null when the payload is too short for the LAST member (a truncated
@@ -554,9 +682,13 @@ object AbiDecode {
   /** One event param → its TYPED column (arrays → array<elem>, tuples →
     * struct, words → scalar), total under every hostile payload. */
   private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
-    case ArrayT(TupleT(elems)) =>
-      graft.functions.HexUtils.abiTupleArray(log.getField("data"), 0,
-        dataHeadIndex(ev, p), dataHeadWords(ev), elems.map(kindOf), MaxArrayLen)
+    case ArrayT(t @ TupleT(elems)) =>
+      if (t.isStatic)
+        graft.functions.HexUtils.abiTupleArray(log.getField("data"), 0,
+          dataHeadIndex(ev, p), dataHeadWords(ev), elems.map(kindOf), MaxArrayLen)
+      else
+        graft.functions.HexUtils.abiDynTupleArray(log.getField("data"), 0,
+          dataHeadIndex(ev, p), dataHeadWords(ev), elems.map(kindOf), MaxArrayLen)
     case ArrayT(elem) =>
       graft.functions.HexUtils.abiWordArray(log.getField("data"), 0,
         dataHeadIndex(ev, p), dataHeadWords(ev), kindOf(elem), MaxArrayLen)
@@ -716,9 +848,13 @@ object AbiDecode {
   private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
     fn.params(i).tpe match {
       case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
-      case ArrayT(TupleT(elems)) =>
-        graft.functions.HexUtils.abiTupleArray(input, 8,
-          fn.headIndex(i), fn.nHeadWords, elems.map(kindOf), MaxArrayLen)
+      case ArrayT(t @ TupleT(elems)) =>
+        if (t.isStatic)
+          graft.functions.HexUtils.abiTupleArray(input, 8,
+            fn.headIndex(i), fn.nHeadWords, elems.map(kindOf), MaxArrayLen)
+        else
+          graft.functions.HexUtils.abiDynTupleArray(input, 8,
+            fn.headIndex(i), fn.nHeadWords, elems.map(kindOf), MaxArrayLen)
       case ArrayT(elem) =>
         // 8 selector chars between the 0x and the head words
         graft.functions.HexUtils.abiWordArray(input, 8,

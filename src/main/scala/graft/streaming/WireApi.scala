@@ -218,7 +218,13 @@ final class HealthState(
 object HealthServer {
 
   final case class Handle(server: HttpServer, port: Int) {
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      server.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+        case _ =>
+      }
+    }
   }
 
   private val lastKnownGauge =
@@ -278,7 +284,16 @@ object HealthServer {
       }
     })
 
-    server.setExecutor(null) // serve on the dispatch thread; probes are tiny
+    // r14: a SMALL bounded pool instead of the dispatch thread — the
+    // same failure class as the broadcast's sequential writes: one
+    // stalled probe client (connected, not reading) would wedge the
+    // single dispatch thread and starve every other health/metrics
+    // scrape. Two daemon threads ride out a stuck probe; a flood queues.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "graft-health-server")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     Handle(server, server.getAddress.getPort)
   }

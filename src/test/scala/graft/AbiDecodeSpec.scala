@@ -522,6 +522,88 @@ class AbiDecodeSpec extends SparkSpec {
     assert(decoded(1).isNullAt(0))
   }
 
+  test("dynamic-member tuple-array kernel (Multicall3 shape) is bit-equal to the Column parity reference") {
+    import org.apache.spark.sql.functions.{col, lit, when => cwhen}
+    def w(v: Long) = f"$v%064x"
+    def aw(a: Long) = "0" * 24 + f"$a%040x"
+    val elems = Seq(AddressT, BoolT, DynBytesT)
+    val kinds = Seq(0, 3, 5) // KindAddress, KindBool, KindDynBytes
+    def el(addr: Long, flag: String, hexBytes: String): String = {
+      val padded = if (hexBytes.isEmpty) ""
+        else hexBytes.padTo(((hexBytes.length + 63) / 64) * 64, '0')
+      aw(addr) + flag + w(96) + w(hexBytes.length / 2L) + padded
+    }
+    val happy = w(2) + w(64) + w(224) + el(0x11L, w(1), "aabbcc") + el(0x22L, w(0), "")
+    val payloads = Seq(
+      "0x" + w(32) + happy,                                       // 0 happy
+      "0x" + w(32) + w(0),                                        // 1 empty array
+      "0x" + w(32) + w(1) + w(32) + el(0x33L, "zz" * 32, "aa"),   // 2 junk bool → member null
+      "0x" + w(32) + w(1) + w(32) + aw(0x44L) + w(1) + w(33) + w(0), // 3 unaligned member offset → member null
+      "0x" + w(32) + w(1) + "zz" * 32 + el(0x11L, w(1), ""),      // 4 junk elem offset → whole null
+      "0x" + w(32) + w(2) + w(0) + w(224) + happy.drop(64 * 3),   // 5 elem offset into table → whole null
+      "0x" + w(32) + w(1) + w(32) + aw(0x11L) + w(1),             // 6 truncated tuple head → whole null
+      "0x" + w(32) + w(1) + w(32) + aw(0x55L) + w(0) + w(96) + w(3) + "aabb", // 7 member tail truncated → member null
+      "0x" + w(32) + w(9999) + w(64),                             // 8 len > MaxArrayLen → whole null
+      ("0x" + w(32) + happy).stripPrefix("0x"),                   // 9 no 0x (event-legal)
+      "0x")                                                       // 10 empty payload
+    val df = payloads.toDF("data")
+    val both = df.select(
+      graft.functions.HexUtils.abiDynTupleArray(col("data"), 0, 0, 1, kinds,
+        AbiDecode.MaxArrayLen).as("ker"),
+      AbiDecode.dynDynTupleArrayRef(col("data"),
+        cwhen(col("data").startsWith("0x"), lit(2)).otherwise(lit(0)),
+        0, 1, elems).as("ref"))
+    val diff = both.where(!(col("ker") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"multicall kernel/reference divergence: ${diff.mkString("; ")}")
+    val rows = both.collect()
+    def call(r: org.apache.spark.sql.Row) =
+      (r.getString(0), if (r.isNullAt(1)) null else r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2))
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](0).map(call) === Seq(
+      ("0x" + "0" * 38 + "11", true, "0xaabbcc"),
+      ("0x" + "0" * 38 + "22", false, "0x")))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](0) === Seq.empty)
+    // member-grain nulls: the element SURVIVES with a null member
+    val junkBool = rows(2).getSeq[org.apache.spark.sql.Row](0)
+    assert(junkBool.size === 1 && junkBool.head.isNullAt(1)
+      && junkBool.head.getString(0) === "0x" + "0" * 38 + "33"
+      && junkBool.head.getString(2) === "0xaa")
+    val badMoff = rows(3).getSeq[org.apache.spark.sql.Row](0)
+    assert(badMoff.size === 1 && badMoff.head.isNullAt(2)
+      && badMoff.head.getString(0) === "0x" + "0" * 38 + "44")
+    Seq(4, 5, 6, 8, 10).foreach(i =>
+      assert(rows(i).isNullAt(0), s"structural violation $i must null the array"))
+    val cutTail = rows(7).getSeq[org.apache.spark.sql.Row](0)
+    assert(cutTail.size === 1 && cutTail.head.isNullAt(2)
+      && cutTail.head.getString(0) === "0x" + "0" * 38 + "55")
+    assert(rows(9).getSeq[org.apache.spark.sql.Row](0).size === 2)
+  }
+
+  test("Multicall3 end-to-end: aggregate3 demo decodes through decodeCalls") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (300L, 6L, "click", ts0),  // n = 0 calls → []
+      (301L, 7L, "click", ts0),  // n = 1: addr(77), bool false(302%2... wait (301+0)%2=1 → true), 1-byte data
+      (302L, 8L, "click", ts0),  // n = 2
+      (303L, 8L, "view", ts0)    // other family: unregistered
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(id: Long) = "0x" + md5hex(id.toString)
+    def addr(v: Long) = "0x" + f"$v%040x"
+    val r = AbiDecode.decodeCalls(
+      AbiDecode.demoAggregate3Receipts(events), Seq(AbiDecode.Aggregate3))
+      .collect().map(x => x.getAs[String]("hash") -> x.getAs[String]("value")).toMap
+    assert(r.size === 3)
+    assert(r(h(300L)) === "[]")
+    // event 301, user 7: call0 = (addr(77), (301+0)%2=1 → true,
+    // calldata = first (301+0)%3 = 1 byte of md5("301_c0"))
+    assert(r(h(301L)) === s"[(${addr(77L)},true,0x${md5hex("301_c0").take(2)})]")
+    // event 302, user 8: 2 calls — lens (302%3)=2 and (303%3)=0 bytes
+    assert(r(h(302L)) ===
+      s"[(${addr(88L)},false,0x${md5hex("302_c0").take(4)}),(${addr(89L)},true,0x)]")
+  }
+
   test("tuple-array end-to-end: PairBatch demo decodes wide and long") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
@@ -591,8 +673,24 @@ class AbiDecodeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ArrayT(ArrayT(Uint256T)) } // no nesting
     intercept[IllegalArgumentException] { ArrayT(ArrayT(DynBytesT)) } // no bytes[][]
     intercept[IllegalArgumentException] { TupleT(Seq(ArrayT(Uint256T))) }
-    intercept[IllegalArgumentException] { TupleT(Seq(DynBytesT)) } // no dynamic tuple members
     intercept[IllegalArgumentException] { TupleT(Seq.empty) }
+    // r14: a dynamic-MEMBER tuple constructs (it is the Multicall3 array
+    // element) but is rejected as a STANDALONE param on both sides — its
+    // inline head addressing would be wrong (offset-addressed type)
+    val dynTuple = TupleT(Seq(AddressT, DynBytesT))
+    intercept[IllegalArgumentException] {
+      AbiEvent("Bad", "0x" + "cf" * 32,
+        Seq(AbiParam("t", dynTuple, indexed = false)))
+    }
+    intercept[IllegalArgumentException] {
+      AbiFunction("bad", "0x12345678",
+        Seq(AbiParam("t", dynTuple, indexed = false)))
+    }
+    // ...while the ARRAY of it is in envelope on both sides
+    AbiEvent("OkDyn", "0x" + "d0" * 32,
+      Seq(AbiParam("calls", ArrayT(dynTuple), indexed = false)))
+    AbiFunction("okDyn", "0x87654321",
+      Seq(AbiParam("calls", ArrayT(dynTuple), indexed = false)))
     ArrayT(DynBytesT) // r14: bytes[]/string[] IS in envelope
     ArrayT(TupleT(Seq(AddressT, Uint256T))) // r14: static-tuple arrays too
     // a bare dynamic tail stays call-only on events; bytes[] is event-legal

@@ -178,6 +178,40 @@ class WireApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("a wedged probe handler does not starve the other endpoint (bounded handler pool)") {
+    // the health server used to serve on the single dispatch thread — one
+    // wedged handler (e.g. a slow queries() status callback) starved every
+    // other health/metrics scrape, the probe-surface twin of the broadcast
+    // stall. The bounded pool keeps the second endpoint answering.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val blocked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val state = new graft.streaming.HealthState(staleAfterMs = 600000L)
+    state.reportStartImportBlock(1L)
+    state.reportCompleteBatch(10L)
+    val handle = HealthServer.start(state, queries = () => {
+      // the FIRST scrape wedges; later calls return instantly
+      if (blocked.compareAndSet(false, true))
+        latch.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      Seq.empty
+    })
+    try {
+      val t = new Thread(() => {
+        try httpGet(handle.port, "/metrics") catch { case _: Throwable => }
+      })
+      t.setDaemon(true)
+      t.start()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!blocked.get && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(blocked.get, "the /metrics probe must be wedged in its handler")
+      // /health still answers while /metrics is wedged
+      val (code, body) = httpGet(handle.port, "/health")
+      assert(code === 200, s"health must not starve behind a wedged scrape: $body")
+    } finally {
+      latch.countDown()
+      handle.stop()
+    }
+  }
+
   test("a stalled-but-connected subscriber never stalls broadcasts: peers stream on, caller stays non-blocking, the slow client is dropped") {
     // r13 VERDICT top item: the old fan-out did sequential blocking writes
     // on the caller's thread, so a subscriber with a full TCP window (reads
