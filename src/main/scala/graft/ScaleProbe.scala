@@ -1147,6 +1147,9 @@ object ScaleProbe {
       time("abi_decode/multicall-10x")(
         AbiDecode.decodeCalls(AbiDecode.demoAggregate3Receipts(bigEvents),
           Seq(AbiDecode.Aggregate3)).count())
+      time("abi_decode/nested-array-10x")(
+        AbiDecode.decodeEvents(AbiDecode.demoNestedArrayReceipts(bigEvents),
+          Seq(AbiDecode.DemoMatrix)).count())
     }
     // the exact cross-engine minhash/simhash editions vs the xxhash64
     // natives at 10x — the measured price of md5-per-gram oracle keys

@@ -701,6 +701,13 @@ object SparkEntry {
     "q_abi_multicall_decode" -> ((s, d) =>
       AbiDecode.decodeCalls(AbiDecode.demoAggregate3Receipts(Tables.events(s, d)),
         Seq(AbiDecode.Aggregate3))),
+    // r14 one-level nested arrays: a user-registered Matrix(operator
+    // indexed address, uint64[][] m) over the error family — outer offset
+    // table + inner length-prefixed word runs, [[a,b],[]] renderings
+    // re-derived by the oracle (empty inner arrays first-class)
+    "q_abi_nested_array_decode" -> ((s, d) =>
+      AbiDecode.decodeEvents(AbiDecode.demoNestedArrayReceipts(Tables.events(s, d)),
+        Seq(AbiDecode.DemoMatrix))),
     // generic selector-keyed ABI CALL decode over the demo receipts'
     // tx.input — the execTransaction family's 10 params (2 dynamic tails)
     // head-decoded through the same guarded kernels; the oracle re-derives
@@ -3045,6 +3052,39 @@ object SparkEntry {
         |   CASE n WHEN 0 THEN '[]'
         |     WHEN 1 THEN '[' || p0 || ']'
         |     ELSE '[' || p0 || ',' || p1 || ']'
+        |   END FROM b)
+        |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
+        |FROM r ORDER BY hash, log_index, param""".stripMargin,
+    // r14 nested-array decode: m re-derived from the
+    // demoNestedArrayReceipts rules — n = event_id % 3 inner arrays,
+    // inner j has (event_id+j) % 3 values event_id*100 + j*10 + i
+    "q_abi_nested_array_decode" ->
+      """WITH b AS (
+        | SELECT event_id, user_id,
+        |  '0x' || md5(CAST(event_id AS VARCHAR)) AS hash,
+        |  '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0') AS tok,
+        |  '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS op,
+        |  CAST(event_id % 3 AS INTEGER) AS n,
+        |  CASE CAST(event_id % 3 AS INTEGER)
+        |    WHEN 0 THEN '[]'
+        |    WHEN 1 THEN '[' || CAST(event_id * 100 AS VARCHAR) || ']'
+        |    ELSE '[' || CAST(event_id * 100 AS VARCHAR) || ',' ||
+        |         CAST(event_id * 100 + 1 AS VARCHAR) || ']'
+        |  END AS i0,
+        |  CASE CAST((event_id + 1) % 3 AS INTEGER)
+        |    WHEN 0 THEN '[]'
+        |    WHEN 1 THEN '[' || CAST(event_id * 100 + 10 AS VARCHAR) || ']'
+        |    ELSE '[' || CAST(event_id * 100 + 10 AS VARCHAR) || ',' ||
+        |         CAST(event_id * 100 + 11 AS VARCHAR) || ']'
+        |  END AS i1
+        | FROM events WHERE event_type = 'error'),
+        |r AS (
+        | SELECT hash, 0 AS log_index, tok AS emitter, 'Matrix' AS event,
+        |        'operator' AS param, op AS value FROM b
+        | UNION ALL SELECT hash, 0, tok, 'Matrix', 'm',
+        |   CASE n WHEN 0 THEN '[]'
+        |     WHEN 1 THEN '[' || i0 || ']'
+        |     ELSE '[' || i0 || ',' || i1 || ']'
         |   END FROM b)
         |SELECT hash, CAST(log_index AS BIGINT) AS log_index, emitter, event, param, value
         |FROM r ORDER BY hash, log_index, param""".stripMargin,

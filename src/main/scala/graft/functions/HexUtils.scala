@@ -306,6 +306,64 @@ object AbiWordArrayImpl {
     new GenericArrayData(out)
   }
 
+  /** r14: ONE-level nested arrays (`uint256[][]`-style — a dynamic array
+    * of dynamic arrays of STATIC words). Outer tail = length word +
+    * per-element offset table (a word-array is a dynamic type); element
+    * j = inner length word + len_j static words. Structural violations
+    * (table/element offsets, inner lengths, fits) null the WHOLE array;
+    * junk inner words null the inner ELEMENT (the [[decodeKindAt]]
+    * convention). Deeper nesting stays rejected at the registry. Parity
+    * reference: `AbiDecode.dynNestedArrayRef`.
+    */
+  def evalNestedArray(data: UTF8String, extraPrefixChars: Int, headIdx: Int,
+                      nHeadWords: Int, kind: Int, maxLen: Long): ArrayData = {
+    if (data.numChars() != data.numBytes()) return null
+    val bytes = data.getBytes
+    val n = bytes.length
+    val has0x = n >= 2 && bytes(0) == '0'.toByte && bytes(1) == 'x'.toByte
+    if (extraPrefixChars > 0 && !has0x) return null
+    val prefix = (if (has0x) 2 else 0) + extraPrefixChars
+    val headStart = prefix + headIdx * 64
+    if (n < headStart + 64) return null
+    val off = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, headStart, 64))
+    if (off == null) return null
+    val offV = off.longValue()
+    if (offV >= 1000000000L || offV % 32L != 0L || offV < 32L * nHeadWords) return null
+    val start = prefix + offV.toInt * 2
+    if (start >= n) return null
+    val lenWord = HexWordImpl.hexLong(
+      UTF8String.fromBytes(bytes, start, math.min(64, n - start)))
+    if (lenWord == null) return null
+    val len = lenWord.longValue()
+    if (len < 0L || len > maxLen) return null
+    if (n.toLong < start.toLong + 64L + len * 64L) return null // offset table fits
+    val out = new Array[Any](len.toInt)
+    var i = 0
+    while (i < len) {
+      val eoffWord = HexWordImpl.hexLong(
+        UTF8String.fromBytes(bytes, start + 64 + i * 64, 64))
+      if (eoffWord == null) return null
+      val eoff = eoffWord.longValue()
+      if (eoff >= 1000000000L || eoff % 32L != 0L || eoff < 32L * len) return null
+      val estart = start + 64 + eoff.toInt * 2
+      if (n < estart + 64) return null
+      val ilenWord = HexWordImpl.hexLong(UTF8String.fromBytes(bytes, estart, 64))
+      if (ilenWord == null) return null
+      val ilen = ilenWord.longValue()
+      if (ilen < 0L || ilen > maxLen) return null
+      if (n.toLong < estart.toLong + 64L + ilen * 64L) return null
+      val inner = new Array[Any](ilen.toInt)
+      var m = 0
+      while (m < ilen) {
+        inner(m) = decodeKindAt(bytes, estart + 64 + m * 64, kind)
+        m += 1
+      }
+      out(i) = new GenericArrayData(inner)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** r14: dynamic array of STATIC TUPLES (`(address,uint256)[]`-style) —
     * a static tuple of k word-static members is itself a static type of
     * size k words, so the tail is a length word + len·k INLINE words (no
@@ -417,6 +475,31 @@ case class AbiTupleArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: 
     copy(child = newChild)
 }
 
+/** Codegen'd one-level NESTED-array decode: see
+  * [[AbiWordArrayImpl.evalNestedArray]]. */
+case class AbiNestedArrayExpr(child: Expression, extraPrefixChars: Int, headIdx: Int,
+                              nHeadWords: Int, kind: Int, maxLen: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(kind match {
+      case AbiWordArrayImpl.KindUintSmall => LongType
+      case AbiWordArrayImpl.KindBool => org.apache.spark.sql.types.BooleanType
+      case _ => StringType
+    }, containsNull = true), containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_abi_nested_array"
+  override protected def nullSafeEval(input: Any): Any =
+    AbiWordArrayImpl.evalNestedArray(input.asInstanceOf[UTF8String], extraPrefixChars,
+      headIdx, nHeadWords, kind, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AbiWordArrayImpl.evalNestedArray($c, $extraPrefixChars, $headIdx, $nHeadWords, $kind, ${maxLen}L);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AbiNestedArrayExpr =
+    copy(child = newChild)
+}
+
 case class HexWordDecimalExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -455,6 +538,13 @@ object HexUtils {
                     nHeadWords: Int, kinds: Seq[Int], maxLen: Long): Column =
     GraftBridge.column(AbiTupleArrayExpr(
       GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kinds, maxLen))
+
+  /** Native one-level nested-array decode (see
+    * [[AbiWordArrayImpl.evalNestedArray]]). */
+  def abiNestedArray(data: Column, extraPrefixChars: Int, headIdx: Int,
+                     nHeadWords: Int, kind: Int, maxLen: Long): Column =
+    GraftBridge.column(AbiNestedArrayExpr(
+      GraftBridge.expression(data), extraPrefixChars, headIdx, nHeadWords, kind, maxLen))
 
   /** Native dynamic-member-tuple-array decode (the Multicall3 shape; see
     * [[AbiWordArrayImpl.evalDynTuple]]). */

@@ -87,10 +87,12 @@ object AbiDecode {
     require(isWordStatic(elem) || elem == DynBytesT ||
       (elem match {
         case TupleT(ms) => ms.forall(m => isWordStatic(m) || m == DynBytesT)
+        case ArrayT(inner) => isWordStatic(inner) // r14: ONE nesting level
         case _ => false
       }),
-      "array elements must be single-word static types, bytes/string, or " +
-        "tuples of those (the Multicall3 (address,bool,bytes)[] shape)")
+      "array elements must be single-word static types, bytes/string, " +
+        "tuples of those (the Multicall3 (address,bool,bytes)[] shape), " +
+        "or one-level nested static-word arrays (uint256[][])")
   }
 
   /** STATIC tuple — all members single-word static types (r13). Solidity
@@ -349,6 +351,52 @@ object AbiDecode {
       AbiParam("refund_receiver", AddressT, indexed = false),
       AbiParam("signatures", DynBytesT, indexed = false)))
 
+  /** Synthetic topic0 for the nested-array demo event (r14). */
+  val MatrixTopic: String = "0x" + "e1" * 32
+
+  /** Demo event exercising the r14 `uint64[][]` arm end-to-end. */
+  val DemoMatrix: AbiEvent = AbiEvent("Matrix", MatrixTopic, Seq(
+    AbiParam("operator", AddressT, indexed = true),
+    AbiParam("m", ArrayT(ArrayT(UintSmallT)), indexed = false)))
+
+  /** Deterministic receipts carrying [[DemoMatrix]] logs over the events
+    * table's error family — the REAL hex path for one-level nested
+    * arrays (outer offset table + inner length-prefixed word runs),
+    * oracle-re-derivable. Outer length cycles event_id % 3 (0..2);
+    * inner j's length cycles (event_id + j) % 3 (0..2 — empty INNER
+    * arrays first-class); value (j,i) = event_id·100 + j·10 + i.
+    */
+  def demoNestedArrayReceipts(events: DataFrame): DataFrame = {
+    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    val nOuter = col("event_id") % 3
+    def ilen(j: Int): Column = (col("event_id") + j) % 3
+    def innerBlob(j: Int): Column = concat(
+      word(ilen(j)),
+      when(ilen(j) >= 1, word(col("event_id") * 100 + j * 10)).otherwise(lit("")),
+      when(ilen(j) >= 2, word(col("event_id") * 100 + j * 10 + 1)).otherwise(lit("")))
+    // inner j occupies 32 + 32·ilen(j) bytes; table entries relative to
+    // the area after the outer length word
+    val e0 = nOuter * 32
+    val e1 = nOuter * 32 + 32 + ilen(0) * 32
+    val data = concat(
+      lit("0x"),
+      lit(f"${32L}%064x"), // m offset: past the 1 head word
+      word(nOuter),        // outer length
+      when(nOuter >= 1, word(e0)).otherwise(lit("")),
+      when(nOuter >= 2, word(e1)).otherwise(lit("")),
+      when(nOuter >= 1, innerBlob(0)).otherwise(lit("")),
+      when(nOuter >= 2, innerBlob(1)).otherwise(lit("")))
+    events.where(col("event_type") === "error").select(
+      concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
+      array(struct(token.as("address"),
+        array(lit(MatrixTopic),
+          concat(lit("0x"), word(col("user_id")))).as("topics"),
+        data.as("data"))).as("logs"))
+      // same barrier as the other demo generators: price the DECODER
+      .localCheckpoint(true)
+  }
+
   /** Multicall3 aggregate3((address,bool,bytes)[]) — THE mainstream
     * dynamic-member-tuple-array call shape (selector from the public
     * Multicall3 ABI). Registered explicitly by its demo key, not in the
@@ -597,6 +645,51 @@ object AbiDecode {
             decodeWord(wordAt(p + lit(m * 64)), e).as(s"_$m") }: _*))))
   }
 
+  /** NESTED-array PARITY REFERENCE (r14): the Column spelling of
+    * `T[][]` for a word-static T — outer offset word, length word,
+    * per-element offset table, each element an inner length word +
+    * len_j static words. Hot path:
+    * [[graft.functions.AbiWordArrayImpl.evalNestedArray]]; AbiDecodeSpec
+    * pins bit-equality. Structural violations null the WHOLE array
+    * (element null → whole null via the exists fold); junk inner words
+    * null the inner element.
+    */
+  private[graft] def dynNestedArrayRef(blob: Column, prefix: Column, i: Int,
+                                       nHeadWords: Int, inner: AbiType): Column = {
+    def wordAt(pos: Column): Column = {
+      val w = blob.substr(pos, lit(64))
+      when(length(w) === 64, w)
+    }
+    val off = ReceiptClassifier.hexLong(wordAt(prefix + lit(i * 64 + 1)))
+    val start = when(off.isNotNull && off < 1000000000L &&
+      off % 32L === 0L && off >= 32L * nHeadWords,
+      prefix + (off.cast("int") * 2 + 1))
+    val len = ReceiptClassifier.hexLong(blob.substr(start, lit(64)))
+    val tableOk = len.isNotNull && len >= 0L && len <= MaxArrayLen &&
+      length(blob).cast("long") >= start.cast("long") + 63L + len * 64L
+    val idxs = sequence(lit(0L), len - 1L, lit(1L))
+    val outer = transform(idxs, j => {
+      val eoff = ReceiptClassifier.hexLong(
+        wordAt(start + lit(64) + (j * 64L).cast("int")))
+      val estart = when(eoff.isNotNull && eoff < 1000000000L &&
+        eoff % 32L === 0L && eoff >= lit(32L) * len,
+        start + lit(64) + (eoff * 2L).cast("int"))
+      val ilen = ReceiptClassifier.hexLong(blob.substr(estart, lit(64)))
+      val ifits = ilen.isNotNull && ilen >= 0L && ilen <= MaxArrayLen &&
+        length(blob).cast("long") >= estart.cast("long") + 63L + ilen * 64L
+      val ipos = sequence(
+        estart + lit(64),
+        estart + lit(64) + ((ilen - 1L) * 64L).cast("int"),
+        lit(64))
+      when(ifits,
+        when(ilen === 0L, array().cast(s"array<${sparkTypeOf(inner)}>"))
+          .otherwise(transform(ipos, p => decodeWord(wordAt(p), inner))))
+    })
+    when(tableOk,
+      when(len === 0L, array().cast(s"array<array<${sparkTypeOf(inner)}>>"))
+        .otherwise(when(!exists(outer, e => e.isNull), outer)))
+  }
+
   /** DYNAMIC-member tuple-array PARITY REFERENCE (r14): the Column
     * spelling of the Multicall3 `(address,bool,bytes)[]` layout —
     * offset word at head `i`, length word, per-element offset table,
@@ -682,6 +775,9 @@ object AbiDecode {
   /** One event param → its TYPED column (arrays → array<elem>, tuples →
     * struct, words → scalar), total under every hostile payload. */
   private def decodeEventParam(log: Column, ev: AbiEvent, p: AbiParam): Column = p.tpe match {
+    case ArrayT(ArrayT(inner)) =>
+      graft.functions.HexUtils.abiNestedArray(log.getField("data"), 0,
+        dataHeadIndex(ev, p), dataHeadWords(ev), kindOf(inner), MaxArrayLen)
     case ArrayT(t @ TupleT(elems)) =>
       if (t.isStatic)
         graft.functions.HexUtils.abiTupleArray(log.getField("data"), 0,
@@ -702,6 +798,15 @@ object AbiDecode {
     * (`[a,b]` / `(a,b)`, nulls as "null") rather than Spark's cast, so the
     * DuckDB oracle re-derives the identical strings. */
   private def renderValue(c: Column, tpe: AbiType): Column = tpe match {
+    case ArrayT(ArrayT(_)) =>
+      // [[a,b],[]] — the nested rendering (inner nulls as "null"; a null
+      // inner array collapses via the outer join's null replacement)
+      concat(lit("["),
+        array_join(transform(c, inner =>
+          concat(lit("["),
+            array_join(transform(inner, x => x.cast("string")), ",", "null"),
+            lit("]"))), ",", "null"),
+        lit("]"))
     case ArrayT(TupleT(elems)) =>
       // [(a,b),(c,d)] — the tuple rendering at array grain (a null member
       // renders "null"; a null element collapses to "null" via the join's
@@ -848,6 +953,9 @@ object AbiDecode {
   private def callParam(input: Column, fn: AbiFunction, i: Int): Column =
     fn.params(i).tpe match {
       case DynBytesT => callTail(input, fn.headIndex(i), fn.nHeadWords)
+      case ArrayT(ArrayT(inner)) =>
+        graft.functions.HexUtils.abiNestedArray(input, 8,
+          fn.headIndex(i), fn.nHeadWords, kindOf(inner), MaxArrayLen)
       case ArrayT(t @ TupleT(elems)) =>
         if (t.isStatic)
           graft.functions.HexUtils.abiTupleArray(input, 8,

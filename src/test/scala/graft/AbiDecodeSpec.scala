@@ -579,6 +579,67 @@ class AbiDecodeSpec extends SparkSpec {
     assert(rows(9).getSeq[org.apache.spark.sql.Row](0).size === 2)
   }
 
+  test("nested-array kernel (uint[][]-style) is bit-equal to the Column parity reference") {
+    import org.apache.spark.sql.functions.{col, lit, when => cwhen}
+    def w(v: Long) = f"$v%064x"
+    def in(vs: Long*) = w(vs.length.toLong) + vs.map(w).mkString
+    // outer of 2: inner0 = [7, 9] (96 bytes), inner1 = [] (32 bytes)
+    val happy = w(2) + w(64) + w(160) + in(7, 9) + in()
+    val payloads = Seq(
+      "0x" + w(32) + happy,                               // 0 happy: [[7,9],[]]
+      "0x" + w(32) + w(0),                                // 1 empty outer
+      "0x" + w(32) + w(1) + w(32) + w(1) + "zz" * 32,     // 2 junk inner word → inner-elem null
+      "0x" + w(32) + w(1) + "zz" * 32 + in(1),            // 3 junk elem offset → whole null
+      "0x" + w(32) + w(2) + w(0) + w(160) + in(7) + in(), // 4 elem offset into table → whole null
+      "0x" + w(32) + w(1) + w(32) + w(9999),              // 5 inner len > MaxArrayLen → whole null
+      "0x" + w(32) + w(1) + w(32) + w(2) + w(7),          // 6 inner words truncated → whole null
+      "0x" + w(32) + w(9999) + w(64),                     // 7 outer len > MaxArrayLen → whole null
+      ("0x" + w(32) + happy).stripPrefix("0x"),           // 8 no 0x (event-legal)
+      "0x")                                               // 9 empty payload
+    val df = payloads.toDF("data")
+    val both = df.select(
+      graft.functions.HexUtils.abiNestedArray(col("data"), 0, 0, 1, 2,
+        AbiDecode.MaxArrayLen).as("ker"), // KindUintSmall
+      AbiDecode.dynNestedArrayRef(col("data"),
+        cwhen(col("data").startsWith("0x"), lit(2)).otherwise(lit(0)),
+        0, 1, UintSmallT).as("ref"))
+    val diff = both.where(!(col("ker") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"nested kernel/reference divergence: ${diff.mkString("; ")}")
+    val rows = both.collect()
+    assert(rows(0).getSeq[Seq[Long]](0) === Seq(Seq(7L, 9L), Seq.empty))
+    assert(rows(1).getSeq[Seq[Long]](0) === Seq.empty)
+    val junkInner = rows(2).getSeq[Seq[Any]](0)
+    assert(junkInner === Seq(Seq(null)), "junk inner word nulls the inner element only")
+    (3 to 7).foreach(i => assert(rows(i).isNullAt(0), s"structural violation $i must null"))
+    assert(rows(8).getSeq[Seq[Long]](0) === Seq(Seq(7L, 9L), Seq.empty))
+    assert(rows(9).isNullAt(0))
+  }
+
+  test("nested-array end-to-end: Matrix demo decodes wide and long") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (400L, 2L, "error", ts0),  // n = 1 inner; inner0 len = 400%3 = 1
+      (401L, 3L, "error", ts0),  // n = 2; lens (401%3)=2, (402%3)=0
+      (402L, 4L, "error", ts0),  // n = 0 → []
+      (403L, 4L, "click", ts0)   // other family: no Matrix log
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val receipts = AbiDecode.demoNestedArrayReceipts(events)
+    def h(id: Long) = "0x" + java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wide = AbiDecode.decodeEvent(receipts, DemoMatrix)
+      .collect().map(r => r.getAs[String]("hash") -> r.getAs[Seq[Seq[Long]]]("m")).toMap
+    assert(wide.size === 3)
+    assert(wide(h(400L)) === Seq(Seq(40000L)))
+    assert(wide(h(401L)) === Seq(Seq(40100L, 40101L), Seq.empty))
+    assert(wide(h(402L)) === Seq.empty)
+    val long = AbiDecode.decodeEvents(receipts, Seq(DemoMatrix))
+      .where(col("param") === "m")
+      .collect().map(r => r.getAs[String]("hash") -> r.getAs[String]("value")).toMap
+    assert(long(h(402L)) === "[]")
+    assert(long(h(400L)) === "[[40000]]")
+    assert(long(h(401L)) === "[[40100,40101],[]]")
+  }
+
   test("Multicall3 end-to-end: aggregate3 demo decodes through decodeCalls") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
@@ -670,7 +731,8 @@ class AbiDecodeSpec extends SparkSpec {
       AbiEvent("Bad", "0x" + "cd" * 32,
         Seq(AbiParam("t", TupleT(Seq(AddressT)), indexed = true)))
     }
-    intercept[IllegalArgumentException] { ArrayT(ArrayT(Uint256T)) } // no nesting
+    ArrayT(ArrayT(Uint256T)) // r14: ONE nesting level IS in envelope
+    intercept[IllegalArgumentException] { ArrayT(ArrayT(ArrayT(Uint256T))) } // depth 3 out
     intercept[IllegalArgumentException] { ArrayT(ArrayT(DynBytesT)) } // no bytes[][]
     intercept[IllegalArgumentException] { TupleT(Seq(ArrayT(Uint256T))) }
     intercept[IllegalArgumentException] { TupleT(Seq.empty) }
