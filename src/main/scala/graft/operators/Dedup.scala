@@ -504,8 +504,19 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   checkpointDir: Option[String] = None,
                   checkpointEvery: Int = 5): DataFrame = {
-    def cut(df: DataFrame, round: Int) =
-      Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
+    val sc = pairs.sparkSession.sparkContext
+    val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
+    def cut(df: DataFrame): DataFrame =
+      Checkpoints.cut(df, cutRound.incrementAndGet(), checkpointDir, checkpointEvery)
+    // like cut, but guaranteed to have MATERIALIZED every row on return
+    // (the accumulator probe reads right after): the reliable-dir policy's
+    // persist() arm is lazy, so force it with a cache-filling count
+    def cutEager(df: DataFrame): DataFrame = {
+      val r = cutRound.incrementAndGet()
+      val out = Checkpoints.cut(df, r, checkpointDir, checkpointEvery)
+      if (checkpointDir.isDefined && r % checkpointEvery != 0) out.count()
+      out
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -515,26 +526,48 @@ object Dedup {
     // localCheckpoint, or the reliable-checkpoint policy when
     // checkpointDir is set — [[Checkpoints.cut]]) severs/bounds the
     // lineage: the next plan starts flat from materialized blocks.
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")), 0)
-    var converged = false
+    //
+    // DELTA propagation + in-materialization probe (the
+    // [[Graph.stronglyConnectedComponents]] minReach discipline): messages
+    // flow only out of nodes whose label IMPROVED last round — a node
+    // whose label is unchanged already delivered that label to every
+    // neighbor in the round it last fired, and labels only decrease, so a
+    // re-send can never lower a neighbor further: per-round merges are
+    // identical to the all-nodes spelling and the fixpoint (min reachable
+    // id) is the same frame, while late rounds shuffle frontier-sized
+    // message sets instead of |V|. The convergence probe rides a
+    // LongAccumulator ticked by the merge projection itself during the
+    // one checkpoint materialization — the old separate labels⋈updated
+    // count() job per round is gone (a task retry can only over-tick,
+    // which costs one extra — then truly empty — round, never a missed
+    // change).
+    var labels = cutEager(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var delta = labels
+    var prevCut = labels // superseded rounds release (linear-growth guard)
+    var changed = -1L
     var i = 0
-    while (!converged && i < maxIters) {
+    while (changed != 0 && i < maxIters) {
+      i += 1
+      val acc = sc.longAccumulator("graft-cc-delta")
+      val tick = udf { () => { acc.add(1L); true } }.asNondeterministic()
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(delta.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nlabel"))
-      val updated = cut(labels.join(neighborMin, Seq("id"), "left")
+      val merged = cutEager(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")),
-        i + 1)
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .where(col("u.label") =!= col("l.label"))
-        .limit(1).count() // convergence probe: bounded to 1 row
-      labels = updated
-      converged = changed == 0L
-      i += 1
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          when(coalesce(col("nlabel") < col("label"), lit(false)), tick())
+            .otherwise(lit(false)).as("ch")))
+      changed = acc.value
+      // merged is materialized; the previous round's label frame — which
+      // both labels and delta pointed into — is superseded. The final
+      // round's frame stays: it IS the result.
+      Checkpoints.release(prevCut)
+      prevCut = merged
+      if (changed != 0) delta = merged.where(col("ch")).select("id", "label")
+      labels = merged.select("id", "label")
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

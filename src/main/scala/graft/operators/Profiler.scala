@@ -27,16 +27,27 @@ object Profiler {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns")
-    val aggs = cols.flatMap { c =>
+    // Plain and DISTINCT aggregates in one `agg` plan badly: Catalyst's
+    // multi-distinct rewrite expands k+1 ways and keys the partial
+    // aggregate on the tuple of ALL k distinct columns — the gid=0
+    // (plain-agg) branch then groups by that near-unique tuple, so the
+    // "1-row" profile shuffled one ~20-column row PER INPUT ROW (measured
+    // 5.8s at sf0.1, the sweep's worst key). Split the two families:
+    // the plain aggs partial-agg to one row map-side, the distinct aggs
+    // expand k ways over single non-null columns (groups = Σ distinct(c),
+    // never the row count), and a 1-row × 1-row cross join reassembles.
+    // Same aggregate functions, bit-identical outputs.
+    val plainAggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__n_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"),
         sum(col(c).cast("decimal(28,8)")).as(s"__sum_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val distAggs = cols.map(c => count_distinct(col(c)).as(s"__dist_$c"))
+    val one = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distAggs.head, distAggs.tail: _*))
     val rows = cols.map { c =>
       struct(
         lit(c).as("column"),

@@ -409,17 +409,31 @@ object TpchShapes {
       .select(col("n_nationkey"), col("n_name"))
     val regionSupp = Tables.supplier(spark, dir)
       .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
-    val regionPairs = derivedPartsupp(spark, dir)
+    // The correlated min is PER PART, so the highly selective (p_type,
+    // p_size) filter commutes with it: semi-joining the filtered part keys
+    // into the lineitem scan BEFORE the partsupp aggregation shrinks the
+    // derived-pair rollup (and the min) to surviving parts only — the
+    // classic "push the selective filter through the decorrelation". The
+    // survivor pair frame feeds the min AND the joinback, so it is
+    // localCheckpointed once instead of re-aggregating lineitem twice
+    // (measured: two full scan+agg subtrees in the old plan).
+    val keepParts = Tables.part(spark, dir).where(col("p_type") === partType &&
+                                                  col("p_size") === size)
+    val regionPairs = Tables.lineitem(spark, dir)
+      .join(broadcast(keepParts.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(round(dsum(col("l_extendedprice")).cast("double") /
+                 dsum(col("l_quantity")).cast("double"), 6).as("supply_cost"))
       .join(regionSupp.select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"))
       .drop("s_suppkey")
+      .localCheckpoint(true) // feeds the per-part min AND the joinback
     val minCost = regionPairs.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("supply_cost")).as("min_cost"))
     regionPairs
       .join(minCost, col("ps_partkey") === col("mc_partkey") &&
                      col("supply_cost") === col("min_cost"))
-      .join(Tables.part(spark, dir).where(col("p_type") === partType &&
-                                          col("p_size") === size),
-            col("ps_partkey") === col("p_partkey"))
+      .join(keepParts, col("ps_partkey") === col("p_partkey"))
       .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
               col("p_brand"), col("supply_cost"))
