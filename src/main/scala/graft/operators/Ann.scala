@@ -27,8 +27,20 @@ object Ann {
   /** Exact decimal dot product of two float arrays (cast to double per
     * element; products are IEEE-identical cross-engine, the decimal sum is
     * associative so parallelism can't reorder it into a different answer).
+    * Runs on the native codegen'd [[graft.functions.VecOps.dotDecimalFloat]]
+    * kernel — bit-identical to the readable HOF spelling [[dotDecimalHof]]
+    * (VecOpsSpec pins parity across the hostile envelope), but inside
+    * whole-stage codegen where the HOF is interpreted per evaluation with
+    * a BigDecimal lambda re-entry per element (the [[cosFast]]/cosFastHof
+    * precedent; measured across the ANN family's norm() + scoring paths).
     */
   def dotDecimal(a: Column, b: Column): Column =
+    graft.functions.VecOps.dotDecimalFloat(a, b)
+
+  /** HOF reference formulation of [[dotDecimal]] — the parity oracle for
+    * the native kernel, not a hot path (CodegenFallback).
+    */
+  def dotDecimalHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(28,18)")),
       lit(0).cast("decimal(28,18)"),

@@ -131,12 +131,15 @@ object Graph {
       .repartition(col("src")), 0)
     val nodes = cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), 0)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree is loop-INVARIANT: join it onto the edge frame once, outside
+    // the loop (one materialized (src, dst, deg) frame), instead of
+    // re-joining e⋈outdeg every iteration — one shuffle join per
+    // iteration gone, same contributions
+    val eDeg = cut(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"), 0)
     val n = nodes.count() // bounded driver aggregate: one long
     var ranks = nodes.select(col("node"), round(lit(1.0d / n), 12).as("r"))
     for (it <- 1 to iters) {
-      val contribs = e
-        .join(outdeg, "src")
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
@@ -175,12 +178,13 @@ object Graph {
       .repartition(col("src")), 0)
     val nodes = cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), 0)
-    val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    // loop-invariant weight total joined onto the edges ONCE (the
+    // [[pageRank]] eDeg discipline)
+    val eW = cut(e.join(e.groupBy("src").agg(sum(col("w")).as("wout")), "src"), 0)
     val n = nodes.count() // bounded driver aggregate: one long
     var ranks = nodes.select(col("node"), round(lit(1.0d / n), 12).as("r"))
     for (it <- 1 to iters) {
-      val contribs = e
-        .join(outW, "src")
+      val contribs = eW
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           round(col("r") * col("w") / col("wout"), 12)
@@ -227,7 +231,9 @@ object Graph {
       .repartition(col("src")), 0)
     val nodes = cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), 0)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // loop-invariant degree joined onto the edges ONCE (the [[pageRank]]
+    // eDeg discipline)
+    val eDeg = cut(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"), 0)
     val seedNodes = cut(nodes.join(seeds.select("node").distinct(),
       Seq("node"), "left_semi"), 0)
     val nSeeds = seedNodes.count() // bounded driver aggregate: one long
@@ -243,8 +249,7 @@ object Graph {
     val restart = when(col("is_seed"), lit(1.0d / nSeeds)).otherwise(lit(0.0d))
     var ranks = flagged.select(col("node"), round(restart, 12).as("r"))
     for (it <- 1 to iters) {
-      val contribs = e
-        .join(outdeg, "src")
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
@@ -303,21 +308,29 @@ object Graph {
             round(col("s").cast("double") / col("t").cast("double"), 12))
             .otherwise(lit(0.0d)).as(out))
     }
+    // SPARSE score frames inside the loop (r14): a node absent from the
+    // gathered sums is exactly a node whose score is 0.0 — a 0.0 score
+    // contributes 0 to the next gather's decimal sums AND 0 to the L1
+    // total, so keeping the explicit zero rows (the old per-half-iteration
+    // nodes left-join) changed nothing downstream. Zeros are restored once
+    // at the END; per half-iteration that removes one co-partitioned join.
     def gather(scores: DataFrame, in: String, from: String, to: String): DataFrame =
-      nodes.join(
-        e.join(scores.withColumnRenamed("node", from), from)
-          .groupBy(col(to).as("node"))
-          .agg(sum(col(in).cast("decimal(28,14)")).as("s")),
-        Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,14)")).as("s"))
+      e.join(scores.withColumnRenamed("node", from), from)
+        .groupBy(col(to).as("node"))
+        .agg(sum(col(in).cast("decimal(28,14)")).as("s"))
     var hub = nodes.select(col("node"), round(lit(1.0d / n), 12).as("h"))
     var auth = hub.select(col("node"), col("h").as("a"))
     for (it <- 1 to iters) {
-      auth = cut(normalized(gather(hub, "h", "src", "dst"), "a"), it)
-      hub = cut(normalized(gather(auth, "a", "dst", "src"), "h"), it)
+      // materialize the gathered sums ONCE per half-iteration and
+      // normalize LAZILY on top: the old spelling cut the normalized
+      // frame, so the broadcast total's agg subtree re-ran the whole
+      // gather (join + partial-agg) a second time every half-iteration
+      auth = normalized(cut(gather(hub, "h", "src", "dst"), it), "a")
+      hub = normalized(cut(gather(auth, "a", "dst", "src"), it), "h")
     }
-    nodes.join(hub, "node").join(auth, "node")
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0.0d)).as("hub"),
+        coalesce(col("a"), lit(0.0d)).as("auth"))
       .orderBy(col("auth").desc, col("node"))
   }
 
