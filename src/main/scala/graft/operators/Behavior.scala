@@ -644,7 +644,8 @@ object Behavior {
     val n = lit(base.count())
     def score(valueCol: String, out: String): DataFrame =
       graft.operators.Economics.orderedScan(
-          base.withColumn("osw", lit(0L)), valueCol, "custkey", "osw", numBuckets)
+          base.withColumn("osw", lit(0L)), valueCol, "custkey", "osw", numBuckets,
+          cutInput = false) // base is already one materialized frame
         .select(col("custkey"),
           (((col("rank") - 1) * 5).cast("long") / n).cast("long").plus(1).as(out))
     base

@@ -138,12 +138,22 @@ object CirclesViews {
                    erc20Transfers: DataFrame, ethTransfers: DataFrame,
                    safeEthTransfers: DataFrame, withObj: Boolean = false,
                    joinRegistry: Option[DataFrame] = None): DataFrame = {
-    val reg = joinRegistry.getOrElse(signups)
-    val registry = reg.select("user").distinct()
+    // the signup frame feeds FOUR distinct consumers (its own leg, the
+    // registry semi-join side used by five legs, the CRC token set used
+    // twice, and the minting attribution join) — without a cut each
+    // consumer re-derived the whole signup-extraction subtree (measured:
+    // six repeated scan+extract+distinct+broadcast legs in the plan).
+    // Materialize the signup frame once and the two derived registries on
+    // top of it; all three are signup-registry-sized (one row per safe),
+    // the broadcastable grain by construction.
+    val sg = signups.localCheckpoint(true)
+    val reg = joinRegistry.map(_.localCheckpoint(true)).getOrElse(sg)
+    val registry = reg.select("user").distinct().localCheckpoint(true)
     val crcTokens = reg.where(col("token").isNotNull)
       .select(col("token"), col("user").as("token_owner")).distinct()
+      .localCheckpoint(true)
 
-    val signupLeg = signups.select(col("hash"), lit("CrcSignup").as("type"),
+    val signupLeg = sg.select(col("hash"), lit("CrcSignup").as("type"),
       col("user").as("safe_address"), col("user").as("contact_address"),
       lit("self").as("direction"), lit("0").as("value"))
 

@@ -44,11 +44,21 @@ object Economics {
     * should be an exact type (long / decimal) — it is summed as-is.
     */
   def orderedScan(df: DataFrame, valueCol: String, tieCol: String,
-                  weightCol: String, numBuckets: Int = 64): DataFrame = {
+                  weightCol: String, numBuckets: Int = 64,
+                  cutInput: Boolean = true): DataFrame = {
     val wd = col(weightCol).cast("decimal(38,6)")
-    val b = withRangeBucket(df, valueCol, numBuckets)
+    // the input frame feeds THREE consumers (the min/max probe, the
+    // per-bucket totals, and the final per-bucket scan) — most callers
+    // pass a derived aggregate, so without a cut it recomputed 3×
+    // (measured: the wealth-frame rollup ran three times under q_lorenz).
+    // One eager localCheckpoint; the frame is the caller's per-key
+    // rollup, already far smaller than its raw input. A caller whose
+    // input is ALREADY materialized (rfmFromRollup scans one cut frame
+    // three times) passes cutInput = false to skip the redundant copy.
+    val dfc = if (cutInput) df.localCheckpoint(true) else df
+    val b = withRangeBucket(dfc, valueCol, numBuckets)
     if (b.isEmpty)
-      return df.withColumn("rank", lit(0L))
+      return dfc.withColumn("rank", lit(0L))
         .withColumn("cum_w", wd).where(lit(false))
     val bucketed = b.get
     // phase 2: ≤ numBuckets (count, weight) totals, prefix-summed driver-side
