@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: cost of the shared demo-receipt construction + extractor
+  * legs that dozens of keys re-derive per invocation.
+  * Usage: runMain graft.DevRc [sfDir]
+  */
+object DevRc {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.registerAll(spark)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[devrc] $label%-32s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
+    }
+    val ev = Tables.events(spark, sfDir)
+    ev.count() // warmup
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    time("events scan only") { noop(ev) }
+    time("demoReceipts") { noop(operators.ReceiptClassifier.demoReceipts(ev)) }
+    time("demoReceipts again") { noop(operators.ReceiptClassifier.demoReceipts(ev)) }
+    val r = operators.ReceiptClassifier.demoReceipts(ev)
+    time("extractTrusts") { noop(operators.ReceiptClassifier.extractTrusts(r)) }
+    time("currentTrust(extractTrusts)") {
+      noop(operators.CirclesViews.currentTrust(operators.ReceiptClassifier.extractTrusts(r)))
+    }
+    time("demoSignups") { noop(operators.ReceiptClassifier.demoSignups(ev)) }
+    spark.stop()
+  }
+}

@@ -425,6 +425,9 @@ object Dedup {
       col("doc_id"),
       (if (blockBySource) col("source") else lit("_global")).as("source"),
       graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+      .localCheckpoint(true) // shingle kernel feeds the index AND both
+                             // verify sides — one pass, not three (the
+                             // [[containmentPairs]] gram-frame precedent)
     val candidates =
       indexCandidates(prefixIndex(d, threshold, orderByFrequency), saltBuckets)
     val sh = d.select(col("doc_id"), col("sh"))
@@ -460,6 +463,8 @@ object Dedup {
     def side(df: DataFrame) = df.select(
       col("doc_id"), lit("_x").as("source"),
       graft.functions.TextHashes.shingleHashes(col("text")).as("sh"))
+      .localCheckpoint(true) // shingle kernel feeds each side's prefix
+                             // index AND its verify join — one pass each
     val (dTrain, dEval) = (side(train), side(evalSet))
     val candidates = prefixIndex(dTrain, threshold, orderByFrequency = false).as("a")
       .join(prefixIndex(dEval, threshold, orderByFrequency = false).as("b"),
@@ -503,7 +508,16 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   checkpointDir: Option[String] = None,
-                  checkpointEvery: Int = 5): DataFrame = {
+                  checkpointEvery: Int = 5): DataFrame =
+    dupClustersWithRounds(pairs, maxIters, checkpointDir, checkpointEvery)._1
+
+  /** [[dupClusters]] plus the ROUND COUNT it converged in (the
+    * [[graft.operators.Graph.temporalReachWithRounds]] probe surface —
+    * rounds ≈ largest cluster diameter + the empty confirming round).
+    */
+  def dupClustersWithRounds(pairs: DataFrame, maxIters: Int = 25,
+                  checkpointDir: Option[String] = None,
+                  checkpointEvery: Int = 5): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     val cutRound = new java.util.concurrent.atomic.AtomicInteger(0)
     def cut(df: DataFrame): DataFrame =
@@ -570,8 +584,8 @@ object Dedup {
       labels = merged.select("id", "label")
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id"), i)
   }
 
   /** Candidate-pair count of the prefix index under each token order —
