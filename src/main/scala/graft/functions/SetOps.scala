@@ -58,6 +58,79 @@ object SetOps {
   def sortedShingleHashes(sh: Column): Column =
     sort_array(transform(array_distinct(sh), s => xxhash64(s)))
 
+  /** Codegen'd upper-triangle (a, b) pair array of a sorted long array
+    * (bit-identical to the nested-transform HOF spelling — see
+    * [[PairsImpl.sortedPairs]]).
+    */
+  def sortedPairs(items: Column): Column =
+    GraftBridge.column(SortedPairsExpr(GraftBridge.expression(items)))
+
   def jaccardSorted(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSortedExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Upper-triangle pair enumeration of a sorted long array — the basket
+  * pair explosion ([[graft.operators.Analytics.basketAffinity]]): for
+  * i < j emit (items[i], items[j]) in the exact order of the composed HOF
+  * spelling `flatten(transform(items, (x, i) => transform(slice(items,
+  * i+2, size), y => struct(x as a, y as b))))`, which is CodegenFallback —
+  * interpreted with one lambda re-entry per ELEMENT PAIR and a slice copy
+  * per element (measured under q_basket_affinity). One imperative pass,
+  * codegen'd; SetOpsSpec pins row-for-row parity against the HOF.
+  */
+object PairsImpl {
+  def sortedPairs(items: ArrayData,
+                  elemType: org.apache.spark.sql.types.DataType): ArrayData = {
+    val n = items.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      val xi: Any = if (items.isNullAt(i)) null else items.get(i, elemType)
+      var j = i + 1
+      while (j < n) {
+        val yj: Any = if (items.isNullAt(j)) null else items.get(j, elemType)
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(xi, yj)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class SortedPairsExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_pairs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, _)
+          if !et.isInstanceOf[ArrayType] && !et.isInstanceOf[StructType] &&
+            !et.isInstanceOf[MapType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array of an atomic type, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    PairsImpl.sortedPairs(input.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PairsImpl.sortedPairs($c, $et);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SortedPairsExpr =
+    copy(child = newChild)
 }

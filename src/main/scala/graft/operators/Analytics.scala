@@ -395,10 +395,11 @@ object Analytics {
     val nBaskets = baskets.count() // 1-row probe, reused as a literal
     val items = baskets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_i"))
-    val pairs = baskets.select(explode(flatten(transform(col("items"),
-        (x, i) => transform(
-          slice(col("items"), i + lit(2), size(col("items"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // upper-triangle pairs via the codegen'd kernel — the nested-transform
+    // HOF spelling is CodegenFallback (interpreted per element pair, one
+    // slice copy per element); SetOpsSpec pins row parity
+    val pairs = baskets.select(explode(
+        graft.functions.SetOps.sortedPairs(col("items"))).as("p"))
       .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairCount)

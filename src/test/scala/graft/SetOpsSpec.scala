@@ -74,4 +74,31 @@ class SetOpsSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     r.foreach { case (j, e) => assert(j == e) }
   }
+
+  test("sortedPairs kernel matches the nested-transform HOF row-for-row") {
+    def hofPairs(items: org.apache.spark.sql.Column) =
+      flatten(transform(items, (x, i) => transform(
+        slice(items, i + lit(2), size(items)),
+        y => struct(x.as("a"), y.as("b")))))
+    // long items (the q_basket_affinity shape)
+    val longs = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(10L), Seq.empty[Long], Seq(5L, 5L, 7L))
+      .toDF("items")
+    val lb = longs.select(
+        graft.functions.SetOps.sortedPairs(col("items")).cast("string").as("native"),
+        hofPairs(col("items")).cast("string").as("hof"))
+      .as[(String, String)].collect()
+    lb.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    // string items (the spec corpus shape)
+    val strs = Seq(Seq("a", "b", "c"), Seq("x"), Seq.empty[String]).toDF("items")
+    val sb = strs.select(
+        graft.functions.SetOps.sortedPairs(col("items")).cast("string").as("native"),
+        hofPairs(col("items")).cast("string").as("hof"))
+      .as[(String, String)].collect()
+    sb.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    // null array -> null
+    val nul = Seq(Option.empty[Seq[Long]]).toDF("items")
+      .select(graft.functions.SetOps.sortedPairs(col("items")).as("p")).collect().head
+    assert(nul.isNullAt(0))
+  }
 }
