@@ -312,6 +312,9 @@ object Analytics {
     */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
     val sizes = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+      // feeds the heavy-hitter heap AND the distribution stats — one
+      // materialization, or the key-count rollup runs twice per query
+      .localCheckpoint(true)
     val heavy = sizes.agg(graft.functions.TopKAgg.bottomK(
         struct(col("n"), col("key")), topK).as("top"))
       .select(explode(col("top")).as("t"))

@@ -60,6 +60,10 @@ object Behavior {
     val perStep = depth
       .select(explode(sequence(lit(1L), col("depth"))).as("step"))
       .groupBy("step").agg(count(lit(1)).as("users"))
+      // ≤ k rows, but it feeds BOTH the output and the step-1 denominator
+      // leg — without the barrier the whole depth pipeline (distinct +
+      // collect_list + fold) runs twice per query
+      .localCheckpoint(true)
     val first = perStep.where(col("step") === 1)
       .select(col("users").as("step1_users"))
     val stepName = steps.zipWithIndex.tail.foldLeft(
@@ -93,8 +97,14 @@ object Behavior {
   def robustAnomalies(series: DataFrame, valueCol: String,
                       k: Double = 3.0): DataFrame = {
     val x = col(valueCol).cast("double")
-    val med1 = series.agg(percentile(x, lit(0.5)).as("med"))
-    val withMed = series.crossJoin(med1)
+    // the series frame feeds the median agg, the MAD agg AND the output
+    // projection; callers pass a derived rollup (perDayCounts over the
+    // receipt pipeline), so without the barrier the rollup runs three
+    // times per query (the orderedScan input-materialization precedent) —
+    // the frame is calendar-bounded, so the checkpoint is tiny
+    val s = series.localCheckpoint(true)
+    val med1 = s.agg(percentile(x, lit(0.5)).as("med"))
+    val withMed = s.crossJoin(med1)
     val mad1 = withMed.agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"))
     withMed.crossJoin(mad1)
       .withColumn("is_anomaly",
@@ -771,6 +781,9 @@ object Behavior {
     val byVariant = perUser.groupBy("variant")
       .agg(count(lit(1)).as("n"),
         sum(when(col("converted"), 1L).otherwise(0L)).as("c"))
+      // 2 rows feeding both variant legs — one materialization, or the
+      // user-keyed rollup runs twice per query
+      .localCheckpoint(true)
     val a = byVariant.where(col("variant") === 0)
       .select(col("n").as("n0"), col("c").as("c0"))
     val b = byVariant.where(col("variant") === 1)

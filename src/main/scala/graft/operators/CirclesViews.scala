@@ -227,13 +227,29 @@ object CirclesViews {
     val owners = signups.where(col("token").isNotNull)
       .select(col("token"), col("user").as("token_owner")).distinct()
     val crc = erc20Transfers.join(owners, "token")
-    def side(partyCol: String, verb: String, sign: Column => Column) =
-      crc.groupBy(col("hash"), col(partyCol), col("token"), col("token_owner"))
-        .agg(sign(dsum(col("value"))).cast("double").as("value"))
-        .select(col("hash").as("transaction_id"), lit(verb).as("verb"), col("value"),
-          col("token"), col("token_owner"), lit(partyCol).as("predicate"),
-          col(partyCol).as("safe_address"))
-    side("to", "add", identity).unionAll(side("from", "remove", c => -c))
+    // ONE pass, one exchange: each transfer row contributes its to-side
+    // "add" and from-side "remove" via a 2-element explode, and a single
+    // groupBy keyed (hash, verb, predicate, party, token, owner) replaces
+    // the two-leg union that ran the whole upstream (receipts → transfer
+    // explode → owner join) TWICE. Values are exact either way:
+    // −Σ(decimal) ≡ Σ(−decimal), and the negate commutes with the long →
+    // decimal(18,4) cast, so every output bit matches the two-leg
+    // spelling (oracle hash unchanged).
+    val dec = col("s.v").cast("decimal(18,4)")
+    crc.select(col("hash"), col("token"), col("token_owner"),
+        explode(array(
+          struct(lit("add").as("verb"), lit("to").as("predicate"),
+            col("to").as("safe_address"), col("value").as("v")),
+          struct(lit("remove").as("verb"), lit("from").as("predicate"),
+            col("from").as("safe_address"), (-col("value")).as("v")))).as("s"))
+      .groupBy(col("hash"), col("s.verb").as("verb"),
+        col("s.predicate").as("predicate"),
+        col("s.safe_address").as("safe_address"),
+        col("token"), col("token_owner"))
+      .agg(sum(dec).cast("double").as("value"))
+      .select(col("hash").as("transaction_id"), col("verb"), col("value"),
+        col("token"), col("token_owner"), col("predicate"),
+        col("safe_address"))
   }
 
   /** crc_balances_by_safe_2 (0.0.64.sql:786) — the ledger rolled up per
@@ -412,8 +428,13 @@ object CirclesViews {
     * registry-×-token sized and pre-bucketable by address.
     */
   def capacityGraph1(balances: DataFrame, trust: DataFrame, signups: DataFrame): DataFrame = {
+    // bal feeds THREE legs (holdings fact + owner/receiver lookups);
+    // callers pass the balancesBySafeAndToken ROLLUP, so without the
+    // barrier the shuffled rollup runs three times per query (the
+    // orderedScan input-materialization precedent)
     val bal = ownedBalances(balances, signups)
       .select(col("safe_address"), col("token"), col("balance"))
+      .localCheckpoint(true)
     val owners = signups.where(col("token").isNotNull)
       .select(col("token").as("user_token"), col("user"))
     val receiverReg = signups.select(col("user").as("can_send_to"),
@@ -484,7 +505,9 @@ object CirclesViews {
     */
   def capacityGraph2(balances: DataFrame, trust: DataFrame, signups: DataFrame,
                      orgs: DataFrame): DataFrame = {
-    val bal = ownedBalances(balances, signups)
+    // three consumers (sender fact leg + two receiver lookups) — one
+    // materialization, not three rollup re-runs (see [[capacityGraph1]])
+    val bal = ownedBalances(balances, signups).localCheckpoint(true)
     val owners = signups.where(col("token").isNotNull)
       .select(col("token").as("user_token"), col("user"))
     val edges = trust.join(broadcast(owners), Seq("user"))
@@ -538,6 +561,8 @@ object CirclesViews {
       col("number")))
     val bal = ownedBalances(balances, signups)
       .join(blockNos, Seq("last_change_at"), "left")
+      // three consumers — one materialization (see [[capacityGraph1]])
+      .localCheckpoint(true)
     val owners = signups.where(col("token").isNotNull)
       .select(col("token").as("user_token"), col("user"))
     val edges = trust.join(broadcast(owners), Seq("user"))
@@ -623,6 +648,8 @@ object CirclesViews {
       col("number")))
     val bal = ownedBalances(balances, signups)
       .join(blockNos, Seq("last_change_at"), "left")
+      // three consumers — one materialization (see [[capacityGraph1]])
+      .localCheckpoint(true)
     val owners = signups.where(col("token").isNotNull)
       .select(col("token").as("user_token"), col("user"))
     val edges = trust.join(broadcast(owners), Seq("user"))

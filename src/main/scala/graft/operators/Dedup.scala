@@ -786,7 +786,13 @@ object Dedup {
 
   private def substringDedupImpl(documents: DataFrame, k: Int,
                                  gramKey: Column => Column): DataFrame = {
+    // tokenization feeds the gram explosion AND the final reassembly join;
+    // the gram frame feeds the dup-gram agg AND the coverage join — one
+    // materialization each, or the O(T·k) slice+join gram construction
+    // runs twice and the tokenizer three times (the ppjoin shingle-frame
+    // precedent)
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .localCheckpoint(true)
     val occ = toks
       .select(col("doc_id"),
         explode(when(size(col("t")) >= k, sequence(lit(0), size(col("t")) - k))
@@ -794,6 +800,7 @@ object Dedup {
         col("t"))
       .select(col("doc_id"), col("pos"),
         gramKey(array_join(slice(col("t"), col("pos") + 1, lit(k)), " ")).as("gram"))
+      .localCheckpoint(true)
     val dups = occ.groupBy("gram")
       .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("canon"))
       .where(col("n") > 1)

@@ -783,7 +783,13 @@ object Graph {
     require(maxHops >= 0, s"maxHops < 0: $maxHops")
     def cut(df: DataFrame, round: Int) =
       Checkpoints.cut(df, round, checkpointDir, checkpointEvery)
-    val e = edges.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    // materialized ONCE (the [[labelPropagation]] `und` discipline): the
+    // edge frame joins against EVERY round's frontier, and callers pass a
+    // derived pipeline (receipt extraction → currentTrust) that would
+    // otherwise re-run per round — measured 4 full re-derivations at
+    // maxHops=4 on q_trust_hops
+    val e = cut(edges.where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct(), 0).persist()
     var frontier = cut(sources.select("node").distinct(), 0).persist()
     var segments = List(frontier.withColumn("dist", lit(0L)))
     var caches = List(frontier)
@@ -809,6 +815,7 @@ object Graph {
     val out = Checkpoints.cut(
       segments.reduce(_ unionByName _).orderBy("node"), 0, checkpointDir, 1)
     caches.foreach(_.unpersist())
+    e.unpersist()
     out
   }
 

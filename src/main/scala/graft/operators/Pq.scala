@@ -115,11 +115,28 @@ object Pq {
     Ann.rankTopK(embeddings.select(col("vec_id").as("qid"),
       col("vec_id").as("nid"), lit(0.0d).as("cosine")).where(lit(false)), 1)
 
-  /** The m-code array for one embedding column — each code a `greatest`
-    * over ksub codegen'd dot kernels (see [[encode]]).
+  /** The m-code array for one embedding column — ONE fused codegen'd
+    * kernel pass ([[graft.functions.PqOps.pqCodes]]). The previous
+    * spelling ([[codeArrayRef]], kept as the parity reference) was m
+    * `greatest` trees over ksub dot kernels each re-slicing the
+    * embedding: m·ksub slice copies + struct allocations per ROW and an
+    * expression tree whose analysis + codegen compile dominated the
+    * sf-scale keys (the AbiWordArrayExpr lesson). PqKernelSpec pins
+    * row-for-row parity.
     */
   private def codeArray(e: Column, dim: Int,
                         codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val subDim = dim / codebooks.length
+    graft.functions.PqOps.pqCodes(e, codebooks, subDim,
+      codebooks.map(_.map(normSq).toArray))
+  }
+
+  /** The `greatest`-tree Column spelling [[codeArray]] replaced — the
+    * kernel's pinned parity reference (PqKernelSpec), never on a query
+    * path.
+    */
+  private[graft] def codeArrayRef(e: Column, dim: Int,
+                                  codebooks: Seq[Seq[Array[Float]]]): Column = {
     val m = codebooks.length
     val subDim = dim / m
     val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
@@ -247,6 +264,29 @@ object Pq {
     * plan-literal map, zero shuffles, no per-row vector subtraction HOF.
     */
   private def residualCodeArray(e: Column, cidCol: Column, dim: Int,
+                                codebooks: Seq[Seq[Array[Float]]],
+                                cents: Array[(Long, Array[Float], Double)]): Column = {
+    val m = codebooks.length
+    val subDim = dim / m
+    // the same fused kernel as [[codeArray]], with the per-(cid, j, ci)
+    // offset table precomputed driver-side exactly as the reference
+    // spelling's literal maps were ([[residualCodeArrayRef]];
+    // PqKernelSpec pins parity)
+    val offsetsByCid = cents.toSeq.map { case (_, ce, _) =>
+      (0 until m).map { j =>
+        codebooks(j).map(c =>
+          2.0d * dotArr(ce.slice(j * subDim, (j + 1) * subDim), c) + normSq(c)).toArray
+      }
+    }
+    graft.functions.PqOps.pqCodesResidual(e, cidCol, codebooks, subDim,
+      cents.map(_._1), offsetsByCid)
+  }
+
+  /** The `greatest`-tree Column spelling [[residualCodeArray]] replaced —
+    * the kernel's pinned parity reference (PqKernelSpec), never on a
+    * query path.
+    */
+  private[graft] def residualCodeArrayRef(e: Column, cidCol: Column, dim: Int,
                                 codebooks: Seq[Seq[Array[Float]]],
                                 cents: Array[(Long, Array[Float], Double)]): Column = {
     val m = codebooks.length

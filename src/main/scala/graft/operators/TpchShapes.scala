@@ -178,9 +178,15 @@ object TpchShapes {
   def supplierCountByPart(spark: SparkSession, dir: String,
                           excludeBrand: String = "Brand#1",
                           sizes: Seq[Int] = Seq(1, 5, 9, 14, 23, 36, 45, 49)): DataFrame =
-    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
-      .join(Tables.part(spark, dir).where(col("p_brand") =!= excludeBrand &&
-              col("p_size").isin(sizes.map(Integer.valueOf): _*)),
+    // the selective part filter BROADCASTS onto the fact scan (map-side,
+    // ~92% of pairs dropped before any exchange) and the one remaining
+    // shuffle is the count_distinct partial agg itself — the old
+    // pair-distinct exchange is redundant under count_distinct (duplicate
+    // (partkey, suppkey) pairs collapse in the distinct aggregate), so
+    // the plan goes 2 Exchange → 1 with identical output
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(spark, dir).where(col("p_brand") =!= excludeBrand &&
+              col("p_size").isin(sizes.map(Integer.valueOf): _*))),
             col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -460,6 +466,9 @@ object TpchShapes {
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(dsum(vol).cast("double").as("part_value"))
+      // feeds the output AND the threshold agg — one materialization, or
+      // the lineitem rollup runs twice per query
+      .localCheckpoint(true)
     perPart
       .crossJoin(broadcast(perPart.agg(
         (dsum(col("part_value")) * lit(fraction)).cast("double").as("thr"))))
