@@ -248,21 +248,52 @@ object Ann {
     import spark.implicits._
     var cents = collectCentroids(base.orderBy("nid").limit(numCentroids)
       .select(col("nid").as("cid"), col("ne").as("ce"), col("nn").as("cn")))
+    // the per-dimension stats below need the corpus's max vector length
+    // once (vectors don't change across iterations); null-safe on an
+    // empty base
+    val dimRow = base.agg(max(size(col("ne")))).head()
+    val maxDim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
     for (_ <- 0 until iters) {
       val assigned = assignScored(base, cents).persist()
-      val sums = assigned
-        .select(col("cid"), posexplode(col("ne")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("col").cast("decimal(28,18)")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val means: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        val dim = rows.map(_.getInt(1)).max + 1
-        val v = new Array[Float](dim)
-        rows.foreach { r =>
-          v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+      // per-dimension partial aggregates instead of the old
+      // posexplode → groupBy(cid, pos) spelling: that pass multiplied
+      // every row ×dim through an exchange to compute numCentroids×dim
+      // scalars. `get(ne, i)` nulls past the end (no ANSI throw), the
+      // count arm replicates posexplode's per-position row count
+      // (members whose vector HAS position i, null elements included),
+      // and decimal sums are order-independent — the collected stats are
+      // bit-identical, so trained centroids are unchanged (AnnSpec's
+      // determinism pins hold).
+      val means: Map[Long, Array[Float]] =
+        if (maxDim == 0) Map.empty
+        else {
+          val aggs = (0 until maxDim).flatMap { i =>
+            Seq(sum(get(col("ne"), lit(i)).cast("decimal(28,18)")).as(s"s_$i"),
+              count(when(size(col("ne")) > i, lit(1))).as(s"n_$i"))
+          }
+          assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
+            .map { r =>
+              val cid = r.getLong(0)
+              // trailing never-populated positions were ABSENT from the
+              // posexplode rows — size the centroid to the last
+              // populated one to match that spelling exactly
+              var last = -1
+              var i = 0
+              while (i < maxDim) {
+                if (r.getLong(2 + 2 * i) > 0) last = i
+                i += 1
+              }
+              val v = new Array[Float](last + 1)
+              i = 0
+              while (i <= last) {
+                val n = r.getLong(2 + 2 * i)
+                if (n > 0)
+                  v(i) = (r.getDecimal(1 + 2 * i).doubleValue() / n).toFloat
+                i += 1
+              }
+              cid -> v
+            }.toMap
         }
-        cid -> v
-      }
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
       val reseedCids = scala.collection.mutable.ArrayBuffer.empty[Long]
       cents.foreach { case (c, ce, _) =>

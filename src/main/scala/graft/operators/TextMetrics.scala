@@ -92,7 +92,11 @@ object TextMetrics {
               element_at(acc, -1) === a && s === b,
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(s))))
-        vocab = vocab.select(mergedSyms.as("syms"), col("freq")).localCheckpoint(true)
+        // LAZY checkpoint: the merge projection materializes inside the
+        // NEXT round's pair-count job instead of paying its own eager
+        // job — one job per merge round, not two (results identical: the
+        // plan is deterministic and later rounds read the cached blocks)
+        vocab = vocab.select(mergedSyms.as("syms"), col("freq")).localCheckpoint(false)
       }
     }
     merges.toSeq
