@@ -825,7 +825,7 @@ object SparkEntry {
         .select(col("from").as("src"), col("to").as("dst"),
           col("ts_us").as("ts"))
       val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
-        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+        .select(graft.functions.HexUtils.hexPadLower(col("user_id"), 40).as("node"))
       Graph.temporalReach(edges, seeds, startTs = 0L)
     }),
     // harmonic centrality off the SAME HyperBall sweep (classic "who can
@@ -855,7 +855,7 @@ object SparkEntry {
       val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
         ReceiptClassifier.demoReceipts(ev)))
       val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
-        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+        .select(graft.functions.HexUtils.hexPadLower(col("user_id"), 40).as("node"))
       Graph.bfsHops(trust.select(col("user").as("src"),
         col("can_send_to").as("dst")), seeds, maxHops = 4)
     }),
@@ -889,7 +889,7 @@ object SparkEntry {
       val trust = CirclesViews.currentTrust(ReceiptClassifier.extractTrusts(
         ReceiptClassifier.demoReceipts(ev)))
       val seeds = ev.where(col("event_type") === "signup" && col("user_id") % 17 === 0)
-        .select(concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("node"))
+        .select(graft.functions.HexUtils.hexPadLower(col("user_id"), 40).as("node"))
       Graph.personalizedPageRank(trust.select(col("user").as("src"),
         col("can_send_to").as("dst"), col("limit").as("cap")), seeds, iters = 5)
     }),

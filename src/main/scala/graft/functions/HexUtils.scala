@@ -500,6 +500,59 @@ case class AbiNestedArrayExpr(child: Expression, extraPrefixChars: Int, headIdx:
     copy(child = newChild)
 }
 
+/** One-pass synthesizer for the demo frames' hex spellings: the Column
+  * chain `concat(lit("0x"), lpad(lower(hex(c)), width, "0"))` allocates
+  * four intermediate strings per value, and demoReceipts evaluates ~8 of
+  * those chains per row under dozens of benched keys. Same output byte
+  * for byte (HexUtilsSpec pins parity, including lpad's keep-the-first-
+  * `width`-chars truncation arm and hex()'s unsigned-64 rendering of
+  * negative longs).
+  */
+object HexPadImpl {
+  private val Digits = "0123456789abcdef".getBytes
+
+  def eval(v: Long, width: Int, with0x: Boolean): UTF8String = {
+    // lower(hex(v)): lowercase hex of the UNSIGNED 64-bit value, no
+    // leading zeros ("0" for 0)
+    var d = (67 - java.lang.Long.numberOfLeadingZeros(v)) >> 2
+    if (d == 0) d = 1
+    val head = if (with0x) 2 else 0
+    val out = new Array[Byte](head + width)
+    if (with0x) { out(0) = '0'; out(1) = 'x' }
+    if (d >= width) {
+      // lpad(s, width, "0") with len(s) ≥ width keeps the FIRST width
+      // chars — unreachable for width ≥ 16 (a long is ≤ 16 hex digits)
+      // but bit-parity includes the truncation arm
+      var i = d - 1; var x = v
+      val full = new Array[Byte](d)
+      while (i >= 0) { full(i) = Digits((x & 0xfL).toInt); x = x >>> 4; i -= 1 }
+      System.arraycopy(full, 0, out, head, width)
+    } else {
+      var i = head
+      while (i < head + width - d) { out(i) = '0'; i += 1 }
+      i = head + width - 1; var x = v
+      while (i >= head + width - d) { out(i) = Digits((x & 0xfL).toInt); x = x >>> 4; i -= 1 }
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+case class HexPadExpr(child: Expression, width: Int, with0x: Boolean)
+    extends UnaryExpression {
+  require(width >= 1, s"width < 1: $width")
+  // child must already be LongType — the Column helper casts
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_hex_pad"
+  override protected def nullSafeEval(input: Any): Any =
+    HexPadImpl.eval(input.asInstanceOf[Long], width, with0x)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HexPadImpl.eval($c, $width, $with0x)")
+  override protected def withNewChildInternal(newChild: Expression): HexPadExpr =
+    copy(child = newChild)
+}
+
 case class HexWordDecimalExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -574,6 +627,12 @@ object HexUtils {
   /** Synthesize a 32-byte topic from a long id (test/demo helper — the
     * inverse of [[topicToAddress]]+[[hexToLong]]).
     */
-  def longToTopic(id: Column): Column =
-    concat(lit("0x"), lpad(lower(hex(id)), 64, "0"))
+  def longToTopic(id: Column): Column = hexPadLower(id, 64)
+
+  /** Fused `concat(lit("0x"), lpad(lower(hex(c)), width, "0"))` (or without
+    * the 0x prefix) — see [[HexPadImpl]]. The demo-frame address/word
+    * synthesizer shared by the circles and ABI families.
+    */
+  def hexPadLower(c: Column, width: Int, with0x: Boolean = true): Column =
+    GraftBridge.column(HexPadExpr(GraftBridge.expression(c.cast("long")), width, with0x))
 }

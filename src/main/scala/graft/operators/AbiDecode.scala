@@ -214,8 +214,8 @@ object AbiDecode {
     * event_id % 4 (0..3), so EMPTY arrays are first-class in the gate.
     */
   def demoArrayReceipts(events: DataFrame): DataFrame = {
-    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
-    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
+    val token = graft.functions.HexUtils.hexPadLower(col("user_id") + 1000000L, 40)
     val len = col("event_id") % 4
     val data = concat(
       lit("0x"),
@@ -263,8 +263,8 @@ object AbiDecode {
     * md5(event_id + "_" + j), reproducible in any SQL engine.
     */
   def demoDynArrayReceipts(events: DataFrame): DataFrame = {
-    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
-    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
+    val token = graft.functions.HexUtils.hexPadLower(col("user_id") + 1000000L, 40)
     val nElems = col("event_id") % 3 // 0..2 elements
     def elemLen(j: Int): Column = (col("event_id") + j) % 3 // 0..2 BYTES
     def elemHex(j: Int): Column = // 2·len hex chars of the element bytes
@@ -314,8 +314,8 @@ object AbiDecode {
     * (addr((user_id·7 + j) % 150), event_id·100 + j).
     */
   def demoTupleArrayReceipts(events: DataFrame): DataFrame = {
-    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
-    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
+    val token = graft.functions.HexUtils.hexPadLower(col("user_id") + 1000000L, 40)
     val nPairs = col("event_id") % 3
     def pairBlob(j: Int): Column =
       concat(word((col("user_id") * 7 + j) % 150), word(col("event_id") * 100 + j))
@@ -367,8 +367,8 @@ object AbiDecode {
     * arrays first-class); value (j,i) = event_id·100 + j·10 + i.
     */
   def demoNestedArrayReceipts(events: DataFrame): DataFrame = {
-    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
-    val token = concat(lit("0x"), lpad(lower(hex(col("user_id") + 1000000L)), 40, "0"))
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
+    val token = graft.functions.HexUtils.hexPadLower(col("user_id") + 1000000L, 40)
     val nOuter = col("event_id") % 3
     def ilen(j: Int): Column = (col("event_id") + j) % 3
     def innerBlob(j: Int): Column = concat(
@@ -414,7 +414,7 @@ object AbiDecode {
     * calldata both first-class.
     */
   def demoAggregate3Receipts(events: DataFrame): DataFrame = {
-    def word(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
     val nCalls = col("event_id") % 3
     def blen(j: Int): Column = (col("event_id") + j) % 3 // calldata BYTES
     def bhex(j: Int): Column =
@@ -441,8 +441,8 @@ object AbiDecode {
       when(nCalls >= 2, elemBlob(1)).otherwise(lit("")))
     events.where(col("event_type") === "click").select(
       concat(lit("0x"), md5(col("event_id").cast("string"))).as("hash"),
-      concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")).as("from"),
-      concat(lit("0x"), lpad(lower(hex(col("user_id") + 3000000L)), 40, "0")).as("to"),
+      graft.functions.HexUtils.hexPadLower(col("user_id"), 40).as("from"),
+      graft.functions.HexUtils.hexPadLower(col("user_id") + 3000000L, 40).as("to"),
       input.as("input"))
       // same barrier as the other demo generators: price the DECODER
       .localCheckpoint(true)

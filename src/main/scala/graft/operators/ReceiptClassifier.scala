@@ -371,8 +371,10 @@ object ReceiptClassifier {
     * logs, event_id) — input for the extractor/view compositions.
     */
   def demoReceipts(events: DataFrame, hub: String = DefaultHubAddress): DataFrame = {
-    def addr(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 40, "0"))
-    def word(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+    // r15: fused one-pass kernel — the concat/lpad/lower/hex chain ran ~8×
+    // per row under every circles-family key (HexUtilsSpec pins bit-parity)
+    def addr(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 40)
+    def word(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 64)
     val user = addr(col("user_id"))
     val token = addr(col("user_id") + 1000000L)
     val other = addr(col("user_id") + 2000000L)
@@ -407,7 +409,8 @@ object ReceiptClassifier {
     val isSafeDemo = col("event_type") === "error" && col("event_id") % 2 === 0
     val execSuccessLog = struct(other.as("address"),
       array(lit(ExecutionSuccessTopic)).as("topics"), lit("0x").as("data"))
-    def hexWord(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    def hexWord(c: Column): Column =
+      graft.functions.HexUtils.hexPadLower(c, 64, with0x = false)
     val safeInput = concat(
       lit(ExecTransactionMethodId),
       hexWord((col("user_id") * 13 + 29) % 150), // p0 to (a real user safe)
@@ -445,7 +448,7 @@ object ReceiptClassifier {
     * hash-comparable against the DuckDB oracle.
     */
   def demoSignups(events: DataFrame): DataFrame = {
-    def addr(c: Column): Column = concat(lit("0x"), lpad(lower(hex(c)), 40, "0"))
+    def addr(c: Column): Column = graft.functions.HexUtils.hexPadLower(c, 40)
     events.select(col("user_id")).distinct().select(
       concat(lit("0x"), md5(concat(lit("signup-"), col("user_id").cast("string")))).as("hash"),
       addr(col("user_id")).as("user"),

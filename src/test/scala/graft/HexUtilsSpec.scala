@@ -43,6 +43,30 @@ class HexUtilsSpec extends SparkSpec {
     }
   }
 
+  test("fused hexPadLower matches the concat/lpad/lower/hex chain bit-for-bit") {
+    import org.apache.spark.sql.functions.{concat, hex, lit, lower, lpad}
+    // values covering: zero, single digit, the demo id spaces, >width
+    // digit counts for the truncation arm, negatives (hex() renders the
+    // UNSIGNED 64-bit value), both long extremes, and null
+    val vals: Seq[java.lang.Long] = Seq[java.lang.Long](
+      0L, 1L, 15L, 16L, 149L, 1000042L, 2000149L, 0xdeadbeefL,
+      Long.MaxValue, -1L, Long.MinValue, -42L, null)
+    val df = vals.toDF("v")
+    for (width <- Seq(1, 8, 15, 16, 17, 40, 64); with0x <- Seq(true, false)) {
+      val chain = {
+        val padded = lpad(lower(hex($"v")), width, "0")
+        if (with0x) concat(lit("0x"), padded) else padded
+      }
+      val both = df.select(
+          HexUtils.hexPadLower($"v", width, with0x).as("native"),
+          chain.as("ref"))
+        .as[(Option[String], Option[String])].collect()
+      vals.zip(both).foreach { case (in, (n, r)) =>
+        assert(n == r, s"v=$in width=$width with0x=$with0x: native=$n ref=$r")
+      }
+    }
+  }
+
   test("native hexWordDecimal matches the decimal-Horner Column formulation") {
     import graft.operators.ReceiptClassifier
     val words = Seq(
