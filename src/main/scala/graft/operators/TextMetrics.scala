@@ -602,14 +602,20 @@ object TextMetrics {
     * mean per doc.
     */
   def unigramLogProb(documents: DataFrame): DataFrame = {
+    // r15 (guide §2.3 — shuffle keys, not payloads): the model and the
+    // scoring join only ever compare tokens for EQUALITY, and no token
+    // string reaches the output — so the checkpointed frame carries
+    // xxhash64(term) longs instead of term strings (the Dedup 8-byte-key
+    // precedent; counts, and therefore surprisals, are unchanged)
     val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("t"))
       .localCheckpoint(true)
     val total = tok.count()
-    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
     val term = round(log(lit(total.toDouble)) - log(col("cnt")), 12)
       .cast("decimal(28,14)")
-    tok.join(freq, "term")
+    tok.join(freq, "t")
       .groupBy("doc_id")
       .agg(
         round(sum(term).cast("double") / count(lit(1)), 12).as("surprisal"),
@@ -733,11 +739,17 @@ object TextMetrics {
     * decimal — the engine's decimal-cast-sums rule.
     */
   def bigramLogProb(documents: DataFrame, lambda: Double = 0.9): DataFrame = {
+    // r15 (guide §2.3): every downstream groupBy/join keys on token
+    // EQUALITY only and no token string reaches the output, so both
+    // checkpointed frames carry xxhash64 longs — the bigram frame drops
+    // from two strings to two longs per row (the Dedup 8-byte-key
+    // precedent; counts, and therefore surprisals, are unchanged)
     val base = documents
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
       .localCheckpoint(true)
     val tok = base.select(explode(col("toks")).as("term"))
+      .select(xxhash64(col("term")).as("term"))
     val total = tok.count()
     val uni = tok.groupBy("term").agg(count(lit(1)).as("cu"))
     val big = base
@@ -745,7 +757,8 @@ object TextMetrics {
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
         slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), xxhash64(col("bg.w1")).as("w1"),
+        xxhash64(col("bg.w2")).as("w2"))
       .localCheckpoint(true) // feeds pair counts, left counts, and scoring
     val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
