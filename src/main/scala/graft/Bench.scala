@@ -363,6 +363,15 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(o), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $o failed: $e") }
     }
+    // r15 (r14 VERDICT item 2): with 261 keys the compact line above is
+    // ~15 KB, so a consumer that captures only a bounded stdout TAIL
+    // starts mid-line and parses nothing (PERF_r12..r14 all arrived with
+    // per_query: {}). This FINAL summary line — total + health fields,
+    // no per-key map — fits any tail; the full per-key line above and
+    // the committed artifact are unchanged, so nothing is lost.
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${stats.size},"failed_count":${failed.size},"suspect_count":${suspect.size},"calibration":${r3(calibration)},"shuffle_canary":${r3(shuffleCanary)},"runs":$runs,"sf":"$sfDir","artifact":${jstr(out.getOrElse(""))}}"""
+    println(summary)
     spark.stop()
     // Only fail on a CLEAN machine: under heavy ambient load the
     // normalized gate is lenient for every key, which makes load-bearing
