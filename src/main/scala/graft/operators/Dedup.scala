@@ -259,15 +259,27 @@ object Dedup {
     val sigs = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKey = (bnd: Int) => concat_ws(":",
       lit(bnd) +: (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}")): _*)
+    // r15 (guide §2.4, the r14 "plan shows 36 re-reads" finding): the
+    // band frame feeds the cap valve's hot aggregation, its anti-join,
+    // AND both sides of the pair self-join — without a barrier the whole
+    // signature groupBy (16 affine-min aggregates over the gram frame)
+    // re-runs 4×. docs×numBands rows — bounded, cheap to pin.
     val bands = capHotBuckets(sigs.select(col("doc_id"),
-      explode(array((0 until numBands).map(bandKey): _*)).as("band_key")),
+      explode(array((0 until numBands).map(bandKey): _*)).as("band_key"))
+        .localCheckpoint(true),
       "band_key", bucketCap)
+    // candidate pairs feed the intersection count and the final join
+    // chain — two consumers of the self-join+distinct subtree; bounded by
+    // the cap valve.
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
+    // per-doc gram counts join back twice (n_a, n_b) — doc-grain, pin it
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val common = pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
@@ -978,7 +990,12 @@ object Dedup {
     val over = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > dfCap).select("g")
     val kept = grams.join(broadcast(over), Seq("g"), "left_anti")
+    // r15 (guide §2.4): sizes joins back under BOTH orientations (size_a,
+    // size_b) — without a barrier the per-doc gram aggregation re-runs
+    // twice. Doc-grain (doc_id, long) rows, far below the gram frame
+    // already pinned above.
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
