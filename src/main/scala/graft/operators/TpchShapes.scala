@@ -433,7 +433,16 @@ object TpchShapes {
                  dsum(col("l_quantity")).cast("double"), 6).as("supply_cost"))
       .join(regionSupp.select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"))
       .drop("s_suppkey")
-      .localCheckpoint(true) // feeds the per-part min AND the joinback
+      // feeds the per-part min AND the joinback. Size valve (r14 VERDICT
+      // item 9): grain is (surviving part × region supplier) pairs — the
+      // selective (p_type, p_size) filter keeps ~1/200 of parts and the
+      // region ~1/5 of suppliers, so at 100 TB this is ≈ |partsupp|/1000,
+      // comfortably executor-storage-sized, but still data-proportional:
+      // if the filters are widened, prefer persist(MEMORY_AND_DISK) (keep
+      // lineage — executor loss recomputes the one scan+agg instead of
+      // restarting the job; the subtree is shallow, so the plan-size cost
+      // localCheckpoint exists to avoid is minor here).
+      .localCheckpoint(true)
     val minCost = regionPairs.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("supply_cost")).as("min_cost"))
     regionPairs
