@@ -37,6 +37,23 @@ object DevRc {
       noop(operators.CirclesViews.currentTrust(operators.ReceiptClassifier.extractTrusts(r)))
     }
     time("demoSignups") { noop(operators.ReceiptClassifier.demoSignups(ev)) }
+    // HOF-cost probes: logs passthrough vs one interpreted filter vs the
+    // classify 5-subset layer
+    val rr = operators.ReceiptClassifier.demoReceipts(ev)
+    time("logs passthrough") { noop(rr.select(col("hash"), col("logs"))) }
+    for (r <- 1 to 2) {
+      time(s"one filter HOF (trust) r$r") {
+        noop(rr.select(col("hash"),
+          filter(col("logs"), l => operators.ReceiptClassifier.isCrcTrustLog(l))))
+      }
+      time(s"one filter kernel (trust) r$r") {
+        noop(rr.select(col("hash"), functions.LogOps.filterLogs(col("logs"),
+          operators.ReceiptClassifier.CrcTrustTopic,
+          Some(operators.ReceiptClassifier.DefaultHubAddress), 3, Some((0L, 100L)))))
+      }
+    }
+    for (r <- 1 to 2)
+      time(s"classify run$r") { noop(operators.ReceiptClassifier.classify(rr)) }
     spark.stop()
   }
 }
