@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -168,7 +169,94 @@ case class PqCodesResidualExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Fused SQ8 encode: codes + dequantized norm in ONE walk of the
+  * embedding, replacing two interpreted HOF layers per row (zip_with over
+  * sequence literals for the codes, aggregate-of-zip_with for the norm —
+  * both CodegenFallback). Bit-equal to the Column reference spelling
+  * ([[graft.operators.Pq.sq8EncodeRef]]; PqKernelSpec pins parity),
+  * including its edge arms:
+  *
+  *  - zip_with pads the SHORTER side with nulls, and the null arm
+  *    collapses to code 0 through the null-skipping greatest/least — so
+  *    missing or null elements encode as 0 and the code array length is
+  *    max(|e|, dim);
+  *  - round() on doubles is BigDecimal HALF_UP (±Inf/NaN pass through),
+  *    the int cast is Java narrowing (NaN → 0, out-of-range clamps), then
+  *    clamp to [0, 255]. ONE documented divergence: under ANSI the
+  *    reference's double→int cast THROWS on NaN/±Inf/out-of-range —
+  *    unreachable from the norm-filtered float corpus — where this kernel
+  *    clamps (the PqCodesExpr null-arm totality precedent);
+  *  - a vector LONGER than dim poisons the norm aggregate with a null
+  *    pair (acc + null), so dnorm is NULL there — replicated.
+  */
+object Sq8EncodeImpl {
+  def eval(arr: ArrayData, mins: Array[Float], scales: Array[Float]): InternalRow = {
+    val dim = mins.length
+    val len = arr.numElements()
+    val outLen = math.max(len, dim)
+    val codes = new Array[Int](outLen)
+    var i = 0
+    while (i < outLen) {
+      if (i < dim && i < len && !arr.isNullAt(i)) {
+        val d = (arr.getFloat(i).toDouble - mins(i).toDouble) / scales(i).toDouble
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        var c = r.toInt // Java narrowing: NaN → 0, out-of-range clamps
+        if (c < 0) c = 0
+        if (c > 255) c = 255
+        codes(i) = c
+      } // else: zip_with null arm → greatest(null, 0) → 0
+      i += 1
+    }
+    val dnorm: Any =
+      if (len > dim) null // the reference aggregate hits a null pair
+      else {
+        var acc = 0.0d
+        var j = 0
+        while (j < dim) {
+          val v = mins(j).toDouble + codes(j).toDouble * scales(j).toDouble
+          acc += java.lang.Math.pow(v, 2.0)
+          j += 1
+        }
+        java.lang.Math.sqrt(acc)
+      }
+    InternalRow(new GenericArrayData(codes), dnorm)
+  }
+}
+
+case class Sq8EncodeExpr(child: Expression, mins: Array[Float],
+                         scales: Array[Float]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(IntegerType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("dnorm",
+      org.apache.spark.sql.types.DoubleType, nullable = true)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_sq8_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sq8EncodeImpl.eval(input.asInstanceOf[ArrayData], mins, scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", mins, "float[]")
+    val scalesRef = ctx.addReferenceObj("sq8Scales", scales, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8EncodeImpl.eval($c, $minsRef, $scalesRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8EncodeExpr =
+    copy(child = newChild)
+}
+
 object PqOps {
+
+  /** One-pass SQ8 (codes, dnorm) struct — see [[Sq8EncodeImpl]]. */
+  def sq8Encode(e: Column, mins: Array[Float], scales: Array[Float]): Column =
+    GraftBridge.column(Sq8EncodeExpr(GraftBridge.expression(e), mins, scales))
 
   /** All m PQ codes of `e` in one codegen'd pass — argmax_ci of
     * dot(e_subⱼ, c)·2 − ‖c‖² per subspace, ties → lowest ci; bit-equal to

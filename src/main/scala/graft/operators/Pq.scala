@@ -453,6 +453,25 @@ object Pq {
       return embeddings.select(col("vec_id"), typedlit(Array.empty[Int]).as("codes"),
         lit(0.0d).as("dnorm")).where(lit(false))
     val scales = sq8Scales(mins, maxs)
+    // r15: one codegen'd walk per row (codes + dequantized norm fused)
+    // replacing two interpreted HOF layers — bit-equal to [[sq8EncodeRef]]
+    // incl. the zip_with null arms (PqKernelSpec pins parity)
+    embeddings.select(col("vec_id"),
+        graft.functions.PqOps.sq8Encode(col("embedding"), mins, scales).as("enc"))
+      .select(col("vec_id"), col("enc.codes").as("codes"),
+        col("enc.dnorm").as("dnorm"))
+  }
+
+  /** Column reference spelling of [[sq8Encode]] — the parity oracle for
+    * the fused kernel (PqKernelSpec asserts frame equality). Interpreted
+    * HOFs; not a hot path.
+    */
+  private[graft] def sq8EncodeRef(embeddings: DataFrame, dim: Int,
+                                  mins: Array[Float], maxs: Array[Float]): DataFrame = {
+    if (mins.isEmpty)
+      return embeddings.select(col("vec_id"), typedlit(Array.empty[Int]).as("codes"),
+        lit(0.0d).as("dnorm")).where(lit(false))
+    val scales = sq8Scales(mins, maxs)
     val minsL = typedlit(mins)
     val scalesL = typedlit(scales)
     val codes = zip_with(col("embedding"), sequence(lit(1), lit(dim)), (x, i) =>

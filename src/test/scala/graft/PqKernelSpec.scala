@@ -101,4 +101,55 @@ class PqKernelSpec extends SparkSpec {
         cents.map(_._1), offsetsByCid2).as("k")).collect().head
     assert(unknown.isNullAt(0))
   }
+
+  test("fused sq8Encode equals the HOF reference on corpus rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (mins, maxs) = Pq.sq8Stats(emb, 64)
+    val k = Pq.sq8Encode(emb, 64, mins, maxs)
+    val r = Pq.sq8EncodeRef(emb, 64, mins, maxs)
+    val joined = k.as("k").join(r.as("r"), "vec_id")
+      .where(!(col("k.codes") <=> col("r.codes")) ||
+        !(col("k.dnorm") <=> col("r.dnorm")))
+    assert(joined.count() == 0)
+    assert(k.count() > 0)
+  }
+
+  test("fused sq8Encode hostile envelope: short/long/null-elem vectors") {
+    val mins = Array(0f, -1f, 2f)
+    val maxs = Array(1f, 1f, 2f) // dim 2: mx == mn -> scale 1 arm
+    val rows: Seq[Array[java.lang.Float]] = Seq(
+      Array[java.lang.Float](0.4f, 0.6f, 2f),               // full length
+      Array[java.lang.Float](0.5f, -0.5f),                  // short -> pad arm
+      Array.empty[java.lang.Float],                         // empty
+      Array[java.lang.Float](9f, -9f, 9f),                  // clamps 255/0
+      Array[java.lang.Float](0.5f, null, 2f),               // null element
+      Array[java.lang.Float](0.1f, 0.2f, 2f, 7f))           // LONGER than dim -> dnorm null
+    val df = rows.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+    val k = Pq.sq8Encode(df, 3, mins, maxs)
+    val r = Pq.sq8EncodeRef(df, 3, mins, maxs)
+    val bad = k.as("k").join(r.as("r"), "vec_id")
+      .where(!(col("k.codes") <=> col("r.codes")) ||
+        !(col("k.dnorm") <=> col("r.dnorm")))
+    assert(bad.count() == 0)
+    // null embedding -> kernel row NULL struct -> codes/dnorm null, same
+    // as the reference's zip_with(null) null propagation
+    val nk = Seq((0L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val nb = Pq.sq8Encode(nk, 3, mins, maxs).as("k")
+      .join(Pq.sq8EncodeRef(nk, 3, mins, maxs).as("r"), "vec_id")
+      .where(!(col("k.codes") <=> col("r.codes")) ||
+        !(col("k.dnorm") <=> col("r.dnorm"))).count()
+    assert(nb == 0)
+    // NaN/Inf elements: under ANSI the REFERENCE spelling throws
+    // (CAST_OVERFLOW on the double->int cast); the kernel clamps to the
+    // nearest code instead -- a documented totality improvement (the
+    // PqCodesExpr null-arm precedent), unreachable from the clean
+    // embeddings corpus (the corpus parity test above covers real data)
+    val weird = Seq((0L, Array(Float.NaN, Float.PositiveInfinity, 2f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val wk = Pq.sq8Encode(weird, 3, mins, maxs).select("codes").as[Seq[Int]].collect()
+    assert(wk.head == Seq(0, 255, 0))
+  }
 }
