@@ -239,43 +239,55 @@ object Dedup {
     * fallback shingle — documented divergence, irrelevant above tweet
     * length).
     */
-  def minhashLshExact(documents: DataFrame, numHashes: Int = 16,
-                      rowsPerBand: Int = 2,
-                      jaccardThreshold: Double = 0.5,
-                      bucketCap: Int = 10000): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val numBands = numHashes / rowsPerBand
-    val coeffs = minhashExactCoeffs(numHashes)
-    val grams = TextMetrics.gramKeys(documents, 3, Seq("doc_id"))
-      .localCheckpoint(true) // sigs + counts + two verification legs
-    // the affine mix runs on the NATIVE long kernel (multiplyHigh +
-    // Mersenne folds — r12): bit-identical to the decimal(38,0) spelling
-    // the ORACLE still computes ([[minhashExactAffineRef]]; DedupSpec pins
-    // kernel parity and the oracle hash-match is unchanged), ~n× cheaper
-    // than a decimal multiply/mod chain per (gram, hash)
+  /** LAZY candidate-pair generator of [[minhashLshExact]] — signatures,
+    * band explode, the hot-bucket cap valve and the per-band self-join.
+    * r15 (guide §2.4, the r14 "54 Exchanges" finding): the band frame
+    * feeds the cap valve's hot aggregation, its anti-join AND both sides
+    * of the self-join — without a barrier the whole signature groupBy
+    * (numHashes affine-min aggregates over the gram frame) re-ran 4×, so
+    * the band frame is pinned here (docs×numBands rows, bounded).
+    * Public to `graft` so PlanShapeSpec can assert the valve's
+    * broadcast-anti shape on the lazy plan.
+    */
+  private[graft] def minhashExactCandidates(grams: DataFrame,
+      coeffs: Seq[(Long, Long)], rowsPerBand: Int, bucketCap: Int): DataFrame = {
+    val numBands = coeffs.size / rowsPerBand
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
       min(graft.functions.HashConv.affineModP(col("g"), a, b)).as(s"s$j")
     }
     val sigs = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandKey = (bnd: Int) => concat_ws(":",
       lit(bnd) +: (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}")): _*)
-    // r15 (guide §2.4, the r14 "plan shows 36 re-reads" finding): the
-    // band frame feeds the cap valve's hot aggregation, its anti-join,
-    // AND both sides of the pair self-join — without a barrier the whole
-    // signature groupBy (16 affine-min aggregates over the gram frame)
-    // re-runs 4×. docs×numBands rows — bounded, cheap to pin.
     val bands = capHotBuckets(sigs.select(col("doc_id"),
       explode(array((0 until numBands).map(bandKey): _*)).as("band_key"))
         .localCheckpoint(true),
       "band_key", bucketCap)
-    // candidate pairs feed the intersection count and the final join
-    // chain — two consumers of the self-join+distinct subtree; bounded by
-    // the cap valve.
-    val pairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLshExact(documents: DataFrame, numHashes: Int = 16,
+                      rowsPerBand: Int = 2,
+                      jaccardThreshold: Double = 0.5,
+                      bucketCap: Int = 10000): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val coeffs = minhashExactCoeffs(numHashes)
+    // the affine mix inside the candidate generator runs on the NATIVE
+    // long kernel (multiplyHigh + Mersenne folds — r12): bit-identical to
+    // the decimal(38,0) spelling the ORACLE still computes
+    // ([[minhashExactAffineRef]]; DedupSpec pins kernel parity and the
+    // oracle hash-match is unchanged)
+    val grams = TextMetrics.gramKeys(documents, 3, Seq("doc_id"))
+      .localCheckpoint(true) // sigs + counts + two verification legs
+    // candidate pairs feed the intersection count and the final join
+    // chain — two consumers of the self-join+distinct subtree; bounded
+    // by the cap valve, so pinning is cheap (and PlanShapeSpec asserts
+    // the valve's broadcast-anti shape on the LAZY generator below,
+    // since an eager pin hides it from the key's final plan).
+    val pairs = minhashExactCandidates(grams, coeffs, rowsPerBand, bucketCap)
       .localCheckpoint(true)
     // per-doc gram counts join back twice (n_a, n_b) — doc-grain, pin it
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))

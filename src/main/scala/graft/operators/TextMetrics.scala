@@ -856,7 +856,7 @@ object TextMetrics {
         "per-row gram dedup would inflate similarity counts downstream")
   }
 
-  private[operators] def gramKeys(documents: DataFrame, n: Int,
+  private[graft] def gramKeys(documents: DataFrame, n: Int,
                                   carry: Seq[String]): DataFrame = {
     if (documents.sparkSession.conf
         .getOption("spark.graft.gramKeys.checkUnique").exists(_.toBoolean))

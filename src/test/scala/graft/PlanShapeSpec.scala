@@ -332,13 +332,27 @@ class PlanShapeSpec extends SparkSpec {
     }
     // the exact-edition hot-band cap (r12): the valve must stay a BROADCAST
     // anti-join on the bucket key — a shuffled anti-join or a window count
-    // here re-introduces the global sort the valve exists to avoid
+    // here re-introduces the global sort the valve exists to avoid.
+    // r15: q_dedup_minhash pins its candidate pairs eagerly (the 54→14
+    // Exchange materialization), which moves the valve into an earlier
+    // job — assert it on the LAZY candidate generator instead; the final
+    // key plan still must not window or fall into a product join.
     for (k <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
       val p = finalPlanOf(k)
-      assert(p.contains("LeftAnti"), s"$k lost the cap valve anti-join:\n$p")
       assert(!p.contains("Window"), s"$k must not count over a window:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$k fell into a product join:\n$p")
     }
+    assert(finalPlanOf("q_dedup_simhash").contains("LeftAnti"),
+      "q_dedup_simhash lost the cap valve anti-join")
+    val cand = graft.operators.Dedup.minhashExactCandidates(
+      graft.operators.TextMetrics.gramKeys(
+        Tables.documents(spark, sf), 3, Seq("doc_id")).localCheckpoint(true),
+      graft.operators.Dedup.minhashExactCoeffs(16), 2, 10000)
+      .queryExecution.executedPlan.toString
+    assert(cand.contains("LeftAnti"),
+      s"minhash candidate generator lost the cap valve anti-join:\n$cand")
+    assert(!cand.contains("Window"),
+      s"minhash candidate generator must not count over a window:\n$cand")
   }
 }
